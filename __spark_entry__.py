@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()``    — every implemented operator query (SURVEY §2.2.12 + extensions).
+``oracle_sql()`` — matching DuckDB oracle SQL per query (omitted for
+                   non-SQL-expressible ops → rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +12,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hotlead earliest-page rollup (WebCustomMetricsEvaluator
+    semantics) over sf0.001 orders, via the engine's operators."""
+    from flashml_spark.queries import QUERIES
+
+    fn, _ = QUERIES["q12_hotlead_rollup"]
+    return fn(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from flashml_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from flashml_spark.queries import QUERIES
+
+    return {name: oracle for name, (_fn, oracle) in QUERIES.items() if oracle is not None}

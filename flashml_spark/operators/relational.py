@@ -1,0 +1,105 @@
+"""Core relational operators of the engine.
+
+Each function is a pure DataFrame→DataFrame transform (lazy; Catalyst fuses
+them into one optimized plan).  Reference citations per SURVEY §2.3-2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2**32 - 1 : FlashMLConstants.scala:280 (MAX8BITHEXDOUBLE)
+_MAX_8HEX = 4294967295.0
+
+
+def input_filter(df: DataFrame, predicate: str | Column | None, response_col: str | None = None) -> DataFrame:
+    """Config-driven input filter (``dal/DataReader.scala:128-140``).
+
+    Default (when no predicate configured): drop rows with NULL response.
+    The predicate is a SQL string — pushed down to the scan by Catalyst.
+    """
+    if predicate is None:
+        if response_col is None:
+            return df
+        return df.filter(F.col(response_col).isNotNull())
+    return df.filter(predicate)
+
+
+def prune_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Early column pruning (``dal/DataReader.scala:136-140``,
+    ``core/PipelineSteps.scala:163-177``).  Explicit ``select`` so pruning
+    survives ``.cache()`` boundaries (Catalyst prunes within a plan but not
+    across materialization)."""
+    return df.select(*columns)
+
+
+def page_bucket(df: DataFrame, page_col: str, num_pages: int, out_col: str = "page") -> DataFrame:
+    """Clamp page numbers: rows with ``page >= N`` fold into the last model
+    (``core/PipelineSteps.scala:316-323``)."""
+    c = F.col(page_col)
+    return df.withColumn(out_col, F.when(c < num_pages, c).otherwise(F.lit(num_pages)))
+
+
+def split_page_level(df: DataFrame, page_col: str, num_pages: int) -> list[DataFrame]:
+    """One DataFrame per page model: ``page == k`` for k < N, ``page >= N``
+    for the last (``core/PipelineSteps.scala:308-327``).
+
+    Scale note: these are N filters over ONE cached parent — each filter is
+    partition-pruned if the source is partitioned by page.
+    """
+    c = F.col(page_col)
+    out = [df.filter(c == k) for k in range(1, num_pages)]
+    out.append(df.filter(c >= num_pages))
+    return out
+
+
+def time_on_page(
+    df: DataFrame,
+    primary_keys: list[str],
+    order_col: str,
+    cumulative_time_col: str,
+    out_col: str = "time_on_page",
+) -> DataFrame:
+    """``lead(cumTime,1) OVER (PARTITION BY pk ORDER BY page) - cumTime``
+    (``dal/DataReader.scala:143-156``).
+
+    One shuffle on the session key; at 100 TB the pk partition count is set
+    by AQE.  No driver involvement.
+    """
+    w = Window.partitionBy(*primary_keys).orderBy(order_col)
+    c = F.col(cumulative_time_col)
+    return df.withColumn(out_col, F.lead(c, 1).over(w) - c)
+
+
+def derive_random_variable(df: DataFrame, id_col: str, out_col: str = "random_variable") -> DataFrame:
+    """Deterministic uniform[0,100] from the first 8 hex chars of an ID
+    (``dal/DataReader.scala:34-78``): ``conv(substr(id,1,8),16,10)*100/(2^32-1)``.
+
+    Pure column expression — whole-stage-codegen'd, no UDF.
+    """
+    hex8 = F.substring(F.col(id_col).cast("string"), 1, 8)
+    return df.withColumn(
+        out_col, F.conv(hex8, 16, 10).cast("double") * 100.0 / F.lit(_MAX_8HEX)
+    )
+
+
+def post_predict_filter(df: DataFrame, predicate: str | None) -> DataFrame:
+    """SQL predicate applied after scoring (``core/Predict.scala:56-75``)."""
+    return df if predicate is None else df.filter(predicate)
+
+
+def union_pages(dfs: list[DataFrame]) -> DataFrame:
+    """Union per-page DataFrames back into one (``core/metrics/
+    MetricsEvaluator.scala:49-72``).  ``unionByName`` guards against column
+    order drift between page pipelines."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def concat_key(df: DataFrame, cols: list[str], out_col: str = "key", sep: str = "_") -> DataFrame:
+    """Composite primary key as a concatenated string
+    (``publish/Publish.scala:424-437``, QA-join key)."""
+    return df.withColumn(out_col, F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]))

@@ -1,0 +1,143 @@
+"""Sampling / splitting / class-balancing operators (SURVEY §2.5).
+
+The reference drops to RDD level for stratified sampling and class
+stabilization (``core/sampling/TrainTestSampler.scala``); here everything
+stays in DataFrame land so Catalyst/AQE keep optimizing, and nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# FlashMLConstants.scala:281 — fixed sampling seed used by every golden test
+DEFAULT_SEED = 20
+
+
+def random_split(df: DataFrame, weights: list[float], seed: int = DEFAULT_SEED) -> list[DataFrame]:
+    """``df.randomSplit(splitPercents, seed)`` (``TrainTestSampler.scala:59-64``)."""
+    total = float(sum(weights))
+    return df.randomSplit([w / total for w in weights], seed=seed)
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float,
+    seed: int = DEFAULT_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact stratified train/test split.
+
+    Reference: ``TrainTestSampler.scala:113-145`` / ``StratifiedTrainTestSplitter
+    .scala:33-51`` — RDD ``sampleByKeyExact`` then ``except``.  DataFrame-native
+    equivalent: per-class shuffle order via ``row_number() OVER (PARTITION BY
+    label ORDER BY rand(seed))`` against the per-class count — exact to ±1 row
+    per class, one shuffle, no second pass and no ``except`` anti-join over the
+    full data (the reference's ``except`` is a full shuffle of both sides —
+    strictly worse at scale).
+    """
+    w = Window.partitionBy(label_col).orderBy(F.rand(seed))
+    cnt = Window.partitionBy(label_col)
+    tagged = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(cnt)
+    )
+    is_train = F.col("__rn") <= (F.col("__n") * F.lit(train_fraction))
+    train = tagged.filter(is_train).drop("__rn", "__n")
+    test = tagged.filter(~is_train).drop("__rn", "__n")
+    return train, test
+
+
+def conditional_split(df: DataFrame, conditions: list[str]) -> list[DataFrame]:
+    """One filter per config condition, e.g. ``rv<=80`` / ``rv>80``
+    (``TrainTestSampler.scala:154-159``)."""
+    return [df.filter(c) for c in conditions]
+
+
+def stabilize_classes(
+    df: DataFrame,
+    label_col: str,
+    min_support: int,
+    other_label: str = "OTHER",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Relabel classes with count < min_support to ``other_label``.
+
+    Reference: ``TrainTestSampler.scala:72-105`` uses RDD
+    keyBy/reduceByKey/join (three shuffles).  Window-count formulation is a
+    single shuffle with partial aggregation:
+    ``count() OVER (PARTITION BY label)`` + ``when(cnt < k, other)``.
+    """
+    out_col = out_col or label_col
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(label_col))
+    return df.withColumn(
+        out_col,
+        F.when(cnt < min_support, F.lit(other_label)).otherwise(F.col(label_col)),
+    )
+
+
+def minority_majority_labels(df: DataFrame, label_col: str) -> DataFrame:
+    """``groupBy(label).count().orderBy(count)`` — first row = minority class
+    (``TrainTestSampler.scala:291-300``)."""
+    return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt")).orderBy("cnt", label_col)
+
+
+def balance_random(
+    df: DataFrame,
+    label_col: str,
+    minority_label,
+    target_minority_fraction: float,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Random over-sampling of the minority class to reach a target fraction
+    (``TrainTestSampler.scala:205-243``): sample-with-replacement the minority
+    rows and union with the rest.
+    """
+    counts = {
+        r[label_col]: r["n"]
+        for r in df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # tiny: one row per class
+    n_min = counts.get(minority_label, 0)
+    n_other = sum(v for k, v in counts.items() if k != minority_label)
+    if n_min == 0:
+        return df
+    target = target_minority_fraction * n_other / (1.0 - target_minority_fraction)
+    frac = max(target / n_min, 0.0)
+    minority = df.filter(F.col(label_col) == minority_label)
+    rest = df.filter(F.col(label_col) != minority_label)
+    return rest.unionByName(minority.sample(True, frac, seed))
+
+
+def balance_conditional(
+    df: DataFrame,
+    label_col: str,
+    majority_label,
+    random_col: str,
+    keep_fraction: float,
+) -> DataFrame:
+    """Deterministic under-sampling of the majority class via a threshold on
+    the random variable (``TrainTestSampler.scala:244-281``):
+    keep majority rows with ``rv < rv_min + f * (rv_max - rv_min)``.
+
+    The min/max agg is a tiny all-reduce; the filter is then pushed down.
+    """
+    bounds = (
+        df.filter(F.col(label_col) == majority_label)
+        .agg(F.min(random_col).alias("mn"), F.max(random_col).alias("mx"))
+        .first()
+    )
+    if bounds["mn"] is None:
+        return df
+    thresh = bounds["mn"] + keep_fraction * (bounds["mx"] - bounds["mn"])
+    keep = (F.col(label_col) != majority_label) | (F.col(random_col) < thresh)
+    return df.filter(keep)
+
+
+def minority_fraction(df: DataFrame, label_col: str, positive_label) -> float:
+    """Positive-class fraction used by the minority-class validation warning
+    (``TrainTestSampler.scala:169-192``; threshold 0.002 FMC:278)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(label_col) == positive_label, 1)).alias("pos"),
+    ).first()
+    return (row["pos"] / row["n"]) if row["n"] else 0.0

@@ -1,0 +1,126 @@
+"""Source readers.
+
+Reference surface (SURVEY §2.1):
+  * HiveReader          — ``dal/HiveReader.scala:19-51``      → ``spark.sql`` / ``spark.table``
+  * HDFSFileReader      — ``dal/HDFSFileReader.scala:20-61``  → ``spark.read.csv/json`` + temp view
+  * VerticaReader       — ``dal/VerticaReader.scala:25-66``   → ``spark.read.jdbc`` with subquery alias
+  * SQL view chain      — ``dal/DataReader.scala:105-120``    → loop of ``spark.sql`` + temp views
+  * Reader factory      — ``dal/DataReaderFactory.scala:36-50`` → URI-scheme dispatch
+
+All readers return lazy DataFrames; Catalyst pushes filters/projections into
+the scan (parquet/csv/JDBC), so downstream ``select``/``filter`` prune IO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic-benchmark table from a scale-factor directory."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_tables(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the benchmark tables as temp views for SQL-chain queries."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def run_sql_view_chain(
+    spark: SparkSession, queries: list[str], view_prefix: str = "flashml_view_"
+) -> DataFrame:
+    """Execute a chain of SQL statements, registering each result as
+    ``<prefix><i>`` so later statements can reference earlier ones; return
+    the final result.
+
+    Mirrors ``dal/DataReader.scala:105-120`` (``processSQLViewsRec``): the
+    reference registers every intermediate as a temp view and returns the
+    last.  Temp views are logical-plan aliases — Catalyst inlines them, so
+    the chain optimizes as ONE plan (no materialization between steps).
+    """
+    if not queries:
+        raise ValueError("empty SQL view chain")
+    df = None
+    for i, q in enumerate(queries):
+        df = spark.sql(q)
+        df.createOrReplaceTempView(f"{view_prefix}{i}")
+    return df
+
+
+def validate_input_query(query: str) -> None:
+    """Reject bare ``select``-prefixed input queries.
+
+    Mirrors ``dal/DataReader.scala:86-93`` which expects full CTAS-style
+    statements for all but the final query in a chain.
+    """
+    if query.strip().lower().startswith("select"):
+        raise ValueError(
+            "input query must not start with SELECT; use a full statement "
+            "(e.g. CREATE TEMPORARY VIEW ... AS SELECT ...)"
+        )
+
+
+def read_source(spark: SparkSession, uri: str, **options) -> DataFrame:
+    """URI-scheme dispatching reader (``dal/DataReaderFactory.scala:36-50``).
+
+    Supported schemes:
+      * ``parquet://<path>`` / plain path ending .parquet
+      * ``csv://<path>``  (header=true, like ``HDFSFileReader.scala:34``)
+      * ``tsv://<path>``  (sep=\\t, header=true)
+      * ``json://<path>`` (schema inference, ``HDFSFileReader.scala:36-40``)
+      * ``hive://<db.table>`` → ``spark.table``
+      * ``jdbc://<url>`` with ``dbtable``/``query`` option (VerticaReader-style)
+    """
+    scheme, _, rest = uri.partition("://")
+    if not rest:  # plain path
+        scheme, rest = _sniff_scheme(uri), uri
+    scheme = scheme.lower()
+    if scheme == "parquet":
+        return spark.read.options(**options).parquet(rest)
+    if scheme == "csv":
+        return spark.read.option("header", "true").options(**options).csv(rest)
+    if scheme == "tsv":
+        return (
+            spark.read.option("header", "true").option("sep", "\t").options(**options).csv(rest)
+        )
+    if scheme == "json":
+        return spark.read.options(**options).json(rest)
+    if scheme == "hive":
+        return spark.table(rest)
+    if scheme == "jdbc":
+        # VerticaReader.scala:25-66 — read a table, or wrap the first query
+        # as a subquery alias so the predicate is pushed to the database.
+        query = options.pop("query", None)
+        table = options.pop("dbtable", None)
+        if query is not None:
+            table = f"( {query} ) flashml_subq"
+        if table is None:
+            raise ValueError("jdbc source needs 'dbtable' or 'query' option")
+        return spark.read.jdbc(rest, table, properties=options)
+    raise ValueError(f"unsupported source scheme: {scheme!r}")
+
+
+def _sniff_scheme(path: str) -> str:
+    for ext, scheme in ((".parquet", "parquet"), (".csv", "csv"), (".tsv", "tsv"), (".json", "json")):
+        if path.rstrip("/").endswith(ext):
+            return scheme
+    return "parquet"
