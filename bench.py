@@ -1,0 +1,86 @@
+"""Benchmark harness — times headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Execution is forced with the noop datasource so the FULL plan runs
+(count() would let Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from flashml_spark.session import get_spark
+
+
+# Headline set: one per operator family — scan/filter, view-chain agg,
+# window, stabilizer window, broadcast join, two-level agg rollup,
+# cumulative sweep, binning, plus the LLM-pipeline ops when present.
+HEADLINE = [
+    "q01_filter_project",
+    "q02_sql_view_chain",
+    "q03_window_lead",
+    "q06_interval_binning",
+    "q08_class_stabilizer",
+    "q11_qa_join",
+    "q12_hotlead_rollup",
+    "q19_threshold_sweep",
+    "x01_dedup_exact",
+    "x03_minhash_dedup",
+    "x06_knn_brute",
+    "x08_token_count",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from flashml_spark.queries import QUERIES
+
+    spark = get_spark("flashml-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM + parquet footer cache once with the cheapest query
+    run_query(QUERIES[names[0]][0](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
