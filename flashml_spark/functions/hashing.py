@@ -1,0 +1,94 @@
+"""Deterministic, engine-portable hashing column expressions.
+
+The dedup/similarity operators need hash families that are reproducible
+across engines (Spark ↔ SQL oracle).  We derive everything from md5 —
+available and bit-identical everywhere — instead of Spark-private hashes
+(murmur3/xxhash64 seeds differ across engines):
+
+  * ``md5_hex(col)``          — 32-char lowercase hex digest
+  * ``md5_long(col, n=12)``   — first n hex chars as a non-negative long
+                                (48 bits default: fits bigint, no sign issues)
+  * minhash_h_i(token) = md5(i || ':' || token); the signature component is
+    the LEXICOGRAPHIC MIN over tokens — hex-string order equals numeric
+    order of the digest, and string MIN is portable to any SQL engine.
+
+All are pure column expressions: whole-stage codegen, zero shuffles beyond
+what the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_hex(col: Column) -> Column:
+    return F.md5(col.cast("binary"))
+
+
+def md5_long(col: Column, n_hex: int = 12) -> Column:
+    """First ``n_hex`` hex chars of md5 as a long (``conv`` base-16→10)."""
+    return F.conv(F.substring(md5_hex(col), 1, n_hex), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization after lowercase+trim (array<string>)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram shingles, space-joined, 1-based element_at so the same
+    expression ports to 1-indexed SQL list engines."""
+    if n == 1:
+        return toks
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    # guard: F.sequence(1, k<1) would generate a DESCENDING sequence
+    return F.when(count >= 1, grams).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def minhash_component(shingles: Column, i: int) -> Column:
+    """One minhash signature component: min over shingles of
+    ``md5('<i>:' || shingle)`` (hex-string min)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary")))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+    """Full signature as ``num_hashes`` columns.  Computed per-row with
+    higher-order functions — NO shuffle; dedup then groups by band."""
+    return [minhash_component(shingles, i) for i in range(num_hashes)]
+
+
+def token_hashes(toks: Column) -> Column:
+    """48-bit md5-derived long per token (``array<bigint>``).  Materialize
+    this ONCE (own select stage) before fanning out into per-bit SimHash
+    votes — otherwise expression duplication recomputes md5 per bit."""
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 12), 16, 10).cast("bigint"),
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint from precomputed token hashes: bit j is set iff
+    the sum over tokens of ±1 (sign of token-hash bit j) is positive.
+
+    Per-row higher-order aggregation — embarrassingly parallel, no shuffle.
+    """
+    def bit_vote(j: int):
+        # NB: the merge lambda must take EXACTLY (acc, elem) — pyspark maps
+        # every positional param (even defaulted) to a lambda variable.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(j))
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out

@@ -1,0 +1,191 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each designed for the 100 TB shape:
+
+  * exact           — hash-groupBy on a content digest (one shuffle on the
+                      digest; AQE handles skew from giant duplicate groups)
+  * minhash + LSH   — per-row signatures (no shuffle), band-bucket groupBy,
+                      candidate verification by jaccard
+  * simhash         — per-row 64/16-bit fingerprint, groupBy fingerprint
+  * n-gram jaccard  — shingle-explode + co-partitioned self-join with a
+                      document-frequency cap to kill hot-shingle skew
+  * embedding       — cosine near-dup via LSH bucketing (see similarity.py)
+
+All engine-portable hashing comes from ``functions.hashing`` (md5-derived),
+so every step is SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flashml_spark.functions import hashing as H
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical content by md5 digest; emit per-group keeper (min id)
+    and duplicate count.  ``h, keep_id, dup_cnt``."""
+    return (
+        df.select(H.md5_hex(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content value.
+
+    Window-free formulation: join back on (digest, keeper id) — the join is
+    on the digest key both sides, so it co-partitions with the groupBy
+    shuffle and AQE turns it into a local join.
+    """
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 4, shingle_n: int = 1,
+    prefix: str = "sig",
+) -> DataFrame:
+    """Append ``num_hashes`` minhash signature columns (``sig0..sigN``).
+
+    Signatures are computed per-row with array higher-order functions —
+    zero shuffle; at 100 TB this is a pure map stage.
+    """
+    toks = H.tokens(F.col(text_col))
+    shingles = H.word_ngrams(toks, shingle_n)
+    sigs = H.minhash_signature(shingles, num_hashes)
+    out = df
+    for i, s in enumerate(sigs):
+        out = out.withColumn(f"{prefix}{i}", s)
+    return out
+
+
+def minhash_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, shingle_n: int = 1
+) -> DataFrame:
+    """Near-dup groups: docs whose FULL minhash signature matches (single
+    band of ``num_hashes`` rows ⇒ high precision).  Emits
+    ``keep_id, dup_cnt`` per signature bucket."""
+    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
+    sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    return (
+        sigged.groupBy(*sig_cols)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt", *sig_cols)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing ANY band bucket are candidates.
+
+    Scale shape: explode to (band_id, band_key, doc) — one shuffle on the
+    band key; self-join within buckets is co-partitioned.  Output distinct
+    ``(id_a, id_b)`` with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    exploded = sigged.select(
+        F.col(id_col), F.explode(band_keys).alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """Append a SimHash fingerprint column (per-row, shuffle-free).
+
+    Token hashes are materialized in their own select stage so the per-bit
+    vote expressions reuse them instead of recomputing md5 ``bits`` times.
+    """
+    staged = df.select(
+        "*", H.token_hashes(H.tokens(F.col(text_col))).alias("__th")
+    )
+    return staged.withColumn(out_col, H.simhash_from_hashes(F.col("__th"), bits)).drop("__th")
+
+
+def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Exact-fingerprint SimHash buckets: ``simhash, keep_id, dup_cnt``.
+    (Hamming-radius matching is layered on top via the LSH-candidate path.)"""
+    return (
+        with_simhash(df, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity above a threshold.
+
+    Plan shape (scales to 100 TB):
+      1. per-doc DISTINCT shingles (map + one groupBy doc)
+      2. shingle document-frequency cap ``max_df`` — drops stop-shingles,
+         which both bounds the join fan-out (skew!) and matches standard
+         near-dup practice
+      3. self-join on shingle (co-partitioned), count common per pair
+      4. join per-doc shingle counts (broadcast-sized after distinct? no —
+         keyed join on id, AQE picks the strategy)
+      5. jaccard = common / (|A| + |B| - common), filter, round
+
+    Output: ``id_a, id_b, jaccard``.
+    """
+    toks = H.tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(H.word_ngrams(toks, n))).alias("s"),
+    )
+    df_cap = shingled.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).filter(
+        F.col("df_s") <= max_df
+    )
+    kept = shingled.join(df_cap.select("s"), "s")
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

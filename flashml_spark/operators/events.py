@@ -1,0 +1,83 @@
+"""Event-stream operators (batch semantics; streaming variants in
+``flashml_spark.streaming`` share these definitions).
+
+The reference has no streaming layer (SURVEY §1.1: "No streams … exist");
+these operators extend the engine with the standard event-analytics set a
+large-scale pipeline needs: tumbling-window aggregation and gap-based
+sessionization — both expressible as one-shuffle DataFrame plans, and both
+reusable under Structured Streaming (window agg directly; sessionization
+via ``session_window``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count/sum per key: ``ws, <key>, n, total``.
+
+    Pure groupBy — partial aggregation map-side, one shuffle on
+    (window, key).  Under streaming the identical expression runs with a
+    watermark.
+    """
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("total"),
+        )
+        .select(F.col("w.start").alias("ws"), key_col, "n", "total")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds the gap.  Returns the input plus
+    ``session_idx`` (0-based per user).
+
+    One shuffle on the user key; lag + running sum over the same window
+    spec share a single sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_sec = gap_minutes * 60
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("long") - prev_ts.cast("long")) > gap_sec),
+        1,
+    ).otherwise(0)
+    return df.withColumn("__new", new_session).withColumn(
+        "session_idx", F.sum("__new").over(w) - 1
+    ).drop("__new")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-user session statistics: ``user_id, n_sessions, n_events``."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    return (
+        s.groupBy(user_col)
+        .agg(
+            (F.max("session_idx") + 1).cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata structs.
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the
+only sane shape for Python media libs at scale (per-batch amortized
+overhead, no per-row pickling, executor-parallel).
+
+The actual codec step is STUBBED in this environment (no PIL/ffmpeg in the
+container): ``decode_image_meta`` raises ``NotImplementedError`` unless
+``fake=True``, in which case it produces a DETERMINISTIC md5-derived fake
+(so the full Spark plumbing — schema, Arrow batches, partitioning — is
+real and test-covered; swap ``_fake_decode`` for the PIL call in prod).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as a fake media payload so the
+    binary-column pipeline is exercisable with the synthetic tables."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for an image decode: dimensions and a
+    perceptual-hash-shaped digest derived from md5(payload)."""
+    d = hashlib.md5(payload).hexdigest()
+    width = 64 + int(d[:4], 16) % 1856  # 64..1919
+    height = 64 + int(d[4:8], 16) % 1016  # 64..1079
+    return width, height, d[:16]
+
+
+def decode_media(df: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
+    """Decode media payloads to metadata via Arrow-batched mapInPandas.
+
+    ``fake=False`` is the production path (real codec) — not available in
+    this container, raises NotImplementedError inside the executor task.
+    """
+
+    def decode_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this environment"
+                )
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "phash": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling STUB: emits the (media_id, frame_idx) work plan
+    a real decoder would execute — ``sequence``-generated, no Python."""
+    # byte_len / 1000 as a fake frame count — real impl reads container metadata
+    frames = F.sequence(F.lit(0), F.floor(F.length("payload") / 1000), F.lit(every_n))
+    return df.select("media_id", F.explode(frames).alias("frame_idx"))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline; per-row JVM-side vector
+    math (``F.aggregate``/``F.zip_with``), TakeOrderedAndProject for the
+    top-k (per-partition heaps, k-row driver merge — no global sort).
+  * random-hyperplane LSH ANN — the 100 TB path: bucket vectors by the sign
+    pattern of projections onto R fixed hyperplanes (deterministic seeded
+    planes broadcast as literals), search only the query's bucket (and
+    optionally Hamming-adjacent probes).
+
+Embedding near-dup dedup reuses the same LSH buckets with a cosine
+threshold inside each bucket.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flashml_spark.functions import vector as V
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query_vec: list[float],
+                    out_col: str = "sim") -> DataFrame:
+    """Append cosine similarity to a fixed query vector.
+
+    The query vector ships as a literal array (broadcast in the plan); the
+    scan stays a pure map stage.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.withColumn(out_col, V.cosine(_as_double(F.col(vec_col)), q))
+
+
+def knn_brute_force(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine: ``id, sim`` ordered desc, ties by id.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps a k-heap, driver merges k rows per partition.
+    """
+    sim = cosine_to_query(df, vec_col, query_vec)
+    out = sim.select(F.col(id_col), F.col("sim"))
+    if round_to is not None:
+        out = out.select(id_col, F.round("sim", round_to).alias("sim"))
+    return out.orderBy(F.desc("sim"), id_col).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free hyperplanes (seeded PRNG on the driver —
+    tiny, shipped as literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit b set iff dot(vec, plane_b) > 0."""
+    out = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        out = out + F.when(V.dot(_as_double(vec), p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]],
+                    out_col: str = "bucket") -> DataFrame:
+    return df.withColumn(out_col, lsh_bucket(F.col(vec_col), planes))
+
+
+def knn_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket, then exact
+    cosine within it.  At 100 TB, write the table bucketed/partitioned by
+    ``bucket`` so this becomes partition pruning instead of a full scan.
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q_bucket = 0
+    for b, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vec, plane)) > 0:
+            q_bucket |= 1 << b
+    bucketed = with_lsh_bucket(df, vec_col, planes).filter(F.col("bucket") == q_bucket)
+    return knn_brute_force(bucketed, vec_col, id_col, query_vec, k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    LSH-bucketed self-join: pairs are only compared inside a bucket, so the
+    join key is the bucket id (one shuffle, co-partitioned).  High-cosine
+    pairs land in the same bucket with probability (1 - θ/π)^R per plane
+    set; for recall-critical dedup run multiple plane seeds and union.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"]
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(df, vec_col, planes).select(
+        F.col(id_col), F.col("bucket"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = V.cosine(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

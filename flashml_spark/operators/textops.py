@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (whole-stage codegen; no Python in the hot
+path): token counting, quality scoring, n-gram-heuristic language ID,
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flashml_spark.functions import hashing as H
+
+# Tiny high-frequency stopword lists for the language-ID heuristic.
+# (A production run swaps in larger lists; the mechanism is identical.)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(H.tokens(text))
+
+
+def with_token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, token_count(F.col(text_col)))
+
+
+def _char_class_ratio(text: Column, pattern: str) -> Column:
+    """Fraction of characters matching a regex class; 0.0 for empty text
+    (guarded — Spark 4 ANSI mode raises DIVIDE_BY_ZERO otherwise)."""
+    stripped = F.regexp_replace(text, pattern, "")
+    n = F.length(text)
+    return F.when(n > 0, (n - F.length(stripped)).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    return _char_class_ratio(text, r"[.,!?;:]")
+
+
+def digit_ratio(text: Column) -> Column:
+    return _char_class_ratio(text, r"[0-9]")
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = H.tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = H.tokens(text)
+    sw = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, ~1]:
+
+      0.4 * length_score   (saturating at 200 tokens)
+    + 0.2 * stopword_score (en stopword ratio, saturating at 0.3)
+    + 0.2 * word_len_score (1 if mean word length in [3, 10])
+    + 0.2 * (1 - penalty)  (punctuation+digit excess)
+
+    The exact weights mirror the length/punct/stopword-ratio family of
+    quality filters used in large-scale corpus curation.
+    """
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / 200.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) / 0.3, F.lit(1.0))
+    mwl = mean_word_length(text)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    penalty = F.least(punct_ratio(text) * 2.0 + digit_ratio(text) * 2.0, F.lit(1.0))
+    return (
+        0.4 * length_score + 0.2 * sw_score + 0.2 * wl_score + 0.2 * (1.0 - penalty)
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
+    return df.withColumn(out_col, F.round(quality_score(F.col(text_col)), 6))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit fraction."""
+    toks = H.tokens(text)
+    n = F.size(toks).cast("double")
+
+    def hit_frac(sw: list[str]):
+        # single-param lambda only: pyspark maps every positional param
+        # (even defaulted) to a lambda variable
+        return F.size(F.filter(toks, lambda t: t.isin(*sw))).cast("double") / n
+
+    return {lang: hit_frac(sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def predict_lang(text: Column, min_ratio: float = 0.05) -> Column:
+    """Argmax language by stopword-hit ratio; 'und' (undetermined) when the
+    best ratio is below ``min_ratio``.  Ties broken by language-code order
+    (deterministic, engine-portable via strictly-greater chain)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(min_ratio).cast("double")
+    # iterate in sorted order; strict > keeps the earlier language on ties
+    for lang in sorted(scores):
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def with_lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
+    return df.withColumn(out_col, predict_lang(F.col(text_col)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized content fingerprint: md5 of lowercase, whitespace-collapsed
+    text.  The canonical key for fuzzy-exact dedup across formatting."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return H.md5_hex(normalized)
+
+
+def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fp") -> DataFrame:
+    return df.withColumn(out_col, fingerprint(F.col(text_col)))

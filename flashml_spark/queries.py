@@ -338,6 +338,9 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.desc("thresh"))
 
 
+# extension queries (x01..) register themselves on import — see bottom of file
+
+
 # Q20 — categorical concat semantics (CategoricalColumnsTransformer.scala:31)
 @register(
     "q20_categorical_concat",
@@ -350,3 +353,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.concat(F.lit("o_orderstatus_"), F.col("o_orderstatus")).alias("tagged"),
     ).orderBy("o_orderkey")
+
+
+# import for registration side-effect (extension queries x01..x14)
+from flashml_spark import queries_ext  # noqa: E402,F401

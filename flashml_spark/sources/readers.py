@@ -30,8 +30,26 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic-benchmark table from a scale-factor directory."""
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    """Load one synthetic-benchmark table from a scale-factor directory.
+
+    The ``events`` table carries TIMESTAMP(NANOS) parquet columns, which
+    Spark rejects by default ([PARQUET_TYPE_ILLEGAL]); read nanos as long
+    and convert to a microsecond timestamp (truncation — matches how any
+    SQL engine's ``date_trunc``/``epoch`` sees them).
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        for field, dtype in df.dtypes:
+            if field == "ts" and dtype == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
