@@ -1,0 +1,102 @@
+"""One-vs-rest with per-class score retention.
+
+The reference forks Spark's OVR to keep every class's rawPrediction /
+probability in accumulator Map columns for Platt scaling and metrics
+(``org/apache/spark/ml/classification/OneVsRestCustomModel.scala:144-237``).
+
+Here the accumulator is an ``array<double>`` column (O(1) per class append,
+no O(k) self-joins), built with ``vector_to_array`` — JVM-side, no UDFs.
+Binary submodels fit concurrently via a driver thread pool issuing
+independent Spark jobs (reference parallelism semantics,
+``FlashMLConstants.scala:290``).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class OneVsRestWithScores:
+    """Estimator-like: ``fit(df)`` → ``OneVsRestScoresModel``.
+
+    Parameters
+    ----------
+    base_estimator_factory : Callable[[], Estimator]
+        Builds a fresh binary estimator (featuresCol/labelCol preset to
+        ``features`` / ``__ovr_label``).
+    """
+
+    def __init__(self, base_estimator_factory, label_col: str = "label",
+                 features_col: str = "features", parallelism: int = 3):
+        self.base_estimator_factory = base_estimator_factory
+        self.label_col = label_col
+        self.features_col = features_col
+        self.parallelism = parallelism
+
+    def fit(self, df: DataFrame) -> "OneVsRestScoresModel":
+        n_classes = df.agg(F.max(self.label_col)).first()[0]
+        n_classes = int(n_classes) + 1
+        cached = df.select(self.features_col, self.label_col).cache()
+        cached.count()
+
+        def fit_one(k: int):
+            est = self.base_estimator_factory()
+            est = est.setFeaturesCol(self.features_col).setLabelCol("__ovr_label")
+            binary = cached.withColumn(
+                "__ovr_label",
+                F.when(F.col(self.label_col) == float(k), 1.0).otherwise(0.0),
+            )
+            return est.fit(binary)
+
+        with ThreadPoolExecutor(max_workers=self.parallelism) as pool:
+            models = list(pool.map(fit_one, range(n_classes)))
+        cached.unpersist()
+        return OneVsRestScoresModel(models, self.features_col)
+
+
+class OneVsRestScoresModel:
+    """Applies every binary submodel, retaining per-class margins in
+    ``class_scores`` (array<double>), argmax → ``prediction``."""
+
+    def __init__(self, models: list, features_col: str = "features"):
+        self.models = models
+        self.features_col = features_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        score_cols = []
+        for k, model in enumerate(self.models):
+            m = (
+                model.copy()
+                .setPredictionCol(f"__p{k}")
+                .setRawPredictionCol(f"__r{k}")
+            )
+            if hasattr(m, "setProbabilityCol"):
+                try:
+                    m = m.setProbabilityCol(f"__pr{k}")
+                except Exception:
+                    pass
+            out = m.transform(out)
+            # margin for the positive class = rawPrediction[1]
+            out = out.withColumn(
+                f"__s{k}", vector_to_array(F.col(f"__r{k}")).getItem(1)
+            )
+            drop = [f"__p{k}", f"__r{k}"]
+            if f"__pr{k}" in out.columns:
+                drop.append(f"__pr{k}")
+            out = out.drop(*drop)
+            score_cols.append(f"__s{k}")
+
+        scores = F.array(*[F.col(c) for c in score_cols])
+        out = out.withColumn("class_scores", scores).drop(*score_cols)
+        # argmax over the score array (first max wins — matches OVR tie rule)
+        out = out.withColumn(
+            "prediction",
+            (F.array_position(F.col("class_scores"), F.array_max("class_scores")) - 1)
+            .cast("double"),
+        )
+        return out

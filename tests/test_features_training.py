@@ -1,0 +1,198 @@
+"""Feature-generation, vectorization, and training-layer tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.sql import functions as F
+
+from flashml_spark.features import (
+    CategoricalConcat,
+    GramAssembler,
+    SkipGramGenerator,
+    build_ngram_stages,
+)
+from flashml_spark.training.estimators import build_estimator, build_label_indexer, build_param_grid
+from flashml_spark.training.ovr import OneVsRestWithScores
+from flashml_spark.training.platt import PlattScalar
+from flashml_spark.training.postprocess import (
+    hotlead_flag,
+    index_to_string,
+    top_k_intents,
+    uplift_transform,
+)
+from flashml_spark.vectorization import build_assembler, build_text_vectorizer
+
+
+def test_skipgram(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], ["toks"])
+    out = SkipGramGenerator(inputCol="toks", outputCol="sg", windowSize=3).transform(df).first()
+    # window size 3 → gap 2: pairs (a,c), (b,d)
+    assert out["sg"] == ["a & c", "b & d"]
+
+
+def test_skipgram_skips_identical(spark):
+    df = spark.createDataFrame([(["x", "y", "x"],)], ["toks"])
+    out = SkipGramGenerator(inputCol="toks", outputCol="sg", windowSize=3).transform(df).first()
+    assert out["sg"] == []  # only candidate pair is (x, x) — skipped
+
+
+def test_ngram_and_assembler(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], ["toks"])
+    stages = build_ngram_stages("toks", [2])
+    out = stages[0].transform(df)
+    out = GramAssembler(inputCols=["toks", "toks_ngram_2"], outputCol="all").transform(out)
+    assert out.first()["all"] == ["a", "b", "c", "a b", "b c"]
+
+
+def test_categorical_concat(spark):
+    df = spark.createDataFrame([("US", 5)], ["country", "tier"])
+    out = CategoricalConcat(inputCols=["country", "tier"], outputCol="cat").transform(df)
+    assert out.first()["cat"] == ["country_US", "tier_5"]
+
+
+def _tiny_text_df(spark, n=60):
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((f"good great fine nice {i % 5}", "pos"))
+        else:
+            rows.append((f"bad awful poor sad {i % 5}", "neg"))
+    return spark.createDataFrame(rows, ["text", "label"])
+
+
+def test_vectorize_and_train_binary_lr(spark):
+    df = _tiny_text_df(spark)
+    tok = F.split(F.col("text"), " ")
+    df = df.withColumn("toks", tok)
+    stages = (
+        [build_label_indexer("label")]
+        + build_text_vectorizer("tfidf", "toks", "tv", slots=50)
+        + [build_assembler(["tv"])]
+        + [build_estimator("logistic_regression", label_col="label_indexed")]
+    )
+    model = Pipeline(stages=stages).fit(df)
+    scored = model.transform(df)
+    acc = scored.filter(F.col("prediction") == F.col("label_indexed")).count() / df.count()
+    assert acc > 0.95
+
+
+@pytest.mark.parametrize("method", ["hashingtf", "count_vectorizer", "word2vec"])
+def test_vectorizer_methods(spark, method):
+    df = _tiny_text_df(spark, 20).withColumn("toks", F.split("text", " "))
+    stages = build_text_vectorizer(method, "toks", "v", slots=16)
+    out = Pipeline(stages=stages).fit(df).transform(df)
+    assert out.select("v").first()["v"] is not None
+
+
+def _multiclass_df(spark, n=90):
+    words = {0: "alpha beta", 1: "gamma delta", 2: "epsilon zeta"}
+    rows = [(words[i % 3] + f" w{i % 7}", float(i % 3)) for i in range(n)]
+    return spark.createDataFrame(rows, ["text", "label"])
+
+
+def test_ovr_with_scores_and_platt(spark):
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    df = _multiclass_df(spark)
+    df = Tokenizer(inputCol="text", outputCol="toks").transform(df)
+    df = HashingTF(inputCol="toks", outputCol="features", numFeatures=64).transform(df)
+
+    ovr = OneVsRestWithScores(lambda: LinearSVC(maxIter=20), label_col="label")
+    model = ovr.fit(df)
+    scored = model.transform(df)
+    assert "class_scores" in scored.columns
+    assert len(scored.first()["class_scores"]) == 3
+    acc = scored.filter(F.col("prediction") == F.col("label")).count() / df.count()
+    assert acc > 0.95
+
+    platt = PlattScalar(label_col="label").fit(scored)
+    calibrated = platt.transform(scored)
+    row = calibrated.first()
+    assert "svm_prediction" in calibrated.columns
+    probs = row["probability"]
+    assert len(probs) == 3 and all(0.0 <= p <= 1.0 for p in probs)
+    cal_acc = (
+        calibrated.filter(F.col("prediction") == F.col("label")).count() / df.count()
+    )
+    assert cal_acc > 0.9
+
+
+def test_platt_binary_probability_monotone(spark):
+    """Calibrated probability must be monotone in the margin."""
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    df = _tiny_text_df(spark)
+    df = Tokenizer(inputCol="text", outputCol="toks").transform(df)
+    df = HashingTF(inputCol="toks", outputCol="features", numFeatures=64).transform(df)
+    idx = build_label_indexer("label").fit(df)
+    df = idx.transform(df)
+    svm = LinearSVC(maxIter=20, labelCol="label_indexed").fit(df)
+    scored = svm.transform(df)
+    platt = PlattScalar(label_col="label_indexed").fit(scored)
+    cal = platt.transform(scored)
+    from pyspark.ml.functions import vector_to_array
+
+    rows = (
+        cal.select(
+            vector_to_array("rawPrediction").getItem(1).alias("m"),
+            F.element_at("probability", 2).alias("p"),
+        )
+        .orderBy("m")
+        .collect()
+    )
+    ps = [r["p"] for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(ps, ps[1:]))
+
+
+def test_top_k_and_index_to_string(spark):
+    df = spark.createDataFrame([(1, [0.2, 0.5, 0.3], 1.0)], ["id", "probability", "prediction"])
+    labels = ["billing", "sales", "support"]
+    out = top_k_intents(df, labels, k=2)
+    top = out.first()["topKIntents"]
+    assert [t["label"] for t in top] == ["sales", "support"]
+    assert abs(top[0]["prob"] - 0.5) < 1e-12
+    out2 = index_to_string(df, labels)
+    assert out2.first()["prediction_label"] == "sales"
+
+
+def test_hotlead_flag(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.4, 1), (0.9, 99)], ["p", "page"]
+    )
+    out = df.withColumn(
+        "hot", hotlead_flag(F.col("p"), F.col("page"), [0.5, 0.8])
+    )
+    # page 99 clamps to threshold[2]=0.8
+    assert [r["hot"] for r in out.collect()] == [1, 0, 1]
+
+
+def test_uplift_transform(spark):
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    rows = []
+    for i in range(40):
+        treated = float(i % 2)
+        x = float(i % 5)
+        label = 1.0 if (x + 3 * treated) > 3 else 0.0
+        rows.append((Vectors.dense([x, treated]), label))
+    df = spark.createDataFrame(rows, ["features", "label"])
+    lr = LogisticRegression(maxIter=20).fit(df)
+    out = uplift_transform(lr.transform(df), lr)
+    row = out.first()
+    assert out.filter(F.col("prediction") != 1.0).count() == 0
+    assert "modelProbability" in out.columns
+    d = row["probability"][1]
+    assert -1.0 <= d <= 1.0
+    # treatment raises the outcome → positive uplift on average
+    avg_d = out.agg(F.avg(F.element_at("probability", 2))).first()[0]
+    assert avg_d > 0
+
+
+def test_param_grid(spark):
+    est = build_estimator("logistic_regression")
+    grid = build_param_grid(est, {"regParam": [0.0, 0.1], "maxIter": [10, 20]})
+    assert len(grid) == 4
