@@ -1,0 +1,71 @@
+"""Model-health monitoring: PSI and VSI
+(``core/metrics/ModelHealthMetricsEvaluator.scala:43-210``).
+
+PSI (population stability): decile buckets fit on the BASE score
+distribution (QuantileDiscretizer), applied to both base and new; bucket
+frequencies joined; SI = Σ (p_new - p_base)·ln(p_new/p_base)·100.
+VSI (variable stability): same formula over a categorical variable's value
+frequencies, plus missing/new value reporting via anti-joins.
+
+The per-bucket/per-value tables are tiny (≤ buckets/values rows); data-
+sized frames never reach the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import QuantileDiscretizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flashml_spark.functions.stability import psi_from_bucket_counts
+
+
+def psi(
+    base: DataFrame, new: DataFrame, score_col: str, num_buckets: int = 10
+) -> float:
+    """Population-stability index between a base (training-time) and new
+    (serving-time) score distribution."""
+    disc = QuantileDiscretizer(
+        numBuckets=num_buckets, inputCol=score_col, outputCol="__bucket",
+        handleInvalid="keep",
+    ).fit(base)
+    b = disc.transform(base).groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt_base"))
+    n = disc.transform(new).groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt_new"))
+    # inner join — buckets empty on either side are excluded from the sum,
+    # mirroring the reference (which reports empty-bucket ranges separately)
+    joined = b.join(n, "__bucket")
+    row = psi_from_bucket_counts(joined, "cnt_base", "cnt_new", out_col="psi").first()
+    return row["psi"] if row and row["psi"] is not None else 0.0
+
+
+def empty_psi_buckets(base: DataFrame, new: DataFrame, score_col: str,
+                      num_buckets: int = 10) -> list[int]:
+    """Bucket ids present in base but empty in new (reported, not summed —
+    ``ModelHealthMetricsEvaluator.scala:110-119``)."""
+    disc = QuantileDiscretizer(
+        numBuckets=num_buckets, inputCol=score_col, outputCol="__bucket",
+        handleInvalid="keep",
+    ).fit(base)
+    b = disc.transform(base).select("__bucket").distinct()
+    n = disc.transform(new).select("__bucket").distinct()
+    return sorted(r["__bucket"] for r in b.subtract(n).collect())
+
+
+def vsi(base: DataFrame, new: DataFrame, var_col: str) -> dict:
+    """Variable-stability index for one categorical variable + the value
+    sets missing from / new to the serving data."""
+    b = base.groupBy(var_col).agg(F.count(F.lit(1)).alias("cnt_base"))
+    n = new.groupBy(var_col).agg(F.count(F.lit(1)).alias("cnt_new"))
+    joined = b.join(n, var_col)
+    row = psi_from_bucket_counts(joined, "cnt_base", "cnt_new", out_col="vsi").first()
+    missing = sorted(
+        r[var_col] for r in b.select(var_col).subtract(n.select(var_col)).collect()
+    )
+    new_values = sorted(
+        r[var_col] for r in n.select(var_col).subtract(b.select(var_col)).collect()
+    )
+    return {
+        "vsi": row["vsi"] if row and row["vsi"] is not None else 0.0,
+        "missingValues": missing,
+        "newValues": new_values,
+    }

@@ -1,0 +1,5 @@
+from flashml_spark.streaming.events import (  # noqa: F401
+    read_event_stream,
+    streaming_session_stats,
+    streaming_window_agg,
+)

@@ -1,0 +1,190 @@
+"""Tuning (CV / HyperBand) and metrics-engine tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.linalg import Vectors
+from pyspark.sql import functions as F
+
+from flashml_spark.metrics.binary import auroc, best_fbeta_threshold, threshold_sweep
+from flashml_spark.metrics.hotlead import hotlead_simulation
+from flashml_spark.metrics.multiclass import confusion_matrix, multiclass_metrics
+from flashml_spark.metrics.stability import psi, vsi
+from flashml_spark.tuning.cv import CrossValidatorWithFoldMetrics
+from flashml_spark.tuning.generators import ParamSpace, random_param_sets
+from flashml_spark.tuning.hyperband import HyperBand
+
+
+def _binary_scored(spark):
+    # (score, label): clean separation except two noisy rows
+    rows = [
+        (0.9, 1.0), (0.8, 1.0), (0.7, 1.0), (0.65, 0.0),
+        (0.6, 1.0), (0.4, 0.0), (0.35, 1.0), (0.3, 0.0),
+        (0.2, 0.0), (0.1, 0.0),
+    ]
+    return spark.createDataFrame(rows, ["positive_probability", "label"])
+
+
+def test_threshold_sweep_counts(spark):
+    sweep = threshold_sweep(_binary_scored(spark)).orderBy(F.desc("thresh")).collect()
+    top = sweep[0]
+    assert top["thresh"] == 0.9 and top["tp"] == 1 and top["fp"] == 0
+    bottom = sweep[-1]
+    assert bottom["tp"] == 5 and bottom["fp"] == 5  # everything predicted positive
+    assert bottom["recall"] == 1.0
+
+
+def test_best_fbeta(spark):
+    best = best_fbeta_threshold(_binary_scored(spark))
+    assert 0.0 < best["threshold"] <= 0.9
+    assert best["fbeta"] >= 0.8
+
+
+def test_auroc_reference_value(spark):
+    """Cross-check the rank-sum AUROC against sklearn-style manual calc."""
+    df = _binary_scored(spark)
+    # manual Mann-Whitney: pairs (pos, neg) where pos_score > neg_score
+    rows = df.collect()
+    pos = [r[0] for r in rows if r[1] == 1.0]
+    neg = [r[0] for r in rows if r[1] == 0.0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    expected = wins / (len(pos) * len(neg))
+    assert abs(auroc(df) - expected) < 1e-12
+
+
+def test_auroc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)],
+        ["positive_probability", "label"],
+    )
+    assert auroc(perfect) == 1.0
+    ties = spark.createDataFrame(
+        [(0.5, 1.0), (0.5, 0.0)], ["positive_probability", "label"]
+    )
+    assert abs(auroc(ties) - 0.5) < 1e-12
+
+
+def test_multiclass_metrics(spark):
+    rows = [
+        (0.0, 0.0), (0.0, 0.0), (0.0, 1.0),
+        (1.0, 1.0), (1.0, 1.0), (1.0, 0.0),
+        (2.0, 2.0), (2.0, 2.0), (2.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["label", "prediction"])
+    m = multiclass_metrics(df)
+    assert abs(m["accuracy"] - 7 / 9) < 1e-12
+    assert abs(m["perClass"][2.0]["precision"] - 1.0) < 1e-12
+    assert abs(m["perClass"][0.0]["recall"] - 2 / 3) < 1e-12
+    # cross-check weighted metrics against Spark's evaluator
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    for ours, theirs in [
+        ("weightedPrecision", "weightedPrecision"),
+        ("weightedRecall", "weightedRecall"),
+        ("weightedF1", "f1"),
+    ]:
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=theirs
+        )
+        assert abs(m[ours] - ev.evaluate(df)) < 1e-9
+
+    cm = confusion_matrix(df).collect()
+    assert {(r["label"], r["pred"]): r["n"] for r in cm}[(0.0, 0.0)] == 2
+
+
+def test_hotlead_simulation(spark):
+    rows = [
+        # visitor, page, prob, response
+        ("v1", 1, 0.9, 1), ("v1", 2, 0.2, 1),
+        ("v2", 1, 0.3, 0), ("v2", 2, 0.85, 0),
+        ("v3", 1, 0.1, 0), ("v3", 2, 0.2, 0),
+        ("v4", 5, 0.99, 1),  # overflow page folds into page 2
+    ]
+    df = spark.createDataFrame(rows, ["vid", "page", "prob", "response"])
+    out = hotlead_simulation(
+        df, ["vid"], "page", F.col("prob"), "response", [0.5, 0.8], num_pages=2
+    )
+    assert out["visitors"] == 4
+    assert out["hotleadVisitors"] == 3  # v1 (page1), v2 (page2), v4 (folded)
+    assert out["capturedPositives"] == 2  # v1 and v4 converted
+    per_page = {r["hotleadPage"]: r for r in out["perPage"].collect()}
+    assert per_page[1]["hotleads"] == 1 and per_page[2]["hotleads"] == 2
+
+
+def test_psi_identical_is_zero(spark):
+    df = spark.range(1000).select((F.col("id") % 100 / 100.0).alias("score"))
+    assert abs(psi(df, df, "score")) < 1e-9
+
+
+def test_psi_shifted_positive(spark):
+    base = spark.range(1000).select((F.rand(1)).alias("score"))
+    new = spark.range(1000).select((F.rand(2) * 0.5).alias("score"))
+    assert psi(base, new, "score") > 10.0
+
+
+def test_vsi(spark):
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, ["v"])
+    new = spark.createDataFrame([("a",)] * 80 + [("b",)] * 20 + [("c",)] * 5, ["v"])
+    out = vsi(base, new, "v")
+    assert out["vsi"] > 0.0
+    assert out["newValues"] == ["c"] and out["missingValues"] == []
+
+
+def test_random_param_sets_deterministic():
+    space = ParamSpace().add_range("regParam", 0.0, 1.0).add_choices("maxIter", [10, 20])
+    a = random_param_sets(space, 5, seed=7)
+    b = random_param_sets(space, 5, seed=7)
+    assert a == b
+    assert all(0.0 <= p["regParam"] <= 1.0 and p["maxIter"] in (10, 20) for p in a)
+
+
+def _lr_data(spark, n=120):
+    rows = []
+    for i in range(n):
+        x = float(i % 10)
+        label = 1.0 if x > 4.5 else 0.0
+        rows.append((Vectors.dense([x, float(i % 3)]), label))
+    return spark.createDataFrame(rows, ["features", "label"])
+
+
+def test_cross_validator_fold_metrics(spark):
+    df = _lr_data(spark)
+    cv = CrossValidatorWithFoldMetrics(
+        LogisticRegression(maxIter=20),
+        param_maps=[{"regParam": 0.0}, {"regParam": 10.0}],
+        num_folds=3,
+        parallelism=2,
+    )
+    model = cv.fit(df)
+    assert len(cv.fold_metrics_) == 6  # 2 params × 3 folds
+    assert all(set(f) >= {"accuracy", "weightedPrecision", "fold", "param_index"}
+               for f in cv.fold_metrics_)
+    # unregularized LR must beat the absurdly regularized one
+    assert cv.best_params_ == {"regParam": 0.0}
+    scored = model.transform(df)
+    acc = scored.filter(F.col("prediction") == F.col("label")).count() / df.count()
+    assert acc == 1.0
+
+
+def test_hyperband_small(spark):
+    df = _lr_data(spark)
+    hb = HyperBand(
+        LogisticRegression(),
+        ParamSpace().add_range("regParam", 0.0, 0.1),
+        max_hyperband_iter=9,
+        eta=3,
+        iteration_multiplier=2,
+        max_iterations_final_model=20,
+        parallelism=2,
+    )
+    model = hb.fit(df)
+    assert hb.best_params_ is not None
+    assert len(hb.history_) > 0
+    acc = (
+        model.transform(df).filter(F.col("prediction") == F.col("label")).count()
+        / df.count()
+    )
+    assert acc == 1.0
