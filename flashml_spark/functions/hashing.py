@@ -50,18 +50,36 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return F.when(count >= 1, grams).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
-def minhash_component(shingles: Column, i: int) -> Column:
-    """One minhash signature component: min over shingles of
-    ``md5('<i>:' || shingle)`` (hex-string min)."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary")))
-    )
+def minhash_digests(shingles: Column, num_hashes: int) -> list[Column]:
+    """The md5 digest arrays backing a signature: hash family
+    ``h_i(s) = substr(md5('<i//4>:' || s), (i%4)*8+1, 8)`` — four 8-hex
+    (32-bit) components per digest, so k hashes cost ⌈k/4⌉ md5 calls per
+    shingle instead of k.  Returns one digest-array column per BLOCK;
+    materialize these in their own select stage before taking mins."""
+    blocks = (num_hashes + 3) // 4
+
+    def digest(prefix: str):
+        # factory: keeps the HOF lambda single-param (arity = lambda vars)
+        return F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+        )
+
+    return [digest(f"{b}:") for b in range(blocks)]
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
-    """Full signature as ``num_hashes`` columns.  Computed per-row with
-    higher-order functions — NO shuffle; dedup then groups by band."""
-    return [minhash_component(shingles, i) for i in range(num_hashes)]
+def minhash_components_from_digests(digest_cols: list[str], num_hashes: int) -> list[Column]:
+    """Signature components from materialized digest arrays: component i is
+    the LEXICOGRAPHIC MIN over shingles of hex slice i%4 of digest block
+    i//4 (hex-string order == numeric digest order; portable SQL)."""
+    out = []
+    for i in range(num_hashes):
+        block, slot = i // 4, i % 4
+
+        def slicer(s: int):
+            return lambda d: F.substring(d, s * 8 + 1, 8)
+
+        out.append(F.array_min(F.transform(F.col(digest_cols[block]), slicer(slot))))
+    return out
 
 
 def token_hashes(toks: Column) -> Column:

@@ -53,15 +53,25 @@ def with_minhash_signature(
     """Append ``num_hashes`` minhash signature columns (``sig0..sigN``).
 
     Signatures are computed per-row with array higher-order functions —
-    zero shuffle; at 100 TB this is a pure map stage.
+    zero shuffle; at 100 TB this is a pure map stage.  The md5 digest
+    arrays are materialized in their own select stage so the k signature
+    mins reuse ⌈k/4⌉ digests instead of recomputing md5 per hash.
     """
     toks = H.tokens(F.col(text_col))
     shingles = H.word_ngrams(toks, shingle_n)
-    sigs = H.minhash_signature(shingles, num_hashes)
-    out = df
+    digest_cols = [f"__mh_d{b}" for b in range((num_hashes + 3) // 4)]
+    staged = df.select(
+        "*",
+        *[
+            d.alias(name)
+            for d, name in zip(H.minhash_digests(shingles, num_hashes), digest_cols)
+        ],
+    )
+    sigs = H.minhash_components_from_digests(digest_cols, num_hashes)
+    out = staged
     for i, s in enumerate(sigs):
         out = out.withColumn(f"{prefix}{i}", s)
-    return out
+    return out.drop(*digest_cols)
 
 
 def minhash_dedup_groups(

@@ -64,16 +64,21 @@ def stabilize_classes(
     """Relabel classes with count < min_support to ``other_label``.
 
     Reference: ``TrainTestSampler.scala:72-105`` uses RDD
-    keyBy/reduceByKey/join (three shuffles).  Window-count formulation is a
-    single shuffle with partial aggregation:
-    ``count() OVER (PARTITION BY label)`` + ``when(cnt < k, other)``.
+    keyBy/reduceByKey/join (three shuffles).  A ``count() OVER (PARTITION
+    BY label)`` window would be one shuffle but lands ALL rows in
+    |classes| partitions — a skew trap at scale.  Instead: aggregate class
+    counts (tiny, map-side partial agg) and broadcast-join them back — the
+    data never shuffles at all.
     """
     out_col = out_col or label_col
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(label_col))
-    return df.withColumn(
-        out_col,
-        F.when(cnt < min_support, F.lit(other_label)).otherwise(F.col(label_col)),
+    counts = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
+    joined = df.join(F.broadcast(counts), df[label_col] == counts["__lbl"], "left")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__cnt") < min_support, F.lit(other_label)).otherwise(F.col(label_col)),
+    ).drop("__lbl", "__cnt")
 
 
 def minority_majority_labels(df: DataFrame, label_col: str) -> DataFrame:

@@ -32,10 +32,19 @@ def x01(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # x02 — minhash signatures (4 hashes, unigram shingles), per doc
+def _mh_comp(i: int) -> str:
+    # mirror of hashing.minhash_components_from_digests: hash i = 8-hex slice
+    # i%4 of md5 digest block i//4 (4 32-bit hashes per md5 call)
+    block, slot = i // 4, i % 4
+    return (
+        f"list_min(list_transform({_TOK},"
+        f" t -> substr(md5('{block}:' || t), {slot * 8 + 1}, 8)))"
+    )
+
+
 def _mh_oracle(num_hashes: int) -> str:
     comps = ",\n              ".join(
-        f"list_min(list_transform({_TOK}, t -> md5('{i}:' || t))) AS sig{i}"
-        for i in range(num_hashes)
+        f"{_mh_comp(i)} AS sig{i}" for i in range(num_hashes)
     )
     return f"SELECT doc_id, {comps} FROM documents ORDER BY doc_id"
 
@@ -48,18 +57,17 @@ def x02(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # x03 — minhash dedup buckets (full-signature match)
-@register(
-    "x03_minhash_dedup",
-    """WITH sig AS (
+def _mh_dedup_oracle() -> str:
+    comps = ",\n                ".join(f"{_mh_comp(i)} AS sig{i}" for i in range(4))
+    return f"""WITH sig AS (
          SELECT doc_id,
-                list_min(list_transform({tok}, t -> md5('0:' || t))) AS sig0,
-                list_min(list_transform({tok}, t -> md5('1:' || t))) AS sig1,
-                list_min(list_transform({tok}, t -> md5('2:' || t))) AS sig2,
-                list_min(list_transform({tok}, t -> md5('3:' || t))) AS sig3
+                {comps}
          FROM documents)
        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt, sig0, sig1, sig2, sig3
-       FROM sig GROUP BY sig0, sig1, sig2, sig3""".format(tok=_TOK),
-)
+       FROM sig GROUP BY sig0, sig1, sig2, sig3"""
+
+
+@register("x03_minhash_dedup", _mh_dedup_oracle())
 def x03(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.minhash_dedup_groups(docs, "text", "doc_id", num_hashes=4, shingle_n=1)
