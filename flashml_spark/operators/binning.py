@@ -51,6 +51,24 @@ def bin_equidistant(df: DataFrame, col: str, n: int, out_col: str | None = None)
     return bin_intervals(df, col, equidistant_splits(df, col, n), out_col)
 
 
+def exact_quantile_splits(df: DataFrame, col: str, n: int) -> list[float]:
+    """Exact linear-interpolated quantile split points (SQL ``percentile``,
+    same interpolation as ANSI ``percentile_cont``).  One full-sort agg —
+    use only when cross-engine bit-equality matters; ``bin_equiarea``'s
+    GK sketch is the 100 TB path."""
+    qs = ", ".join(str(i / n) for i in range(1, n))
+    row = df.agg(F.expr(f"percentile({col}, array({qs}))").alias("qs")).first()
+    uniq: list[float] = []
+    for s in row["qs"]:
+        if not uniq or s > uniq[-1]:
+            uniq.append(float(s))
+    return uniq
+
+
+def bin_equiarea_exact(df: DataFrame, col: str, n: int, out_col: str | None = None) -> DataFrame:
+    return bin_intervals(df, col, exact_quantile_splits(df, col, n), out_col)
+
+
 def bin_equiarea(df: DataFrame, col: str, n: int, out_col: str | None = None,
                  relative_error: float = 1e-4) -> DataFrame:
     """N quantile buckets (``FeatureGenerationEngine.scala:310-318``) via

@@ -1,0 +1,321 @@
+"""Second extension-query batch (x15..x26): oracle coverage for operators
+that previously had only unit tests — random-variable derivation, banded
+minhash LSH, embedding-cosine near-dup, skip-gram / gram assembly, null
+imputer, the hotlead rule, exact-quantile binning, the preprocessing
+chain, word substitution, Porter stemming (rows-only) and TopK intents.
+
+Every oracle is engine-portable DuckDB SQL built from the same literals
+the Spark operators ship (hash prefixes, hyperplanes, thresholds), so the
+driver's sorted-row hash matches bit-for-bit (floats rounded to 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.functions import hashing as H
+from flashml_spark.operators import binning, dedup, relational, similarity
+from flashml_spark.preprocessing.transformers import (
+    CaseNormalizer,
+    NullImputer,
+    PorterStemmer,
+    RegexReplacer,
+    SentenceMarker,
+    StopwordRemover,
+    WordSubstituter,
+)
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+from flashml_spark.training.postprocess import hotlead_flag, top_k_intents
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+_SW = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+
+
+# --------------------------------------------------------------------------
+# x15 — deterministic random-variable derivation (DataReader.scala:34-78)
+@register(
+    "x15_random_variable",
+    """SELECT o_orderkey,
+              ROUND(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    * 100.0 / 4294967295.0, 6) AS rv
+       FROM orders ORDER BY o_orderkey""",
+)
+def x15(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").withColumn(
+        "sid", F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    )
+    out = relational.derive_random_variable(o, "sid", out_col="rv")
+    return out.select("o_orderkey", F.round("rv", 6).alias("rv")).orderBy("o_orderkey")
+
+
+# x16 — banded minhash LSH candidate pairs (8 hashes, 4 bands, bigram shingles)
+def _mh_band_oracle() -> str:
+    # mirror of hashing: hash i = 8-hex slice i%4 of md5('<i//4>:'||shingle)
+    def comp(i: int) -> str:
+        block, slot = i // 4, i % 4
+        return (
+            f"list_min(list_transform(shs,"
+            f" s -> substr(md5('{block}:' || s), {slot * 8 + 1}, 8))) AS sig{i}"
+        )
+
+    comps = ",\n                ".join(comp(i) for i in range(8))
+    bands = ", ".join(
+        f"'{b}|' || sig{2 * b} || '|' || sig{2 * b + 1}" for b in range(4)
+    )
+    return f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+       sh AS (SELECT doc_id,
+                     list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) AS shs
+              FROM tok),
+       sig AS (SELECT doc_id,
+                {comps}
+               FROM sh),
+       bnd AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bnd a JOIN bnd b USING (band_key) WHERE a.doc_id < b.doc_id"""
+
+
+@register("x16_minhash_lsh_bands", _mh_band_oracle())
+def x16(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=2
+    )
+
+
+# x17 — embedding-cosine near-dup pairs inside LSH buckets
+# synthetic embeddings are ~random (max in-bucket cosine ≈ 0.45 at sf0.01),
+# so the demo threshold sits below that to keep the oracle check non-vacuous;
+# real dedup runs use the operator default (0.95)
+_DIM, _PLANES_N, _SEED, _NDUP_T = 64, 8, 42, 0.35
+_PLANES = similarity.random_hyperplanes(_DIM, _PLANES_N, _SEED)
+
+
+def _neardup_oracle() -> str:
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {bit} ELSE 0 END)".format(
+            plane=", ".join(repr(x) for x in plane), bit=1 << b
+        )
+        for b, plane in enumerate(_PLANES)
+    )
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM e)
+       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+              ROUND(list_dot_product(a.v, b2.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))),
+                    6) AS sim
+       FROM b a JOIN b b2 USING (bucket)
+       WHERE a.vec_id < b2.vec_id
+         AND ROUND(list_dot_product(a.v, b2.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))),
+                   6) >= {_NDUP_T}"""
+
+
+@register("x17_embedding_neardup", _neardup_oracle())
+def x17(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=_NDUP_T,
+        n_planes=_PLANES_N, seed=_SEED, dim=_DIM,
+    )
+
+
+# x18 — skip-gram "AND rules" (SkipGramGenerator.scala:28-46), windowSize=4
+@register(
+    "x18_skipgram",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+        SELECT doc_id, array_to_string(
+          list_filter(list_transform(range(1, len(ts) - 1),
+                        i -> CASE WHEN ts[i] != ts[i + 2]
+                                  THEN ts[i] || ' & ' || ts[i + 2] END),
+                      x -> x IS NOT NULL)
+          || list_filter(list_transform(range(1, len(ts) - 2),
+                        i -> CASE WHEN ts[i] != ts[i + 3]
+                                  THEN ts[i] || ' & ' || ts[i + 3] END),
+                      x -> x IS NOT NULL), '~') AS grams
+        FROM tok ORDER BY doc_id""",
+)
+def x18(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.features.generators import SkipGramGenerator
+
+    docs = load_table(spark, sf, "documents").withColumn("ts", H.tokens(F.col("text")))
+    out = SkipGramGenerator(inputCol="ts", outputCol="sg", windowSize=4).transform(docs)
+    return out.select("doc_id", F.array_join("sg", "~").alias("grams")).orderBy("doc_id")
+
+
+# x19 — ngram + gram assembler (FeatureGenerationEngine.scala:392-409,
+#        GramAssembler.scala:30-36)
+@register(
+    "x19_gram_assemble",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+        SELECT doc_id, array_to_string(
+          ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]),
+          '~') AS grams
+        FROM tok ORDER BY doc_id""",
+)
+def x19(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.features.generators import GramAssembler, build_ngram_stages
+
+    docs = load_table(spark, sf, "documents").withColumn("ts", H.tokens(F.col("text")))
+    (ng,) = build_ngram_stages("ts", [2])
+    with_grams = ng.transform(docs)
+    out = GramAssembler(
+        inputCols=["ts", ng.getOutputCol()], outputCol="assembled"
+    ).transform(with_grams)
+    return out.select("doc_id", F.array_join("assembled", "~").alias("grams")).orderBy(
+        "doc_id"
+    )
+
+
+# x20 — typed null impute + indicator (ImputerCustom.scala:61-73)
+@register(
+    "x20_null_imputer",
+    """SELECT o_orderkey,
+              COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END,
+                       -1.0) AS val,
+              CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS imputerCol_val
+       FROM orders ORDER BY o_orderkey""",
+)
+def x20(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").withColumn(
+        "val",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_totalprice")),
+    )
+    out = NullImputer(inputCol="val", fillValue="-1.0").transform(o)
+    return out.select("o_orderkey", "val", "imputerCol_val").orderBy("o_orderkey")
+
+
+# x21 — hotlead business rule (HotleadTransformer.scala; per-page thresholds)
+@register(
+    "x21_hotlead_rule",
+    """SELECT o_orderkey,
+              CASE WHEN (CAST(o_custkey % 100 AS DOUBLE) / 100.0) >=
+                        (CASE LEAST(GREATEST(CAST(o_orderkey % 5 + 1 AS INT), 1), 3)
+                              WHEN 1 THEN 0.2 WHEN 2 THEN 0.5 ELSE 0.8 END)
+                   THEN 1 ELSE 0 END AS isHotLead
+       FROM orders ORDER BY o_orderkey""",
+)
+def x21(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    prob = (F.col("o_custkey") % 100).cast("double") / 100.0
+    page = F.col("o_orderkey") % 5 + 1
+    return o.select(
+        "o_orderkey", hotlead_flag(prob, page, [0.2, 0.5, 0.8]).alias("isHotLead")
+    ).orderBy("o_orderkey")
+
+
+# x22 — equi-area binning via exact percentiles (FeatureGenerationEngine.scala:310-318)
+@register(
+    "x22_quantile_binning",
+    """WITH q AS (SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+                  FROM lineitem)
+       SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_extendedprice < qs[1] THEN 0
+                   WHEN l_extendedprice < qs[2] THEN 1
+                   WHEN l_extendedprice < qs[3] THEN 2 ELSE 3 END AS bucket
+       FROM lineitem, q ORDER BY l_orderkey, l_linenumber""",
+)
+def x22(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    out = binning.bin_equiarea_exact(li, "l_extendedprice", 4, out_col="bucket")
+    return out.select("l_orderkey", "l_linenumber", "bucket").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# x23 — preprocessing chain: case norm → word-class regex → sentence marker
+#       → stopword removal (PreprocessingEngine chaining contract, space delim)
+def _chain_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in _SW)
+    return f"""SELECT doc_id, array_to_string(
+         list_filter(string_split(
+             '_class_ss ' || regexp_replace(lower(text), '[0-9]+', '_class_number', 'g')
+                          || ' _class_se', ' '),
+             t -> NOT list_contains([{sw}], t)), ' ') AS cleaned
+       FROM documents ORDER BY doc_id"""
+
+
+@register("x23_preprocess_chain", _chain_oracle())
+def x23(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    stages = [
+        CaseNormalizer(inputCol="text", outputCol="s1"),
+        RegexReplacer(inputCol="s1", outputCol="s2",
+                      patterns=["[0-9]+"], replacements=["_class_number"]),
+        SentenceMarker(inputCol="s2", outputCol="s3"),
+        StopwordRemover(inputCol="s3", outputCol="cleaned",
+                        stopwords=list(_SW), delimiter=" "),
+    ]
+    out = docs
+    for st in stages:
+        out = st.transform(out)
+    return out.select("doc_id", "cleaned").orderBy("doc_id")
+
+
+# x24 — dictionary word substitution (WordSubstitutionTransformer.scala:50-62),
+#       multi-word replacement re-split onto the delimiter
+@register(
+    "x24_word_substitution",
+    """SELECT doc_id, array_to_string(
+         list_transform(string_split(lower(text), ' '),
+           t -> CASE WHEN t = 'the' THEN 'ze'
+                     WHEN t = 'and' THEN 'und'
+                     WHEN t = 'data' THEN 'datum point' ELSE t END), ' ') AS sub
+       FROM documents ORDER BY doc_id""",
+)
+def x24(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").withColumn("lt", F.lower(F.col("text")))
+    out = WordSubstituter(
+        inputCol="lt", outputCol="sub",
+        dictionary={"the": "ze", "and": "und", "data": "datum point"},
+        delimiter=" ",
+    ).transform(docs)
+    return out.select("doc_id", "sub").orderBy("doc_id")
+
+
+# x25 — Porter stemming (pure-python pandas UDF — no SQL oracle, rows-only)
+@register("x25_porter_stem", None)
+def x25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").withColumn("lt", F.lower(F.col("text")))
+    out = PorterStemmer(inputCol="lt", outputCol="stemmed", delimiter=" ").transform(docs)
+    return out.select("doc_id", "stemmed").orderBy("doc_id")
+
+
+# x26 — TopK intents (TopKIntents.scala:90-106) over synthetic per-class probs
+@register(
+    "x26_topk_intents",
+    """WITH p AS (SELECT o_orderkey,
+                 CAST((o_orderkey * 13) % 97 AS DOUBLE) / 97.0 AS p_a,
+                 CAST((o_orderkey * 29) % 97 AS DOUBLE) / 97.0 AS p_b,
+                 CAST((o_orderkey * 43) % 97 AS DOUBLE) / 97.0 AS p_c
+          FROM orders),
+       e AS (SELECT o_orderkey, unnest(['a', 'b', 'c']) AS label,
+                    unnest([p_a, p_b, p_c]) AS raw_prob FROM p),
+       r AS (SELECT o_orderkey, label, raw_prob,
+                    row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY raw_prob DESC, label DESC) AS pos
+             FROM e)
+       SELECT o_orderkey, pos, label, ROUND(raw_prob, 6) AS prob
+       FROM r WHERE pos <= 2 ORDER BY o_orderkey, pos""",
+)
+def x26(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    probs = F.array(
+        *[
+            ((F.col("o_orderkey") * m) % 97).cast("double") / 97.0
+            for m in (13, 29, 43)
+        ]
+    )
+    top = top_k_intents(
+        o.withColumn("probability", probs), ["a", "b", "c"], k=2
+    )
+    ex = top.select(
+        "o_orderkey", F.posexplode("topKIntents").alias("pos0", "intent")
+    )
+    return ex.select(
+        "o_orderkey",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("intent.label").alias("label"),
+        F.round(F.col("intent.prob"), 6).alias("prob"),
+    ).orderBy("o_orderkey", "pos")
