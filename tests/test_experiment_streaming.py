@@ -141,3 +141,81 @@ def test_streaming_session_stats_runs(spark, tmp_path):
     rows = spark.table("sessions").collect()
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: after processing all input,
+    the LAST emitted row per user must equal the batch groupBy answer."""
+    import pyspark.sql.functions as F
+
+    from flashml_spark.sources import load_table
+    from flashml_spark.streaming.stateful import running_totals
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "value"
+    )
+    src = str(tmp_path / "events_src3")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends every emission; the final state per user is the max
+    # n_events row (counts only grow)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("running")
+        .orderBy("n_events")
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_metrics_accumulator_and_confusion_text(spark, tmp_path):
+    from flashml_spark.metrics.report import (
+        MetricsAccumulator,
+        per_class_stats,
+        write_confusion_text,
+    )
+
+    scored = spark.createDataFrame(
+        [(0.0, 0.0)] * 50 + [(0.0, 1.0)] * 10 + [(1.0, 1.0)] * 30 + [(1.0, 0.0)] * 10,
+        "label double, prediction double",
+    )
+    stats = {r["cls"]: r for r in per_class_stats(scored, "label", "prediction").collect()}
+    assert stats[0.0]["tp"] == 50 and stats[0.0]["fp"] == 10 and stats[0.0]["fn"] == 10
+    assert stats[1.0]["tp"] == 30 and stats[1.0]["fp"] == 10 and stats[1.0]["fn"] == 10
+    assert abs(stats[1.0]["precision"] - 0.75) < 1e-9
+    assert abs(stats[1.0]["recall"] - 0.75) < 1e-9
+
+    acc = MetricsAccumulator()
+    acc.add("test", {"auroc": 0.8, "f1": 0.75})
+    acc.add("", {"algorithm": "lr"})
+    paths = acc.write(str(tmp_path / "metrics"))
+    import json as _json
+
+    with open(paths["json"]) as f:
+        loaded = _json.load(f)
+    assert loaded["test.auroc"] == 0.8 and loaded["algorithm"] == "lr"
+    with open(paths["csv"]) as f:
+        assert "test.f1" in f.read()
+
+    out = str(tmp_path / "confusion")
+    write_confusion_text(scored, "label", "prediction", out)
+    import glob
+
+    (txt,) = glob.glob(f"{out}/part-*")
+    lines = sorted(open(txt).read().strip().splitlines())
+    assert len(lines) == 2 and lines[0].startswith("0.0\t50\t10\t10")
