@@ -219,3 +219,35 @@ def test_metrics_accumulator_and_confusion_text(spark, tmp_path):
     (txt,) = glob.glob(f"{out}/part-*")
     lines = sorted(open(txt).read().strip().splitlines())
     assert len(lines) == 2 and lines[0].startswith("0.0\t50\t10\t10")
+
+
+def test_read_source_dispatch(spark, tmp_path):
+    """URI-scheme dispatching reader (DataReaderFactory semantics)."""
+    import pytest
+
+    from flashml_spark.sources.readers import read_source, validate_input_query
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    pq = str(tmp_path / "t.parquet")
+    csv = str(tmp_path / "t.csv")
+    tsv = str(tmp_path / "t.tsv")
+    js = str(tmp_path / "t.json")
+    df.write.parquet(pq)
+    df.write.option("header", "true").csv(csv)
+    df.write.option("header", "true").option("sep", "\t").csv(tsv)
+    df.write.json(js)
+
+    assert read_source(spark, f"parquet://{pq}").count() == 2
+    assert read_source(spark, pq).count() == 2  # scheme sniffed from extension
+    assert read_source(spark, f"csv://{csv}").columns == ["k", "v"]
+    assert read_source(spark, f"tsv://{tsv}").columns == ["k", "v"]
+    assert read_source(spark, f"json://{js}").count() == 2
+
+    df.createOrReplaceTempView("dispatch_view")
+    assert read_source(spark, "hive://dispatch_view").count() == 2
+
+    with pytest.raises(ValueError):
+        read_source(spark, "ftp://nope")
+    with pytest.raises(ValueError):
+        validate_input_query("SELECT * FROM t")
+    validate_input_query("CREATE TEMPORARY VIEW v AS SELECT 1")
