@@ -61,7 +61,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
             """SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
                FROM flashml_view_0 GROUP BY o_custkey""",
         ],
-    ).orderBy("o_custkey")
+    )
 
 
 # Q03 — window lead / time-on-page (DataReader.scala:143-156)
@@ -77,7 +77,9 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
     out = relational.time_on_page(
         o, ["o_custkey"], "o_orderkey", "o_totalprice", out_col="delta"
     )
-    return out.select("o_custkey", "o_orderkey", "delta").orderBy("o_custkey", "o_orderkey")
+    # no terminal orderBy: the driver hashes sorted rows, so a global sort
+    # here would only add a range shuffle (same policy for all non-LIMIT queries)
+    return out.select("o_custkey", "o_orderkey", "delta")
 
 
 # Q04 — page-level split semantics (PipelineSteps.scala:316-323)
@@ -114,9 +116,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
 def q06(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     binned = binning.bin_intervals(li, "l_extendedprice", [1000.0, 10000.0, 50000.0], "bucket")
-    return binned.select("l_orderkey", "l_linenumber", "bucket").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    return binned.select("l_orderkey", "l_linenumber", "bucket")
 
 
 # Q07 — minority-label discovery (TrainTestSampler.scala:291-300)
@@ -143,9 +143,7 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
     out = sampling.stabilize_classes(
         li, "l_returnflag", 100, other_label="OTHER", out_col="returnflag_stab"
     )
-    return out.select("l_orderkey", "l_linenumber", "returnflag_stab").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    return out.select("l_orderkey", "l_linenumber", "returnflag_stab")
 
 
 # Q09 — union for page-level metric merge (MetricsEvaluator.scala:49-72)
@@ -158,7 +156,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     lo = o.filter("o_totalprice <= 5000").select(F.col("o_orderkey").alias("k"))
     hi = o.filter("o_totalprice > 5000").select(F.col("o_orderkey").alias("k"))
-    return relational.union_pages([lo, hi]).orderBy("k")
+    return relational.union_pages([lo, hi])
 
 
 # Q10 — EXCEPT / anti-join for stratified test set (StratifiedTrainTestSplitter.scala:39)
@@ -170,7 +168,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer").select("c_custkey")
     o = load_table(spark, sf, "orders").filter("o_totalprice > 200000").select("o_custkey")
-    return c.subtract(o).orderBy("c_custkey")
+    return c.subtract(o)
 
 
 # Q11 — QA join on concatenated key (Publish.scala:424-437)
@@ -188,7 +186,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     # customer is the small dimension — broadcast so the fact side never shuffles
     joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-    return joined.select("k", "o_totalprice", "c_name").orderBy("k")
+    return joined.select("k", "o_totalprice", "c_name")
 
 
 # Q12 — hotlead earliest-page rollup (WebCustomMetricsEvaluator.scala:132-141)
@@ -352,7 +350,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.concat(F.lit("o_orderstatus_"), F.col("o_orderstatus")).alias("tagged"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # import for registration side-effect (extension queries x01..x26)

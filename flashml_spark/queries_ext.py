@@ -53,7 +53,7 @@ def _mh_oracle(num_hashes: int) -> str:
 def x02(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     sigged = dedup.with_minhash_signature(docs, "text", num_hashes=4, shingle_n=1)
-    return sigged.select("doc_id", "sig0", "sig1", "sig2", "sig3").orderBy("doc_id")
+    return sigged.select("doc_id", "sig0", "sig1", "sig2", "sig3")
 
 
 # x03 — minhash dedup buckets (full-signature match)
@@ -164,7 +164,7 @@ def x08(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         )
-        .orderBy("lang")
+        
     )
 
 
@@ -195,7 +195,7 @@ _QUALITY_ORACLE = f"""
 @register("x09_quality_score", _QUALITY_ORACLE)
 def x09(spark: SparkSession, sf: str) -> DataFrame:
     docs = textops.with_quality_score(load_table(spark, sf, "documents"), "text")
-    return docs.select("doc_id", "quality").orderBy("doc_id")
+    return docs.select("doc_id", "quality")
 
 
 # x10 — language-ID heuristic vs the labeled lang column
@@ -231,7 +231,7 @@ def x10(spark: SparkSession, sf: str) -> DataFrame:
     return (
         docs.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "pred_lang")
+        
     )
 
 
@@ -247,7 +247,7 @@ def x11(spark: SparkSession, sf: str) -> DataFrame:
     return (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("fp").alias("n_unique"))
-        .orderBy("source")
+        
     )
 
 
@@ -263,7 +263,7 @@ def x11(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x12(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.documents_as_media(load_table(spark, sf, "documents"))
-    return multimodal.decode_media(media, fake=True).orderBy("media_id")
+    return multimodal.decode_media(media, fake=True)
 
 
 # x13 — tumbling-window event aggregation (streaming-shaped, batch-checked)
@@ -275,9 +275,7 @@ def x12(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x13(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    return events.tumbling_window_agg(ev, "ts", "event_type", "value", "1 hour").orderBy(
-        "ws", "event_type"
-    )
+    return events.tumbling_window_agg(ev, "ts", "event_type", "value", "1 hour")
 
 
 # x14 — gap-based sessionization stats
@@ -295,6 +293,4 @@ def x13(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x14(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    return events.session_stats(ev, "user_id", "ts", "event_id", gap_minutes=30).orderBy(
-        "user_id"
-    )
+    return events.session_stats(ev, "user_id", "ts", "event_id", gap_minutes=30)

@@ -47,7 +47,7 @@ def x15(spark: SparkSession, sf: str) -> DataFrame:
         "sid", F.md5(F.col("o_orderkey").cast("string").cast("binary"))
     )
     out = relational.derive_random_variable(o, "sid", out_col="rv")
-    return out.select("o_orderkey", F.round("rv", 6).alias("rv")).orderBy("o_orderkey")
+    return out.select("o_orderkey", F.round("rv", 6).alias("rv"))
 
 
 # x16 — banded minhash LSH candidate pairs (8 hashes, 4 bands, bigram shingles)
@@ -141,7 +141,7 @@ def x18(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").withColumn("ts", H.tokens(F.col("text")))
     out = SkipGramGenerator(inputCol="ts", outputCol="sg", windowSize=4).transform(docs)
-    return out.select("doc_id", F.array_join("sg", "~").alias("grams")).orderBy("doc_id")
+    return out.select("doc_id", F.array_join("sg", "~").alias("grams"))
 
 
 # x19 — ngram + gram assembler (FeatureGenerationEngine.scala:392-409,
@@ -163,9 +163,7 @@ def x19(spark: SparkSession, sf: str) -> DataFrame:
     out = GramAssembler(
         inputCols=["ts", ng.getOutputCol()], outputCol="assembled"
     ).transform(with_grams)
-    return out.select("doc_id", F.array_join("assembled", "~").alias("grams")).orderBy(
-        "doc_id"
-    )
+    return out.select("doc_id", F.array_join("assembled", "~").alias("grams"))
 
 
 # x20 — typed null impute + indicator (ImputerCustom.scala:61-73)
@@ -183,7 +181,7 @@ def x20(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_totalprice")),
     )
     out = NullImputer(inputCol="val", fillValue="-1.0").transform(o)
-    return out.select("o_orderkey", "val", "imputerCol_val").orderBy("o_orderkey")
+    return out.select("o_orderkey", "val", "imputerCol_val")
 
 
 # x21 — hotlead business rule (HotleadTransformer.scala; per-page thresholds)
@@ -202,7 +200,7 @@ def x21(spark: SparkSession, sf: str) -> DataFrame:
     page = F.col("o_orderkey") % 5 + 1
     return o.select(
         "o_orderkey", hotlead_flag(prob, page, [0.2, 0.5, 0.8]).alias("isHotLead")
-    ).orderBy("o_orderkey")
+    )
 
 
 # x22 — equi-area binning via exact percentiles (FeatureGenerationEngine.scala:310-318)
@@ -219,9 +217,7 @@ def x21(spark: SparkSession, sf: str) -> DataFrame:
 def x22(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     out = binning.bin_equiarea_exact(li, "l_extendedprice", 4, out_col="bucket")
-    return out.select("l_orderkey", "l_linenumber", "bucket").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    return out.select("l_orderkey", "l_linenumber", "bucket")
 
 
 # x23 — preprocessing chain: case norm → word-class regex → sentence marker
@@ -250,7 +246,7 @@ def x23(spark: SparkSession, sf: str) -> DataFrame:
     out = docs
     for st in stages:
         out = st.transform(out)
-    return out.select("doc_id", "cleaned").orderBy("doc_id")
+    return out.select("doc_id", "cleaned")
 
 
 # x24 — dictionary word substitution (WordSubstitutionTransformer.scala:50-62),
@@ -271,7 +267,7 @@ def x24(spark: SparkSession, sf: str) -> DataFrame:
         dictionary={"the": "ze", "and": "und", "data": "datum point"},
         delimiter=" ",
     ).transform(docs)
-    return out.select("doc_id", "sub").orderBy("doc_id")
+    return out.select("doc_id", "sub")
 
 
 # x25 — Porter stemming (pure-python pandas UDF — no SQL oracle, rows-only)
@@ -279,7 +275,7 @@ def x24(spark: SparkSession, sf: str) -> DataFrame:
 def x25(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").withColumn("lt", F.lower(F.col("text")))
     out = PorterStemmer(inputCol="lt", outputCol="stemmed", delimiter=" ").transform(docs)
-    return out.select("doc_id", "stemmed").orderBy("doc_id")
+    return out.select("doc_id", "stemmed")
 
 
 # x26 — TopK intents (TopKIntents.scala:90-106) over synthetic per-class probs
@@ -318,4 +314,4 @@ def x26(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.col("intent.label").alias("label"),
         F.round(F.col("intent.prob"), 6).alias("prob"),
-    ).orderBy("o_orderkey", "pos")
+    )
