@@ -34,6 +34,12 @@ HEADLINE = [
     "x03_minhash_dedup",
     "x06_knn_brute",
     "x08_token_count",
+    "x13_event_window",
+    "x14_sessionize",
+    "x15_random_variable",
+    "x16_minhash_lsh_bands",
+    "x22_quantile_binning",
+    "x23_preprocess_chain",
 ]
 
 

@@ -315,3 +315,14 @@ def x26(spark: SparkSession, sf: str) -> DataFrame:
         F.col("intent.label").alias("label"),
         F.round(F.col("intent.prob"), 6).alias("prob"),
     )
+
+
+# x27 — IVF ANN (k-means coarse quantizer; non-SQL-expressible → rows-only)
+@register("x27_ann_ivf", None)
+def x27(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return similarity.knn_ivf(
+        emb, "embedding", "vec_id", list(qrow["embedding"]),
+        k=10, n_lists=8, n_probe=4, seed=42,
+    )

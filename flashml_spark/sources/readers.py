@@ -29,14 +29,32 @@ TESTDATA_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
+) -> DataFrame:
     """Load one synthetic-benchmark table from a scale-factor directory.
 
     The ``events`` table carries TIMESTAMP(NANOS) parquet columns, which
     Spark rejects by default ([PARQUET_TYPE_ILLEGAL]); read nanos as long
     and convert to a microsecond timestamp (truncation — matches how any
     SQL engine's ``date_trunc``/``epoch`` sees them).
+
+    ``parallelize``: the driver's tables are single-row-group parquet
+    files, which Spark cannot split — every downstream stage before the
+    first shuffle would run as ONE task on a 32-core box.  When the scan
+    yields fewer partitions than the cluster's parallelism, repartition
+    once up front (a few MB of shuffle buys a 32× parallel map side).  On
+    real multi-split inputs the condition is false and this is a no-op.
+    Default (None): only for the compute-heavy tables (documents,
+    embeddings — per-row hash/vector math dominates), where the shuffle
+    repays itself many times; the relational tables' cheap scans would pay
+    more in shuffle than they gain.
     """
+    if parallelize is None:
+        parallelize = name in _COMPUTE_HEAVY
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,8 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
                 )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if parallelize:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

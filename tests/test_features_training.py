@@ -196,3 +196,27 @@ def test_param_grid(spark):
     est = build_estimator("logistic_regression")
     grid = build_param_grid(est, {"regParam": [0.0, 0.1], "maxIter": [10, 20]})
     assert len(grid) == 4
+
+
+def test_knn_ivf_matches_brute_when_probing_all(spark):
+    """IVF with n_probe == n_lists scans everything -> must equal the exact
+    brute-force top-k; with fewer probes it still returns k rows."""
+    from flashml_spark.operators import similarity
+    from flashml_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = list(emb.filter("vec_id = 0").select("embedding").first()["embedding"])
+
+    brute = [r["vec_id"] for r in
+             similarity.knn_brute_force(emb, "embedding", "vec_id", q, k=10).collect()]
+    cents = similarity.fit_ivf_centroids(emb, "embedding", n_lists=8, seed=42)
+    full = [r["vec_id"] for r in
+            similarity.knn_ivf(emb, "embedding", "vec_id", q, k=10,
+                               centroids=cents, n_probe=8).collect()]
+    assert full == brute
+
+    probed = similarity.knn_ivf(emb, "embedding", "vec_id", q, k=10,
+                                centroids=cents, n_probe=2).collect()
+    assert len(probed) == 10
+    # query's own list is always probed, so the query vector itself is found
+    assert probed[0]["vec_id"] == 0
