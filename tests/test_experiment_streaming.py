@@ -251,3 +251,42 @@ def test_read_source_dispatch(spark, tmp_path):
     with pytest.raises(ValueError):
         validate_input_query("SELECT * FROM t")
     validate_input_query("CREATE TEMPORARY VIEW v AS SELECT 1")
+
+
+def test_publish_and_qa_data(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    """Spark-native publish: per-step PipelineModels combine into one; QA
+    data joins scored rows back to the input and samples."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    from flashml_spark.publish import qa_data, save_full_pipeline, write_qa_data
+
+    df = _journey_df(spark, 200).withColumn(
+        "resp_d", F.col("response").cast("double")
+    )
+    pre = Pipeline(stages=[
+        RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+"),
+        HashingTF(inputCol="toks", outputCol="features", numFeatures=64),
+    ]).fit(df)
+    model = Pipeline(stages=[
+        LogisticRegression(labelCol="resp_d", featuresCol="features", maxIter=5)
+    ]).fit(pre.transform(df))
+
+    path = str(tmp_path / "full_pipeline")
+    combined = save_full_pipeline([pre, model], path)
+    assert len(combined.stages) == 3
+    reloaded = PipelineModel.load(path)
+    scored = reloaded.transform(df)
+    assert "prediction" in scored.columns
+
+    qa = qa_data(scored, df, ["session_id", "page"], n_rows=20)
+    assert 0 < qa.count() <= 20
+    assert "prediction" in qa.columns and "session_id" in qa.columns
+    out = str(tmp_path / "qa_csv")
+    write_qa_data(qa.select("session_id", "page", "prediction"), out)
+    import glob
+    (f,) = glob.glob(f"{out}/part-*.csv")
+    assert open(f).readline().startswith("session_id")
