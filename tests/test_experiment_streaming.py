@@ -290,3 +290,84 @@ def test_publish_and_qa_data(spark, tmp_path):
     import glob
     (f,) = glob.glob(f"{out}/part-*.csv")
     assert open(f).readline().startswith("session_id")
+
+
+def test_config_loading_and_scopes(spark, tmp_path):
+    """JSON config (reference dotted naming) -> ExperimentConfig; scope
+    resolution noPage/allPage/perPage; validation failures."""
+    import json
+
+    import pytest
+
+    from flashml_spark.config import infer_scope, load_config, resolve_scoped
+
+    raw = {
+        "project": {"data": {
+            "primaryKey": ["session_id"],
+            "responseVariable": "response",
+            "textVariables": ["text"],
+            "categoricalVariables": ["device"],
+            "numericalVariables": ["dwell"],
+            "pageVariable": "page",
+            "numPages": 3,
+        }},
+        "sampling": {"type": "random", "trainFraction": 0.8, "seed": 20},
+        "vectorization": {"text": {"method": "hashingtf", "slots": 64}},
+        "model": {"algorithm": "logistic_regression", "params": {"maxIter": 5}},
+        "unknown": {"future": "ignored"},
+    }
+    cfg = load_config(raw)
+    assert cfg.primary_keys == ["session_id"] and cfg.num_pages == 3
+    assert cfg.algorithm == "logistic_regression" and cfg.slots == 64
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(raw))
+    assert load_config(str(p)).response == "response"
+    assert load_config(json.dumps(raw)).page_col == "page"
+
+    assert resolve_scoped(0.5, "noPage", 3) == [0.5]
+    assert resolve_scoped(0.5, "allPage", 3) == [0.5, 0.5, 0.5]
+    assert resolve_scoped([1, 2, 3], "perPage", 3) == [1, 2, 3]
+    with pytest.raises(ValueError):
+        resolve_scoped([1, 2], "perPage", 3)
+    with pytest.raises(ValueError):
+        resolve_scoped(1, "somePage", 3)
+    assert infer_scope([1, 2, 3], 3) == "perPage"
+    assert infer_scope(0.5, 3) == "allPage"
+    assert infer_scope(0.5, 1) == "noPage"
+
+    bad = dict(raw)
+    bad["model"] = {"algorithm": "xgboost"}
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        load_config(bad)
+    bad2 = {"project": {"data": {"responseVariable": "r", "numPages": 2}}}
+    with pytest.raises(ValueError, match="pageVariable"):
+        load_config(bad2)
+
+
+def test_config_driven_experiment_golden(spark):
+    """Config-driven end-to-end run with fixed seeds — the metric map must
+    be reproducible run-to-run (regression anchor, reference systemTests
+    style)."""
+    from flashml_spark.config import load_config
+    from flashml_spark.experiment import Experiment
+
+    cfg = load_config({
+        "project": {"data": {
+            "primaryKey": ["session_id"],
+            "responseVariable": "response",
+            "textVariables": ["text"],
+            "categoricalVariables": ["device"],
+            "numericalVariables": ["dwell"],
+        }},
+        "sampling": {"type": "random", "trainFraction": 0.8, "seed": 20},
+        "vectorization": {"text": {"method": "hashingtf", "slots": 64}},
+        "model": {"algorithm": "logistic_regression", "params": {"maxIter": 10}},
+    })
+    df = _journey_df(spark, 300)
+    m1 = Experiment(cfg).run(spark, df)
+    m2 = Experiment(cfg).run(spark, df)
+    assert m1["accuracy"] == m2["accuracy"]
+    assert m1["auroc"] == m2["auroc"]
+    # the synthetic data is linearly separable on text -> near-perfect fit
+    assert m1["accuracy"] > 0.95 and m1["auroc"] > 0.95
