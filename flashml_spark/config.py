@@ -75,6 +75,15 @@ _KEY_MAP = {
     "model.algorithm": "algorithm",
     "model.params": "algo_params",
     "model.multiIntent": "multi_intent",
+    "model.platt": "platt",
+    "model.topK": "top_k",
+    "model.upliftTreatment": "uplift_treatment",
+    "tuning.type": "tuning",
+    "tuning.paramGrid": "param_grid",
+    "tuning.paramRanges": "param_ranges",
+    "tuning.folds": "cv_folds",
+    "tuning.metric": "cv_metric",
+    "experiment.parallelism": "parallelism",
     "scoring.filter": "post_predict_filter",
     "savepoint.root": "savepoint_root",
 }

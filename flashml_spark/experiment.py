@@ -57,6 +57,17 @@ class ExperimentConfig:
     algorithm: str = "logistic_regression"
     algo_params: dict = field(default_factory=dict)
     multi_intent: bool = False
+    # tuning (reference: plain | grid-CV | HyperBand)
+    tuning: str = "none"  # none | cv | hyperband
+    param_grid: dict = field(default_factory=dict)  # param -> list of values (cv)
+    param_ranges: dict = field(default_factory=dict)  # param -> (lo, hi) | iterable (hyperband)
+    cv_folds: int = 3
+    cv_metric: str = "weightedPrecision"
+    parallelism: int = 3
+    # post-processors (ModelTrainingEngine pipeline tail)
+    platt: bool | None = None  # None -> auto (True for svm)
+    top_k: int | None = None
+    uplift_treatment: str | None = None  # numerical col, forced LAST feature slot
     # scoring
     post_predict_filter: str | None = None
     # savepoints
@@ -68,6 +79,7 @@ class Experiment:
         self.config = config
         self.models_: list[PipelineModel] = []
         self.metrics_: dict = {}
+        self.tuning_: list[dict | None] = []
 
     # ---- dataReader ------------------------------------------------------
     def read(self, df: DataFrame) -> DataFrame:
@@ -83,6 +95,7 @@ class Experiment:
                 + c.categorical_cols
                 + c.numerical_cols
                 + ([c.page_col] if c.page_col else [])
+                + ([c.uplift_treatment] if c.uplift_treatment else [])
                 + (["random_variable"] if c.random_id_col else [])
             )
         )
@@ -103,8 +116,8 @@ class Experiment:
         )
         return train, test
 
-    # ---- per-page model pipeline ----------------------------------------
-    def _build_stages(self) -> list:
+    # ---- per-page feature pipeline (everything before the estimator) ----
+    def _build_prep_stages(self) -> list:
         c = self.config
         stages = []
         feature_vec_cols = []
@@ -128,22 +141,85 @@ class Experiment:
                 build_text_vectorizer("count_vectorizer", "categorical_array", "cat__vec", c.slots)
             )
             feature_vec_cols.append("cat__vec")
+        numerical = [n for n in c.numerical_cols if n != c.uplift_treatment]
         stages.append(
-            build_assembler(feature_vec_cols, numerical_cols=c.numerical_cols)
-        )
-        stages.append(build_label_indexer(c.response, c.multi_intent))
-        stages.append(
-            build_estimator(
-                c.algorithm,
-                label_col=f"{c.response}_indexed",
-                params=c.algo_params,
+            build_assembler(
+                feature_vec_cols,
+                numerical_cols=numerical,
+                treatment_col=c.uplift_treatment,  # must stay the LAST slot
             )
         )
+        stages.append(build_label_indexer(c.response, c.multi_intent))
         return stages
+
+    # ---- modelling: plain fit, grid-CV, or HyperBand ---------------------
+    def _fit_model(self, train_vec: DataFrame, label_col: str):
+        c = self.config
+        est = build_estimator(c.algorithm, label_col=label_col, params=c.algo_params)
+        if c.tuning == "cv":
+            import itertools
+
+            from flashml_spark.tuning.cv import CrossValidatorWithFoldMetrics
+
+            names = sorted(c.param_grid)
+            grid = [
+                dict(zip(names, vals))
+                for vals in itertools.product(*[c.param_grid[n] for n in names])
+            ] or [{}]
+            cv = CrossValidatorWithFoldMetrics(
+                est,
+                grid,
+                label_col=label_col,
+                metric=c.cv_metric,
+                num_folds=c.cv_folds,
+                parallelism=c.parallelism,
+            )
+            model = cv.fit(train_vec)
+            return model, {
+                "foldMetrics": cv.fold_metrics_,
+                "avgMetrics": cv.avg_metrics_,
+                "bestParams": cv.best_params_,
+            }
+        if c.tuning == "hyperband":
+            from flashml_spark.tuning.generators import ParamSpace
+            from flashml_spark.tuning.hyperband import HyperBand
+
+            space = ParamSpace()
+            for name, spec in c.param_ranges.items():
+                if isinstance(spec, tuple) and len(spec) == 2:
+                    space.add_range(name, *spec)
+                else:
+                    space.add_choices(name, list(spec))
+            hb = HyperBand(
+                est,
+                space,
+                label_col=label_col,
+                metric=c.cv_metric,
+                parallelism=c.parallelism,
+            )
+            model = hb.fit(train_vec)
+            return model, {"history": hb.history_, "bestParams": hb.best_params_}
+        if c.tuning != "none":
+            raise ValueError(f"unknown tuning mode {c.tuning!r}")
+        return est.fit(train_vec), None
+
+    @staticmethod
+    def _indexer_labels(prep: PipelineModel) -> list[str] | None:
+        stage = prep.stages[-1]
+        if hasattr(stage, "labelsArray"):
+            return list(stage.labelsArray[0])
+        return list(stage.labels) if hasattr(stage, "labels") else None
 
     # ---- lifecycle -------------------------------------------------------
     def run(self, spark: SparkSession, df: DataFrame) -> dict:
+        """dataReader → sampling → (page fan-out) → feature fit →
+        modelling (+tuning) → [Platt] → [Uplift] → [TopK] →
+        [IndexToString] → scoring filter → metrics → savepoints — the
+        reference's step order (``ModelTrainingEngine.scala:35-276``)."""
         c = self.config
+        label_col = f"{c.response}_indexed"
+        use_platt = c.platt if c.platt is not None else (c.algorithm == "svm")
+
         data = self.read(df).persist()
         train, test = self.split(data)
 
@@ -155,10 +231,37 @@ class Experiment:
 
         scored_pages = []
         self.models_ = []
+        self.tuning_ = []
         for k, (tr, te) in enumerate(zip(train_pages, test_pages)):
-            model = Pipeline(stages=self._build_stages()).fit(tr)
-            self.models_.append(model)
-            scored = model.transform(te)
+            prep = Pipeline(stages=self._build_prep_stages()).fit(tr)
+            tr_v = prep.transform(tr).persist()
+            model, tuning_info = self._fit_model(tr_v, label_col)
+            self.tuning_.append(tuning_info)
+            full_model = PipelineModel(prep.stages + [model])
+            self.models_.append(full_model)
+            labels = self._indexer_labels(prep)
+
+            te_v = prep.transform(te)
+            scored = model.transform(te_v)
+            if use_platt:
+                from flashml_spark.training.platt import PlattScalar
+
+                calibrator = PlattScalar(label_col=label_col).fit(model.transform(tr_v))
+                scored = calibrator.transform(scored)
+            if c.uplift_treatment:
+                from flashml_spark.training.postprocess import uplift_transform
+
+                scored = uplift_transform(scored, model)
+            if c.top_k and labels:
+                from flashml_spark.training.postprocess import top_k_intents
+
+                scored = top_k_intents(scored, labels, k=c.top_k)
+            if labels:
+                from flashml_spark.training.postprocess import index_to_string
+
+                scored = index_to_string(scored, labels)
+            tr_v.unpersist()
+
             scored = relational.post_predict_filter(scored, c.post_predict_filter)
             scored_pages.append(scored)
             if c.savepoint_root:
@@ -168,18 +271,22 @@ class Experiment:
                     scored.drop(*[col for col, t in scored.dtypes if t == "vector"]),
                     "scoring", "test", page=k,
                 )
-                model.write().overwrite().save(
+                full_model.write().overwrite().save(
                     f"{c.savepoint_root}/pipeline/page{k}/model_pipeline"
                 )
 
         scored_all = relational.union_pages(scored_pages)
-        label_col = f"{c.response}_indexed"
         self.metrics_ = multiclass_metrics(scored_all, label_col, "prediction")
         if not c.multi_intent and "probability" in scored_all.columns:
-            from pyspark.ml.functions import vector_to_array
+            prob_type = dict(scored_all.dtypes)["probability"]
+            if prob_type == "vector":
+                from pyspark.ml.functions import vector_to_array
 
+                positive = vector_to_array("probability").getItem(1)
+            else:  # Platt/uplift emit array<double>
+                positive = F.element_at(F.col("probability"), 2)
             binary = scored_all.select(
-                vector_to_array("probability").getItem(1).alias("positive_probability"),
+                positive.alias("positive_probability"),
                 F.col(label_col).alias("label"),
             )
             self.metrics_["auroc"] = auroc(binary)

@@ -371,3 +371,59 @@ def test_config_driven_experiment_golden(spark):
     assert m1["auroc"] == m2["auroc"]
     # the synthetic data is linearly separable on text -> near-perfect fit
     assert m1["accuracy"] > 0.95 and m1["auroc"] > 0.95
+
+
+def test_experiment_cv_tuning(spark):
+    """Grid-CV modelling path: fold metrics recorded, best params chosen,
+    final model refit on full train."""
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"], response="response", text_cols=["text"],
+        text_method="hashingtf", slots=32,
+        algorithm="logistic_regression",
+        tuning="cv", param_grid={"regParam": [0.0, 0.5], "maxIter": [5]},
+        cv_folds=2, parallelism=2,
+    )
+    exp = Experiment(cfg)
+    metrics = exp.run(spark, _journey_df(spark, 200))
+    assert metrics["accuracy"] > 0.9
+    (info,) = exp.tuning_
+    assert len(info["foldMetrics"]) == 2 * 2  # grid x folds
+    assert info["bestParams"] in ({"regParam": 0.0, "maxIter": 5},
+                                  {"regParam": 0.5, "maxIter": 5})
+
+
+def test_experiment_svm_platt(spark):
+    """SVM auto-enables Platt: scored output gains calibrated probability
+    and AUROC is computable from it."""
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"], response="response", text_cols=["text"],
+        text_method="hashingtf", slots=32, algorithm="svm",
+        algo_params={"maxIter": 10},
+    )
+    exp = Experiment(cfg)
+    metrics = exp.run(spark, _journey_df(spark, 200))
+    assert "auroc" in metrics and metrics["auroc"] > 0.9
+
+
+def test_experiment_uplift(spark):
+    """Uplift mode: treatment col last slot; probability becomes [1-d, d]."""
+    import pyspark.sql.functions as F
+
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    df = _journey_df(spark, 200).withColumn(
+        "treated", (F.col("dwell") % 2 == 0).cast("double")
+    )
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"], response="response", text_cols=["text"],
+        numerical_cols=["treated"], text_method="hashingtf", slots=32,
+        algorithm="logistic_regression", algo_params={"maxIter": 5},
+        uplift_treatment="treated",
+    )
+    exp = Experiment(cfg)
+    exp.run(spark, df)
+    assert len(exp.models_) == 1
