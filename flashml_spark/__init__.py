@@ -21,3 +21,9 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from flashml_spark.config import load_config  # noqa: E402
+from flashml_spark.experiment import Experiment, ExperimentConfig  # noqa: E402
+from flashml_spark.session import get_spark  # noqa: E402
+
+__all__ = ["Experiment", "ExperimentConfig", "get_spark", "load_config", "__version__"]

@@ -82,9 +82,12 @@ class Experiment:
         self.tuning_: list[dict | None] = []
 
     # ---- dataReader ------------------------------------------------------
-    def read(self, df: DataFrame) -> DataFrame:
+    def read(self, df: DataFrame, require_response: bool = True) -> DataFrame:
         c = self.config
-        out = relational.input_filter(df, c.input_filter, response_col=c.response)
+        if require_response or c.response in df.columns:
+            out = relational.input_filter(df, c.input_filter, response_col=c.response)
+        else:  # predict-only input carries no labels
+            out = relational.input_filter(df, c.input_filter)
         if c.random_id_col:
             out = relational.derive_random_variable(out, c.random_id_col)
         keep = list(
@@ -99,6 +102,8 @@ class Experiment:
                 + (["random_variable"] if c.random_id_col else [])
             )
         )
+        if not require_response:
+            keep = [col for col in keep if col in out.columns]
         return relational.prune_columns(out, keep)
 
     # ---- sampling --------------------------------------------------------
@@ -293,3 +298,36 @@ class Experiment:
             self.metrics_["bestF2"] = best_fbeta_threshold(binary)
         data.unpersist()
         return self.metrics_
+
+    # ---- predict-only resume (SURVEY §3.2) -------------------------------
+    def load_models(self, root: str | None = None) -> list[PipelineModel]:
+        """Load the per-page fitted pipelines saved by ``run`` — the
+        savepoint contract that makes ``experiment.type=predict`` runs
+        possible without refitting (``PipelineSteps.scala:73-78``;
+        ``DirectoryCreator.scala:102-109``)."""
+        c = self.config
+        root = root or c.savepoint_root
+        if root is None:
+            raise ValueError("predict-only runs need savepoint_root")
+        n = c.num_pages if (c.page_col and c.num_pages > 1) else 1
+        self.models_ = [
+            PipelineModel.load(f"{root}/pipeline/page{k}/model_pipeline")
+            for k in range(n)
+        ]
+        return self.models_
+
+    def predict(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Score new data with persisted models: read (labels optional) →
+        page fan-out → per-page transform → union → post-predict filter."""
+        c = self.config
+        if not self.models_:
+            self.load_models()
+        data = self.read(df, require_response=False)
+        if c.page_col and c.num_pages > 1:
+            pages = relational.split_page_level(data, c.page_col, c.num_pages)
+        else:
+            pages = [data]
+        scored = relational.union_pages(
+            [m.transform(p) for m, p in zip(self.models_, pages)]
+        )
+        return relational.post_predict_filter(scored, c.post_predict_filter)

@@ -427,3 +427,25 @@ def test_experiment_uplift(spark):
     exp = Experiment(cfg)
     exp.run(spark, df)
     assert len(exp.models_) == 1
+
+
+def test_experiment_predict_only_resume(spark, tmp_path):
+    """Train with savepoints, then a FRESH Experiment scores unlabeled data
+    from the persisted per-page models without refitting (SURVEY §3.2)."""
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    root = str(tmp_path / "sp")
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"], response="response", text_cols=["text"],
+        text_method="hashingtf", slots=32,
+        algorithm="logistic_regression", algo_params={"maxIter": 5},
+        page_col="page", num_pages=2, savepoint_root=root,
+    )
+    Experiment(cfg).run(spark, _journey_df(spark, 200))
+
+    fresh = Experiment(cfg)
+    unlabeled = _journey_df(spark, 60).drop("response")
+    scored = fresh.predict(spark, unlabeled)
+    assert scored.count() == 60
+    assert "prediction" in scored.columns
+    assert len(fresh.models_) == 2
