@@ -69,3 +69,56 @@ def vsi(base: DataFrame, new: DataFrame, var_col: str) -> dict:
         "missingValues": missing,
         "newValues": new_values,
     }
+
+
+def psi_by_page(
+    base: DataFrame,
+    new: DataFrame,
+    score_col: str,
+    page_col: str,
+    num_pages: int,
+    num_buckets: int = 10,
+    parallelism: int = 3,
+) -> dict[int, float]:
+    """Per-page PSI, pages evaluated concurrently from the driver
+    (``ModelHealthMetricsEvaluator.scala:59`` uses Scala parallel
+    collections; here a thread pool issues concurrent Spark jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    b = base.persist()
+    n = new.persist()
+    b.count(), n.count()
+
+    def one(k: int) -> tuple[int, float]:
+        pred = (F.col(page_col) == k) if k < num_pages else (F.col(page_col) >= k)
+        return k, psi(b.filter(pred), n.filter(pred), score_col, num_buckets)
+
+    try:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            return dict(pool.map(one, range(1, num_pages + 1)))
+    finally:
+        b.unpersist()
+        n.unpersist()
+
+
+def vsi_for_variables(
+    base: DataFrame,
+    new: DataFrame,
+    var_cols: list[str],
+    parallelism: int = 3,
+) -> dict[str, dict]:
+    """VSI for every categorical variable, concurrently
+    (``ModelHealthMetricsEvaluator.scala:157``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    b = base.persist()
+    n = new.persist()
+    b.count(), n.count()
+    try:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            return dict(
+                pool.map(lambda v: (v, vsi(b, n, v)), var_cols)
+            )
+    finally:
+        b.unpersist()
+        n.unpersist()

@@ -129,3 +129,45 @@ def fingerprint(text: Column) -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fp") -> DataFrame:
     return df.withColumn(out_col, fingerprint(F.col(text_col)))
+
+
+# --- cleanup / normalization (LLM training-data prep; pure regexp map) ----
+
+URL_PATTERN = r"https?://\S+"
+HTML_TAG_PATTERN = r"<[^>]+>"
+CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def strip_urls(text: Column, replacement: str = " ") -> Column:
+    return F.regexp_replace(text, URL_PATTERN, replacement)
+
+
+def strip_html_tags(text: Column, replacement: str = " ") -> Column:
+    return F.regexp_replace(text, HTML_TAG_PATTERN, replacement)
+
+
+def strip_control_chars(text: Column) -> Column:
+    return F.regexp_replace(text, CONTROL_PATTERN, "")
+
+
+def squeeze_repeats(text: Column, max_run: int = 3) -> Column:
+    """Clamp runs of the same character to ``max_run`` (e.g. 'soooooo' →
+    'sooo') — standard crawl-noise cleanup."""
+    return F.regexp_replace(text, rf"(.)\1{{{max_run},}}", "$1" * max_run)
+
+
+def collapse_whitespace(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def normalize_text(text: Column) -> Column:
+    """Full cleanup chain: control chars → urls → html → repeat squeeze →
+    whitespace collapse.  One fused projection, whole-stage codegen'd —
+    zero shuffles at any scale."""
+    return collapse_whitespace(
+        squeeze_repeats(strip_html_tags(strip_urls(strip_control_chars(text))))
+    )
+
+
+def with_normalized_text(df: DataFrame, text_col: str, out_col: str = "norm_text") -> DataFrame:
+    return df.withColumn(out_col, normalize_text(F.col(text_col)))

@@ -326,3 +326,25 @@ def x27(spark: SparkSession, sf: str) -> DataFrame:
         emb, "embedding", "vec_id", list(qrow["embedding"]),
         k=10, n_lists=8, n_probe=4, seed=42,
     )
+
+
+# x28 — text cleanup / normalization chain (URL/HTML/control strip,
+#       repeat squeeze, whitespace collapse)
+@register(
+    "x28_text_normalize",
+    r"""SELECT doc_id, trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                'https?://\S+', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '(.)\1{3,}', '\1\1\1', 'g'),
+          '\s+', ' ', 'g')) AS norm_text
+       FROM documents""",
+)
+def x28(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.with_normalized_text(docs, "text").select("doc_id", "norm_text")

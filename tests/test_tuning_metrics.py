@@ -188,3 +188,19 @@ def test_hyperband_small(spark):
         / df.count()
     )
     assert acc == 1.0
+
+
+def test_psi_by_page_and_vsi_for_variables(spark):
+    from flashml_spark.metrics.stability import psi_by_page, vsi_for_variables
+
+    rows = [(1 + i % 3, (i % 100) / 100.0, "a" if i % 2 == 0 else "b") for i in range(600)]
+    base = spark.createDataFrame(rows, "page int, score double, dev string")
+    new = base  # identical distributions -> PSI/VSI ~ 0 per page/variable
+    by_page = psi_by_page(base, new, "score", "page", 3, parallelism=3)
+    assert set(by_page) == {1, 2, 3}
+    assert all(abs(v) < 1e-9 for v in by_page.values())
+
+    shifted = base.withColumn("dev", F.lit("c"))
+    out = vsi_for_variables(base, shifted, ["dev"], parallelism=2)
+    assert out["dev"]["missingValues"] == ["a", "b"]
+    assert out["dev"]["newValues"] == ["c"]
