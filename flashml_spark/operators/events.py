@@ -81,3 +81,28 @@ def session_stats(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Overlapping (hopping) windows — each event lands in width/slide
+    windows (``F.window`` with a slide), epoch-aligned.  ``ws`` is the
+    window start in epoch seconds (engine-portable).  Same shuffle shape
+    as the tumbling variant: one hash agg on (window, key)."""
+    w = F.window(F.col(ts_col), width, slide)
+    return (
+        df.groupBy(w.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("ws"), key_col, "n", "total"
+        )
+    )

@@ -348,3 +348,19 @@ def x28(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return textops.with_normalized_text(docs, "text").select("doc_id", "norm_text")
+
+
+# x29 — sliding (hopping) window aggregation: 1h windows every 15min.
+# Epoch-aligned like F.window; each event belongs to exactly 4 windows
+# (timestamps all carry sub-second micros, so boundary ties cannot occur).
+@register(
+    "x29_sliding_window",
+    """SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900 AS ws,
+              event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+       FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) hops
+       GROUP BY 1, 2""",
+)
+def x29(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events as ev
+
+    return ev.sliding_window_agg(load_table(spark, sf, "events"))

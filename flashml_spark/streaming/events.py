@@ -77,3 +77,25 @@ def streaming_session_stats(
             "total",
         )
     )
+
+
+def streaming_sliding_window_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked hopping-window aggregation — streaming twin of
+    ``operators.events.sliding_window_agg``."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("total"),
+        )
+        .select(F.col("w.start").cast("long").alias("ws"), key_col, "n", "total")
+    )

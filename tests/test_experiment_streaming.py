@@ -449,3 +449,32 @@ def test_experiment_predict_only_resume(spark, tmp_path):
     assert scored.count() == 60
     assert "prediction" in scored.columns
     assert len(fresh.models_) == 2
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    from flashml_spark.operators.events import sliding_window_agg
+    from flashml_spark.sources import load_table
+    from flashml_spark.streaming.events import streaming_sliding_window_agg
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src4")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_sliding_window_agg(stream, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("slide_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.table("slide_agg").collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in sliding_window_agg(ev).collect()
+    }
+    assert got == expected

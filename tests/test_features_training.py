@@ -220,3 +220,32 @@ def test_knn_ivf_matches_brute_when_probing_all(spark):
     assert len(probed) == 10
     # query's own list is always probed, so the query vector itself is found
     assert probed[0]["vec_id"] == 0
+
+
+def test_feature_transformers_roundtrip(spark, tmp_path):
+    """Custom feature transformers must be MLWritable so full pipelines
+    persist (SURVEY §7 'what's hard')."""
+    from pyspark.ml import Pipeline, PipelineModel
+
+    from flashml_spark.features.generators import (
+        CategoricalConcat,
+        GramAssembler,
+        SkipGramGenerator,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d"], "x", "y")], ["toks", "c1", "c2"]
+    )
+    pipe = Pipeline(stages=[
+        SkipGramGenerator(inputCol="toks", outputCol="sg", windowSize=4),
+        GramAssembler(inputCols=["toks", "sg"], outputCol="assembled"),
+        CategoricalConcat(inputCols=["c1", "c2"], outputCol="cats"),
+    ]).fit(df)
+    before = pipe.transform(df).first()
+
+    path = str(tmp_path / "feat_pipe")
+    pipe.write().overwrite().save(path)
+    after = PipelineModel.load(path).transform(df).first()
+    assert before["assembled"] == after["assembled"]
+    assert before["cats"] == after["cats"] == ["c1_x", "c2_y"]
+    assert "a & c" in after["sg"] and "a & d" in after["sg"]
