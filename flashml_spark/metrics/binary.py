@@ -13,7 +13,7 @@ Here everything is windows/aggregations — no RDDs, no driver data loops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -25,21 +25,30 @@ def threshold_sweep(
 
     Output: ``thresh, tp, fp, fn, tn, precision, recall, fbeta``.
     Predicting positive means ``score >= thresh``.
+
+    Continuous scores keep ~|rows| distinct thresholds, so the cumulative
+    runs through ``global_cumsum`` (range-partitioned prefix sums) — never
+    a single-partition window.  Grand totals broadcast as a 1-row frame.
     """
-    pos_total = F.sum("pos_at").over(Window.partitionBy())
-    neg_total = F.sum("neg_at").over(Window.partitionBy())
-    w = Window.orderBy(F.desc("thresh"))
+    from flashml_spark.functions.windows import global_cumsum
 
     per_thresh = scored.groupBy(F.col(score_col).alias("thresh")).agg(
         F.sum(F.when(F.col(label_col) == 1.0, 1).otherwise(0)).alias("pos_at"),
         F.sum(F.when(F.col(label_col) != 1.0, 1).otherwise(0)).alias("neg_at"),
     )
-    cum = per_thresh.select(
-        "thresh",
-        F.sum("pos_at").over(w).alias("tp"),
-        F.sum("neg_at").over(w).alias("fp"),
-        pos_total.alias("P"),
-        neg_total.alias("N"),
+    totals = per_thresh.agg(
+        F.sum("pos_at").alias("P"), F.sum("neg_at").alias("N")
+    )
+    cum = (
+        global_cumsum(per_thresh, "thresh", ["pos_at", "neg_at"], ascending=False)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "thresh",
+            F.col("cum_pos_at").alias("tp"),
+            F.col("cum_neg_at").alias("fp"),
+            "P",
+            "N",
+        )
     )
     # every ratio guarded: Spark 4 ANSI mode raises on 0/0 (degenerate
     # inputs — e.g. no positive rows at all — are legitimate here)
@@ -88,22 +97,24 @@ def auroc(
     with average ranks on score ties (equivalent to trapezoidal ROC).
     One global sort; everything else is aggregation.
     """
-    ranked = scored.select(
-        F.col(score_col).alias("s"),
-        F.when(F.col(label_col) == 1.0, 1.0).otherwise(0.0).alias("y"),
-    ).withColumn("r", F.row_number().over(Window.orderBy("s")))
-    # average rank per tied score group
-    avg_ranks = ranked.groupBy("s").agg(
-        F.avg("r").alias("r_avg"), F.sum("y").alias("pos_in_group")
+    from flashml_spark.functions.windows import global_cumsum
+
+    # one row per distinct score: group counts first, then distributed
+    # prefix sums give each group its rank range (no global-window task)
+    groups = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col(label_col) == 1.0, 1.0).otherwise(0.0)).alias("pos_in_group"),
     )
-    agg = avg_ranks.agg(
-        F.sum(F.col("r_avg") * F.col("pos_in_group")).alias("rank_sum"),
+    cum = global_cumsum(groups, "s", ["cnt"], ascending=True)
+    # ranks in the tied group are cum_cnt-cnt+1 .. cum_cnt → average rank
+    r_avg = F.col("cum_cnt") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    agg = cum.agg(
+        F.sum(r_avg * F.col("pos_in_group")).alias("rank_sum"),
         F.sum("pos_in_group").alias("n_pos"),
-        F.sum(F.lit(0)).alias("_z"),
+        F.sum("cnt").alias("n"),
     ).first()
-    n = ranked.count()
     n_pos = agg["n_pos"]
-    n_neg = n - n_pos
+    n_neg = agg["n"] - n_pos
     if n_pos == 0 or n_neg == 0:
         return 0.0
     return (agg["rank_sum"] - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)

@@ -204,3 +204,30 @@ def test_psi_by_page_and_vsi_for_variables(spark):
     out = vsi_for_variables(base, shifted, ["dev"], parallelism=2)
     assert out["dev"]["missingValues"] == ["a", "b"]
     assert out["dev"]["newValues"] == ["c"]
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Distributed prefix sums == the naive single-partition window."""
+    from pyspark.sql import Window
+
+    from flashml_spark.functions.windows import global_cumsum
+
+    df = spark.createDataFrame(
+        [(float(i % 37) + (i % 3) * 0.1, i % 5) for i in range(500)], "k double, v int"
+    ).groupBy("k").agg(F.sum("v").alias("v"))
+
+    got = {
+        r["k"]: r["cum_v"]
+        for r in global_cumsum(df, "k", ["v"], ascending=True, num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["k"]: r["cum"] for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()}
+    assert got == want
+
+    got_d = {
+        r["k"]: r["cum_v"]
+        for r in global_cumsum(df, "k", ["v"], ascending=False, num_partitions=7).collect()
+    }
+    wd = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_d = {r["k"]: r["cum"] for r in df.select("k", F.sum("v").over(wd).alias("cum")).collect()}
+    assert got_d == want_d
