@@ -128,8 +128,10 @@ def _validate(cfg: ExperimentConfig) -> None:
     problems = []
     if not cfg.response:
         problems.append("responseVariable must be set")
-    if cfg.split not in ("random", "stratified", "conditional"):
-        problems.append(f"sampling.type {cfg.split!r} not in random|stratified|conditional")
+    if cfg.split not in ("random", "stratified", "stratified_approx", "conditional"):
+        problems.append(
+            f"sampling.type {cfg.split!r} not in random|stratified|stratified_approx|conditional"
+        )
     if cfg.split == "conditional" and len(cfg.conditions) != 2:
         problems.append("conditional sampling needs exactly 2 conditions")
     if not 0.0 < cfg.train_fraction < 1.0 and cfg.split != "conditional":

@@ -111,6 +111,8 @@ class Experiment:
         c = self.config
         if c.split == "stratified":
             return sampling.stratified_split(df, c.response, c.train_fraction, c.seed)
+        if c.split == "stratified_approx":
+            return sampling.stratified_split_approx(df, c.response, c.train_fraction, c.seed)
         if c.split == "conditional":
             parts = sampling.conditional_split(df, c.conditions)
             if len(parts) != 2:

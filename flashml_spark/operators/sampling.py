@@ -36,6 +36,10 @@ def stratified_split(
     per class, one shuffle, no second pass and no ``except`` anti-join over the
     full data (the reference's ``except`` is a full shuffle of both sides —
     strictly worse at scale).
+
+    Scale note: the per-class window puts each class in ONE partition —
+    fine into the ~10^8 rows/class range, a cliff beyond; use
+    ``stratified_split_approx`` (zero shuffle) at 100 TB.
     """
     w = Window.partitionBy(label_col).orderBy(F.rand(seed))
     cnt = Window.partitionBy(label_col)
@@ -45,6 +49,26 @@ def stratified_split(
     is_train = F.col("__rn") <= (F.col("__n") * F.lit(train_fraction))
     train = tagged.filter(is_train).drop("__rn", "__n")
     test = tagged.filter(~is_train).drop("__rn", "__n")
+    return train, test
+
+
+def stratified_split_approx(
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float,
+    seed: int = DEFAULT_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """Approximate stratified split: per-row Bernoulli draw, so EVERY
+    class keeps the train fraction in expectation (``df.sampleBy`` with
+    equal per-class fractions, reference ``sampleByKey`` non-exact mode).
+
+    ZERO shuffle, pure map — the 100 TB path.  Class fractions deviate
+    O(1/√class_count), negligible at scale where the exact variant's
+    one-partition-per-class window becomes the bottleneck.
+    """
+    tagged = df.withColumn("__r", F.rand(seed))
+    train = tagged.filter(F.col("__r") < train_fraction).drop("__r")
+    test = tagged.filter(F.col("__r") >= train_fraction).drop("__r")
     return train, test
 
 

@@ -249,3 +249,20 @@ def test_feature_transformers_roundtrip(spark, tmp_path):
     assert before["assembled"] == after["assembled"]
     assert before["cats"] == after["cats"] == ["c1_x", "c2_y"]
     assert "a & c" in after["sg"] and "a & d" in after["sg"]
+
+
+def test_stratified_split_approx(spark):
+    """Zero-shuffle stratified split keeps per-class fractions ~equal and
+    partitions the data exactly (train + test == all, disjoint)."""
+    from flashml_spark.operators.sampling import stratified_split_approx
+
+    df = spark.createDataFrame(
+        [(i, "pos" if i % 10 == 0 else "neg") for i in range(5000)], "id int, y string"
+    )
+    train, test = stratified_split_approx(df, "y", 0.8, seed=20)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 5000
+    assert train.join(test, "id").count() == 0
+    pos_frac = train.filter("y = 'pos'").count() / 500
+    neg_frac = train.filter("y = 'neg'").count() / 4500
+    assert abs(pos_frac - 0.8) < 0.06 and abs(neg_frac - 0.8) < 0.03
