@@ -115,14 +115,27 @@ def minhash_lsh_candidates(
     exploded = sigged.select(
         F.col(id_col), F.explode(band_keys).alias("band_key")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, "band_key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    # pairs via per-bucket id lists instead of a self-join: a self-join
+    # would re-run the whole signature pipeline for each side; this keeps
+    # ONE signature pass and ONE shuffle (groupBy band_key).  Pair count
+    # per bucket is O(|bucket|²) either way — that's inherent to LSH.
+    buckets = exploded.groupBy("band_key").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    return (
+        buckets.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
