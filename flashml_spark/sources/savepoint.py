@@ -43,3 +43,24 @@ class SavepointManager:
 
     def load(self, step: str, dataset: str = "train", page: int = 0) -> DataFrame:
         return self.spark.read.parquet(self.path(step, dataset, page))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist bucketed-by-key (saveAsTable) so repeated joins/aggs on the
+    key are CO-LOCATED — Spark reads bucket files straight into matching
+    partitions, no shuffle on either side of a bucketed-bucketed join.
+
+    The 100 TB pattern: bucket fact tables once at ingest on their join
+    key; every downstream join/groupBy on that key skips its exchange.
+    """
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

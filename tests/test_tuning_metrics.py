@@ -231,3 +231,63 @@ def test_global_cumsum_matches_single_window(spark):
     wd = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want_d = {r["k"]: r["cum"] for r in df.select("k", F.sum("v").over(wd).alias("cum")).collect()}
     assert got_d == want_d
+
+
+def test_salted_aggregations_match_plain(spark):
+    from flashml_spark.functions.skew import salted_collect_set, salted_count_distinct
+
+    # key "hot" is 100x heavier than the rest — the shape salting targets
+    rows = [("hot", i % 97) for i in range(3000)] + [
+        (f"k{i % 7}", i % 13) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+
+    got = {
+        r["k"]: r["n_distinct_v"]
+        for r in salted_count_distinct(df, ["k"], "v", n_salts=8).collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want
+
+    got_sets = {
+        r["k"]: list(r["v_set"])
+        for r in salted_collect_set(df, ["k"], "v", n_salts=8).collect()
+    }
+    want_sets = {
+        r["k"]: sorted(r["s"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    assert got_sets == want_sets
+
+
+def test_salted_join_matches_plain(spark):
+    from flashml_spark.functions.skew import salted_join_keys
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [(f"k{i}", i) for i in range(50)],
+        "k string, payload int",
+    )
+    small = spark.createDataFrame([("hot", 1), ("k7", 2), ("k9", 3)], "k string, dim int")
+    b, s, keys = salted_join_keys(big, small, "k", n_salts=4)
+    got = b.join(s, ["k", "__salt"]).groupBy("k").count().collect()
+    want = big.join(small, "k").groupBy("k").count().collect()
+    assert {(r["k"], r["count"]) for r in got} == {(r["k"], r["count"]) for r in want}
+
+
+def test_write_bucketed_roundtrip(spark, tmp_path):
+    from flashml_spark.sources.savepoint import write_bucketed
+
+    # warehouse dir is a static conf — use the session default; managed
+    # table files are removed by the DROP TABLE below
+    df = spark.createDataFrame([(i % 10, i) for i in range(100)], "k int, v int")
+    write_bucketed(df, "bucketed_t", ["k"], num_buckets=4, sort_cols=["v"])
+    back = spark.table("bucketed_t")
+    assert back.count() == 100
+    # bucket metadata recorded on the table
+    desc = spark.sql("DESCRIBE EXTENDED bucketed_t").collect()
+    info = {r["col_name"]: r["data_type"] for r in desc}
+    assert "Num Buckets" in info and info["Num Buckets"].strip() == "4"
+    spark.sql("DROP TABLE bucketed_t")
