@@ -103,3 +103,29 @@ def concat_key(df: DataFrame, cols: list[str], out_col: str = "key", sep: str = 
     """Composite primary key as a concatenated string
     (``publish/Publish.scala:424-437``, QA-join key)."""
     return df.withColumn(out_col, F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-N rows per group via a ranked window.
+
+    Shuffles once on the group key; each group ranks independently in its
+    partition (bounded by group size, not table size — the scalable shape
+    for per-entity top-k).  Tie-break columns make the cut deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.asc(c) for c in (tiebreak_cols or [])]
+    w = W.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )

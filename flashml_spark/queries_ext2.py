@@ -364,3 +364,20 @@ def x29(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import events as ev
 
     return ev.sliding_window_agg(load_table(spark, sf, "events"))
+
+
+# x30 — per-group top-N (ranked window): 3 priciest orders per customer
+@register(
+    "x30_topn_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3""",
+)
+def x30(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return relational.top_n_per_group(
+        o, ["o_custkey"], "o_totalprice", 3, tiebreak_cols=["o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
