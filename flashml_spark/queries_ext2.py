@@ -381,3 +381,64 @@ def x30(spark: SparkSession, sf: str) -> DataFrame:
     return relational.top_n_per_group(
         o, ["o_custkey"], "o_totalprice", 3, tiebreak_cols=["o_orderkey"]
     ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+# x31 — anti-join (VSI missing-values shape, ModelHealthMetricsEvaluator
+#       set differences): customers with no orders
+@register(
+    "x31_anti_join",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def x31(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+# x32 — semi-join: customers holding at least one big order
+@register(
+    "x32_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
+)
+def x32(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter("o_totalprice > 100000")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# x33 — ROLLUP aggregation (subtotal rows carry NULL group keys)
+@register(
+    "x33_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 2) AS qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def x33(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+# x34 — pivot (wide per-class aggregation); fixed pivot values keep the
+#       schema deterministic on both engines
+@register(
+    "x34_pivot",
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def x34(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill({"F": 0, "O": 0})
+    )
