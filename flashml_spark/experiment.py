@@ -74,6 +74,18 @@ class ExperimentConfig:
     savepoint_root: str | None = None
 
 
+class _Composite:
+    """In-memory (prep pipeline, estimator-like) pair for model types that
+    are not spark Transformers (e.g. the OVR composite)."""
+
+    def __init__(self, prep: PipelineModel, model):
+        self.prep = prep
+        self.model = model
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.model.transform(self.prep.transform(df))
+
+
 class Experiment:
     def __init__(self, config: ExperimentConfig):
         self.config = config
@@ -159,9 +171,23 @@ class Experiment:
         stages.append(build_label_indexer(c.response, c.multi_intent))
         return stages
 
-    # ---- modelling: plain fit, grid-CV, or HyperBand ---------------------
+    # ---- modelling: plain fit, OVR, grid-CV, or HyperBand ----------------
     def _fit_model(self, train_vec: DataFrame, label_col: str):
         c = self.config
+        if c.multi_intent and c.algorithm == "svm":
+            # LinearSVC is binary-only: multi-intent SVM goes through OVR
+            # with per-class margin retention (feeds multiclass Platt)
+            from flashml_spark.training.ovr import OneVsRestWithScores
+
+            def factory():
+                return build_estimator(
+                    c.algorithm, label_col="__ovr_label", params=c.algo_params
+                )
+
+            ovr = OneVsRestWithScores(
+                factory, label_col=label_col, parallelism=c.parallelism
+            )
+            return ovr.fit(train_vec), None
         est = build_estimator(c.algorithm, label_col=label_col, params=c.algo_params)
         if c.tuning == "cv":
             import itertools
@@ -244,7 +270,12 @@ class Experiment:
             tr_v = prep.transform(tr).persist()
             model, tuning_info = self._fit_model(tr_v, label_col)
             self.tuning_.append(tuning_info)
-            full_model = PipelineModel(prep.stages + [model])
+            # OVR composite is not a spark Transformer — keep it in-memory
+            # (no single-artifact save for that path)
+            persistable = hasattr(model, "write")
+            full_model = (
+                PipelineModel(prep.stages + [model]) if persistable else _Composite(prep, model)
+            )
             self.models_.append(full_model)
             labels = self._indexer_labels(prep)
 
@@ -278,9 +309,10 @@ class Experiment:
                     scored.drop(*[col for col, t in scored.dtypes if t == "vector"]),
                     "scoring", "test", page=k,
                 )
-                full_model.write().overwrite().save(
-                    f"{c.savepoint_root}/pipeline/page{k}/model_pipeline"
-                )
+                if persistable:
+                    full_model.write().overwrite().save(
+                        f"{c.savepoint_root}/pipeline/page{k}/model_pipeline"
+                    )
 
         scored_all = relational.union_pages(scored_pages)
         self.metrics_ = multiclass_metrics(scored_all, label_col, "prediction")

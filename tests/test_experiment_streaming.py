@@ -478,3 +478,30 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
         for r in sliding_window_agg(ev).collect()
     }
     assert got == expected
+
+
+def test_experiment_multi_intent_svm_ovr(spark):
+    """Multi-intent SVM routes through OVR with per-class margins + Platt
+    calibration (LinearSVC alone is binary-only)."""
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    rows = []
+    for i in range(240):
+        intent = ("billing", "support", "sales")[i % 3]
+        text = {
+            "billing": "invoice charge payment overdue bill",
+            "support": "help broken error crash fix",
+            "sales": "buy pricing demo quote upgrade",
+        }[intent]
+        rows.append((f"{i:06x}", text, intent))
+    df = spark.createDataFrame(rows, ["sid", "text", "intent"])
+
+    cfg = ExperimentConfig(
+        primary_keys=["sid"], response="intent", text_cols=["text"],
+        text_method="hashingtf", slots=64, algorithm="svm",
+        algo_params={"maxIter": 10}, multi_intent=True, top_k=2,
+    )
+    exp = Experiment(cfg)
+    metrics = exp.run(spark, df)
+    assert metrics["accuracy"] > 0.95
+    assert len(metrics["perClass"]) == 3
