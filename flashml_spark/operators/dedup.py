@@ -212,3 +212,73 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive duplicate groups from candidate pairs: iterative min-label
+    propagation (the label of every vertex converges to the component's
+    minimum id in O(graph diameter) rounds — candidate graphs from LSH are
+    shallow, so a handful of rounds suffices).
+
+    Each round is one join + one groupBy on the vertex id (co-partitioned
+    after the first round).  Early-exits when a round changes nothing.
+    Output: ``id, component`` (component = min id in the group).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # localCheckpoint each round: iterative joins otherwise nest the plan
+    # exponentially (planner OOM long before data size matters)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.select(F.col("id").alias("dst"), "component"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr", "component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("component").alias("old")), "id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup removal: banded-LSH candidates → transitive
+    components → keep the min-id document of every duplicate group."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    comp = connected_components(pairs)
+    dupes = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(dupes, df[id_col] == dupes["id"], "left_anti")

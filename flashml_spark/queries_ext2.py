@@ -442,3 +442,11 @@ def x34(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill({"F": 0, "O": 0})
     )
+
+
+# x35 — end-to-end minhash dedup (LSH candidates → transitive components →
+#       keep min id per group); iterative — non-SQL-expressible → rows-only
+@register("x35_minhash_dedup_e2e", None)
+def x35(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_dedup(docs, "text", "doc_id")

@@ -266,3 +266,55 @@ def test_stratified_split_approx(spark):
     pos_frac = train.filter("y = 'pos'").count() / 500
     neg_frac = train.filter("y = 'neg'").count() / 4500
     assert abs(pos_frac - 0.8) < 0.06 and abs(neg_frac - 0.8) < 0.03
+
+
+def test_connected_components_and_minhash_dedup(spark):
+    from flashml_spark.operators.dedup import connected_components, minhash_dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "an entirely different document about spark engines"),
+            (4, "another unrelated text mentioning parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in minhash_dedup(docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_tfidf_values_match_formula(spark):
+    """Spark IDF formula: ln((N+1)/(df+1)); TF = raw term count."""
+    import math
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+
+    from flashml_spark.vectorization import build_text_vectorizer
+
+    docs = spark.createDataFrame(
+        [(0, ["a", "b", "a"]), (1, ["a", "c"]), (2, ["c", "c", "c"])], ["i", "toks"]
+    )
+    stages = build_text_vectorizer("tfidf", "toks", "vec", slots=10)
+    model = Pipeline(stages=stages).fit(docs)
+    cv_model = model.stages[0]
+    vocab = list(cv_model.vocabulary)
+    out = {
+        r["i"]: r["arr"]
+        for r in model.transform(docs).select(
+            "i", vector_to_array("vec").alias("arr")
+        ).collect()
+    }
+    n = 3
+    df_counts = {"a": 2, "b": 1, "c": 2}
+    tf_doc0 = {"a": 2.0, "b": 1.0, "c": 0.0}
+    for term, tf in tf_doc0.items():
+        idf = math.log((n + 1) / (df_counts[term] + 1))
+        assert abs(out[0][vocab.index(term)] - tf * idf) < 1e-9
