@@ -450,3 +450,24 @@ def x34(spark: SparkSession, sf: str) -> DataFrame:
 def x35(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.minhash_dedup(docs, "text", "doc_id")
+
+
+# x36 — deterministic conditional data balance (TrainTestSampler.scala:244-281):
+#       majority rows kept below a threshold on the random variable
+@register(
+    "x36_conditional_balance",
+    """WITH b AS (SELECT MIN(o_orderkey % 100) AS mn, MAX(o_orderkey % 100) AS mx
+                  FROM orders WHERE o_orderstatus = 'O')
+       SELECT o_orderstatus, COUNT(*) AS n FROM orders, b
+       WHERE o_orderstatus != 'O'
+          OR (o_orderkey % 100) < mn + 0.5 * (mx - mn)
+       GROUP BY o_orderstatus""",
+)
+def x36(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling
+
+    o = load_table(spark, sf, "orders").withColumn(
+        "rv", (F.col("o_orderkey") % 100).cast("double")
+    )
+    balanced = sampling.balance_conditional(o, "o_orderstatus", "O", "rv", 0.5)
+    return balanced.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
