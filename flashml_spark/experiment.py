@@ -91,6 +91,7 @@ class Experiment:
         self.config = config
         self.models_: list[PipelineModel] = []
         self.metrics_: dict = {}
+        self.page_metrics_: list[dict] = []
         self.tuning_: list[dict | None] = []
 
     # ---- dataReader ------------------------------------------------------
@@ -315,6 +316,14 @@ class Experiment:
                     )
 
         scored_all = relational.union_pages(scored_pages)
+        self.page_metrics_ = (
+            [
+                multiclass_metrics(sp, label_col, "prediction")
+                for sp in scored_pages
+            ]
+            if len(scored_pages) > 1
+            else []
+        )
         self.metrics_ = multiclass_metrics(scored_all, label_col, "prediction")
         if not c.multi_intent and "probability" in scored_all.columns:
             prob_type = dict(scored_all.dtypes)["probability"]
@@ -330,6 +339,14 @@ class Experiment:
             )
             self.metrics_["auroc"] = auroc(binary)
             self.metrics_["bestF2"] = best_fbeta_threshold(binary)
+        if c.savepoint_root:
+            from flashml_spark.metrics.report import MetricsAccumulator
+
+            acc = MetricsAccumulator()
+            acc.add("test", {k: v for k, v in self.metrics_.items() if k != "perClass"})
+            for k, pm in enumerate(self.page_metrics_):
+                acc.add(f"test.page{k}", {x: v for x, v in pm.items() if x != "perClass"})
+            acc.write(f"{c.savepoint_root}/metrics")
         data.unpersist()
         return self.metrics_
 

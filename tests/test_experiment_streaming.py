@@ -53,6 +53,7 @@ def test_experiment_end_to_end_binary(spark):
 
 
 def test_experiment_page_level(spark):
+    # (per-page metrics asserted below via exp.page_metrics_)
     df = _journey_df(spark)
     cfg = ExperimentConfig(
         primary_keys=["session_id"],
@@ -67,6 +68,8 @@ def test_experiment_page_level(spark):
     metrics = exp.run(spark, df)
     assert len(exp.models_) == 2  # page 1 + pages >= 2
     assert metrics["accuracy"] > 0.9
+    assert len(exp.page_metrics_) == 2
+    assert all(pm["accuracy"] > 0.8 for pm in exp.page_metrics_)
 
 
 def test_experiment_savepoints_roundtrip(spark, tmp_path):
@@ -82,6 +85,12 @@ def test_experiment_savepoints_roundtrip(spark, tmp_path):
         savepoint_root=root,
     )
     Experiment(cfg).run(spark, df)
+    import json as _json
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        m = _json.load(f)
+    assert "test.accuracy" in m and "test.auroc" in m
+
     reloaded = PipelineModel.load(f"{root}/pipeline/page0/model_pipeline")
     out = reloaded.transform(df)
     assert "prediction" in out.columns
