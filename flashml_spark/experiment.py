@@ -189,7 +189,9 @@ class Experiment:
                 factory, label_col=label_col, parallelism=c.parallelism
             )
             return ovr.fit(train_vec), None
-        est = build_estimator(c.algorithm, label_col=label_col, params=c.algo_params)
+        est = build_estimator(
+            c.algorithm, label_col=label_col, params=c.algo_params, train_df=train_vec
+        )
         if c.tuning == "cv":
             import itertools
 

@@ -318,3 +318,36 @@ def test_tfidf_values_match_formula(spark):
     for term, tf in tf_doc0.items():
         idf = math.log((n + 1) / (df_counts[term] + 1))
         assert abs(out[0][vocab.index(term)] - tf * idf) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "algorithm",
+    [
+        "logistic_regression", "svm", "naive_bayes", "random_forest",
+        "gradient_boosted_trees", "decision_tree", "multilayer_perceptron",
+    ],
+)
+def test_all_estimators_fit_and_score(spark, algorithm):
+    """Every supported algorithm fits on a vectorized frame and scores
+    with a prediction column (§2.9 parity)."""
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    from flashml_spark.training.estimators import build_estimator
+
+    rows = [
+        ("buy now great deal" if i % 2 == 0 else "just browsing around", float(i % 2))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["text", "label"])
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=32)
+    vec = tf.transform(tok.transform(df))
+
+    params = {"maxIter": 5} if algorithm in (
+        "logistic_regression", "svm", "gradient_boosted_trees", "multilayer_perceptron"
+    ) else {}
+    est = build_estimator(algorithm, params=params, train_df=vec)
+    scored = est.fit(vec).transform(vec)
+    assert "prediction" in scored.columns
+    acc = scored.filter("prediction = label").count() / 80
+    assert acc > 0.9  # linearly separable toy corpus
