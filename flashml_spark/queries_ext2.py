@@ -471,3 +471,31 @@ def x36(spark: SparkSession, sf: str) -> DataFrame:
     )
     balanced = sampling.balance_conditional(o, "o_orderstatus", "O", "rv", 0.5)
     return balanced.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# x37 — word-class regex replacement (RegexReplacementTransformer +
+#       PreprocessingStageLoader ordering): longest-word class first,
+#       (?i)\b(?:w1|w2)'?s?\b → _class_<name>
+@register(
+    "x37_word_class_replace",
+    r"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text,
+                   '(?i)\b(?:document|record)''?s?\b', '_class_doc', 'g'),
+                 '(?i)\b(?:data|text)''?s?\b', '_class_content', 'g') AS replaced
+        FROM documents""",
+)
+def x37(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.preprocessing.transformers import (
+        RegexReplacer,
+        word_class_patterns,
+    )
+
+    pats, reps = word_class_patterns(
+        {"doc": ["document", "record"], "content": ["data", "text"]}
+    )
+    docs = load_table(spark, sf, "documents")
+    out = RegexReplacer(
+        inputCol="text", outputCol="replaced", patterns=pats, replacements=reps
+    ).transform(docs)
+    return out.select("doc_id", "replaced")
