@@ -83,6 +83,10 @@ _KEY_MAP = {
     "tuning.paramRanges": "param_ranges",
     "tuning.folds": "cv_folds",
     "tuning.metric": "cv_metric",
+    "tuning.hyperband.maxIter": "hyperband_max_iter",
+    "tuning.hyperband.eta": "hyperband_eta",
+    "tuning.hyperband.iterationMultiplier": "hyperband_iteration_multiplier",
+    "tuning.hyperband.maxIterationsFinalModel": "hyperband_final_max_iter",
     "experiment.parallelism": "parallelism",
     "scoring.filter": "post_predict_filter",
     "savepoint.root": "savepoint_root",

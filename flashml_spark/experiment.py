@@ -64,6 +64,11 @@ class ExperimentConfig:
     cv_folds: int = 3
     cv_metric: str = "weightedPrecision"
     parallelism: int = 3
+    # HyperBand budget (reference defaults, HyperBand.scala:60-96)
+    hyperband_max_iter: int = 81
+    hyperband_eta: int = 3
+    hyperband_iteration_multiplier: int = 20
+    hyperband_final_max_iter: int = 1000
     # post-processors (ModelTrainingEngine pipeline tail)
     platt: bool | None = None  # None -> auto (True for svm)
     top_k: int | None = None
@@ -231,6 +236,10 @@ class Experiment:
                 space,
                 label_col=label_col,
                 metric=c.cv_metric,
+                max_hyperband_iter=c.hyperband_max_iter,
+                eta=c.hyperband_eta,
+                iteration_multiplier=c.hyperband_iteration_multiplier,
+                max_iterations_final_model=c.hyperband_final_max_iter,
                 parallelism=c.parallelism,
             )
             model = hb.fit(train_vec)

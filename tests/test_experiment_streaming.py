@@ -514,3 +514,25 @@ def test_experiment_multi_intent_svm_ovr(spark):
     metrics = exp.run(spark, df)
     assert metrics["accuracy"] > 0.95
     assert len(metrics["perClass"]) == 3
+
+
+def test_experiment_hyperband_tuning(spark):
+    """HyperBand modelling path through the config API with a tiny budget:
+    history recorded, best params picked, model usable."""
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"], response="response", text_cols=["text"],
+        text_method="hashingtf", slots=32,
+        algorithm="logistic_regression",
+        tuning="hyperband",
+        param_ranges={"regParam": (0.0, 0.5)},
+        hyperband_max_iter=4, hyperband_eta=2,
+        hyperband_iteration_multiplier=2, hyperband_final_max_iter=10,
+        parallelism=2,
+    )
+    exp = Experiment(cfg)
+    metrics = exp.run(spark, _journey_df(spark, 200))
+    assert metrics["accuracy"] > 0.9
+    (info,) = exp.tuning_
+    assert info["history"] and "regParam" in info["bestParams"]
