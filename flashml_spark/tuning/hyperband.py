@@ -5,13 +5,28 @@ Optimization", arXiv:1603.06560; reference port at
 
 Algorithm (defaults mirror ``HyperBand.scala:60-96``):
   * ``s_max = floor(log_eta(max_iter))`` brackets, s = s_max .. 0
-  * bracket s starts with ``n = ceil((s_max+1)/(s+1) * eta^s)`` random
-    configs at ``r = max_iter * eta^-s`` hyperband-iterations each
+  * bracket s starts with ``n = ((s_max+1) // (s+1)) * eta^s`` random
+    configs at ``r = max_iter * eta^-s`` hyperband-iterations each.
+    The reference computes ``ceil((B/maxIter/(s+1)).toInt * eta^s)``
+    (``HyperBand.scala:215-218``) — all-integer division, so the
+    truncation happens BEFORE the ``eta^s`` scale-up; at defaults
+    (81, eta=3) the bracket widths are [81, 27, 9, 6, 5], not the
+    Hyperband paper's ``ceil(B/R * eta^s/(s+1))`` = [81, 34, 15, 8, 5].
+    We mirror the reference (observable behavior: configs trained).
   * each rung keeps the top ``n/eta`` configs by validation metric and
     multiplies iterations by eta
   * one Spark-estimator iteration budget = ``iteration_multiplier`` ×
     hyperband iterations (``maxIterationsFinalModel`` on the last refit)
   * winner refit on the full data
+
+Deliberate deviation: the reference's ``findMaxIterations``
+(``HyperBand.scala:240-248``) grants rung ``i == 0`` of EVERY bracket the
+``maxIterationsFinalModel`` budget, which inverts successive halving's
+cheap-first exploration (bracket s=4 would fit all 81 configs at 1000
+iterations). Its own comment says the intent is "whether the current
+successive halving loop is the last one"; we implement that intent —
+``r_i * iteration_multiplier`` per rung, full budget only on the final
+refit of the overall winner.
 
 Candidate fits are independent Spark jobs driven from a thread pool.
 """
@@ -59,6 +74,31 @@ class HyperBand:
         self.history_: list[dict] = []
         self.best_params_: dict | None = None
 
+    def schedule(self) -> list[dict]:
+        """The bracket/rung budget table this instance will execute, without
+        fitting anything: one row per rung with bracket ``s``, configs ``n_i``,
+        hyperband-iterations ``r_i``, and the Spark ``maxIter`` actually set.
+        Mirrors the reference's loop arithmetic (``HyperBand.scala:200-235``)
+        so parity is testable against hand-derived values."""
+        s_max = int(math.floor(math.log(self.max_iter, self.eta)))
+        rows = []
+        for s in range(s_max, -1, -1):
+            n = ((s_max + 1) // (s + 1)) * (self.eta ** s)
+            r = self.max_iter * (self.eta ** -s)
+            for rung in range(s + 1):
+                n_i = int(math.floor(n * (self.eta ** -rung)))
+                r_i = r * (self.eta ** rung)
+                rows.append(
+                    dict(
+                        bracket=s,
+                        rung=rung,
+                        n_configs=n_i,
+                        r_i=r_i,
+                        spark_iters=max(1, int(r_i * self.iteration_multiplier)),
+                    )
+                )
+        return rows
+
     def _apply(self, params: dict, spark_iters: int):
         est = self.estimator.copy()
         for k, v in params.items():
@@ -82,11 +122,11 @@ class HyperBand:
         )
 
         s_max = int(math.floor(math.log(self.max_iter, self.eta)))
-        budget = (s_max + 1) * self.max_iter
         best_score, best_params = -float("inf"), None
 
         for s in range(s_max, -1, -1):
-            n = int(math.ceil((budget / self.max_iter) * (self.eta ** s) / (s + 1)))
+            # reference integer-division bracket width (HyperBand.scala:215-218)
+            n = ((s_max + 1) // (s + 1)) * (self.eta ** s)
             r = self.max_iter * (self.eta ** -s)
             configs = random_param_sets(self.param_space, n, seed=self.seed + s)
 

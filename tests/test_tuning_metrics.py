@@ -190,6 +190,32 @@ def test_hyperband_small(spark):
     assert acc == 1.0
 
 
+def test_hyperband_schedule_parity_reference_defaults():
+    """Bracket/rung budget table at the reference defaults (maxHyperbandIter=81,
+    eta=3, iterationMultiplier=20) must match HyperBand.scala:200-235's
+    arithmetic, including the all-integer config-count division
+    (n = (B/maxIter/(s+1)).toInt * eta^s -> widths 81/27/9/6/5, NOT the
+    paper's ceil form 81/34/15/8/5)."""
+    hb = HyperBand(LogisticRegression(), ParamSpace().add_range("regParam", 0.0, 0.1))
+    sched = hb.schedule()
+
+    first_rungs = {r["bracket"]: r for r in sched if r["rung"] == 0}
+    assert [first_rungs[s]["n_configs"] for s in (4, 3, 2, 1, 0)] == [81, 27, 9, 6, 5]
+
+    # successive halving within each bracket: configs /eta, iterations *eta
+    for s in (4, 3, 2, 1, 0):
+        rungs = [r for r in sched if r["bracket"] == s]
+        assert len(rungs) == s + 1
+        for i, r in enumerate(rungs):
+            assert r["n_configs"] == first_rungs[s]["n_configs"] // (3 ** i)
+            assert r["r_i"] == 81 * 3.0 ** (i - s)
+            assert r["spark_iters"] == int(r["r_i"] * 20)
+
+    # deepest bracket end-to-end: 81 configs @20 spark-iters down to 1 @1620
+    s4 = [(r["n_configs"], r["spark_iters"]) for r in sched if r["bracket"] == 4]
+    assert s4 == [(81, 20), (27, 60), (9, 180), (3, 540), (1, 1620)]
+
+
 def test_psi_by_page_and_vsi_for_variables(spark):
     from flashml_spark.metrics.stability import psi_by_page, vsi_for_variables
 
