@@ -83,6 +83,7 @@ _KEY_MAP = {
     "tuning.paramRanges": "param_ranges",
     "tuning.folds": "cv_folds",
     "tuning.metric": "cv_metric",
+    "experiment.cv.predictSavepoint": "cv_predict_savepoint",
     "tuning.hyperband.maxIter": "hyperband_max_iter",
     "tuning.hyperband.eta": "hyperband_eta",
     "tuning.hyperband.iterationMultiplier": "hyperband_iteration_multiplier",

@@ -63,6 +63,9 @@ class ExperimentConfig:
     param_ranges: dict = field(default_factory=dict)  # param -> (lo, hi) | iterable (hyperband)
     cv_folds: int = 3
     cv_metric: str = "weightedPrecision"
+    # experiment.cv.predictSavepoint (FlashMLConstants.scala:215): persist the
+    # best param map's per-fold validation predictions for threshold tuning
+    cv_predict_savepoint: bool = False
     parallelism: int = 3
     # HyperBand budget (reference defaults, HyperBand.scala:60-96)
     hyperband_max_iter: int = 81
@@ -178,7 +181,7 @@ class Experiment:
         return stages
 
     # ---- modelling: plain fit, OVR, grid-CV, or HyperBand ----------------
-    def _fit_model(self, train_vec: DataFrame, label_col: str):
+    def _fit_model(self, train_vec: DataFrame, label_col: str, page: int = 0):
         c = self.config
         if c.multi_intent and c.algorithm == "svm":
             # LinearSVC is binary-only: multi-intent SVM goes through OVR
@@ -207,6 +210,16 @@ class Experiment:
                 dict(zip(names, vals))
                 for vals in itertools.product(*[c.param_grid[n] for n in names])
             ] or [{}]
+            savepoint_path = cols = None
+            if c.cv_predict_savepoint:
+                if not c.savepoint_root:
+                    raise ValueError("cv_predict_savepoint needs savepoint_root")
+                # per-page dir (the reference's single basePath/cvData would let
+                # a later page's delete+append clobber an earlier page's folds)
+                savepoint_path = f"{c.savepoint_root}/cvData/page{page}"
+                # colsToSave contract: primary keys + prediction + probability
+                # (CrossValidatorCustom.scala:147-150)
+                cols = [*c.primary_keys, "prediction", "probability"]
             cv = CrossValidatorWithFoldMetrics(
                 est,
                 grid,
@@ -214,6 +227,8 @@ class Experiment:
                 metric=c.cv_metric,
                 num_folds=c.cv_folds,
                 parallelism=c.parallelism,
+                predict_savepoint_path=savepoint_path,
+                predict_savepoint_cols=cols,
             )
             model = cv.fit(train_vec)
             return model, {
@@ -280,7 +295,7 @@ class Experiment:
         for k, (tr, te) in enumerate(zip(train_pages, test_pages)):
             prep = Pipeline(stages=self._build_prep_stages()).fit(tr)
             tr_v = prep.transform(tr).persist()
-            model, tuning_info = self._fit_model(tr_v, label_col)
+            model, tuning_info = self._fit_model(tr_v, label_col, page=k)
             self.tuning_.append(tuning_info)
             # OVR composite is not a spark Transformer — keep it in-memory
             # (no single-artifact save for that path)

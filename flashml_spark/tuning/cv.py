@@ -33,6 +33,8 @@ class CrossValidatorWithFoldMetrics:
         num_folds: int = 3,
         seed: int = 999,
         parallelism: int = 3,
+        predict_savepoint_path: str | None = None,
+        predict_savepoint_cols: list[str] | None = None,
     ):
         self.estimator = estimator
         self.param_maps = param_maps
@@ -41,6 +43,11 @@ class CrossValidatorWithFoldMetrics:
         self.num_folds = num_folds
         self.seed = seed
         self.parallelism = parallelism
+        # fold-level prediction savepoint (CrossValidatorCustom.scala:283-300):
+        # the best param map's per-fold validation predictions, written as one
+        # parquet dataset for later threshold calculation
+        self.predict_savepoint_path = predict_savepoint_path
+        self.predict_savepoint_cols = predict_savepoint_cols
         # populated by fit():
         self.fold_metrics_: list[dict] = []
         self.avg_metrics_: list[float] = []
@@ -70,12 +77,18 @@ class CrossValidatorWithFoldMetrics:
             for fold in range(self.num_folds)
         ]
 
+        scored_frames: dict[tuple[int, int], DataFrame] = {}
+
         def run(task):
             p_idx, fold = task
             train = tagged.filter(F.col("__fold") != fold).drop("__fold")
             val = tagged.filter(F.col("__fold") == fold).drop("__fold")
             model = self._apply_params(self.param_maps[p_idx]).fit(train)
             scored = model.transform(val)
+            if self.predict_savepoint_path is not None:
+                # lazy plan over the fitted model — writing later re-runs only
+                # the transform, never the fit
+                scored_frames[(p_idx, fold)] = scored
             row = {
                 m: self._evaluator(m).evaluate(scored) for m in FOLD_METRICS
             }
@@ -93,6 +106,27 @@ class CrossValidatorWithFoldMetrics:
             self.avg_metrics_.append(sum(vals) / len(vals))
         self.best_index_ = max(range(len(self.avg_metrics_)), key=self.avg_metrics_.__getitem__)
         self.best_params_ = self.param_maps[self.best_index_]
+
+        if self.predict_savepoint_path is not None:
+            from functools import reduce
+
+            folds = [
+                scored_frames[(self.best_index_, f)] for f in range(self.num_folds)
+            ]
+            out = reduce(DataFrame.unionByName, folds)
+            if self.predict_savepoint_cols:
+                # tolerate estimators without a probability column (LinearSVC:
+                # the reference calibrates inside CV, we calibrate after) —
+                # keep whatever score columns the model does emit
+                present = [c for c in self.predict_savepoint_cols if c in out.columns]
+                if "probability" in self.predict_savepoint_cols and "probability" not in out.columns:
+                    present += [c for c in ("rawPrediction",) if c in out.columns]
+                out = out.select(*present)
+            # reference deletes the dir then appends every fold
+            # (CrossValidatorCustom.scala:285-299) — net effect is overwrite
+            out.write.mode("overwrite").parquet(
+                f"{self.predict_savepoint_path}/predictedData"
+            )
 
         tagged.unpersist()
         # refit best on the full data (CrossValidatorCustom.scala:268-306)

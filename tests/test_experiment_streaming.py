@@ -403,6 +403,32 @@ def test_experiment_cv_tuning(spark):
                                   {"regParam": 0.5, "maxIter": 5})
 
 
+def test_experiment_cv_predict_savepoint(spark, tmp_path):
+    """experiment.cv.predictSavepoint contract: best param map's per-fold
+    validation predictions land under <root>/cvData/page0/predictedData with
+    the colsToSave schema (primary keys + prediction + probability), covering
+    every input row exactly once across folds."""
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    root = str(tmp_path / "sp")
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"], response="response", text_cols=["text"],
+        text_method="hashingtf", slots=32,
+        algorithm="logistic_regression",
+        tuning="cv", param_grid={"regParam": [0.0, 0.5], "maxIter": [5]},
+        cv_folds=2, parallelism=2,
+        cv_predict_savepoint=True, savepoint_root=root,
+    )
+    exp = Experiment(cfg)
+    exp.run(spark, _journey_df(spark, 200))
+    saved = spark.read.parquet(f"{root}/cvData/page0/predictedData")
+    assert set(saved.columns) == {"session_id", "prediction", "probability"}
+    # folds partition the train split: each row scored exactly once
+    n = saved.count()
+    assert saved.select("session_id").distinct().count() == n
+    assert 0 < n < 200  # the 0.8 train split, never the test rows
+
+
 def test_experiment_svm_platt(spark):
     """SVM auto-enables Platt: scored output gains calibrated probability
     and AUROC is computable from it."""
