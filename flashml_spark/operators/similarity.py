@@ -171,6 +171,51 @@ def knn_ivf(
     return knn_brute_force(candidates, vec_col, id_col, q, k)
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    list_col: str = "ivf_list",
+) -> None:
+    """Materialize the IVF index at rest: parquet hive-partitioned by the
+    inverted-list id.  This is the 100 TB layout — each inverted list is a
+    partition directory, so a probe query's ``isin`` filter becomes a
+    PartitionFilter (only n_probe/n_lists directories are listed/read,
+    verified by the physical plan in tests).
+    """
+    with_ivf_list(df, vec_col, centroids, out_col=list_col).write.mode(
+        "overwrite"
+    ).partitionBy(list_col).parquet(path)
+
+
+def knn_ivf_indexed(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """IVF ANN top-k over an at-rest index written by ``write_ivf_index``.
+
+    The list assignment was paid once at write time; the probe filter prunes
+    whole partition directories before any row is read, so query cost scales
+    with n_probe/n_lists of the table regardless of total size.
+    """
+    q = [float(x) for x in query_vec]
+
+    def sq_l2(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(q, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: sq_l2(centroids[i]))[:n_probe]
+    listed = spark.read.parquet(path).filter(F.col(list_col).isin(*probe))
+    return knn_brute_force(listed, vec_col, id_col, q, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

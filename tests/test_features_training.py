@@ -222,6 +222,46 @@ def test_knn_ivf_matches_brute_when_probing_all(spark):
     assert probed[0]["vec_id"] == 0
 
 
+def test_ivf_index_at_rest_prunes_partitions(spark, tmp_path):
+    """write_ivf_index + knn_ivf_indexed: same answer as the in-flight IVF
+    path, and the probe filter must land as a PartitionFilter in the scan
+    (whole inverted-list directories skipped, not row-filtered)."""
+    from flashml_spark.operators import similarity
+    from flashml_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = list(emb.filter("vec_id = 0").select("embedding").first()["embedding"])
+    cents = similarity.fit_ivf_centroids(emb, "embedding", n_lists=8, seed=42)
+
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, path, "embedding", cents)
+    # one directory per inverted list
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("ivf_list=")]
+    assert len(parts) == 8
+
+    indexed = similarity.knn_ivf_indexed(
+        spark, path, "embedding", "vec_id", q, cents, k=10, n_probe=2
+    )
+    in_flight = similarity.knn_ivf(
+        emb, "embedding", "vec_id", q, k=10, centroids=cents, n_probe=2
+    )
+    assert [r["vec_id"] for r in indexed.collect()] == [
+        r["vec_id"] for r in in_flight.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+    # runtime proof of pruning: the file scan's numPartitions metric counts
+    # partition directories actually read — 2 probed of 8, not row-filtered
+    flt = spark.read.parquet(path).filter(F.col("ivf_list").isin(0, 3))
+    flt.collect()
+    scan = flt._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    metrics = scan.metrics()
+    assert metrics.apply("numPartitions").value() == 2
+
+
 def test_feature_transformers_roundtrip(spark, tmp_path):
     """Custom feature transformers must be MLWritable so full pipelines
     persist (SURVEY §7 'what's hard')."""
