@@ -85,6 +85,42 @@ def test_vectorizer_methods(spark, method):
     assert out.select("v").first()["v"] is not None
 
 
+def test_word2vec_semantics(spark):
+    """Result checks beyond fit-smoke: (1) a document vector is the MEAN of
+    its word vectors (Word2VecModel.transform contract), (2) words that only
+    ever share contexts embed closer than words that never co-occur."""
+    import math
+
+    corpus = []
+    for i in range(80):
+        # "cat"/"dog" interchangeable in identical contexts; "rock" disjoint
+        animal = "cat" if i % 2 == 0 else "dog"
+        corpus.append((f"the {animal} sat on the mat",))
+        corpus.append(("a rock fell down the hill",))
+    df = spark.createDataFrame(corpus, ["text"]).withColumn(
+        "toks", F.split("text", " ")
+    )
+    stages = build_text_vectorizer("word2vec", "toks", "v", slots=8)
+    model = Pipeline(stages=stages).fit(df)
+    w2v = model.stages[-1]
+    vecs = {r["word"]: list(r["vector"]) for r in w2v.getVectors().collect()}
+
+    # (1) mean-of-word-vectors contract on a two-word doc
+    doc = spark.createDataFrame([("cat rock",)], ["text"]).withColumn(
+        "toks", F.split("text", " ")
+    )
+    got = list(model.transform(doc).first()["v"])
+    want = [(a + b) / 2 for a, b in zip(vecs["cat"], vecs["rock"])]
+    assert all(abs(g - w) < 1e-6 for g, w in zip(got, want))
+
+    # (2) distributional similarity: shared contexts -> higher cosine
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert cos(vecs["cat"], vecs["dog"]) > cos(vecs["cat"], vecs["rock"])
+
+
 def _multiclass_df(spark, n=90):
     words = {0: "alpha beta", 1: "gamma delta", 2: "epsilon zeta"}
     rows = [(words[i % 3] + f" w{i % 7}", float(i % 3)) for i in range(n)]
