@@ -499,3 +499,34 @@ def x37(spark: SparkSession, sf: str) -> DataFrame:
         inputCol="text", outputCol="replaced", patterns=pats, replacements=reps
     ).transform(docs)
     return out.select("doc_id", "replaced")
+
+
+# x38 — CUBE aggregation (all grouping-set combinations; subtotal rows
+#       carry NULL group keys on both engines)
+@register(
+    "x38_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+)
+def x38(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# x39 — INTERSECT set op (distinct semantics on both engines): customers
+#       holding both an open and a fulfilled order
+@register(
+    "x39_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def x39(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    open_ = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    fulfilled = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    return open_.intersect(fulfilled)
