@@ -190,6 +190,32 @@ def test_hyperband_small(spark):
     assert acc == 1.0
 
 
+def test_hyperband_fit_executes_schedule(spark):
+    """The fit loop must run exactly the budget table schedule() declares:
+    per (bracket, rung), history rows == n_configs and iters == spark_iters."""
+    df = _lr_data(spark)
+    hb = HyperBand(
+        LogisticRegression(),
+        ParamSpace().add_range("regParam", 0.0, 0.1),
+        max_hyperband_iter=4,
+        eta=2,
+        iteration_multiplier=2,
+        max_iterations_final_model=10,
+        parallelism=2,
+    )
+    hb.fit(df)
+    ran = {}
+    for h in hb.history_:
+        key = (h["bracket"], h["rung"])
+        ran.setdefault(key, {"n": 0, "iters": h["iters"]})
+        ran[key]["n"] += 1
+    for row in hb.schedule():
+        key = (row["bracket"], row["rung"])
+        assert ran[key]["n"] == row["n_configs"], key
+        assert ran[key]["iters"] == row["spark_iters"], key
+    assert len(ran) == len(hb.schedule())
+
+
 def test_hyperband_schedule_parity_reference_defaults():
     """Bracket/rung budget table at the reference defaults (maxHyperbandIter=81,
     eta=3, iterationMultiplier=20) must match HyperBand.scala:200-235's
