@@ -130,6 +130,62 @@ def test_streaming_window_agg_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_parquet_sink_exactly_closed_windows(spark, tmp_path):
+    """Append-mode parquet sink e2e: multi-batch availableNow drain emits
+    exactly the windows the watermark has closed — all real windows except
+    the one containing the max real event time (closed only by the sentinel
+    batch that arrives after the watermark snapshot)."""
+    from flashml_spark.operators.events import tumbling_window_agg
+    from flashml_spark.sources import load_table
+    from flashml_spark.streaming import streaming_window_agg, write_stream_parquet
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # sentinel file lands after the real data: its batch runs with the
+    # watermark already at max real event time, closing every real window
+    sentinel = (
+        ev.limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 48 HOURS"))
+        .withColumn("event_type", F.lit("__sentinel__"))
+    )
+    sentinel.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = streaming_window_agg(stream, watermark="0 seconds")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = write_stream_parquet(agg, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "__sentinel__"
+    }
+    # expected: batch agg restricted to windows closed by the watermark
+    expected = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_window_agg(ev).collect()
+        if r["ws"] + __import__("datetime").timedelta(hours=1) <= max_ts
+    }
+    assert got == expected and len(got) > 0
+
+    # restart from the checkpoint with no new input: no duplicate output
+    q2 = write_stream_parquet(streaming_window_agg(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src),
+        watermark="0 seconds",
+    ), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).filter(
+        F.col("event_type") != "__sentinel__"
+    ).count() == len(expected)
+
+
 def test_streaming_session_stats_runs(spark, tmp_path):
     from flashml_spark.sources import load_table
     from flashml_spark.streaming import streaming_session_stats
