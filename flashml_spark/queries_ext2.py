@@ -530,3 +530,22 @@ def x39(spark: SparkSession, sf: str) -> DataFrame:
     open_ = o.filter("o_orderstatus = 'O'").select("o_custkey")
     fulfilled = o.filter("o_orderstatus = 'F'").select("o_custkey")
     return open_.intersect(fulfilled)
+
+
+# x40 — GROUPING SETS (explicit subtotal lattice; the general form behind
+#       rollup/cube). Spark exposes it through SQL — same engine path
+#       (Expand operator) as Dataset.rollup/cube.
+@register(
+    "x40_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+)
+def x40(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("x40_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM x40_orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""
+    )
