@@ -40,6 +40,8 @@ HEADLINE = [
     "x16_minhash_lsh_bands",
     "x22_quantile_binning",
     "x23_preprocess_chain",
+    "x38_cube",
+    "x39_intersect",
 ]
 
 
