@@ -34,6 +34,20 @@ def multiclass_metrics(
     cm = confusion_matrix(scored, label_col, prediction_col).collect()  # tiny
     classes = sorted({r["label"] for r in cm} | {r["pred"] for r in cm})
     total = sum(r["n"] for r in cm)
+    if total == 0:
+        # empty scored frame (e.g. an empty test page after page-level split
+        # or a post-predict filter that removed all rows): zeroed metrics,
+        # mirroring the per-class ratio guards below
+        return {
+            "accuracy": 0.0,
+            "weightedPrecision": 0.0,
+            "weightedRecall": 0.0,
+            "weightedF1": 0.0,
+            "weightedFbeta": 0.0,
+            "weightedTruePositiveRate": 0.0,
+            "weightedFalsePositiveRate": 0.0,
+            "perClass": {},
+        }
     by_pair = {(r["label"], r["pred"]): r["n"] for r in cm}
 
     per_class = {}

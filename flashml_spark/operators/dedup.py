@@ -106,15 +106,28 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
+    # NULL-propagating concat (not concat_ws, which SKIPS nulls): a doc with
+    # fewer than ``shingle_n`` tokens has an empty shingle set, so its minhash
+    # components are NULL — concat_ws would collapse every such doc onto the
+    # band keys '0','1',... and make all short docs mutual candidates.  With
+    # F.concat the whole key goes NULL (matching SQL '||' semantics in the
+    # DuckDB oracle) and the NULL keys are filtered before bucketing.
     band_keys = F.array(
         *[
-            F.concat_ws("|", F.lit(str(b)), *[F.col(f"sig{b * rows + r}") for r in range(rows)])
+            F.concat(
+                F.lit(str(b)),
+                *[
+                    e
+                    for r in range(rows)
+                    for e in (F.lit("|"), F.col(f"sig{b * rows + r}").cast("string"))
+                ],
+            )
             for b in range(bands)
         ]
     )
     exploded = sigged.select(
         F.col(id_col), F.explode(band_keys).alias("band_key")
-    )
+    ).filter(F.col("band_key").isNotNull())
     # pairs via per-bucket id lists instead of a self-join: a self-join
     # would re-run the whole signature pipeline for each side; this keeps
     # ONE signature pass and ONE shuffle (groupBy band_key).  Pair count
@@ -239,6 +252,7 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels.select(F.col("id").alias("dst"), "component"), "dst")
@@ -263,8 +277,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # min-label propagation advances one hop per round; exiting via the
+        # iteration cap means some labels are still mid-flight and the
+        # components are silently WRONG — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise max_iterations"
+        )
     return labels
 
 

@@ -47,9 +47,15 @@ def split_page_level(df: DataFrame, page_col: str, num_pages: int) -> list[DataF
 
     Scale note: these are N filters over ONE cached parent — each filter is
     partition-pruned if the source is partitioned by page.
+
+    Pages below 1 clamp into the FIRST model (mirroring the high-side
+    ``page >= N`` fold) so no row silently vanishes from every split.
     """
     c = F.col(page_col)
-    out = [df.filter(c == k) for k in range(1, num_pages)]
+    if num_pages == 1:
+        return [df]
+    out = [df.filter(c <= 1)]
+    out.extend(df.filter(c == k) for k in range(2, num_pages))
     out.append(df.filter(c >= num_pages))
     return out
 

@@ -63,8 +63,11 @@ def load_table(
 
         for field, dtype in df.dtypes:
             if field == "ts" and dtype == "bigint":
+                # integer division: epoch nanos (~1.7e18) exceed double's
+                # 2^53 exact range, so float `/ 1000` can be off by ~1us at
+                # second/window boundaries vs DuckDB's native-nanos epoch
                 df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
                 )
     else:
         df = spark.read.parquet(path)

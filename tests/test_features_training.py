@@ -427,3 +427,71 @@ def test_all_estimators_fit_and_score(spark, algorithm):
     assert "prediction" in scored.columns
     acc = scored.filter("prediction = label").count() / 80
     assert acc > 0.9  # linearly separable toy corpus
+
+
+def test_minhash_short_docs_never_pair(spark):
+    """Docs with fewer than shingle_n tokens have NULL minhash components;
+    band keys must go NULL (SQL '||' semantics) and drop out of bucketing —
+    NOT collapse onto shared keys that pair every short doc (ADVICE r1)."""
+    from flashml_spark.operators.dedup import minhash_dedup, minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x"),            # 1 token < shingle_n=2 -> empty shingles
+            (2, "y"),            # ditto; must NOT pair with 1
+            (3, ""),             # empty doc
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+    kept = sorted(r["doc_id"] for r in minhash_dedup(docs, "text", "doc_id").collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """Exiting via the iteration cap means unconverged (wrong) labels —
+    must raise, not return silently (ADVICE r1)."""
+    import pytest
+
+    from flashml_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, max_iterations=20).collect()
+    }
+    assert set(comp.values()) == {1}
+
+
+def test_split_page_level_clamps_low_pages(spark):
+    """Rows with page <= 0 fold into the FIRST page model (mirroring the
+    high-side clamp) — the splits must partition the input exactly."""
+    from flashml_spark.operators.relational import split_page_level
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([-1, 0, 1, 1, 2, 3, 4, 7])], "id int, page int"
+    )
+    splits = split_page_level(df, "page", 4)
+    counts = [s.count() for s in splits]
+    assert counts == [4, 1, 1, 2]  # {-1,0,1,1}, {2}, {3}, {4,7}
+    assert sum(counts) == df.count()
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionAll(b), splits)
+    assert union.select("id").distinct().count() == 8
+
+
+def test_multiclass_metrics_empty_frame(spark):
+    """Empty scored frame yields zeroed metrics, not ZeroDivisionError."""
+    from flashml_spark.metrics.multiclass import multiclass_metrics
+
+    empty = spark.createDataFrame([], "label double, prediction double")
+    m = multiclass_metrics(empty)
+    assert m["accuracy"] == 0.0 and m["weightedF1"] == 0.0 and m["perClass"] == {}
