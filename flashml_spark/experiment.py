@@ -82,18 +82,6 @@ class ExperimentConfig:
     savepoint_root: str | None = None
 
 
-class _Composite:
-    """In-memory (prep pipeline, estimator-like) pair for model types that
-    are not spark Transformers (e.g. the OVR composite)."""
-
-    def __init__(self, prep: PipelineModel, model):
-        self.prep = prep
-        self.model = model
-
-    def transform(self, df: DataFrame) -> DataFrame:
-        return self.model.transform(self.prep.transform(df))
-
-
 class Experiment:
     def __init__(self, config: ExperimentConfig):
         self.config = config
@@ -264,11 +252,16 @@ class Experiment:
         return est.fit(train_vec), None
 
     @staticmethod
-    def _indexer_labels(prep: PipelineModel) -> list[str] | None:
-        stage = prep.stages[-1]
-        if hasattr(stage, "labelsArray"):
-            return list(stage.labelsArray[0])
-        return list(stage.labels) if hasattr(stage, "labels") else None
+    def _indexer_labels(pipeline: PipelineModel) -> list[str] | None:
+        """Response labels from the fitted StringIndexer stage — scanned in
+        reverse so it works on the prep pipeline (indexer last) AND on a
+        loaded full pipeline (indexer followed by the model tail)."""
+        for stage in reversed(pipeline.stages):
+            if hasattr(stage, "labelsArray"):
+                return list(stage.labelsArray[0])
+            if hasattr(stage, "labels"):
+                return list(stage.labels)
+        return None
 
     # ---- lifecycle -------------------------------------------------------
     def run(self, spark: SparkSession, df: DataFrame) -> dict:
@@ -297,22 +290,24 @@ class Experiment:
             tr_v = prep.transform(tr).persist()
             model, tuning_info = self._fit_model(tr_v, label_col, page=k)
             self.tuning_.append(tuning_info)
-            # OVR composite is not a spark Transformer — keep it in-memory
-            # (no single-artifact save for that path)
-            persistable = hasattr(model, "write")
-            full_model = (
-                PipelineModel(prep.stages + [model]) if persistable else _Composite(prep, model)
-            )
-            self.models_.append(full_model)
             labels = self._indexer_labels(prep)
 
             te_v = prep.transform(te)
             scored = model.transform(te_v)
+            tail = [model]
             if use_platt:
                 from flashml_spark.training.platt import PlattScalar
 
                 calibrator = PlattScalar(label_col=label_col).fit(model.transform(tr_v))
                 scored = calibrator.transform(scored)
+                # the calibrator is part of the persisted pipeline so that
+                # predict-only resume reproduces calibrated probabilities
+                # (reference: OneVsRestCustomModel + PlattScalar are both
+                # MLWritable pipeline stages, loaded by
+                # ModelTrainingEngine.loadPipelineArray:109-118)
+                tail.append(calibrator)
+            full_model = PipelineModel(prep.stages + tail)
+            self.models_.append(full_model)
             if c.uplift_treatment:
                 from flashml_spark.training.postprocess import uplift_transform
 
@@ -336,10 +331,9 @@ class Experiment:
                     scored.drop(*[col for col, t in scored.dtypes if t == "vector"]),
                     "scoring", "test", page=k,
                 )
-                if persistable:
-                    full_model.write().overwrite().save(
-                        f"{c.savepoint_root}/pipeline/page{k}/model_pipeline"
-                    )
+                full_model.write().overwrite().save(
+                    f"{c.savepoint_root}/pipeline/page{k}/model_pipeline"
+                )
 
         scored_all = relational.union_pages(scored_pages)
         self.page_metrics_ = (
@@ -395,7 +389,11 @@ class Experiment:
 
     def predict(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         """Score new data with persisted models: read (labels optional) →
-        page fan-out → per-page transform → union → post-predict filter."""
+        page fan-out → per-page transform (the loaded pipeline includes the
+        model tail and any Platt calibrator) → the SAME post chain as
+        ``run`` (TopK, IndexToString, post-predict filter) — so predict-only
+        resume reproduces training-run scoring exactly
+        (``PipelineSteps.scala:73-78``)."""
         c = self.config
         if not self.models_:
             self.load_models()
@@ -404,7 +402,32 @@ class Experiment:
             pages = relational.split_page_level(data, c.page_col, c.num_pages)
         else:
             pages = [data]
-        scored = relational.union_pages(
-            [m.transform(p) for m, p in zip(self.models_, pages)]
-        )
+
+        scored_pages = []
+        for m, p in zip(self.models_, pages):
+            scored = m.transform(p)
+            labels = self._indexer_labels(m)
+            if c.uplift_treatment:
+                from flashml_spark.training.platt import PlattScalarModel
+                from flashml_spark.training.postprocess import uplift_transform
+
+                # the bare classifier stage: last stage, or the one before
+                # the Platt calibrator when the tail is calibrated
+                stages = list(m.stages)
+                model_stage = (
+                    stages[-2]
+                    if isinstance(stages[-1], PlattScalarModel)
+                    else stages[-1]
+                )
+                scored = uplift_transform(scored, model_stage)
+            if c.top_k and labels:
+                from flashml_spark.training.postprocess import top_k_intents
+
+                scored = top_k_intents(scored, labels, k=c.top_k)
+            if labels:
+                from flashml_spark.training.postprocess import index_to_string
+
+                scored = index_to_string(scored, labels)
+            scored_pages.append(scored)
+        scored = relational.union_pages(scored_pages)
         return relational.post_predict_filter(scored, c.post_predict_filter)

@@ -13,9 +13,20 @@ independent Spark jobs (reference parallelism semantics,
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 
+from pyspark.ml import Transformer
 from pyspark.ml.functions import vector_to_array
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import (
+    DefaultParamsReader,
+    DefaultParamsWriter,
+    MLReadable,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,15 +69,76 @@ class OneVsRestWithScores:
         return OneVsRestScoresModel(models, self.features_col)
 
 
-class OneVsRestScoresModel:
+class _OneVsRestScoresModelWriter(MLWriter):
+    """Directory contract (mirrors ``OneVsRestCustomModel.scala:144-237``):
+    ``path/metadata`` (class, params, submodel classes) + one Spark-ML
+    submodel dir per class at ``path/model_{k}``."""
+
+    def __init__(self, instance: "OneVsRestScoresModel"):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        inst = self.instance
+        extra = {
+            "numModels": len(inst.models),
+            "modelClasses": [
+                f"{type(m).__module__}.{type(m).__name__}" for m in inst.models
+            ],
+        }
+        DefaultParamsWriter.saveMetadata(
+            inst, path, self.sparkSession, extraMetadata=extra
+        )
+        for k, m in enumerate(inst.models):
+            m.write().session(self.sparkSession).save(os.path.join(path, f"model_{k}"))
+
+
+class _OneVsRestScoresModelReader(MLReader):
+    def load(self, path: str) -> "OneVsRestScoresModel":
+        metadata = DefaultParamsReader.loadMetadata(path, self.sparkSession)
+        models = []
+        for k, cls_name in enumerate(metadata["modelClasses"]):
+            module, _, cls = cls_name.rpartition(".")
+            sub_cls = getattr(__import__(module, fromlist=[cls]), cls)
+            models.append(sub_cls.load(os.path.join(path, f"model_{k}")))
+        instance = OneVsRestScoresModel(models)
+        instance._resetUid(metadata["uid"])
+        DefaultParamsReader.getAndSetParams(instance, metadata)
+        return instance
+
+
+class OneVsRestScoresModel(Transformer, MLReadable, MLWritable):
     """Applies every binary submodel, retaining per-class margins in
-    ``class_scores`` (array<double>), argmax → ``prediction``."""
+    ``class_scores`` (array<double>), argmax → ``prediction``.
 
-    def __init__(self, models: list, features_col: str = "features"):
-        self.models = models
-        self.features_col = features_col
+    ``MLWritable`` like the reference's ``OneVsRestCustomModel``
+    (``OneVsRestCustomModel.scala:144-237``), so the multi-intent SVM
+    pipeline tail round-trips through ``PipelineModel.save``/``load``.
+    """
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    featuresCol = Param(
+        Params._dummy(), "featuresCol", "features vector column",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self, models: list | None = None, features_col: str = "features"):
+        super().__init__()
+        self.models = models or []
+        self._setDefault(featuresCol="features")
+        self._set(featuresCol=features_col)
+
+    @property
+    def features_col(self) -> str:
+        return self.getOrDefault(self.featuresCol)
+
+    def write(self) -> MLWriter:
+        return _OneVsRestScoresModelWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _OneVsRestScoresModelReader()
+
+    def _transform(self, df: DataFrame) -> DataFrame:
         out = df
         score_cols = []
         for k, model in enumerate(self.models):

@@ -22,9 +22,12 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+from pyspark.ml import Transformer
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.functions import vector_to_array
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,39 +103,70 @@ class PlattScalar:
         return PlattScalarModel(coeffs, raw_col=self.raw_col)
 
 
-class PlattScalarModel:
+class PlattScalarModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
     """Transformer: margins → calibrated ``probability`` (array<double>),
     argmax → ``prediction`` (SVM's own prediction kept as
-    ``svm_prediction``, ``PlattScalar.scala:363-399``)."""
+    ``svm_prediction``, ``PlattScalar.scala:363-399``).
 
-    def __init__(self, sigmoids: list[tuple[float, float]],
+    A real :class:`pyspark.ml.Transformer` with ``DefaultParamsWritable``
+    persistence (coefficients are plain params), so the calibrator
+    round-trips through ``PipelineModel.save``/``load`` exactly like the
+    reference's ``PlattScalarModel`` (``PlattScalar.scala:363-399``
+    extends ``MLWritable``).
+    """
+
+    # flat [a0, b0, a1, b1, ...] so the value is a JSON-serializable param
+    coefficients = Param(
+        Params._dummy(), "coefficients",
+        "flattened per-class sigmoid coefficients [a0,b0,a1,b1,...]",
+        typeConverter=TypeConverters.toListFloat,
+    )
+    rawCol = Param(
+        Params._dummy(), "rawCol", "binary rawPrediction vector column",
+        typeConverter=TypeConverters.toString,
+    )
+    scoresCol = Param(
+        Params._dummy(), "scoresCol", "OVR per-class margin array column",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self, sigmoids: list[tuple[float, float]] | None = None,
                  raw_col: str = "rawPrediction", scores_col: str = "class_scores"):
-        self.sigmoids = sigmoids
-        self.raw_col = raw_col
-        self.scores_col = scores_col
+        super().__init__()
+        self._setDefault(rawCol="rawPrediction", scoresCol="class_scores")
+        flat = [float(v) for ab in (sigmoids or []) for v in ab]
+        self._set(coefficients=flat, rawCol=raw_col, scoresCol=scores_col)
+
+    @property
+    def sigmoids(self) -> list[tuple[float, float]]:
+        flat = self.getOrDefault(self.coefficients)
+        return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
 
     @staticmethod
     def _sigmoid(a: float, b: float, m):
         return 1.0 / (1.0 + F.exp(-(F.lit(a) * m + F.lit(b))))
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def _transform(self, df: DataFrame) -> DataFrame:
+        sigmoids = self.sigmoids
+        raw_col = self.getOrDefault(self.rawCol)
+        scores_col = self.getOrDefault(self.scoresCol)
         out = df
         if "prediction" in out.columns:
             out = out.withColumnRenamed("prediction", "svm_prediction")
-        if len(self.sigmoids) == 1:
-            a, b = self.sigmoids[0]
+        if len(sigmoids) == 1:
+            a, b = sigmoids[0]
             m = (
-                F.col(self.scores_col).getItem(0)
-                if self.scores_col in out.columns
-                else vector_to_array(F.col(self.raw_col)).getItem(1)
+                F.col(scores_col).getItem(0)
+                if scores_col in out.columns
+                else vector_to_array(F.col(raw_col)).getItem(1)
             )
             pos = self._sigmoid(a, b, m)
             prob = F.array(1.0 - pos, pos)
         else:
             prob = F.array(
                 *[
-                    self._sigmoid(a, b, F.col(self.scores_col).getItem(k))
-                    for k, (a, b) in enumerate(self.sigmoids)
+                    self._sigmoid(a, b, F.col(scores_col).getItem(k))
+                    for k, (a, b) in enumerate(sigmoids)
                 ]
             )
         out = out.withColumn("probability", prob)

@@ -618,3 +618,88 @@ def test_experiment_hyperband_tuning(spark):
     assert metrics["accuracy"] > 0.9
     (info,) = exp.tuning_
     assert info["history"] and "regParam" in info["bestParams"]
+
+
+def test_multi_intent_svm_pipeline_roundtrip(spark, tmp_path):
+    """The multi-intent SVM tail (OneVsRestScoresModel + PlattScalarModel)
+    is MLWritable: the per-page pipeline saves, reloads — including in a
+    FRESH interpreter/JVM — and reproduces predictions exactly (reference
+    ``systemTests/MultiIntentSVMTest.scala:24-107``,
+    ``OneVsRestCustomModel.scala:144-237``, ``PlattScalar.scala:363-399``)."""
+    import subprocess
+    import sys
+
+    from pyspark.ml import PipelineModel
+
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+    from flashml_spark.training.ovr import OneVsRestScoresModel
+    from flashml_spark.training.platt import PlattScalarModel
+
+    rows = []
+    for i in range(240):
+        intent = ("billing", "support", "sales")[i % 3]
+        text = {
+            "billing": "invoice charge payment overdue bill",
+            "support": "help broken error crash fix",
+            "sales": "buy pricing demo quote upgrade",
+        }[intent]
+        rows.append((f"{i:06x}", text, intent))
+    df = spark.createDataFrame(rows, ["sid", "text", "intent"])
+
+    root = str(tmp_path / "sp")
+    cfg = ExperimentConfig(
+        primary_keys=["sid"], response="intent", text_cols=["text"],
+        text_method="hashingtf", slots=64, algorithm="svm",
+        algo_params={"maxIter": 10}, multi_intent=True, top_k=2,
+        savepoint_root=root,
+    )
+    exp = Experiment(cfg)
+    exp.run(spark, df)
+
+    # the saved pipeline tail must be the OVR composite + Platt calibrator
+    loaded = PipelineModel.load(f"{root}/pipeline/page0/model_pipeline")
+    assert isinstance(loaded.stages[-2], OneVsRestScoresModel)
+    assert isinstance(loaded.stages[-1], PlattScalarModel)
+
+    def rowmap(scored):
+        return {
+            r["sid"]: (r["prediction"], [round(p, 9) for p in r["probability"]])
+            for r in scored.select("sid", "prediction", "probability").collect()
+        }
+
+    in_mem = rowmap(exp.models_[0].transform(df))
+    reloaded = rowmap(loaded.transform(df))
+    assert in_mem == reloaded
+
+    # predict-only resume path (fresh Experiment, models from disk) matches
+    fresh = Experiment(cfg)
+    scored = fresh.predict(spark, df)
+    assert rowmap(scored) == in_mem
+    assert "topKIntents" in scored.columns  # TopK post chain applied
+
+    # FRESH-SESSION reload: a separate interpreter + JVM loads the saved
+    # pipeline and must reproduce identical predictions
+    data_path = str(tmp_path / "mi_input")
+    out_path = str(tmp_path / "mi_scored_fresh")
+    df.write.parquet(data_path)
+    script = tmp_path / "reload_score.py"
+    script.write_text(
+        "from flashml_spark.session import get_spark\n"
+        "from pyspark.ml import PipelineModel\n"
+        "spark = get_spark('fresh-reload', cpus=4, shuffle_partitions=4)\n"
+        f"m = PipelineModel.load({f'{root}/pipeline/page0/model_pipeline'!r})\n"
+        f"scored = m.transform(spark.read.parquet({data_path!r}))\n"
+        f"scored.select('sid', 'prediction', 'probability').write.parquet({out_path!r})\n"
+    )
+    import os
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    subprocess.run(
+        [sys.executable, str(script)], check=True, cwd="/root/repo",
+        capture_output=True, timeout=300, env=env,
+    )
+    fresh_rows = {
+        r["sid"]: (r["prediction"], [round(p, 9) for p in r["probability"]])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert fresh_rows == in_mem
