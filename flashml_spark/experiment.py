@@ -264,19 +264,76 @@ class Experiment:
         return None
 
     # ---- lifecycle -------------------------------------------------------
-    def run(self, spark: SparkSession, df: DataFrame) -> dict:
+    _RESUME_STEPS = ("sampling", "vectorization", "modelling")
+
+    def run(self, spark: SparkSession, df: DataFrame | None = None,
+            resume_from: str | None = None) -> dict:
         """dataReader → sampling → (page fan-out) → feature fit →
         modelling (+tuning) → [Platt] → [Uplift] → [TopK] →
         [IndexToString] → scoring filter → metrics → savepoints — the
-        reference's step order (``ModelTrainingEngine.scala:35-276``)."""
+        reference's step order (``ModelTrainingEngine.scala:35-276``).
+
+        ``resume_from`` restarts mid-pipeline from the savepoints a
+        previous run wrote (``PipelineSteps.scala:73-78,112-134,207-243``;
+        ``SavePointManager.loadData:89-135``):
+
+          * ``"sampling"``      — load the dataReader output, re-split
+          * ``"vectorization"`` — load the train/test split, refit features
+          * ``"modelling"``     — load per-page vectorized frames + fitted
+            prep pipelines; only the estimator tail refits
+
+        Steps before the resume point are never re-executed; with fixed
+        seeds the resumed run's scored output is byte-identical to the
+        original's.
+        """
         c = self.config
         label_col = f"{c.response}_indexed"
         use_platt = c.platt if c.platt is not None else (c.algorithm == "svm")
+        sp = None
+        if c.savepoint_root:
+            from flashml_spark.sources.savepoint import SavepointManager
 
-        data = self.read(df).persist()
-        train, test = self.split(data)
+            sp = SavepointManager(spark, c.savepoint_root)
+        if resume_from is not None:
+            if resume_from not in self._RESUME_STEPS:
+                raise ValueError(
+                    f"resume_from must be one of {self._RESUME_STEPS}, got {resume_from!r}"
+                )
+            if sp is None:
+                raise ValueError("resume_from needs savepoint_root")
+        elif df is None:
+            raise ValueError("a fresh run needs an input DataFrame")
 
-        if c.page_col and c.num_pages > 1:
+        data = train = test = None
+        if resume_from is None:
+            data = self.read(df)
+            if sp:
+                # Every savepoint is written AND immediately re-read
+                # (materialization barrier): downstream steps in this run
+                # consume the exact parquet frame a resumed run will load —
+                # same partition layout, same row order — so randomSplit
+                # and float aggregation replay identically and the resumed
+                # run's output is byte-identical to this one's.
+                sp.save(data, "dataReader", "full")
+                data = sp.load("dataReader", "full")
+            data = data.persist()
+        elif resume_from == "sampling":
+            data = sp.load("dataReader", "full").persist()
+
+        if resume_from in (None, "sampling"):
+            train, test = self.split(data)
+            if sp:
+                sp.save(train, "sampling", "train")
+                sp.save(test, "sampling", "test")
+                train = sp.load("sampling", "train")
+                test = sp.load("sampling", "test")
+        elif resume_from == "vectorization":
+            train, test = sp.load("sampling", "train"), sp.load("sampling", "test")
+
+        n_pages = c.num_pages if (c.page_col and c.num_pages > 1) else 1
+        if resume_from == "modelling":
+            train_pages = test_pages = [None] * n_pages
+        elif n_pages > 1:
             train_pages = relational.split_page_level(train, c.page_col, c.num_pages)
             test_pages = relational.split_page_level(test, c.page_col, c.num_pages)
         else:
@@ -286,13 +343,37 @@ class Experiment:
         self.models_ = []
         self.tuning_ = []
         for k, (tr, te) in enumerate(zip(train_pages, test_pages)):
-            prep = Pipeline(stages=self._build_prep_stages()).fit(tr)
-            tr_v = prep.transform(tr).persist()
+            if resume_from == "modelling":
+                prep = PipelineModel.load(
+                    f"{c.savepoint_root}/pipeline/page{k}/prep_pipeline"
+                )
+                tr_v = sp.load("vectorization", "train", page=k).persist()
+                te = sp.load("vectorization", "test", page=k)
+            else:
+                prep = Pipeline(stages=self._build_prep_stages()).fit(tr)
+                tr_v = prep.transform(tr)
+                te = prep.transform(te)
+                if sp:
+                    # vector columns (VectorUDT) persist fine in parquet —
+                    # these savepoints are exactly what resume_from=
+                    # "modelling" reloads.  Fit from the RELOADED savepoint
+                    # (materialization barrier): the resumed run then sees
+                    # the identical frame — same partition layout, same
+                    # float aggregation order — so its refit model and
+                    # scored output are byte-identical to this run's.
+                    sp.save(tr_v, "vectorization", "train", page=k)
+                    sp.save(te, "vectorization", "test", page=k)
+                    prep.write().overwrite().save(
+                        f"{c.savepoint_root}/pipeline/page{k}/prep_pipeline"
+                    )
+                    tr_v = sp.load("vectorization", "train", page=k)
+                    te = sp.load("vectorization", "test", page=k)
+                tr_v = tr_v.persist()
             model, tuning_info = self._fit_model(tr_v, label_col, page=k)
             self.tuning_.append(tuning_info)
             labels = self._indexer_labels(prep)
 
-            te_v = prep.transform(te)
+            te_v = te  # already vectorized (fresh transform or savepoint)
             scored = model.transform(te_v)
             tail = [model]
             if use_platt:
@@ -324,10 +405,8 @@ class Experiment:
 
             scored = relational.post_predict_filter(scored, c.post_predict_filter)
             scored_pages.append(scored)
-            if c.savepoint_root:
-                from flashml_spark.sources.savepoint import SavepointManager
-
-                SavepointManager(spark, c.savepoint_root).save(
+            if sp:
+                sp.save(
                     scored.drop(*[col for col, t in scored.dtypes if t == "vector"]),
                     "scoring", "test", page=k,
                 )
@@ -338,8 +417,8 @@ class Experiment:
         scored_all = relational.union_pages(scored_pages)
         self.page_metrics_ = (
             [
-                multiclass_metrics(sp, label_col, "prediction")
-                for sp in scored_pages
+                multiclass_metrics(page_scored, label_col, "prediction")
+                for page_scored in scored_pages
             ]
             if len(scored_pages) > 1
             else []
@@ -367,7 +446,8 @@ class Experiment:
             for k, pm in enumerate(self.page_metrics_):
                 acc.add(f"test.page{k}", {x: v for x, v in pm.items() if x != "perClass"})
             acc.write(f"{c.savepoint_root}/metrics")
-        data.unpersist()
+        if data is not None:
+            data.unpersist()
         return self.metrics_
 
     # ---- predict-only resume (SURVEY §3.2) -------------------------------

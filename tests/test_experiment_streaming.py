@@ -703,3 +703,52 @@ def test_multi_intent_svm_pipeline_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert fresh_rows == in_mem
+
+
+def test_experiment_step_level_resume(spark, tmp_path):
+    """Step-level pipeline resume (``PipelineSteps.scala:73-78,112-134,
+    207-243``; ``SavePointManager.loadData:89-135``): run the full
+    pipeline with savepoints, then resume a FRESH Experiment from each of
+    modelling / vectorization / sampling.  Steps before the resume point
+    replay from parquet savepoints only, and the resumed run's scored
+    savepoint and metrics must be BYTE-IDENTICAL to the original's."""
+    root = str(tmp_path / "resume")
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"],
+        response="response",
+        text_cols=["text"],
+        categorical_cols=["device"],
+        numerical_cols=["dwell"],
+        slots=50,
+        page_col="page",
+        num_pages=2,
+        savepoint_root=root,
+    )
+    base = Experiment(cfg)
+    base_metrics = base.run(spark, _journey_df(spark, 240))
+
+    def scored_rows():
+        rows = []
+        for k in range(2):
+            df = spark.read.parquet(
+                f"{root}/default/model/page{k}/noSegment/data/scoringTest"
+            )
+            rows.extend((k, tuple(r)) for r in df.collect())
+        return sorted(rows, key=repr)
+
+    baseline = scored_rows()
+    assert baseline
+    for step in ("modelling", "vectorization", "sampling"):
+        resumed = Experiment(cfg)
+        m = resumed.run(spark, resume_from=step)
+        assert m == base_metrics, f"metrics drifted resuming at {step}"
+        assert scored_rows() == baseline, f"scored rows drifted resuming at {step}"
+        assert len(resumed.models_) == 2
+
+    with pytest.raises(ValueError, match="resume_from"):
+        Experiment(cfg).run(spark, resume_from="preprocessing")
+    no_sp = ExperimentConfig(response="response", text_cols=["text"])
+    with pytest.raises(ValueError, match="savepoint_root"):
+        Experiment(no_sp).run(spark, resume_from="modelling")
+    with pytest.raises(ValueError, match="DataFrame"):
+        Experiment(cfg).run(spark)
