@@ -15,6 +15,7 @@ threshold inside each bucket.
 
 from __future__ import annotations
 
+import heapq
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -75,6 +76,51 @@ def with_lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]],
     return df.withColumn(out_col, lsh_bucket(F.col(vec_col), planes))
 
 
+def probe_sequence(
+    query_vec: list[float], planes: list[list[float]], n_probes: int
+) -> list[int]:
+    """Multi-probe bucket sequence (Lv et al., VLDB 2007): the query's own
+    bucket first, then buckets reached by flipping the sign bits with the
+    smallest projection margins ``|dot(q, plane_b)|`` — the bits a true
+    near-neighbor is most likely to disagree on.
+
+    Perturbation sets are enumerated best-first with a heap over subsets of
+    the margin-sorted bit indices (successor rule: extend-with-next /
+    shift-last), so cost is O(n_probes log n_probes) regardless of
+    ``2**n_planes``.  Pure driver-side arithmetic — planes and query are
+    both known on the driver; the result ships into the plan as an
+    ``isin`` literal list.
+    """
+    dots = [sum(q * p for q, p in zip(query_vec, plane)) for plane in planes]
+    base = 0
+    for b, d in enumerate(dots):
+        if d > 0:
+            base |= 1 << b
+    probes = [base]
+    if n_probes <= 1 or not planes:
+        return probes[:n_probes] if n_probes > 0 else probes[:1]
+    margins = sorted((abs(d), b) for b, d in enumerate(dots))
+    heap: list[tuple[float, tuple[int, ...]]] = [(margins[0][0], (0,))]
+    seen: set[tuple[int, ...]] = set()
+    while heap and len(probes) < n_probes:
+        cost, subset = heapq.heappop(heap)
+        if subset in seen:
+            continue
+        seen.add(subset)
+        mask = 0
+        for i in subset:
+            mask |= 1 << margins[i][1]
+        probes.append(base ^ mask)
+        last = subset[-1]
+        if last + 1 < len(margins):
+            heapq.heappush(heap, (cost + margins[last + 1][0], subset + (last + 1,)))
+            heapq.heappush(
+                heap,
+                (cost - margins[last][0] + margins[last + 1][0], subset[:-1] + (last + 1,)),
+            )
+    return probes
+
+
 def knn_lsh(
     df: DataFrame,
     vec_col: str,
@@ -83,18 +129,22 @@ def knn_lsh(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k: restrict the scan to the query's LSH bucket, then exact
-    cosine within it.  At 100 TB, write the table bucketed/partitioned by
-    ``bucket`` so this becomes partition pruning instead of a full scan.
+    """ANN top-k: restrict the scan to the query's LSH bucket (plus the
+    ``n_probes - 1`` nearest Hamming-adjacent buckets by projection margin
+    — see :func:`probe_sequence`), then exact cosine within the probed set.
+
+    Recall/cost dial: scanning ``n_probes / 2**n_planes`` of the buckets
+    recovers the recall a single probe loses when a near-neighbor lands on
+    the far side of a low-margin hyperplane.  At 100 TB, write the table
+    bucketed/partitioned by ``bucket`` so the probe ``isin`` filter becomes
+    partition pruning instead of a full scan.
     """
     dim = len(query_vec)
     planes = random_hyperplanes(dim, n_planes, seed)
-    q_bucket = 0
-    for b, plane in enumerate(planes):
-        if sum(q * p for q, p in zip(query_vec, plane)) > 0:
-            q_bucket |= 1 << b
-    bucketed = with_lsh_bucket(df, vec_col, planes).filter(F.col("bucket") == q_bucket)
+    probes = probe_sequence(query_vec, planes, n_probes)
+    bucketed = with_lsh_bucket(df, vec_col, planes).filter(F.col("bucket").isin(*probes))
     return knn_brute_force(bucketed, vec_col, id_col, query_vec, k)
 
 

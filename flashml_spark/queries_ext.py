@@ -139,12 +139,16 @@ def x06(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_brute_force(emb, "embedding", "vec_id", list(qrow["embedding"]), k=10)
 
 
-# x07 — LSH-bucketed ANN (scale path; non-SQL-expressible → rows-only)
+# x07 — LSH-bucketed ANN (scale path; non-SQL-expressible → rows-only).
+# Multi-probe (8 Hamming-adjacent buckets by projection margin) — recall is
+# gated in tests/test_features_training.py::test_knn_lsh_multiprobe_recall_gate.
 @register("x07_ann_lsh", None)
 def x07(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    return similarity.knn_lsh(emb, "embedding", "vec_id", list(qrow["embedding"]), k=10)
+    return similarity.knn_lsh(
+        emb, "embedding", "vec_id", list(qrow["embedding"]), k=10, n_probes=8
+    )
 
 
 # x08 — token counting rolled up per language

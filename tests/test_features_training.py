@@ -298,6 +298,68 @@ def test_ivf_index_at_rest_prunes_partitions(spark, tmp_path):
     assert metrics.apply("numPartitions").value() == 2
 
 
+def test_knn_lsh_multiprobe_recall_gate(spark):
+    """Multi-probe LSH recall gate: in the near-duplicate regime LSH is for
+    (planted neighbors at cosine ~0.90-0.95), 16 probes over 8 planes
+    (16/256 buckets) must recover >= 0.9 of the exact brute-force top-10
+    while scanning < 10% of the rows.  Reference promise: similarity.py
+    knn_lsh "Hamming-adjacent probes" — this pins it with numbers."""
+    import numpy as np
+
+    from flashml_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    n, dim = 2000, 64
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = base[0].copy()
+    for i in range(1, 11):
+        v = q + 0.05 * rng.normal(size=dim)
+        base[i] = v / np.linalg.norm(v)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(8)
+    query = [float(x) for x in q]
+
+    brute = {r["id"] for r in
+             similarity.knn_brute_force(df, "vec", "id", query, k=10).collect()}
+    approx = {r["id"] for r in
+              similarity.knn_lsh(df, "vec", "id", query, k=10,
+                                 n_planes=8, n_probes=16).collect()}
+    recall = len(brute & approx) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+    # cost side of the dial: the probed buckets cover < 10% of the table
+    planes = similarity.random_hyperplanes(dim, 8, seed=42)
+    probes = similarity.probe_sequence(query, planes, 16)
+    scanned = (
+        similarity.with_lsh_bucket(df, "vec", planes)
+        .filter(F.col("bucket").isin(*probes))
+        .count()
+    )
+    assert scanned / n < 0.10, f"scanned fraction {scanned / n}"
+
+
+def test_probe_sequence_properties():
+    """First probe is the query's own bucket; probes are unique; margin
+    ordering means flipping the single lowest-|dot| bit comes second."""
+    from flashml_spark.operators.similarity import probe_sequence, random_hyperplanes
+
+    dim = 16
+    planes = random_hyperplanes(dim, 6, seed=3)
+    qv = [0.1 * (i - 7) for i in range(dim)]
+    probes = probe_sequence(qv, planes, 12)
+    assert len(probes) == 12 and len(set(probes)) == 12
+    dots = [sum(a * b for a, b in zip(qv, p)) for p in planes]
+    base = sum(1 << b for b, d in enumerate(dots) if d > 0)
+    assert probes[0] == base
+    weakest = min(range(6), key=lambda b: abs(dots[b]))
+    assert probes[1] == base ^ (1 << weakest)
+    # n_probes beyond 2**n_planes just returns every bucket once
+    assert len(probe_sequence(qv, planes, 100)) == 64
+
+
 def test_feature_transformers_roundtrip(spark, tmp_path):
     """Custom feature transformers must be MLWritable so full pipelines
     persist (SURVEY §7 'what's hard')."""
