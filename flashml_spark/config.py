@@ -15,12 +15,20 @@ three to a per-page list so engines never re-implement the rules.
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import re
+from dataclasses import dataclass
 from typing import Any
 
 from flashml_spark.experiment import ExperimentConfig
 
 SCOPES = ("noPage", "allPage", "perPage")
+
+
+class ConfigValidationError(ValueError):
+    """Raised with the offending config path in the message
+    (``ConfigValidatorException.scala``)."""
 
 
 def resolve_scoped(value: Any, scope: str, num_pages: int) -> list:
@@ -105,10 +113,159 @@ def _flatten(d: dict, prefix: str = "") -> dict[str, Any]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Item-level validation (ConfigValidator.scala:38-97 + ConfigItemValidator.scala
+# + configChecks.json): each pipeline step owns a list of declarative checks —
+# required/empty, datatype, regex pattern, numeric range — evaluated against
+# the dotted-key config before any Spark work starts, so a bad config fails
+# fast with the offending path in the message.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ConfigCheck:
+    """One row of the reference's ``configChecks.json`` (path / pattern /
+    range / canBeEmpty / datatype), re-keyed to this package's dotted
+    config naming."""
+
+    path: str
+    pattern: str = ""
+    range: str = ""  # "lo-hi", inclusive both ends (ConfigItemValidator.scala:108)
+    can_be_empty: bool = True
+    datatype: str = "string"  # string | int | float | boolean
+
+
+_IDENT = "[0-9a-zA-Z_.]+"
+_ALGOS = (
+    "logistic_regression|naive_bayes|svm|multilayer_perceptron|decision_trees"
+    "|random_forest|gradient_boosted_trees"
+)
+
+# step -> validation list, mirroring configChecks.json's per-step grouping
+# (generic/datareader/sampling/preprocessing/featuregeneration/vectorization/
+# modelling/scoring); entries name THIS package's keys, with the reference's
+# patterns/ranges where the concept carries over.
+CONFIG_CHECKS: dict[str, list[ConfigCheck]] = {
+    "generic": [
+        ConfigCheck("project.data.responseVariable", pattern=_IDENT, can_be_empty=False),
+    ],
+    "datareader": [
+        ConfigCheck("project.data.numPages", range="1-10000", datatype="int"),
+        ConfigCheck("project.data.pageVariable", pattern=_IDENT),
+        ConfigCheck("project.data.filter"),
+        ConfigCheck("project.data.randomIdVariable", pattern=_IDENT),
+    ],
+    "sampling": [
+        ConfigCheck(
+            "sampling.type",
+            pattern="conditional|random|stratified|stratified_approx",
+            can_be_empty=False,
+        ),
+        ConfigCheck("sampling.trainFraction", range="0-1", datatype="float"),
+        ConfigCheck("sampling.seed", datatype="int"),
+    ],
+    "preprocessing": [],
+    "featuregeneration": [],
+    "vectorization": [
+        ConfigCheck("vectorization.text.method", pattern=_IDENT, can_be_empty=False),
+        ConfigCheck("vectorization.text.slots", range="1-16777216", datatype="int"),
+    ],
+    "modelling": [
+        ConfigCheck("model.algorithm", pattern=_ALGOS, can_be_empty=False),
+        ConfigCheck("model.multiIntent", datatype="boolean"),
+        ConfigCheck("model.platt", datatype="boolean"),
+        ConfigCheck("model.topK", range="1-1000", datatype="int"),
+        ConfigCheck("tuning.type", pattern="none|cv|hyperband"),
+        ConfigCheck("tuning.folds", range="2-100", datatype="int"),
+        ConfigCheck(
+            "tuning.metric", pattern="f1|weightedPrecision|weightedRecall|accuracy"
+        ),
+        ConfigCheck("experiment.cv.predictSavepoint", datatype="boolean"),
+        ConfigCheck("experiment.parallelism", range="1-1000", datatype="int"),
+        ConfigCheck("tuning.hyperband.maxIter", range="1-100000", datatype="int"),
+        ConfigCheck("tuning.hyperband.eta", range="2-100", datatype="int"),
+    ],
+    "scoring": [
+        ConfigCheck("scoring.filter"),
+    ],
+}
+
+PIPELINE_STEPS = tuple(CONFIG_CHECKS)
+
+
+def _check_item(check: ConfigCheck, flat: dict[str, Any]) -> None:
+    """ConfigItemValidator.validate: empty -> datatype -> pattern -> range,
+    each failure naming the path."""
+    present = check.path in flat and flat[check.path] is not None
+    if not check.can_be_empty:
+        if not present or str(flat[check.path]) == "":
+            raise ConfigValidationError(f"{check.path} should not be empty")
+    if not present:
+        return
+    value = flat[check.path]
+    ok_type = {
+        "string": lambda v: isinstance(v, str),
+        "int": lambda v: isinstance(v, int) and not isinstance(v, bool),
+        "float": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+        "boolean": lambda v: isinstance(v, bool),
+    }[check.datatype]
+    if not ok_type(value):
+        raise ConfigValidationError(f"{check.path} Value uses a wrong datatype")
+    if check.pattern:
+        text = json.dumps(value) if isinstance(value, bool) else str(value)
+        if re.fullmatch(check.pattern, text) is None:
+            raise ConfigValidationError(
+                f"Value of {check.path}:{value} should follow {check.pattern} pattern"
+            )
+    if check.range:
+        lo, hi = (float(x) for x in check.range.split("-"))
+        if not (lo <= float(value) <= hi):
+            raise ConfigValidationError(
+                f"For {check.path}, expected value: [{lo}-{hi}], actual value: {value}"
+            )
+
+
+def validate_config_list(step: str, flat: dict[str, Any]) -> None:
+    """Validate one pipeline step's checks against a flattened dotted-key
+    config (``ConfigValidator.validateConfigList``)."""
+    for check in CONFIG_CHECKS[step]:
+        _check_item(check, flat)
+
+
+def validate_config_items(
+    flat: dict[str, Any], steps: tuple[str, ...] | list[str] = PIPELINE_STEPS
+) -> None:
+    """Stepwise validation (``ConfigValidator.validateConfigStepwise``):
+    generic checks always run, then each requested step's list."""
+    validate_config_list("generic", flat)
+    for step in steps:
+        if step != "generic" and step in CONFIG_CHECKS:
+            validate_config_list(step, flat)
+
+
+def _effective_flat(flat: dict[str, Any]) -> dict[str, Any]:
+    """Provided keys merged over ExperimentConfig's dataclass defaults so
+    required-with-default fields validate like the reference's
+    always-present HOCON keys."""
+    defaults = {
+        f.name: (f.default if f.default is not dataclasses.MISSING else None)
+        for f in dataclasses.fields(ExperimentConfig)
+    }
+    out = {}
+    for dotted, field_name in _KEY_MAP.items():
+        if dotted in flat:
+            out[dotted] = flat[dotted]
+        elif defaults.get(field_name) is not None:
+            out[dotted] = defaults[field_name]
+    return out
+
+
 def load_config(source: str | dict) -> ExperimentConfig:
     """Build an ExperimentConfig from a JSON file path, JSON string, or
     already-parsed dict using the reference's dotted key naming.  Unknown
-    keys are ignored (forward compatibility), wrong value types raise."""
+    keys are ignored (forward compatibility); item-level checks
+    (empty/type/pattern/range) run first with the offending path in the
+    error, then cross-field semantic validation."""
     if isinstance(source, str):
         try:
             raw = json.loads(source)
@@ -118,6 +275,7 @@ def load_config(source: str | dict) -> ExperimentConfig:
     else:
         raw = source
     flat = _flatten(raw)
+    validate_config_items(_effective_flat(flat))
     kwargs = {}
     for dotted, field_name in _KEY_MAP.items():
         if dotted in flat:

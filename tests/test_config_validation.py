@@ -1,0 +1,119 @@
+"""Config validation parity tests.
+
+Mirrors the reference's validator test pair
+(``functionalTests/ConfigValidatorNegativeTest.scala`` /
+``ConfigValidatorPositiveTest.scala``): a config that violates one step's
+declarative checks must raise ``ConfigValidationError`` naming the offending
+path when that step's list is validated, and a fully-valid config must pass
+every step.  Pure driver-side — no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flashml_spark.config import (
+    CONFIG_CHECKS,
+    ConfigValidationError,
+    load_config,
+    validate_config_items,
+    validate_config_list,
+)
+
+VALID = {
+    "project.data.responseVariable": "response",
+    "project.data.numPages": 3,
+    "project.data.pageVariable": "page",
+    "sampling.type": "stratified",
+    "sampling.trainFraction": 0.8,
+    "sampling.seed": 20,
+    "vectorization.text.method": "tfidf",
+    "vectorization.text.slots": 4096,
+    "model.algorithm": "svm",
+    "model.multiIntent": True,
+    "model.platt": True,
+    "tuning.type": "cv",
+    "tuning.folds": 3,
+    "tuning.metric": "weightedPrecision",
+    "experiment.cv.predictSavepoint": False,
+    "experiment.parallelism": 3,
+}
+
+
+def test_positive_all_steps_pass():
+    validate_config_items(VALID)
+
+
+# (step, overrides, message fragment) — one negative case per check family:
+# empty, pattern, datatype, range.  The message must carry the config path
+# (ConfigItemValidator.scala error strings).
+NEGATIVE_CASES = [
+    ("generic", {"project.data.responseVariable": ""}, "responseVariable"),
+    ("generic", {"project.data.responseVariable": "bad col!"}, "pattern"),
+    ("datareader", {"project.data.numPages": 0}, "numPages"),
+    ("datareader", {"project.data.numPages": "three"}, "datatype"),
+    ("datareader", {"project.data.pageVariable": "pa ge"}, "pageVariable"),
+    ("sampling", {"sampling.type": "bootstrap"}, "sampling.type"),
+    ("sampling", {"sampling.trainFraction": 1.5}, "trainFraction"),
+    ("sampling", {"sampling.trainFraction": "0.8"}, "datatype"),
+    ("sampling", {"sampling.seed": 1.5}, "datatype"),
+    ("vectorization", {"vectorization.text.slots": 0}, "slots"),
+    ("vectorization", {"vectorization.text.method": ""}, "should not be empty"),
+    ("modelling", {"model.algorithm": "xgboost"}, "model.algorithm"),
+    ("modelling", {"model.platt": "yes"}, "datatype"),
+    ("modelling", {"tuning.type": "bayesian"}, "tuning.type"),
+    ("modelling", {"tuning.folds": 1}, "tuning.folds"),
+    ("modelling", {"tuning.metric": "auc"}, "tuning.metric"),
+    ("modelling", {"experiment.cv.predictSavepoint": "true"}, "datatype"),
+    ("modelling", {"experiment.parallelism": 0}, "parallelism"),
+    ("modelling", {"tuning.hyperband.eta": 1}, "eta"),
+]
+
+
+@pytest.mark.parametrize("step,overrides,fragment", NEGATIVE_CASES)
+def test_negative_step_validation(step, overrides, fragment):
+    flat = {**VALID, **overrides}
+    with pytest.raises(ConfigValidationError, match=fragment):
+        validate_config_list(step, flat)
+
+
+def test_boolean_not_accepted_as_int():
+    # bool is an int subclass in Python; the reference's typed HOCON getInt
+    # would reject it, so the datatype gate must too.
+    with pytest.raises(ConfigValidationError, match="datatype"):
+        validate_config_list("datareader", {**VALID, "project.data.numPages": True})
+
+
+def test_load_config_runs_item_checks_before_semantic():
+    raw = {
+        "project": {"data": {"responseVariable": "response"}},
+        "sampling": {"type": "random", "trainFraction": 2.0},
+    }
+    with pytest.raises(ConfigValidationError, match="trainFraction"):
+        load_config(raw)
+
+
+def test_load_config_valid_nested_json_passes():
+    cfg = load_config(
+        {
+            "project": {"data": {"responseVariable": "response"}},
+            "sampling": {"type": "random", "trainFraction": 0.7},
+            "model": {"algorithm": "naive_bayes"},
+        }
+    )
+    assert cfg.algorithm == "naive_bayes" and cfg.train_fraction == 0.7
+
+
+def test_every_declared_check_is_well_formed():
+    """Guard the check table itself: ranges parse, datatypes are known,
+    patterns compile."""
+    import re
+
+    for step, checks in CONFIG_CHECKS.items():
+        for c in checks:
+            assert c.datatype in ("string", "int", "float", "boolean"), (step, c.path)
+            if c.pattern:
+                re.compile(c.pattern)
+            if c.range:
+                lo, hi = (float(x) for x in c.range.split("-"))
+                assert lo <= hi, (step, c.path)

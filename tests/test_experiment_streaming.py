@@ -403,7 +403,7 @@ def test_config_loading_and_scopes(spark, tmp_path):
 
     bad = dict(raw)
     bad["model"] = {"algorithm": "xgboost"}
-    with pytest.raises(ValueError, match="unknown algorithm"):
+    with pytest.raises(ValueError, match="model.algorithm"):
         load_config(bad)
     bad2 = {"project": {"data": {"responseVariable": "r", "numPages": 2}}}
     with pytest.raises(ValueError, match="pageVariable"):
