@@ -40,8 +40,16 @@ HEADLINE = [
     "x16_minhash_lsh_bands",
     "x22_quantile_binning",
     "x23_preprocess_chain",
+    "x31_anti_join",
+    "x32_semi_join",
+    "x33_rollup",
+    "x34_pivot",
+    "x35_minhash_dedup_e2e",
+    "x36_conditional_balance",
+    "x37_word_class_replace",
     "x38_cube",
     "x39_intersect",
+    "x40_grouping_sets",
 ]
 
 

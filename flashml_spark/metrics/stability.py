@@ -51,23 +51,36 @@ def empty_psi_buckets(base: DataFrame, new: DataFrame, score_col: str,
     return sorted(r["__bucket"] for r in b.subtract(n).collect())
 
 
-def vsi(base: DataFrame, new: DataFrame, var_col: str) -> dict:
+def vsi(base: DataFrame, new: DataFrame, var_col: str,
+        max_reported_values: int = 1000) -> dict:
     """Variable-stability index for one categorical variable + the value
-    sets missing from / new to the serving data."""
+    sets missing from / new to the serving data.
+
+    The missing/new lists are driver-side reports, so they are capped at
+    ``max_reported_values`` per side (a variable mistakenly declared
+    categorical — e.g. a user id — would otherwise materialize its whole
+    domain on the driver).  ``missingTruncated``/``newTruncated`` flag when
+    the cap was hit; the VSI sum itself is unaffected (computed
+    distributed, joined values only)."""
     b = base.groupBy(var_col).agg(F.count(F.lit(1)).alias("cnt_base"))
     n = new.groupBy(var_col).agg(F.count(F.lit(1)).alias("cnt_new"))
     joined = b.join(n, var_col)
     row = psi_from_bucket_counts(joined, "cnt_base", "cnt_new", out_col="vsi").first()
+    cap = max_reported_values + 1  # fetch one extra to detect truncation
     missing = sorted(
-        r[var_col] for r in b.select(var_col).subtract(n.select(var_col)).collect()
+        r[var_col]
+        for r in b.select(var_col).subtract(n.select(var_col)).limit(cap).collect()
     )
     new_values = sorted(
-        r[var_col] for r in n.select(var_col).subtract(b.select(var_col)).collect()
+        r[var_col]
+        for r in n.select(var_col).subtract(b.select(var_col)).limit(cap).collect()
     )
     return {
         "vsi": row["vsi"] if row and row["vsi"] is not None else 0.0,
-        "missingValues": missing,
-        "newValues": new_values,
+        "missingValues": missing[:max_reported_values],
+        "newValues": new_values[:max_reported_values],
+        "missingTruncated": len(missing) > max_reported_values,
+        "newTruncated": len(new_values) > max_reported_values,
     }
 
 

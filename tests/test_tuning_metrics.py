@@ -131,6 +131,18 @@ def test_vsi(spark):
     out = vsi(base, new, "v")
     assert out["vsi"] > 0.0
     assert out["newValues"] == ["c"] and out["missingValues"] == []
+    assert out["newTruncated"] is False and out["missingTruncated"] is False
+
+
+def test_vsi_report_capped_for_high_cardinality(spark):
+    """A variable mistakenly declared categorical (id-like) must not ship
+    its whole domain to the driver: reports cap at max_reported_values with
+    a truncation flag, VSI value itself unaffected."""
+    base = spark.range(500).selectExpr("concat('u', id) AS v")
+    new = spark.range(400, 900).selectExpr("concat('u', id) AS v")
+    out = vsi(base, new, "v", max_reported_values=50)
+    assert len(out["missingValues"]) == 50 and out["missingTruncated"] is True
+    assert len(out["newValues"]) == 50 and out["newTruncated"] is True
 
 
 def test_random_param_sets_deterministic():
