@@ -5,11 +5,12 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the
 only sane shape for Python media libs at scale (per-batch amortized
 overhead, no per-row pickling, executor-parallel).
 
-The actual codec step is STUBBED in this environment (no PIL/ffmpeg in the
-container): ``decode_image_meta`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a DETERMINISTIC md5-derived fake
-(so the full Spark plumbing — schema, Arrow batches, partitioning — is
-real and test-covered; swap ``_fake_decode`` for the PIL call in prod).
+The codec step has two paths: ``fake=True`` produces a DETERMINISTIC
+md5-derived fake (so the full Spark plumbing — schema, Arrow batches,
+partitioning — is real and test-covered everywhere), and ``fake=False``
+decodes for real via PIL (dimensions + 8x8 average-hash), raising
+``NotImplementedError`` where PIL is not installed — as in this container,
+where the real-codec test import-skips.
 """
 
 from __future__ import annotations
@@ -67,22 +68,43 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, d[:16]
 
 
+def _real_decode(payload: bytes) -> tuple[int, int, str]:
+    """Real image decode (PIL): dimensions + 8x8 average perceptual hash.
+    Raises NotImplementedError where PIL is not installed (this container)
+    — the test for this path is import-gated accordingly."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not in this environment"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    gray = img.convert("L").resize((8, 8))
+    px = list(gray.getdata())
+    avg = sum(px) / 64.0
+    bits = 0
+    for i, p in enumerate(px):
+        if p >= avg:
+            bits |= 1 << i
+    return width, height, f"{bits:016x}"
+
+
 def decode_media(df: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
     """Decode media payloads to metadata via Arrow-batched mapInPandas.
 
-    ``fake=False`` is the production path (real codec) — not available in
-    this container, raises NotImplementedError inside the executor task.
+    ``fake=False`` is the production path: PIL decode inside the executor
+    task, NotImplementedError where PIL is missing (as in this container).
     """
 
     def decode_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        codec = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this environment"
-                )
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [codec(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
