@@ -78,6 +78,7 @@ _KEY_MAP = {
     "sampling.trainFraction": "train_fraction",
     "sampling.conditions": "conditions",
     "sampling.seed": "seed",
+    "featuregeneration.binning": "binning",
     "vectorization.text.method": "text_method",
     "vectorization.text.slots": "slots",
     "model.algorithm": "algorithm",
@@ -310,5 +311,22 @@ def _validate(cfg: ExperimentConfig) -> None:
         problems.append(f"unknown text method {cfg.text_method!r}")
     if cfg.algorithm not in ALGORITHMS:
         problems.append(f"unknown algorithm {cfg.algorithm!r}")
+    if cfg.binning:
+        from flashml_spark.operators.binning import BINNING_METHODS
+
+        per_page = cfg.binning if isinstance(cfg.binning[0], list) else [cfg.binning]
+        if isinstance(cfg.binning[0], list) and len(cfg.binning) != cfg.num_pages:
+            problems.append(
+                f"perPage binning needs {cfg.num_pages} page entries, got {len(cfg.binning)}"
+            )
+        for specs in per_page:
+            for spec in specs:
+                var = spec.get("variable")
+                if var not in cfg.numerical_cols:
+                    problems.append(f"binning variable {var!r} not in numericalVariables")
+                if spec.get("type", "equidistant") not in BINNING_METHODS:
+                    problems.append(f"unknown binning type {spec.get('type')!r}")
+                if spec.get("type") == "intervals" and not spec.get("splits"):
+                    problems.append(f"binning {var!r}: type intervals needs splits")
     if problems:
         raise ValueError("invalid config: " + "; ".join(problems))

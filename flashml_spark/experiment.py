@@ -50,6 +50,14 @@ class ExperimentConfig:
     train_fraction: float = 0.8
     conditions: list[str] = field(default_factory=list)
     seed: int = 20
+    # feature generation: binning specs — flat list (noPage/allPage: same
+    # specs every page) or list-of-lists (perPage).  Each spec:
+    # {"variable": <numerical col>, "type": equidistant|equiarea|
+    #  equiarea_exact|intervals, "buckets": N | "splits": [..]}.
+    # The binned output is page-qualified (<var>_page<k>_binned) and the
+    # variable moves numerical -> categorical for vectorization
+    # (ConfigValues.scala:104-119,380-430).
+    binning: list = field(default_factory=list)
     # vectorization
     text_method: str = "tfidf"
     slots: int = 1000
@@ -133,10 +141,33 @@ class Experiment:
         return train, test
 
     # ---- per-page feature pipeline (everything before the estimator) ----
-    def _build_prep_stages(self) -> list:
+    def _build_prep_stages(self, page: int = 0) -> list:
         c = self.config
         stages = []
         feature_vec_cols = []
+        # feature generation: binning first — binned variables leave the
+        # numerical list and their page-qualified outputs join the
+        # categorical list (ConfigValues.scala:104-119,380-430)
+        from flashml_spark.operators.binning import (
+            BinningEstimator,
+            binning_specs_for_page,
+            resolve_binned_roles,
+        )
+
+        bin_specs = binning_specs_for_page(c.binning, page)
+        numerical_cols, categorical_cols, renames = resolve_binned_roles(
+            c.numerical_cols, c.categorical_cols, bin_specs, page + 1
+        )
+        for spec, (_, out_name) in zip(bin_specs, renames):
+            stages.append(
+                BinningEstimator(
+                    inputCol=spec["variable"],
+                    outputCol=out_name,
+                    method=spec.get("type", "equidistant"),
+                    numBuckets=int(spec.get("buckets", 10)),
+                    splits=[float(s) for s in spec["splits"]] if "splits" in spec else None,
+                )
+            )
         for col in c.text_cols:
             toks = f"{col}__toks"
             stages.append(
@@ -147,17 +178,17 @@ class Experiment:
             vec = f"{col}__vec"
             stages.extend(build_text_vectorizer(c.text_method, toks, vec, c.slots))
             feature_vec_cols.append(vec)
-        if c.categorical_cols:
+        if categorical_cols:
             from flashml_spark.features import CategoricalConcat
 
             stages.append(
-                CategoricalConcat(inputCols=c.categorical_cols, outputCol="categorical_array")
+                CategoricalConcat(inputCols=categorical_cols, outputCol="categorical_array")
             )
             stages.extend(
                 build_text_vectorizer("count_vectorizer", "categorical_array", "cat__vec", c.slots)
             )
             feature_vec_cols.append("cat__vec")
-        numerical = [n for n in c.numerical_cols if n != c.uplift_treatment]
+        numerical = [n for n in numerical_cols if n != c.uplift_treatment]
         stages.append(
             build_assembler(
                 feature_vec_cols,
@@ -350,7 +381,7 @@ class Experiment:
                 tr_v = sp.load("vectorization", "train", page=k).persist()
                 te = sp.load("vectorization", "test", page=k)
             else:
-                prep = Pipeline(stages=self._build_prep_stages()).fit(tr)
+                prep = Pipeline(stages=self._build_prep_stages(page=k)).fit(tr)
                 tr_v = prep.transform(tr)
                 te = prep.transform(te)
                 if sp:
@@ -404,6 +435,21 @@ class Experiment:
             tr_v.unpersist()
 
             scored = relational.post_predict_filter(scored, c.post_predict_filter)
+            if c.binning:
+                # per-page binned columns are page-qualified intermediates
+                # (<var>_page<k>_binned) — drop before the cross-page union,
+                # which unions by name
+                from flashml_spark.operators.binning import (
+                    binning_output_name,
+                    binning_specs_for_page,
+                )
+
+                scored = scored.drop(
+                    *[
+                        binning_output_name(s["variable"], k + 1)
+                        for s in binning_specs_for_page(c.binning, k)
+                    ]
+                )
             scored_pages.append(scored)
             if sp:
                 sp.save(

@@ -74,11 +74,129 @@ def bin_equiarea(df: DataFrame, col: str, n: int, out_col: str | None = None,
     """N quantile buckets (``FeatureGenerationEngine.scala:310-318``) via
     ``approxQuantile`` (Greenwald-Khanna sketch — single pass, mergeable
     across 1000 executors; exact sort at 100 TB would be a full shuffle)."""
+    return bin_intervals(df, col, equiarea_splits(df, col, n, relative_error), out_col)
+
+
+def equiarea_splits(df: DataFrame, col: str, n: int,
+                    relative_error: float = 1e-4) -> list[float]:
+    """GK-sketch quantile split points, deduped over constant regions."""
     qs = [i / n for i in range(1, n)]
     splits = df.approxQuantile(col, qs, relative_error)
-    # dedupe non-increasing split points (constant regions)
     uniq: list[float] = []
     for s in splits:
         if not uniq or s > uniq[-1]:
             uniq.append(s)
-    return bin_intervals(df, col, uniq, out_col)
+    return uniq
+
+
+# ---------------------------------------------------------------------------
+# Binned-column promotion (ConfigValues.scala:104-119,380-430): a numeric
+# variable binned on page k materializes as ``<var>_page<k>_binned``, LEAVES
+# the numerical list and JOINS the categorical list for vectorization —
+# while publish/QA keep addressing the originally-declared variables.
+# ---------------------------------------------------------------------------
+
+from pyspark import keyword_only  # noqa: E402
+from pyspark.ml import Estimator, Transformer  # noqa: E402
+from pyspark.ml.param import Param, Params, TypeConverters  # noqa: E402
+from pyspark.ml.param.shared import HasInputCol, HasOutputCol  # noqa: E402
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable  # noqa: E402
+
+BINNING_METHODS = ("equidistant", "equiarea", "equiarea_exact", "intervals")
+
+
+def binning_output_name(var: str, page: int) -> str:
+    """Auto-generated binned column name, 1-indexed page
+    (``ConfigValues.scala:401,414,430``)."""
+    return f"{var}_page{page}_binned"
+
+
+def resolve_binned_roles(
+    numerical_cols: list[str],
+    categorical_cols: list[str],
+    binning_specs: list[dict],
+    page: int,
+) -> tuple[list[str], list[str], list[tuple[str, str]]]:
+    """Column-role bookkeeping for one page: binned inputs leave the
+    numerical list, their page-qualified output names join the categorical
+    list.  Returns ``(numerical, categorical, renames)`` where renames is
+    ``[(input_var, output_name), ...]``.  Callers doing publish/QA keep the
+    original declared lists (``ConfigValues.scala:104-106``)."""
+    binned_vars = [s["variable"] for s in binning_specs]
+    renames = [(v, binning_output_name(v, page)) for v in binned_vars]
+    numerical = [n for n in numerical_cols if n not in binned_vars]
+    categorical = list(categorical_cols) + [out for _, out in renames]
+    return numerical, categorical, renames
+
+
+def binning_specs_for_page(binning: list, page: int) -> list[dict]:
+    """Scope resolution for the binning config: a flat list applies to
+    every page (noPage/allPage), a list-of-lists is perPage."""
+    if not binning:
+        return []
+    if isinstance(binning[0], list):
+        return binning[page]
+    return binning
+
+
+class BinningModel(
+    Transformer, HasInputCol, HasOutputCol, DefaultParamsReadable, DefaultParamsWritable
+):
+    """Fitted binning stage: applies the CASE-chain bucket assignment for
+    stored inner split points.  Params-serializable, so a PipelineModel
+    containing it round-trips ``save -> load -> transform``."""
+
+    splits = Param(
+        Params._dummy(), "splits", "inner split points (ascending)",
+        typeConverter=TypeConverters.toListFloat,
+    )
+
+    @keyword_only
+    def __init__(self, inputCol=None, outputCol=None, splits=None):
+        super().__init__()
+        self._set(**{k: v for k, v in self._input_kwargs.items() if v is not None})
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.getOutputCol(),
+            bucket_expr(F.col(self.getInputCol()), self.getOrDefault("splits")),
+        )
+
+
+class BinningEstimator(Estimator, HasInputCol, HasOutputCol):
+    """Fits split points on the TRAIN frame (like the reference's
+    FeatureGenerationEngine binning stage) and returns a
+    :class:`BinningModel`.  ``method``: equidistant | equiarea |
+    equiarea_exact | intervals (pre-supplied splits)."""
+
+    method = Param(Params._dummy(), "method", "binning method",
+                   typeConverter=TypeConverters.toString)
+    numBuckets = Param(Params._dummy(), "numBuckets", "bucket count",
+                       typeConverter=TypeConverters.toInt)
+    splits = Param(Params._dummy(), "splits", "inner split points for method=intervals",
+                   typeConverter=TypeConverters.toListFloat)
+
+    @keyword_only
+    def __init__(self, inputCol=None, outputCol=None, method="equidistant",
+                 numBuckets=10, splits=None):
+        super().__init__()
+        self._setDefault(method="equidistant", numBuckets=10)
+        self._set(**{k: v for k, v in self._input_kwargs.items() if v is not None})
+
+    def _fit(self, df: DataFrame) -> BinningModel:
+        col = self.getInputCol()
+        method = self.getOrDefault("method")
+        n = self.getOrDefault("numBuckets")
+        if method == "equidistant":
+            splits = equidistant_splits(df, col, n)
+        elif method == "equiarea":
+            splits = equiarea_splits(df, col, n)
+        elif method == "equiarea_exact":
+            splits = exact_quantile_splits(df, col, n)
+        elif method == "intervals":
+            splits = list(self.getOrDefault("splits"))
+        else:
+            raise ValueError(f"unknown binning method {method!r}; expected one of {BINNING_METHODS}")
+        return BinningModel(
+            inputCol=col, outputCol=self.getOutputCol(), splits=[float(s) for s in splits]
+        )
