@@ -50,6 +50,12 @@ HEADLINE = [
     "x38_cube",
     "x39_intersect",
     "x40_grouping_sets",
+    "x41_asof_join",
+    "x42_range_join_pairs",
+    "x43_star_join_revenue",
+    "x44_rollup_merge",
+    "x45_shingle_df",
+    "x46_quality_filter",
 ]
 
 

@@ -106,3 +106,30 @@ def sliding_window_agg(
             F.col("w.start").cast("long").alias("ws"), key_col, "n", "total"
         )
     )
+
+
+def multi_granularity_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    fine: str = "minute",
+    coarse: str = "hour",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: build the COARSE
+    aggregate from the FINE one (``count``/``sum`` are mergeable), not from
+    raw events.  At 100 TB the fine aggregate is the materialized rollup a
+    pipeline maintains incrementally; hourly/daily views re-aggregate
+    ~60-1440x fewer rows instead of rescanning the event log.  Returns
+    ``ws, <key>, n, total`` at the coarse grain — identical to aggregating
+    raw events directly (the oracle checks exactly that).
+    """
+    fine_agg = df.groupBy(
+        F.date_trunc(fine, F.col(ts_col)).alias("__fine_ws"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total"))
+    return fine_agg.groupBy(
+        F.date_trunc(coarse, F.col("__fine_ws")).alias("ws"), F.col(key_col)
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("total"), 6).alias("total"),
+    )

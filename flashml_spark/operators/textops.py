@@ -171,3 +171,62 @@ def normalize_text(text: Column) -> Column:
 
 def with_normalized_text(df: DataFrame, text_col: str, out_col: str = "norm_text") -> DataFrame:
     return df.withColumn(out_col, normalize_text(F.col(text_col)))
+
+
+# --- corpus-level statistics -----------------------------------------------
+
+
+def shingle_doc_frequency(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` word n-gram shingles by DOCUMENT frequency (distinct
+    docs containing the shingle) — the corpus scan that calibrates the
+    ``max_df`` stop-shingle cap in :func:`dedup.ngram_jaccard_pairs`.
+
+    Plan: per-doc distinct shingles (``array_distinct``, no shuffle) →
+    explode → one hash agg on shingle → ``TakeOrderedAndProject`` for the
+    top-k (per-partition heaps; never a global sort).  Ties broken by
+    shingle text so the result is deterministic.
+    """
+    shingles = H.word_ngrams(H.tokens(F.col(text_col)), n)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+    return (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle"))
+        .limit(top_k)
+    )
+
+
+# --- composite keep/drop filter --------------------------------------------
+
+
+def quality_filter_verdict(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Corpus curation verdict: first-failing-check reason per document
+    (``too_short`` | ``too_long`` | ``low_quality`` | ``lang_mismatch`` |
+    ``ok``) plus a ``keep`` flag.  Composes the token-count, quality-score
+    and language-ID operators into the single fused projection a cleaning
+    pipeline runs before dedup — still zero shuffles, whole-stage codegen.
+
+    The quality check compares the ROUNDED (6 dp) score so the decision
+    boundary is bit-identical to the SQL oracle.
+    """
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    quality = F.round(quality_score(text), 6)
+    reason = F.when(n_tok < min_tokens, "too_short").when(
+        n_tok > max_tokens, "too_long"
+    ).when(quality < min_quality, "low_quality")
+    if lang_col is not None:
+        reason = reason.when(predict_lang(text) != F.col(lang_col), "lang_mismatch")
+    reason = reason.otherwise("ok")
+    return df.withColumn("reason", reason).withColumn("keep", F.col("reason") == "ok")

@@ -356,3 +356,4 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 # import for registration side-effect (extension queries x01..x26)
 from flashml_spark import queries_ext  # noqa: E402,F401
 from flashml_spark import queries_ext2  # noqa: E402,F401
+from flashml_spark import queries_ext3  # noqa: E402,F401
