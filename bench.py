@@ -56,6 +56,8 @@ HEADLINE = [
     "x44_rollup_merge",
     "x45_shingle_df",
     "x46_quality_filter",
+    "x47_label_centroids",
+    "x48_session_funnel",
 ]
 
 

@@ -133,3 +133,42 @@ def multi_granularity_rollup(
         F.sum("n").alias("n"),
         F.round(F.sum("total"), 6).alias("total"),
     )
+
+
+def funnel_stats(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session funnel conversion: one summary row counting sessions that
+    reached each stage, where stage k counts only if its earliest event is
+    no earlier than stage k-1's earliest (weak ordering; NULL-safe).
+
+    Plan: sessionize (one shuffle on user) → conditional-min per
+    (user, session) reusing that partitioning → single-row final agg.
+    """
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    mins = [
+        F.min(F.when(F.col(type_col) == st, F.col(ts_col))).alias(f"__t{i}")
+        for i, st in enumerate(stages)
+    ]
+    per = s.groupBy(user_col, "session_idx").agg(*mins)
+
+    def one_if(cond):
+        # NULL-safe 0/1: a NULL condition (missing stage) counts as 0, and
+        # SUM never collapses to NULL when no session reaches the stage
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    reached = F.col("__t0").isNotNull()
+    aggs = [
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(one_if(reached)).alias("n_s0"),
+    ]
+    for i in range(1, len(stages)):
+        reached = reached & (F.col(f"__t{i}") >= F.col(f"__t{i-1}"))
+        aggs.append(F.sum(one_if(reached)).alias(f"n_s{i}"))
+    return per.agg(*aggs)

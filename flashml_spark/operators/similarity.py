@@ -301,3 +301,45 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label mean embedding: ``<label>, centroid`` (array<double>).
+
+    Distributed elementwise mean via posexplode → hash agg on
+    (label, pos) → re-assemble sorted by position.  The explode multiplies
+    rows by dim, but partial aggregation collapses map-side to
+    |labels| x dim partials before the (tiny) shuffle — this is the
+    100 TB-safe pattern; ``collect_list`` of whole vectors would move every
+    embedding to one reducer per label.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    cent = ex.groupBy(label_col, "pos").agg(F.avg("v").alias("m"))
+    return (
+        cent.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__sm"))
+        .select(
+            label_col, F.transform("__sm", lambda s: s.getField("m")).alias("centroid")
+        )
+    )
+
+
+def label_centroid_similarity(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Pairwise cosine between label centroids: ``label_a, label_b, cos``
+    for label_a < label_b.  The centroid table is |labels| rows — the
+    pairwise step is an explicit broadcast of a tiny frame, never a
+    shuffle of the embeddings themselves."""
+    cent = label_centroids(df, vec_col, label_col)
+    a = cent.select(F.col(label_col).alias("label_a"), F.col("centroid").alias("__ca"))
+    b = cent.select(F.col(label_col).alias("label_b"), F.col("centroid").alias("__cb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(V.cosine(F.col("__ca"), F.col("__cb")), 6).alias("cos"),
+        )
+    )

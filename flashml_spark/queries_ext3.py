@@ -199,3 +199,56 @@ def x46(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     verdicts = textops.quality_filter_verdict(docs, "text", lang_col="lang")
     return verdicts.select("doc_id", "reason", "keep")
+
+
+# x47 — per-label centroid cosine matrix.  Distributed elementwise mean
+# (posexplode + hash agg) — never collect_list of whole vectors.
+@register(
+    "x47_label_centroids",
+    """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings),
+        c AS (SELECT label, pos, AVG(v) AS m FROM e GROUP BY label, pos),
+        cent AS (SELECT label, array_agg(m ORDER BY pos) AS centroid
+                 FROM c GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               ROUND(list_dot_product(a.centroid, b.centroid)
+                     / (sqrt(list_dot_product(a.centroid, a.centroid))
+                        * sqrt(list_dot_product(b.centroid, b.centroid))), 6) AS cos
+        FROM cent a JOIN cent b ON a.label < b.label""",
+)
+def x47(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.label_centroid_similarity(emb, "embedding", "label")
+
+
+# x48 — sessionized funnel conversion (view -> click -> purchase), weak
+# stage ordering by earliest-event timestamps, 30-minute session gap.
+@register(
+    "x48_session_funnel",
+    """WITH s0 AS (
+         SELECT user_id, event_id, ts, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                             - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+             FROM s0),
+       f AS (SELECT user_id, session_idx,
+                    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+             FROM s GROUP BY user_id, session_idx)
+       SELECT COUNT(*) AS n_sessions,
+              CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_s0,
+              CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1,
+              CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_s2
+       FROM f""",
+)
+def x48(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return events.funnel_stats(ev, stages=("view", "click", "purchase"))
