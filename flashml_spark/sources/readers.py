@@ -69,6 +69,11 @@ def load_table(
                 df = df.withColumn(
                     "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
                 )
+            elif field == "ts" and dtype == "timestamp_ntz":
+                # micros-NTZ variant of the testdata: normalize to TIMESTAMP
+                # (instant) — wall-clock-preserving under the UTC session tz,
+                # and required by epoch casts and streaming watermarks
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if parallelize:

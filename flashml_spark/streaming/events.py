@@ -15,8 +15,25 @@ regardless of stream length; keys partition the state store.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _watermarked(stream: DataFrame, ts_col: str, watermark: str) -> tuple[DataFrame, bool]:
+    """Apply the event-time watermark, casting TIMESTAMP_NTZ event time to
+    TIMESTAMP first (watermarks require an instant type,
+    [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]).  Session timezone is pinned to
+    UTC in ``session.get_spark`` so the cast is wall-clock-preserving.
+    Returns the watermarked stream and whether the cast happened, so window
+    bounds can be cast back and keep the batch operators' NTZ schema."""
+    was_ntz = dict(stream.dtypes).get(ts_col) == "timestamp_ntz"
+    if was_ntz:
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark), was_ntz
+
+
+def _bound(col: Column, was_ntz: bool) -> Column:
+    return col.cast("timestamp_ntz") if was_ntz else col
 
 
 def read_event_stream(
@@ -41,14 +58,14 @@ def streaming_window_agg(
 ) -> DataFrame:
     """Watermarked tumbling-window count/sum per key — same expression as
     ``operators.events.tumbling_window_agg``."""
+    wm, was_ntz = _watermarked(stream, ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        wm.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(value_col), 6).alias("total"),
         )
-        .select(F.col("w.start").alias("ws"), key_col, "n", "total")
+        .select(_bound(F.col("w.start"), was_ntz).alias("ws"), key_col, "n", "total")
     )
 
 
@@ -62,17 +79,17 @@ def streaming_session_stats(
 ) -> DataFrame:
     """Gap-based sessions via ``session_window`` — one row per closed
     session: ``user_id, session_start, session_end, n_events, total``."""
+    wm, was_ntz = _watermarked(stream, ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(user_col))
+        wm.groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(user_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("total"),
         )
         .select(
             user_col,
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
+            _bound(F.col("sw.start"), was_ntz).alias("session_start"),
+            _bound(F.col("sw.end"), was_ntz).alias("session_end"),
             "n_events",
             "total",
         )
@@ -90,9 +107,9 @@ def streaming_sliding_window_agg(
 ) -> DataFrame:
     """Watermarked hopping-window aggregation — streaming twin of
     ``operators.events.sliding_window_agg``."""
+    wm, _ = _watermarked(stream, ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col(key_col))
+        wm.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(value_col), 6).alias("total"),
