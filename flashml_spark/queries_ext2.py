@@ -445,8 +445,26 @@ def x34(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # x35 — end-to-end minhash dedup (LSH candidates → transitive components →
-#       keep min id per group); iterative — non-SQL-expressible → rows-only
-@register("x35_minhash_dedup_e2e", None)
+#       keep min id per group).  The iterative min-label propagation IS
+#       SQL-expressible as a recursive reachability CTE: every vertex
+#       collects the labels of all vertices that can reach it (undirected ⇒
+#       reachable set = component), so MIN(label) = min id of the component
+#       — exactly what connected_components converges to.  The candidate
+#       edges reuse x16's band-key SQL verbatim.
+def _minhash_dedup_oracle() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_mh_band_oracle()}),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, lbl) AS (
+         SELECT src, src FROM sym
+         UNION
+         SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+       comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+       SELECT * FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)"""
+
+
+@register("x35_minhash_dedup_e2e", _minhash_dedup_oracle())
 def x35(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.minhash_dedup(docs, "text", "doc_id")
