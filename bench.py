@@ -58,6 +58,12 @@ HEADLINE = [
     "x46_quality_filter",
     "x47_label_centroids",
     "x48_session_funnel",
+    "x49_repetition_ratio",
+    "x50_token_topk_per_lang",
+    "x51_source_quota_sample",
+    "x52_length_deciles",
+    "x53_simhash_hamming_pairs",
+    "x54_corr_matrix",
 ]
 
 

@@ -71,3 +71,58 @@ def global_cumsum(
             F.sum(c).over(w) + F.coalesce(omap[F.col("__pid")], F.lit(0)),
         )
     return out.drop("__pid")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_col: str,
+    n: int,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equal-count buckets (SQL ``NTILE(n)``) in global ``order_col`` order
+    without a single-partition window.
+
+    Same machinery as ``global_cumsum``: range-repartition on the order key
+    (partition order == sort order), per-partition row counts to the driver
+    (|partitions| scalars), then a within-partition ``row_number`` plus the
+    partition's offset gives the global rank.  The bucket follows from the
+    standard NTILE arithmetic ``floor((rank-1) * n / total) + 1`` — larger
+    buckets first, sizes differ by at most one, bit-identical to DuckDB /
+    ANSI NTILE for a deterministic total order (supply tie-break columns).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ties = tiebreak_cols or []
+    keys = [F.col(order_col).asc()] + [F.col(c).asc() for c in ties]
+    ranged = df.repartitionByRange(n_parts, *keys).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    omap = F.create_map(
+        *[lit for pid in offsets for lit in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*keys)
+    rank = F.row_number().over(w) + F.coalesce(omap[F.col("__pid")], F.lit(0))
+    # ANSI NTILE hands the remainder rows to the FIRST total%n buckets
+    # (sizes base+1), not spread across them — branch on the cutover rank
+    base, rem = divmod(total, n)
+    cut = rem * (base + 1)
+    if base == 0:
+        bucket = rank  # fewer rows than buckets: one row per bucket
+    else:
+        bucket = F.when(
+            rank <= cut, F.floor((rank - 1) / F.lit(base + 1)) + 1
+        ).otherwise(F.lit(rem) + F.floor((rank - 1 - cut) / F.lit(base)) + 1)
+    return ranged.withColumn(out_col, bucket.cast("int")).drop("__pid")

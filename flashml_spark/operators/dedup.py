@@ -312,3 +312,71 @@ def minhash_dedup(
     comp = connected_components(pairs)
     dupes = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(dupes, df[id_col] == dupes["id"], "left_anti")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within a SimHash Hamming radius, via bit-band LSH.
+
+    The ``bits``-bit fingerprint splits into ``bands`` equal slices; docs
+    sharing ANY slice value become candidates (one shuffle on the band
+    key), then candidates are verified with ``bit_count(a XOR b)``.  By
+    pigeonhole the recall is EXACT for ``max_hamming <= bands - 1``: a
+    pair differing in ≤ bands-1 bit positions must agree on at least one
+    whole band.  Same bucket-pair generation as the minhash LSH path —
+    per-bucket sorted (id, fp) lists, no self-join, one signature pass.
+
+    Output: ``id_a, id_b, hamming`` (id_a < id_b).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"bands-1={bands - 1}; raise bands or lower the radius"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = with_simhash(df, text_col, bits, out_col="__fp")
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                (F.shiftright(F.col("__fp"), b * width).bitwiseAND(mask)).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = fp.select(
+        F.struct(F.col(id_col).alias("id"), F.col("__fp").alias("fp")).alias("v"),
+        F.explode(band_keys).alias("band_key"),
+    )
+    buckets = exploded.groupBy("band_key").agg(
+        F.sort_array(F.collect_set("v")).alias("vs")
+    )
+    n = F.size("vs")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("vs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("vs"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"), F.col("p.hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -170,3 +170,34 @@ def minority_fraction(df: DataFrame, label_col: str, positive_label) -> float:
         F.count(F.when(F.col(label_col) == positive_label, 1)).alias("pos"),
     ).first()
     return (row["pos"] / row["n"]) if row["n"] else 0.0
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group quota sample: keep the first ``k`` rows of
+    each group in md5(id) order (a fixed pseudo-random shuffle — the same
+    rows survive on every engine and every run).  The curation use-case is
+    per-source / per-language corpus quotas.
+
+    Shape: one shuffle on the group key; the ranked window runs per group.
+    For groups too large to rank in one task, the two-pass threshold
+    variant (``balance_conditional`` on the derived random variable) is
+    the approximate scale path — this exact variant is for quota sizes
+    where per-group ranking is acceptable (k and group counts both
+    bounded).
+    """
+    from pyspark.sql import Window as W
+
+    from flashml_spark.functions import hashing as H
+
+    order = H.md5_hex(F.col(id_col).cast("string").cast("binary"))
+    w = W.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col:
+        return ranked.withColumnRenamed("__rn", rank_col)
+    return ranked.drop("__rn")

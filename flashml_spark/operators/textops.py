@@ -230,3 +230,48 @@ def quality_filter_verdict(
         reason = reason.when(predict_lang(text) != F.col(lang_col), "lang_mismatch")
     reason = reason.otherwise("ok")
     return df.withColumn("reason", reason).withColumn("keep", F.col("reason") == "ok")
+
+
+# --- corpus statistics ------------------------------------------------------
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Within-document duplicate n-gram fraction: 1 - |distinct n-grams| /
+    |n-grams| (0.0 for documents with fewer than ``n`` tokens).  A standard
+    quality signal for filtering boilerplate / keyboard-mash documents
+    (high ratio ⇒ heavy internal repetition).  Pure per-row array HOFs —
+    zero shuffle, whole-stage codegen."""
+    grams = H.word_ngrams(H.tokens(text), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def with_repetition_ratio(
+    df: DataFrame, text_col: str, n: int = 2, out_col: str = "rep_ratio"
+) -> DataFrame:
+    return df.withColumn(out_col, repetition_ratio(F.col(text_col), n))
+
+
+def token_topk_per_group(
+    df: DataFrame, text_col: str, group_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k most frequent tokens per group (e.g. per language): explode →
+    hash-agg on (group, token) — map-side partial aggregation absorbs the
+    explode fan-out — then a per-group ranked window over the aggregated
+    (group, token) counts.  The window partitions by group over COUNTS
+    (bounded by vocabulary size, not corpus size), so one group's vocab fits
+    a task even when its documents don't.  Ties break token-ascending.
+    Output: ``<group_col>, token, n, rn``."""
+    from flashml_spark.operators.relational import top_n_per_group
+
+    counts = (
+        df.select(F.col(group_col), F.explode(H.tokens(F.col(text_col))).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_n_per_group(
+        counts, [group_col], "n", k, descending=True, tiebreak_cols=["token"]
+    )

@@ -357,3 +357,4 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 from flashml_spark import queries_ext  # noqa: E402,F401
 from flashml_spark import queries_ext2  # noqa: E402,F401
 from flashml_spark import queries_ext3  # noqa: E402,F401
+from flashml_spark import queries_ext4  # noqa: E402,F401

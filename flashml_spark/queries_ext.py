@@ -74,18 +74,23 @@ def x03(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # x04 — simhash fingerprint buckets
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_fp_sql(bits: int = 16) -> str:
+    """``doc_id, simhash`` fingerprint subquery — shared by x04 (exact
+    buckets) and x53 (Hamming-radius pairs)."""
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return f"""WITH th AS (
-         SELECT doc_id,
-                list_transform({_TOK},
-                   t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)) AS hs
-         FROM documents),
-       fp AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM th)
+    return f"""SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+       FROM (SELECT doc_id,
+                    list_transform({_TOK},
+                       t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)) AS hs
+             FROM documents) th"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    return f"""WITH fp AS ({_simhash_fp_sql(bits)})
        SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
        FROM fp GROUP BY simhash"""
 
