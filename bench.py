@@ -64,6 +64,10 @@ HEADLINE = [
     "x52_length_deciles",
     "x53_simhash_hamming_pairs",
     "x54_corr_matrix",
+    "x55_contamination_scan",
+    "x56_quality_percentiles_by_lang",
+    "x57_keep_best_dedup",
+    "x58_quantization_error",
 ]
 
 

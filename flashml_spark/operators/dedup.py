@@ -329,8 +329,8 @@ def simhash_hamming_pairs(
     key), then candidates are verified with ``bit_count(a XOR b)``.  By
     pigeonhole the recall is EXACT for ``max_hamming <= bands - 1``: a
     pair differing in ≤ bands-1 bit positions must agree on at least one
-    whole band.  Same bucket-pair generation as the minhash LSH path —
-    per-bucket sorted (id, fp) lists, no self-join, one signature pass.
+    whole band.  The fingerprint frame is checkpointed (one signature
+    pass), then pairs come from a co-partitioned band-key self-join.
 
     Output: ``id_a, id_b, hamming`` (id_a < id_b).
     """
@@ -347,36 +347,85 @@ def simhash_hamming_pairs(
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
-                (F.shiftright(F.col("__fp"), b * width).bitwiseAND(mask)).cast("string"),
+                (F.shiftright(F.col("fp"), b * width).bitwiseAND(mask)).cast("string"),
             )
             for b in range(bands)
         ]
     )
-    exploded = fp.select(
-        F.struct(F.col(id_col).alias("id"), F.col("__fp").alias("fp")).alias("v"),
-        F.explode(band_keys).alias("band_key"),
-    )
-    buckets = exploded.groupBy("band_key").agg(
-        F.sort_array(F.collect_set("v")).alias("vs")
-    )
-    n = F.size("vs")
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("vs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("vs"), i + 2, n - i - 1),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # materialize the tiny (id, fp) frame ONCE (16 bytes/row) so the
+    # signature hash pass never re-runs per join side; a short-bits
+    # fingerprint space saturates (|bucket| ≈ corpus/2^width), so the
+    # within-bucket pair emission is O(|bucket|²) — a codegen'd
+    # co-partitioned self-join handles that shape (AQE splits hot
+    # buckets), where per-bucket array pair-building would serialize it
+    fp_small = fp.select(F.col(id_col).alias("id"), F.col("__fp").alias("fp"))
+    fp_small = fp_small.localCheckpoint()
+    ex = fp_small.select("id", "fp", F.explode(band_keys).alias("band_key"))
+    a = ex.select("band_key", F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = ex.select("band_key", F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
-        buckets.filter(n >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"), F.col("p.hamming"))
-        .distinct()
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Test-set contamination scan: corpus documents sharing at least one
+    distinct n-gram with ANY probe (held-out) document, with the count of
+    distinct shared n-grams per corpus document.
+
+    Plan: distinct shingles per side (map + per-doc dedup inside the row —
+    no shuffle), inner join on the shingle (the probe side is the small
+    one — broadcast when it fits), then one hash-agg on the corpus id.
+    Real decontamination runs use long n-grams (n=13 in common practice)
+    where the join is sparse; short n on tiny synthetic data just makes
+    the check non-vacuous.
+
+    Output: ``<id_col>, n_shared`` (corpus docs with ≥1 shared n-gram).
+    """
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = H.tokens(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(H.word_ngrams(toks, n))).alias("s"),
+        )
+
+    corpus_sh = shingles(corpus, "__cid")
+    probe_sh = shingles(probe, "__pid").select("s").distinct()
+    return (
+        corpus_sh.join(probe_sh, "s")
+        .groupBy(F.col("__cid").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def keep_best_per_group(
+    df: DataFrame,
+    group_cols: list,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Keeper id per duplicate group by ARGMAX score (ties → min id), as a
+    single hash-agg: ``max_by(id, (score, -id))`` — one shuffle on the
+    group key, no ranked window, no join-back.  Pair with
+    ``with_minhash_signature`` / ``exact_dedup_groups`` output to keep the
+    best-quality document of every near-dup cluster instead of the min id.
+
+    Output: group cols + ``keep_id, dup_cnt``.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("nid"))
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
     )

@@ -343,3 +343,31 @@ def label_centroid_similarity(df: DataFrame, vec_col: str, label_col: str) -> Da
             F.round(V.cosine(F.col("__ca"), F.col("__cb")), 6).alias("cos"),
         )
     )
+
+
+def quantization_error(
+    df: DataFrame, vec_col: str, id_col: str, bits: int = 8
+) -> DataFrame:
+    """Per-vector relative error of symmetric scalar quantization to
+    ``bits`` (int8 by default): scale = max|v| / (2^(bits-1) - 1),
+    q_i = floor(v_i/scale + 0.5), error = ||v - q*scale|| / ||v||.
+
+    The sizing question for embedding storage at 100 TB — int8 cuts the
+    column 4× — answered with one shuffle-free pass of array HOFs.
+    Rounding is pinned to floor(x + 0.5) (engine-portable; banker's vs
+    half-away round() differences never enter).  Zero vectors report 0.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(float(qmax))
+    deq = F.transform(v, lambda x: F.floor(x / scale + 0.5) * scale)
+    sq = lambda a: F.aggregate(  # noqa: E731
+        F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    err2 = F.aggregate(
+        F.zip_with(v, deq, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rel = F.when(sq(v) > 0, F.round(F.sqrt(err2 / sq(v)), 6)).otherwise(F.lit(0.0))
+    return df.select(F.col(id_col), rel.alias("rel_err"))

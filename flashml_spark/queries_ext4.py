@@ -97,13 +97,15 @@ def x52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# x53 — SimHash Hamming-radius near-dup pairs via bit-band LSH (16-bit
-# fingerprint, 4 bands of 4 bits; pigeonhole ⇒ exact recall for radius 3).
+# x53 — SimHash Hamming-radius near-dup pairs via bit-band LSH (48-bit
+# fingerprint, 4 bands of 12 bits; pigeonhole ⇒ exact recall for radius 3).
+# Width matters: a 16-bit space saturates at corpus scale (25% of ALL pairs
+# land within radius 3 at sf0.1) — 48 bits keeps "near" selective.
 @register(
     "x53_simhash_hamming_pairs",
-    f"""WITH fp AS ({_simhash_fp_sql(16)}),
+    f"""WITH fp AS ({_simhash_fp_sql(48)}),
         bnd AS (SELECT doc_id, simhash,
-                       unnest([{", ".join(f"'{b}|' || CAST((simhash >> {b * 4}) & 15 AS VARCHAR)" for b in range(4))}]) AS band_key
+                       unnest([{", ".join(f"'{b}|' || CAST((simhash >> {b * 12}) & 4095 AS VARCHAR)" for b in range(4))}]) AS band_key
                 FROM fp),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -114,7 +116,7 @@ def x52(spark: SparkSession, sf: str) -> DataFrame:
 def x53(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     out = dedup.simhash_hamming_pairs(
-        docs, "text", "doc_id", bits=16, bands=4, max_hamming=3
+        docs, "text", "doc_id", bits=48, bands=4, max_hamming=3
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -142,3 +144,123 @@ def x54(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# x55 — test-set contamination scan: corpus docs (doc_id % 10 != 0) sharing
+# at least one distinct trigram with any held-out probe doc (% 10 == 0).
+# Real decontamination uses n=13 where the join is sparse; n=3 keeps the
+# synthetic check non-vacuous.
+@register(
+    "x55_contamination_scan",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
+               FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r),
+        probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN probe USING (s) GROUP BY c.doc_id""",
+)
+def x55(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_overlap_contamination(corpus, probe, "text", "doc_id", n=3)
+
+
+# x56 — per-language quality quartiles: exact percentile_cont parity
+# (same linear interpolation on both engines), grouped one-pass agg.
+_X56_Q = """ROUND(0.4 * LEAST(CAST(len(ts) AS DOUBLE) / 200.0, 1.0)
+    + 0.2 * LEAST((len(list_filter(ts, t -> list_contains(
+          ['the','and','of','to','a','in','is','that','it','for'], t)))
+          / CAST(len(ts) AS DOUBLE)) / 0.3, 1.0)
+    + 0.2 * (CASE WHEN list_sum(list_transform(ts, t -> len(t))) / CAST(len(ts) AS DOUBLE)
+                  BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+    + 0.2 * (1.0 - LEAST(((n_chars - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) / n_chars) * 2.0
+                       + ((n_chars - len(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars) * 2.0, 1.0)), 6)"""
+
+
+@register(
+    "x56_quality_percentiles_by_lang",
+    f"""WITH base AS (SELECT lang, text, {_TOK} AS ts,
+                            CAST(len(text) AS DOUBLE) AS n_chars
+                     FROM documents),
+        q AS (SELECT lang, {_X56_Q} AS quality FROM base)
+        SELECT lang,
+               ROUND(quantile_cont(quality, 0.25), 6) AS q25,
+               ROUND(quantile_cont(quality, 0.50), 6) AS q50,
+               ROUND(quantile_cont(quality, 0.75), 6) AS q75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY lang""",
+)
+def x56(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    scored = textops.with_quality_score(docs, "text", out_col="__q").withColumn(
+        "__q", F.round("__q", 6)
+    )
+    return scored.groupBy("lang").agg(
+        F.round(F.percentile("__q", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("__q", F.lit(0.50)), 6).alias("q50"),
+        F.round(F.percentile("__q", F.lit(0.75)), 6).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# x57 — keep-BEST-per-group dedup: full-minhash-signature duplicate groups
+# keep the highest-quality member (ties -> min id) instead of the min id —
+# one max_by hash-agg, no ranked window, no join-back.
+@register(
+    "x57_keep_best_dedup",
+    f"""WITH tok AS (SELECT doc_id, text, {_TOK} AS ts,
+                            CAST(len(text) AS DOUBLE) AS n_chars
+                     FROM documents),
+        q AS (SELECT doc_id, {_X56_Q} AS quality,
+                     list_min(list_transform(ts, s -> substr(md5('0:' || s), 1, 8))) AS sig0,
+                     list_min(list_transform(ts, s -> substr(md5('0:' || s), 9, 8))) AS sig1,
+                     list_min(list_transform(ts, s -> substr(md5('0:' || s), 17, 8))) AS sig2,
+                     list_min(list_transform(ts, s -> substr(md5('0:' || s), 25, 8))) AS sig3
+              FROM tok),
+        r AS (SELECT doc_id, quality, sig0, sig1, sig2, sig3,
+                     row_number() OVER (PARTITION BY sig0, sig1, sig2, sig3
+                                        ORDER BY quality DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY sig0, sig1, sig2, sig3) AS dup_cnt
+              FROM q)
+        SELECT doc_id AS keep_id, CAST(dup_cnt AS BIGINT) AS dup_cnt, quality
+        FROM r WHERE rn = 1""",
+)
+def x57(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sigged = dedup.with_minhash_signature(docs, "text", num_hashes=4, shingle_n=1)
+    scored = textops.with_quality_score(sigged, "text", out_col="__q").withColumn(
+        "__q", F.round("__q", 6)
+    )
+    best = dedup.keep_best_per_group(
+        scored, [f"sig{i}" for i in range(4)], "doc_id", "__q"
+    )
+    quality = scored.select(F.col("doc_id").alias("keep_id"), F.col("__q").alias("quality"))
+    return best.join(quality, "keep_id").select("keep_id", "dup_cnt", "quality")
+
+
+# x58 — int8 scalar-quantization error per embedding: the storage-sizing
+# question (4x smaller column) as one shuffle-free HOF pass; rounding is
+# pinned to floor(x+0.5) so both engines agree bit-for-bit.
+@register(
+    "x58_quantization_error",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM e),
+        m AS (SELECT vec_id,
+                     list_sum(list_transform(v, x -> x * x)) AS n2,
+                     list_sum(list_transform(v, x -> (x - floor(x / scale + 0.5) * scale)
+                                                   * (x - floor(x / scale + 0.5) * scale))) AS e2
+              FROM s)
+        SELECT vec_id,
+               CASE WHEN n2 > 0 THEN ROUND(sqrt(e2 / n2), 6) ELSE 0.0 END AS rel_err
+        FROM m""",
+)
+def x58(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.quantization_error(emb, "embedding", "vec_id", bits=8)
