@@ -3,4 +3,9 @@ from flashml_spark.streaming.events import (  # noqa: F401
     streaming_session_stats,
     streaming_window_agg,
 )
+from flashml_spark.streaming.dedupe import (  # noqa: F401
+    corpus_digests,
+    streaming_dedup_against_corpus,
+    streaming_dedup_exact,
+)
 from flashml_spark.streaming.sinks import write_stream_parquet  # noqa: F401

@@ -1,0 +1,93 @@
+"""Streaming dedup vs the batch operators: within-stream
+dropDuplicatesWithinWatermark and the stream-vs-corpus anti-join must
+agree with ``operators.dedup.exact_dedup`` semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import dedup
+from flashml_spark.sources.readers import load_table
+from flashml_spark.streaming import (
+    corpus_digests,
+    streaming_dedup_against_corpus,
+    streaming_dedup_exact,
+)
+from tests.conftest import SF_DIR
+
+
+def _staged_docs_with_dupes(spark, tmp_path, n_dupes: int = 25):
+    """documents + ts column + injected exact duplicates (new ids, same
+    text) written as a streaming-source dir.  Event times start a day
+    after the epoch: a row with event time exactly 0 equals the initial
+    watermark and is (correctly) dropped as late."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(200)
+        .withColumn("ts", F.timestamp_micros(F.col("doc_id") * 1_000_000 + 86_400_000_000))
+    )
+    dupes = (
+        docs.limit(n_dupes)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("ts", F.timestamp_micros(F.col("doc_id") + 86_400_000_000))
+    )
+    staged = docs.unionByName(dupes)
+    src = str(tmp_path / "docs_src")
+    # ONE file => one micro-batch: the injected dupes carry small event
+    # times, and a multi-batch replay would advance the watermark past
+    # them between batches (correct streaming behavior, wrong test).
+    # Return the READ-BACK frame: limit() without an order is
+    # nondeterministic, so recomputing `staged` could pick different rows
+    # than the ones written.
+    staged.coalesce(1).write.parquet(src)
+    return spark.read.parquet(src), src
+
+
+def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
+    staged, src = _staged_docs_with_dupes(spark, tmp_path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_dedup_exact(stream, "text", watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").select("text").collect()
+    texts = [r["text"] for r in got]
+    # one row per distinct content, none dropped spuriously
+    assert len(texts) == len(set(texts))
+    batch_distinct = staged.select("text").distinct().count()
+    assert len(texts) == batch_distinct
+
+
+def test_streaming_dedup_against_corpus_matches_anti_join(spark, tmp_path):
+    staged, src = _staged_docs_with_dupes(spark, tmp_path)
+    # corpus = first 100 docs; the stream replays ALL rows, so survivors
+    # are exactly the rows whose text is not in the corpus
+    corpus = staged.filter(F.col("doc_id") < 100)
+    digests = corpus_digests(corpus, "text")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_dedup_against_corpus(stream, digests, "text")
+        .writeStream.format("memory")
+        .queryName("corpus_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.table("corpus_dedup_stream").collect())
+    want_df = staged.join(
+        corpus.select(dedup.H.md5_hex(F.col("text")).alias("__d")).distinct(),
+        dedup.H.md5_hex(F.col("text")) == F.col("__d"),
+        "left_anti",
+    )
+    want = sorted(r["doc_id"] for r in want_df.collect())
+    assert got == want
