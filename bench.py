@@ -68,6 +68,10 @@ HEADLINE = [
     "x56_quality_percentiles_by_lang",
     "x57_keep_best_dedup",
     "x58_quantization_error",
+    "x59_json_extract",
+    "x60_hour_histogram",
+    "x61_percent_rank",
+    "x62_weighted_sample",
 ]
 
 

@@ -172,3 +172,18 @@ def funnel_stats(
         reached = reached & (F.col(f"__t{i}") >= F.col(f"__t{i-1}"))
         aggs.append(F.sum(one_if(reached)).alias(f"n_s{i}"))
     return per.agg(*aggs)
+
+
+def hour_of_day_histogram(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Event count + mean value by hour of day — 24-group hash agg with
+    map-side partials; the diurnal-profile scan of a monitoring rollup.
+    Output: ``hour, n, avg_value``."""
+    return (
+        df.groupBy(F.hour(F.col(ts_col)).cast("bigint").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+    )

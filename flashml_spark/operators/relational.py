@@ -135,3 +135,20 @@ def top_n_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n)
     )
+
+
+def with_json_field(
+    df: DataFrame,
+    json_col: str,
+    path: str,
+    out_col: str,
+    cast: str | None = None,
+) -> DataFrame:
+    """Extract a JSON field from a string column (``path`` like ``$.k``) —
+    JVM-side ``get_json_object``, whole-stage codegen; the semi-structured
+    props pattern without a Python round-trip.  ``cast`` optionally types
+    the extracted string."""
+    col = F.get_json_object(F.col(json_col), path)
+    if cast:
+        col = col.cast(cast)
+    return df.withColumn(out_col, col)

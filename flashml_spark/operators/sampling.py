@@ -201,3 +201,37 @@ def quota_per_group(
     if rank_col:
         return ranked.withColumnRenamed("__rn", rank_col)
     return ranked.drop("__rn")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): per-row uniform u derived from md5(id)
+    (engine-portable, reproducible), selection key ln(u)/w — the k LARGEST
+    keys are the sample, giving inclusion probability proportional to
+    weight.  Rows with weight <= 0 are excluded.
+
+    Scale shape: the key is a per-row projection; top-k lands as
+    TakeOrderedAndProject (per-partition heaps, k·partitions driver
+    merge) — no global sort.
+    """
+    from flashml_spark.functions import hashing as H
+
+    u = (
+        F.conv(F.substring(H.md5_hex(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + 1.0
+    ) / 4294967296.0
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.desc(key_col), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,7 +1,9 @@
-"""Extension queries, round 2 batch 2 (x49..x54): corpus statistics and
+"""Extension queries, round 2 batch 2 (x49..x62): corpus statistics and
 curation operators — within-doc repetition, per-language vocabulary,
 deterministic quota sampling, scale-safe NTILE, SimHash Hamming-radius
-near-dup, and a numeric correlation matrix.
+near-dup, a numeric correlation matrix, contamination scanning, quality
+percentiles, keep-best dedup, quantization error, JSON extraction,
+diurnal histograms, rank-statistics windows, and weighted sampling.
 
 Same oracle discipline as the earlier batches: engine-portable DuckDB
 SQL built from the literals the Spark operators ship, identical aliases
@@ -264,3 +266,82 @@ def x58(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return similarity.quantization_error(emb, "embedding", "vec_id", bits=8)
+
+
+# --------------------------------------------------------------------------
+# x59 — semi-structured extraction: per-event-type stats of the JSON props
+# field, extracted JVM-side (get_json_object), no Python round-trip.
+@register(
+    "x59_json_extract",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type""",
+)
+def x59(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import relational
+
+    ev = load_table(spark, sf, "events")
+    parsed = relational.with_json_field(ev, "props", "$.k", "k", cast="bigint")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("k").cast("double")), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# x60 — diurnal profile: count + mean value by hour of day (UTC on both
+# engines — the session timezone is pinned).
+@register(
+    "x60_hour_histogram",
+    """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+              COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+       FROM events GROUP BY 1""",
+)
+def x60(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf, "events")
+    return ev_ops.hour_of_day_histogram(ev)
+
+
+# x61 — rank-statistics windows: percent_rank + cume_dist of order value
+# within each customer (bounded partitions — never a global one-task sort).
+@register(
+    "x61_percent_rank",
+    """SELECT o_custkey, o_orderkey,
+              ROUND(percent_rank() OVER w, 6) AS pr,
+              ROUND(cume_dist() OVER w, 6) AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)""",
+)
+def x61(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# x62 — deterministic weighted sample (Efraimidis-Spirakis): md5-seeded
+# uniforms, selection key ln(u)/w, top-20 keys = the sample.
+@register(
+    "x62_weighted_sample",
+    """WITH s AS (SELECT o_orderkey, o_totalprice,
+                         ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                            / 4294967296.0) / o_totalprice AS es_key
+                  FROM orders WHERE o_totalprice > 0)
+       SELECT o_orderkey, o_totalprice FROM s
+       ORDER BY es_key DESC, o_orderkey LIMIT 20""",
+)
+def x62(spark: SparkSession, sf: str) -> DataFrame:
+    out = sampling.weighted_sample_topk(
+        load_table(spark, sf, "orders"), "o_totalprice", "o_orderkey", k=20
+    )
+    return out.select("o_orderkey", "o_totalprice")
