@@ -34,8 +34,13 @@ def global_cumsum(
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    ranged = df.repartitionByRange(n_parts, key).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint: the ranged frame is evaluated twice (totals collect
+    # + returned plan); pin it so a nondeterministic upstream can't make
+    # the offsets disagree with the second evaluation.
+    ranged = (
+        df.repartitionByRange(n_parts, key)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     totals = {
@@ -96,8 +101,13 @@ def global_ntile(
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ties = tiebreak_cols or []
     keys = [F.col(order_col).asc()] + [F.col(c).asc() for c in ties]
-    ranged = df.repartitionByRange(n_parts, *keys).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint: the ranged frame is evaluated twice (counts collect
+    # + returned plan); pin it so a nondeterministic upstream can't make
+    # the offsets disagree with the second evaluation.
+    ranged = (
+        df.repartitionByRange(n_parts, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["__pid"]: r["cnt"]

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flashml_spark.functions.stability import psi_from_bucket_counts
+from flashml_spark.functions.windows import global_cumsum
 from flashml_spark.operators import binning, relational, sampling
 from flashml_spark.sources.readers import load_table, run_sql_view_chain
 
@@ -330,9 +331,11 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     per_thresh = li.groupBy(F.col("l_quantity").alias("thresh")).agg(
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("bigint").alias("tp_at")
     )
-    w = Window.orderBy(F.desc("thresh"))
-    return per_thresh.select(
-        "thresh", F.sum("tp_at").over(w).cast("bigint").alias("cum_tp")
+    # scale-safe running total: range-partitioned prefix sums, never a
+    # single-partition Window.orderBy (SCALE.md no-one-task-window contract)
+    swept = global_cumsum(per_thresh, "thresh", ["tp_at"], ascending=False)
+    return swept.select(
+        "thresh", F.col("cum_tp_at").cast("bigint").alias("cum_tp")
     ).orderBy(F.desc("thresh"))
 
 

@@ -283,11 +283,14 @@ def x59(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import relational
 
     ev = load_table(spark, sf, "events")
-    parsed = relational.with_json_field(ev, "props", "$.k", "k", cast="bigint")
+    # extract ONCE as string; cast per-aggregate so avg uses double
+    # semantics (oracle casts the raw string to DOUBLE) and max uses
+    # bigint — a bigint-first cast would NULL/truncate fractional k.
+    parsed = relational.with_json_field(ev, "props", "$.k", "k")
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.col("k").cast("double")), 6).alias("avg_k"),
-        F.max("k").alias("max_k"),
+        F.max(F.col("k").cast("bigint")).alias("max_k"),
     )
 
 

@@ -117,3 +117,98 @@ def test_multi_intent_nb_anchors(spark):
     m = Experiment(cfg).run(spark, _anchor_df(spark))
     for key, expected in MULTI_NB_ANCHORS.items():
         assert m[key] == expected, f"{key}: {m[key]!r} != anchored {expected!r}"
+
+
+# ---------------------------------------------------------------------------
+# Uplift e2e anchor — mirrors the reference's BinarySVMPgUpliftTest.scala
+# posture: a fixed-seed uplift experiment whose p1-p0 scores and downstream
+# metrics are pinned as constants.  The treatment column occupies the LAST
+# feature slot; uplift_transform forces it to 0 then 1 and emits
+# probability = [1-d, d] with d = p1(1) - p0(1).
+# ---------------------------------------------------------------------------
+
+# NOTE on signs: StringIndexer orders labels by frequency, and "1" is the
+# majority class in _uplift_df, so index 1 is label "0" — probability[1]
+# is therefore d for the MINORITY class and comes out negative here.  The
+# anchors pin the implementation, not a business interpretation.
+UPLIFT_METRIC_ANCHORS = {
+    "accuracy": 0.5520833333333334,
+    "weightedPrecision": 0.3047960069444445,
+    "weightedRecall": 0.5520833333333334,
+    "weightedF1": 0.3927572706935123,
+    "auroc": 0.4528301886792453,
+}
+
+UPLIFT_ROW_ANCHORS_6DP = {
+    "00000000": -0.162444,
+    "00000065": -0.169258,
+    "000000c8": -0.166487,
+    "0000012b": -0.171122,
+}
+
+
+def _uplift_df(spark, n=400):
+    rows = []
+    for i in range(n):
+        treated = 1.0 if (i * 7) % 10 < 5 else 0.0
+        base = 1 if (i * 3) % 10 < 3 else 0
+        # treatment flips some negatives positive -> real positive uplift
+        lift = 1 if treated and (i * 11) % 10 < 4 else 0
+        label = "1" if (base or lift) else "0"
+        rows.append(
+            (
+                f"{i:08x}",
+                TEXTS[INTENTS[i % 4]] + f" tok{i % 13}",
+                "mobile" if i % 3 == 0 else "desktop",
+                float(i % 9),
+                treated,
+                label,
+            )
+        )
+    return spark.createDataFrame(
+        rows, ["session_id", "text", "device", "dwell", "treated", "response"]
+    )
+
+
+def test_uplift_e2e_anchors(spark):
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from flashml_spark.training.postprocess import uplift_transform
+
+    cfg = ExperimentConfig(
+        primary_keys=["session_id"],
+        response="response",
+        text_cols=["text"],
+        categorical_cols=["device"],
+        numerical_cols=["dwell", "treated"],
+        uplift_treatment="treated",
+        text_method="tfidf",
+        slots=200,
+        algorithm="logistic_regression",
+        train_fraction=0.7,
+        seed=20,
+    )
+    exp = Experiment(cfg)
+    m = exp.run(spark, _uplift_df(spark))
+    for key, expected in UPLIFT_METRIC_ANCHORS.items():
+        assert m[key] == expected, f"{key}: {m[key]!r} != anchored {expected!r}"
+
+    # re-derive per-row uplift from the persisted pipeline: prep stages +
+    # classifier stage, then the slot-surgery transform — pins p1-p0 itself
+    full = exp.models_[0]
+    prep_stages, clf = full.stages[:-1], full.stages[-1]
+    df = _uplift_df(spark)
+    vec = df
+    for st in prep_stages:
+        vec = st.transform(vec)
+    scored = uplift_transform(clf.transform(vec), clf)
+    d = F.element_at(F.col("probability"), 2)
+    got = {
+        r["session_id"]: round(r["d"], 6)
+        for r in scored.select("session_id", d.alias("d"))
+        .filter(F.col("session_id").isin(*UPLIFT_ROW_ANCHORS_6DP))
+        .collect()
+    }
+    for sid, expected in UPLIFT_ROW_ANCHORS_6DP.items():
+        assert abs(got[sid] - expected) <= 1e-6, (sid, got[sid], expected)

@@ -42,7 +42,10 @@ def test_q01_scan_pushdown_and_pruning(spark):
 
 def test_x43_star_join_broadcasts_all_dims(spark):
     plan = plan_of(q(spark, "x43_star_join_revenue"))
-    assert plan.count("BroadcastHashJoin") == 3
+    # explain("formatted") lists each node in the tree AND the detail
+    # section — count only the tree (everything before the first blank line)
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -81,11 +84,18 @@ def test_q19_threshold_sweep_no_single_partition_window(spark):
     # the global cumulative sweep must range-repartition, not funnel into
     # a one-task window (Window.orderBy with no partitionBy)
     assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan
+    # and the cumulative window itself runs partitioned (parallel)
+    assert "windowspecdefinition(__pid" in plan
 
 
 def test_x52_ntile_no_single_partition_exchange(spark):
     plan = plan_of(q(spark, "x52_length_deciles"))
-    assert "rangepartitioning" in plan.lower()
+    # global_ntile localCheckpoints the range-partitioned frame (pins it
+    # against double evaluation), which truncates the visible lineage — so
+    # assert the contract directly: the window runs partitioned by __pid
+    # (parallel) and nothing funnels into a single-partition exchange.
+    assert "windowspecdefinition(__pid" in plan
     assert "Exchange SinglePartition" not in plan
 
 
@@ -97,9 +107,34 @@ def test_x22_exact_quantile_documented_vs_sketch_path(spark):
 
     li = load_table(spark, SF_DIR, "lineitem")
     # sketch path runs approxQuantile eagerly; exact path keeps
-    # percentile in-plan
-    splits = binning.bin_equiarea(li, "l_extendedprice", 4)
+    # percentile in-plan.  bin_equiarea returns the binned DataFrame; the
+    # split points come from equiarea_splits.
+    splits = binning.equiarea_splits(li, "l_extendedprice", 4)
     assert len(splits) > 0
+    binned = binning.bin_equiarea(li, "l_extendedprice", 4)
+    assert "l_extendedprice_binned" in binned.columns
+
+
+def test_threshold_sweep_metrics_path_is_range_partitioned(spark):
+    """The metrics operator itself (not just registered q19) must sweep a
+    CONTINUOUS score column through range-partitioned prefix sums — this is
+    the shape that would have caught the q19 drift."""
+    from flashml_spark.metrics.binary import threshold_sweep
+    from flashml_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    scored = li.select(
+        (F.col("l_discount") + F.col("l_tax") * 0.001).alias("positive_probability"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+    )
+    plan = plan_of(threshold_sweep(scored))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan
+    # no bare global-order window: every windowspec must carry __pid
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.strip().startswith("__pid") for s in specs), specs
 
 
 def test_broadcast_threshold_respected_for_dim_joins(spark):

@@ -270,6 +270,23 @@ def test_psi_by_page_and_vsi_for_variables(spark):
     assert out["dev"]["newValues"] == ["c"]
 
 
+def test_psi_vsi_concurrent_failure_surfaces(spark):
+    """A failing page/variable inside the driver-concurrent loops must
+    raise, not silently drop a row from the report — a partial health
+    report that LOOKS complete is worse than an error."""
+    from flashml_spark.metrics.stability import psi_by_page, vsi_for_variables
+
+    rows = [(1 + i % 3, (i % 100) / 100.0, "a") for i in range(60)]
+    base = spark.createDataFrame(rows, "page int, score double, dev string")
+
+    with pytest.raises(Exception):
+        psi_by_page(base, base, "no_such_score_col", "page", 3, parallelism=3)
+
+    # one good variable + one bad: the good one must not mask the failure
+    with pytest.raises(Exception):
+        vsi_for_variables(base, base, ["dev", "no_such_var"], parallelism=2)
+
+
 def test_global_cumsum_matches_single_window(spark):
     """Distributed prefix sums == the naive single-partition window."""
     from pyspark.sql import Window
