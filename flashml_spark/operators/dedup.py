@@ -245,14 +245,26 @@ def connected_components(
     nothing.  Output: ``id, component`` (component = min id in the group).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(
+    sym0 = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Size the per-round parallelism from the MEASURED edge count (AQE
+    # posture, applied to the loop): dedup graphs are a tiny fraction of
+    # the corpus, and iterating a 4-way shuffle at cluster-default
+    # parallelism makes every round pay fixed scheduling cost for mostly
+    # empty tasks.  ~500k edges per partition; grows unbounded with the
+    # graph, so a 10B-edge graph still gets ~20k-way shuffles.
+    n_edges = sym0.count()
+    n_parts = max(1, int(n_edges / 500_000) + 1)
+    sym = sym0.repartition(n_parts, "dst").localCheckpoint()
+    sym0.unpersist()
     # localCheckpoint each round: iterative joins otherwise nest the plan
-    # exponentially (planner OOM long before data size matters)
+    # exponentially (planner OOM long before data size matters).  Keeping
+    # sym/labels hash-partitioned on their join keys lets each round's
+    # sort-merge path reuse the layout (LogicalRDD preserves partitioning).
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    ).localCheckpoint()
+    ).repartition(n_parts, "id").localCheckpoint()
 
     converged = False
     for _ in range(max_iterations):
@@ -277,6 +289,7 @@ def connected_components(
                 "old",
                 F.least(F.col("mid"), F.coalesce("cc2", "mid")).alias("component"),
             )
+            .repartition(n_parts, "id")
             .localCheckpoint()
         )
         changed = (
@@ -286,7 +299,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
     if not converged:
         # min-label propagation advances one hop per round; exiting via the
         # iteration cap means some labels are still mid-flight and the
