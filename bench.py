@@ -72,6 +72,12 @@ HEADLINE = [
     "x60_hour_histogram",
     "x61_percent_rank",
     "x62_weighted_sample",
+    "x63_shard_packing",
+    "x64_zscore_by_lang",
+    "x65_winsorized_stats",
+    "x66_region_revenue",
+    "x67_scrub_counts",
+    "x68_bigram_lm",
 ]
 
 

@@ -152,3 +152,57 @@ def with_json_field(
     if cast:
         col = col.cast(cast)
     return df.withColumn(out_col, col)
+
+
+def group_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str = "z",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group standardization ``z = (v - mean) / stddev_pop`` (0.0 for
+    zero-variance groups).  Group moments come from ONE hash aggregation
+    (|groups| rows) broadcast-joined back — never a per-row window, so a
+    single giant group costs a broadcast lookup, not a one-task sort."""
+    moments = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sigma"),
+    )
+    z = F.when(
+        F.col("__sigma") > 0,
+        (F.col(value_col) - F.col("__mu")) / F.col("__sigma"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.join(F.broadcast(moments), group_cols)
+        .withColumn(out_col, F.round(z, ndigits))
+        .drop("__mu", "__sigma")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+    exact: bool = True,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Clip a numeric column to its [lo, hi] quantiles (outlier clamping
+    before corpus statistics).  ``exact=True`` uses linear-interpolated SQL
+    ``percentile`` (one full-sort agg — cross-engine bit-equal); the
+    100 TB path is ``exact=False``: a mergeable single-pass Greenwald-
+    Khanna sketch (``approxQuantile``), same shape as ``bin_equiarea``."""
+    out_col = out_col or f"{value_col}_clipped"
+    if exact:
+        row = df.agg(
+            F.expr(f"percentile({value_col}, array({lo}, {hi}))").alias("qs")
+        ).first()
+        q_lo, q_hi = float(row["qs"][0]), float(row["qs"][1])
+    else:
+        q_lo, q_hi = df.approxQuantile(value_col, [lo, hi], relative_error)
+    return df.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.lit(q_lo)), F.lit(q_hi)),
+    )

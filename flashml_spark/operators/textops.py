@@ -275,3 +275,84 @@ def token_topk_per_group(
     return top_n_per_group(
         counts, [group_col], "n", k, descending=True, tiebreak_cols=["token"]
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Sequence packing for training shards: assign documents, in
+    deterministic ``id_col`` order, to fixed-capacity shards by cumulative
+    token count — ``shard = floor(exclusive_cumsum(tokens) / capacity)``.
+
+    The cumulative sum runs through ``global_cumsum`` (range-partitioned
+    prefix sums — |partitions| scalars to the driver), so packing a 100 TB
+    corpus never funnels into a one-task window.  Contract: shards are
+    contiguous in id order and every shard's token total is >= capacity
+    only when a single straddling document pushes it over.
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    cum = global_cumsum(df, id_col, [token_col], ascending=True)
+    return cum.withColumn(
+        out_col,
+        F.floor((F.col(f"cum_{token_col}") - F.col(token_col)) / capacity).cast("bigint"),
+    ).drop(f"cum_{token_col}")
+
+
+def pattern_counts(
+    df: DataFrame, text_col: str, pattern: str, group_col: str
+) -> DataFrame:
+    """Per-group scrub statistics for a regex (the PII-redaction counting
+    pass): documents containing the pattern and total match occurrences.
+    Pure JVM ``regexp_count`` — the same scan that would feed
+    ``regexp_replace`` redaction, kept codegen-side.
+    Output: ``<group_col>, n_docs_hit, n_matches``."""
+    hits = F.regexp_count(F.col(text_col), F.lit(pattern))
+    return (
+        df.select(F.col(group_col), hits.alias("__hits"))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col("__hits") > 0, 1).otherwise(0)).alias("n_docs_hit"),
+            F.sum("__hits").alias("n_matches"),
+        )
+    )
+
+
+def bigram_conditional_topk(
+    df: DataFrame, text_col: str, group_col: str, k: int = 5
+) -> DataFrame:
+    """Per-group top-k bigrams with conditional probability
+    ``p = c(w1,w2) / c(w1,·)`` — the count pass of n-gram language-model
+    training.  One explode → hash-agg (map-side partials absorb the
+    fan-out), then ``c(w1,·)`` is re-aggregated FROM the bigram counts
+    (vocabulary-sized, not corpus-sized) and joined back on (group, w1).
+    The ranking window partitions by group over counts bounded by
+    vocabulary size.  Ties break (w1, w2) ascending.
+    Output: ``<group_col>, w1, w2, c, p, rn``."""
+    from flashml_spark.operators.relational import top_n_per_group
+
+    grams = df.select(
+        F.col(group_col),
+        F.explode(H.word_ngrams(H.tokens(F.col(text_col)), 2)).alias("g"),
+    ).select(
+        group_col,
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    counts = grams.groupBy(group_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w1_totals = counts.groupBy(group_col, "w1").agg(F.sum("c").alias("c_w1"))
+    ranked = top_n_per_group(
+        counts, [group_col], "c", k, descending=True, tiebreak_cols=["w1", "w2"]
+    )
+    return ranked.join(w1_totals, [group_col, "w1"]).select(
+        group_col,
+        "w1",
+        "w2",
+        "c",
+        F.round(F.col("c") / F.col("c_w1"), 6).alias("p"),
+        "rn",
+    )

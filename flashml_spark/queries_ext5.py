@@ -1,0 +1,181 @@
+"""Extension queries, round 3 (x63..x68): training-data pipeline
+operators — fixed-capacity shard packing on distributed prefix sums,
+per-group standardization, quantile winsorization, a six-table star
+revenue join, regex scrub counting, and bigram language-model counts.
+
+Same oracle discipline as earlier batches: engine-portable DuckDB SQL
+built from the literals the Spark operators ship, identical aliases on
+both sides, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import relational, textops
+from flashml_spark.queries import register
+from flashml_spark.queries_ext import _TOK
+from flashml_spark.sources.readers import load_table
+
+_SCRUB_PAT = r"\b(value|table)\b"
+
+
+# --------------------------------------------------------------------------
+# x63 — sequence packing: documents assigned, in doc_id order, to
+# fixed-capacity training shards by cumulative token count.  The cumsum
+# routes through global_cumsum (range-partitioned prefix sums), so the
+# packing pass scales without a one-task window.
+@register(
+    "x63_shard_packing",
+    f"""WITH t AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+              FROM t)
+        SELECT CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM c GROUP BY 1""",
+)
+def x63(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    counted = textops.with_token_count(docs, "text").drop("text")
+    packed = textops.pack_shards(counted, "doc_id", "n_tokens", capacity=512)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# x64 — per-language standardization of document length: group moments
+# from one hash agg broadcast back, never a per-row window.
+@register(
+    "x64_zscore_by_lang",
+    """SELECT doc_id, lang,
+              ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                         THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                              / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                         ELSE 0.0 END, 6) AS z
+       FROM documents""",
+)
+def x64(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return relational.group_zscore(docs, "n_chars", ["lang"]).select(
+        "doc_id", "lang", "z"
+    )
+
+
+# x65 — winsorized corpus statistics: clip document length to the global
+# exact [p05, p95] (linear-interpolated percentile — identical
+# interpolation to quantile_cont), then per-source stats.
+@register(
+    "x65_winsorized_stats",
+    """WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS ql,
+                         quantile_cont(n_chars, 0.95) AS qh FROM documents)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(AVG(LEAST(GREATEST(n_chars, ql), qh)), 6) AS avg_clipped,
+              ROUND(MIN(LEAST(GREATEST(n_chars, ql), qh)), 6) AS lo,
+              ROUND(MAX(LEAST(GREATEST(n_chars, ql), qh)), 6) AS hi
+       FROM documents, q GROUP BY source""",
+)
+def x65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    clipped = relational.winsorize(docs, "n_chars", 0.05, 0.95, exact=True)
+    c = F.col("n_chars_clipped")
+    return clipped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(c), 6).alias("avg_clipped"),
+        F.round(F.min(c), 6).alias("lo"),
+        F.round(F.max(c), 6).alias("hi"),
+    )
+
+
+# x66 — six-table star revenue (TPC-H Q5 shape): customer/supplier nation
+# co-membership within one region.  Fact-fact joins shuffle on their keys;
+# nation/region broadcast; AQE upgrades the rest when small.
+@register(
+    "x66_region_revenue",
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name""",
+)
+def x66(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# x67 — regex scrub counting (the counting pass of PII redaction): per
+# source, documents containing the pattern and total occurrences.  The
+# pattern here is synthetic (the corpus has no PII) — the contract under
+# test is regexp semantics parity and the codegen'd scan shape.
+@register(
+    "x67_scrub_counts",
+    f"""SELECT source,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{_SCRUB_PAT}')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+               CAST(SUM(len(regexp_extract_all(text, '{_SCRUB_PAT}'))) AS BIGINT)
+                   AS n_matches
+        FROM documents GROUP BY source""",
+)
+def x67(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.pattern_counts(docs, "text", _SCRUB_PAT, "source")
+
+
+# x68 — bigram language-model counts: per-language top-5 bigrams with
+# conditional probability p = c(w1,w2)/c(w1,·).  The w1 marginal is
+# re-aggregated from the (vocabulary-sized) bigram counts, not the corpus.
+@register(
+    "x68_bigram_lm",
+    f"""WITH tok AS (SELECT lang, {_TOK} AS ts FROM documents),
+        bg AS (SELECT lang,
+                      unnest(list_transform(range(1, len(ts)),
+                                            i -> ts[i] || ' ' || ts[i + 1])) AS g
+               FROM tok),
+        sp AS (SELECT lang, split_part(g, ' ', 1) AS w1,
+                      split_part(g, ' ', 2) AS w2 FROM bg),
+        c AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+              FROM sp GROUP BY 1, 2, 3),
+        t AS (SELECT lang, w1, SUM(c) AS c_w1 FROM c GROUP BY 1, 2),
+        r AS (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY lang
+                                             ORDER BY c DESC, w1, w2) AS rn
+              FROM c)
+        SELECT r.lang, r.w1, r.w2, r.c,
+               ROUND(r.c / CAST(t.c_w1 AS DOUBLE), 6) AS p, r.rn
+        FROM r JOIN t ON r.lang = t.lang AND r.w1 = t.w1
+        WHERE rn <= 5""",
+)
+def x68(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.bigram_conditional_topk(docs, "text", "lang", k=5)

@@ -105,3 +105,108 @@ def test_simhash_hamming_pairs_radius_cap_enforced(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="exact-recall"):
         dedup.simhash_hamming_pairs(docs, "text", "doc_id", bands=4, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators: shard packing, z-score, winsorize, scrub counts,
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_pack_shards_boundaries(spark):
+    from flashml_spark.operators.textops import pack_shards
+
+    # tokens: 4,4,4,4 with capacity 10 -> exclusive cumsums 0,4,8,12
+    # -> shards 0,0,0,1 (doc 3 straddles: shard 0 totals 12 >= 10)
+    df = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 4)], ["doc_id", "n_tokens"]
+    )
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(df, "doc_id", "n_tokens", capacity=10).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_pack_shards_contiguous_and_capacity(spark):
+    from flashml_spark.operators.textops import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 7 + i % 5) for i in range(200)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_shards(df, "doc_id", "n_tokens", capacity=100).collect()
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard"], []).append(r)
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))  # dense ids
+    for s in shards:
+        rows = by_shard[s]
+        total = sum(r["n_tokens"] for r in rows)
+        # a shard only exceeds capacity by its single straddling last doc
+        assert total - rows[-1]["n_tokens"] < 100
+        # contiguity: doc ids in a shard form one run
+        ids = [r["doc_id"] for r in rows]
+        assert ids == list(range(ids[0], ids[-1] + 1))
+
+
+def test_group_zscore_known_values(spark):
+    from flashml_spark.operators.relational import group_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)], ["g", "v"]
+    )
+    got = {
+        (r["g"], r["v"]): r["z"] for r in group_zscore(df, "v", ["g"]).collect()
+    }
+    # group a: mean 2, stddev_pop 1 -> z = -1, +1 ; group b: zero variance -> 0
+    assert got == {("a", 1.0): -1.0, ("a", 3.0): 1.0, ("b", 5.0): 0.0}
+
+
+def test_winsorize_exact_and_sketch(spark):
+    from flashml_spark.operators.relational import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    exact = winsorize(df, "v", 0.05, 0.95, exact=True)
+    lo = exact.agg(F.min("v_clipped")).first()[0]
+    hi = exact.agg(F.max("v_clipped")).first()[0]
+    # percentile(0.05) over 1..100 = 5.95 (linear interp), 0.95 -> 95.05
+    assert lo == pytest.approx(5.95)
+    assert hi == pytest.approx(95.05)
+    sketch = winsorize(df, "v", 0.05, 0.95, exact=False)
+    s_lo = sketch.agg(F.min("v_clipped")).first()[0]
+    s_hi = sketch.agg(F.max("v_clipped")).first()[0]
+    assert abs(s_lo - 5.95) <= 1.5 and abs(s_hi - 95.05) <= 1.5
+
+
+def test_pattern_counts_known(spark):
+    from flashml_spark.operators.textops import pattern_counts
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "the value of the table"),     # 2 matches
+            ("s1", "no match here"),              # 0
+            ("s2", "value value value"),          # 3
+        ],
+        ["source", "text"],
+    )
+    got = {
+        r["source"]: (r["n_docs_hit"], r["n_matches"])
+        for r in pattern_counts(df, "text", r"\b(value|table)\b", "source").collect()
+    }
+    assert got == {"s1": (1, 2), "s2": (1, 3)}
+
+
+def test_bigram_conditional_topk_known(spark):
+    from flashml_spark.operators.textops import bigram_conditional_topk
+
+    df = spark.createDataFrame(
+        [("en", "a b a b a c")],  # bigrams: ab, ba, ab, ba, ac
+        ["lang", "text"],
+    )
+    rows = bigram_conditional_topk(df, "text", "lang", k=3).collect()
+    got = {(r["w1"], r["w2"]): (r["c"], r["p"], r["rn"]) for r in rows}
+    # c(a,·)=3 (ab x2 + ac), c(b,·)=2 ; ties break (w1, w2) ascending
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6), 1)
+    assert got[("b", "a")] == (2, pytest.approx(1.0), 2)
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6), 3)
