@@ -46,15 +46,16 @@ _PRIORITY = [
     "x55_contamination_scan", "x56_quality_percentiles_by_lang",
     "x57_keep_best_dedup", "x58_quantization_error", "x59_json_extract",
     "x60_hour_histogram", "x61_percent_rank", "x62_weighted_sample",
-    # new this round (x63..x68) — no driver or judge row yet
+    # new this round (x63..x72) — no driver or judge row yet
     "x63_shard_packing", "x64_zscore_by_lang", "x65_winsorized_stats",
     "x66_region_revenue", "x67_scrub_counts", "x68_bigram_lm",
+    "x69_bpe_token_count", "x70_lm_doc_nll", "x71_retention_cohorts",
+    "x72_cluster_balanced_sample",
     # changed this round (q19 -> global_cumsum; x52/x59 reworked)
     "q19_threshold_sweep",
     # representative anchors (driver-green r01+r02) to fill the 50 slots
-    "q01_filter_project", "q02_sql_view_chain", "q11_qa_join",
-    "q12_hotlead_rollup", "q14_psi", "q17_confusion", "x01_dedup_exact",
-    "x05_ngram_jaccard", "x06_knn_brute", "x16_minhash_lsh_bands",
+    "q01_filter_project", "q12_hotlead_rollup", "q14_psi",
+    "x01_dedup_exact", "x06_knn_brute", "x16_minhash_lsh_bands",
     "x23_preprocess_chain",
 ]
 

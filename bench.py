@@ -78,6 +78,10 @@ HEADLINE = [
     "x66_region_revenue",
     "x67_scrub_counts",
     "x68_bigram_lm",
+    "x69_bpe_token_count",
+    "x70_lm_doc_nll",
+    "x71_retention_cohorts",
+    "x72_cluster_balanced_sample",
 ]
 
 

@@ -187,3 +187,31 @@ def hour_of_day_histogram(
             F.round(F.avg(value_col), 6).alias("avg_value"),
         )
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    out_cohort: str = "cohort_day",
+    out_offset: str = "day_offset",
+) -> DataFrame:
+    """Retention-cohort matrix: users bucketed by first-seen day, activity
+    counted at each day offset — ``(cohort_day, day_offset, n_users)``.
+
+    Shape: one agg for first-seen (|users| rows, broadcast-able back onto
+    the event scan), then one distinct-count agg on (cohort, offset) —
+    both shuffle on bounded keys; no windows, no driver loops.
+    """
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    first = df.groupBy(user_col).agg(F.min(day).alias("__cohort"))
+    return (
+        df.join(first, user_col)
+        .select(
+            F.col("__cohort").cast("string").alias(out_cohort),
+            F.datediff(day, F.col("__cohort")).cast("bigint").alias(out_offset),
+            F.col(user_col),
+        )
+        .groupBy(out_cohort, out_offset)
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

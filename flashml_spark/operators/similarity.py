@@ -371,3 +371,29 @@ def quantization_error(
     )
     rel = F.when(sq(v) > 0, F.round(F.sqrt(err2 / sq(v)), 6)).otherwise(F.lit(0.0))
     return df.select(F.col(id_col), rel.alias("rel_err"))
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 8,
+    k_per_cluster: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity sampling for training-data curation: cluster the embedding
+    space (the IVF coarse quantizer — k-means, fixed seed) and take a
+    deterministic quota from EVERY cluster, so rare regions survive the
+    cut that a uniform sample would starve.
+
+    Reuses the IVF machinery: centroids fit on a bounded sample, cluster
+    assignment is a codegen'd argmin over broadcast centroids, and the
+    per-cluster quota is a ranked-window top-k (bounded by cluster size).
+    Output: ``<id_col>, ivf_list, rn``."""
+    from flashml_spark.operators.sampling import quota_per_group
+
+    centroids = fit_ivf_centroids(df, vec_col, n_lists=n_lists, seed=seed)
+    assigned = with_ivf_list(df, vec_col, centroids)
+    return quota_per_group(
+        assigned, "ivf_list", id_col, k=k_per_cluster, rank_col="rn"
+    ).select(id_col, "ivf_list", "rn")

@@ -356,3 +356,56 @@ def bigram_conditional_topk(
         F.round(F.col("c") / F.col("c_w1"), 6).alias("p"),
         "rn",
     )
+
+
+# GPT-2-style pre-tokenizer shape WITHOUT lookaheads (portable across Java
+# regex and RE2): letter runs | single digits | single non-alphanumerics.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def bpe_token_count(text: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Sub-word-ish token count: regex pre-tokenization (letter runs split
+    from digits/punctuation), the standard first stage of BPE tokenizers.
+    Whitespace counting under-counts code/punctuation-heavy documents; this
+    is the cheap JVM-side proxy for a real tokenizer's budget estimate."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str, out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    return df.withColumn(out_col, bpe_token_count(F.col(text_col)))
+
+
+def lm_doc_nll(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document bigram negative log-likelihood under the corpus's own
+    bigram model — the KenLM-style perplexity-proxy quality signal:
+    ``nll = avg(-ln p(w2|w1))`` over the document's bigrams, where
+    ``p(w2|w1) = c(w1,w2) / c(w1,·)`` from the whole corpus.
+
+    Shape: one explode to bigram instances (map-side partials absorb it),
+    corpus counts + w1 marginals are vocabulary-sized frames joined back on
+    (w1, w2) — broadcast-able dims, never a per-row window.  Documents with
+    no bigrams are dropped (no tokens to score).
+    Output: ``<id_col>, n_bigrams, nll``."""
+    inst = df.select(
+        F.col(id_col),
+        F.explode(H.word_ngrams(H.tokens(F.col(text_col)), 2)).alias("g"),
+    ).select(
+        id_col,
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    counts = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("w1").agg(F.sum("c").alias("c_w1"))
+    probs = counts.join(totals, "w1").select(
+        "w1", "w2", (F.col("c") / F.col("c_w1")).alias("p")
+    )
+    return (
+        inst.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("nll"),
+        )
+    )

@@ -1,7 +1,9 @@
-"""Extension queries, round 3 (x63..x68): training-data pipeline
+"""Extension queries, round 3 (x63..x72): training-data pipeline
 operators — fixed-capacity shard packing on distributed prefix sums,
 per-group standardization, quantile winsorization, a six-table star
-revenue join, regex scrub counting, and bigram language-model counts.
+revenue join, regex scrub counting, bigram language-model counts,
+BPE-ish token budgets, perplexity-proxy document scoring, retention
+cohorts, and cluster-balanced diversity sampling.
 
 Same oracle discipline as earlier batches: engine-portable DuckDB SQL
 built from the literals the Spark operators ship, identical aliases on
@@ -179,3 +181,86 @@ def x67(spark: SparkSession, sf: str) -> DataFrame:
 def x68(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return textops.bigram_conditional_topk(docs, "text", "lang", k=5)
+
+
+# x69 — BPE-ish token budget per source: regex pre-tokenization (letter
+# runs | digits | punctuation) alongside the whitespace count — the cheap
+# proxy for a real tokenizer's shard budget.
+@register(
+    "x69_bpe_token_count",
+    f"""SELECT source,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT)
+                   AS bpe_tokens,
+               CAST(SUM(len({_TOK})) AS BIGINT) AS ws_tokens
+        FROM documents GROUP BY source""",
+)
+def x69(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    counted = textops.with_bpe_token_count(
+        textops.with_token_count(docs, "text", "ws"), "text", "bpe"
+    )
+    return counted.groupBy("source").agg(
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+    )
+
+
+# x70 — perplexity-proxy quality signal: per-document bigram NLL under the
+# corpus's own bigram LM (KenLM-style filtering without external models).
+@register(
+    "x70_lm_doc_nll",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        inst AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(ts)),
+                                              i -> ts[i] || ' ' || ts[i + 1])) AS g
+                 FROM tok),
+        sp AS (SELECT doc_id, split_part(g, ' ', 1) AS w1,
+                      split_part(g, ' ', 2) AS w2 FROM inst),
+        c AS (SELECT w1, w2, COUNT(*) AS c FROM sp GROUP BY 1, 2),
+        t AS (SELECT w1, SUM(c) AS c_w1 FROM c GROUP BY 1),
+        p AS (SELECT c.w1, c.w2, c.c / CAST(t.c_w1 AS DOUBLE) AS p
+              FROM c JOIN t ON c.w1 = t.w1)
+        SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-ln(p.p)), 6) AS nll
+        FROM sp JOIN p ON sp.w1 = p.w1 AND sp.w2 = p.w2
+        GROUP BY sp.doc_id""",
+)
+def x70(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.lm_doc_nll(docs, "text", "doc_id")
+
+
+# x71 — retention cohorts: users bucketed by first-seen day, activity
+# counted per day offset.  Two shuffle-bounded aggs + one broadcast-able
+# join on the (|users|-sized) cohort frame.
+@register(
+    "x71_retention_cohorts",
+    """WITH first AS (SELECT user_id,
+                             CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+                      FROM events GROUP BY user_id)
+       SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+              CAST(datediff('day', cohort_day, date_trunc('day', ts)) AS BIGINT)
+                  AS day_offset,
+              CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+       FROM events e JOIN first USING (user_id)
+       GROUP BY 1, 2""",
+)
+def x71(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf, "events")
+    return ev_ops.retention_cohorts(ev, "user_id", "ts")
+
+
+# x72 — cluster-balanced diversity sample over the embedding table:
+# k-means (IVF coarse quantizer) clusters + deterministic per-cluster
+# quota.  K-means is not SQL-expressible -> rows-only driver check; the
+# determinism and quota contracts are unit-tested.
+@register("x72_cluster_balanced_sample", None)
+def x72(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, "embedding", "vec_id", n_lists=8, k_per_cluster=4
+    )

@@ -210,3 +210,79 @@ def test_bigram_conditional_topk_known(spark):
     assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6), 1)
     assert got[("b", "a")] == (2, pytest.approx(1.0), 2)
     assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6), 3)
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from flashml_spark.operators.textops import with_bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a-b 12 c!")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in with_bpe_token_count(df, "text").collect()
+    }
+    # "hello world" -> [hello, world] = 2
+    # "a-b 12 c!" -> [a, -, b, 1, 2, c, !] = 7 (digits split, punct split)
+    assert got == {1: 2, 2: 7}
+
+
+def test_lm_doc_nll_known_probs(spark):
+    import math
+
+    from flashml_spark.operators.textops import lm_doc_nll
+
+    # corpus: doc1 "a b a c", doc2 "a b"
+    # bigrams: d1 [ab, ba, ac], d2 [ab] -> c(ab)=2, c(ba)=1, c(ac)=1
+    # p(b|a)=2/3, p(a|b)=1/1, p(c|a)=1/3
+    df = spark.createDataFrame([(1, "a b a c"), (2, "a b")], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in lm_doc_nll(df, "text", "doc_id").collect()}
+    nll1 = -(math.log(2 / 3) + math.log(1.0) + math.log(1 / 3)) / 3
+    nll2 = -math.log(2 / 3)
+    assert got[1][0] == 3 and abs(got[1][1] - round(nll1, 6)) <= 1e-6
+    assert got[2][0] == 1 and abs(got[2][1] - round(nll2, 6)) <= 1e-6
+
+
+def test_retention_cohorts_known(spark):
+    from flashml_spark.operators.events import retention_cohorts
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 09:00:00"),
+            (2, "2024-01-03 23:59:59"),
+            (2, "2024-01-03 05:00:00"),
+        ],
+        ["user_id", "ts_s"],
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from flashml_spark.operators.similarity import cluster_balanced_sample
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = cluster_balanced_sample(emb, "embedding", "vec_id", n_lists=4, k_per_cluster=3)
+    rows_a = sorted((r["vec_id"], r["ivf_list"], r["rn"]) for r in a.collect())
+    rows_b = sorted(
+        (r["vec_id"], r["ivf_list"], r["rn"])
+        for r in cluster_balanced_sample(
+            emb, "embedding", "vec_id", n_lists=4, k_per_cluster=3
+        ).collect()
+    )
+    assert rows_a == rows_b  # fixed-seed determinism end-to-end
+    per_cluster = {}
+    for _, lst, rn in rows_a:
+        per_cluster.setdefault(lst, []).append(rn)
+    assert len(per_cluster) >= 2
+    for lst, rns in per_cluster.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+        assert len(rns) <= 3
