@@ -154,17 +154,27 @@ def fit_ivf_centroids(
     n_lists: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 10,
+    init_mode: str = "random",
 ) -> list[list[float]]:
     """Coarse quantizer for IVF: k-means centroids fit on a (sampled)
     vector column.  The centroid table is tiny (n_lists × dim) — it ships
     to executors as literals/broadcast, never as a shuffle side.
+
+    Defaults favor the quantizer use-case: ``random`` init (k-means||
+    spends several extra distributed passes to seed centroids — overkill
+    when downstream probing tolerates a slightly worse coarse partition)
+    and a bounded iteration cap.  Pass ``init_mode="k-means||"`` for the
+    standalone-clustering quality profile.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = df if sample_fraction is None else df.sample(False, sample_fraction, seed)
     vecs = train.select(array_to_vector(_as_double(F.col(vec_col))).alias("__v"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__v")
+    km = KMeans(
+        k=n_lists, seed=seed, featuresCol="__v", maxIter=max_iter, initMode=init_mode
+    )
     model = km.fit(vecs)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
