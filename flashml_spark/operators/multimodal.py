@@ -125,3 +125,113 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     # byte_len / 1000 as a fake frame count — real impl reads container metadata
     frames = F.sequence(F.lit(0), F.floor(F.length("payload") / 1000), F.lit(every_n))
     return df.select("media_id", F.explode(frames).alias("frame_idx"))
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def _fake_thumb(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic md5-derived stand-in for resized pixel bytes — same
+    length contract as a real grayscale thumbnail (w*h bytes)."""
+    out = bytearray()
+    seed = payload + f"|{w}x{h}".encode()
+    while len(out) < w * h:
+        seed = hashlib.md5(seed).digest()
+        out.extend(seed)
+    return bytes(out[: w * h])
+
+
+def resize_media(
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Thumbnail/resize step via Arrow-batched mapInPandas: payload →
+    fixed-size grayscale thumbnail bytes.  ``fake=True`` emits
+    deterministic md5-derived bytes with the real length contract
+    (``width*height``); ``fake=False`` is the PIL path
+    (convert("L").resize), NotImplementedError where PIL is missing."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def real(p: bytes) -> bytes:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # pragma: no cover - container lacks PIL
+                raise NotImplementedError(
+                    "real resize path requires PIL; install pillow"
+                ) from exc
+            img = Image.open(io.BytesIO(p))
+            return img.convert("L").resize((width, height)).tobytes()
+
+        codec = (lambda p: _fake_thumb(p, width, height)) if fake else real
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [codec(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=THUMB_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", StringType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature-extraction plumbing: payload → (sample_rate,
+    n_samples, duration).  ``fake=True`` derives deterministic values from
+    the payload digest (real Arrow batch shape, portable); the real path
+    requires an audio codec (soundfile/librosa — absent in this container)
+    and raises NotImplementedError.  duration_s ships as a pre-rounded
+    string so downstream equality checks are float-safe."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def fake_feats(p: bytes) -> tuple[int, int, str]:
+            d = hashlib.md5(p).digest()
+            sr = 8000 * (1 + d[0] % 6)  # 8k..48k
+            n = 1000 + int.from_bytes(d[1:4], "big") % 100000
+            return sr, n, f"{n / sr:.6f}"
+
+        def real_feats(p: bytes) -> tuple[int, int, str]:
+            try:
+                import soundfile  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - container lacks codec
+                raise NotImplementedError(
+                    "real audio path requires soundfile/librosa"
+                ) from exc
+            raise NotImplementedError("real audio decode not wired in this build")
+
+        feats = fake_feats if fake else real_feats
+        for pdf in batches:
+            got = [feats(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [g[0] for g in got],
+                    "n_samples": [g[1] for g in got],
+                    "duration_s": [g[2] for g in got],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)

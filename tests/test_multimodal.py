@@ -57,3 +57,53 @@ def test_real_codec_raises_cleanly_without_pil(spark):
 def test_real_decode_driver_side_raises_without_pil():
     with pytest.raises(NotImplementedError, match="PIL"):
         _real_decode(b"payload")
+
+
+def test_resize_media_fake_contract(spark):
+    from flashml_spark.operators.multimodal import documents_as_media, resize_media
+    from flashml_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = documents_as_media(docs)
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["thumb"])) == 32  # w*h grayscale byte contract
+    # determinism: same payload -> same thumb bytes
+    again = {r["media_id"]: bytes(r["thumb"]) for r in resize_media(media, 8, 4).collect()}
+    assert all(bytes(r["thumb"]) == again[r["media_id"]] for r in out)
+
+
+def test_resize_media_real_raises_without_pil(spark):
+    if HAS_PIL:
+        pytest.skip("PIL installed; real path covered by decode tests")
+    from flashml_spark.operators.multimodal import documents_as_media, resize_media
+    from flashml_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(2)
+    with pytest.raises(Exception) as exc_info:
+        resize_media(documents_as_media(docs), fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_audio_features_fake_deterministic(spark):
+    from flashml_spark.operators.multimodal import audio_features, documents_as_media
+    from flashml_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = documents_as_media(docs)
+    rows = audio_features(media).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["sample_rate"] in {8000, 16000, 24000, 32000, 40000, 48000}
+        assert float(r["duration_s"]) == pytest.approx(
+            r["n_samples"] / r["sample_rate"], abs=1e-6
+        )
+    again = {r["media_id"]: r["n_samples"] for r in audio_features(media).collect()}
+    assert all(again[r["media_id"]] == r["n_samples"] for r in rows)
