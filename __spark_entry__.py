@@ -50,13 +50,12 @@ _PRIORITY = [
     "x63_shard_packing", "x64_zscore_by_lang", "x65_winsorized_stats",
     "x66_region_revenue", "x67_scrub_counts", "x68_bigram_lm",
     "x69_bpe_token_count", "x70_lm_doc_nll", "x71_retention_cohorts",
-    "x72_cluster_balanced_sample",
+    "x72_cluster_balanced_sample", "x73_curation_pipeline",
     # changed this round (q19 -> global_cumsum; x52/x59 reworked)
     "q19_threshold_sweep",
     # representative anchors (driver-green r01+r02) to fill the 50 slots
     "q01_filter_project", "q12_hotlead_rollup", "q14_psi",
     "x01_dedup_exact", "x06_knn_brute", "x16_minhash_lsh_bands",
-    "x23_preprocess_chain",
 ]
 
 

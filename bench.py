@@ -82,6 +82,7 @@ HEADLINE = [
     "x70_lm_doc_nll",
     "x71_retention_cohorts",
     "x72_cluster_balanced_sample",
+    "x73_curation_pipeline",
 ]
 
 

@@ -409,3 +409,34 @@ def lm_doc_nll(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.round(F.avg(-F.log("p")), 6).alias("nll"),
         )
     )
+
+
+def curate_and_pack(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str | None = None,
+    capacity: int = 512,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The flagship curation pipeline, end-to-end: quality/language filter
+    (fused codegen projection) → exact dedup keep-min (digest groupBy +
+    co-partitioned semi-join) → fixed-capacity shard packing
+    (range-partitioned prefix sums).  Every stage is the engine's own
+    operator; the composition stays one lazy Catalyst plan until the
+    packing pass's offsets collect.
+    Output: the surviving documents with ``n_tokens`` and ``shard``."""
+    from flashml_spark.operators.dedup import exact_dedup
+
+    kept = (
+        quality_filter_verdict(
+            df, text_col, lang_col, min_tokens, max_tokens, min_quality
+        )
+        .filter(F.col("keep"))
+        .drop("reason", "keep")
+    )
+    deduped = exact_dedup(kept, text_col, id_col)
+    counted = with_token_count(deduped, text_col)
+    return pack_shards(counted, id_col, "n_tokens", capacity)

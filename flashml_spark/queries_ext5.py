@@ -264,3 +264,43 @@ def x72(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cluster_balanced_sample(
         emb, "embedding", "vec_id", n_lists=8, k_per_cluster=4
     )
+
+
+# x73 — the curation pipeline END-TO-END with a fully composed oracle:
+# quality/lang filter (x46 semantics) → exact dedup keep-min (x01
+# semantics) → fixed-capacity shard packing (x63 semantics) → per-shard
+# stats.  One lazy plan on the Spark side; the oracle nests the same three
+# stages as CTE subqueries.
+def _curation_oracle(capacity: int = 512) -> str:
+    from flashml_spark.queries_ext3 import _quality_filter_oracle
+
+    return f"""
+    WITH kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN ({_quality_filter_oracle()}) v
+        ON d.doc_id = v.doc_id AND v.keep),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM kept) s
+      WHERE doc_id = keep_id),
+    t AS (SELECT doc_id, len({_TOK}) AS n_tokens FROM ded),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+    SELECT CAST(FLOOR((cum - n_tokens) / {capacity}.0) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c GROUP BY 1"""
+
+
+@register("x73_curation_pipeline", _curation_oracle())
+def x73(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    packed = textops.curate_and_pack(docs, "text", "doc_id", lang_col="lang")
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
