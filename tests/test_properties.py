@@ -147,3 +147,65 @@ def test_word_ngrams_edge_counts(spark, n):
         # tokens() on "" yields [""] (split semantics) — count follows that
         expected = max(0, len(toks) - n + 1) if n > 1 else len(toks)
         assert r["c"] == expected
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=60),
+    capacity=st.integers(min_value=10, max_value=200),
+)
+def test_pack_shards_properties(spark, tokens, capacity):
+    """Invariants for any token sequence and capacity: shards are dense
+    starting at 0, contiguous in id order, each shard's total minus its
+    last (straddling) doc is under capacity, and token totals are
+    preserved."""
+    from flashml_spark.operators.textops import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id int, n_tokens int"
+    )
+    rows = sorted(
+        pack_shards(df, "doc_id", "n_tokens", capacity).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert sum(r["n_tokens"] for r in rows) == sum(tokens)
+    shards_in_order = [r["shard"] for r in rows]
+    assert shards_in_order == sorted(shards_in_order)  # contiguous runs
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sorted(by_shard) == list(range(len(by_shard)))  # dense from 0
+    for rs in by_shard.values():
+        total = sum(r["n_tokens"] for r in rs)
+        assert total - rs[-1]["n_tokens"] < capacity
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=2, max_size=50,
+    )
+)
+def test_group_zscore_properties(spark, vals):
+    """Per group: z-scores have ~zero mean; zero-variance groups emit 0."""
+    import statistics
+
+    from flashml_spark.operators.relational import group_zscore
+
+    df = spark.createDataFrame(vals, "g string, v double")
+    rows = group_zscore(df, "v", ["g"], ndigits=9).collect()
+    by_g: dict[str, list] = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["z"])
+    raw: dict[str, list] = {}
+    for g, v in vals:
+        raw.setdefault(g, []).append(v)
+    for g, zs in by_g.items():
+        if len(set(raw[g])) == 1:
+            assert all(z == 0.0 for z in zs)
+        else:
+            assert abs(statistics.fmean(zs)) < 1e-6
