@@ -91,3 +91,40 @@ def test_streaming_dedup_against_corpus_matches_anti_join(spark, tmp_path):
     )
     want = sorted(r["doc_id"] for r in want_df.collect())
     assert got == want
+
+
+def test_streaming_curation_matches_batch_stages(spark, tmp_path):
+    """The curation pipeline's streaming form — stateless quality filter
+    projection + within-stream digest dedup — must keep exactly the docs
+    the batch stages (quality_filter_verdict + exact_dedup) keep."""
+    from flashml_spark.operators.textops import quality_filter_verdict
+
+    staged, src = _staged_docs_with_dupes(spark, tmp_path)
+
+    stream = spark.readStream.schema(staged.schema).parquet(src)
+    filtered = quality_filter_verdict(stream, "text", lang_col="lang").filter(
+        F.col("keep")
+    ).drop("reason", "keep")
+    q = (
+        streaming_dedup_exact(filtered, "text", "ts")
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_texts = {
+        r["text"]
+        for r in spark.sql("SELECT text FROM curated_stream").collect()
+    }
+
+    batch_kept = (
+        quality_filter_verdict(staged, "text", lang_col="lang")
+        .filter(F.col("keep"))
+        .drop("reason", "keep")
+    )
+    want_texts = {
+        r["text"] for r in dedup.exact_dedup(batch_kept, "text", "doc_id").collect()
+    }
+    assert got_texts == want_texts
