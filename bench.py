@@ -83,6 +83,7 @@ HEADLINE = [
     "x71_retention_cohorts",
     "x72_cluster_balanced_sample",
     "x73_curation_pipeline",
+    "x74_vocab_coverage",
 ]
 
 

@@ -440,3 +440,49 @@ def curate_and_pack(
     deduped = exact_dedup(kept, text_col, id_col)
     counted = with_token_count(deduped, text_col)
     return pack_shards(counted, id_col, "n_tokens", capacity)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    coverage: float = 0.95,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary sizing: per group, the smallest
+    frequency-ranked vocabulary covering ``coverage`` of all token
+    occurrences (plus corpus totals).  Counts aggregate map-side off the
+    explode; the ranked cumulative runs per group over the VOCABULARY
+    (bounded by distinct words, not corpus size).  Rank ties break
+    word-ascending; the resulting vocab size is order-invariant within a
+    tie group (every tied word contributes the same count).
+    Output: ``<group_col>, vocab_size, distinct_words, total_tokens``."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.col(group_col), F.explode(H.tokens(F.col(text_col))).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        group_col,
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_words"),
+    )
+    return (
+        ranked.join(F.broadcast(totals), group_col)
+        .filter(F.col("cum") >= coverage * F.col("total_tokens"))
+        .groupBy(group_col, "total_tokens", "distinct_words")
+        .agg(F.min("rn").alias("vocab_size"))
+        .select(
+            group_col,
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.col("distinct_words").cast("bigint").alias("distinct_words"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -304,3 +304,29 @@ def x73(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# x74 — vocabulary coverage cutoff (tokenizer prep): per language, the
+# smallest frequency-ranked vocab covering 95% of token occurrences.
+# Cumulatives run over the vocabulary (bounded), never the corpus.
+@register(
+    "x74_vocab_coverage",
+    f"""WITH tok AS (SELECT lang, unnest({_TOK}) AS w FROM documents),
+        c AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        r AS (SELECT lang, c,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rn,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, w
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM c),
+        t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS distinct_words
+              FROM c GROUP BY 1)
+        SELECT r.lang, CAST(MIN(rn) AS BIGINT) AS vocab_size,
+               t.distinct_words, t.total_tokens
+        FROM r JOIN t ON r.lang = t.lang
+        WHERE cum >= 0.95 * t.total_tokens
+        GROUP BY r.lang, t.distinct_words, t.total_tokens""",
+)
+def x74(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.vocab_coverage(docs, "text", "lang", coverage=0.95)

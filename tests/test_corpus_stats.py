@@ -286,3 +286,17 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     for lst, rns in per_cluster.items():
         assert sorted(rns) == list(range(1, len(rns) + 1))
         assert len(rns) <= 3
+
+
+def test_vocab_coverage_known_cutoff(spark):
+    from flashml_spark.operators.textops import vocab_coverage
+
+    # counts: a=4, b=3, c=2, d=1 (total 10); 95% -> need a+b+c=9 <9.5,
+    # so vocab_size=4; 50% -> a alone (4) < 5, a+b=7 >= 5 -> 2
+    df = spark.createDataFrame(
+        [("en", "a a a a b b b c c d")], ["lang", "text"]
+    )
+    r95 = vocab_coverage(df, "text", "lang", 0.95).first()
+    assert (r95["vocab_size"], r95["distinct_words"], r95["total_tokens"]) == (4, 4, 10)
+    r50 = vocab_coverage(df, "text", "lang", 0.50).first()
+    assert r50["vocab_size"] == 2
