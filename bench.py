@@ -84,6 +84,7 @@ HEADLINE = [
     "x72_cluster_balanced_sample",
     "x73_curation_pipeline",
     "x74_vocab_coverage",
+    "x75_semantic_dedup_e2e",
 ]
 
 

@@ -407,3 +407,27 @@ def cluster_balanced_sample(
     return quota_per_group(
         assigned, "ivf_list", id_col, k=k_per_cluster, rank_col="rn"
     ).select(id_col, "ivf_list", "rn")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space near-dup removal end-to-end: LSH-bucketed cosine
+    pairs → transitive components (min-label propagation) → keep the
+    min-id row of every duplicate group.  The semantic twin of
+    ``dedup.minhash_dedup`` — same component machinery, cosine recall
+    semantics instead of shingle overlap."""
+    from flashml_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        df, vec_col, id_col, threshold, n_planes, seed, dim
+    )
+    comp = connected_components(pairs)
+    dupes = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(dupes, df[id_col] == dupes["id"], "left_anti")

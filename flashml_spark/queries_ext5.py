@@ -330,3 +330,34 @@ def x73(spark: SparkSession, sf: str) -> DataFrame:
 def x74(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return textops.vocab_coverage(docs, "text", "lang", coverage=0.95)
+
+
+# x75 — semantic dedup END-TO-END: embedding near-dup pairs (x17's exact
+# bucket/threshold SQL) → transitive components (x35's recursive
+# reachability formulation) → keep min id per group.  The semantic twin
+# of the minhash flagship, hash-checked the same way.
+def _semantic_dedup_oracle() -> str:
+    from flashml_spark.queries_ext2 import _neardup_oracle
+
+    return f"""WITH RECURSIVE pairs AS ({_neardup_oracle()}),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, lbl) AS (
+         SELECT src, src FROM sym
+         UNION
+         SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+       comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+       SELECT vec_id, label FROM embeddings
+       WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"""
+
+
+@register("x75_semantic_dedup_e2e", _semantic_dedup_oracle())
+def x75(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+    from flashml_spark.queries_ext2 import _DIM, _NDUP_T, _PLANES_N, _SEED
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=_NDUP_T,
+        n_planes=_PLANES_N, seed=_SEED, dim=_DIM,
+    ).select("vec_id", "label")
