@@ -51,12 +51,12 @@ _PRIORITY = [
     "x66_region_revenue", "x67_scrub_counts", "x68_bigram_lm",
     "x69_bpe_token_count", "x70_lm_doc_nll", "x71_retention_cohorts",
     "x72_cluster_balanced_sample", "x73_curation_pipeline",
-    "x74_vocab_coverage", "x75_semantic_dedup_e2e",
+    "x74_vocab_coverage", "x75_semantic_dedup_e2e", "x76_token_entropy",
+    "x77_source_overlap",
     # changed this round (q19 -> global_cumsum; x52/x59 reworked)
     "q19_threshold_sweep",
     # representative anchors (driver-green r01+r02) to fill the 50 slots
-    "q01_filter_project", "q12_hotlead_rollup", "q14_psi",
-    "x01_dedup_exact",
+    "q01_filter_project", "q12_hotlead_rollup",
 ]
 
 

@@ -85,6 +85,8 @@ HEADLINE = [
     "x73_curation_pipeline",
     "x74_vocab_coverage",
     "x75_semantic_dedup_e2e",
+    "x76_token_entropy",
+    "x77_source_overlap",
 ]
 
 

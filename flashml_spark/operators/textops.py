@@ -486,3 +486,64 @@ def vocab_coverage(
             F.col("total_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) — low
+    entropy flags keyboard-mash/boilerplate, high entropy flags noise.
+    Explode → (doc, token) counts → one agg with the plug-in estimator
+    ``-Σ (c/n) ln (c/n)``; both shuffles key on the doc id, so AQE
+    co-partitions them.  Docs with no tokens are dropped.
+    Output: ``<id_col>, n_tokens, entropy``."""
+    counts = (
+        df.select(F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            # -Σ (c/n) ln(c/n) = ln n - (Σ c ln c)/n
+            F.round(
+                F.log("n_tokens") - F.col("__clogc") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def source_vocab_overlap(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (corpus-diversity audit):
+    distinct (group, token) sets, token-keyed self-join for intersections,
+    |groups|²-bounded output.  The join key is the token, so a hot token
+    costs |groups|² per token — bounded by the group count, not the corpus.
+    Output: ``g_a, g_b, common, size_a, size_b, jaccard``."""
+    vocab = (
+        df.select(F.col(group_col).alias("g"), F.explode(H.tokens(F.col(text_col))).alias("w"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("g").agg(F.count(F.lit(1)).alias("size"))
+    a = vocab.select(F.col("g").alias("g_a"), "w")
+    b = vocab.select(F.col("g").alias("g_b"), "w")
+    common = (
+        a.join(b, "w")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("g").alias("g_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("g").alias("g_b"), F.col("size").alias("size_b"))
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.join(F.broadcast(sa), "g_a")
+        .join(F.broadcast(sb), "g_b")
+        .select(
+            "g_a", "g_b", "common", "size_a", "size_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

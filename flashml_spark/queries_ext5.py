@@ -361,3 +361,37 @@ def x75(spark: SparkSession, sf: str) -> DataFrame:
         emb, "embedding", "vec_id", threshold=_NDUP_T,
         n_planes=_PLANES_N, seed=_SEED, dim=_DIM,
     ).select("vec_id", "label")
+
+
+# x76 — per-document token entropy (nats): the third quality axis next to
+# repetition ratio and LM NLL.  ln n - (Σ c ln c)/n, one agg per doc.
+@register(
+    "x76_token_entropy",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOK}) AS w FROM documents),
+        c AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+        FROM c GROUP BY doc_id""",
+)
+def x76(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.token_entropy(docs, "text", "doc_id")
+
+
+# x77 — pairwise source vocabulary overlap (corpus diversity audit):
+# |groups|²-bounded Jaccard matrix off token-keyed distinct joins.
+@register(
+    "x77_source_overlap",
+    f"""WITH v AS (SELECT DISTINCT source AS g, unnest({_TOK}) AS w
+                   FROM documents),
+        s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS size FROM v GROUP BY g),
+        c AS (SELECT a.g AS g_a, b.g AS g_b, CAST(COUNT(*) AS BIGINT) AS common
+              FROM v a JOIN v b USING (w) WHERE a.g < b.g GROUP BY 1, 2)
+        SELECT g_a, g_b, common, sa.size AS size_a, sb.size AS size_b,
+               ROUND(common / CAST(sa.size + sb.size - common AS DOUBLE), 6)
+                   AS jaccard
+        FROM c JOIN s sa ON c.g_a = sa.g JOIN s sb ON c.g_b = sb.g""",
+)
+def x77(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.source_vocab_overlap(docs, "text", "source")

@@ -300,3 +300,31 @@ def test_vocab_coverage_known_cutoff(spark):
     assert (r95["vocab_size"], r95["distinct_words"], r95["total_tokens"]) == (4, 4, 10)
     r50 = vocab_coverage(df, "text", "lang", 0.50).first()
     assert r50["vocab_size"] == 2
+
+
+def test_token_entropy_known(spark):
+    import math
+
+    from flashml_spark.operators.textops import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"]) for r in token_entropy(df, "text", "doc_id").collect()}
+    assert got[1] == (4, 0.0)  # single repeated token -> zero entropy
+    assert got[2][0] == 4 and got[2][1] == pytest.approx(round(math.log(4), 6), abs=1e-6)
+
+
+def test_source_vocab_overlap_known(spark):
+    from flashml_spark.operators.textops import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s2", "b c d"), ("s3", "x y")],
+        ["source", "text"],
+    )
+    got = {
+        (r["g_a"], r["g_b"]): (r["common"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in source_vocab_overlap(df, "text", "source").collect()
+    }
+    assert got[("s1", "s2")] == (2, 3, 3, 0.5)  # {b,c} / {a,b,c,d}
+    assert ("s1", "s3") not in got  # zero-overlap pairs absent (inner join)

@@ -140,3 +140,22 @@ def test_threshold_sweep_metrics_path_is_range_partitioned(spark):
 def test_broadcast_threshold_respected_for_dim_joins(spark):
     plan = plan_of(q(spark, "q11_qa_join"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_x63_packing_no_single_partition(spark):
+    plan = plan_of(q(spark, "x63_shard_packing"))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_x73_curation_pipeline_shape(spark):
+    plan = plan_of(q(spark, "x73_curation_pipeline"))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(__pid" in plan  # packing stage
+
+
+def test_x66_q5_join_no_cartesian(spark):
+    plan = plan_of(q(spark, "x66_region_revenue"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
