@@ -420,6 +420,7 @@ def curate_and_pack(
     min_tokens: int = 5,
     max_tokens: int = 5000,
     min_quality: float = 0.5,
+    keep_columns: list[str] | None = None,
 ) -> DataFrame:
     """The flagship curation pipeline, end-to-end: quality/language filter
     (fused codegen projection) → exact dedup keep-min (digest groupBy +
@@ -427,7 +428,12 @@ def curate_and_pack(
     (range-partitioned prefix sums).  Every stage is the engine's own
     operator; the composition stays one lazy Catalyst plan until the
     packing pass's offsets collect.
-    Output: the surviving documents with ``n_tokens`` and ``shard``."""
+
+    The packing stage pins its range-partitioned frame (localCheckpoint),
+    so only ``id_col, n_tokens`` plus ``keep_columns`` flow into it —
+    carrying the full text through the checkpoint costs ~100× the bytes
+    for nothing.  Join surviving ids back to the source for payloads.
+    Output: ``<id_col>, n_tokens, shard`` (+ ``keep_columns``)."""
     from flashml_spark.operators.dedup import exact_dedup
 
     kept = (
@@ -438,7 +444,9 @@ def curate_and_pack(
         .drop("reason", "keep")
     )
     deduped = exact_dedup(kept, text_col, id_col)
-    counted = with_token_count(deduped, text_col)
+    counted = with_token_count(deduped, text_col).select(
+        id_col, "n_tokens", *(keep_columns or [])
+    )
     return pack_shards(counted, id_col, "n_tokens", capacity)
 
 
