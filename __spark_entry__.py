@@ -56,7 +56,7 @@ _PRIORITY = [
     # changed this round (q19 -> global_cumsum; x52/x59 reworked)
     "q19_threshold_sweep",
     # representative anchors (driver-green r01+r02) to fill the 50 slots
-    "q01_filter_project", "q12_hotlead_rollup",
+    "x78_pricing_summary", "q12_hotlead_rollup",
 ]
 
 

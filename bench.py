@@ -87,6 +87,7 @@ HEADLINE = [
     "x75_semantic_dedup_e2e",
     "x76_token_entropy",
     "x77_source_overlap",
+    "x78_pricing_summary",
 ]
 
 

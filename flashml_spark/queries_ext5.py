@@ -395,3 +395,35 @@ def x76(spark: SparkSession, sf: str) -> DataFrame:
 def x77(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return textops.source_vocab_overlap(docs, "text", "source")
+
+
+# x78 — pricing summary (TPC-H Q1 shape): the classic wide-aggregate scan.
+# Eight aggregates in ONE pass — map-side partials absorb everything;
+# the only shuffle carries |groups| rows.
+@register(
+    "x78_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                  AS sum_charge,
+              ROUND(AVG(l_quantity), 6) AS avg_qty,
+              ROUND(AVG(l_extendedprice), 6) AS avg_price,
+              ROUND(AVG(l_discount), 6) AS avg_disc,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def x78(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
