@@ -52,11 +52,11 @@ _PRIORITY = [
     "x69_bpe_token_count", "x70_lm_doc_nll", "x71_retention_cohorts",
     "x72_cluster_balanced_sample", "x73_curation_pipeline",
     "x74_vocab_coverage", "x75_semantic_dedup_e2e", "x76_token_entropy",
-    "x77_source_overlap",
-    # changed this round (q19 -> global_cumsum; x52/x59 reworked)
+    "x77_source_overlap", "x78_pricing_summary", "x79_snapshot_diff",
+    # changed this round (q19 -> global_cumsum; x52/x59 reworked).
+    # q01..x30 (driver-green in r01 AND r02) fill the remainder after the
+    # 50-slot priority window.
     "q19_threshold_sweep",
-    # representative anchors (driver-green r01+r02) to fill the 50 slots
-    "x78_pricing_summary", "q12_hotlead_rollup",
 ]
 
 

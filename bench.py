@@ -88,6 +88,7 @@ HEADLINE = [
     "x76_token_entropy",
     "x77_source_overlap",
     "x78_pricing_summary",
+    "x79_snapshot_diff",
 ]
 
 

@@ -441,3 +441,27 @@ def keep_best_per_group(
         ).alias("keep_id"),
         F.count(F.lit(1)).alias("dup_cnt"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Corpus snapshot comparison by content digest — the audit pass
+    between two pipeline runs: per id, whether it was ``added``,
+    ``removed``, ``changed`` (same id, different content), or
+    ``unchanged``.  One full-outer join on the id key; digests compare
+    content without shipping text twice.
+    Output: ``<id_col>, status``."""
+    o = old.select(F.col(id_col), H.md5_hex(F.col(text_col)).alias("__ho"))
+    n = new.select(F.col(id_col), H.md5_hex(F.col(text_col)).alias("__hn"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), "added")
+        .when(F.col("__hn").isNull(), "removed")
+        .when(F.col("__ho") != F.col("__hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(id_col, status.alias("status"))

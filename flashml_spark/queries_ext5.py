@@ -427,3 +427,41 @@ def x78(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+# x79 — snapshot diff audit: two synthetic corpus snapshots derived from
+# the documents table (old = ids < 80% max, new = ids > 10% max with a
+# deterministic mutation on ids divisible by 7), diffed by content digest
+# over a full-outer id join.
+@register(
+    "x79_snapshot_diff",
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       old AS (SELECT doc_id, text FROM documents, mx WHERE doc_id < 0.8 * m),
+       new AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+               FROM documents, mx WHERE doc_id > 0.1 * m),
+       j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                    md5(o.text) AS ho, md5(n.text) AS hn
+             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+       SELECT CASE WHEN ho IS NULL THEN 'added'
+                   WHEN hn IS NULL THEN 'removed'
+                   WHEN ho <> hn THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM j GROUP BY 1""",
+)
+def x79(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    old = docs.filter(F.col("doc_id") < 0.8 * mx).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") > 0.1 * mx).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.snapshot_diff(old, new, "text", "doc_id").groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -64,3 +64,33 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    compression: str = "zstd",
+) -> None:
+    """Materialize packed training shards at rest: one directory per shard
+    (``partitionBy``), zstd parquet.  Downstream trainers read exactly the
+    shards they own via partition pruning (``WHERE shard IN (...)`` never
+    scans other shards' files); writing shard-partitioned also means a
+    re-pack only rewrites the shards whose membership changed."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+
+
+def read_training_shards(spark, path: str, shards: list[int] | None = None):
+    """Read packed shards back; ``shards`` restricts via partition pruning
+    (visible as PartitionFilters in the scan, not a post-filter)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin(*shards))
+    return df

@@ -328,3 +328,28 @@ def test_source_vocab_overlap_known(spark):
     }
     assert got[("s1", "s2")] == (2, 3, 3, 0.5)  # {b,c} / {a,b,c,d}
     assert ("s1", "s3") not in got  # zero-overlap pairs absent (inner join)
+
+
+def test_training_shards_roundtrip_and_pruning(spark, tmp_path):
+    from flashml_spark.operators.textops import pack_shards
+    from flashml_spark.sources.savepoint import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(300)], "doc_id int, n_tokens int"
+    )
+    packed = pack_shards(df, "doc_id", "n_tokens", capacity=200)
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path)
+
+    back = read_training_shards(spark, path)
+    assert back.count() == 300
+    assert sorted(back.columns) == sorted(packed.columns)
+
+    some = read_training_shards(spark, path, shards=[0, 1])
+    assert set(r["shard"] for r in some.select("shard").distinct().collect()) == {0, 1}
+    # partition pruning reached the scan: shard filter is a PartitionFilter
+    plan = some._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:200]
