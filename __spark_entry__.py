@@ -52,10 +52,10 @@ _PRIORITY = [
     "x69_bpe_token_count", "x70_lm_doc_nll", "x71_retention_cohorts",
     "x72_cluster_balanced_sample", "x73_curation_pipeline",
     "x74_vocab_coverage", "x75_semantic_dedup_e2e", "x76_token_entropy",
-    "x77_source_overlap", "x78_pricing_summary", "x79_snapshot_diff",
+    "x77_source_overlap", "x79_snapshot_diff", "x80_ann_recall",
     # changed this round (q19 -> global_cumsum; x52/x59 reworked).
-    # q01..x30 (driver-green in r01 AND r02) fill the remainder after the
-    # 50-slot priority window.
+    # q01..x30 (driver-green in r01 AND r02) and the low-risk x78 fill the
+    # remainder after the 50-slot priority window.
     "q19_threshold_sweep",
 ]
 

@@ -89,6 +89,7 @@ HEADLINE = [
     "x77_source_overlap",
     "x78_pricing_summary",
     "x79_snapshot_diff",
+    "x80_ann_recall",
 ]
 
 

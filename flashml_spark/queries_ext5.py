@@ -465,3 +465,60 @@ def x79(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.snapshot_diff(old, new, "text", "doc_id").groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# x80 — ANN retrieval quality, oracle-checked: recall@10 of the LSH
+# single-probe bucket search against exact brute force, for the corpus's
+# own vec_id=0 as the query.  Both engines rank by ROUND(cosine, 6) with
+# vec_id tie-break, and the bucket expression inlines the same literal
+# hyperplanes the Spark operator broadcasts (x17's machinery).
+def _ann_recall_oracle(k: int = 10) -> str:
+    from flashml_spark.queries_ext2 import _PLANES
+
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {bit} ELSE 0 END)".format(
+            plane=", ".join(repr(x) for x in plane), bit=1 << b
+        )
+        for b, plane in enumerate(_PLANES)
+    )
+    cos = ("list_dot_product(e.v, q.v) / (sqrt(list_dot_product(e.v, e.v))"
+           " * sqrt(list_dot_product(q.v, q.v)))")
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    brute AS (SELECT e.vec_id FROM e, q
+              ORDER BY ROUND({cos}, 6) DESC, e.vec_id LIMIT {k}),
+    bkt AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM e),
+    qb AS (SELECT CAST({bucket_terms.replace("(v,", "(q.v,").replace("list_dot_product(v", "list_dot_product(q.v")} AS BIGINT) AS bucket
+           FROM (SELECT v FROM q) q(v)),
+    lsh AS (SELECT e.vec_id
+            FROM (SELECT vec_id, v FROM bkt, qb WHERE bkt.bucket = qb.bucket) e, q
+            ORDER BY ROUND({cos}, 6) DESC, e.vec_id LIMIT {k})
+    SELECT CAST(COUNT(*) AS BIGINT) AS hits,
+           ROUND(COUNT(*) / {k}.0, 6) AS recall
+    FROM lsh WHERE vec_id IN (SELECT vec_id FROM brute)"""
+
+
+@register("x80_ann_recall", _ann_recall_oracle())
+def x80(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+    from flashml_spark.queries_ext2 import _DIM, _PLANES_N, _SEED
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    brute = similarity.knn_brute_force(emb, "embedding", "vec_id", qvec, k=10)
+    lsh = similarity.knn_lsh(
+        emb, "embedding", "vec_id", qvec, k=10,
+        n_planes=_PLANES_N, seed=_SEED, n_probes=1,
+    )
+    hits = lsh.join(brute.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        F.col("hits").cast("bigint").alias("hits"),
+        F.round(F.col("hits") / 10.0, 6).alias("recall"),
+    )
