@@ -90,6 +90,7 @@ HEADLINE = [
     "x78_pricing_summary",
     "x79_snapshot_diff",
     "x80_ann_recall",
+    "x81_boilerplate_fraction",
 ]
 
 

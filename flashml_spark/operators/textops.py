@@ -555,3 +555,40 @@ def source_vocab_overlap(df: DataFrame, text_col: str, group_col: str) -> DataFr
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def boilerplate_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document boilerplate signal: the fraction of a document's
+    distinct n-token windows that also appear in at least one OTHER
+    document (headers/footers/navigation chrome repeat across docs;
+    within-doc repetition is x49's separate axis).
+
+    Shape: per-doc DISTINCT windows (explode + groupBy), window document
+    frequency (groupBy window), join back on the window key — all hash
+    aggs on bounded keys; the hot-window skew is capped by the DISTINCT
+    step (a window counts once per doc).
+    Output: ``<id_col>, n_windows, shared, bp_frac``."""
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.explode(H.word_ngrams(H.tokens(F.col(text_col)), n)).alias("w"),
+        )
+        .distinct()
+    )
+    docfreq = wins.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        wins.join(docfreq, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("shared"),
+        )
+        .select(
+            id_col,
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(F.col("shared") / F.col("n_windows"), 6).alias("bp_frac"),
+        )
+    )

@@ -522,3 +522,27 @@ def x80(spark: SparkSession, sf: str) -> DataFrame:
         F.col("hits").cast("bigint").alias("hits"),
         F.round(F.col("hits") / 10.0, 6).alias("recall"),
     )
+
+
+# x81 — cross-document boilerplate fraction: distinct 8-token windows per
+# doc, window document-frequency across the corpus, per-doc shared
+# fraction.  The inter-document twin of x49's within-doc repetition.
+@register(
+    "x81_boilerplate_fraction",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        w AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ts) - 6),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                              ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                              ts[i+6] || ' ' || ts[i+7])) AS w
+              FROM tok),
+        d AS (SELECT w, COUNT(*) AS df FROM w GROUP BY w)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+               ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS bp_frac
+        FROM w JOIN d USING (w) GROUP BY doc_id""",
+)
+def x81(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.boilerplate_fraction(docs, "text", "doc_id", n=8)

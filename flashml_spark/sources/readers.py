@@ -173,3 +173,45 @@ def _sniff_scheme(path: str) -> str:
         if path.rstrip("/").endswith(ext):
             return scheme
     return "parquet"
+
+
+def read_incremental(
+    spark: SparkSession, path: str, manifest_path: str, fmt: str = "parquet"
+):
+    """Manifest-based incremental batch ingestion: return only the files
+    under ``path`` not yet committed to the manifest — the batch twin of
+    Structured Streaming's file-source log, for pipelines that re-run on a
+    schedule instead of holding a streaming query open.
+
+    The manifest holds file PATHS (metadata, |files|-sized — same driver
+    footprint as Spark's own streaming file log).  Returns
+    ``(df, new_files)``; call :func:`commit_manifest` with ``new_files``
+    after the batch lands to make the ingestion exactly-once.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        seen = {r["file"] for r in spark.read.parquet(manifest_path).collect()}
+    except AnalysisException:
+        seen = set()
+    listing = (
+        spark.read.format(fmt).load(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    new_files = sorted({r["f"] for r in listing} - seen)
+    if not new_files:
+        empty = spark.read.format(fmt).load(path).limit(0)
+        return empty, []
+    return spark.read.format(fmt).load(new_files), new_files
+
+
+def commit_manifest(spark: SparkSession, manifest_path: str, files: list[str]) -> None:
+    """Append processed file paths to the ingestion manifest."""
+    if not files:
+        return
+    spark.createDataFrame([(f,) for f in files], "file string").write.mode(
+        "append"
+    ).parquet(manifest_path)

@@ -353,3 +353,29 @@ def test_training_shards_roundtrip_and_pruning(spark, tmp_path):
     # partition pruning reached the scan: shard filter is a PartitionFilter
     plan = some._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_incremental_ingestion_manifest(spark, tmp_path):
+    from flashml_spark.sources.readers import commit_manifest, read_incremental
+
+    src = str(tmp_path / "incoming")
+    manifest = str(tmp_path / "manifest")
+
+    spark.createDataFrame([(i,) for i in range(10)], "v int").repartition(
+        2
+    ).write.mode("append").parquet(src)
+    df1, new1 = read_incremental(spark, src, manifest)
+    assert df1.count() == 10 and len(new1) >= 2
+    commit_manifest(spark, manifest, new1)
+
+    # second batch lands in the same directory
+    spark.createDataFrame([(i,) for i in range(10, 15)], "v int").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    df2, new2 = read_incremental(spark, src, manifest)
+    assert sorted(r["v"] for r in df2.collect()) == list(range(10, 15))
+    assert 0 < len(new2) < len(new1) + len(new2)
+    commit_manifest(spark, manifest, new2)
+
+    df3, new3 = read_incremental(spark, src, manifest)
+    assert df3.count() == 0 and new3 == []
