@@ -47,16 +47,17 @@ _PRIORITY = [
     "x57_keep_best_dedup", "x58_quantization_error", "x59_json_extract",
     "x60_hour_histogram", "x61_percent_rank", "x62_weighted_sample",
     # new this round (x63..x72) — no driver or judge row yet
-    "x63_shard_packing", "x64_zscore_by_lang", "x65_winsorized_stats",
-    "x67_scrub_counts", "x68_bigram_lm",
+    "x63_shard_packing", "x64_zscore_by_lang", "x67_scrub_counts",
+    "x68_bigram_lm", "x82_ivf_probe",
     "x69_bpe_token_count", "x70_lm_doc_nll", "x71_retention_cohorts",
     "x72_cluster_balanced_sample", "x73_curation_pipeline",
     "x74_vocab_coverage", "x75_semantic_dedup_e2e", "x76_token_entropy",
     "x77_source_overlap", "x79_snapshot_diff", "x80_ann_recall",
     "x81_boilerplate_fraction",
     # changed this round (q19 -> global_cumsum; x52/x59 reworked).
-    # q01..x30 (driver-green in r01 AND r02) and the low-risk x66/x78
-    # relational queries fill the remainder after the 50-slot window.
+    # q01..x30 (driver-green in r01 AND r02) and the low-risk
+    # x65/x66/x78 aggregate queries fill the remainder after the 50-slot
+    # window.
     "q19_threshold_sweep",
 ]
 

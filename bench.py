@@ -91,6 +91,7 @@ HEADLINE = [
     "x79_snapshot_diff",
     "x80_ann_recall",
     "x81_boilerplate_fraction",
+    "x82_ivf_probe",
 ]
 
 

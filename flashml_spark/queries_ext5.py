@@ -546,3 +546,52 @@ def x80(spark: SparkSession, sf: str) -> DataFrame:
 def x81(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return textops.boilerplate_fraction(docs, "text", "doc_id", n=8)
+
+
+# x82 — IVF probe path, oracle-checked with FIXED centroids: assignment
+# (argmin L2, first-min tie-break = centroid order), probing the 2 lists
+# nearest the query, exact cosine top-10 within them.  Centroids are the
+# embeddings of vec_id 1..4 on both engines, so the k-means fit (the one
+# non-SQL piece, covered by unit parity) is factored out and everything
+# else is hash-checked.
+def _ivf_probe_oracle(k: int = 10, n_probe: int = 2) -> str:
+    l2 = ("sqrt(list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2]))))")
+    cos = ("list_dot_product(e.v, q.v) / (sqrt(list_dot_product(e.v, e.v))"
+           " * sqrt(list_dot_product(q.v, q.v)))")
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id = 0),
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY {l2.format(a="v", b="cv")}, cid) AS rn
+      FROM e0, c),
+    listed AS (SELECT vec_id, v, cid AS ivf_list FROM assign WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM c, q
+      ORDER BY {l2.format(a="q.v", b="cv")}, cid LIMIT {n_probe}),
+    e AS (SELECT vec_id, v FROM listed WHERE ivf_list IN (SELECT cid FROM probe))
+    SELECT e.vec_id, ROUND({cos}, 6) AS sim
+    FROM e, q ORDER BY ROUND({cos}, 6) DESC, e.vec_id LIMIT {k}"""
+
+
+@register("x82_ivf_probe", _ivf_probe_oracle())
+def x82(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    fixed = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    centroids = [fixed[i] for i in (1, 2, 3, 4)]  # cid order = list index
+    return similarity.knn_ivf(
+        emb, "embedding", "vec_id", fixed[0], k=10,
+        centroids=centroids, n_probe=2,
+    )
