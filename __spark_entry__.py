@@ -36,8 +36,7 @@ _PRIORITY = [
     # never driver-checked (rounds 1-2): x31..x62
     "x31_anti_join", "x32_semi_join", "x33_rollup", "x34_pivot",
     "x35_minhash_dedup_e2e", "x36_conditional_balance",
-    "x37_word_class_replace", "x38_cube", "x39_intersect",
-    "x40_grouping_sets", "x41_asof_join", "x42_range_join_pairs",
+    "x37_word_class_replace", "x38_cube", "x40_grouping_sets", "x41_asof_join", "x42_range_join_pairs",
     "x43_star_join_revenue", "x44_rollup_merge", "x45_shingle_df",
     "x46_quality_filter", "x47_label_centroids", "x48_session_funnel",
     "x49_repetition_ratio", "x50_token_topk_per_lang",
@@ -53,11 +52,12 @@ _PRIORITY = [
     "x72_cluster_balanced_sample", "x73_curation_pipeline",
     "x74_vocab_coverage", "x75_semantic_dedup_e2e", "x76_token_entropy",
     "x77_source_overlap", "x79_snapshot_diff", "x80_ann_recall",
-    "x81_boilerplate_fraction",
+    "x81_boilerplate_fraction", "x83_shipping_priority",
     # changed this round (q19 -> global_cumsum; x52/x59 reworked).
     # q01..x30 (driver-green in r01 AND r02) and the low-risk
-    # x65/x66/x78 aggregate queries fill the remainder after the 50-slot
-    # window.
+    # x39/x65/x66/x78 set-op/aggregate queries (judge-verified at sf0.01
+    # in r02 or simple single-agg shapes) fill the remainder after the
+    # 50-slot window.
     "q19_threshold_sweep",
 ]
 

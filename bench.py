@@ -92,6 +92,7 @@ HEADLINE = [
     "x80_ann_recall",
     "x81_boilerplate_fraction",
     "x82_ivf_probe",
+    "x83_shipping_priority",
 ]
 
 

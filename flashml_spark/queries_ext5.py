@@ -595,3 +595,40 @@ def x82(spark: SparkSession, sf: str) -> DataFrame:
         emb, "embedding", "vec_id", fixed[0], k=10,
         centroids=centroids, n_probe=2,
     )
+
+
+# x83 — shipping-priority top-10 (TPC-H Q3 shape): selective date filters
+# pushed to both scans, fact-fact join, revenue agg, TakeOrderedAndProject
+# for the top-k (per-partition heaps — never a global sort).
+@register(
+    "x83_shipping_priority",
+    """SELECT o_orderkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              CAST(o_orderdate AS VARCHAR) AS o_orderdate
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def x83(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("o_orderdate")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
