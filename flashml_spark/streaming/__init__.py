@@ -8,4 +8,5 @@ from flashml_spark.streaming.dedupe import (  # noqa: F401
     streaming_dedup_against_corpus,
     streaming_dedup_exact,
 )
+from flashml_spark.streaming.joins import streaming_interval_join  # noqa: F401
 from flashml_spark.streaming.sinks import write_stream_parquet  # noqa: F401
