@@ -127,13 +127,32 @@ def main() -> int:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Full per-query detail first (its own line), then a COMPACT summary
+    # line LAST: the driver captures a bounded tail of stdout, and r03's
+    # 73-query dict overflowed it — the final line must always fit.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    "n_queries": len(timings),
+                    "max": max(timings.values()) if timings else 0.0,
+                    "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
+                },
                 "sf": sf_val,
             }
         )

@@ -28,12 +28,32 @@ def global_cumsum(
     ascending: bool = True,
     num_partitions: int | None = None,
     prefix: str = "cum_",
+    rows_hint: int | None = None,
+    small_input_threshold: int = 10_000,
 ) -> DataFrame:
     """Append ``<prefix><col>`` inclusive running totals in global
-    ``order_col`` order, without a single-partition window."""
+    ``order_col`` order, without a single-partition window.
+
+    ``rows_hint`` is the CALLER's promise of an upper bound on the frame's
+    row count (e.g. a post-aggregation frame over a quantized key).  When
+    the hint is at or under ``small_input_threshold``, the range-partition
+    + offsets machinery is pure overhead — a single-partition cumulative
+    window over the tiny frame is strictly cheaper (one exchange of
+    ≤ threshold rows), so that fast path is taken.  With no hint the
+    scale-safe default path always runs; a wrong (too-small) hint only
+    costs performance, never correctness — the window result is identical.
+    """
     spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    if rows_hint is not None and rows_hint <= small_input_threshold:
+        w = Window.orderBy(key).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(f"{prefix}{c}", F.sum(c).over(w))
+        return out
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     # localCheckpoint: the ranged frame is evaluated twice (totals collect
     # + returned plan); pin it so a nondeterministic upstream can't make
     # the offsets disagree with the second evaluation.

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 def threshold_sweep(
     scored: DataFrame, score_col: str = "positive_probability", label_col: str = "label",
-    beta: float = 2.0,
+    beta: float = 2.0, distinct_scores_hint: int | None = None,
 ) -> DataFrame:
     """Per-distinct-threshold confusion counts and P/R/F-beta.
 
@@ -29,6 +29,9 @@ def threshold_sweep(
     Continuous scores keep ~|rows| distinct thresholds, so the cumulative
     runs through ``global_cumsum`` (range-partitioned prefix sums) — never
     a single-partition window.  Grand totals broadcast as a 1-row frame.
+    Callers scoring QUANTIZED models (calibrated bins, fixed-precision
+    probabilities) can pass ``distinct_scores_hint`` — an upper bound on
+    distinct score values — to take the post-agg small-input fast path.
     """
     from flashml_spark.functions.windows import global_cumsum
 
@@ -40,7 +43,13 @@ def threshold_sweep(
         F.sum("pos_at").alias("P"), F.sum("neg_at").alias("N")
     )
     cum = (
-        global_cumsum(per_thresh, "thresh", ["pos_at", "neg_at"], ascending=False)
+        global_cumsum(
+            per_thresh,
+            "thresh",
+            ["pos_at", "neg_at"],
+            ascending=False,
+            rows_hint=distinct_scores_hint,
+        )
         .crossJoin(F.broadcast(totals))
         .select(
             "thresh",

@@ -453,14 +453,27 @@ def snapshot_diff(
     between two pipeline runs: per id, whether it was ``added``,
     ``removed``, ``changed`` (same id, different content), or
     ``unchanged``.  One full-outer join on the id key; digests compare
-    content without shipping text twice.
+    content without shipping text twice.  Presence on each side is an
+    explicit flag from that side, NOT digest nullness — ``md5(NULL)`` is
+    NULL, so a null-text row would otherwise masquerade as absent and get
+    misreported as added/removed.  NULL text digests as the empty string
+    (distinct from any real content, equal to NULL on the other side).
     Output: ``<id_col>, status``."""
-    o = old.select(F.col(id_col), H.md5_hex(F.col(text_col)).alias("__ho"))
-    n = new.select(F.col(id_col), H.md5_hex(F.col(text_col)).alias("__hn"))
+    digest = lambda c: H.md5_hex(F.coalesce(c, F.lit("")))  # noqa: E731
+    o = old.select(
+        F.col(id_col),
+        digest(F.col(text_col)).alias("__ho"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        digest(F.col(text_col)).alias("__hn"),
+        F.lit(True).alias("__in_new"),
+    )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("__ho").isNull(), "added")
-        .when(F.col("__hn").isNull(), "removed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
         .when(F.col("__ho") != F.col("__hn"), "changed")
         .otherwise("unchanged")
     )

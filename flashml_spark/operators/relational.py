@@ -160,21 +160,31 @@ def group_zscore(
     group_cols: list[str],
     out_col: str = "z",
     ndigits: int = 6,
+    broadcast_moments: bool | None = None,
 ) -> DataFrame:
     """Per-group standardization ``z = (v - mean) / stddev_pop`` (0.0 for
     zero-variance groups).  Group moments come from ONE hash aggregation
-    (|groups| rows) broadcast-joined back — never a per-row window, so a
-    single giant group costs a broadcast lookup, not a one-task sort."""
+    (|groups| rows) joined back — never a per-row window, so a single
+    giant group costs a join lookup, not a one-task sort.
+
+    ``broadcast_moments``: ``True`` forces a broadcast hint — ONLY safe
+    when the caller knows |groups| is small (a language/source column).
+    ``False`` forces no hint.  Default ``None`` adds no hint and lets AQE
+    pick broadcast at runtime from the moments frame's MEASURED post-agg
+    size — the scale-safe default for arbitrary (e.g. per-user) keys,
+    where a forced broadcast would OOM the driver."""
     moments = df.groupBy(*group_cols).agg(
         F.avg(value_col).alias("__mu"),
         F.stddev_pop(value_col).alias("__sigma"),
     )
+    if broadcast_moments:
+        moments = F.broadcast(moments)
     z = F.when(
         F.col("__sigma") > 0,
         (F.col(value_col) - F.col("__mu")) / F.col("__sigma"),
     ).otherwise(F.lit(0.0))
     return (
-        df.join(F.broadcast(moments), group_cols)
+        df.join(moments, group_cols)
         .withColumn(out_col, F.round(z, ndigits))
         .drop("__mu", "__sigma")
     )

@@ -154,29 +154,58 @@ def fit_ivf_centroids(
     n_lists: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
-    max_iter: int = 10,
-    init_mode: str = "random",
+    sample_rows: int | None = None,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> list[list[float]]:
     """Coarse quantizer for IVF: k-means centroids fit on a (sampled)
     vector column.  The centroid table is tiny (n_lists × dim) — it ships
     to executors as literals/broadcast, never as a shuffle side.
 
-    Defaults favor the quantizer use-case: ``random`` init (k-means||
-    spends several extra distributed passes to seed centroids — overkill
-    when downstream probing tolerates a slightly worse coarse partition)
-    and a bounded iteration cap.  Pass ``init_mode="k-means||"`` for the
-    standalone-clustering quality profile.
+    Defaults are Spark's own KMeans defaults (``k-means||`` init, 20
+    iterations) so refits reproduce previously-written index assignments
+    — an at-rest IVF table (:func:`write_ivf_index`) probed under re-fit
+    centroids must see the SAME quantizer.  Callers that only need a
+    rough coarse partition (diversity sampling) opt into the fast profile
+    explicitly (``init_mode="random"``, small ``max_iter``).
+
+    Bounding the fit input: ``sample_fraction`` takes a Bernoulli sample;
+    ``sample_rows`` is a hard row cap (fraction derived from a count, then
+    ``limit``) — at 100 TB the iterative fit must never run full passes
+    over the corpus; assignment (:func:`with_ivf_list`) stays full-corpus
+    either way.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = df if sample_fraction is None else df.sample(False, sample_fraction, seed)
+    train = _bounded_fit_sample(df, sample_fraction, sample_rows, seed)
     vecs = train.select(array_to_vector(_as_double(F.col(vec_col))).alias("__v"))
     km = KMeans(
         k=n_lists, seed=seed, featuresCol="__v", maxIter=max_iter, initMode=init_mode
     )
     model = km.fit(vecs)
     return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _bounded_fit_sample(
+    df: DataFrame,
+    sample_fraction: float | None,
+    sample_rows: int | None,
+    seed: int,
+) -> DataFrame:
+    """Bound an iterative fit's input: Bernoulli fraction, or a hard row
+    cap (count → fraction → ``limit`` — the count is one column-pruned
+    pass; the fit it bounds is ``max_iter`` full passes, so the trade
+    always wins at scale)."""
+    if sample_fraction is not None:
+        return df.sample(False, sample_fraction, seed)
+    if sample_rows is not None:
+        n = df.count()
+        if n > sample_rows:
+            # oversample 20% so the limit (hard cap) stays full
+            frac = min(1.0, 1.2 * sample_rows / n)
+            return df.sample(False, frac, seed).limit(sample_rows)
+    return df
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
@@ -390,19 +419,32 @@ def cluster_balanced_sample(
     n_lists: int = 8,
     k_per_cluster: int = 4,
     seed: int = 42,
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """Diversity sampling for training-data curation: cluster the embedding
     space (the IVF coarse quantizer — k-means, fixed seed) and take a
     deterministic quota from EVERY cluster, so rare regions survive the
     cut that a uniform sample would starve.
 
-    Reuses the IVF machinery: centroids fit on a bounded sample, cluster
-    assignment is a codegen'd argmin over broadcast centroids, and the
-    per-cluster quota is a ranked-window top-k (bounded by cluster size).
+    Reuses the IVF machinery: centroids fit on a bounded sample (hard cap
+    ``fit_sample_rows`` — the 10-iteration fit never scans the full
+    corpus; a 100k-row sample pins 8-64 coarse centroids just as well),
+    cluster assignment is a codegen'd argmin over broadcast centroids, and
+    the per-cluster quota is a ranked-window top-k (bounded by cluster
+    size).  The fast quantizer profile (random init, 10 iters) is explicit
+    here: a rough coarse partition is all diversity quotas need.
     Output: ``<id_col>, ivf_list, rn``."""
     from flashml_spark.operators.sampling import quota_per_group
 
-    centroids = fit_ivf_centroids(df, vec_col, n_lists=n_lists, seed=seed)
+    centroids = fit_ivf_centroids(
+        df,
+        vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        sample_rows=fit_sample_rows,
+        max_iter=10,
+        init_mode="random",
+    )
     assigned = with_ivf_list(df, vec_col, centroids)
     return quota_per_group(
         assigned, "ivf_list", id_col, k=k_per_cluster, rank_col="rn"

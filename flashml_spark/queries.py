@@ -332,8 +332,13 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("bigint").alias("tp_at")
     )
     # scale-safe running total: range-partitioned prefix sums, never a
-    # single-partition Window.orderBy (SCALE.md no-one-task-window contract)
-    swept = global_cumsum(per_thresh, "thresh", ["tp_at"], ascending=False)
+    # single-partition Window.orderBy (SCALE.md no-one-task-window contract).
+    # l_quantity is quantized to 1..50, so the post-agg frame is ≤ ~50 rows
+    # at ANY scale factor — the caller-supplied bound takes the single-window
+    # fast path; data-sized (unhinted) inputs still range-partition.
+    swept = global_cumsum(
+        per_thresh, "thresh", ["tp_at"], ascending=False, rows_hint=64
+    )
     return swept.select(
         "thresh", F.col("cum_tp_at").cast("bigint").alias("cum_tp")
     ).orderBy(F.desc("thresh"))

@@ -62,9 +62,11 @@ def x63(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x64(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    return relational.group_zscore(docs, "n_chars", ["lang"]).select(
-        "doc_id", "lang", "z"
-    )
+    # lang is a ~5-value column: |groups| tiny by construction, so the
+    # forced-broadcast profile is the right call here.
+    return relational.group_zscore(
+        docs, "n_chars", ["lang"], broadcast_moments=True
+    ).select("doc_id", "lang", "z")
 
 
 # x65 — winsorized corpus statistics: clip document length to the global
@@ -441,10 +443,11 @@ def x78(spark: SparkSession, sf: str) -> DataFrame:
                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
                FROM documents, mx WHERE doc_id > 0.1 * m),
        j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-                    md5(o.text) AS ho, md5(n.text) AS hn
+                    o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+                    md5(COALESCE(o.text, '')) AS ho, md5(COALESCE(n.text, '')) AS hn
              FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
-       SELECT CASE WHEN ho IS NULL THEN 'added'
-                   WHEN hn IS NULL THEN 'removed'
+       SELECT CASE WHEN NOT in_old THEN 'added'
+                   WHEN NOT in_new THEN 'removed'
                    WHEN ho <> hn THEN 'changed'
                    ELSE 'unchanged' END AS status,
               CAST(COUNT(*) AS BIGINT) AS n

@@ -184,28 +184,50 @@ def read_incremental(
     schedule instead of holding a streaming query open.
 
     The manifest holds file PATHS (metadata, |files|-sized — same driver
-    footprint as Spark's own streaming file log).  Returns
+    footprint as Spark's own streaming file log).  Discovery is a Hadoop
+    FileSystem listing — an O(|files|) namenode RPC, NEVER a row scan of
+    the data (an incremental run must not cost O(full corpus)).  Returns
     ``(df, new_files)``; call :func:`commit_manifest` with ``new_files``
-    after the batch lands to make the ingestion exactly-once.
+    after the batch lands to make the ingestion exactly-once.  A missing /
+    empty source dir on the first run is not an error: returns
+    ``(None, [])`` when no file has EVER been seen (no schema to offer),
+    else a 0-row frame with the previously-seen schema.
     """
     from pyspark.errors import AnalysisException
-    from pyspark.sql import functions as F
 
     try:
         seen = {r["file"] for r in spark.read.parquet(manifest_path).collect()}
     except AnalysisException:
         seen = set()
-    listing = (
-        spark.read.format(fmt).load(path)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    new_files = sorted({r["f"] for r in listing} - seen)
+    files = set(_list_data_files(spark, path))
+    new_files = sorted(files - seen)
     if not new_files:
-        empty = spark.read.format(fmt).load(path).limit(0)
+        if not files and not seen:
+            return None, []
+        empty = spark.read.format(fmt).load(sorted(files or seen)).limit(0)
         return empty, []
     return spark.read.format(fmt).load(new_files), new_files
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive Hadoop FS listing of data files under ``path`` — plan
+    metadata only (no Spark job).  Skips hidden/metadata entries
+    (``_SUCCESS``, ``.crc`` …) with the same leading ``_``/``.`` rule
+    Spark's own file index applies.  Missing path → ``[]``."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(st.getPath().toString())
+    return out
 
 
 def commit_manifest(spark: SparkSession, manifest_path: str, files: list[str]) -> None:
