@@ -1,0 +1,131 @@
+"""Config-file CLI — the engine's equivalent of the reference's only
+entry point, ``spark-submit … com.tfs.flashml.FlashML <config file>``
+(``FlashML.scala:27-83``): parse config → build session → read input →
+run the pipeline → write metrics + savepoints.
+
+    python -m flashml_spark <config.json> [--resume-from STEP]
+
+Config keys beyond ``load_config``'s experiment mapping (all optional,
+reference naming where the concept carries over):
+
+    flashml.context               Spark master        (FlashML.scala:60-66)
+    project.logLevel              driver log level    (config.json)
+    project.data.location.source  input URI for read_source — hive://db.tbl,
+                                  parquet/csv/tsv/json paths, jdbc://
+                                  (DataReaderFactory.scala:36-50)
+    project.data.location.queries SQL view chain run after the source is
+                                  registered as a temp view; the LAST
+                                  query's result is the pipeline input
+                                  (DataReader.scala:105-120)
+    project.data.location.temp_table_prefix
+                                  temp-view name for the source (+ chain
+                                  intermediates get <prefix><i>)
+    experiment.type               "model" (default: fit + score) or
+                                  "predict" (load persisted pipelines,
+                                  score the input, no refit)
+    predict.output                parquet path for predict-mode output
+
+Exit code 0 on success; config/validation errors print the offending
+path and exit 2 (ConfigValidatorException semantics)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+
+def _dotted_get(raw: dict, dotted: str, default: Any = None) -> Any:
+    cur: Any = raw
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return default
+        cur = cur[part]
+    return cur
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m flashml_spark",
+        description="Run a config-driven FlashML-style experiment on Spark.",
+    )
+    parser.add_argument("config", help="path to the JSON config file")
+    parser.add_argument(
+        "--resume-from",
+        choices=("sampling", "vectorization", "modelling"),
+        default=None,
+        help="restart mid-pipeline from a previous run's savepoints",
+    )
+    args = parser.parse_args(argv)
+
+    with open(args.config) as f:
+        raw = json.load(f)
+
+    from flashml_spark.config import ConfigValidationError, load_config
+
+    try:
+        cfg = load_config(raw)
+    except (ConfigValidationError, ValueError) as e:
+        print(f"invalid config: {e}", file=sys.stderr)
+        return 2
+
+    source = _dotted_get(raw, "project.data.location.source") or _dotted_get(
+        raw, "project.data.source"
+    )
+    mode = _dotted_get(raw, "experiment.type", "model")
+    if source is None and args.resume_from is None:
+        print(
+            "invalid config: project.data.location.source is required "
+            "(unless --resume-from restarts from savepoints)",
+            file=sys.stderr,
+        )
+        return 2
+
+    from flashml_spark.experiment import Experiment
+    from flashml_spark.session import get_spark
+
+    master = _dotted_get(raw, "flashml.context")
+    extra = {"spark.master": master} if master else None
+    spark = get_spark(
+        _dotted_get(raw, "project.id", "flashml-spark"), extra_conf=extra
+    )
+    log_level = _dotted_get(raw, "project.logLevel")
+    if log_level:
+        spark.sparkContext.setLogLevel(log_level)
+
+    df = None
+    if source is not None:
+        from flashml_spark.sources.readers import read_source, run_sql_view_chain
+
+        df = read_source(spark, source)
+        queries = _dotted_get(raw, "project.data.location.queries") or []
+        if queries:
+            prefix = _dotted_get(
+                raw, "project.data.location.temp_table_prefix", "flashml_table_"
+            )
+            df.createOrReplaceTempView(f"{prefix}in")
+            df = run_sql_view_chain(spark, queries, view_prefix=prefix)
+
+    exp = Experiment(cfg)
+    if mode == "predict":
+        scored = exp.predict(spark, df)
+        out = _dotted_get(raw, "predict.output")
+        if out:
+            scored.drop(
+                *[c for c, t in scored.dtypes if t == "vector"]
+            ).write.mode("overwrite").parquet(out)
+        else:
+            print(json.dumps({"predicted_rows": scored.count()}))
+        return 0
+
+    metrics = exp.run(spark, df, resume_from=args.resume_from)
+    printable = {
+        k: v for k, v in metrics.items() if isinstance(v, (int, float, str))
+    }
+    print(json.dumps({"metrics": printable}, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
