@@ -42,6 +42,11 @@ _PRIORITY = [
     # (2) changed in round 4
     "q19_threshold_sweep", "x64_zscore_by_lang", "x79_snapshot_diff",
     "x72_cluster_balanced_sample",
+    # (2b) NEW in round 4 — no driver row yet
+    "x84_priority_exists", "x85_linestatus_priority",
+    "x86_promo_revenue_share", "x87_mixture_weights", "x88_pmi_pairs",
+    "x89_dup_cluster_histogram", "x90_log2_length_histogram",
+    "x91_user_moving_avg", "x92_daily_user_accession",
     # (3) r01/r02-green anchors not re-checked since r02
     "q01_filter_project", "q02_sql_view_chain", "q03_window_lead",
     "q04_page_bucket", "q05_minmax", "q06_interval_binning",
@@ -53,10 +58,7 @@ _PRIORITY = [
     "x04_simhash_dedup", "x05_ngram_jaccard", "x06_knn_brute",
     "x07_ann_lsh", "x08_token_count", "x09_quality_score", "x10_lang_id",
     "x11_fingerprint", "x12_multimodal_decode", "x13_event_window",
-    "x14_sessionize", "x16_minhash_lsh_bands", "x17_embedding_neardup",
-    "x18_skipgram", "x19_gram_assemble", "x20_null_imputer",
-    "x21_hotlead_rule", "x22_quantile_binning", "x23_preprocess_chain",
-    "x24_word_substitution", "x26_topk_intents",
+    "x14_sessionize", "x16_minhash_lsh_bands",
 ]
 
 

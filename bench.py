@@ -93,6 +93,15 @@ HEADLINE = [
     "x81_boilerplate_fraction",
     "x82_ivf_probe",
     "x83_shipping_priority",
+    "x84_priority_exists",
+    "x85_linestatus_priority",
+    "x86_promo_revenue_share",
+    "x87_mixture_weights",
+    "x88_pmi_pairs",
+    "x89_dup_cluster_histogram",
+    "x90_log2_length_histogram",
+    "x91_user_moving_avg",
+    "x92_daily_user_accession",
 ]
 
 

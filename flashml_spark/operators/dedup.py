@@ -478,3 +478,18 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return joined.select(id_col, status.alias("status"))
+
+
+def dup_cluster_size_histogram(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Duplication-audit histogram: how many exact-duplicate clusters exist
+    at each size — the one-glance answer to "how duplicated is this
+    corpus?" before/after a dedup pass.  Two hash aggregations, both with
+    map-side partials: digest → cluster size (corpus-keyed), then
+    size → cluster count (|distinct sizes| rows, tiny).
+    Output: ``cluster_size, n_clusters``."""
+    groups = exact_dedup_groups(df, text_col, id_col)
+    return groups.groupBy(F.col("dup_cnt").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -215,3 +215,71 @@ def retention_cohorts(
         .groupBy(out_cohort, out_offset)
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def moving_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int = 3,
+    id_col: str | None = None,
+    out_col: str = "moving_avg",
+) -> DataFrame:
+    """Per-key trailing moving average over the last ``n_rows`` events
+    (current row inclusive) in event-time order — the smoothing pass a
+    metrics/feature pipeline runs before thresholding noisy signals.
+
+    One shuffle on the key; the window is PARTITIONED (per-key sort, all
+    keys in parallel) with a deterministic tie-break on ``id_col``, so the
+    plan has no global sort and no one-task window.  State per row is the
+    n-row frame — O(n), independent of corpus size.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(out_col, F.round(F.avg(value_col).over(w), 6))
+
+
+def daily_user_accession(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily audience growth: per day, distinct active users (DAU), users
+    seen for the FIRST time that day, and the running total of distinct
+    users ever seen — ``day, dau, new_users, cum_users``.
+
+    Cumulative-distinct is rewritten as cumulative-sum-of-first-seen (a
+    user contributes to exactly one day's ``new_users``), so the running
+    total needs only a |days|-sized frame: first-seen per user (one agg),
+    day rollup, then ``global_cumsum`` with a rows_hint — days are
+    calendar-bounded at any corpus size.
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    dau = df.select(day.alias("day"), F.col(user_col)).groupBy("day").agg(
+        F.count_distinct(F.col(user_col)).alias("dau")
+    )
+    first = df.groupBy(user_col).agg(F.min(day).alias("day"))
+    new_by_day = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    joined = dau.join(new_by_day, "day", "left").na.fill({"new_users": 0})
+    # |days| is bounded by the calendar (≤ ~36.5k rows even for a century
+    # of data) — a single-window frame of scalars, so the fast path is
+    # explicitly allowed past the default threshold
+    cum = global_cumsum(
+        joined, "day", ["new_users"], rows_hint=36_500,
+        small_input_threshold=50_000,
+    )
+    return cum.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.col("cum_new_users").cast("bigint").alias("cum_users"),
+    )

@@ -592,3 +592,96 @@ def boilerplate_fraction(
             F.round(F.col("shared") / F.col("n_windows"), 6).alias("bp_frac"),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-source resampling weights for training-mixture control: given
+    each source's actual token share and a TARGET share (uniform when
+    ``targets`` is None), the weight ``target/actual`` is the sampling
+    rate multiplier that reshapes the corpus to the target mixture — the
+    knob a data-mixing pipeline turns (e.g. up-weight underrepresented
+    sources).
+
+    One token-count agg (|sources| rows), totals broadcast back via a
+    1-row cross join.  Output: ``<source_col>, tokens, actual_share,
+    target_share, weight`` (shares and weight rounded to 6).
+    """
+    counted = df.select(
+        F.col(source_col), token_count(F.col(text_col)).alias("__t")
+    )
+    per_src = counted.groupBy(source_col).agg(F.sum("__t").alias("tokens"))
+    total = per_src.agg(F.sum("tokens").alias("__total"))
+    n_src = per_src.agg(F.count(F.lit(1)).alias("__n"))
+    out = per_src.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(n_src))
+    if targets is None:
+        target = 1.0 / F.col("__n")
+    else:
+        target = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in targets.items() for x in kv]
+            )[F.col(source_col)],
+            F.lit(0.0),
+        )
+    actual = F.col("tokens") / F.col("__total")
+    return out.select(
+        source_col,
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("weight"),
+    )
+
+
+def pmi_top_pairs(
+    df: DataFrame, text_col: str, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-k adjacent-word pairs by pointwise mutual information
+    ``ln(p(w1,w2) / (p(w1) p(w2)))`` — collocation mining for tokenizer /
+    phrase-vocabulary induction.  ``min_count`` floors the bigram count so
+    rare co-occurrences can't dominate the ranking.
+
+    All frames after the explode are VOCABULARY-sized: bigram counts from
+    one hash agg, unigram counts re-aggregated from a second explode, the
+    two joins keyed on single words (broadcast-able for real vocabularies).
+    Final top-k is a TakeOrdered, not a global sort.  Ties break (w1, w2)
+    ascending.  Output: ``w1, w2, c, pmi``.
+    """
+    toks = df.select(H.tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.select(F.explode(H.word_ngrams(F.col("__toks"), 2)).alias("g"))
+    bi = (
+        grams.select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode(F.col("__toks")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_bi = grams.agg(F.count(F.lit(1)).alias("__nb"))
+    n_uni = uni.agg(F.sum("cw").alias("__nu"))
+    joined = (
+        bi.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                               .withColumnRenamed("cw", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                             .withColumnRenamed("cw", "c2")), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.log(
+        (F.col("c") / F.col("__nb"))
+        / ((F.col("c1") / F.col("__nu")) * (F.col("c2") / F.col("__nu")))
+    )
+    scored = joined.select("w1", "w2", "c", F.round(pmi, 6).alias("pmi"))
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
