@@ -47,6 +47,8 @@ _PRIORITY = [
     "x86_promo_revenue_share", "x87_mixture_weights", "x88_pmi_pairs",
     "x89_dup_cluster_histogram", "x90_log2_length_histogram",
     "x91_user_moving_avg", "x92_daily_user_accession",
+    "x93_doc_chunking", "x94_hash_split", "x95_source_dedup_rate",
+    "x96_centroid_drift",
     # (3) r01/r02-green anchors not re-checked since r02
     "q01_filter_project", "q02_sql_view_chain", "q03_window_lead",
     "q04_page_bucket", "q05_minmax", "q06_interval_binning",
@@ -57,8 +59,7 @@ _PRIORITY = [
     "x01_dedup_exact", "x02_minhash_signature", "x03_minhash_dedup",
     "x04_simhash_dedup", "x05_ngram_jaccard", "x06_knn_brute",
     "x07_ann_lsh", "x08_token_count", "x09_quality_score", "x10_lang_id",
-    "x11_fingerprint", "x12_multimodal_decode", "x13_event_window",
-    "x14_sessionize", "x16_minhash_lsh_bands",
+    "x11_fingerprint",
 ]
 
 

@@ -102,6 +102,10 @@ HEADLINE = [
     "x90_log2_length_histogram",
     "x91_user_moving_avg",
     "x92_daily_user_accession",
+    "x93_doc_chunking",
+    "x94_hash_split",
+    "x95_source_dedup_rate",
+    "x96_centroid_drift",
 ]
 
 

@@ -235,3 +235,34 @@ def weighted_sample_topk(
         .orderBy(F.desc(key_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def deterministic_hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Content-addressed train/val/test assignment: the id's md5 maps to a
+    bucket in [0, 100); buckets split train/val/test by percentage.  Unlike
+    seeded randomSplit, the assignment is a PURE FUNCTION of the id — stable
+    across runs, partitionings, Spark versions, and engines (the property
+    that keeps eval sets from leaking into training when the corpus is
+    re-ingested or appended to).  Same hex-conv machinery as the
+    reference's random-variable derivation (``DataReader.scala:34-78``).
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn(out_col, split)

@@ -473,3 +473,27 @@ def semantic_dedup(
     comp = connected_components(pairs)
     dupes = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(dupes, df[id_col] == dupes["id"], "left_anti")
+
+
+def centroid_shift(
+    a: DataFrame, b: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Embedding-drift audit between two corpus snapshots (or halves):
+    per label, the cosine between snapshot A's and snapshot B's mean
+    embedding — the first-line check that a re-embedded / re-ingested
+    corpus still occupies the same space.  Reuses the distributed
+    posexplode centroid agg (|labels|×dim partials, never whole-vector
+    collect); the final join is |labels|-sized.
+    Output: ``<label_col>, cos, shift`` (shift = 1 − cos, rounded 6).
+    """
+    ca = label_centroids(a, vec_col, label_col).withColumnRenamed("centroid", "__ca")
+    cb = label_centroids(b, vec_col, label_col).withColumnRenamed("centroid", "__cb")
+    cos = V.cosine(F.col("__ca"), F.col("__cb"))
+    return (
+        ca.join(cb, label_col)
+        .select(
+            label_col,
+            F.round(cos, 6).alias("cos"),
+            F.round(1 - cos, 6).alias("shift"),
+        )
+    )

@@ -685,3 +685,41 @@ def pmi_top_pairs(
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap
+    (stride < chunk_size): the standard context-window packing pass before
+    tokenized-example writing.  Pure per-row array work — token array,
+    ``sequence`` of chunk starts, posexplode, slice — zero shuffle; chunk
+    count per doc is ceil(n/stride), so output scales with corpus tokens,
+    never with a join.
+
+    Output: ``<id_col>, chunk_idx, n_tok, head`` (head = first token, an
+    engine-portable content probe).
+    """
+    toks = H.tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    ex = staged.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__s"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__s") + 1, chunk_size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tok"),
+        F.element_at(chunk, 1).alias("head"),
+    )

@@ -244,3 +244,115 @@ def x91(spark: SparkSession, sf: str) -> DataFrame:
 def x92(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select("ts", "user_id")
     return events.daily_user_accession(ev, "user_id", "ts")
+
+
+# x93 — context-window chunking: fixed-token chunks with overlap, pure
+# per-row array work (zero shuffle).
+@register(
+    "x93_doc_chunking",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        st AS (SELECT doc_id, ts, unnest(range(0, GREATEST(len(ts), 1), 24)) AS s
+               FROM tok)
+        SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+               CAST(LEAST(32, len(ts) - s) AS BIGINT) AS n_tok,
+               ts[s + 1] AS head
+        FROM st""",
+)
+def x93(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.chunk_documents(docs, "text", "doc_id", chunk_size=32, stride=24)
+
+
+# x94 — content-addressed train/val/test split: md5-bucket assignment,
+# stable across runs/engines; per-split doc and token totals.
+@register(
+    "x94_hash_split",
+    f"""WITH b AS (SELECT doc_id, len({_TOK}) AS nt,
+                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 100 AS bk
+                   FROM documents)
+        SELECT CASE WHEN bk < 80 THEN 'train'
+                    WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS tokens
+        FROM b GROUP BY 1""",
+)
+def x94(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    split = sampling.deterministic_hash_split(docs, "doc_id", 80, 10)
+    counted = textops.with_token_count(split, "text")
+    return counted.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+
+
+# x95 — per-source dedup rate on the doubled corpus (same re-ingestion
+# scenario as x89): how much each source shrinks under exact dedup.
+@register(
+    "x95_source_dedup_rate",
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        corpus AS (SELECT doc_id, source, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + m + 1, source, text FROM documents, mx
+                   WHERE doc_id % 5 = 0),
+        k AS (SELECT MIN(doc_id) AS kid FROM corpus GROUP BY md5(text)),
+        j AS (SELECT c.source, CASE WHEN k.kid IS NULL THEN 0 ELSE 1 END AS kept
+              FROM corpus c LEFT JOIN k ON c.doc_id = k.kid)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(kept) AS BIGINT) AS n_kept,
+              ROUND(1.0 - SUM(kept) / COUNT(*), 6) AS dup_rate
+       FROM j GROUP BY source""",
+)
+def x95(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + mx + 1).alias("doc_id"), "source", "text"
+        )
+    )
+    kept = dedup.exact_dedup(corpus, "text", "doc_id").select(
+        "doc_id", F.lit(1).alias("kept")
+    )
+    return (
+        corpus.join(kept, "doc_id", "left")
+        .na.fill({"kept": 0})
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(1.0 - F.sum("kept") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )
+
+
+# x96 — embedding drift between corpus halves: per-label centroid cosine
+# (posexplode centroid agg, |labels|-sized join).
+@register(
+    "x96_centroid_drift",
+    """WITH e AS (SELECT label, vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings),
+        ca AS (SELECT label, pos, AVG(v) AS m FROM e WHERE vec_id % 2 = 0
+               GROUP BY label, pos),
+        cb AS (SELECT label, pos, AVG(v) AS m FROM e WHERE vec_id % 2 = 1
+               GROUP BY label, pos),
+        va AS (SELECT label, array_agg(m ORDER BY pos) AS c FROM ca GROUP BY label),
+        vb AS (SELECT label, array_agg(m ORDER BY pos) AS c FROM cb GROUP BY label),
+        j AS (SELECT va.label,
+                     list_dot_product(va.c, vb.c)
+                     / (sqrt(list_dot_product(va.c, va.c))
+                        * sqrt(list_dot_product(vb.c, vb.c))) AS cos
+              FROM va JOIN vb ON va.label = vb.label)
+       SELECT label, ROUND(cos, 6) AS cos, ROUND(1 - cos, 6) AS shift FROM j""",
+)
+def x96(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.centroid_shift(a, b, "embedding", "label")

@@ -145,3 +145,64 @@ def test_pmi_min_count_floor(spark):
     pairs = {(r["w1"], r["w2"]) for r in rows}
     assert ("rare", "pair") not in pairs  # floored out
     assert ("x", "y") in pairs
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x93_doc_chunking",
+        "x94_hash_split",
+        "x95_source_dedup_rate",
+        "x96_centroid_drift",
+    ],
+)
+def test_round4b_query_matches_oracle(spark, ddb, name):
+    assert_frames_match(q(spark, name), ddb, QUERIES[name][1])
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from flashml_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(50)))],
+                               ["id", "text"])
+    rows = {r["chunk_idx"]: (r["n_tok"], r["head"])
+            for r in chunk_documents(df, "text", "id", 32, 24).collect()}
+    # starts at 0, 24, 48: full window, clipped tail windows
+    assert rows == {0: (32, "t0"), 1: (26, "t24"), 2: (2, "t48")}
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from flashml_spark.operators.textops import chunk_documents
+
+    # raw read (load_table's input-parallelism guard adds a repartition of
+    # its own — that's the loader's shuffle, not the operator's)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(chunk_documents(docs, "text", "doc_id"))
+    assert "Exchange" not in plan  # pure map: generate + project over scan
+
+
+def test_hash_split_stable_and_partition_invariant(spark):
+    from flashml_spark.operators.sampling import deterministic_hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b  # assignment is a pure function of the id
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+
+
+def test_centroid_shift_identical_halves_is_zero(spark):
+    from flashml_spark.operators.similarity import centroid_shift
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [1.0, 0.0], 1), (2, [0.0, 2.0], 2), (3, [0.0, 2.0], 2)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    a = df.filter("vec_id % 2 = 0")
+    b = df.filter("vec_id % 2 = 1")
+    got = {r["label"]: (r["cos"], r["shift"])
+           for r in centroid_shift(a, b, "embedding", "label").collect()}
+    assert got == {1: (1.0, 0.0), 2: (1.0, 0.0)}
