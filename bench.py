@@ -113,6 +113,21 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_storage(spark) -> None:
+    """Free cached tables and any persistent RDD blocks (persist /
+    localCheckpoint) left behind by the query that just ran.  Spark only
+    reclaims localCheckpoint blocks after driver GC finds the RDD object,
+    so a long single-JVM run otherwise accumulates every query's
+    checkpoints in storage memory and later queries pay the GC bill.
+    """
+    spark.catalog.clearCache()
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(m.keySet().toArray()):
+        r = m.get(rid)
+        if r is not None:
+            r.unpersist(False)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -139,6 +154,7 @@ def main() -> int:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        release_storage(spark)
 
     # Full per-query detail first (its own line), then a COMPACT summary
     # line LAST: the driver captures a bounded tail of stdout, and r03's
