@@ -39,9 +39,11 @@ _PRIORITY = [
     # (1) never driver-checked in any round
     "x39_intersect", "x65_winsorized_stats", "x66_region_revenue",
     "x78_pricing_summary",
-    # (2) changed in round 4
+    # (2) changed in round 4 (x35/x75: connected_components now frees
+    # each abandoned round's checkpoint blocks)
     "q19_threshold_sweep", "x64_zscore_by_lang", "x79_snapshot_diff",
-    "x72_cluster_balanced_sample",
+    "x72_cluster_balanced_sample", "x35_minhash_dedup_e2e",
+    "x75_semantic_dedup_e2e",
     # (2b) NEW in round 4 — no driver row yet
     "x84_priority_exists", "x85_linestatus_priority",
     "x86_promo_revenue_share", "x87_mixture_weights", "x88_pmi_pairs",
@@ -49,6 +51,11 @@ _PRIORITY = [
     "x91_user_moving_avg", "x92_daily_user_accession",
     "x93_doc_chunking", "x94_hash_split", "x95_source_dedup_rate",
     "x96_centroid_drift",
+    "x97_order_count_distribution", "x98_small_qty_revenue",
+    "x99_large_orders", "x100_dormant_rich_customers",
+    "x101_nation_trade_matrix", "x102_cheapest_supplier",
+    "x103_pii_scrub", "x104_lang_trigram_cosine",
+    "x105_embedding_norm_audit",
     # (3) r01/r02-green anchors not re-checked since r02
     "q01_filter_project", "q02_sql_view_chain", "q03_window_lead",
     "q04_page_bucket", "q05_minmax", "q06_interval_binning",
@@ -56,10 +63,6 @@ _PRIORITY = [
     "q10_except", "q11_qa_join", "q12_hotlead_rollup",
     "q13_distinct_visitors", "q14_psi", "q15_vsi_join", "q16_top1",
     "q17_confusion", "q18_conditional_sample",
-    "x01_dedup_exact", "x02_minhash_signature", "x03_minhash_dedup",
-    "x04_simhash_dedup", "x05_ngram_jaccard", "x06_knn_brute",
-    "x07_ann_lsh", "x08_token_count", "x09_quality_score", "x10_lang_id",
-    "x11_fingerprint",
 ]
 
 

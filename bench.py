@@ -106,6 +106,15 @@ HEADLINE = [
     "x94_hash_split",
     "x95_source_dedup_rate",
     "x96_centroid_drift",
+    "x97_order_count_distribution",
+    "x98_small_qty_revenue",
+    "x99_large_orders",
+    "x100_dormant_rich_customers",
+    "x101_nation_trade_matrix",
+    "x102_cheapest_supplier",
+    "x103_pii_scrub",
+    "x104_lang_trigram_cosine",
+    "x105_embedding_norm_audit",
 ]
 
 

@@ -497,3 +497,26 @@ def centroid_shift(
             F.round(1 - cos, 6).alias("shift"),
         )
     )
+
+
+def embedding_norm_stats(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label L2-norm audit of an embedding column — the pre-flight
+    check before any cosine/ANN stage: un-normalized vectors silently
+    skew dot-product similarity, and a label whose norm distribution
+    drifts from the rest usually means a different encoder version wrote
+    it.  Pure map (per-row fold) + one hash agg; output is |labels|-sized.
+    Output: ``<label_col>, n, avg_norm, min_norm, max_norm, sd_norm``.
+    """
+    v = _as_double(F.col(vec_col))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        df.select(F.col(label_col), norm.alias("__n"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__n"), 6).alias("avg_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+            F.round(F.stddev_samp("__n"), 6).alias("sd_norm"),
+        )
+    )

@@ -723,3 +723,93 @@ def chunk_documents(
         F.size(chunk).cast("bigint").alias("n_tok"),
         F.element_at(chunk, 1).alias("head"),
     )
+
+
+# Default PII patterns: RE2-compatible (no backrefs/lookaround) so the
+# exact same pattern string runs in Spark (Java regex) and engine oracles
+# (DuckDB/RE2).  Replacement order is irrelevant — match domains are
+# disjoint by construction (emails need '@', phones are digit-dash runs,
+# IPv4 needs three dots between digit runs a phone can't produce).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "scrubbed",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact personally identifiable substrings before training-data
+    release: each configured kind is counted (``n_<kind>``, from the
+    ORIGINAL text) and replaced with its placeholder token in ``out_col``.
+
+    Pure per-row codegen (`regexp_count` + chained `regexp_replace`) —
+    zero shuffle, scales as a map stage.  Patterns must stay in the
+    RE2-compatible subset so audit oracles can replay them.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, (pat, rep) in pats.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return out.withColumn(out_col, scrubbed)
+
+
+def char_ngram_group_cosine(
+    df: DataFrame, text_col: str, group_col: str, n: int = 3
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group character-n-gram
+    count profiles — the classic writing-system / language proximity
+    audit (e.g. how close two sources' or languages' character
+    distributions are, a drift signal when a crawl's language mix shifts).
+
+    Every frame after the explode is VOCABULARY-sized (≤ |charset|^n
+    grams per group): one hash agg builds the profiles, the pair dot
+    products join profile-to-profile on the gram key (|groups|²-bounded
+    output), and norms join back broadcast.  Counts are exact integers,
+    so the cosine is reproducible bit-for-bit across engines.
+    Output: ``ga, gb, cos`` with ``ga < gb``.
+    """
+    t = F.col(text_col)
+    grams = (
+        df.filter(F.length(t) >= n)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                    lambda i: t.substr(i, F.lit(n)),
+                )
+            ).alias("gram"),
+        )
+    )
+    prof = grams.groupBy("__g", "gram").agg(F.count(F.lit(1)).alias("c"))
+    norms = prof.groupBy("__g").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = prof.select(F.col("__g").alias("ga"), "gram", F.col("c").alias("__ca"))
+    b = prof.select(F.col("__g").alias("gb"), "gram", F.col("c").alias("__cb"))
+    dots = (
+        a.join(b, "gram")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    na = F.broadcast(norms.select(F.col("__g").alias("ga"), F.col("nrm").alias("__na")))
+    nb = F.broadcast(norms.select(F.col("__g").alias("gb"), F.col("nrm").alias("__nb")))
+    return (
+        dots.join(na, "ga")
+        .join(nb, "gb")
+        .select(
+            "ga",
+            "gb",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias("cos"),
+        )
+    )
