@@ -115,6 +115,8 @@ HEADLINE = [
     "x103_pii_scrub",
     "x104_lang_trigram_cosine",
     "x105_embedding_norm_audit",
+    "x106_upsert_apply",
+    "x107_event_paths",
 ]
 
 

@@ -521,3 +521,37 @@ def dup_cluster_size_histogram(
     return groups.groupBy(F.col("dup_cnt").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+def apply_upserts(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-set to a corpus snapshot — the incremental-update
+    half of corpus maintenance (``snapshot_diff`` is the audit half):
+    ``changes`` carries the base schema plus ``op`` ∈ {'upsert','delete'};
+    an upsert inserts or replaces the row with that id, a delete drops it.
+
+    One full-outer join on the id key (co-keyed shuffle; change-sets are
+    normally ≪ base, so AQE broadcasts the change side).  Column payload
+    is carried as a struct per side, so arbitrary schemas work without
+    per-column code.  Rows never widen: output schema == base schema.
+    """
+    cols = base.columns
+    b = base.select(F.col(id_col).alias("__id"), F.struct(*cols).alias("__b"))
+    c = changes.select(
+        F.col(id_col).alias("__id"),
+        F.struct(*cols).alias("__c"),
+        F.col(op_col).alias("__op"),
+    )
+    joined = b.join(c, "__id", "full_outer")
+    keep = F.when(F.col("__op") == "delete", F.lit(None)).otherwise(
+        F.coalesce(F.col("__c"), F.col("__b"))
+    )
+    return (
+        joined.select(keep.alias("__r"))
+        .filter(F.col("__r").isNotNull())
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+    )

@@ -367,3 +367,107 @@ def x104(spark: SparkSession, sf: str) -> DataFrame:
 def x105(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.embedding_norm_stats(emb, "embedding", "label")
+
+
+# x106 — change-set application (corpus upsert/delete merge): the
+# incremental-update half of corpus maintenance (x79's snapshot_diff is
+# the audit half).  A deterministic change-set is derived from the
+# documents table itself — revisions for every 10th base doc, inserts for
+# ids past the 80% cutoff, deletes for base ids ≡ 3 (mod 17) that are not
+# also revised — then merged in one full-outer join; the roll-up proves
+# insert/replace/delete accounting balances per id-bucket.
+@register(
+    "x106_upsert_apply",
+    """WITH mx AS (SELECT CAST(0.8 * MAX(doc_id) AS BIGINT) AS m FROM documents),
+        base AS (SELECT doc_id, text FROM documents, mx WHERE doc_id <= m),
+        changes AS (
+          SELECT doc_id, 'rev2: ' || text AS text, 'upsert' AS op
+          FROM documents, mx WHERE doc_id <= m AND doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, text, 'upsert' FROM documents, mx WHERE doc_id > m
+          UNION ALL
+          SELECT doc_id, text, 'delete'
+          FROM documents, mx
+          WHERE doc_id <= m AND doc_id % 17 = 3 AND doc_id % 10 <> 0),
+        merged AS (
+          SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+                 COALESCE(c.text, b.text) AS text, c.op
+          FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id)
+       SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+              CAST(SUM(CASE WHEN text LIKE 'rev2: %' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_revised
+       FROM merged WHERE op IS NULL OR op <> 'delete'
+       GROUP BY 1""",
+)
+def x106(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators.dedup import apply_upserts
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    m = int(0.8 * docs.agg(F.max("doc_id")).first()[0])
+    base = docs.filter(F.col("doc_id") <= m)
+    revisions = base.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("rev2: "), F.col("text")).alias("text"),
+        F.lit("upsert").alias("op"),
+    )
+    inserts = docs.filter(F.col("doc_id") > m).select(
+        "doc_id", "text", F.lit("upsert").alias("op")
+    )
+    deletes = base.filter(
+        (F.col("doc_id") % 17 == 3) & (F.col("doc_id") % 10 != 0)
+    ).select("doc_id", "text", F.lit("delete").alias("op"))
+    merged = apply_upserts(
+        base, revisions.unionAll(inserts).unionAll(deletes), "doc_id"
+    )
+    return (
+        merged.groupBy((F.col("doc_id") % 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_len"),
+            F.sum(F.col("text").startswith("rev2: ").cast("int"))
+            .cast("bigint")
+            .alias("n_revised"),
+        )
+    )
+
+
+# x107 — behavioral path mining: the 20 most common 3-step event-type
+# sequences across users, in event-time order.  Two partitioned LEAD
+# windows build the paths (no collect_list, no per-user array
+# materialization); the count agg is |distinct paths|-sized and the top-k
+# is a TakeOrdered.  Ties break on the path string.
+@register(
+    "x107_event_paths",
+    """WITH s AS (SELECT user_id, event_type,
+                         LEAD(event_type, 1) OVER w AS e2,
+                         LEAD(event_type, 2) OVER w AS e3
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_type || '>' || e2 || '>' || e3 AS path,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+)
+def x107(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        paths.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

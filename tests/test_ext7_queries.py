@@ -136,3 +136,28 @@ def test_embedding_norm_stats_known_values(spark):
     assert rows[0]["max_norm"] == pytest.approx(10.0)
     assert rows[0]["avg_norm"] == pytest.approx(7.5)
     assert rows[1]["sd_norm"] is None  # stddev_samp of a single row
+
+
+@pytest.mark.parametrize("name", ["x106_upsert_apply", "x107_event_paths"])
+def test_ext7b_query_matches_oracle(spark, ddb, name):
+    assert_frames_match(q(spark, name), ddb, QUERIES[name][1])
+
+
+def test_x107_topk_is_take_ordered(spark):
+    plan = plan_of(q(spark, "x107_event_paths"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan  # windows stay per-user
+
+
+def test_apply_upserts_semantics(spark):
+    from flashml_spark.operators.dedup import apply_upserts
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, text string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        "id int, text string, op string",
+    )
+    got = {r["id"]: r["text"] for r in apply_upserts(base, changes, "id").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
