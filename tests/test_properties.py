@@ -208,3 +208,52 @@ def test_group_zscore_properties(spark, vals):
             assert all(z == 0.0 for z in zs)
         else:
             assert abs(statistics.fmean(zs)) < 1e-6
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    base_ids=st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=15),
+    change_ops=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.sampled_from(["upsert", "delete"]),
+        max_size=12,
+    ),
+)
+def test_upsert_then_diff_roundtrip(spark, base_ids, change_ops):
+    """snapshot_diff(base, apply_upserts(base, changes)) must report exactly
+    the change-set: upserts of existing ids → changed, upserts of new ids →
+    added, deletes of existing ids → removed, untouched ids → unchanged.
+    (Deletes of absent ids are dropped from the change-set — the operator's
+    contract is change-sets produced against the base snapshot.)"""
+    from flashml_spark.operators.dedup import apply_upserts, snapshot_diff
+
+    change_ops = {
+        i: op
+        for i, op in change_ops.items()
+        if not (op == "delete" and i not in base_ids)
+    }
+    base = spark.createDataFrame(
+        [(i, f"text-{i}") for i in sorted(base_ids)], "id int, text string"
+    )
+    if change_ops:
+        changes = spark.createDataFrame(
+            [
+                (i, f"text-{i}-v2" if op == "upsert" else None, op)
+                for i, op in sorted(change_ops.items())
+            ],
+            "id int, text string, op string",
+        )
+    else:
+        changes = spark.createDataFrame([], "id int, text string, op string")
+
+    merged = apply_upserts(base, changes, "id")
+    got = {r["id"]: r["status"] for r in snapshot_diff(base, merged, "text", "id").collect()}
+
+    want = {}
+    for i in base_ids:
+        op = change_ops.get(i)
+        want[i] = {"upsert": "changed", "delete": "removed", None: "unchanged"}[op]
+    for i, op in change_ops.items():
+        if i not in base_ids and op == "upsert":
+            want[i] = "added"
+    assert got == want
