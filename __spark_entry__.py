@@ -56,12 +56,13 @@ _PRIORITY = [
     "x101_nation_trade_matrix", "x102_cheapest_supplier",
     "x103_pii_scrub", "x104_lang_trigram_cosine",
     "x105_embedding_norm_audit", "x106_upsert_apply", "x107_event_paths",
+    "x108_ks_length_drift", "x109_chisq_lang_source",
     # (3) r01/r02-green anchors not re-checked since r02
     "q01_filter_project", "q02_sql_view_chain", "q03_window_lead",
     "q04_page_bucket", "q05_minmax", "q06_interval_binning",
     "q07_minority_labels", "q08_class_stabilizer", "q09_union_pages",
     "q10_except", "q11_qa_join", "q12_hotlead_rollup",
-    "q13_distinct_visitors", "q14_psi", "q15_vsi_join", "q16_top1",
+    "q13_distinct_visitors", "q14_psi",
 ]
 
 

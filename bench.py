@@ -117,6 +117,8 @@ HEADLINE = [
     "x105_embedding_norm_audit",
     "x106_upsert_apply",
     "x107_event_paths",
+    "x108_ks_length_drift",
+    "x109_chisq_lang_source",
 ]
 
 

@@ -243,3 +243,74 @@ def log2_histogram(
             F.max("__v").alias("max_v"),
         )
     )
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, flag_col: str | Column
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the rows where
+    ``flag_col`` is true (sample A) and the rest (sample B) — the
+    distribution-drift audit for a numeric column (doc lengths, quality
+    scores) between two cohorts.
+
+    Exact, not sampled: the sup runs over the VALUE DOMAIN — one hash agg
+    to per-value counts, then a cumulative over the |distinct values|
+    frame (bounded by the domain, not the corpus; same accepted
+    whole-frame-window posture as the PSI totals and q19's post-agg
+    sweep).  Output: one row ``ks_stat, n_a, n_b``."""
+    flag = F.expr(flag_col) if isinstance(flag_col, str) else flag_col
+    counts = (
+        df.select(F.col(value_col).alias("__v"), flag.cast("int").alias("__f"))
+        .groupBy("__v")
+        .agg(
+            F.sum("__f").alias("__a"),
+            F.sum(1 - F.col("__f")).alias("__b"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = counts.agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    cum = counts.select(
+        F.sum("__a").over(w).alias("__ca"), F.sum("__b").over(w).alias("__cb")
+    ).crossJoin(F.broadcast(totals))
+    return cum.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__ca") / F.col("__na") - F.col("__cb") / F.col("__nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+    )
+
+
+def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns (language × source: "did the crawl's language mix shift per
+    source?").  Exact over ALL cells of the contingency table — expected
+    counts come from a |A|×|B| cross join of the marginal frames (both
+    post-agg tiny), left-joined against observed counts so
+    zero-observation cells still contribute their expectation.
+    Output: one row ``chi2, n_cells, dof``."""
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__c"))
+    ra = obs.groupBy(col_a).agg(F.sum("__c").alias("__r"))
+    cb = obs.groupBy(col_b).agg(F.sum("__c").alias("__s"))
+    n = obs.agg(F.sum("__c").alias("__n"))
+    cells = (
+        ra.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(n))
+        .join(obs, [col_a, col_b], "left")
+        .select(
+            (F.col("__r") * F.col("__s") / F.col("__n")).alias("__e"),
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__o"),
+        )
+    )
+    stat = (F.col("__o") - F.col("__e")) ** 2 / F.col("__e")
+    return cells.agg(
+        F.round(F.sum(stat), 6).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )

@@ -471,3 +471,52 @@ def x107(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+# x108 — KS drift between English and non-English doc-length
+# distributions: exact two-sample Kolmogorov–Smirnov over the value
+# domain (|distinct n_chars| ≪ corpus).
+@register(
+    "x108_ks_length_drift",
+    """WITH c AS (SELECT n_chars AS v,
+                         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+                         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+                  FROM documents GROUP BY n_chars),
+        t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM c),
+        cum AS (SELECT SUM(a) OVER (ORDER BY v) * 1.0 / na AS fa,
+                       SUM(b) OVER (ORDER BY v) * 1.0 / nb AS fb
+                FROM c, t),
+        k AS (SELECT MAX(ABS(fa - fb)) AS ks FROM cum)
+       SELECT ROUND(ks, 6) AS ks_stat,
+              CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
+       FROM k, t""",
+)
+def x108(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators.relational import ks_statistic
+
+    docs = load_table(spark, sf, "documents").select("n_chars", "lang")
+    return ks_statistic(docs, "n_chars", F.col("lang") == "en")
+
+
+# x109 — chi-square independence of language × source: did the crawl's
+# language mix shift per source?  Exact over every contingency cell,
+# including zero-observation cells.
+@register(
+    "x109_chisq_lang_source",
+    """WITH o AS (SELECT lang, source, COUNT(*) AS c
+                  FROM documents GROUP BY lang, source),
+        ra AS (SELECT lang, SUM(c) AS r FROM o GROUP BY lang),
+        cb AS (SELECT source, SUM(c) AS s FROM o GROUP BY source),
+        n AS (SELECT SUM(c) AS n FROM o),
+        cells AS (SELECT ra.r * cb.s * 1.0 / n.n AS e, COALESCE(o.c, 0) AS c
+                  FROM ra CROSS JOIN cb CROSS JOIN n
+                  LEFT JOIN o ON o.lang = ra.lang AND o.source = cb.source)
+       SELECT ROUND(SUM((c - e) * (c - e) / e), 6) AS chi2,
+              CAST(COUNT(*) AS BIGINT) AS n_cells
+       FROM cells""",
+)
+def x109(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators.relational import chisq_independence
+
+    docs = load_table(spark, sf, "documents").select("lang", "source")
+    return chisq_independence(docs, "lang", "source")

@@ -161,3 +161,40 @@ def test_apply_upserts_semantics(spark):
     )
     got = {r["id"]: r["text"] for r in apply_upserts(base, changes, "id").collect()}
     assert got == {1: "a", 2: "B", 4: "d"}
+
+
+@pytest.mark.parametrize("name", ["x108_ks_length_drift", "x109_chisq_lang_source"])
+def test_ext7c_query_matches_oracle(spark, ddb, name):
+    assert_frames_match(q(spark, name), ddb, QUERIES[name][1])
+
+
+def test_ks_statistic_known_value(spark):
+    from flashml_spark.operators.relational import ks_statistic
+
+    # A = {1,2}, B = {3,4}: CDFs never overlap before v=2 → KS = 1.0
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False)], "v int, f boolean"
+    )
+    row = ks_statistic(df, "v", F.col("f")).first()
+    assert row["ks_stat"] == pytest.approx(1.0)
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    # identical samples → KS = 0
+    df2 = spark.createDataFrame(
+        [(1, True), (2, True), (1, False), (2, False)], "v int, f boolean"
+    )
+    assert ks_statistic(df2, "v", F.col("f")).first()["ks_stat"] == pytest.approx(0.0)
+
+
+def test_chisq_independence_known_value(spark):
+    from flashml_spark.operators.relational import chisq_independence
+
+    # perfectly independent 2x2 table (all cells equal) → chi2 = 0
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chisq_independence(df, "a", "b").first()
+    assert r["chi2"] == pytest.approx(0.0)
+    assert r["n_cells"] == 4
+    # fully dependent: a==x ⇔ b==u (10 each) → chi2 = N = 20
+    rows = [("x", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert chisq_independence(df, "a", "b").first()["chi2"] == pytest.approx(20.0)
