@@ -57,12 +57,13 @@ _PRIORITY = [
     "x103_pii_scrub", "x104_lang_trigram_cosine",
     "x105_embedding_norm_audit", "x106_upsert_apply", "x107_event_paths",
     "x108_ks_length_drift", "x109_chisq_lang_source",
+    "x110_returned_revenue", "x111_top_supplier",
+    "x112_disjunctive_pricing", "x113_sole_late_supplier",
+    "x114_market_share", "x115_zipf_slope", "x116_interarrival_stats",
+    "x117_revenue_gini", "x118_event_lift", "x119_daily_outliers",
+    "x120_doc_freq_stopwords", "x121_prefix_dup_stats",
     # (3) r01/r02-green anchors not re-checked since r02
-    "q01_filter_project", "q02_sql_view_chain", "q03_window_lead",
-    "q04_page_bucket", "q05_minmax", "q06_interval_binning",
-    "q07_minority_labels", "q08_class_stabilizer", "q09_union_pages",
-    "q10_except", "q11_qa_join", "q12_hotlead_rollup",
-    "q13_distinct_visitors", "q14_psi",
+    "q01_filter_project", "q02_sql_view_chain",
 ]
 
 

@@ -119,6 +119,18 @@ HEADLINE = [
     "x107_event_paths",
     "x108_ks_length_drift",
     "x109_chisq_lang_source",
+    "x110_returned_revenue",
+    "x111_top_supplier",
+    "x112_disjunctive_pricing",
+    "x113_sole_late_supplier",
+    "x114_market_share",
+    "x115_zipf_slope",
+    "x116_interarrival_stats",
+    "x117_revenue_gini",
+    "x118_event_lift",
+    "x119_daily_outliers",
+    "x120_doc_freq_stopwords",
+    "x121_prefix_dup_stats",
 ]
 
 

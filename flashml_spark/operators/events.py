@@ -283,3 +283,126 @@ def daily_user_accession(
         F.col("new_users").cast("bigint").alias("new_users"),
         F.col("cum_new_users").cast("bigint").alias("cum_users"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-time statistics per event type: mean gap, standard
+    deviation, and the burstiness index B = (sigma - mu) / (sigma + mu)
+    (Goh & Barabasi 2008) — B near -1 is a regular clock, 0 is Poisson,
+    +1 is maximally bursty.  The traffic-shape audit run before sizing
+    streaming state or rate limits.
+
+    Gaps are computed WITHIN each (user, type) stream — a per-key lag
+    window ordered by event time with an id tie-break (partitioned window,
+    no global sort) — then aggregated per type.  Timestamps diff in exact
+    integer microseconds (``unix_micros``) so engine float handling can't
+    skew the parity.  Output: ``<key_col>, n_gaps, mean_gap_s, sd_gap_s,
+    burstiness`` (seconds, rounded to 6).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col, key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        df.select(F.col(key_col), F.col(user_col), F.col(ts_col), F.col(id_col))
+        .withColumn("__gap_us", us - F.lag(us).over(w))
+        .filter(F.col("__gap_us").isNotNull())
+        .select(key_col, (F.col("__gap_us") / 1e6).alias("__gap_s"))
+    )
+    mu, sd = F.avg("__gap_s"), F.stddev_samp("__gap_s")
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-type co-occurrence lift across users: for each unordered type
+    pair (a < b), lift = P(a,b) / (P(a) * P(b)) over the user population —
+    the market-basket audit for "which behaviors travel together".
+
+    Distinct (user, type) first (one agg absorbs event-count skew), then a
+    self-join on user with a < b.  The join fan-out per user is
+    |types-per-user| choose 2 — bounded by the TYPE vocabulary, not by the
+    user's event count — and the output is at most |types|^2 rows.
+    Per-type supports and the population size join back as broadcast
+    scalars.  Output: ``type_a, type_b, n_joint, lift`` (rounded to 6).
+    """
+    ut = df.select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t")).distinct()
+    a = ut.select("__u", F.col("__t").alias("type_a"))
+    b = ut.select("__u", F.col("__t").alias("type_b"))
+    joint = (
+        a.join(b, "__u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_joint"))
+    )
+    support = ut.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+    n_users = ut.select("__u").distinct().agg(F.count(F.lit(1)).alias("__nu"))
+    return (
+        joint.join(
+            F.broadcast(support.select(F.col("__t").alias("type_a"), F.col("__n").alias("__na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(support.select(F.col("__t").alias("type_b"), F.col("__n").alias("__nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_joint",
+            F.round(
+                F.col("n_joint") * F.col("__nu") / (F.col("__na") * F.col("__nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+def daily_outlier_zscores(
+    df: DataFrame,
+    ts_col: str = "ts",
+    trailing_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly audit: each day's event count scored against the
+    mean/stddev of the preceding ``trailing_days`` OBSERVED days (current
+    day excluded, so a spike can't mask itself).  Days without a full
+    trailing window are emitted with NULL z (warm-up, not silently
+    dropped).
+
+    The corpus collapses to |days| rows in one hash agg before any window
+    runs; the trailing frame is over that calendar-bounded frame — the
+    same accepted whole-frame posture as ``daily_user_accession``.
+    Output: ``day, n, trail_mean, trail_sd, z, is_outlier``.
+    """
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    daily = df.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-trailing_days, -1)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    full = F.count("n").over(w) == trailing_days
+    z = F.when(full & (sd > 0), (F.col("n") - mu) / sd)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(full, mu), 6).alias("trail_mean"),
+        F.round(F.when(full, sd), 6).alias("trail_sd"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > z_threshold).alias("is_outlier"),
+    )

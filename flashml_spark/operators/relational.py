@@ -314,3 +314,43 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(F.sum(stat), 6).alias("chi2"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value — the
+    concentration audit (revenue per customer within a nation, tokens per
+    source within a language): 0 is perfect equality, →1 is winner-take-
+    all.  Uses the rank formulation
+    ``G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n`` over values
+    sorted ascending with an ``id_col`` tie-break.
+
+    One partitioned window (per-group sort, groups in parallel — the frame
+    is |group members|, the documented cardinality contract) feeding one
+    hash agg.  Groups summing to zero emit NULL rather than dividing by
+    zero.  Output: ``<group_cols>, n, total, gini`` (rounded to 6)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__x"),
+        F.row_number().over(w).alias("__i"),
+    )
+    n, tot = F.count(F.lit(1)), F.sum("__x")
+    return ranked.groupBy(*group_cols).agg(
+        n.cast("bigint").alias("n"),
+        F.round(tot, 2).alias("total"),
+        F.round(
+            F.when(
+                tot > 0,
+                2 * F.sum(F.col("__i") * F.col("__x")) / (n * tot)
+                - (n + 1) / n,
+            ),
+            6,
+        ).alias("gini"),
+    )

@@ -813,3 +813,94 @@ def char_ngram_group_cosine(
             F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias("cos"),
         )
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str, top_n: int = 500) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution: the
+    least-squares slope of log(frequency) against log(rank) for the top
+    ``top_n`` tokens — a healthy natural-language corpus sits near -1;
+    a slope collapsing toward 0 flags templated/boilerplate text, a
+    steep slope flags a vocabulary dominated by a few tokens.
+
+    explode → hash-agg to vocabulary counts (map-side partials absorb the
+    fan-out), TakeOrdered to the top_n head (no global sort materializes),
+    then rank + ``regr_slope`` over the top_n-row frame — driver-scale
+    work is O(top_n) regardless of corpus size.
+    Output: one row ``slope, intercept, n_ranks``."""
+    counts = (
+        df.select(F.explode(H.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        F.log(F.col("n").cast("double")).alias("__ln_n"),
+        F.log(F.row_number().over(w).cast("double")).alias("__ln_r"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope("__ln_n", "__ln_r"), 6).alias("slope"),
+        F.round(F.regr_intercept("__ln_n", "__ln_r"), 6).alias("intercept"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+    )
+
+
+def doc_frequency_top(
+    df: DataFrame, text_col: str, id_col: str, k: int = 20
+) -> DataFrame:
+    """Document-frequency head of the vocabulary: the k tokens present in
+    the most documents, with their DF and smoothed IDF
+    ``ln(N / (1 + df))`` — the data-driven stopword-candidate audit run
+    before building retrieval features over a new corpus.
+
+    Per-document token presence first (distinct over (doc, token) —
+    two-level aggregation, the inner distinct absorbs within-document
+    repetition map-side), then a token-level count and a TakeOrdered
+    head.  Ties break token-ascending.  Output: ``token, df, idf``."""
+    presence = df.select(
+        F.col(id_col).alias("__d"), F.explode(H.tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    n_docs = df.select(id_col).distinct().agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        presence.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("__n") / (1 + F.col("df"))), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def prefix_dup_stats(
+    df: DataFrame, text_col: str, prefix_len: int = 120
+) -> DataFrame:
+    """Prefix-duplicate audit: group documents by a digest of their first
+    ``prefix_len`` characters (lowercased) and summarize how much of the
+    corpus shares an opening — catches mirror pages and templated intros
+    that exact-hash dedup misses because tails differ.
+
+    One hash agg on the digest, then a scalar rollup: number of duplicate
+    prefix groups, documents inside them, surplus documents a
+    keep-one-per-prefix pass would drop, and the largest group.
+    Output: one row ``dup_groups, dup_docs, surplus_docs, max_group``."""
+    digest = F.md5(F.lower(F.substring(F.col(text_col), 1, prefix_len)))
+    groups = (
+        df.select(digest.alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_groups"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("dup_docs"),
+        F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).cast("bigint").alias("surplus_docs"),
+        F.coalesce(F.max("__c"), F.lit(0)).cast("bigint").alias("max_group"),
+    )
