@@ -187,14 +187,20 @@ def x113(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    # Two-level aggregation instead of dual COUNT(DISTINCT …): collapsing
+    # to (order, supplier) first makes both distinct counts plain
+    # count/sum on the second agg — no Expand of the fact — and the
+    # second groupBy's key is a prefix of the first's, so it rides the
+    # same exchange (partial agg, zero extra shuffle).
+    per_pair = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count_distinct("l_suppkey").alias("ns"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("nl"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("late").alias("nl"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
     return (
         per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1))

@@ -257,3 +257,107 @@ def test_upsert_then_diff_roundtrip(spark, base_ids, change_ops):
         if i not in base_ids and op == "upsert":
             want[i] = "added"
     assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # group
+            st.floats(min_value=0, max_value=1e4, allow_nan=False),
+        ),
+        min_size=2, max_size=60,
+    ),
+)
+def test_gini_matches_pure_python_and_bounds(spark, rows):
+    """Per-group Gini == the pure-Python rank formula, and lies in
+    [0, (n-1)/n] for non-negative values."""
+    from flashml_spark.operators.relational import gini_coefficient
+
+    df = spark.createDataFrame(
+        [(f"g{g}", i, v) for i, (g, v) in enumerate(rows)],
+        "g string, id long, v double",
+    )
+    out = {r["g"]: r for r in gini_coefficient(df, ["g"], "v", "id").collect()}
+    groups: dict[str, list[float]] = {}
+    for g, v in rows:
+        groups.setdefault(f"g{g}", []).append(v)
+    for g, vals in groups.items():
+        xs = sorted(vals)
+        n, tot = len(xs), sum(xs)
+        want = (
+            None if tot == 0
+            else 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot)
+            - (n + 1) / n
+        )
+        got = out[g]["gini"]
+        if want is None:
+            assert got is None
+        else:
+            assert abs(got - want) < 1e-4
+            # operator rounds to 6 decimals -> allow half-ulp of that
+            assert -1e-6 <= got <= (n - 1) / n + 1e-6
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=10_000_000),  # microseconds
+        min_size=2, max_size=40,
+    ),
+)
+def test_burstiness_bounded_and_matches_numpy(spark, gaps):
+    """Burstiness == (sd-mu)/(sd+mu) over the gap list, and lies in
+    (-1, 1] for positive gaps (exactly -1 when sd == 0)."""
+    import statistics
+
+    from flashml_spark.operators.events import interarrival_stats
+
+    ts0 = 1_700_000_000_000_000
+    tss = [ts0]
+    for g in gaps:
+        tss.append(tss[-1] + g)
+    rows = [
+        (i, 1, "t", __import__("datetime").datetime.fromtimestamp(t / 1e6))
+        for i, t in enumerate(tss)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = interarrival_stats(df).collect()[0]
+    gs = [g / 1e6 for g in gaps]
+    mu = statistics.fmean(gs)
+    sd = statistics.stdev(gs) if len(gs) > 1 else 0.0
+    assert out["n_gaps"] == len(gs)
+    assert abs(out["mean_gap_s"] - mu) < 1e-3
+    want_b = (sd - mu) / (sd + mu)
+    assert abs(out["burstiness"] - want_b) < 1e-3
+    assert -1 - 1e-9 <= out["burstiness"] <= 1
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab X"), min_size=0, max_size=12
+        ),
+        min_size=1, max_size=40,
+    ),
+    plen=st.integers(min_value=1, max_value=8),
+)
+def test_prefix_dup_stats_consistency(spark, texts, plen):
+    """dup_docs == surplus_docs + dup_groups; counts match a pure-Python
+    prefix-grouping model."""
+    from collections import Counter
+
+    from flashml_spark.operators.textops import prefix_dup_stats
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = prefix_dup_stats(df, "text", prefix_len=plen).collect()[0]
+    c = Counter(t[:plen].lower() for t in texts)
+    dups = [n for n in c.values() if n > 1]
+    assert out["dup_groups"] == len(dups)
+    assert out["dup_docs"] == sum(dups)
+    assert out["surplus_docs"] == sum(n - 1 for n in dups)
+    assert out["max_group"] == (max(dups) if dups else 0)
+    assert out["dup_docs"] == out["surplus_docs"] + out["dup_groups"]
