@@ -131,6 +131,11 @@ HEADLINE = [
     "x119_daily_outliers",
     "x120_doc_freq_stopwords",
     "x121_prefix_dup_stats",
+    "x122_forecast_revenue",
+    "x123_product_profit",
+    "x124_important_parts",
+    "x125_supplier_relationship",
+    "x126_promotion_suppliers",
 ]
 
 

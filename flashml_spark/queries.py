@@ -370,3 +370,4 @@ from flashml_spark import queries_ext5  # noqa: E402,F401
 from flashml_spark import queries_ext6  # noqa: E402,F401
 from flashml_spark import queries_ext7  # noqa: E402,F401
 from flashml_spark import queries_ext8  # noqa: E402,F401
+from flashml_spark import queries_ext9  # noqa: E402,F401

@@ -164,3 +164,41 @@ def test_x66_q5_join_no_cartesian(spark):
     plan = plan_of(q(spark, "x66_region_revenue"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x122_all_predicates_reach_the_scan(spark):
+    plan = plan_of(q(spark, "x122_forecast_revenue"))
+    # every clause of the Q6-shape predicate pushes into the parquet scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    # and the scan reads only the four referenced columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+
+
+def test_x123_fact_shuffles_once_dims_broadcast(spark):
+    plan = plan_of(q(spark, "x123_product_profit"))
+    # part/supplier/nation all broadcast; orders joins by AQE's choice —
+    # the fact must never be the build side of a nested loop
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x125_distinct_is_two_level_no_expand(spark):
+    plan = plan_of(q(spark, "x125_supplier_relationship"))
+    # COUNT(DISTINCT) is expressed as distinct-then-count: no Expand node
+    # (which would double the fact rows through the exchange)
+    assert "Expand" not in plan
+    # the complaint exclusion is a broadcast LEFT ANTI, not a shuffle
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_x126_promotion_part_prune_is_semi_join(spark):
+    plan = plan_of(q(spark, "x126_promotion_suppliers"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
