@@ -9,4 +9,8 @@ from flashml_spark.streaming.dedupe import (  # noqa: F401
     streaming_dedup_exact,
 )
 from flashml_spark.streaming.joins import streaming_interval_join  # noqa: F401
-from flashml_spark.streaming.sinks import write_stream_parquet  # noqa: F401
+from flashml_spark.streaming.sinks import (  # noqa: F401
+    read_upsert_snapshot,
+    write_stream_parquet,
+    write_stream_upsert,
+)
