@@ -1,0 +1,156 @@
+"""Scaling probe: measure how the engine's heaviest pipelines scale with
+input size, as evidence for the 100 TB posture claims in SCALE.md.
+
+Replicates the sf0.1 tables ×{1,2,4,8} with deterministic perturbations
+that preserve each workload's character without degenerating it:
+
+- ``documents``: doc_id offset per replica; ``" rep<k>"`` appended to the
+  text so replicas are NEAR each other in shingle space (the dedup
+  pipelines keep realistic candidate structure) without collapsing into
+  exact cross-replica duplicates that would short-circuit the work.
+- ``embeddings``: vec_id offset; first coordinate nudged by
+  ``replica * 1e-3`` (cosine structure preserved, no exact clones).
+- ``lineitem``/``orders``: orderkey offset by the SAME constant on both
+  sides, so the join graph replicates instead of densifying.
+- Small dims (part/supplier/nation/region/customer/events) copy through
+  unchanged — at real scale dims grow sublinearly anyway.
+
+Usage:
+    python scripts/scale_probe.py [--factors 1,2,4,8] [--out /tmp/scaleprobe]
+Prints one JSON line per (query, factor) and a final slope summary
+(log-log OLS fit: sec ~ factor^slope).  slope ≈ 1 is linear scaling; the
+probe machine is a single JVM, so slopes meaningfully above 1 flag a
+stage whose cost grows superlinearly with data — the thing to chase.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFFSET = 10**12
+
+
+def replicate(spark, src: str, out: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet").select("*", rep)
+    docs = (
+        docs.withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(OFFSET))
+        .withColumn(
+            "text",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("__rep")))
+            ),
+        )
+        .drop("__rep")
+    )
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").select("*", rep)
+    emb = (
+        emb.withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(OFFSET))
+        .withColumn(
+            "embedding",
+            F.concat(
+                F.array(
+                    (F.element_at("embedding", 1) + F.col("__rep") * F.lit(1e-3)).cast(
+                        "float"
+                    )
+                ),
+                F.slice("embedding", 2, 10**6),
+            ),
+        )
+        .drop("__rep")
+    )
+    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet").select("*", rep)
+    li = li.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("__rep") * F.lit(OFFSET)
+    ).drop("__rep")
+    li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    orders = spark.read.parquet(f"{src}/orders.parquet").select("*", rep)
+    orders = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("__rep") * F.lit(OFFSET)
+    ).drop("__rep")
+    orders.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    for t in ["part", "supplier", "nation", "region", "customer", "events"]:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+
+PROBES = [
+    "x03_minhash_dedup",
+    "x35_minhash_dedup_e2e",
+    "x53_simhash_hamming_pairs",
+    "x63_shard_packing",
+    "x73_curation_pipeline",
+    "x75_semantic_dedup_e2e",
+    "x78_pricing_summary",
+    "x113_sole_late_supplier",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,2,4,8")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scaleprobe")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+
+    from flashml_spark.queries import QUERIES
+    from flashml_spark.session import get_spark
+    from bench import release_storage, run_query
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for k in factors:
+        dst = f"{args.out}/x{k}"
+        if not os.path.exists(f"{dst}/documents.parquet"):
+            replicate(spark, args.src, dst, k)
+
+    timings: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    # warm once on the smallest factor so JIT/footer costs don't land on x1
+    run_query(QUERIES[PROBES[0]][0](spark, f"{args.out}/x{factors[0]}"))
+    release_storage(spark)
+    for k in factors:
+        dst = f"{args.out}/x{k}"
+        for q in PROBES:
+            t0 = time.perf_counter()
+            run_query(QUERIES[q][0](spark, dst))
+            dt = time.perf_counter() - t0
+            release_storage(spark)
+            timings[q][k] = round(dt, 3)
+            print(json.dumps({"query": q, "factor": k, "sec": timings[q][k]}))
+
+    slopes = {}
+    for q, ts in timings.items():
+        xs = [math.log(k) for k in ts]
+        ys = [math.log(s) for s in ts.values()]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        slopes[q] = round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3
+        )
+    print(json.dumps({"metric": "scaling_slopes", "slopes": slopes}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
