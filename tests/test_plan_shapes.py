@@ -202,3 +202,29 @@ def test_x126_promotion_part_prune_is_semi_join(spark):
     plan = plan_of(q(spark, "x126_promotion_suppliers"))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_bucketed_join_skips_both_exchanges(spark):
+    """The 100 TB pattern write_bucketed documents: two tables bucketed on
+    the join key with equal bucket counts must sort-merge join with NO
+    shuffle on either side — bucket files stream straight into matching
+    partitions."""
+    from flashml_spark.sources.savepoint import write_bucketed
+
+    a = spark.createDataFrame([(i % 50, i) for i in range(2000)], "k int, v int")
+    b = spark.createDataFrame([(i % 50, -i) for i in range(2000)], "k int, w int")
+    write_bucketed(a, "bj_left", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(b, "bj_right", ["k"], num_buckets=4, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path so the exchange (or its absence) shows
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bj_left").join(spark.table("bj_right"), "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side reshuffles
+        assert joined.count() == 2000 * 40
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE bj_left")
+        spark.sql("DROP TABLE bj_right")
