@@ -94,3 +94,72 @@ def read_training_shards(spark, path: str, shards: list[int] | None = None):
     if shards is not None:
         df = df.filter(F.col("shard").isin(*shards))
     return df
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) for a parquet directory, from namenode
+    metadata only — no data read."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total, n = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        total += st.getLen()
+        n += 1
+    return total, n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    min_files_to_compact: int = 8,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_mb``-sized files.
+
+    Long-running ingestion (streaming sinks, per-batch incremental
+    appends) accumulates many small files; at scale that turns every
+    downstream scan into a file-listing + task-scheduling problem (one
+    task per tiny file) and hammers the namenode.  Compaction is plain
+    maintenance: read, repartition to ``ceil(bytes / target)``, rewrite.
+
+    The rewrite goes to a sibling temp dir first and swaps in with two
+    renames, so concurrent READERS never see a half-written directory
+    (writers must be quiesced — same contract as any file-level compactor).
+    Returns ``{"bytes": .., "files_before": .., "files_after": ..}``;
+    no-ops (returning the same dict shape) when the directory already has
+    fewer than ``min_files_to_compact`` files.
+    """
+    import math
+
+    total, n_before = _dir_stats(spark, path)
+    if n_before < min_files_to_compact:
+        return {"bytes": total, "files_before": n_before, "files_after": n_before}
+
+    n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+
+    df.repartition(n_target).write.mode("overwrite").parquet(str(tmp))
+    fs.delete(old, True)
+    if not fs.rename(p, old):
+        raise IOError(f"compact: cannot move {path} aside")
+    if not fs.rename(tmp, p):
+        fs.rename(old, p)  # roll back
+        raise IOError(f"compact: cannot swap in compacted {path}")
+    fs.delete(old, True)
+
+    _, n_after = _dir_stats(spark, path)
+    return {"bytes": total, "files_before": n_before, "files_after": n_after}
