@@ -122,13 +122,25 @@ def _write_commit(spark, version_path: str, batch_id: int) -> None:
         out.close()
 
 
-def read_upsert_snapshot(spark, base: str) -> DataFrame:
-    """Load the newest committed corpus snapshot written by
-    ``write_stream_upsert`` (raises if none committed yet)."""
+def read_upsert_snapshot(spark, base: str, version: int | None = None) -> DataFrame:
+    """Load a committed corpus snapshot written by ``write_stream_upsert``
+    — the newest by default, or an exact ``version`` for time travel
+    (pair an old and a new version with ``dedup.snapshot_diff`` to audit
+    what a change-stream did to the corpus between two points).
+
+    Raises ``FileNotFoundError`` if nothing is committed yet /
+    ``ValueError`` for a version that was never committed."""
     versions = _snapshot_versions(spark, base)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {base}")
-    return spark.read.parquet(versions[-1][1])
+    if version is None:
+        return spark.read.parquet(versions[-1][1])
+    by_v = dict(versions)
+    if version not in by_v:
+        raise ValueError(
+            f"version {version} not committed under {base}; have {sorted(by_v)}"
+        )
+    return spark.read.parquet(by_v[version])
 
 
 def write_stream_upsert(

@@ -108,3 +108,40 @@ def test_upsert_sink_matches_batch_twin(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == {
         r["doc_id"] for r in want.collect()
     } == {1, 2, 3}
+
+
+def test_time_travel_reads_exact_versions(spark, tmp_path):
+    """Each committed v=N stays immutable and addressable; pairing two
+    versions with snapshot_diff reconstructs what the stream did."""
+    from flashml_spark.operators.dedup import snapshot_diff
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "alpha", "upsert"), (2, "beta", "upsert")], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    _run(spark, src, base, ckpt)
+    spark.createDataFrame(
+        [(2, "beta-v2", "upsert"), (3, "gamma", "upsert")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, base, ckpt)
+
+    v0 = read_upsert_snapshot(spark, base, version=0)
+    v1 = read_upsert_snapshot(spark, base, version=1)
+    assert {r["doc_id"] for r in v0.collect()} == {1, 2}
+    assert {r["doc_id"] for r in v1.collect()} == {1, 2, 3}
+
+    diff = snapshot_diff(v0, v1, text_col="text", id_col="doc_id")
+    got = {
+        (r["doc_id"], r["status"])
+        for r in diff.collect()
+        if r["status"] != "unchanged"
+    }
+    assert got == {(2, "changed"), (3, "added")}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_upsert_snapshot(spark, base, version=7)
