@@ -136,6 +136,9 @@ HEADLINE = [
     "x124_important_parts",
     "x125_supplier_relationship",
     "x126_promotion_suppliers",
+    "x127_range_frame_avg",
+    "x128_locf_fill",
+    "x129_unpivot_metrics",
 ]
 
 

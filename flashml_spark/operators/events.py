@@ -406,3 +406,54 @@ def daily_outlier_zscores(
         F.round(z, 6).alias("z"),
         F.when(z.isNotNull(), F.abs(z) > z_threshold).alias("is_outlier"),
     )
+
+
+def time_range_moving_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    out_col: str = "range_avg",
+) -> DataFrame:
+    """Trailing moving average over a TIME range (all events within the
+    last ``window_seconds``, current inclusive) — the time-domain twin of
+    ``moving_agg``'s row-count frame, for irregularly spaced streams where
+    "last N events" and "last N minutes" diverge.
+
+    RANGE frames order by a numeric epoch so the frame bound is exact
+    integer seconds on every engine.  Partitioned per key: one shuffle,
+    per-key sort, O(events-in-window) state per row.
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def locf_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str | None = None,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Last-observation-carried-forward gap filling: NULL measurements
+    take the most recent non-null value of the same key in event-time
+    order (rows before any observation stay NULL).
+
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding frame is
+    the canonical Spark form — per-key partitioned window, no global sort;
+    the frame scan is incremental, so cost is O(1) amortized per row.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))

@@ -1,0 +1,109 @@
+"""Extension queries, round 4 fifth batch (x127..x129): three window/
+reshape capabilities the registry had not exercised — time-RANGE window
+frames (irregular streams where "last N rows" ≠ "last N minutes"),
+last-observation-carried-forward gap filling (ignore-nulls frames), and
+UNPIVOT/melt (wide metrics → long form for generic downstream tooling).
+
+Oracle discipline unchanged: portable SQL, shared literals/aliases,
+deterministic tie-breaks, floats rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import events
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# x127 — trailing 10-minute average event value per user: a RANGE frame
+# over epoch seconds, not a ROWS frame — on an irregular event stream the
+# two differ whenever bursts land inside the window.
+@register(
+    "x127_range_frame_avg",
+    """SELECT event_id,
+              ROUND(AVG(value) OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(epoch(ts) AS BIGINT)
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS range_avg
+       FROM events""",
+)
+def x127(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    out = events.time_range_moving_avg(
+        ev, "user_id", "ts", "value", window_seconds=600
+    )
+    return out.select("event_id", F.round("range_avg", 6).alias("range_avg"))
+
+
+# --------------------------------------------------------------------------
+# x128 — LOCF gap filling: measurements below a noise floor are treated
+# as missing and take the user's most recent valid reading.  The NULL
+# injection is part of the query so both engines fill the same gaps.
+@register(
+    "x128_locf_fill",
+    """WITH g AS (SELECT event_id, user_id, ts,
+                         CASE WHEN value >= 10.0 THEN value END AS v
+                  FROM events)
+       SELECT event_id,
+              ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS filled
+       FROM g""",
+)
+def x128(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    gapped = ev.withColumn(
+        "v", F.when(F.col("value") >= 10.0, F.col("value"))
+    )
+    out = events.locf_fill(gapped, "user_id", "ts", "v", id_col="event_id")
+    return out.select("event_id", F.round("filled", 6).alias("filled"))
+
+
+# --------------------------------------------------------------------------
+# x129 — unpivot/melt: per-nation order metrics in wide form rotated to
+# (nation, metric, value) long form — the reshape every generic metrics
+# sink expects.  Spark side uses the native unpivot (Expand: one pass,
+# no union-of-scans); the oracle spells it as UNION ALL, the portable
+# equivalent.
+@register(
+    "x129_unpivot_metrics",
+    """WITH w AS (SELECT n.n_name,
+                         COUNT(*) * 1.0 AS n_orders,
+                         ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                         ROUND(AVG(o.o_totalprice), 6) AS avg_price
+                  FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  GROUP BY n.n_name)
+       SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM w
+       UNION ALL
+       SELECT n_name, 'revenue' AS metric, revenue AS value FROM w
+       UNION ALL
+       SELECT n_name, 'avg_price' AS metric, avg_price AS value FROM w""",
+)
+def x129(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    wide = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.count(F.lit(1)) * 1.0).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_orders", "revenue", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
