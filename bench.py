@@ -139,6 +139,7 @@ HEADLINE = [
     "x127_range_frame_avg",
     "x128_locf_fill",
     "x129_unpivot_metrics",
+    "x130_trailing_distinct_users",
 ]
 
 

@@ -457,3 +457,68 @@ def locf_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def trailing_distinct_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    out_col: str = "active_users",
+) -> DataFrame:
+    """Per calendar day, the number of DISTINCT users active in the
+    trailing ``window_days`` (current day inclusive) — rolling reach/WAU.
+
+    Spark windows cannot express COUNT(DISTINCT) over a moving frame, and
+    the naive day×user range self-join multiplies the fact by the window
+    width.  This runs fully scalable instead:
+
+    1. distinct (user, day) — one hash agg, collapses event volume;
+    2. per user, merge active days into coverage islands (a day covers
+       [day, day+w-1]; consecutive days ≤ w-1 apart merge) via a per-user
+       lag window — per-key sort, all users parallel;
+    3. each island emits two boundary deltas (+1 at start, −1 after end)
+       — ≤ 2 rows per island, REGARDLESS of window width or event count;
+    4. cumulative-sum the deltas over the calendar-day domain — a
+       value-domain-bounded frame (|days|), the same accepted posture as
+       the daily-accession and outlier rollups.
+
+    Output: ``day (string), <out_col>`` for every day in the event span.
+    """
+    w = window_days - 1
+    ud = (
+        df.select(F.col(user_col).alias("__u"), F.to_date(ts_col).alias("__d"))
+        .distinct()
+    )
+    lw = Window.partitionBy("__u").orderBy("__d")
+    isl = ud.withColumn(
+        "__new",
+        F.when(F.lag("__d").over(lw).isNull(), 1)
+        .when(F.col("__d") > F.date_add(F.lag("__d").over(lw), w), 1)
+        .otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(lw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = isl.groupBy("__u", "__isl").agg(
+        F.min("__d").alias("__s"), F.date_add(F.max("__d"), w).alias("__e")
+    )
+    deltas = (
+        iv.select(F.col("__s").alias("day"), F.lit(1).alias("__delta"))
+        .unionAll(iv.select(F.date_add("__e", 1).alias("day"), F.lit(-1)))
+        .groupBy("day")
+        .agg(F.sum("__delta").alias("__delta"))
+    )
+    span = ud.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    domain = span.select(
+        F.explode(F.expr("sequence(__lo, __hi, interval 1 day)")).alias("day")
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        domain.join(deltas, "day", "left")
+        .select("day", F.coalesce("__delta", F.lit(0)).alias("__delta"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.sum("__delta").over(cum).cast("long").alias(out_col),
+        )
+    )

@@ -1,8 +1,9 @@
-"""Extension queries, round 4 fifth batch (x127..x129): three window/
-reshape capabilities the registry had not exercised — time-RANGE window
+"""Extension queries, round 4 fifth batch (x127..x130): window/reshape
+capabilities the registry had not exercised — time-RANGE window
 frames (irregular streams where "last N rows" ≠ "last N minutes"),
 last-observation-carried-forward gap filling (ignore-nulls frames), and
-UNPIVOT/melt (wide metrics → long form for generic downstream tooling).
+UNPIVOT/melt (wide metrics → long form for generic downstream tooling),
+and trailing-window DISTINCT counts via island merge + boundary deltas.
 
 Oracle discipline unchanged: portable SQL, shared literals/aliases,
 deterministic tie-breaks, floats rounded to 6.
@@ -107,3 +108,31 @@ def x129(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --------------------------------------------------------------------------
+# x130 — trailing 7-day distinct users per day (rolling reach).  Spark
+# windows can't COUNT(DISTINCT) over a moving frame and the day×user
+# range join multiplies the fact by the window width; the engine merges
+# per-user coverage islands and cumulative-sums ±1 boundary deltas over
+# the |days| domain instead (operator docstring).  The oracle pays the
+# range join — DuckDB can afford it at oracle scale.
+@register(
+    "x130_trailing_distinct_users",
+    """WITH d AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('day', ts) AS DATE) AS day
+                  FROM events),
+        span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        days AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                                    INTERVAL 1 DAY)) AS DATE)
+                            AS day
+                 FROM span)
+       SELECT CAST(days.day AS VARCHAR) AS day,
+              CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_users
+       FROM days LEFT JOIN d
+         ON d.day BETWEEN days.day - 6 AND days.day
+       GROUP BY days.day""",
+)
+def x130(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return events.trailing_distinct_users(ev, "user_id", "ts", window_days=7)

@@ -37,6 +37,7 @@ ACCEPTED_GLOBAL = {
     "x108_ks_length_drift": "cumulative over |distinct n_chars| rows",
     "x115_zipf_slope": "regression over top_n rows",
     "x119_daily_outliers": "trailing window over |days| rows",
+    "x130_trailing_distinct_users": "boundary-delta cumulative over |days| rows",
     "x124_important_parts": "ORDER BY on |important parts| result rows",
 }
 

@@ -181,3 +181,32 @@ def test_x118_population_scalars_broadcast(spark):
     plan = plan_of(q(spark, "x118_event_lift"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trailing_distinct_users_islands(spark):
+    """Hand-computed rolling reach: users whose activity islands overlap
+    and a gap larger than the window."""
+    from flashml_spark.operators.events import trailing_distinct_users
+
+    rows = [
+        # user 1 active on day 1 and day 10 (gap > 7 => two islands)
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-10 10:00:00"),
+        # user 2 active on day 3 only
+        (2, "2024-01-03 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        r["day"]: r["active_users"]
+        for r in trailing_distinct_users(df, window_days=7).collect()
+    }
+    # day 1..7: user1's first island covers 01-01..01-07
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-03"] == 2          # user2 joins
+    assert out["2024-01-07"] == 2          # user1 island ends 01-07, user2's 01-09
+    assert out["2024-01-08"] == 1          # only user2's coverage remains
+    assert out["2024-01-09"] == 1
+    assert out["2024-01-10"] == 1          # user1's second island starts
+    assert len(out) == 10                  # full span 01-01..01-10
