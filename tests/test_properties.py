@@ -361,3 +361,42 @@ def test_prefix_dup_stats_consistency(spark, texts, plen):
     assert out["surplus_docs"] == sum(n - 1 for n in dups)
     assert out["max_group"] == (max(dups) if dups else 0)
     assert out["dup_docs"] == out["surplus_docs"] + out["dup_groups"]
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 20)),  # (user, day offset)
+        min_size=1,
+        max_size=40,
+    ),
+    window_days=st.integers(1, 9),
+)
+def test_trailing_distinct_users_matches_bruteforce(spark, pairs, window_days):
+    """Island-merge + boundary-delta rolling reach == brute force count of
+    users active in the trailing window, for every day in the span."""
+    import datetime
+
+    from flashml_spark.operators.events import trailing_distinct_users
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        (u, datetime.datetime(2024, 3, 1, 12, 0) + datetime.timedelta(days=off))
+        for u, off in pairs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"]: r["active_users"]
+        for r in trailing_distinct_users(df, window_days=window_days).collect()
+    }
+
+    active = {(u, off) for u, off in pairs}
+    offs = [off for _, off in pairs]
+    lo, hi = min(offs), max(offs)
+    for d in range(lo, hi + 1):
+        want = len(
+            {u for u, off in active if d - (window_days - 1) <= off <= d}
+        )
+        day = str(base + datetime.timedelta(days=d))
+        assert got[day] == want, (day, got[day], want)
+    assert len(got) == hi - lo + 1
