@@ -140,6 +140,7 @@ HEADLINE = [
     "x128_locf_fill",
     "x129_unpivot_metrics",
     "x130_trailing_distinct_users",
+    "x131_event_pagerank",
 ]
 
 

@@ -136,3 +136,56 @@ def x129(spark: SparkSession, sf: str) -> DataFrame:
 def x130(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select("user_id", "ts")
     return events.trailing_distinct_users(ev, "user_id", "ts", window_days=7)
+
+
+# --------------------------------------------------------------------------
+# x131 — event-type centrality: PageRank over the co-occurrence graph
+# (types sharing a user are linked).  Three fixed power iterations so the
+# oracle is an unrolled-CTE twin; the engine loop is |edges|-join +
+# |nodes|-agg per round (graph.py docstring).
+_PR_ITER = """SELECT nodes.node,
+                     (1 - 0.85) / n.n
+                     + 0.85 * COALESCE(SUM({prev}.r / deg.d), 0) AS r
+              FROM nodes CROSS JOIN n
+              LEFT JOIN edges ON edges.dst = nodes.node
+              LEFT JOIN {prev} ON {prev}.node = edges.src
+              LEFT JOIN deg ON deg.src = edges.src
+              GROUP BY nodes.node, n.n"""
+
+
+@register(
+    "x131_event_pagerank",
+    f"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        p AS (SELECT a.event_type AS ta, b.event_type AS tb
+              FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                 AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+        edges AS (SELECT ta AS src, tb AS dst FROM p
+                  UNION ALL SELECT tb, ta FROM p),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        n AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / n.n AS r FROM nodes CROSS JOIN n),
+        r1 AS ({_PR_ITER.format(prev="r0")}),
+        r2 AS ({_PR_ITER.format(prev="r1")}),
+        r3 AS ({_PR_ITER.format(prev="r2")})
+       SELECT node, ROUND(r, 6) AS rank FROM r3""",
+)
+def x131(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    ut = ev.distinct()
+    a = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("ta"))
+    b = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("tb"))
+    p = (
+        a.join(b, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .select("ta", "tb")
+        .distinct()
+    )
+    edges = p.select(F.col("ta").alias("src"), F.col("tb").alias("dst")).unionAll(
+        p.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+    )
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))

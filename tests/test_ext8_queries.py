@@ -210,3 +210,25 @@ def test_trailing_distinct_users_islands(spark):
     assert out["2024-01-09"] == 1
     assert out["2024-01-10"] == 1          # user1's second island starts
     assert len(out) == 10                  # full span 01-01..01-10
+
+
+def test_pagerank_two_node_analytic(spark):
+    """Two nodes linked symmetrically: rank stays uniform at every
+    iteration (analytic fixed point); a dangling-free star graph puts the
+    hub strictly above the leaves."""
+    from flashml_spark.operators.graph import pagerank
+
+    sym = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(sym, iterations=4).collect()}
+    assert abs(r["a"] - 0.5) < 1e-12 and abs(r["b"] - 0.5) < 1e-12
+
+    star_half = [("hub", l) for l in ("l1", "l2", "l3")]
+    star = star_half + [(l, "hub") for l in ("l1", "l2", "l3")]
+    rs = {
+        x["node"]: x["rank"]
+        for x in pagerank(
+            spark.createDataFrame(star, "src string, dst string"), iterations=6
+        ).collect()
+    }
+    assert rs["hub"] > rs["l1"] == rs["l2"] == rs["l3"]
+    assert abs(sum(rs.values()) - 1.0) < 1e-9  # symmetric graph conserves mass
