@@ -1,0 +1,32 @@
+"""AQE-independence guard: results must be identical with adaptive
+execution disabled — a query whose OUTPUT depends on AQE's runtime
+re-planning (e.g. through nondeterministic tie-breaks interacting with
+partition counts) would be silently wrong on any cluster with different
+AQE decisions."""
+
+from __future__ import annotations
+
+import pytest
+
+from flashml_spark.queries import QUERIES
+from tests.conftest import SF_DIR, normalize
+
+HEAVY = [
+    "x35_minhash_dedup_e2e",
+    "x73_curation_pipeline",
+    "x113_sole_late_supplier",
+    "x130_trailing_distinct_users",
+]
+
+
+@pytest.mark.parametrize("name", HEAVY)
+def test_output_identical_without_aqe(spark, name):
+    fn = QUERIES[name][0]
+    on = normalize([tuple(r) for r in fn(spark, SF_DIR).collect()])
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = normalize([tuple(r) for r in fn(spark, SF_DIR).collect()])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert on == off
