@@ -140,3 +140,28 @@ def build_param_grid(estimator, grid_spec: dict[str, list]) -> list:
     for name, values in grid_spec.items():
         builder = builder.addGrid(estimator.getParam(name), values)
     return builder.build()
+
+
+def strip_training_summary(model) -> None:
+    """Drop a fitted model's training summary from the JVM object.
+
+    The summary pins the SparkSession it was computed with; serializing
+    the model into a task closure then drags the whole session along —
+    which works only until something non-serializable attaches to the
+    session (Spark 4.1's ObservationManager does exactly that the first
+    time a ``DataFrame.observe`` runs).  Stripping the summary after fit
+    costs nothing (refit metrics live in our own metric frames) and keeps
+    model closures session-free.  Scala's ``private[classification]
+    setSummary`` is public in bytecode, so the call works from py4j; a
+    model type without it is left untouched.
+    """
+    jobj = getattr(model, "_java_obj", None)
+    if jobj is None:
+        return
+    try:
+        from pyspark import SparkContext
+
+        empty = SparkContext._active_spark_context._jvm.scala.Option.empty()
+        jobj.setSummary(empty)
+    except Exception:
+        pass  # no summary / no setter on this model type

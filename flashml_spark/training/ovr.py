@@ -27,6 +27,7 @@ from pyspark.ml.util import (
     MLWritable,
     MLWriter,
 )
+from flashml_spark.training.estimators import strip_training_summary
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,7 +62,9 @@ class OneVsRestWithScores:
                 "__ovr_label",
                 F.when(F.col(self.label_col) == float(k), 1.0).otherwise(0.0),
             )
-            return est.fit(binary)
+            m = est.fit(binary)
+            strip_training_summary(m)
+            return m
 
         with ThreadPoolExecutor(max_workers=self.parallelism) as pool:
             models = list(pool.map(fit_one, range(n_classes)))

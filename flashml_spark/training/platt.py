@@ -28,6 +28,7 @@ from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.functions import vector_to_array
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from flashml_spark.training.estimators import strip_training_summary
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +54,7 @@ def _fit_sigmoid(margins: DataFrame, margin_col: str, label_col: str) -> tuple[f
         featuresCol="f", labelCol="y", weightCol="w", tol=1e-6, regParam=0.0, maxIter=100
     )
     model = lr.fit(assembled)
+    strip_training_summary(model)
     return float(model.coefficients[0]), float(model.intercept)
 
 

@@ -18,6 +18,8 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.sql import DataFrame
+
+from flashml_spark.training.estimators import strip_training_summary
 from pyspark.sql import functions as F
 
 FOLD_METRICS = ("accuracy", "weightedPrecision", "weightedRecall", "f1")
@@ -84,6 +86,7 @@ class CrossValidatorWithFoldMetrics:
             train = tagged.filter(F.col("__fold") != fold).drop("__fold")
             val = tagged.filter(F.col("__fold") == fold).drop("__fold")
             model = self._apply_params(self.param_maps[p_idx]).fit(train)
+            strip_training_summary(model)
             scored = model.transform(val)
             if self.predict_savepoint_path is not None:
                 # lazy plan over the fitted model — writing later re-runs only
@@ -130,4 +133,6 @@ class CrossValidatorWithFoldMetrics:
 
         tagged.unpersist()
         # refit best on the full data (CrossValidatorCustom.scala:268-306)
-        return self._apply_params(self.best_params_).fit(df)
+        best = self._apply_params(self.best_params_).fit(df)
+        strip_training_summary(best)
+        return best

@@ -39,6 +39,8 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.sql import DataFrame
 
+from flashml_spark.training.estimators import strip_training_summary
+
 from flashml_spark.operators.sampling import stratified_split
 from flashml_spark.tuning.generators import ParamSpace, random_param_sets
 
@@ -137,6 +139,7 @@ class HyperBand:
 
                 def evaluate(params):
                     model = self._apply(params, spark_iters).fit(train)
+                    strip_training_summary(model)
                     return evaluator.evaluate(model.transform(val))
 
                 with ThreadPoolExecutor(max_workers=self.parallelism) as pool:
@@ -157,4 +160,6 @@ class HyperBand:
         val.unpersist()
         self.best_params_ = best_params
         final = self._apply(best_params, self.max_iterations_final_model)
-        return final.fit(df)
+        model = final.fit(df)
+        strip_training_summary(model)
+        return model

@@ -47,3 +47,38 @@ def test_duplicate_point_name_rejected(spark):
     obs.attach(docs, "p", F.count(F.lit(1)).alias("rows"))
     with pytest.raises(ValueError):
         obs.attach(docs, "p", F.count(F.lit(1)).alias("rows"))
+
+
+def test_observation_does_not_poison_model_closures(spark):
+    """Spark 4.1: the first DataFrame.observe initializes the session's
+    ObservationManager, which is not serializable — a fitted model whose
+    trainingSummary still pins the session then breaks ANY later closure
+    that captures the model.  strip_training_summary at the fit sites
+    keeps model closures session-free; this test locks the interaction."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors
+
+    from flashml_spark.training.estimators import strip_training_summary
+
+    # ensure an Observation has initialized the manager in THIS session
+    df0 = spark.range(10)
+    from pyspark.sql import Observation
+
+    ob = Observation("poison_probe")
+    df0.observe(ob, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert ob.get["n"] == 10
+
+    data = spark.createDataFrame(
+        [(Vectors.dense([0.0, 1.0]), 0.0), (Vectors.dense([1.0, 0.0]), 1.0)] * 20,
+        ["features", "label"],
+    )
+    model = LogisticRegression(maxIter=2).fit(data)
+    strip_training_summary(model)
+    # transform + evaluate serializes the model into task closures
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    scored = model.transform(data)
+    auc = BinaryClassificationEvaluator().evaluate(scored)
+    assert auc == 1.0
