@@ -141,6 +141,8 @@ HEADLINE = [
     "x129_unpivot_metrics",
     "x130_trailing_distinct_users",
     "x131_event_pagerank",
+    "x132_prefix_jaccard",
+    "x133_mad_outliers",
 ]
 
 

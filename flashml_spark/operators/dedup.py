@@ -17,7 +17,7 @@ so every step is SQL-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flashml_spark.functions import hashing as H
@@ -554,4 +554,76 @@ def apply_upserts(
         joined.select(keep.alias("__r"))
         .filter(F.col("__r").isNotNull())
         .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT all-pairs token Jaccard ≥ ``threshold`` via prefix filtering
+    (Bayardo/Chaudhuri all-pairs similarity search).
+
+    ``ngram_jaccard_pairs`` prunes with a document-frequency cap — cheap,
+    but it CHANGES the result (stop-shingle pairs vanish).  Prefix
+    filtering prunes provably losslessly: order every document's tokens
+    by ascending global frequency (rarest first, ties by token); two sets
+    with Jaccard ≥ t MUST share a token within each one's first
+    ``|d| - ceil(t * |d|) + 1`` tokens, so joining on prefix tokens finds
+    every qualifying pair, and candidates are verified with the true
+    intersection.  Rare-token prefixes keep the join fan-out small
+    exactly where a raw token join explodes (hot tokens land in the
+    suffix and never join).
+
+    Plan: token distinct → |vocab| df agg (broadcast orders the ranks) →
+    per-doc rank window (per-key sort, parallel) → prefix self-join on
+    the token → distinct candidates → one co-keyed verification join +
+    hash agg.  Output: ``id_a, id_b, jaccard`` (id_a < id_b, rounded 6).
+    """
+    import math  # noqa: F401  (ceil via SQL, kept for the formula's readability)
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(H.tokens(F.col(text_col)))).alias("s"),
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    ranked = (
+        toks.join(dfreq, "s")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.col("df_s").asc(), F.col("s").asc())
+            ),
+        )
+        .join(sizes, "doc")
+    )
+    prefix_len = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+    prefix = ranked.filter(F.col("__rk") <= prefix_len).select("doc", "s")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("__da"), F.col("s").alias("sa"))
+    tb = toks.select(F.col("doc").alias("__db"), F.col("s").alias("sb"))
+    common = (
+        cand.join(ta, F.col("id_a") == F.col("__da"))
+        .join(tb, (F.col("id_b") == F.col("__db")) & (F.col("sa") == F.col("sb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.round(jac, 6) >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

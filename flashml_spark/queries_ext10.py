@@ -18,6 +18,8 @@ from flashml_spark.operators import events
 from flashml_spark.queries import register
 from flashml_spark.sources.readers import load_table
 
+_TOK2 = "string_split_regex(lower(trim(text)), '\\s+')"
+
 
 # --------------------------------------------------------------------------
 # x127 — trailing 10-minute average event value per user: a RANGE frame
@@ -189,3 +191,81 @@ def x131(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = pagerank(edges, iterations=3, damping=0.85)
     return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# x132 — EXACT token-Jaccard near-dup pairs via prefix filtering: unlike
+# x05's df-capped join (which changes the result), the prefix scheme
+# prunes provably losslessly, so the oracle is the plain exact all-pairs
+# SQL with no cap.  DuckDB pays the full token join at oracle scale; the
+# engine joins only rare-token prefixes.
+@register(
+    "x132_prefix_jaccard",
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS s FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) AS jaccard
+       FROM common
+       JOIN sizes sa ON common.id_a = sa.doc_id
+       JOIN sizes sb ON common.id_b = sb.doc_id
+       WHERE ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) >= 0.5""".format(
+        tok=_TOK2
+    ),
+)
+def x132(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# x133 — robust length-outlier audit: per-language median and MAD (both
+# exact interpolated quantiles), and how many documents sit beyond
+# 3 scaled MADs — the robust alternative to z-scores when the length
+# distribution has heavy tails.
+@register(
+    "x133_mad_outliers",
+    """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                    FROM documents GROUP BY lang),
+        dev AS (SELECT d.lang, d.n_chars, med.med,
+                       ABS(d.n_chars - med.med) AS adev
+                FROM documents d JOIN med ON d.lang = med.lang),
+        mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY lang)
+       SELECT dev.lang,
+              ROUND(dev.med, 6) AS med,
+              ROUND(mad.mad, 6) AS mad,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN mad.mad > 0
+                             AND dev.adev > 3 * 1.4826 * mad.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev JOIN mad ON dev.lang = mad.lang
+       GROUP BY dev.lang, dev.med, mad.mad""",
+)
+def x133(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang", F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.col("adev") > 3 * 1.4826 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

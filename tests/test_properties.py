@@ -400,3 +400,37 @@ def test_trailing_distinct_users_matches_bruteforce(spark, pairs, window_days):
         day = str(base + datetime.timedelta(days=d))
         assert got[day] == want, (day, got[day], want)
     assert len(got) == hi - lo + 1
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_prefix_filter_jaccard_is_lossless(spark, docs, threshold):
+    """Prefix filtering must find EXACTLY the brute-force Jaccard pairs —
+    the whole point of the scheme is provably lossless pruning."""
+    from flashml_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(df, "text", "doc_id", threshold).collect()
+    }
+
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = round(inter / len(sets[a] | sets[b]), 6)
+                    if j >= threshold:
+                        want.add((a, b, j))
+    assert got == want
