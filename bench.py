@@ -143,6 +143,7 @@ HEADLINE = [
     "x131_event_pagerank",
     "x132_prefix_jaccard",
     "x133_mad_outliers",
+    "x134_edit_distance_pairs",
 ]
 
 

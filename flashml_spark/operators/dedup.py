@@ -627,3 +627,56 @@ def prefix_filter_jaccard_pairs(
         .filter(F.round(jac, 6) >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edits: int = 3,
+    prefix_chars: int = 40,
+) -> DataFrame:
+    """Near-dup pairs by Levenshtein distance ≤ ``max_edits`` on the
+    lowercased first ``prefix_chars`` characters — the classic title /
+    short-string fuzzy match.
+
+    Pruning is LOSSLESS via the length bound: ed(a, b) ≥ |len(a) − len(b)|,
+    so only pairs within ``max_edits`` length difference can qualify.
+    Strings bucket by ``len // (max_edits + 1)``; a qualifying pair's
+    buckets differ by at most 1, so the left side joins against right
+    buckets {b−1, b, b+1} (explode-3, one co-keyed shuffle) and only
+    those candidates pay the O(len²) edit-distance verify.
+
+    Within a band the candidate count is quadratic in band size — the
+    honest cost of exact edit distance; at corpus scale you compose this
+    AFTER a blocking key (source/lang/prefix-digest) exactly as the other
+    pair generators compose after LSH.  Output: ``id_a, id_b, edits``.
+    """
+    w = max_edits + 1
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.substring(F.col(text_col), 1, prefix_chars)).alias("p"),
+    ).withColumn("__len", F.length("p")).withColumn(
+        "__b", F.floor(F.col("__len") / w)
+    )
+    left = keyed.select(
+        F.col("doc").alias("id_a"), F.col("p").alias("pa"),
+        F.col("__len").alias("la"), F.col("__b").alias("ba"),
+    )
+    right = keyed.select(
+        F.col("doc").alias("id_b"), F.col("p").alias("pb"),
+        F.col("__len").alias("lb"),
+        F.explode(
+            F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)
+        ).alias("ba"),
+    )
+    return (
+        left.join(right, "ba")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_edits)
+        )
+        .withColumn("edits", F.levenshtein("pa", "pb"))
+        .filter(F.col("edits") <= max_edits)
+        .select("id_a", "id_b", "edits")
+    )

@@ -269,3 +269,26 @@ def x133(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x134 — fuzzy title match: document pairs whose lowercased 40-char
+# prefixes are within 3 edits.  The engine prunes losslessly by the
+# length bound (ed ≥ length difference → band join); the oracle pays the
+# full cross join, affordable at oracle scale.
+@register(
+    "x134_edit_distance_pairs",
+    """WITH p AS (SELECT doc_id, lower(substr(text, 1, 40)) AS pf
+                  FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(levenshtein(a.pf, b.pf) AS INTEGER) AS edits
+       FROM p a JOIN p b ON a.doc_id < b.doc_id
+       WHERE levenshtein(a.pf, b.pf) <= 3""",
+)
+def x134(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    out = dedup.edit_distance_pairs(docs, "text", "doc_id", max_edits=3,
+                                    prefix_chars=40)
+    return out.select("id_a", "id_b", F.col("edits").cast("int").alias("edits"))

@@ -434,3 +434,43 @@ def test_prefix_filter_jaccard_is_lossless(spark, docs, threshold):
                     if j >= threshold:
                         want.add((a, b, j))
     assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_edit_distance_band_prune_is_lossless(spark, texts, k):
+    """Length-band pruning must find EXACTLY the brute-force pairs."""
+    import itertools
+
+    from flashml_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["edits"])
+        for r in edit_distance_pairs(df, "text", "doc_id", max_edits=k).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        d = lev(a.lower()[:40], b.lower()[:40])
+        if d <= k:
+            want.add((min(i, j), max(i, j), d))
+    assert got == want
