@@ -562,6 +562,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     id_col: str,
     threshold: float,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """EXACT all-pairs token Jaccard ≥ ``threshold`` via prefix filtering
     (Bayardo/Chaudhuri all-pairs similarity search).
@@ -584,9 +585,11 @@ def prefix_filter_jaccard_pairs(
     """
     import math  # noqa: F401  (ceil via SQL, kept for the formula's readability)
 
+    words = H.tokens(F.col(text_col))
+    units = words if shingle_n == 1 else H.word_ngrams(words, shingle_n)
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(H.tokens(F.col(text_col)))).alias("s"),
+        F.explode(F.array_distinct(units)).alias("s"),
     )
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
@@ -601,7 +604,19 @@ def prefix_filter_jaccard_pairs(
         .join(sizes, "doc")
     )
     prefix_len = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
-    prefix = ranked.filter(F.col("__rk") <= prefix_len).select("doc", "s")
+    # The rank window leaves the frame hash-partitioned on doc, and AQE
+    # coalesces that exchange by its (small) shuffle size — but everything
+    # downstream of it (the prefix self-join's fan-out, the distinct, the
+    # array intersections) would then inherit the coalesced 2-3 tasks and
+    # serialize.  Explicit-count round-robin repartitions are the one
+    # shuffle AQE neither removes as redundant nor re-coalesces, so they
+    # pin the parallelism where the downstream work actually is.
+    spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
+    prefix = (
+        ranked.filter(F.col("__rk") <= prefix_len)
+        .select("doc", "s")
+        .repartition(spread)
+    )
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -610,22 +625,34 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc").alias("__da"), F.col("s").alias("sa"))
-    tb = toks.select(F.col("doc").alias("__db"), F.col("s").alias("sb"))
-    common = (
-        cand.join(ta, F.col("id_a") == F.col("__da"))
-        .join(tb, (F.col("id_b") == F.col("__db")) & (F.col("sa") == F.col("sb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Verification carries each doc's token SET as one array row (never an
+    # exploded candidate x tokens join — that multiplies candidates by doc
+    # length).  The size-ratio bound J >= t  =>  t*|A| <= |B| <= |A|/t
+    # discards impossible pairs before the intersection is computed.
+    arrs = toks.groupBy("doc").agg(F.collect_list("s").alias("arr"))
+    aa = arrs.select(
+        F.col("doc").alias("id_a"), F.col("arr").alias("arr_a")
+    ).join(sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("na")), "id_a")
+    bb = arrs.select(
+        F.col("doc").alias("id_b"), F.col("arr").alias("arr_b")
+    ).join(sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("nb")), "id_b")
+    # Candidate rows are narrow (two ids), so AQE coalesces the distinct's
+    # output into very few partitions — and the EXPENSIVE part (two array
+    # joins + intersection) would then run on those few tasks.  Re-spread
+    # candidates first; the array side is |docs|-sized and broadcasts.
+    paired = (
+        cand.repartition(spread)
+        .join(F.broadcast(aa), "id_a")
+        .join(F.broadcast(bb), "id_b")
+        .filter(
+            (F.col("nb") >= F.lit(threshold) * F.col("na"))
+            & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+        )
+        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.round(jac, 6) >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return paired.filter(F.round(jac, 6) >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 

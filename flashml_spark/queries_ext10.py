@@ -194,24 +194,28 @@ def x131(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x132 — EXACT token-Jaccard near-dup pairs via prefix filtering: unlike
-# x05's df-capped join (which changes the result), the prefix scheme
-# prunes provably losslessly, so the oracle is the plain exact all-pairs
-# SQL with no cap.  DuckDB pays the full token join at oracle scale; the
-# engine joins only rare-token prefixes.
+# x132 — EXACT shingle-Jaccard near-dup pairs via prefix filtering:
+# unlike x05's df-capped join (which changes the result), the prefix
+# scheme prunes provably losslessly, so the oracle is the plain exact
+# all-pairs SQL with no cap.  Bigram shingles give the unit space that
+# makes 0.6 a meaningful near-dup bar on this corpus; DuckDB pays the
+# full shingle join at oracle scale, the engine joins only rare-shingle
+# prefixes.
 @register(
     "x132_prefix_jaccard",
-    """WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS s FROM documents),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    """WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+               FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM sh GROUP BY doc_id),
         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
        SELECT id_a, id_b,
               ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) AS jaccard
        FROM common
        JOIN sizes sa ON common.id_a = sa.doc_id
        JOIN sizes sb ON common.id_b = sb.doc_id
-       WHERE ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) >= 0.5""".format(
+       WHERE ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) >= 0.6""".format(
         tok=_TOK2
     ),
 )
@@ -219,7 +223,9 @@ def x132(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import dedup
 
     docs = load_table(spark, sf, "documents")
-    return dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, shingle_n=2
+    )
 
 
 # --------------------------------------------------------------------------

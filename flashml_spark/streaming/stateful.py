@@ -72,3 +72,82 @@ def running_totals(
             timeoutConf=getattr(GroupStateTimeout, timeout),
         )
     )
+
+
+def sessionize_with_timeout(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization with event-time timeout: one output
+    row per CLOSED session — ``user, session_start, session_end,
+    n_events`` — closed either by a later event arriving past the gap or
+    by the watermark passing session_end + gap (the timeout path, which
+    ``session_window`` also takes but without custom per-session state;
+    this operator is the template for sessions carrying arbitrary state —
+    funnels, carts, feature accumulators).
+
+    State per key: the OPEN session's (start_us, end_us, n) — O(1)
+    regardless of event volume.  EventTimeTimeout + ``setTimeoutTimestamp
+    (session_end + gap)`` closes idle sessions exactly when a batch
+    session-izer with the same gap would.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = StructType(
+        [
+            StructField("user", stream.schema[user_col].dataType),
+            StructField("session_start", LongType()),  # epoch micros
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        closed = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            closed.append((key[0], s, e, n))
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                # timestamps arrive tz-aware; values are epoch micros
+                rows.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+                )
+            rows.sort()
+            if rows:
+                if state.exists:
+                    s, e, n = state.get
+                else:
+                    s, e, n = rows[0], rows[0], 0
+                for t in rows:
+                    if t - e > gap_us:
+                        closed.append((key[0], s, e, n))
+                        s, e, n = t, t, 0
+                    e = max(e, t)
+                    n += 1
+                state.update((int(s), int(e), int(n)))
+                # close the open session when event time passes end + gap
+                state.setTimeoutTimestamp((e + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user", "session_start", "session_end", "n_events"]
+            )
+
+    wm = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    return wm.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="start_us LONG, end_us LONG, n LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
