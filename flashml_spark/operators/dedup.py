@@ -667,42 +667,153 @@ def edit_distance_pairs(
     lowercased first ``prefix_chars`` characters — the classic title /
     short-string fuzzy match.
 
-    Pruning is LOSSLESS via the length bound: ed(a, b) ≥ |len(a) − len(b)|,
-    so only pairs within ``max_edits`` length difference can qualify.
-    Strings bucket by ``len // (max_edits + 1)``; a qualifying pair's
-    buckets differ by at most 1, so the left side joins against right
-    buckets {b−1, b, b+1} (explode-3, one co-keyed shuffle) and only
-    those candidates pay the O(len²) edit-distance verify.
+    Pruning is LOSSLESS by segment blocking (the PassJoin partition
+    scheme): split one string of a qualifying pair into ``max_edits + 1``
+    contiguous segments — by pigeonhole at least one segment survives all
+    edits untouched, so it occurs VERBATIM in the other string, shifted by
+    at most ``max_edits`` positions.  Each doc therefore emits (a) its
+    k+1 segments keyed by (segment index, text), and (b) every substring
+    of the matching length within ±k of each segment's home position as
+    probe keys; an equality join of segments against probes yields every
+    candidate, both directions, and only candidates pay the O(len²)
+    Levenshtein verify.
 
-    Within a band the candidate count is quadratic in band size — the
-    honest cost of exact edit distance; at corpus scale you compose this
-    AFTER a blocking key (source/lang/prefix-digest) exactly as the other
-    pair generators compose after LSH.  Output: ``id_a, id_b, edits``.
+    Fan-out per doc is (k+1) segment rows + ~(k+1)(2k+1) probe rows —
+    constants in k, independent of corpus size; the join is selective
+    because a ~``prefix_chars/(k+1)``-char verbatim substring match is a
+    strong filter.  Unlike length banding, this prunes even when every
+    string has identical length (fixed-width prefixes).  Output:
+    ``id_a, id_b, edits``.
     """
-    w = max_edits + 1
+    k = max_edits
     keyed = df.select(
         F.col(id_col).alias("doc"),
-        F.lower(F.substring(F.col(text_col), 1, prefix_chars)).alias("p"),
-    ).withColumn("__len", F.length("p")).withColumn(
-        "__b", F.floor(F.col("__len") / w)
+        F.coalesce(
+            F.lower(F.substring(F.col(text_col), 1, prefix_chars)), F.lit("")
+        ).alias("p"),
     )
-    left = keyed.select(
-        F.col("doc").alias("id_a"), F.col("p").alias("pa"),
-        F.col("__len").alias("la"), F.col("__b").alias("ba"),
-    )
-    right = keyed.select(
-        F.col("doc").alias("id_b"), F.col("p").alias("pb"),
-        F.col("__len").alias("lb"),
-        F.explode(
-            F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)
-        ).alias("ba"),
-    )
-    return (
-        left.join(right, "ba")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= max_edits)
+
+    # Deterministic even partition of [1, L] into k+1 segments: the first
+    # (L mod (k+1)) segments get an extra char.  seg_start/seg_len are
+    # computed per index i in 0..k as SQL expressions.
+    L = F.length("p")
+    base = (L / (k + 1)).cast("int")
+    extra = L - base * (k + 1)
+
+    def seg_start(i):
+        # 1-based start of segment i
+        return (
+            F.lit(1)
+            + base * i
+            + F.least(F.lit(i), extra)
         )
+
+    def seg_len(i):
+        return base + F.when(F.lit(i) < extra, 1).otherwise(0)
+
+    seg_rows = []
+    probe_rows = []
+    for i in range(k + 1):
+        st, ln = seg_start(i), seg_len(i)
+        seg_rows.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring(F.col("p"), 1, 0).alias("sub"),  # placeholder
+                st.alias("st"),
+                ln.alias("ln"),
+            )
+        )
+    # build via expr for substring with dynamic pos/len
+    segs = keyed.select(
+        "doc",
+        "p",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(
+                            f"substr(p, 1 + cast(length(p)/{k+1} as int)*{i} "
+                            f"+ least({i}, length(p) - cast(length(p)/{k+1} as int)*{k+1}), "
+                            f"cast(length(p)/{k+1} as int) "
+                            f"+ if({i} < length(p) - cast(length(p)/{k+1} as int)*{k+1}, 1, 0))"
+                        ).alias("sub"),
+                    )
+                    for i in range(k + 1)
+                ]
+            )
+        ).alias("g"),
+    ).select("doc", F.col("g.i").alias("i"), F.col("g.sub").alias("sub")).filter(
+        F.length("sub") > 0
+    )
+
+    probes = keyed.select(
+        "doc",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.expr(
+                            # all substrings of segment-i's length starting
+                            # within +/- k of its home position
+                            f"transform(sequence(greatest(1, 1 + cast(length(p)/{k+1} as int)*{i} "
+                            f"+ least({i}, length(p) - cast(length(p)/{k+1} as int)*{k+1}) - {k}), "
+                            f"least(length(p) - (cast(length(p)/{k+1} as int) "
+                            f"+ if({i} < length(p) - cast(length(p)/{k+1} as int)*{k+1}, 1, 0)) + 1, "
+                            f"1 + cast(length(p)/{k+1} as int)*{i} "
+                            f"+ least({i}, length(p) - cast(length(p)/{k+1} as int)*{k+1}) + {k})), "
+                            f"pos -> struct({i} as i, substr(p, pos, cast(length(p)/{k+1} as int) "
+                            f"+ if({i} < length(p) - cast(length(p)/{k+1} as int)*{k+1}, 1, 0)) as sub))"
+                        )
+                        for i in range(k + 1)
+                    ]
+                )
+            )
+        ).alias("g"),
+    ).select("doc", F.col("g.i").alias("i"), F.col("g.sub").alias("sub")).filter(
+        F.length("sub") > 0
+    )
+
+    sl = segs.select(F.col("doc").alias("d1"), "i", "sub")
+    pr = probes.select(F.col("doc").alias("d2"), "i", "sub").distinct()
+    seg_cand = (
+        sl.join(pr, ["i", "sub"])
+        .filter(F.col("d1") != F.col("d2"))
+        .select(
+            F.least("d1", "d2").alias("id_a"),
+            F.greatest("d1", "d2").alias("id_b"),
+        )
+    )
+    # Strings with length ≤ k have no guaranteed surviving segment (some
+    # segments are empty) — pair them directly against everything within
+    # the k length bound.  This side is degenerate-short docs only, so the
+    # broadcast join is tiny.
+    shorts = keyed.filter(F.length("p") <= k).select(
+        F.col("doc").alias("d1"), F.length("p").alias("l1")
+    )
+    short_cand = (
+        F.broadcast(shorts)
+        .join(
+            keyed.select(F.col("doc").alias("d2"), F.length("p").alias("l2")),
+            F.col("d1") != F.col("d2"),
+        )
+        .filter(F.abs(F.col("l1") - F.col("l2")) <= k)
+        .select(
+            F.least("d1", "d2").alias("id_a"),
+            F.greatest("d1", "d2").alias("id_b"),
+        )
+    )
+    cand = seg_cand.unionAll(short_cand).distinct()
+    # pin the verify width — AQE would coalesce the narrow candidate
+    # shuffle and serialize the Levenshtein stage (same trap as the
+    # prefix-filter join; see SCALE.md)
+    spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
+    cand = cand.repartition(spread)
+    pa = keyed.select(F.col("doc").alias("id_a"), F.col("p").alias("pa"))
+    pb = keyed.select(F.col("doc").alias("id_b"), F.col("p").alias("pb"))
+    return (
+        cand.join(F.broadcast(pa), "id_a")
+        .join(F.broadcast(pb), "id_b")
         .withColumn("edits", F.levenshtein("pa", "pb"))
         .filter(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")

@@ -439,14 +439,16 @@ def test_prefix_filter_jaccard_is_lossless(spark, docs, threshold):
 @settings(**SPARK_SETTINGS)
 @given(
     texts=st.lists(
-        st.text(alphabet="ab ", min_size=0, max_size=8),
+        st.text(alphabet="abc ", min_size=0, max_size=20),
         min_size=2,
         max_size=8,
     ),
     k=st.sampled_from([1, 2, 3]),
 )
-def test_edit_distance_band_prune_is_lossless(spark, texts, k):
-    """Length-band pruning must find EXACTLY the brute-force pairs."""
+def test_edit_distance_segment_prune_is_lossless(spark, texts, k):
+    """PassJoin segment blocking must find EXACTLY the brute-force pairs,
+    including identical strings, empty strings, and length-<=k strings
+    that have no guaranteed surviving segment."""
     import itertools
 
     from flashml_spark.operators.dedup import edit_distance_pairs
