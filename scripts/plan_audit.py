@@ -56,6 +56,7 @@ ACCEPTED_CROSS = {
     "x118_event_lift": "1-row population-size scalar broadcast",
     "x120_doc_freq_stopwords": "1-row N_docs scalar broadcast",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
+    "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
 }
 
 
