@@ -144,6 +144,14 @@ HEADLINE = [
     "x132_prefix_jaccard",
     "x133_mad_outliers",
     "x134_edit_distance_pairs",
+    "x135_bm25_topk",
+    "x136_temperature_mix",
+    "x137_bottomk_sample",
+    "x138_prefix_containment",
+    "x139_ngram_novelty",
+    "x140_source_jsd",
+    "x141_last_touch",
+    "x142_weighted_interleave",
 ]
 
 

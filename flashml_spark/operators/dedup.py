@@ -818,3 +818,72 @@ def edit_distance_pairs(
         .filter(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")
     )
+
+
+def prefix_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_len: int = 20,
+) -> DataFrame:
+    """Documents that are a STRICT prefix of some other document — the
+    truncated-duplicate class (crawler cutoffs, re-scraped pages with
+    appended footers) that exact-hash dedup misses because the digests
+    differ.
+
+    Scale shape: a pair (A prefix-of B) requires the first ``block_len``
+    characters to agree verbatim, so candidates come from an equi-join on
+    that fixed-width block — never an all-pairs or LIKE scan — and each
+    candidate is verified with one substr equality.  Documents SHORTER
+    than ``block_len`` can't produce the join key; they pair through a
+    broadcast side channel against the corpus (the same pattern as the
+    short-string channel in the edit-distance join), which is empty on
+    corpora whose minimum length clears the block.  Strictness
+    (len(A) < len(B)) excludes exact duplicates — those are
+    :func:`exact_dedup`'s job.  Output: distinct contained ``id_col``
+    rows.
+    """
+    base = df.select(id_col, text_col).where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    longd = base.where(F.length(text_col) >= block_len)
+    shortd = base.where(F.length(text_col) < block_len)
+
+    key = F.substring(F.col(text_col), 1, block_len)
+    a = longd.select(
+        F.col(id_col).alias("__ida"),
+        F.col(text_col).alias("__ta"),
+        key.alias("__k"),
+    )
+    b = longd.select(
+        F.col(id_col).alias("__idb"),
+        F.col(text_col).alias("__tb"),
+        key.alias("__k"),
+    )
+    main = (
+        a.join(b, "__k")
+        .where(
+            (F.length("__ta") < F.length("__tb"))
+            & (F.substring(F.col("__tb"), 1, F.length("__ta")) == F.col("__ta"))
+        )
+        .select(F.col("__ida").alias(id_col))
+    )
+    # Short-doc side channel: |shorts| is tiny by construction (length
+    # under block_len); broadcast them against the full corpus and test
+    # the prefix predicate directly.
+    side = (
+        F.broadcast(
+            shortd.select(
+                F.col(id_col).alias("__ida"), F.col(text_col).alias("__ta")
+            )
+        )
+        .join(
+            base.select(
+                F.col(id_col).alias("__idb"), F.col(text_col).alias("__tb")
+            ),
+            (F.length("__ta") < F.length("__tb"))
+            & (F.substring(F.col("__tb"), 1, F.length("__ta")) == F.col("__ta")),
+        )
+        .select(F.col("__ida").alias(id_col))
+    )
+    return main.unionByName(side).distinct()

@@ -522,3 +522,38 @@ def trailing_distinct_users(
             F.sum("__delta").over(cum).cast("long").alias(out_col),
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: credit each conversion event's
+    value to the user's most recent PRIOR non-conversion event type (the
+    "channel").  Conversions with no prior touch attribute to the NULL
+    channel (direct).
+
+    One keyed window per user (ignore-nulls last_value over an
+    unbounded-preceding frame — the conversion row itself maps to NULL in
+    the carried column, so "at or before current" is effectively
+    "strictly before").  State per user is one row; no global ordering.
+    Output: ``channel, n_conversions, total_value`` (rounded to 2).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    labeled = df.withColumn(
+        "channel", F.last(touch, ignorenulls=True).over(w)
+    ).where(F.col(type_col) == conversion_type)
+    return labeled.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.sum(value_col), 2).alias("total_value"),
+    )

@@ -266,3 +266,103 @@ def deterministic_hash_split(
         .otherwise("test")
     )
     return df.withColumn(out_col, split)
+
+
+def temperature_mixture(
+    df: DataFrame, group_col: str, temperature: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled mixture weights over a group column — the
+    multilingual-sampling rule (mT5 convention: p_g proportional to
+    n_g^alpha with alpha = ``temperature``) that upsamples tail
+    languages/sources for training without flattening the head entirely:
+    temperature=1 keeps natural proportions, temperature->0 approaches
+    uniform.
+
+    Output per group: ``n_docs, p_raw, p_temp, epochs`` where ``epochs``
+    is the expected number of passes over the group under the scaled
+    mixture (p_temp / p_raw).  One hash agg + a 1-row broadcast totals
+    frame; |groups|-sized everywhere after the agg.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "w", F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    )
+    totals = scaled.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.sum("w").alias("w_total"),
+    )
+    return (
+        scaled.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("p_raw"),
+            F.round(F.col("w") / F.col("w_total"), 6).alias("p_temp"),
+            F.round(
+                (F.col("w") / F.col("w_total"))
+                / (F.col("n_docs") / F.col("n_total")),
+                6,
+            ).alias("epochs"),
+        )
+    )
+
+
+def bottomk_hash_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample via the bottom-k (KMV)
+    trick: rank rows inside each group by the md5 of their id and keep the
+    k smallest.  Because the "randomness" is a pure function of the id,
+    the sample is stable across runs, partitionings, engines, and corpus
+    appends (a new row only displaces the current max) — the property
+    seeded ``sample()`` cannot give.  Same hex machinery as
+    :func:`deterministic_hash_split`.
+
+    One keyed window per group (rank over a group-local sort — no global
+    ordering anywhere).  Output: ``id_col, group_col, rk``.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(id_col, group_col)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def weighted_interleave(
+    df: DataFrame, group_col: str, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into one training
+    stream: within each source, rows are ordered by the md5 of their id
+    (a stable shuffle); row r of a source with weight w is emitted at
+    virtual position (r - 0.5) / w, so a weight-3 source appears 3x as
+    often as a weight-1 source, evenly spread rather than in bursts —
+    the standard deterministic data-mixing schedule.
+
+    Only sources present in ``weights`` participate.  The position is a
+    pure per-row function after one keyed window; consumers sort/limit on
+    it (TakeOrderedAndProject for a bounded head — no global sort is
+    materialized here).  Output: ``id_col, group_col, pos`` (rounded to 6).
+    """
+    from pyspark.sql import Window
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(id_col, group_col)
+        .where(F.col(group_col).isin(list(weights)))
+        .withColumn("rk", F.row_number().over(w).cast("double"))
+        .select(
+            id_col,
+            group_col,
+            F.round(
+                (F.col("rk") - 0.5) / wmap[F.col(group_col)], 6
+            ).alias("pos"),
+        )
+    )

@@ -904,3 +904,175 @@ def prefix_dup_stats(
         F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).cast("bigint").alias("surplus_docs"),
         F.coalesce(F.max("__c"), F.lit(0)).cast("bigint").alias("max_group"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 full-text ranking of the corpus against a bag-of-words query
+    (Robertson/Sparck-Jones with the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf), returning the top-``k`` documents.
+
+    Scale shape: ONE pass — tokenize, explode, and a single per-doc hash
+    agg that folds document length AND the per-query-term tfs into |Q|+1
+    conditional-sum columns (the inverted-index posting intersection as a
+    pivoted aggregation; |Q| is small by contract).  Global stats
+    (N, avgdl, per-term dfs) are one more agg on that frame, broadcast
+    back as a 1-row dim; no join ever shuffles more than the per-doc
+    frame.  Final top-k is TakeOrderedAndProject (no global sort).
+    Scores are rounded to 6 BEFORE ranking so the k-boundary is stable
+    across summation orders; ties break on ascending id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token")
+    ).where(F.col(text_col).isNotNull())
+    tf_cols = [
+        F.sum((F.col("token") == t).cast("long")).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (k1 + 1.0) / denom).otherwise(F.lit(0.0))
+
+    total = sum((contrib(i) for i in range(len(query_terms))), F.lit(0.0))
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(
+            sum(
+                (F.col(f"tf_{i}") for i in range(len(query_terms))),
+                F.lit(0).cast("long"),
+            )
+            > 0
+        )
+        .select(F.col(id_col), F.round(total, 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams that no earlier document (smaller id) contains — the
+    "how much does this doc add to the corpus" curation score.  A gram is
+    credited to the single document with the smallest id containing it.
+
+    Scale shape: explode to distinct (id, gram) pairs, one ``min(id)``
+    hash agg per gram, join back on the gram key, one agg per doc — every
+    stage is keyed, no window, no driver state.  Documents with fewer
+    than ``n`` tokens have no grams and drop out (documented).
+    Output: ``id_col, n_grams, n_novel, novelty`` (rounded to 6).
+    """
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(H.word_ngrams(H.tokens(F.col(text_col)), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("first_id"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_id") == F.col(id_col)).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def source_js_divergence(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram token distributions
+    of every pair of sources — the corpus-comparison audit that tells a
+    curation run how far two slices have drifted (0 = identical, ln 2 =
+    disjoint support).  Uses the MLE distributions with zero-fill on the
+    union vocabulary; no smoothing is needed because the mixture m is
+    positive wherever either side is.
+
+    Scale shape: one (group, token) count agg over the corpus, a tiny
+    broadcast totals dim, then two |pairs|x|vocab| keyed expansions
+    full-outer-joined on (pair, token) — bounded by |groups|^2 x |vocab|,
+    never by corpus size.  Output: ``src_a, src_b, jsd`` per unordered
+    pair (rounded to 6).
+    """
+    tc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(H.tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    totals = tc.groupBy("g").agg(F.sum("n").alias("total"))
+    pairs = (
+        totals.select(F.col("g").alias("src_a"))
+        .crossJoin(totals.select(F.col("g").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    ua = pairs.join(
+        tc.select(F.col("g").alias("src_a"), "token", F.col("n").alias("na")),
+        "src_a",
+    )
+    ub = pairs.join(
+        tc.select(F.col("g").alias("src_b"), "token", F.col("n").alias("nb")),
+        "src_b",
+    )
+    j = ua.join(ub, ["src_a", "src_b", "token"], "full_outer").select(
+        "src_a",
+        "src_b",
+        F.coalesce("na", F.lit(0.0)).alias("na"),
+        F.coalesce("nb", F.lit(0.0)).alias("nb"),
+    )
+    withp = (
+        j.join(F.broadcast(totals.select(F.col("g").alias("src_a"), F.col("total").alias("ta"))), "src_a")
+        .join(F.broadcast(totals.select(F.col("g").alias("src_b"), F.col("total").alias("tb"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("na") / F.col("ta")).alias("p"),
+            (F.col("nb") / F.col("tb")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        withp.groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+    )

@@ -57,6 +57,10 @@ ACCEPTED_CROSS = {
     "x120_doc_freq_stopwords": "1-row N_docs scalar broadcast",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
+    "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",
+    "x136_temperature_mix": "1-row (N, sum n^T) totals scalar broadcast",
+    "x138_prefix_containment": "broadcast side channel for length<block docs (degenerate-short docs only)",
+    "x140_source_jsd": "|sources|^2 pair frame, both sides post-agg |sources| totals",
 }
 
 

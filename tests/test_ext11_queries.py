@@ -1,0 +1,230 @@
+"""Round-4 seventh batch (x135..x142): operator-level semantics and plan
+shapes for the retrieval / data-mixing surface.  (Oracle parity for every
+registered query is covered by test_oracle_queries.py's sweep; here we
+pin hand-computed edge cases and the plans we designed for.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import dedup, events, sampling, textops
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# --- BM25 -------------------------------------------------------------------
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark is fast"), (2, "spark is a word"), (3, "no match here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["bm25"]
+        for r in textops.bm25_topk(docs, "text", "doc_id", ["spark"], k=10).collect()
+    }
+    # doc 3 contains no query term -> absent entirely
+    assert set(rows) == {1, 2}
+    # N=3, df=2, idf = ln(1 + (3-2+0.5)/(2+0.5)); avgdl = (4+4+3)/3
+    idf = math.log(1 + 1.5 / 2.5)
+    def score(tf, dl, avgdl=11 / 3, k1=1.2, b=0.75):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert rows[1] == round(score(2, 4), 6)
+    assert rows[2] == round(score(1, 4), 6)
+    assert rows[1] > rows[2]
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, "a c")], "doc_id long, text string")
+    plan = plan_of(textops.bm25_topk(docs, "text", "doc_id", ["a"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # 1-row stats frame broadcasts
+
+
+# --- n-gram novelty ---------------------------------------------------------
+
+
+def test_ngram_novelty_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.ngram_novelty(docs, "text", "doc_id").collect()}
+    # doc 3 has < 3 tokens -> no grams -> absent
+    assert set(out) == {1, 2}
+    # doc 1: grams {a b c, b c d}, both first-claimed -> novelty 1.0
+    assert out[1]["n_grams"] == 2 and out[1]["novelty"] == 1.0
+    # doc 2: {a b c (claimed by doc 1), b c x (novel)} -> 0.5
+    assert out[2]["n_grams"] == 2 and out[2]["novelty"] == 0.5
+
+
+def test_ngram_novelty_repeated_gram_counted_once(spark):
+    docs = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    row = textops.ngram_novelty(docs, "text", "doc_id").collect()[0]
+    # grams: "a b a" (x2), "b a b" (x2) -> DISTINCT -> 2 grams, both novel
+    assert row["n_grams"] == 2 and row["novelty"] == 1.0
+
+
+# --- temperature mixture ----------------------------------------------------
+
+
+def test_temperature_one_is_natural_proportions(spark):
+    df = spark.createDataFrame([("en",)] * 6 + [("de",)] * 2, "lang string")
+    out = {r["lang"]: r for r in sampling.temperature_mixture(df, "lang", 1.0).collect()}
+    assert out["en"]["p_temp"] == out["en"]["p_raw"] == 0.75
+    assert out["en"]["epochs"] == 1.0 and out["de"]["epochs"] == 1.0
+
+
+def test_temperature_upsamples_tail(spark):
+    df = spark.createDataFrame([("en",)] * 90 + [("de",)] * 10, "lang string")
+    out = {r["lang"]: r for r in sampling.temperature_mixture(df, "lang", 0.5).collect()}
+    assert out["de"]["p_temp"] > out["de"]["p_raw"]
+    assert out["en"]["p_temp"] < out["en"]["p_raw"]
+    assert abs(out["en"]["p_temp"] + out["de"]["p_temp"] - 1.0) < 1e-5
+    assert out["de"]["epochs"] > 1.0 > out["en"]["epochs"]
+
+
+# --- bottom-k hash sample ---------------------------------------------------
+
+
+def test_bottomk_sample_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    a = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in sampling.bottomk_hash_sample(df.repartition(1), "source", "doc_id", 4).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in sampling.bottomk_hash_sample(df.repartition(7), "source", "doc_id", 4).collect()
+    )
+    assert a == b and len(a) == 12
+
+
+def test_bottomk_sample_small_group_returns_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+    assert sampling.bottomk_hash_sample(df, "source", "doc_id", 5).count() == 2
+
+
+def test_bottomk_sample_stable_under_append(spark):
+    # KMV property: appending rows only ever displaces the current max.
+    df = spark.createDataFrame([(i, "a") for i in range(20)], "doc_id long, source string")
+    before = {r["doc_id"] for r in sampling.bottomk_hash_sample(df, "source", "doc_id", 5).collect()}
+    grown = df.unionByName(
+        spark.createDataFrame([(i, "a") for i in range(20, 40)], "doc_id long, source string")
+    )
+    after = {r["doc_id"] for r in sampling.bottomk_hash_sample(grown, "source", "doc_id", 5).collect()}
+    # every survivor from the smaller corpus that is still sampled kept its
+    # membership by hash order; the overlap is at least k - |new winners|
+    assert len(after) == 5
+    assert before >= after & before
+
+
+# --- weighted interleave ----------------------------------------------------
+
+
+def test_weighted_interleave_positions_and_ratio(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(20)],
+        "doc_id long, source string",
+    )
+    out = sampling.weighted_interleave(df, "source", "doc_id", {"a": 2.0, "b": 1.0})
+    rows = out.orderBy("pos", "source", "doc_id").collect()
+    # weight-2 source: positions 0.25, 0.75, 1.25 ...; weight-1: 0.5, 1.5 ...
+    a_pos = [r["pos"] for r in rows if r["source"] == "a"][:3]
+    b_pos = [r["pos"] for r in rows if r["source"] == "b"][:2]
+    assert a_pos == [0.25, 0.75, 1.25] and b_pos == [0.5, 1.5]
+    # in any aligned prefix, "a" appears ~2x as often
+    head = [r["source"] for r in rows[:15]]
+    assert head.count("a") == 10 and head.count("b") == 5
+
+
+def test_weighted_interleave_excludes_unweighted_sources(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "zzz")], "doc_id long, source string"
+    )
+    out = sampling.weighted_interleave(df, "source", "doc_id", {"a": 1.0})
+    assert [r["source"] for r in out.collect()] == ["a"]
+
+
+# --- last-touch attribution -------------------------------------------------
+
+
+def test_last_touch_hand_sequence(spark):
+    rows = [
+        # user 1: view -> click -> purchase(10) -> purchase(5) (still click)
+        (1, 1, "view", "2024-01-01 00:00:00", 1.0),
+        (2, 1, "click", "2024-01-01 00:01:00", 1.0),
+        (3, 1, "purchase", "2024-01-01 00:02:00", 10.0),
+        (4, 1, "purchase", "2024-01-01 00:03:00", 5.0),
+        # user 2: purchase with no prior touch -> NULL channel
+        (5, 2, "purchase", "2024-01-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["channel"]: r for r in events.last_touch_attribution(df).collect()}
+    assert out["click"]["n_conversions"] == 2 and out["click"]["total_value"] == 15.0
+    assert out[None]["n_conversions"] == 1 and out[None]["total_value"] == 7.0
+    assert "view" not in out
+
+
+# --- prefix containment -----------------------------------------------------
+
+
+def test_prefix_containment_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),  # prefix of 2
+            (2, "the quick brown fox jumps over the dog and more"),
+            (3, "identical text identical text xx"),
+            (4, "identical text identical text xx"),  # exact dup: NOT flagged
+            (5, "th"),  # short (< block) prefix of 1 and 2 -> side channel
+            (6, ""),  # empty: excluded
+            (7, "unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in dedup.prefix_containment(docs, "text", "doc_id", block_len=20).collect()}
+    assert out == {1, 5}
+
+
+def test_prefix_containment_short_side_channel_is_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    op = dedup.prefix_containment(docs, "text", "doc_id", block_len=20)
+    assert {r["doc_id"] for r in op.collect()} == {1}
+    assert "BroadcastNestedLoopJoin" in plan_of(op)
+
+
+# --- JS divergence ----------------------------------------------------------
+
+
+def test_jsd_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a b c"), ("s2", "a b c"),      # identical -> 0
+            ("s3", "x y z"),                       # disjoint from s1 -> ln 2
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["jsd"]
+        for r in textops.source_js_divergence(docs, "text", "source").collect()
+    }
+    assert out[("s1", "s2")] == 0.0
+    assert out[("s1", "s3")] == round(math.log(2), 6)
+    assert 0.0 <= out[("s2", "s3")] <= round(math.log(2), 6)
