@@ -585,6 +585,8 @@ def prefix_filter_jaccard_pairs(
     """
     import math  # noqa: F401  (ceil via SQL, kept for the formula's readability)
 
+    from flashml_spark.functions.windows import global_cumsum
+
     words = H.tokens(F.col(text_col))
     units = words if shingle_n == 1 else H.word_ngrams(words, shingle_n)
     toks = df.select(
@@ -593,12 +595,25 @@ def prefix_filter_jaccard_pairs(
     )
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # Dense integer unit ids (1..|vocab|, scale-safe global rank over the
+    # |vocab|-sized frame): every downstream join/array op works on
+    # bigints instead of shingle STRINGS — the verification intersections
+    # and the candidate join key get cheap equality/hashing, and the
+    # broadcast token-set arrays shrink.  The id order mirrors the token
+    # order, so (df_s, sid) ranks identically to (df_s, s).
+    vids = (
+        global_cumsum(dfreq.withColumn("__one", F.lit(1)), "s", ["__one"], prefix="__id")
+        .select("s", F.col("__id__one").cast("long").alias("sid"), "df_s")
+    )
     ranked = (
-        toks.join(dfreq, "s")
+        toks.join(vids, "s")
+        .select("doc", "sid", "df_s")
         .withColumn(
             "__rk",
             F.row_number().over(
-                Window.partitionBy("doc").orderBy(F.col("df_s").asc(), F.col("s").asc())
+                Window.partitionBy("doc").orderBy(
+                    F.col("df_s").asc(), F.col("sid").asc()
+                )
             ),
         )
         .join(sizes, "doc")
@@ -614,29 +629,55 @@ def prefix_filter_jaccard_pairs(
     spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
     prefix = (
         ranked.filter(F.col("__rk") <= prefix_len)
-        .select("doc", "s")
+        .select("doc", "sid", "__rk", "n_tok")
         .repartition(spread)
     )
 
+    # PPJoin filters on top of the prefix join, both lossless:
+    # - size ratio: J >= t forces t*|A| <= |B| <= |A|/t;
+    # - positional: a shared token at rank i of A and j of B (both docs
+    #   ordered by the SAME global (df, token) order) bounds the overlap
+    #   by min(i,j) + min(|A|-i, |B|-j); the pair survives only if the
+    #   TIGHTEST such bound still reaches the equivalent-overlap
+    #   threshold alpha = t*(|A|+|B|)/(1+t).  A 1e-9 slack keeps the
+    #   float comparison conservative (alpha is rational; overlap is an
+    #   integer; the exact verify below re-checks every survivor anyway).
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, "s")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
+    eps = 1e-9
+    occ_bound = F.least(F.col("a.__rk"), F.col("b.__rk")) + F.least(
+        F.col("a.n_tok") - F.col("a.__rk"), F.col("b.n_tok") - F.col("b.__rk")
     )
-    # Verification carries each doc's token SET as one array row (never an
-    # exploded candidate x tokens join — that multiplies candidates by doc
-    # length).  The size-ratio bound J >= t  =>  t*|A| <= |B| <= |A|/t
-    # discards impossible pairs before the intersection is computed.
-    arrs = toks.groupBy("doc").agg(F.collect_list("s").alias("arr"))
-    aa = arrs.select(
-        F.col("doc").alias("id_a"), F.col("arr").alias("arr_a")
-    ).join(sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("na")), "id_a")
-    bb = arrs.select(
-        F.col("doc").alias("id_b"), F.col("arr").alias("arr_b")
-    ).join(sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("nb")), "id_b")
-    # Candidate rows are narrow (two ids), so AQE coalesces the distinct's
+    cand = (
+        a.join(b, "sid")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            (F.col("b.n_tok") >= F.lit(threshold) * F.col("a.n_tok") - eps)
+            & (F.col("a.n_tok") >= F.lit(threshold) * F.col("b.n_tok") - eps)
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
+            occ_bound.alias("__ob"),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.min("__ob").alias("__ub"))
+        .filter(
+            F.col("__ub")
+            >= F.lit(threshold) * (F.col("na") + F.col("nb")) / (1.0 + threshold)
+            - eps
+        )
+    )
+    # Verification carries each doc's token-ID SET as one bigint array row
+    # (never an exploded candidate x tokens join — that multiplies
+    # candidates by doc length; and never string arrays — int equality is
+    # what makes 4M+ intersections cheap).  Sizes ride along from the
+    # candidate stage; `ranked` is already doc-partitioned by its window.
+    arrs = ranked.groupBy("doc").agg(F.collect_list("sid").alias("arr"))
+    aa = arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
+    bb = arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
+    # Candidate rows are narrow (two ids), so AQE coalesces the group-by's
     # output into very few partitions — and the EXPENSIVE part (two array
     # joins + intersection) would then run on those few tasks.  Re-spread
     # candidates first; the array side is |docs|-sized and broadcasts.
@@ -644,10 +685,6 @@ def prefix_filter_jaccard_pairs(
         cand.repartition(spread)
         .join(F.broadcast(aa), "id_a")
         .join(F.broadcast(bb), "id_b")
-        .filter(
-            (F.col("nb") >= F.lit(threshold) * F.col("na"))
-            & (F.col("na") >= F.lit(threshold) * F.col("nb"))
-        )
         .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
