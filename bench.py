@@ -152,6 +152,11 @@ HEADLINE = [
     "x140_source_jsd",
     "x141_last_touch",
     "x142_weighted_interleave",
+    "x143_bpe_learn",
+    "x144_minhash_accuracy",
+    "x145_vocab_growth",
+    "x146_fisher_separation",
+    "x147_split_leakage",
 ]
 
 

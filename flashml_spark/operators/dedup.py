@@ -924,3 +924,56 @@ def prefix_containment(
         .select(F.col("__ida").alias(id_col))
     )
     return main.unionByName(side).distinct()
+
+
+def minhash_accuracy_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Sketch-calibration audit: on the EXACT near-duplicate pairs (the
+    lossless prefix-filter join), compare the minhash Jaccard estimate —
+    fraction of equal signature components — against the true Jaccard.
+    This is the measurement that tells a pipeline how many hashes its
+    banded-LSH dedup actually needs at a given threshold, using the
+    sketches it already computes.
+
+    Scale shape: pairs come from :func:`prefix_filter_jaccard_pairs`
+    (bounded candidates); signatures are a pure map stage; the audit
+    joins |pairs| rows against the |docs| signature frame on each side
+    (keyed) and reduces to ONE summary row: ``n_pairs, mean_abs_err,
+    max_abs_err, bias`` (estimate − truth, rounded to 6).
+    """
+    pairs = prefix_filter_jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
+    sigged = with_minhash_signature(
+        df.select(id_col, text_col), text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    a = sigged.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+    )
+    b = sigged.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+    )
+    matches = sum(
+        ((F.col(f"a_sig{i}") == F.col(f"b_sig{i}")).cast("int") for i in range(num_hashes)),
+        F.lit(0),
+    )
+    est = matches.cast("double") / float(num_hashes)
+    err = est - F.col("jaccard")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(F.abs(err)), 6).alias("mean_abs_err"),
+            F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
+            F.round(F.avg(err), 6).alias("bias"),
+        )
+    )

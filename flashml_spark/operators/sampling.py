@@ -366,3 +366,40 @@ def weighted_interleave(
             ).alias("pos"),
         )
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Eval-leakage audit for grouped data: compare ROW-level hash
+    splitting (each row assigned independently — the classic mistake on
+    session/user data) against GROUP-level splitting (every row follows
+    its group's assignment).  Reports, per method, how many groups span
+    more than one split — the count that must be ZERO before a user's
+    test sessions can't leak into training.
+
+    Two keyed aggregations over (group, split); no windows.  Output:
+    ``method, n_groups, leaked_groups``.
+    """
+    def leak_count(split_source: str, method: str) -> DataFrame:
+        labeled = deterministic_hash_split(
+            df, split_source, train_pct, val_pct, out_col="__split"
+        )
+        per_group = labeled.groupBy(group_col).agg(
+            F.count_distinct("__split").alias("n_splits")
+        )
+        return per_group.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("n_splits") > 1).cast("long"))
+            .cast("bigint")
+            .alias("leaked_groups"),
+        )
+
+    return leak_count(id_col, "row_hash").unionByName(
+        leak_count(group_col, "group_hash")
+    )

@@ -520,3 +520,59 @@ def embedding_norm_stats(df: DataFrame, vec_col: str, label_col: str) -> DataFra
             F.round(F.stddev_samp("__n"), 6).alias("sd_norm"),
         )
     )
+
+
+def fisher_separation(
+    df: DataFrame, vec_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """Per-dimension Fisher ratio of an embedding table — between-class
+    variance over mean within-class variance — the "does this embedding
+    actually separate my labels, and on which axes" audit run before
+    training a probe or pruning dimensions.
+
+    All variances are spelled as explicit (count, sum v, sum v²) moment
+    sums — NOT the engine's fused variance aggregate — so the float
+    arithmetic is identical on any SQL engine (DuckDB's Welford-style
+    var_pop would diverge in the last bits).
+
+    Scale shape: posexplode to (label, dim, v) — |rows| × dim, the only
+    corpus-sized frame — then one (label, dim) hash agg, then a |labels|
+    × dim combine agg per dim.  No windows, no driver state.
+    Output: ``dim, between_var, within_var, fisher`` (rounded to 6; dim
+    is 1-based to match SQL subscripts).
+    """
+    comp = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    )
+    per_class = comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n_c"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mu_c = F.col("s1") / F.col("n_c")
+    var_c = F.col("s2") / F.col("n_c") - mu_c * mu_c
+    staged = per_class.select(
+        "dim", "n_c", mu_c.alias("mu_c"), var_c.alias("var_c"), "s1", "s2"
+    )
+    out = staged.groupBy("dim").agg(
+        F.sum("n_c").alias("n"),
+        F.sum("s1").alias("t1"),
+        F.sum(F.col("n_c") * F.col("var_c")).alias("w_num"),
+        F.sum(F.col("n_c") * F.col("mu_c") * F.col("mu_c")).alias("b_raw"),
+    )
+    mu = F.col("t1") / F.col("n")
+    between = F.col("b_raw") / F.col("n") - mu * mu
+    within = F.col("w_num") / F.col("n")
+    # a perfectly-separating dimension has zero within-class variance;
+    # report NULL rather than tripping ANSI divide-by-zero (both engines)
+    fisher = F.when(within != 0, F.round(between / within, 6))
+    return out.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(between, 6).alias("between_var"),
+        F.round(within, 6).alias("within_var"),
+        fisher.alias("fisher"),
+    )

@@ -1076,3 +1076,106 @@ def source_js_divergence(
         withp.groupBy("src_a", "src_b")
         .agg(F.round(F.sum(term), 6).alias("jsd"))
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 5,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus — the
+    tokenizer-training loop (Sennrich et al.) as a distributed DataFrame
+    program.  Each round counts adjacent symbol pairs over the
+    word-frequency table (every adjacent occurrence counts, the canonical
+    get_stats convention), picks the most frequent pair (ties: ascending
+    pair string), and merges it greedily left-to-right in every word.
+
+    Words are carried as sentinel-spaced symbol strings (`` a b c ``), so
+    a merge is one literal ``replace(' a b ' -> ' ab ')`` — non-overlapping
+    left-to-right in both Spark and standard SQL engines, which is exactly
+    BPE's greedy merge semantics (`` a a a `` merges once).
+
+    Scale shape: the corpus is touched ONCE (token explode + word-freq
+    hash agg); every loop round runs on the |distinct words| frame —
+    pair explode, pair-count hash agg, and a 1-ROW argmax collect (the
+    only driver state: one merge rule per round).  The words frame is
+    localCheckpointed per round to keep lineage flat, same loop hygiene
+    as :func:`graph.pagerank`.  Output: ``merge_round, pair, merged, n``.
+    """
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+    )
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(H.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(spaced.alias("r"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        symbols = F.split(F.trim(F.col("r")), " ")
+        pairs = (
+            words.select(
+                F.explode(H.word_ngrams(symbols, 2)).alias("pair"), "freq"
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
+        if not best:
+            break
+        pair, n = best[0]["pair"], best[0]["n"]
+        merged = pair.replace(" ", "")
+        merges.append((rnd, pair, merged, int(n)))
+        words = words.withColumn(
+            "r",
+            F.replace(
+                F.col("r"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ),
+        ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_round int, pair string, merged string, n bigint"
+    )
+
+
+def vocab_growth_curve(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: how many NEW token types each
+    equal-count bucket of the corpus (documents in ``id_col`` order)
+    introduces, plus the running total — the audit that says whether a
+    corpus keeps contributing vocabulary or has gone stale.
+
+    Scale shape: each token type is claimed by the smallest containing
+    doc id (one corpus-keyed agg); docs are bucketed with the scale-safe
+    :func:`global_ntile` (range partition + offsets, no one-task window);
+    the cumulative runs over the |buckets| frame via ``global_cumsum``
+    with a ``rows_hint``.  Output: ``bucket, new_types, cum_types``.
+    """
+    from flashml_spark.functions.windows import global_cumsum, global_ntile
+
+    first = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.min(id_col).alias("first_doc"))
+    )
+    deciled = global_ntile(df.select(id_col), id_col, n_buckets).select(
+        F.col(id_col).alias("first_doc"), F.col("bucket").cast("bigint").alias("bucket")
+    )
+    per_bucket = (
+        first.join(deciled, "first_doc")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    out = global_cumsum(
+        per_bucket, "bucket", ["new_types"], rows_hint=n_buckets, prefix="cum_"
+    )
+    return out.select(
+        "bucket",
+        "new_types",
+        F.col("cum_new_types").cast("bigint").alias("cum_types"),
+    )

@@ -232,3 +232,197 @@ def x142(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "source")
     out = sampling.weighted_interleave(docs, "source", "doc_id", _ILV_WEIGHTS)
     return out.orderBy("pos", "source", "doc_id").limit(50)
+
+
+# --------------------------------------------------------------------------
+# x143 — BPE tokenizer training, first 5 merge rules: the driver-side
+# loop holds ONE row per round; the oracle unrolls the same 5 rounds as
+# CTEs (pair count -> argmax -> greedy left-to-right merge via sentinel-
+# spaced replace, identical semantics in both engines).
+def _bpe_oracle(k: int = 5) -> str:
+    parts = [
+        f"""WITH tok AS (SELECT unnest({_TOK}) AS word FROM documents
+                     WHERE text IS NOT NULL),
+        wf AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+        w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS r,
+                      freq FROM wf)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (SELECT s[j] || ' ' || s[j + 1] AS pair, SUM(freq) AS n
+              FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM w{i - 1}) t,
+                   LATERAL (SELECT unnest(range(1, len(s))) AS j) L
+              GROUP BY 1),
+        b{i} AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+               FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+        w{i} AS (SELECT replace(r, ' ' || b{i}.pair || ' ',
+                               ' ' || b{i}.merged || ' ') AS r, freq
+               FROM w{i - 1}, b{i})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_round, pair, merged, CAST(n AS BIGINT) AS n FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n        ".join(parts) + f"\n       {selects}"
+
+
+@register("x143_bpe_learn", _bpe_oracle(5))
+def x143(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("text")
+    return textops.bpe_learn(docs, "text", n_merges=5)
+
+
+# --------------------------------------------------------------------------
+# x144 — minhash sketch-calibration audit: on the EXACT near-dup pairs
+# (lossless prefix-filter join, same population as x132), how far is the
+# 8-hash minhash Jaccard estimate from the truth?  The measurement that
+# sizes an LSH dedup's hash budget.
+def _mh_bigram_comp(i: int) -> str:
+    # hash i = 8-hex slice i%4 of md5 digest block i//4, over BIGRAM shingles
+    block, slot = i // 4, i % 4
+    return (
+        f"list_min(list_transform(sh, t -> substr(md5('{block}:' || t),"
+        f" {slot * 8 + 1}, 8)))"
+    )
+
+
+def _x144_oracle(num_hashes: int = 8) -> str:
+    comps = ",\n               ".join(
+        f"{_mh_bigram_comp(i)} AS sig{i}" for i in range(num_hashes)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+        shl AS (SELECT doc_id,
+                       list_transform(range(1, len(ts)),
+                                      i -> ts[i] || ' ' || ts[i + 1]) AS sh
+                FROM tok),
+        sig AS (SELECT doc_id,
+               {comps}
+                FROM shl),
+        shd AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM shd GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b,
+                         ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) AS jaccard
+                  FROM common
+                  JOIN sizes sa ON common.id_a = sa.doc_id
+                  JOIN sizes sb ON common.id_b = sb.doc_id
+                  WHERE ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) >= 0.6),
+        err AS (SELECT ({eq}) * 1.0 / {num_hashes} - p.jaccard AS e
+                FROM pairs p JOIN sig a ON p.id_a = a.doc_id
+                             JOIN sig b ON p.id_b = b.doc_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              ROUND(AVG(ABS(e)), 6) AS mean_abs_err,
+              ROUND(MAX(ABS(e)), 6) AS max_abs_err,
+              ROUND(AVG(e), 6) AS bias
+       FROM err"""
+
+
+@register("x144_minhash_accuracy", _x144_oracle(8))
+def x144(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup.minhash_accuracy_audit(
+        docs, "text", "doc_id", threshold=0.6, shingle_n=2, num_hashes=8
+    )
+
+
+# --------------------------------------------------------------------------
+# x145 — Heaps'-law vocabulary growth: distinct token types introduced by
+# each decile of the corpus (docs in id order) and the running total.
+# Spark side buckets via the scale-safe global NTILE and accumulates via
+# global_cumsum with a 10-row hint — no single-partition window over data.
+@register(
+    "x145_vocab_growth",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents
+                     WHERE text IS NOT NULL),
+        f AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token),
+        d AS (SELECT doc_id, CAST(NTILE(10) OVER (ORDER BY doc_id) AS BIGINT)
+                     AS bucket
+              FROM documents),
+        n AS (SELECT d.bucket, COUNT(*) AS new_types
+              FROM f JOIN d ON f.first_doc = d.doc_id GROUP BY d.bucket)
+       SELECT bucket, CAST(new_types AS BIGINT) AS new_types,
+              CAST(SUM(new_types) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_types
+       FROM n""",
+)
+def x145(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.vocab_growth_curve(docs, "text", "doc_id", n_buckets=10)
+
+
+# --------------------------------------------------------------------------
+# x146 — per-dimension Fisher separation of the labeled embedding table:
+# between-class over within-class variance, all moments spelled as
+# explicit (n, Σv, Σv²) sums so both engines walk identical arithmetic.
+@register(
+    "x146_fisher_separation",
+    """WITH comp AS (SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+                     FROM embeddings,
+                          LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                                   AS i) L),
+        pc AS (SELECT label, dim, CAST(COUNT(*) AS DOUBLE) AS n_c,
+                      SUM(v) AS s1, SUM(v * v) AS s2
+               FROM comp GROUP BY label, dim),
+        st AS (SELECT dim, n_c, s1, s1 / n_c AS mu_c,
+                      s2 / n_c - (s1 / n_c) * (s1 / n_c) AS var_c
+               FROM pc),
+        o AS (SELECT dim, SUM(n_c) AS n, SUM(s1) AS t1,
+                     SUM(n_c * var_c) AS w_num,
+                     SUM(n_c * mu_c * mu_c) AS b_raw
+              FROM st GROUP BY dim)
+       SELECT CAST(dim AS BIGINT) AS dim,
+              ROUND(b_raw / n - (t1 / n) * (t1 / n), 6) AS between_var,
+              ROUND(w_num / n, 6) AS within_var,
+              CASE WHEN w_num <> 0
+                   THEN ROUND((b_raw / n - (t1 / n) * (t1 / n))
+                              / (w_num / n), 6) END AS fisher
+       FROM o""",
+)
+def x146(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    return similarity.fisher_separation(emb, "embedding", "label", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# x147 — eval-leakage audit on grouped event data: ROW-level hash
+# splitting scatters a user's events across folds (leaked_groups > 0);
+# GROUP-level splitting keeps them together (leaked_groups = 0).
+@register(
+    "x147_split_leakage",
+    """WITH r AS (SELECT user_id,
+                         CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 100 < 80 THEN 'train'
+                              WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                                   AS BIGINT) % 100 < 90 THEN 'val'
+                              ELSE 'test' END AS s
+                  FROM events),
+        rg AS (SELECT user_id, COUNT(DISTINCT s) AS ns FROM r GROUP BY user_id),
+        g AS (SELECT user_id,
+                     CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 100 < 80 THEN 'train'
+                          WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS s
+              FROM events),
+        gg AS (SELECT user_id, COUNT(DISTINCT s) AS ns FROM g GROUP BY user_id)
+       SELECT 'row_hash' AS method, CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS leaked_groups
+       FROM rg
+       UNION ALL
+       SELECT 'group_hash', CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM gg""",
+)
+def x147(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    return sampling.split_leakage_audit(ev, "user_id", "event_id")

@@ -228,3 +228,111 @@ def test_jsd_identical_and_disjoint(spark):
     assert out[("s1", "s2")] == 0.0
     assert out[("s1", "s3")] == round(math.log(2), 6)
     assert 0.0 <= out[("s2", "s3")] <= round(math.log(2), 6)
+
+
+# --- BPE learning -----------------------------------------------------------
+
+
+def test_bpe_learn_hand_corpus(spark):
+    # canonical BPE example: 'low' x2 + 'lowest' -> first merges are l+o, lo+w
+    docs = spark.createDataFrame(
+        [(1, "low low lowest")], "doc_id long, text string"
+    )
+    rows = textops.bpe_learn(docs, "text", n_merges=2).collect()
+    assert [(r["merge_round"], r["pair"], r["merged"]) for r in rows] == [
+        (1, "l o", "lo"),
+        (2, "lo w", "low"),
+    ]
+    # round-1 count: 'l o' occurs once in each of the 3 words
+    assert rows[0]["n"] == 3
+
+
+def test_bpe_greedy_merge_overlap(spark):
+    # 'aaa' has two overlapping 'a a' pairs but merges only once per scan
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    rows = textops.bpe_learn(docs, "text", n_merges=2).collect()
+    assert (rows[0]["pair"], rows[0]["n"]) == ("a a", 4)  # 2 per word, overlap counted
+    # after merging: words are ' aa a ' -> round 2 best pair is 'aa a'
+    assert rows[1]["pair"] == "aa a"
+
+
+def test_bpe_stops_when_no_pairs(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # single-char words have no adjacent pairs -> empty merge table
+    assert textops.bpe_learn(docs, "text", n_merges=3).count() == 0
+
+
+# --- minhash accuracy audit -------------------------------------------------
+
+
+def test_minhash_audit_identical_docs_zero_error(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    row = dedup.minhash_accuracy_audit(docs, "text", "doc_id", threshold=0.6).collect()[0]
+    # identical shingle sets: jaccard = 1, every signature component equal
+    assert row["n_pairs"] == 1
+    assert row["mean_abs_err"] == 0.0 and row["max_abs_err"] == 0.0
+    assert row["bias"] == 0.0
+
+
+def test_minhash_audit_empty_population(spark):
+    docs = spark.createDataFrame(
+        [(1, "totally distinct words here"), (2, "nothing shared anywhere else")],
+        "doc_id long, text string",
+    )
+    row = dedup.minhash_accuracy_audit(docs, "text", "doc_id", threshold=0.6).collect()[0]
+    assert row["n_pairs"] == 0 and row["mean_abs_err"] is None
+
+
+# --- vocabulary growth ------------------------------------------------------
+
+
+def test_vocab_growth_hand_curve(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "d")], "doc_id long, text string"
+    )
+    rows = {r["bucket"]: r for r in textops.vocab_growth_curve(docs, "text", "doc_id", 3).collect()}
+    assert rows[1]["new_types"] == 2 and rows[1]["cum_types"] == 2
+    assert rows[2]["new_types"] == 1 and rows[2]["cum_types"] == 3
+    assert rows[3]["new_types"] == 1 and rows[3]["cum_types"] == 4
+
+
+def test_vocab_growth_stale_bucket_absent(spark):
+    # bucket 2 introduces nothing -> no row for it (documented contract)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {r["bucket"]: r for r in textops.vocab_growth_curve(docs, "text", "doc_id", 3).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[3]["cum_types"] == 3
+
+
+# --- Fisher separation ------------------------------------------------------
+
+
+def test_fisher_perfectly_separated_dimension(spark):
+    # dim 1 separates labels exactly (within_var = 0 -> fisher null/inf
+    # guarded by data); dim 2 is identical across classes (between = 0)
+    rows = [
+        (1, [0.0, 4.0], 0), (2, [0.0, 6.0], 0),
+        (3, [1.0, 4.0], 1), (4, [1.0, 6.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    from flashml_spark.operators import similarity
+    out = {r["dim"]: r for r in similarity.fisher_separation(df, "embedding", "label", "vec_id").collect()}
+    assert out[1]["between_var"] == 0.25 and out[1]["within_var"] == 0.0
+    assert out[1]["fisher"] is None  # zero within-class variance -> NULL
+    assert out[2]["between_var"] == 0.0 and out[2]["fisher"] == 0.0
+
+
+def test_split_leakage_group_hash_is_leak_free(spark):
+    rows = [(i, i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = {r["method"]: r for r in sampling.split_leakage_audit(df, "user_id", "event_id").collect()}
+    assert out["group_hash"]["leaked_groups"] == 0
+    assert out["row_hash"]["n_groups"] == 7
+    # 7 groups x ~28 rows each under independent 80/10/10 assignment:
+    # leakage is near-certain; assert the audit actually detects it
+    assert out["row_hash"]["leaked_groups"] > 0
