@@ -101,6 +101,10 @@ PROBES = [
     "x75_semantic_dedup_e2e",
     "x78_pricing_summary",
     "x113_sole_late_supplier",
+    "x132_prefix_jaccard",
+    "x135_bm25_topk",
+    "x143_bpe_learn",
+    "x145_vocab_growth",
 ]
 
 
