@@ -17,7 +17,7 @@ so every step is SQL-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flashml_spark.functions import hashing as H
@@ -89,6 +89,34 @@ def minhash_dedup_groups(
     )
 
 
+def band_key_array(num_hashes: int, bands: int) -> Column:
+    """The LSH band-key array over ``sig0..sigN`` columns: one string key
+    per band (``'<band>|<sig>|<sig>…'``).
+
+    NULL-propagating concat (not concat_ws, which SKIPS nulls): a doc with
+    fewer than ``shingle_n`` tokens has an empty shingle set, so its minhash
+    components are NULL — concat_ws would collapse every such doc onto the
+    band keys '0','1',... and make all short docs mutual candidates.  With
+    F.concat the whole key goes NULL (matching SQL '||' semantics in the
+    DuckDB oracle); callers filter the NULL keys before bucketing.
+    Shared by the batch candidate join and the streaming signature store,
+    so a pair bucketed by one is bucketed by the other."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.concat(
+                F.lit(str(b)),
+                *[
+                    e
+                    for r in range(rows)
+                    for e in (F.lit("|"), F.col(f"sig{b * rows + r}").cast("string"))
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -104,29 +132,10 @@ def minhash_lsh_candidates(
     band key; self-join within buckets is co-partitioned.  Output distinct
     ``(id_a, id_b)`` with id_a < id_b.
     """
-    rows = num_hashes // bands
     sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
-    # NULL-propagating concat (not concat_ws, which SKIPS nulls): a doc with
-    # fewer than ``shingle_n`` tokens has an empty shingle set, so its minhash
-    # components are NULL — concat_ws would collapse every such doc onto the
-    # band keys '0','1',... and make all short docs mutual candidates.  With
-    # F.concat the whole key goes NULL (matching SQL '||' semantics in the
-    # DuckDB oracle) and the NULL keys are filtered before bucketing.
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(str(b)),
-                *[
-                    e
-                    for r in range(rows)
-                    for e in (F.lit("|"), F.col(f"sig{b * rows + r}").cast("string"))
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
     exploded = sigged.select(
-        F.col(id_col), F.explode(band_keys).alias("band_key")
+        F.col(id_col),
+        F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
     ).filter(F.col("band_key").isNotNull())
     # pairs via per-bucket id lists instead of a self-join: a self-join
     # would re-run the whole signature pipeline for each side; this keeps

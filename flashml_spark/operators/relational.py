@@ -354,3 +354,68 @@ def gini_coefficient(
             6,
         ).alias("gini"),
     )
+
+
+# Supported mergeable aggregate kinds for incremental maintenance.
+_MERGEABLE = {"count", "sum", "min", "max"}
+
+
+def mergeable_agg(
+    df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str | None]]
+) -> DataFrame:
+    """One keyed aggregation producing MERGEABLE state columns.
+
+    ``measures`` maps output column -> (kind, source column), kind in
+    {count, sum, min, max}; ``count`` ignores the source column.  Means /
+    rates are derived downstream from (sum, count) pairs — they are not
+    mergeable themselves and must never be stored as state.
+    """
+    aggs = []
+    for out, (kind, src) in measures.items():
+        if kind not in _MERGEABLE:
+            raise ValueError(f"non-mergeable aggregate kind: {kind}")
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).cast("long").alias(out))
+        else:
+            aggs.append(getattr(F, kind)(src).alias(out))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def incremental_agg_merge(
+    old: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """Maintain a keyed aggregate table at DELTA cost: aggregate only the
+    new batch, then merge it into the previous snapshot with one
+    |keys|-keyed full-outer join — never re-reading the historical raw
+    data.  The materialized-view-maintenance primitive for the mergeable
+    aggregate kinds (count/sum merge by addition, min/max by
+    least/greatest, all null-skipping so keys present on one side only
+    pass through unchanged).
+
+    Equivalent by construction to re-aggregating the concatenated corpus
+    (unit-proved), at O(|batch| + |affected keys|) instead of O(corpus).
+    Store the result through the versioned upsert sink for exactly-once
+    snapshots.
+    """
+    delta = mergeable_agg(batch, keys, measures)
+    if old is None:
+        return delta
+    o = old.select(keys + [F.col(c).alias(f"__o_{c}") for c in measures])
+    d = delta.select(keys + [F.col(c).alias(f"__d_{c}") for c in measures])
+    merged = o.join(d, keys, "full_outer")
+    cols = [F.col(k) for k in keys]
+    for out, (kind, _src) in measures.items():
+        a, b = F.col(f"__o_{out}"), F.col(f"__d_{out}")
+        if kind in ("count", "sum"):
+            c = F.when(
+                a.isNull() & b.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
+        elif kind == "min":
+            c = F.least(a, b)
+        else:
+            c = F.greatest(a, b)
+        cols.append(c.alias(out))
+    return merged.select(*cols)

@@ -9,6 +9,10 @@ from flashml_spark.streaming.dedupe import (  # noqa: F401
     streaming_dedup_exact,
 )
 from flashml_spark.streaming.joins import streaming_interval_join  # noqa: F401
+from flashml_spark.streaming.neardup import (  # noqa: F401
+    batch_neardup_curate,
+    run_streaming_neardup,
+)
 from flashml_spark.streaming.sinks import (  # noqa: F401
     read_upsert_snapshot,
     write_stream_parquet,
