@@ -476,3 +476,131 @@ def test_edit_distance_segment_prune_is_lossless(spark, texts, k):
         if d <= k:
             want.add((min(i, j), max(i, j), d))
     assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    block=st.sampled_from([2, 3]),
+)
+def test_prefix_containment_matches_brute_force(spark, texts, block):
+    """Block equi-join + short-doc side channel must find EXACTLY the
+    strict-prefix pairs of the quadratic definition, for any mix of
+    empty / short / identical / nested strings."""
+    from flashml_spark.operators.dedup import prefix_containment
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in prefix_containment(df, "text", "doc_id", block_len=block).collect()
+    }
+    want = {
+        i
+        for i, a in enumerate(texts)
+        if a
+        and any(
+            j != i and len(a) < len(b) and b.startswith(a)
+            for j, b in enumerate(texts)
+        )
+    }
+    assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w0", "w1", "w2", "w3", "w4"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    terms=st.lists(
+        st.sampled_from(["w0", "w1", "w2"]), min_size=1, max_size=3, unique=True
+    ),
+)
+def test_bm25_matches_reference_formula(spark, docs, terms):
+    """The single-pass pivoted BM25 must equal a straight-line Python
+    implementation of the Lucene formula on arbitrary tiny corpora."""
+    import math
+
+    from flashml_spark.operators.textops import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(df, "text", "doc_id", list(terms), k=100).collect()
+    }
+
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    want = {}
+    for i, d in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if s != 0.0 or any(t in d for t in terms):
+            want[i] = round(s, 6)
+    assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.one_of(st.none(), st.integers(-5, 5)),
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_incremental_agg_merge_matches_full(spark, batches):
+    """Folding batches through incremental_agg_merge equals one full
+    aggregation over everything, for any batch split incl. empty batches
+    and null measures."""
+    from flashml_spark.operators.relational import (
+        incremental_agg_merge,
+        mergeable_agg,
+    )
+
+    measures = {
+        "n": ("count", None),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    schema = "k string, v int"
+    frames = [spark.createDataFrame(b, schema) if b else
+              spark.createDataFrame([], schema) for b in batches]
+    snap = None
+    for f in frames:
+        snap = incremental_agg_merge(snap, f, ["k"], measures)
+    allrows = [r for b in batches for r in b]
+    full = mergeable_agg(
+        spark.createDataFrame(allrows, schema) if allrows
+        else spark.createDataFrame([], schema),
+        ["k"],
+        measures,
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["k"], r["n"], r["s"], r["mn"], r["mx"]) for r in df.collect()
+    )
+    assert canon(snap) == canon(full)
