@@ -157,6 +157,9 @@ HEADLINE = [
     "x145_vocab_growth",
     "x146_fisher_separation",
     "x147_split_leakage",
+    "x148_mannwhitney_u",
+    "x149_benford_audit",
+    "x150_revenue_autocorr",
 ]
 
 

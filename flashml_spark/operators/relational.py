@@ -419,3 +419,134 @@ def incremental_agg_merge(
             c = F.greatest(a, b)
         cols.append(c.alias(out))
     return merged.select(*cols)
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, flag_col: str | Column
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (rank-sum) between the rows where
+    ``flag_col`` is true (sample A) and the rest — the nonparametric
+    "did this cohort's distribution shift" audit that pairs with
+    :func:`ks_statistic` (same value-domain machinery, different power).
+
+    U and the tie-corrected normal approximation are computed WITHOUT any
+    global rank over data: one hash agg to per-value counts, then a
+    cumulative over the |distinct values| frame (the accepted
+    whole-frame posture; bounded by the domain, not the corpus):
+    ``U = Σ_v a_v·(B_below(v) + b_v/2)``; ties enter the variance via
+    ``Σ(t³−t)``.  Output: one row ``u_stat, z, n_a, n_b`` (z NULL when a
+    sample is empty or all values tie).
+    """
+    flag = F.expr(flag_col) if isinstance(flag_col, str) else flag_col
+    counts = (
+        df.select(F.col(value_col).alias("__v"), flag.cast("int").alias("__f"))
+        .groupBy("__v")
+        .agg(
+            F.sum("__f").cast("double").alias("__a"),
+            F.sum(1 - F.col("__f")).cast("double").alias("__b"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "__a",
+        "__b",
+        (F.sum("__b").over(w) - F.col("__b")).alias("__b_below"),
+        (F.col("__a") + F.col("__b")).alias("__t"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("__a") * (F.col("__b_below") + F.col("__b") / 2)).alias("u"),
+        F.sum("__a").alias("na"),
+        F.sum("__b").alias("nb"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias("tie3"),
+    )
+    n = F.col("na") + F.col("nb")
+    mean_u = F.col("na") * F.col("nb") / 2
+    var_u = (
+        F.col("na") * F.col("nb") / 12
+        * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+    )
+    z = F.when(var_u > 0, F.round((F.col("u") - mean_u) / F.sqrt(var_u), 6))
+    return agg.select(
+        F.round("u", 6).alias("u_stat"),
+        z.alias("z"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9.
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit Benford's-law audit of a positive numeric column — the
+    classic fabricated-/truncated-data screen for financial facts.
+
+    The leading digit comes from the INTEGER part via floor → bigint →
+    string (exact on every engine; never float-to-string formatting or
+    log10 arithmetic, both of which differ across engines at decade
+    boundaries).  Values < 1 are excluded (no stable first digit in this
+    construction).  One hash agg on 9 digit groups + a 1-row total
+    broadcast.  Output per digit: ``digit, n, p_obs, p_exp, chi2_term``
+    (χ² term = (n_d − N·p_d)² / (N·p_d), rounded to 6).
+    """
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    totals = counts.agg(F.sum("n").alias("total"))
+    p_exp = F.element_at(
+        F.create_map(*[F.lit(x) for d in _BENFORD_P for x in (d, _BENFORD_P[d])]),
+        F.col("digit").cast("int"),
+    )
+    e = F.col("total") * p_exp
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("p_obs"),
+            F.round(p_exp, 6).alias("p_exp"),
+            F.round((F.col("n") - e) * (F.col("n") - e) / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+def series_autocorr(
+    df: DataFrame, order_col: str, value_col: str, lag: int = 1
+) -> DataFrame:
+    """Lag-``lag`` Pearson autocorrelation of an (already aggregated)
+    series — the "is yesterday predictive of today" audit for daily
+    revenue / volume series.  The input is expected to be post-
+    aggregation (one row per period): the whole-frame lag window runs
+    over the |periods| frame, the accepted value-domain posture, never
+    over raw data.  Moments are explicit sums so both engines walk the
+    same float arithmetic.  Output: one row ``n_pairs, autocorr`` (NULL
+    when fewer than 2 pairs or zero variance).
+    """
+    w = Window.orderBy(order_col)
+    pairs = df.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.lag(F.col(value_col).cast("double"), lag).over(w).alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    r = F.when((n >= 2) & (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+    return agg.select(n.cast("bigint").alias("n_pairs"), r.alias("autocorr"))

@@ -1,10 +1,14 @@
-"""Extension queries, round 4 seventh batch (x135..x142): the
-retrieval / data-mixing surface a training-data pipeline still lacked —
+"""Extension queries, round 4 seventh-through-ninth batches
+(x135..x150): the retrieval / data-mixing / statistical-audit surface —
 BM25 full-text ranking, temperature-scaled mixture weights, a
 deterministic bottom-k-hash sample, strict-prefix containment dedup
 (truncated duplicates), n-gram novelty scoring, Jensen-Shannon drift
-between sources, last-touch conversion attribution, and a deterministic
-weighted interleave of sources into one training stream.
+between sources, last-touch conversion attribution, a deterministic
+weighted interleave of sources into one training stream, BPE tokenizer
+training (unrolled-CTE oracle), a minhash sketch-calibration audit,
+Heaps'-law vocabulary growth, per-dimension Fisher class separation,
+grouped-data split-leakage auditing, Mann-Whitney U drift testing,
+a Benford first-digit audit, and series autocorrelation.
 
 Oracle discipline unchanged: portable SQL, shared literals/aliases,
 deterministic tie-breaks, floats rounded (6 for scores/probabilities,
@@ -426,3 +430,97 @@ def x146(spark: SparkSession, sf: str) -> DataFrame:
 def x147(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select("event_id", "user_id")
     return sampling.split_leakage_audit(ev, "user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# x148 — Mann-Whitney U between English and non-English document lengths:
+# the rank-sum drift audit, computed over the VALUE DOMAIN (per-value
+# counts + |distinct lengths| cumulative), never a global data rank.
+@register(
+    "x148_mannwhitney_u",
+    """WITH c AS (SELECT n_chars AS v,
+                         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 AS a,
+                         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) * 1.0 AS b
+                  FROM documents GROUP BY n_chars),
+        cu AS (SELECT a, b,
+                      SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - b AS b_below,
+                      a + b AS t
+               FROM c),
+        ag AS (SELECT SUM(a * (b_below + b / 2)) AS u, SUM(a) AS na,
+                      SUM(b) AS nb, SUM(t * t * t - t) AS tie3
+               FROM cu)
+       SELECT ROUND(u, 6) AS u_stat,
+              CASE WHEN na * nb / 12 * ((na + nb + 1)
+                        - tie3 / ((na + nb) * (na + nb - 1))) > 0
+                   THEN ROUND((u - na * nb / 2)
+                              / sqrt(na * nb / 12 * ((na + nb + 1)
+                                     - tie3 / ((na + nb) * (na + nb - 1)))), 6)
+              END AS z,
+              CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+       FROM ag""",
+)
+def x148(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import relational
+
+    docs = load_table(spark, sf, "documents").select("n_chars", "lang")
+    return relational.mann_whitney_u(docs, "n_chars", F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
+# x149 — Benford first-digit audit of order totals.  The digit comes from
+# floor -> bigint -> string (exact on every engine); float formatting and
+# log10-of-value arithmetic both differ across engines and are avoided.
+@register(
+    "x149_benford_audit",
+    """WITH c AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                         COUNT(*) * 1.0 AS n
+                  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        t AS (SELECT SUM(n) AS total FROM c)
+       SELECT digit, CAST(n AS BIGINT) AS n,
+              ROUND(n / total, 6) AS p_obs,
+              ROUND(log10(1 + 1.0 / digit), 6) AS p_exp,
+              ROUND((n - total * log10(1 + 1.0 / digit))
+                    * (n - total * log10(1 + 1.0 / digit))
+                    / (total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+       FROM c, t""",
+)
+def x149(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import relational
+
+    orders = load_table(spark, sf, "orders").select("o_totalprice")
+    return relational.benford_audit(orders, "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# x150 — lag-1 autocorrelation of daily revenue: the series is the
+# |days|-sized post-aggregation frame (accepted whole-frame posture);
+# moments are explicit sums for float parity.
+@register(
+    "x150_revenue_autocorr",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         SUM(o_totalprice) AS rev
+                  FROM orders GROUP BY 1),
+        p AS (SELECT rev AS y, LAG(rev) OVER (ORDER BY day) AS x FROM d),
+        q AS (SELECT * FROM p WHERE x IS NOT NULL),
+        ag AS (SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+               FROM q)
+       SELECT CAST(n AS BIGINT) AS n_pairs,
+              CASE WHEN n >= 2 AND sxx / n - (sx / n) * (sx / n) > 0
+                        AND syy / n - (sy / n) * (sy / n) > 0
+                   THEN ROUND((sxy / n - (sx / n) * (sy / n))
+                              / sqrt((sxx / n - (sx / n) * (sx / n))
+                                     * (syy / n - (sy / n) * (sy / n))), 6)
+              END AS autocorr
+       FROM ag""",
+)
+def x150(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import relational
+
+    orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return relational.series_autocorr(daily, "day", "rev", lag=1)

@@ -39,6 +39,8 @@ ACCEPTED_GLOBAL = {
     "x119_daily_outliers": "trailing window over |days| rows",
     "x130_trailing_distinct_users": "boundary-delta cumulative over |days| rows",
     "x124_important_parts": "ORDER BY on |important parts| result rows",
+    "x148_mannwhitney_u": "cumulative over |distinct values| rows",
+    "x150_revenue_autocorr": "lag over |days| post-agg rows",
 }
 
 
@@ -61,6 +63,7 @@ ACCEPTED_CROSS = {
     "x136_temperature_mix": "1-row (N, sum n^T) totals scalar broadcast",
     "x138_prefix_containment": "broadcast side channel for length<block docs (degenerate-short docs only)",
     "x140_source_jsd": "|sources|^2 pair frame, both sides post-agg |sources| totals",
+    "x149_benford_audit": "1-row digit-total scalar broadcast",
 }
 
 

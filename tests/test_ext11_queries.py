@@ -336,3 +336,50 @@ def test_split_leakage_group_hash_is_leak_free(spark):
     # 7 groups x ~28 rows each under independent 80/10/10 assignment:
     # leakage is near-certain; assert the audit actually detects it
     assert out["row_hash"]["leaked_groups"] > 0
+
+
+# --- Mann-Whitney / Benford / autocorrelation -------------------------------
+
+
+def test_mannwhitney_hand_values(spark):
+    from flashml_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0)], "v double, f int"
+    )
+    row = relational.mann_whitney_u(df, "v", F.col("f") == 1).collect()[0]
+    # every A value beats every B value: U = nA*nB = 4
+    assert row["u_stat"] == 4.0 and row["n_a"] == 2 and row["n_b"] == 2
+    assert row["z"] > 0
+
+
+def test_mannwhitney_all_tied_z_is_null(spark):
+    from flashml_spark.operators import relational
+
+    df = spark.createDataFrame([(1.0, 1), (1.0, 1), (1.0, 0), (1.0, 0)], "v double, f int")
+    row = relational.mann_whitney_u(df, "v", F.col("f") == 1).collect()[0]
+    assert row["u_stat"] == 2.0  # all ties count half: 2 * (2/2)
+    assert row["z"] is None  # tie-corrected variance collapses to zero
+
+
+def test_benford_digits_and_exclusions(spark):
+    from flashml_spark.operators import relational
+
+    vals = [float(d) for d in range(1, 10)] + [19.5, 0.4]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["digit"]: r for r in relational.benford_audit(df, "v").collect()}
+    # 0.4 excluded; 19.5 contributes digit 1 -> ten values total
+    assert sum(r["n"] for r in out.values()) == 10
+    assert out[1]["n"] == 2 and out[9]["n"] == 1
+    assert out[1]["p_exp"] == 0.30103  # log10(2) rounded to 6
+
+
+def test_autocorr_linear_and_constant(spark):
+    from flashml_spark.operators import relational
+
+    lin = spark.createDataFrame([(i, float(i)) for i in range(10)], "t int, y double")
+    row = relational.series_autocorr(lin, "t", "y").collect()[0]
+    assert row["n_pairs"] == 9 and row["autocorr"] == 1.0
+    const = spark.createDataFrame([(i, 5.0) for i in range(10)], "t int, y double")
+    row = relational.series_autocorr(const, "t", "y").collect()[0]
+    assert row["autocorr"] is None  # zero variance
