@@ -160,6 +160,7 @@ HEADLINE = [
     "x148_mannwhitney_u",
     "x149_benford_audit",
     "x150_revenue_autocorr",
+    "x151_bfs_hops",
 ]
 
 

@@ -98,3 +98,46 @@ def pagerank(
     out = ranks.select("node", F.col("r").alias(out_col))
     _free(ed_ids)
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    node_col: str = "node",
+) -> DataFrame:
+    """Breadth-first hop labels from a seed set over an UNDIRECTED edge
+    frame ``(src, dst)``: every node reachable within ``max_hops`` gets
+    its minimum hop distance — the reachability / blast-radius primitive
+    (account linking, contamination spread, recommendation radius).
+
+    DataFrame loop, one round per hop: frontier ⋈ edges (keyed) minus
+    already-visited (keyed anti-join), both sides localCheckpointed per
+    round so lineage stays flat and each abandoned round's blocks are
+    freed (same loop hygiene as :func:`pagerank`).  Driver state: the
+    loop counter only.  Output: ``node_col, hop`` (seeds at hop 0).
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = sources.select(
+        F.col(node_col).alias("n"), F.lit(0).alias("hop")
+    ).distinct().localCheckpoint(eager=False)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["a"])
+            .select(F.col("b").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .select("n", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(F.col("n").alias(node_col), F.col("hop").cast("bigint").alias("hop"))

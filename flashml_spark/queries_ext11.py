@@ -278,9 +278,11 @@ def x143(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x144 — minhash sketch-calibration audit: on the EXACT near-dup pairs
-# (lossless prefix-filter join, same population as x132), how far is the
-# 8-hash minhash Jaccard estimate from the truth?  The measurement that
-# sizes an LSH dedup's hash budget.
+# (lossless prefix-filter join), how far is the 8-hash minhash Jaccard
+# estimate from the truth?  The measurement that sizes an LSH dedup's
+# hash budget.  Threshold 0.8 — the high-similarity band LSH dedup
+# actually targets; higher thresholds shrink prefixes, so the truth-set
+# join is strictly cheaper than x132's 0.6 sweep.
 def _mh_bigram_comp(i: int) -> str:
     # hash i = 8-hex slice i%4 of md5 digest block i//4, over BIGRAM shingles
     block, slot = i // 4, i % 4
@@ -316,7 +318,7 @@ def _x144_oracle(num_hashes: int = 8) -> str:
                   FROM common
                   JOIN sizes sa ON common.id_a = sa.doc_id
                   JOIN sizes sb ON common.id_b = sb.doc_id
-                  WHERE ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) >= 0.6),
+                  WHERE ROUND(c * 1.0 / (sa.n_tok + sb.n_tok - c), 6) >= 0.8),
         err AS (SELECT ({eq}) * 1.0 / {num_hashes} - p.jaccard AS e
                 FROM pairs p JOIN sig a ON p.id_a = a.doc_id
                              JOIN sig b ON p.id_b = b.doc_id)
@@ -331,7 +333,7 @@ def _x144_oracle(num_hashes: int = 8) -> str:
 def x144(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return dedup.minhash_accuracy_audit(
-        docs, "text", "doc_id", threshold=0.6, shingle_n=2, num_hashes=8
+        docs, "text", "doc_id", threshold=0.8, shingle_n=2, num_hashes=8
     )
 
 
@@ -524,3 +526,40 @@ def x150(spark: SparkSession, sf: str) -> DataFrame:
         F.to_date("o_orderdate").alias("day")
     ).agg(F.sum("o_totalprice").alias("rev"))
     return relational.series_autocorr(daily, "day", "rev", lag=1)
+
+
+# --------------------------------------------------------------------------
+# x151 — BFS hop labels on the customer-supplier bipartite graph (nodes
+# encoded cust*2 / supp*2+1), 3 hops from customer 1: the blast-radius /
+# account-linking primitive as a bounded DataFrame loop, oracle'd by a
+# recursive CTE with set semantics.
+@register(
+    "x151_bfs_hops",
+    """WITH RECURSIVE e AS (SELECT DISTINCT o.o_custkey * 2 AS a,
+                                   l.l_suppkey * 2 + 1 AS b
+                            FROM lineitem l
+                            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(n, hop) AS (
+            SELECT CAST(2 AS BIGINT), 0
+            UNION
+            SELECT s.b, r.hop + 1 FROM reach r
+            JOIN sym s ON s.a = r.n WHERE r.hop < 3)
+       SELECT n AS node, CAST(MIN(hop) AS BIGINT) AS hop
+       FROM reach GROUP BY n""",
+)
+def x151(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import graph
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([(2,)], "node long")
+    return graph.bfs_hops(edges, seeds, max_hops=3)

@@ -383,3 +383,37 @@ def test_autocorr_linear_and_constant(spark):
     const = spark.createDataFrame([(i, 5.0) for i in range(10)], "t int, y double")
     row = relational.series_autocorr(const, "t", "y").collect()[0]
     assert row["autocorr"] is None  # zero variance
+
+
+# --- BFS hop labels ---------------------------------------------------------
+
+
+def test_bfs_hand_graph(spark):
+    from flashml_spark.operators import graph
+
+    # path graph 1-2-3-4-5 plus isolated 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hop"] for r in graph.bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops away; 9 unreachable
+
+
+def test_bfs_min_hop_on_cycle(spark):
+    from flashml_spark.operators import graph
+
+    # triangle: both neighbors at hop 1, never revisited at hop 2
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hop"] for r in graph.bfs_hops(edges, seeds, max_hops=5).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_early_stop_on_empty_frontier(spark):
+    from flashml_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = graph.bfs_hops(edges, seeds, max_hops=50)
+    assert {(r["node"], r["hop"]) for r in out.collect()} == {(1, 0), (2, 1)}
