@@ -16,6 +16,10 @@ HEAVY = [
     "x73_curation_pipeline",
     "x113_sole_late_supplier",
     "x130_trailing_distinct_users",
+    "x132_prefix_jaccard",
+    "x143_bpe_learn",
+    "x144_minhash_accuracy",
+    "x151_bfs_hops",
 ]
 
 
