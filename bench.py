@@ -161,6 +161,7 @@ HEADLINE = [
     "x149_benford_audit",
     "x150_revenue_autocorr",
     "x151_bfs_hops",
+    "x152_weighted_jaccard",
 ]
 
 

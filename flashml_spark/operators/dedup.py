@@ -986,3 +986,120 @@ def minhash_accuracy_audit(
             F.round(F.avg(err), 6).alias("bias"),
         )
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """EXACT all-pairs WEIGHTED Jaccard >= ``threshold`` with idf weights
+    — rare shared shingles count more than boilerplate, the similarity
+    a curation pipeline actually wants when templates dominate.  Weights
+    are ``w(s) = ln(1 + N/df(s))`` (strictly positive; no zero-weight
+    degenerate tokens), and ``J_w(A,B) = W(A∩B) / W(A∪B)``.
+
+    Pruning is the weighted generalization of prefix filtering, lossless
+    prefix-PREFIX by the first-shared-token argument: every document
+    orders its tokens by the SAME global comparator (weight desc, id
+    asc), and prefix(A) is the shortest head whose SUFFIX weighs
+    ``< t*W(A)``.  If ``J_w >= t`` then ``W(A∩B) >= t*W(A)`` (union
+    contains A), so the FIRST shared token u (in the global order) must
+    lie inside prefix(A) — were it in the suffix, every shared token
+    would be too (they all come at-or-after u), capping the intersection
+    below ``t*W(A)`` — and by the identical argument u is inside
+    prefix(B).  So a prefix-prefix equi-join on the token finds every
+    qualifying pair; the weighted size-ratio filter
+    ``t*max(W_A, W_B) <= min(W_A, W_B)`` prunes further.  (Hypothesis
+    re-proves losslessness against brute force.)
+
+    Verification is two cheap stages: bigint-id ``array_intersect`` per
+    candidate (the x132 trick — never struct arrays, whose equality
+    costs ~10x), then ONE explode of the SHARED ids only — bounded by
+    actual intersection mass, not candidates x tokens — joined to the
+    |vocab| weight dim and summed per pair.  Output:
+    ``id_a, id_b, wjaccard`` (id_a < id_b, rounded 6).
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    words = H.tokens(F.col(text_col))
+    units = words if shingle_n == 1 else H.word_ngrams(words, shingle_n)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(units)).alias("s"),
+    )
+    n_docs = df.select(id_col).count()  # one scalar to the driver
+    dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    vids = (
+        global_cumsum(dfreq.withColumn("__one", F.lit(1)), "s", ["__one"], prefix="__id")
+        .select(
+            "s",
+            F.col("__id__one").cast("long").alias("sid"),
+            F.log(1.0 + F.lit(float(n_docs)) / F.col("df_s")).alias("w"),
+        )
+    )
+    ranked = (
+        toks.join(vids, "s")
+        .select("doc", "sid", "w")
+        .withColumn(
+            "__cum_before",
+            F.sum("w").over(
+                Window.partitionBy("doc")
+                .orderBy(F.col("w").desc(), F.col("sid").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("w"),
+        )
+        .withColumn("__wtot", F.sum("w").over(Window.partitionBy("doc")))
+    )
+    eps = 1e-9
+    spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
+    # token at rank r is in the prefix iff the weight AT AND AFTER it
+    # still reaches t*W(A): W_total - cum_before >= t*W_total - eps
+    prefix = (
+        ranked.filter(
+            F.col("__wtot") - F.col("__cum_before")
+            >= F.lit(threshold) * F.col("__wtot") - eps
+        )
+        .select("doc", "sid", F.col("__wtot").alias("wt"))
+        .repartition(spread)
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "sid")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            (F.col("b.wt") >= F.lit(threshold) * F.col("a.wt") - eps)
+            & (F.col("a.wt") >= F.lit(threshold) * F.col("b.wt") - eps)
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.wt").alias("wa"),
+            F.col("b.wt").alias("wb"),
+        )
+        .distinct()
+    )
+    arrs = ranked.groupBy("doc").agg(F.collect_list("sid").alias("arr"))
+    aa = arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
+    bb = arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
+    shared = (
+        cand.repartition(spread)
+        .join(F.broadcast(aa), "id_a")
+        .join(F.broadcast(bb), "id_b")
+        .select(
+            "id_a", "id_b", "wa", "wb",
+            F.explode(F.array_intersect("arr_a", "arr_b")).alias("sid"),
+        )
+    )
+    cw = (
+        shared.join(vids.select("sid", "w"), "sid")
+        .groupBy("id_a", "id_b", "wa", "wb")
+        .agg(F.sum("w").alias("__cw"))
+    )
+    jac = F.col("__cw") / (F.col("wa") + F.col("wb") - F.col("__cw"))
+    return cw.filter(F.round(jac, 6) >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("wjaccard")
+    )

@@ -563,3 +563,37 @@ def x151(spark: SparkSession, sf: str) -> DataFrame:
     )
     seeds = spark.createDataFrame([(2,)], "node long")
     return graph.bfs_hops(edges, seeds, max_hops=3)
+
+
+# --------------------------------------------------------------------------
+# x152 — exact WEIGHTED (idf) Jaccard pairs at 0.6 on bigram shingles:
+# rare shared shingles count more than boilerplate.  Weighted prefix
+# filtering (prefix = shortest head whose suffix weighs < t·W(A)),
+# lossless by the suffix-weight contradiction; hypothesis re-proves it.
+@register(
+    "x152_weighted_jaccard",
+    """WITH tok0 AS (SELECT doc_id,
+                            string_split_regex(lower(trim(text)), '\\s+') AS ts
+                     FROM documents),
+        tok AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+                FROM tok0, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r),
+        dfq AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        w AS (SELECT s, ln(1 + nd.n / df) AS w FROM dfq, nd),
+        tw AS (SELECT t.doc_id, t.s, w.w FROM tok t JOIN w USING (s)),
+        sizes AS (SELECT doc_id, SUM(w) AS wt FROM tw GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w) AS cw
+                   FROM tw a JOIN tw b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              ROUND(cw / (sa.wt + sb.wt - cw), 6) AS wjaccard
+       FROM common
+       JOIN sizes sa ON common.id_a = sa.doc_id
+       JOIN sizes sb ON common.id_b = sb.doc_id
+       WHERE ROUND(cw / (sa.wt + sb.wt - cw), 6) >= 0.6""",
+)
+def x152(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup.weighted_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, shingle_n=2
+    )

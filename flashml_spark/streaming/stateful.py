@@ -151,3 +151,64 @@ def sessionize_with_timeout(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def decayed_trending_counts(
+    stream: DataFrame,
+    token_col: str = "token",
+    ts_col: str = "ts",
+    half_life_seconds: float = 3600.0,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Exponentially-decayed per-key frequency — the "trending now"
+    primitive: each occurrence contributes ``2^(-(T - t_i)/half_life)``
+    at reference time T, so recent activity dominates without any
+    windowed recount.  State per key is O(1): ``(decayed count,
+    reference epoch)``; batch events fold in oldest-first (decay the
+    stored count forward, +1 per event), and LATE events — older than
+    the stored reference — add their already-discounted contribution
+    without moving the reference, so out-of-order arrival converges to
+    the same closed form.
+
+    Emits one row per touched key per micro-batch:
+    ``token, decayed_count, as_of`` (epoch seconds of the key's
+    reference time).  Batch-equivalent oracle at time T:
+    ``Σ_i 2^(-(T - t_i)/half_life)`` over all of the key's events.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        c, t_ref = (state.get if state.exists else (0.0, None))
+        for pdf in pdfs:
+            ts = (
+                pdf[ts_col].astype("datetime64[us]").astype("int64") / 1e6
+            ).sort_values()
+            for t in ts:
+                if t_ref is None or t >= t_ref:
+                    if t_ref is not None:
+                        c *= 2.0 ** (-(t - t_ref) / half_life_seconds)
+                    c += 1.0
+                    t_ref = t
+                else:  # late event: discounted contribution, ref unchanged
+                    c += 2.0 ** (-(t_ref - t) / half_life_seconds)
+        state.update((c, t_ref))
+        yield pd.DataFrame(
+            {token_col: [key[0]], "decayed_count": [c], "as_of": [t_ref]}
+        )
+
+    key_type = stream.schema[token_col].dataType
+    out_schema = StructType(
+        [
+            StructField(token_col, key_type),
+            StructField("decayed_count", DoubleType()),
+            StructField("as_of", DoubleType()),
+        ]
+    )
+    return stream.groupBy(token_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="c DOUBLE, t_ref DOUBLE",
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

@@ -20,6 +20,7 @@ HEAVY = [
     "x143_bpe_learn",
     "x144_minhash_accuracy",
     "x151_bfs_hops",
+    "x152_weighted_jaccard",
 ]
 
 

@@ -604,3 +604,50 @@ def test_incremental_agg_merge_matches_full(spark, batches):
         (r["k"], r["n"], r["s"], r["mn"], r["mx"]) for r in df.collect()
     )
     assert canon(snap) == canon(full)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["t0", "t1", "t2", "t3", "t4", "t5"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=7,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_weighted_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
+    """Weighted prefix filtering must find EXACTLY the brute-force idf-
+    weighted Jaccard pairs — the suffix-weight argument made executable."""
+    import math
+
+    from flashml_spark.operators.dedup import weighted_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["wjaccard"])
+        for r in weighted_jaccard_pairs(
+            df, "text", "doc_id", threshold, shingle_n=1
+        ).collect()
+    }
+
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    n = len(docs)
+    dfreq = {}
+    for s in sets.values():
+        for t in s:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    w = {t: math.log(1 + n / d) for t, d in dfreq.items()}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                cw = sum(w[t] for t in sets[a] & sets[b])
+                uw = sum(w[t] for t in sets[a] | sets[b])
+                if cw and round(cw / uw, 6) >= threshold:
+                    want.add((a, b, round(cw / uw, 6)))
+    assert got == want
