@@ -35,3 +35,21 @@ def test_output_identical_without_aqe(spark, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert on == off
+
+
+@pytest.mark.parametrize("name", HEAVY)
+def test_output_identical_with_tiny_shuffle_width(spark, name):
+    """Partition-count independence: the same answer at 3 shuffle
+    partitions as at the session default — a query whose output shifted
+    with parallelism (ordering leaks, per-partition tie-breaks, salted
+    keys surfacing) would be silently wrong on any differently-sized
+    cluster."""
+    fn = QUERIES[name][0]
+    base = normalize([tuple(r) for r in fn(spark, SF_DIR).collect()])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        tiny = normalize([tuple(r) for r in fn(spark, SF_DIR).collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == tiny
