@@ -689,11 +689,14 @@ def prefix_filter_jaccard_pairs(
     # Candidate rows are narrow (two ids), so AQE coalesces the group-by's
     # output into very few partitions — and the EXPENSIVE part (two array
     # joins + intersection) would then run on those few tasks.  Re-spread
-    # candidates first; the array side is |docs|-sized and broadcasts.
+    # candidates first.  The array side carries one row per document: NO
+    # broadcast hint — AQE picks BHJ while it fits and falls back to a
+    # keyed join when |docs| outgrows the executor (a forced broadcast
+    # would OOM at corpus scale).
     paired = (
         cand.repartition(spread)
-        .join(F.broadcast(aa), "id_a")
-        .join(F.broadcast(bb), "id_b")
+        .join(aa, "id_a")
+        .join(bb, "id_b")
         .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
@@ -1087,8 +1090,8 @@ def weighted_jaccard_pairs(
     bb = arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
     shared = (
         cand.repartition(spread)
-        .join(F.broadcast(aa), "id_a")
-        .join(F.broadcast(bb), "id_b")
+        .join(aa, "id_a")
+        .join(bb, "id_b")
         .select(
             "id_a", "id_b", "wa", "wb",
             F.explode(F.array_intersect("arr_a", "arr_b")).alias("sid"),
