@@ -858,11 +858,13 @@ def edit_distance_pairs(
     # prefix-filter join; see SCALE.md)
     spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
     cand = cand.repartition(spread)
+    # no broadcast hint on the |docs|-sized prefix payload: AQE picks
+    # BHJ while it fits and falls back to a keyed join at corpus scale
     pa = keyed.select(F.col("doc").alias("id_a"), F.col("p").alias("pa"))
     pb = keyed.select(F.col("doc").alias("id_b"), F.col("p").alias("pb"))
     return (
-        cand.join(F.broadcast(pa), "id_a")
-        .join(F.broadcast(pb), "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
         .withColumn("edits", F.levenshtein("pa", "pb"))
         .filter(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")
