@@ -162,6 +162,7 @@ HEADLINE = [
     "x150_revenue_autocorr",
     "x151_bfs_hops",
     "x152_weighted_jaccard",
+    "x153_chunk_retrieval",
 ]
 
 

@@ -906,6 +906,59 @@ def prefix_dup_stats(
     )
 
 
+def _bm25_scores(
+    toks: DataFrame,
+    keys: list[str],
+    query_terms: list[str],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """BM25 core over an exploded ``(*keys, token)`` frame: ONE per-key
+    hash agg folds unit length AND the per-query-term tfs into |Q|+1
+    conditional-sum columns; global stats (N, avgdl, per-term dfs) are
+    one more agg broadcast back as a 1-row dim.  Returns
+    ``(*keys, bm25)`` for units containing >= 1 query term, scores
+    rounded to 6 BEFORE any ranking a caller applies."""
+    tf_cols = [
+        F.sum((F.col("token") == t).cast("long")).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_unit = toks.groupBy(*keys).agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
+    stats = per_unit.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (k1 + 1.0) / denom).otherwise(F.lit(0.0))
+
+    total = sum((contrib(i) for i in range(len(query_terms))), F.lit(0.0))
+    return (
+        per_unit.crossJoin(F.broadcast(stats))
+        .where(
+            sum(
+                (F.col(f"tf_{i}") for i in range(len(query_terms))),
+                F.lit(0).cast("long"),
+            )
+            > 0
+        )
+        .select(*keys, F.round(total, 6).alias("bm25"))
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str,
@@ -919,59 +972,65 @@ def bm25_topk(
     (Robertson/Sparck-Jones with the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
     idf), returning the top-``k`` documents.
 
-    Scale shape: ONE pass — tokenize, explode, and a single per-doc hash
-    agg that folds document length AND the per-query-term tfs into |Q|+1
-    conditional-sum columns (the inverted-index posting intersection as a
-    pivoted aggregation; |Q| is small by contract).  Global stats
-    (N, avgdl, per-term dfs) are one more agg on that frame, broadcast
-    back as a 1-row dim; no join ever shuffles more than the per-doc
-    frame.  Final top-k is TakeOrderedAndProject (no global sort).
-    Scores are rounded to 6 BEFORE ranking so the k-boundary is stable
-    across summation orders; ties break on ascending id.
+    Scale shape: ONE pass — tokenize, explode, and the pivoted
+    conditional-sum core (:func:`_bm25_scores`; the inverted-index
+    posting intersection as aggregation, |Q| small by contract).  Final
+    top-k is TakeOrderedAndProject (no global sort); ties break on
+    ascending id.
     """
     toks = df.select(
         F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token")
     ).where(F.col(text_col).isNotNull())
-    tf_cols = [
-        F.sum((F.col("token") == t).cast("long")).alias(f"tf_{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"), *tf_cols)
-    stats = per_doc.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
-            .cast("double")
-            .alias(f"df_{i}")
-            for i in range(len(query_terms))
-        ],
-    )
-    def contrib(i: int) -> Column:
-        tf = F.col(f"tf_{i}").cast("double")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
-            / (F.col(f"df_{i}") + 0.5)
-            + 1.0
-        )
-        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-        return F.when(tf > 0, idf * tf * (k1 + 1.0) / denom).otherwise(F.lit(0.0))
-
-    total = sum((contrib(i) for i in range(len(query_terms))), F.lit(0.0))
-    scored = (
-        per_doc.crossJoin(F.broadcast(stats))
-        .where(
-            sum(
-                (F.col(f"tf_{i}") for i in range(len(query_terms))),
-                F.lit(0).cast("long"),
-            )
-            > 0
-        )
-        .select(F.col(id_col), F.round(total, 6).alias("bm25"))
-    )
+    scored = _bm25_scores(toks, [id_col], query_terms, k1, b)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
 
 
+def chunk_bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    chunk_size: int = 32,
+    stride: int = 24,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Retrieval-over-chunks e2e — the RAG indexing shape: split every
+    document into overlapping fixed-token windows (same geometry as
+    :func:`chunk_documents`), score each CHUNK as its own BM25 unit
+    (chunk-level dl/df/avgdl — long documents can't drown a hit in
+    off-topic mass), return the top-``k`` chunks with provenance.
+
+    Scale shape: per-row chunking (sequence + posexplode + slice, zero
+    shuffle) feeding the same pivoted BM25 core; one (doc, chunk) hash
+    agg + a 1-row stats broadcast + TakeOrdered.  Output:
+    ``id_col, chunk_idx, bm25`` (ties: id then chunk index).
+    """
+    toks0 = H.tokens(F.col(text_col))
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks0.alias("__toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = staged.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "__s"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.explode(F.slice(F.col("__toks"), F.col("__s") + 1, chunk_size)).alias(
+            "token"
+        ),
+    )
+    scored = _bm25_scores(chunks, [id_col, "chunk_idx"], query_terms, k1, b)
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col(id_col), F.col("chunk_idx")
+    ).limit(k)
 def ngram_novelty(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -597,3 +597,50 @@ def x152(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.weighted_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.6, shingle_n=2
     )
+
+
+# --------------------------------------------------------------------------
+# x153 — retrieval over chunks (the RAG indexing shape): overlapping
+# 32-token windows (stride 24, x93 geometry), each chunk scored as its
+# own BM25 unit, top-10 chunks with (doc, chunk) provenance.
+@register(
+    "x153_chunk_retrieval",
+    f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents
+                     WHERE text IS NOT NULL),
+        st AS (SELECT doc_id, ts,
+                      unnest(range(0, GREATEST(len(ts), 1), 24)) AS s
+               FROM tok),
+        ct AS (SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+                      unnest(ts[s + 1 : s + 32]) AS token
+               FROM st),
+        dl AS (SELECT doc_id, chunk_idx, COUNT(*) AS dl
+               FROM ct GROUP BY doc_id, chunk_idx),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         AVG(dl) AS avgdl FROM dl),
+        q AS (SELECT * FROM ct
+              WHERE token IN ('spark', 'hash', 'window')),
+        dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM (SELECT DISTINCT token, doc_id, chunk_idx FROM q)
+                GROUP BY token),
+        tf AS (SELECT doc_id, chunk_idx, token, COUNT(*) AS tf
+               FROM q GROUP BY doc_id, chunk_idx, token),
+        sc AS (SELECT tf.doc_id, tf.chunk_idx,
+                      ROUND(SUM(ln((stats.n_docs - dfq.df + 0.5)
+                                   / (dfq.df + 0.5) + 1.0)
+                                * tf.tf * (1.2 + 1.0)
+                                / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dl.dl / stats.avgdl))), 6)
+                          AS bm25
+               FROM tf JOIN dfq USING (token)
+                       JOIN dl ON tf.doc_id = dl.doc_id
+                              AND tf.chunk_idx = dl.chunk_idx
+                       CROSS JOIN stats
+               GROUP BY tf.doc_id, tf.chunk_idx)
+       SELECT doc_id, chunk_idx, bm25 FROM sc
+       ORDER BY bm25 DESC, doc_id, chunk_idx LIMIT 10""",
+)
+def x153(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.chunk_bm25_topk(
+        docs, "text", "doc_id", _BM25_TERMS, chunk_size=32, stride=24, k=10
+    )

@@ -417,3 +417,32 @@ def test_bfs_early_stop_on_empty_frontier(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     out = graph.bfs_hops(edges, seeds, max_hops=50)
     assert {(r["node"], r["hop"]) for r in out.collect()} == {(1, 0), (2, 1)}
+
+
+# --- chunk retrieval --------------------------------------------------------
+
+
+def test_chunk_bm25_prefers_concentrated_chunk(spark):
+    # one long doc with the query term buried once vs a short doc that is
+    # entirely on-topic: the short chunk must outrank the diluted one
+    long_text = " ".join(["filler"] * 30 + ["target"] + ["filler"] * 30)
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "target target target")], "doc_id long, text string"
+    )
+    rows = textops.chunk_bm25_topk(
+        docs, "text", "doc_id", ["target"], chunk_size=16, stride=16, k=5
+    ).collect()
+    assert rows[0]["doc_id"] == 2 and rows[0]["chunk_idx"] == 0
+    # only chunks containing the term appear at all
+    assert all(r["bm25"] > 0 for r in rows)
+
+
+def test_chunk_bm25_provenance_points_at_right_window(spark):
+    # term sits in tokens 24..27 -> stride-16 windows 1 (16..31) and
+    # possibly 0 end-overlap; window 0 covers 0..15 -> no hit
+    text = " ".join(["pad"] * 24 + ["needle"] * 4 + ["pad"] * 4)
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = textops.chunk_bm25_topk(
+        docs, "text", "doc_id", ["needle"], chunk_size=16, stride=16, k=5
+    ).collect()
+    assert {r["chunk_idx"] for r in rows} == {1}
