@@ -163,6 +163,8 @@ HEADLINE = [
     "x151_bfs_hops",
     "x152_weighted_jaccard",
     "x153_chunk_retrieval",
+    "x154_cuped_readout",
+    "x155_conversion_window",
 ]
 
 

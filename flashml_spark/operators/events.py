@@ -557,3 +557,119 @@ def last_touch_attribution(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.round(F.sum(value_col), 2).alias("total_value"),
     )
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    variant_col: str | None = None,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts: per-user PRE-
+    period activity (before ``split_ts``) is the covariate; the adjusted
+    post-period metric is ``post − θ·(pre − mean(pre))`` with
+    ``θ = cov(pre, post)/var(pre)`` pooled across variants — the
+    experimentation-platform primitive that shrinks metric variance
+    without touching the estimand.  ``variant_col`` defaults to
+    ``user_col % 2`` (the deterministic hash-bucket arm).
+
+    All moments are explicit (n, Σ, Σ², Σxy) sums pooled in ONE 1-row
+    broadcast; per-user pre/post are one keyed agg; output is one row
+    per variant: ``variant, n_users, mean_post, mean_adjusted, theta``
+    (rounded 6; θ NULL when var(pre) = 0).
+    """
+    variant = (
+        F.col(variant_col) if variant_col else (F.col(user_col) % 2).cast("int")
+    ).alias("variant")
+    pre = F.sum(
+        F.when(F.col(ts_col) < F.lit(split_ts).cast("timestamp"), F.col(value_col))
+    )
+    post = F.sum(
+        F.when(F.col(ts_col) >= F.lit(split_ts).cast("timestamp"), F.col(value_col))
+    )
+    per_user = df.groupBy(F.col(user_col), variant).agg(
+        F.coalesce(pre, F.lit(0.0)).alias("pre"),
+        F.coalesce(post, F.lit(0.0)).alias("post"),
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    varx = F.col("sxx") / F.col("n") - mx * mx
+    cov = F.col("sxy") / F.col("n") - mx * (F.col("sy") / F.col("n"))
+    theta = F.when(varx > 0, cov / varx)
+    joined = per_user.crossJoin(F.broadcast(stats)).select(
+        "variant",
+        "post",
+        (
+            F.col("post")
+            - F.coalesce(theta, F.lit(0.0)) * (F.col("pre") - mx)
+        ).alias("adj"),
+        theta.alias("__theta"),
+    )
+    return joined.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("post"), 6).alias("mean_post"),
+        F.round(F.avg("adj"), 6).alias("mean_adjusted"),
+        F.round(F.first("__theta"), 6).alias("theta"),
+    )
+
+
+def conversion_within_window(
+    df: DataFrame,
+    trigger_type: str = "click",
+    conversion_type: str = "purchase",
+    window_seconds: int = 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-window funnel conversion: the fraction of users with at least
+    one ``trigger_type`` event followed by a ``conversion_type`` event
+    within ``window_seconds`` — strictly after in (ts, id) order, so a
+    conversion logged at the same instant but sequenced earlier doesn't
+    count.
+
+    No per-user pair join (quadratic for heavy users): one keyed window
+    carries each event's NEXT conversion timestamp (min over the
+    following frame), so the check is a per-row comparison.  Output: one
+    row ``n_clickers, n_converted, conv_rate`` (rounded 6; rate NULL
+    when no trigger events exist).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_conv = F.min(
+        F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+    ).over(w)
+    clicks = (
+        df.withColumn("__next", next_conv)
+        .where(F.col(type_col) == trigger_type)
+        .select(
+            F.col(user_col),
+            (
+                F.col("__next").isNotNull()
+                & (
+                    F.col("__next")
+                    <= F.col(ts_col) + F.expr(f"INTERVAL {window_seconds} SECOND")
+                )
+            )
+            .cast("int")
+            .alias("conv"),
+        )
+    )
+    per_user = clicks.groupBy(user_col).agg(F.max("conv").alias("conv"))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clickers"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+        F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )

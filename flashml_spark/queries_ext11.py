@@ -644,3 +644,69 @@ def x153(spark: SparkSession, sf: str) -> DataFrame:
     return textops.chunk_bm25_topk(
         docs, "text", "doc_id", _BM25_TERMS, chunk_size=32, stride=24, k=10
     )
+
+
+# --------------------------------------------------------------------------
+# x154 — CUPED variance-reduced experiment readout: per-user pre-period
+# value (before Jan 16) as the covariate, theta pooled across arms,
+# arm = user_id % 2.  Explicit moment sums for engine float parity.
+@register(
+    "x154_cuped_readout",
+    """WITH pu AS (SELECT user_id,
+                          CAST(user_id % 2 AS INTEGER) AS variant,
+                          COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                            THEN value END), 0) AS pre,
+                          COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                            THEN value END), 0) AS post
+                   FROM events GROUP BY user_id),
+        st AS (SELECT COUNT(*) * 1.0 AS n, SUM(pre) AS sx,
+                      SUM(pre * pre) AS sxx, SUM(post) AS sy,
+                      SUM(pre * post) AS sxy
+               FROM pu),
+        th AS (SELECT n, sx / n AS mx,
+                      CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                           THEN (sxy / n - (sx / n) * (sy / n))
+                                / (sxx / n - (sx / n) * (sx / n)) END AS theta
+               FROM st)
+       SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+              ROUND(AVG(post), 6) AS mean_post,
+              ROUND(AVG(post - COALESCE(theta, 0) * (pre - mx)), 6)
+                  AS mean_adjusted,
+              ROUND(ANY_VALUE(theta), 6) AS theta
+       FROM pu, th GROUP BY variant""",
+)
+def x154(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    return events.cuped_adjusted_means(
+        ev, "user_id", "ts", "value", split_ts="2024-01-16"
+    )
+
+
+# --------------------------------------------------------------------------
+# x155 — time-window funnel conversion (click -> purchase within 1 h):
+# next-conversion timestamp carried by a keyed window, never a per-user
+# pair join.
+@register(
+    "x155_conversion_window",
+    """WITH w AS (SELECT user_id, event_type, ts,
+                         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 1 FOLLOWING
+                                        AND UNBOUNDED FOLLOWING) AS next_p
+                  FROM events),
+        c AS (SELECT user_id,
+                     CASE WHEN next_p IS NOT NULL
+                               AND next_p <= ts + INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END AS conv
+              FROM w WHERE event_type = 'click'),
+        u AS (SELECT user_id, MAX(conv) AS conv FROM c GROUP BY user_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
+              CAST(SUM(conv) AS BIGINT) AS n_converted,
+              ROUND(SUM(conv) * 1.0 / COUNT(*), 6) AS conv_rate
+       FROM u""",
+)
+def x155(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return events.conversion_within_window(ev)

@@ -65,6 +65,7 @@ ACCEPTED_CROSS = {
     "x140_source_jsd": "|sources|^2 pair frame, both sides post-agg |sources| totals",
     "x149_benford_audit": "1-row digit-total scalar broadcast",
     "x153_chunk_retrieval": "1-row (N, avgdl, per-term df) stats scalar broadcast",
+    "x154_cuped_readout": "1-row pooled-moment scalar broadcast",
 }
 
 

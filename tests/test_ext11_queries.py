@@ -446,3 +446,61 @@ def test_chunk_bm25_provenance_points_at_right_window(spark):
         docs, "text", "doc_id", ["needle"], chunk_size=16, stride=16, k=5
     ).collect()
     assert {r["chunk_idx"] for r in rows} == {1}
+
+
+# --- CUPED / conversion window ----------------------------------------------
+
+
+def test_cuped_reduces_variance_when_correlated(spark):
+    # post = pre + small noise, variants balanced: adjusted means converge
+    rows = []
+    for u in range(40):
+        pre = float(u % 10)
+        rows.append((u, "2024-01-01 00:00:00", pre))
+        rows.append((u, "2024-02-01 00:00:00", pre * 2 + (u % 2) * 0.1))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["variant"]: r for r in events.cuped_adjusted_means(
+        df, "user_id", "ts", "value", split_ts="2024-01-16"
+    ).collect()}
+    # theta ~ 2 (post tracks pre 2:1); adjusted means strip the pre signal,
+    # leaving only the +0.1 arm effect
+    assert abs(out[0]["theta"] - 2.0) < 0.05
+    gap_raw = abs(out[1]["mean_post"] - out[0]["mean_post"])
+    gap_adj = abs(out[1]["mean_adjusted"] - out[0]["mean_adjusted"])
+    assert abs(gap_adj - 0.1) < 0.05
+    assert gap_adj <= gap_raw + 1e-9
+
+
+def test_cuped_zero_pre_variance_theta_null(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00", 5.0), (2, "2024-02-02 00:00:00", 7.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events.cuped_adjusted_means(df, "user_id", "ts", "value", "2024-01-16").collect()
+    assert all(r["theta"] is None for r in out)
+    for r in out:
+        assert r["mean_adjusted"] == r["mean_post"]  # no covariate, no shift
+
+
+def test_conversion_window_hand_cases(spark):
+    rows = [
+        # u1 converts: click 0s, purchase 30m later
+        (1, 1, "click", "2024-01-01 00:00:00"),
+        (2, 1, "purchase", "2024-01-01 00:30:00"),
+        # u2 too late: purchase 2h after click
+        (3, 2, "click", "2024-01-01 00:00:00"),
+        (4, 2, "purchase", "2024-01-01 02:00:00"),
+        # u3 wrong order: purchase BEFORE the click
+        (5, 3, "purchase", "2024-01-01 00:00:00"),
+        (6, 3, "click", "2024-01-01 00:10:00"),
+        # u4 never clicks -> not in the denominator
+        (7, 4, "purchase", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = events.conversion_within_window(df).collect()[0]
+    assert row["n_clickers"] == 3 and row["n_converted"] == 1
+    assert row["conv_rate"] == round(1 / 3, 6)
