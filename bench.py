@@ -165,6 +165,7 @@ HEADLINE = [
     "x153_chunk_retrieval",
     "x154_cuped_readout",
     "x155_conversion_window",
+    "x156_corpus_card",
 ]
 
 

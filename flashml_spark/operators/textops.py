@@ -1238,3 +1238,71 @@ def vocab_growth_curve(
         "new_types",
         F.col("cum_new_types").cast("bigint").alias("cum_types"),
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    short_doc_tokens: int = 10,
+) -> DataFrame:
+    """One-row "dataset card": the corpus-health summary a curation run
+    publishes next to the data — sizes, exact duplicate rate, token
+    volume, short-doc share, language/source diversity, and head-language
+    concentration.  ONE corpus pass (every measure folds into a single
+    hash-agg-friendly projection; the distinct-digest and per-lang counts
+    are keyed sub-aggregations), all counts exact.
+
+    Output columns: ``n_docs, n_null_text, n_distinct_texts, dup_rate,
+    total_tokens, mean_tokens, short_doc_share, n_langs, n_sources,
+    top_lang_share`` (floats rounded to 6).
+    """
+    toks = H.tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().cast("long").alias("__isnull"),
+        F.when(F.col(text_col).isNotNull(), H.md5_hex(F.col(text_col))).alias("__h"),
+        F.when(F.col(text_col).isNotNull(), F.size(toks)).alias("__nt"),
+        F.col(lang_col).alias("__lang"),
+        F.col(source_col).alias("__src"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__isnull").cast("bigint").alias("n_null_text"),
+        F.count_distinct("__h").cast("bigint").alias("n_distinct_texts"),
+        F.sum("__nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__nt"), 6).alias("mean_tokens"),
+        F.round(
+            F.avg((F.col("__nt") < short_doc_tokens).cast("int")), 6
+        ).alias("short_doc_share"),
+        F.count_distinct("__lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("__src").cast("bigint").alias("n_sources"),
+    )
+    lang_top = (
+        base.groupBy("__lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__all"))
+        .select((F.col("__top") / F.col("__all")).alias("__top_share"))
+    )
+    return main.crossJoin(F.broadcast(lang_top)).select(
+        "n_docs",
+        "n_null_text",
+        "n_distinct_texts",
+        F.round(
+            F.when(
+                F.col("n_docs") - F.col("n_null_text") > 0,
+                1.0
+                - F.col("n_distinct_texts")
+                / (F.col("n_docs") - F.col("n_null_text")),
+            ),
+            6,
+        ).alias("dup_rate"),
+        "total_tokens",
+        "mean_tokens",
+        "short_doc_share",
+        "n_langs",
+        "n_sources",
+        F.round("__top_share", 6).alias("top_lang_share"),
+    )

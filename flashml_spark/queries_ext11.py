@@ -710,3 +710,39 @@ def x155(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id"
     )
     return events.conversion_within_window(ev)
+
+
+# --------------------------------------------------------------------------
+# x156 — the dataset card: one-row corpus-health summary a curation run
+# publishes next to the data (sizes, exact dup rate, token volume,
+# short-doc share, diversity, head-language concentration).
+@register(
+    "x156_corpus_card",
+    f"""WITH b AS (SELECT doc_id,
+                          CASE WHEN text IS NULL THEN 1 ELSE 0 END AS nulltxt,
+                          CASE WHEN text IS NOT NULL THEN md5(text) END AS h,
+                          CASE WHEN text IS NOT NULL
+                               THEN len({_TOK}) END AS nt,
+                          lang, source
+                   FROM documents),
+        lt AS (SELECT MAX(c) * 1.0 / SUM(c) AS top_share
+               FROM (SELECT lang, COUNT(*) AS c FROM b GROUP BY lang))
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(nulltxt) AS BIGINT) AS n_null_text,
+              CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+              ROUND(CASE WHEN COUNT(*) - SUM(nulltxt) > 0
+                         THEN 1.0 - COUNT(DISTINCT h) * 1.0
+                              / (COUNT(*) - SUM(nulltxt)) END, 6) AS dup_rate,
+              CAST(SUM(nt) AS BIGINT) AS total_tokens,
+              ROUND(AVG(nt), 6) AS mean_tokens,
+              ROUND(AVG(CASE WHEN nt IS NULL THEN NULL
+                             WHEN nt < 10 THEN 1.0 ELSE 0.0 END), 6)
+                  AS short_doc_share,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              ROUND(ANY_VALUE(lt.top_share), 6) AS top_lang_share
+       FROM b, lt""",
+)
+def x156(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textops.corpus_card(docs)

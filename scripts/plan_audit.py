@@ -66,6 +66,7 @@ ACCEPTED_CROSS = {
     "x149_benford_audit": "1-row digit-total scalar broadcast",
     "x153_chunk_retrieval": "1-row (N, avgdl, per-term df) stats scalar broadcast",
     "x154_cuped_readout": "1-row pooled-moment scalar broadcast",
+    "x156_corpus_card": "1-row head-language-share scalar broadcast",
 }
 
 

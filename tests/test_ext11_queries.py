@@ -504,3 +504,25 @@ def test_conversion_window_hand_cases(spark):
     row = events.conversion_within_window(df).collect()[0]
     assert row["n_clickers"] == 3 and row["n_converted"] == 1
     assert row["conv_rate"] == round(1 / 3, 6)
+
+
+# --- corpus card ------------------------------------------------------------
+
+
+def test_corpus_card_hand_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "s1"),
+            (2, "one two three", "en", "s1"),   # exact dup
+            (3, "tiny", "de", "s2"),            # short doc (< 10 tokens... all are)
+            (4, None, "de", "s2"),              # null text
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = textops.corpus_card(docs).collect()[0]
+    assert row["n_docs"] == 4 and row["n_null_text"] == 1
+    assert row["n_distinct_texts"] == 2
+    assert row["dup_rate"] == round(1 - 2 / 3, 6)
+    assert row["total_tokens"] == 7 and row["short_doc_share"] == 1.0
+    assert row["n_langs"] == 2 and row["n_sources"] == 2
+    assert row["top_lang_share"] == 0.5
