@@ -166,6 +166,7 @@ HEADLINE = [
     "x154_cuped_readout",
     "x155_conversion_window",
     "x156_corpus_card",
+    "x157_ttl_dedup",
 ]
 
 

@@ -1108,3 +1108,44 @@ def weighted_jaccard_pairs(
     return cw.filter(F.round(jac, 6) >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("wjaccard")
     )
+
+
+def ttl_dedup_flags(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    horizon_seconds: int,
+) -> DataFrame:
+    """Horizon (TTL) deduplication flags — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``: a row is a duplicate iff the SAME
+    content key occurred within the previous ``horizon_seconds``
+    (measured from the last occurrence, so a burst extends its own
+    horizon, exactly like live state that refreshes while rows keep
+    arriving).  Outside the horizon the key is "forgotten" and the next
+    occurrence is kept — retry/resubmission dedup for event streams.
+
+    One keyed window per content digest (md5 of the null-safe
+    concatenated key columns; the same digest expression is usable on
+    any SQL engine).  Appends ``is_dup``.
+    """
+    digest = H.md5_hex(
+        F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
+        )
+    )
+    w = Window.partitionBy("__h").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - prev
+    return (
+        df.withColumn("__h", digest)
+        .withColumn(
+            "is_dup",
+            (prev.isNotNull() & (gap_us <= horizon_seconds * 1_000_000)).cast(
+                "int"
+            ),
+        )
+        .drop("__h")
+    )

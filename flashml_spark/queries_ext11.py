@@ -746,3 +746,39 @@ def x155(spark: SparkSession, sf: str) -> DataFrame:
 def x156(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return textops.corpus_card(docs)
+
+
+# --------------------------------------------------------------------------
+# x157 — TTL dedup audit: duplicate submissions (same user+type+payload)
+# within a 1-hour horizon measured from the LAST occurrence — the batch
+# twin of streaming dropDuplicatesWithinWatermark state semantics.
+@register(
+    "x157_ttl_dedup",
+    """WITH k AS (SELECT event_id, event_type, ts,
+                         md5(CAST(user_id AS VARCHAR) || '|' || event_type
+                             || '|' || COALESCE(props, '')) AS h
+                  FROM events),
+        l AS (SELECT event_type,
+                     epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (PARTITION BY h ORDER BY ts, event_id) AS gap_us
+              FROM k)
+       SELECT event_type,
+              CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                                 AND gap_us <= 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+              CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS kept
+       FROM l GROUP BY event_type""",
+)
+def x157(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts", "props"
+    )
+    flagged = dedup.ttl_dedup_flags(
+        ev, ["user_id", "event_type", "props"], "ts", "event_id",
+        horizon_seconds=3600,
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("is_dup").cast("bigint").alias("dropped"),
+        F.sum(1 - F.col("is_dup")).cast("bigint").alias("kept"),
+    )

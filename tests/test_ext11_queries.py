@@ -526,3 +526,40 @@ def test_corpus_card_hand_values(spark):
     assert row["total_tokens"] == 7 and row["short_doc_share"] == 1.0
     assert row["n_langs"] == 2 and row["n_sources"] == 2
     assert row["top_lang_share"] == 0.5
+
+
+# --- TTL dedup --------------------------------------------------------------
+
+
+def test_ttl_dedup_burst_extends_horizon(spark):
+    rows = [
+        (1, 9, "submit", "payload", "2024-01-01 00:00:00"),
+        (2, 9, "submit", "payload", "2024-01-01 00:50:00"),  # dup of #1
+        (3, 9, "submit", "payload", "2024-01-01 01:40:00"),  # 100m from #1 but
+                                                             # 50m from #2 -> dup
+        (4, 9, "submit", "payload", "2024-01-01 04:00:00"),  # horizon expired
+        (5, 9, "submit", "other", "2024-01-01 00:10:00"),    # different payload
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, props string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["is_dup"] for r in dedup.ttl_dedup_flags(
+        df, ["user_id", "event_type", "props"], "ts", "event_id", 3600
+    ).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_ttl_dedup_null_payload_is_its_own_key(spark):
+    rows = [
+        (1, 9, "submit", None, "2024-01-01 00:00:00"),
+        (2, 9, "submit", None, "2024-01-01 00:10:00"),  # dup of the NULL key
+        (3, 9, "submit", "", "2024-01-01 00:20:00"),    # '' == NULL under the
+                                                        # null-safe digest -> dup
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, props string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["is_dup"] for r in dedup.ttl_dedup_flags(
+        df, ["user_id", "event_type", "props"], "ts", "event_id", 3600
+    ).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}
