@@ -167,6 +167,7 @@ HEADLINE = [
     "x155_conversion_window",
     "x156_corpus_card",
     "x157_ttl_dedup",
+    "x158_batch_retrieval",
 ]
 
 

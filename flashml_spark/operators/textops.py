@@ -1306,3 +1306,64 @@ def corpus_card(
         "n_sources",
         F.round("__top_share", 6).alias("top_lang_share"),
     )
+
+
+def multi_query_bm25(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch retrieval: BM25 top-``k`` documents for MANY queries in one
+    corpus pass (term-at-a-time): the query set becomes a tiny broadcast
+    ``(query_id, token)`` dim; every (doc, token) hit scores once per
+    query containing the token and folds into a (query, doc) hash agg.
+    Per-query ranking reuses the bounded per-group window (each query's
+    candidate set, never the corpus, sits in one partition — the
+    documented top-n-per-group contract).
+
+    Scores are rounded to 6 BEFORE ranking; ties break on ascending id.
+    Output: ``query_id, <id_col>, bm25, rn`` (rn 1..k).
+    """
+    from flashml_spark.operators.relational import top_n_per_group
+
+    spark = df.sparkSession
+    qrows = [(qid, t) for qid, ts in queries.items() for t in set(ts)]
+    qdim = spark.createDataFrame(qrows, "query_id int, token string")
+    toks = df.select(
+        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token")
+    ).where(F.col(text_col).isNotNull())
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    dfreq = (
+        toks.where(F.col("token").isin(all_terms))
+        .groupBy("token")
+        .agg(F.count_distinct(F.col(id_col)).cast("double").alias("df"))
+    )
+    tf = (
+        toks.join(F.broadcast(qdim), "token")
+        .groupBy("query_id", id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    return top_n_per_group(
+        scored, ["query_id"], "bm25", k, descending=True, tiebreak_cols=[id_col]
+    ).select("query_id", id_col, "bm25", F.col("rn").cast("bigint").alias("rn"))

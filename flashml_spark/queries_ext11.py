@@ -782,3 +782,52 @@ def x157(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("is_dup").cast("bigint").alias("dropped"),
         F.sum(1 - F.col("is_dup")).cast("bigint").alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# x158 — batch retrieval: BM25 top-5 for three queries in ONE corpus pass
+# (term-at-a-time over a broadcast query dim; per-query bounded window).
+_BATCH_QUERIES = {
+    1: ["spark", "hash"],
+    2: ["window", "scan"],
+    3: ["customer", "order", "merge"],
+}
+
+@register(
+    "x158_batch_retrieval",
+    f"""WITH qd(query_id, token) AS (VALUES
+            (1, 'spark'), (1, 'hash'),
+            (2, 'window'), (2, 'scan'),
+            (3, 'customer'), (3, 'order'), (3, 'merge')),
+        tok AS (SELECT doc_id, unnest({_TOK}) AS token
+                FROM documents WHERE text IS NOT NULL),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         AVG(dl) AS avgdl FROM dl),
+        dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tok WHERE token IN (SELECT token FROM qd)
+                GROUP BY token),
+        tf AS (SELECT qd.query_id, tok.doc_id, tok.token, COUNT(*) AS tf
+               FROM tok JOIN qd USING (token)
+               GROUP BY qd.query_id, tok.doc_id, tok.token),
+        sc AS (SELECT tf.query_id, tf.doc_id,
+                      ROUND(SUM(ln((stats.n_docs - dfq.df + 0.5)
+                                   / (dfq.df + 0.5) + 1.0)
+                                * tf.tf * (1.2 + 1.0)
+                                / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dl.dl / stats.avgdl))), 6)
+                          AS bm25
+               FROM tf JOIN dfq USING (token)
+                       JOIN dl ON tf.doc_id = dl.doc_id
+                       CROSS JOIN stats
+               GROUP BY tf.query_id, tf.doc_id),
+        r AS (SELECT query_id, doc_id, bm25,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY bm25 DESC, doc_id)
+                          AS BIGINT) AS rn
+              FROM sc)
+       SELECT query_id, doc_id, bm25, rn FROM r WHERE rn <= 5""",
+)
+def x158(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.multi_query_bm25(docs, "text", "doc_id", _BATCH_QUERIES, k=5)

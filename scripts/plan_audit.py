@@ -67,6 +67,7 @@ ACCEPTED_CROSS = {
     "x153_chunk_retrieval": "1-row (N, avgdl, per-term df) stats scalar broadcast",
     "x154_cuped_readout": "1-row pooled-moment scalar broadcast",
     "x156_corpus_card": "1-row head-language-share scalar broadcast",
+    "x158_batch_retrieval": "1-row (N, avgdl) stats scalar broadcast",
 }
 
 

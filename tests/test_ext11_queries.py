@@ -563,3 +563,31 @@ def test_ttl_dedup_null_payload_is_its_own_key(spark):
         df, ["user_id", "event_type", "props"], "ts", "event_id", 3600
     ).collect()}
     assert out == {1: 0, 2: 1, 3: 1}
+
+
+# --- batch retrieval --------------------------------------------------------
+
+
+def test_multi_query_bm25_matches_single_query_path(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta"), (3, "beta beta beta")],
+        "doc_id long, text string",
+    )
+    batch = textops.multi_query_bm25(docs, "text", "doc_id", {7: ["alpha"]}, k=10)
+    single = textops.bm25_topk(docs, "text", "doc_id", ["alpha"], k=10)
+    got = sorted((r["doc_id"], r["bm25"]) for r in batch.collect())
+    want = sorted((r["doc_id"], r["bm25"]) for r in single.collect())
+    assert got == want  # batch path == dedicated single-query path
+
+
+def test_multi_query_bm25_isolates_queries(spark):
+    docs = spark.createDataFrame(
+        [(1, "foo only here"), (2, "bar only there")], "doc_id long, text string"
+    )
+    out = textops.multi_query_bm25(
+        docs, "text", "doc_id", {1: ["foo"], 2: ["bar"]}, k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q == {1: {1}, 2: {2}}
