@@ -63,7 +63,7 @@ _PRIORITY = [
     "x117_revenue_gini", "x118_event_lift", "x119_daily_outliers",
     "x120_doc_freq_stopwords", "x121_prefix_dup_stats",
     "x122_forecast_revenue", "x123_product_profit",
-    # Overflow note: x124-x158 are NEW this round
+    # Overflow note: x124-x160 are NEW this round
     # but the window is full — they have NO driver row yet.  They pass the in-repo DuckDB
     # oracle suite at sf0.001 AND sf0.01 (same compare as the driver's t2
     # gate); rotate them to the FRONT of the r5 window.

@@ -168,6 +168,8 @@ HEADLINE = [
     "x156_corpus_card",
     "x157_ttl_dedup",
     "x158_batch_retrieval",
+    "x159_referential_integrity",
+    "x160_column_profile",
 ]
 
 

@@ -550,3 +550,67 @@ def series_autocorr(
     vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
     r = F.when((n >= 2) & (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
     return agg.select(n.cast("bigint").alias("n_pairs"), r.alias("autocorr"))
+
+
+def referential_integrity_audit(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+) -> DataFrame:
+    """Foreign-key health check between a parent and child table: how
+    many parent keys have no children (childless), how many child rows
+    reference a missing parent (orphans — the corruption that silently
+    drops rows from inner joins downstream), and the totals.
+
+    Two keyed anti-join counts over DISTINCT keys — no full outer join
+    materialization, no row payloads.  Output: one row ``n_parents,
+    n_children, childless_parents, orphan_children``.
+    """
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct()
+    ck = child.select(F.col(child_key).alias("__k"))
+    childless = pk.join(ck.distinct(), "__k", "left_anti").count()
+    orphans = ck.join(pk, "__k", "left_anti").count()
+    totals = parent.select(F.count(F.lit(1)).alias("np")).crossJoin(
+        child.select(F.count(F.lit(1)).alias("nc"))
+    )
+    return totals.select(
+        F.col("np").cast("bigint").alias("n_parents"),
+        F.col("nc").cast("bigint").alias("n_children"),
+        F.lit(childless).cast("bigint").alias("childless_parents"),
+        F.lit(orphans).cast("bigint").alias("orphan_children"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-profile audit — per column: row count, nulls, null
+    fraction, exact distinct count.  The schema-drift / data-quality
+    summary a pipeline publishes per ingestion batch.
+
+    One aggregation computes every measure (conditional sums +
+    count_distinct per column — a single pass, partial-aggregated
+    map-side); the per-column long format comes from unpivoting the
+    1-row wide result, so no per-column scans.  Output rows ordered by
+    the caller's column list: ``col_name, n_rows, n_nulls, null_frac,
+    n_distinct``.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__null_{c}").cast("bigint").alias("n_nulls"),
+                F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_frac"),
+                F.col(f"__dist_{c}").cast("bigint").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.null_frac", "p.n_distinct"
+    )

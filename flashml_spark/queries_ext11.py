@@ -831,3 +831,64 @@ _BATCH_QUERIES = {
 def x158(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return textops.multi_query_bm25(docs, "text", "doc_id", _BATCH_QUERIES, k=5)
+
+
+# --------------------------------------------------------------------------
+# x159 — referential-integrity audit between orders and lineitem: the
+# foreign-key health check (childless parents + orphan children) as two
+# keyed anti-join counts over distinct keys.
+@register(
+    "x159_referential_integrity",
+    """SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_parents,
+              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_children,
+              CAST((SELECT COUNT(*)
+                    FROM (SELECT DISTINCT o_orderkey FROM orders) p
+                    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                      WHERE l.l_orderkey = p.o_orderkey))
+                   AS BIGINT) AS childless_parents,
+              CAST((SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                   AS BIGINT) AS orphan_children""",
+)
+def x159(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import relational
+
+    o = load_table(spark, sf, "orders").select("o_orderkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey")
+    return relational.referential_integrity_audit(o, li, "o_orderkey", "l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# x160 — column-profile audit of the events table: per-column rows,
+# nulls, null fraction, exact distinct — ONE aggregation pass, long form
+# via a struct-array explode (never per-column scans).
+@register(
+    "x160_column_profile",
+    """WITH s AS (SELECT COUNT(*) AS n,
+                         COUNT(user_id) AS c_user, COUNT(DISTINCT user_id) AS d_user,
+                         COUNT(event_type) AS c_type, COUNT(DISTINCT event_type) AS d_type,
+                         COUNT(value) AS c_value, COUNT(DISTINCT value) AS d_value,
+                         COUNT(props) AS c_props, COUNT(DISTINCT props) AS d_props
+                  FROM events)
+       SELECT 'user_id' AS col_name, CAST(n AS BIGINT) AS n_rows,
+              CAST(n - c_user AS BIGINT) AS n_nulls,
+              ROUND((n - c_user) * 1.0 / n, 6) AS null_frac,
+              CAST(d_user AS BIGINT) AS n_distinct FROM s
+       UNION ALL
+       SELECT 'event_type', CAST(n AS BIGINT), CAST(n - c_type AS BIGINT),
+              ROUND((n - c_type) * 1.0 / n, 6), CAST(d_type AS BIGINT) FROM s
+       UNION ALL
+       SELECT 'value', CAST(n AS BIGINT), CAST(n - c_value AS BIGINT),
+              ROUND((n - c_value) * 1.0 / n, 6), CAST(d_value AS BIGINT) FROM s
+       UNION ALL
+       SELECT 'props', CAST(n AS BIGINT), CAST(n - c_props AS BIGINT),
+              ROUND((n - c_props) * 1.0 / n, 6), CAST(d_props AS BIGINT) FROM s""",
+)
+def x160(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import relational
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value", "props"
+    )
+    return relational.profile_columns(ev, ["user_id", "event_type", "value", "props"])

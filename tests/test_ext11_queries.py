@@ -591,3 +591,30 @@ def test_multi_query_bm25_isolates_queries(spark):
     for r in out:
         by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
     assert by_q == {1: {1}, 2: {2}}
+
+
+# --- data-quality audits ----------------------------------------------------
+
+
+def test_referential_integrity_hand_case(spark):
+    from flashml_spark.operators import relational
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    child = spark.createDataFrame([(1,), (1,), (9,)], "fk long")
+    row = relational.referential_integrity_audit(parent, child, "k", "fk").collect()[0]
+    assert row["n_parents"] == 3 and row["n_children"] == 3
+    assert row["childless_parents"] == 2  # keys 2 and 3
+    assert row["orphan_children"] == 1    # fk 9
+
+
+def test_profile_columns_hand_case(spark):
+    from flashml_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "a")], "x long, y string"
+    )
+    out = {r["col_name"]: r for r in relational.profile_columns(df, ["x", "y"]).collect()}
+    assert out["x"]["n_rows"] == 3 and out["x"]["n_nulls"] == 0
+    assert out["x"]["n_distinct"] == 2
+    assert out["y"]["n_nulls"] == 1 and out["y"]["null_frac"] == round(1 / 3, 6)
+    assert out["y"]["n_distinct"] == 1  # distinct skips NULL, SQL semantics
