@@ -712,7 +712,7 @@ def edit_distance_pairs(
     max_edits: int = 3,
     prefix_chars: int = 40,
 ) -> DataFrame:
-    """Near-dup pairs by Levenshtein distance ≤ ``max_edits`` on the
+    """Near-dup pairs by Levenshtein distance <= ``max_edits`` on the
     lowercased first ``prefix_chars`` characters — the classic title /
     short-string fuzzy match.
 
@@ -720,18 +720,21 @@ def edit_distance_pairs(
     scheme): split one string of a qualifying pair into ``max_edits + 1``
     contiguous segments — by pigeonhole at least one segment survives all
     edits untouched, so it occurs VERBATIM in the other string, shifted by
-    at most ``max_edits`` positions.  Each doc therefore emits (a) its
-    k+1 segments keyed by (segment index, text), and (b) every substring
-    of the matching length within ±k of each segment's home position as
-    probe keys; an equality join of segments against probes yields every
-    candidate, both directions, and only candidates pay the O(len²)
-    Levenshtein verify.
+    at most ``max_edits`` positions.  CRITICAL detail (a hypothesis
+    counterexample caught the naive version missing 'baa' vs 'b aa'):
+    the segmentation that matters is the PARTNER's — segment boundaries
+    depend on string LENGTH, so a doc must emit probe substrings for
+    EVERY partner length within +-k of its own, each using THAT length's
+    segment geometry.  Segments join probes on (partner_len, segment
+    index, substring).
 
-    Fan-out per doc is (k+1) segment rows + ~(k+1)(2k+1) probe rows —
-    constants in k, independent of corpus size; the join is selective
-    because a ~``prefix_chars/(k+1)``-char verbatim substring match is a
-    strong filter.  Unlike length banding, this prunes even when every
-    string has identical length (fixed-width prefixes).  Output:
+    Fan-out per doc: (k+1) segment rows + up to (2k+1)(k+1)(2k+1) probe
+    rows — constants in k, independent of corpus size; the join is
+    selective because a ~``prefix_chars/(k+1)``-char verbatim substring
+    match is a strong filter.  Unlike length banding, this prunes even
+    when every string has identical length.  Strings of length <= k (no
+    guaranteed non-empty segment) pair through a broadcast side channel.
+    Only candidates pay the O(len^2) Levenshtein verify.  Output:
     ``id_a, id_b, edits``.
     """
     k = max_edits
@@ -741,102 +744,89 @@ def edit_distance_pairs(
             F.lower(F.substring(F.col(text_col), 1, prefix_chars)), F.lit("")
         ).alias("p"),
     )
-
-    # Deterministic even partition of [1, L] into k+1 segments: the first
-    # (L mod (k+1)) segments get an extra char.  seg_start/seg_len are
-    # computed per index i in 0..k as SQL expressions.
     L = F.length("p")
-    base = (L / (k + 1)).cast("int")
-    extra = L - base * (k + 1)
 
-    def seg_start(i):
-        # 1-based start of segment i
-        return (
-            F.lit(1)
-            + base * i
-            + F.least(F.lit(i), extra)
-        )
+    def seg_geom(lam, i: int):
+        """1-based start and length of segment i under a length-``lam``
+        segmentation (first ``lam mod (k+1)`` segments get the extra
+        char).  ``lam`` is a Column."""
+        base = F.floor(lam / (k + 1)).cast("int")
+        extra = lam - base * (k + 1)
+        start = F.lit(1) + base * i + F.least(F.lit(i), extra)
+        ln = base + F.when(F.lit(i) < extra, 1).otherwise(0)
+        return start, ln
 
-    def seg_len(i):
-        return base + F.when(F.lit(i) < extra, 1).otherwise(0)
-
-    seg_rows = []
-    probe_rows = []
+    # segments: this doc's own geometry, keyed by (own length, i, sub)
+    seg_structs = []
     for i in range(k + 1):
-        st, ln = seg_start(i), seg_len(i)
-        seg_rows.append(
+        st, ln = seg_geom(L, i)
+        seg_structs.append(
             F.struct(
                 F.lit(i).alias("i"),
-                F.substring(F.col("p"), 1, 0).alias("sub"),  # placeholder
-                st.alias("st"),
-                ln.alias("ln"),
+                F.col("p").substr(st, ln).alias("sub"),
             )
         )
-    # build via expr for substring with dynamic pos/len
-    segs = keyed.select(
-        "doc",
-        "p",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.expr(
-                            f"substr(p, 1 + cast(length(p)/{k+1} as int)*{i} "
-                            f"+ least({i}, length(p) - cast(length(p)/{k+1} as int)*{k+1}), "
-                            f"cast(length(p)/{k+1} as int) "
-                            f"+ if({i} < length(p) - cast(length(p)/{k+1} as int)*{k+1}, 1, 0))"
-                        ).alias("sub"),
-                    )
-                    for i in range(k + 1)
-                ]
-            )
-        ).alias("g"),
-    ).select("doc", F.col("g.i").alias("i"), F.col("g.sub").alias("sub")).filter(
-        F.length("sub") > 0
+    segs = (
+        keyed.select(
+            "doc", L.alias("lam"), F.explode(F.array(*seg_structs)).alias("g")
+        )
+        .select("doc", "lam", F.col("g.i").alias("i"), F.col("g.sub").alias("sub"))
+        .filter(F.length("sub") > 0)
     )
 
-    probes = keyed.select(
-        "doc",
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.expr(
-                            # all substrings of segment-i's length starting
-                            # within +/- k of its home position
-                            f"transform(sequence(greatest(1, 1 + cast(length(p)/{k+1} as int)*{i} "
-                            f"+ least({i}, length(p) - cast(length(p)/{k+1} as int)*{k+1}) - {k}), "
-                            f"least(length(p) - (cast(length(p)/{k+1} as int) "
-                            f"+ if({i} < length(p) - cast(length(p)/{k+1} as int)*{k+1}, 1, 0)) + 1, "
-                            f"1 + cast(length(p)/{k+1} as int)*{i} "
-                            f"+ least({i}, length(p) - cast(length(p)/{k+1} as int)*{k+1}) + {k})), "
-                            f"pos -> struct({i} as i, substr(p, pos, cast(length(p)/{k+1} as int) "
-                            f"+ if({i} < length(p) - cast(length(p)/{k+1} as int)*{k+1}, 1, 0)) as sub))"
-                        )
-                        for i in range(k + 1)
-                    ]
-                )
+    # probes: for every partner length lam in [L-k, L+k], every substring
+    # with THAT length's segment-i geometry, starting within +-k of the
+    # segment's home position (pigeonhole shift bound), clamped to valid
+    # substring starts in THIS doc.
+    def probe_maker(lam, i: int, ln):
+        # factory keeps the HOF lambda single-param: pyspark maps every
+        # positional parameter (even defaulted) to a lambda variable
+        def fn(pos):
+            return F.struct(
+                lam.alias("lam"),
+                F.lit(i).alias("i"),
+                F.col("p").substr(pos, ln).alias("sub"),
             )
-        ).alias("g"),
-    ).select("doc", F.col("g.i").alias("i"), F.col("g.sub").alias("sub")).filter(
-        F.length("sub") > 0
+
+        return fn
+
+    probe_arrays = []
+    for d in range(-k, k + 1):
+        lam = L + d
+        for i in range(k + 1):
+            st, ln = seg_geom(lam, i)
+            lo = F.greatest(F.lit(1), st - k)
+            hi = F.least(L - ln + 1, st + k)
+            positions = F.when(
+                (lam >= 1) & (ln >= 1) & (lo <= hi), F.sequence(lo, hi)
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+            probe_arrays.append(F.transform(positions, probe_maker(lam, i, ln)))
+    probes = (
+        keyed.select(
+            "doc", F.explode(F.flatten(F.array(*probe_arrays))).alias("g")
+        )
+        .select(
+            "doc",
+            F.col("g.lam").alias("lam"),
+            F.col("g.i").alias("i"),
+            F.col("g.sub").alias("sub"),
+        )
+        .filter(F.length("sub") > 0)
     )
 
-    sl = segs.select(F.col("doc").alias("d1"), "i", "sub")
-    pr = probes.select(F.col("doc").alias("d2"), "i", "sub").distinct()
+    sl = segs.select(F.col("doc").alias("d1"), "lam", "i", "sub")
+    pr = probes.select(F.col("doc").alias("d2"), "lam", "i", "sub").distinct()
     seg_cand = (
-        sl.join(pr, ["i", "sub"])
+        sl.join(pr, ["lam", "i", "sub"])
         .filter(F.col("d1") != F.col("d2"))
         .select(
             F.least("d1", "d2").alias("id_a"),
             F.greatest("d1", "d2").alias("id_b"),
         )
     )
-    # Strings with length ≤ k have no guaranteed surviving segment (some
-    # segments are empty) — pair them directly against everything within
-    # the k length bound.  This side is degenerate-short docs only, so the
-    # broadcast join is tiny.
+    # Strings with length <= k have no guaranteed non-empty segment —
+    # pair them directly against everything within the k length bound.
+    # This side is degenerate-short docs only, so the broadcast is tiny.
     shorts = keyed.filter(F.length("p") <= k).select(
         F.col("doc").alias("d1"), F.length("p").alias("l1")
     )
@@ -869,8 +859,6 @@ def edit_distance_pairs(
         .filter(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")
     )
-
-
 def prefix_containment(
     df: DataFrame,
     text_col: str = "text",

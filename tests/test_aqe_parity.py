@@ -21,6 +21,7 @@ HEAVY = [
     "x144_minhash_accuracy",
     "x151_bfs_hops",
     "x152_weighted_jaccard",
+    "x134_edit_distance_pairs",
 ]
 
 

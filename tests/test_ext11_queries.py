@@ -618,3 +618,34 @@ def test_profile_columns_hand_case(spark):
     assert out["x"]["n_distinct"] == 2
     assert out["y"]["n_nulls"] == 1 and out["y"]["null_frac"] == round(1 / 3, 6)
     assert out["y"]["n_distinct"] == 1  # distinct skips NULL, SQL semantics
+
+
+# --- edit-distance regression -----------------------------------------------
+
+
+def test_edit_distance_cross_length_segmentation_regression(spark):
+    """Hypothesis-found soundness bug: 'baa' vs 'b aa' (1 insertion) was
+    MISSED when probes used the probing doc's own segment geometry —
+    segment boundaries depend on string length, so probes must be
+    emitted for every partner length within +-k.  Pinned explicitly so
+    the case outlives the hypothesis example database."""
+    df = spark.createDataFrame(
+        [(0, "baa"), (1, "b aa"), (2, "zzzzz")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["edits"])
+        for r in dedup.edit_distance_pairs(df, "text", "doc_id", max_edits=1).collect()
+    }
+    assert got == {(0, 1, 1)}
+
+
+def test_edit_distance_cross_length_k2(spark):
+    # two inserts spread across both halves: lengths 4 vs 6
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, "xabcyd")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["edits"])
+        for r in dedup.edit_distance_pairs(df, "text", "doc_id", max_edits=2).collect()
+    }
+    assert got == {(0, 1, 2)}
