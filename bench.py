@@ -192,6 +192,42 @@ def release_storage(spark) -> None:
             r.unpersist(False)
 
 
+def detail_line(timings: dict[str, float], total: float, sf_val) -> str:
+    """Full per-query detail — its own stdout line, printed BEFORE the
+    totals so an oversized dict can never displace the final line."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_detail",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
+    )
+
+
+def totals_line(timings: dict[str, float], total: float, sf_val) -> str:
+    """COMPACT summary — always the LAST stdout line.  The driver
+    captures a bounded tail of stdout and parses the final JSON line;
+    r03's 73-query dict overflowed it, so this payload must stay small
+    no matter how many queries run (guarded by
+    tests/test_driver_contract.py::test_bench_totals_line_stays_compact
+    against THIS function)."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {
+                "n_queries": len(timings),
+                "max": max(timings.values()) if timings else 0.0,
+                "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
+            },
+            "sf": sf_val,
+        }
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -220,36 +256,9 @@ def main() -> int:
         total += dt
         release_storage(spark)
 
-    # Full per-query detail first (its own line), then a COMPACT summary
-    # line LAST: the driver captures a bounded tail of stdout, and r03's
-    # 73-query dict overflowed it — the final line must always fit.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_detail",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    print(detail_line(timings, total, sf_val))
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {
-                    "n_queries": len(timings),
-                    "max": max(timings.values()) if timings else 0.0,
-                    "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
-                },
-                "sf": sf_val,
-            }
-        )
-    )
+    print(totals_line(timings, total, sf_val))
     return 0
 
 

@@ -1105,13 +1105,24 @@ def ttl_dedup_flags(
     id_col: str,
     horizon_seconds: int,
 ) -> DataFrame:
-    """Horizon (TTL) deduplication flags — the batch twin of streaming
-    ``dropDuplicatesWithinWatermark``: a row is a duplicate iff the SAME
-    content key occurred within the previous ``horizon_seconds``
-    (measured from the last occurrence, so a burst extends its own
-    horizon, exactly like live state that refreshes while rows keep
-    arriving).  Outside the horizon the key is "forgotten" and the next
-    occurrence is kept — retry/resubmission dedup for event streams.
+    """Horizon (TTL) deduplication flags with REFRESHING-horizon
+    semantics: a row is a duplicate iff the SAME content key occurred
+    within the previous ``horizon_seconds`` measured from the LAST
+    occurrence — every hit refreshes the key's TTL, like a TTL cache,
+    so a burst extends its own horizon and a chain of closely-spaced
+    retries is flagged end-to-end even when the chain spans more than
+    one horizon.  Outside the horizon the key is "forgotten" and the
+    next occurrence is kept — retry/resubmission dedup for event
+    streams.
+
+    Deliberate divergence from streaming
+    ``dropDuplicatesWithinWatermark``, which anchors the delay window
+    at the FIRST event and does not refresh state on duplicates (its
+    guarantee is earliest-to-latest distance < delay, so it would
+    re-emit partway through a long chain).  The refreshing semantics
+    is chosen here because for retry storms the whole chain is one
+    logical event; it is also the cheaper batch plan (one ``lag`` gap
+    per key vs. a data-dependent anchor scan).
 
     One keyed window per content digest (md5 of the null-safe
     concatenated key columns; the same digest expression is usable on

@@ -564,21 +564,30 @@ def referential_integrity_audit(
     drops rows from inner joins downstream), and the totals.
 
     Two keyed anti-join counts over DISTINCT keys — no full outer join
-    materialization, no row payloads.  Output: one row ``n_parents,
-    n_children, childless_parents, orphan_children``.
+    materialization, no row payloads.  The whole audit is ONE deferred
+    plan (four 1-row aggregates cross-joined — each cross is a 1-row
+    broadcast): building the frame runs no jobs, and re-evaluating it
+    recomputes every measure from the current inputs, same lazy
+    contract as every other operator here (r4 ADVICE fix — the
+    anti-join counts were previously eager ``.count()`` literals that
+    could go stale against the lazily-computed totals).  Output: one
+    row ``n_parents, n_children, childless_parents, orphan_children``.
     """
     pk = parent.select(F.col(parent_key).alias("__k")).distinct()
     ck = child.select(F.col(child_key).alias("__k"))
-    childless = pk.join(ck.distinct(), "__k", "left_anti").count()
-    orphans = ck.join(pk, "__k", "left_anti").count()
-    totals = parent.select(F.count(F.lit(1)).alias("np")).crossJoin(
-        child.select(F.count(F.lit(1)).alias("nc"))
+    childless = (
+        pk.join(ck.distinct(), "__k", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("childless_parents"))
     )
-    return totals.select(
-        F.col("np").cast("bigint").alias("n_parents"),
-        F.col("nc").cast("bigint").alias("n_children"),
-        F.lit(childless).cast("bigint").alias("childless_parents"),
-        F.lit(orphans).cast("bigint").alias("orphan_children"),
+    orphans = (
+        ck.join(pk, "__k", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_children"))
+    )
+    return (
+        parent.agg(F.count(F.lit(1)).cast("bigint").alias("n_parents"))
+        .crossJoin(child.agg(F.count(F.lit(1)).cast("bigint").alias("n_children")))
+        .crossJoin(childless)
+        .crossJoin(orphans)
     )
 
 

@@ -1149,10 +1149,17 @@ def bpe_learn(
     get_stats convention), picks the most frequent pair (ties: ascending
     pair string), and merges it greedily left-to-right in every word.
 
-    Words are carried as sentinel-spaced symbol strings (`` a b c ``), so
-    a merge is one literal ``replace(' a b ' -> ' ab ')`` — non-overlapping
-    left-to-right in both Spark and standard SQL engines, which is exactly
-    BPE's greedy merge semantics (`` a a a `` merges once).
+    Words are carried with every symbol wrapped in its OWN sentinel
+    spaces (``" a  b  c "`` — adjacent symbols are separated by TWO
+    spaces), so a merge is one literal
+    ``replace(' a  b ' -> ' ab ')``.  Because each match consumes only
+    its own wrapper spaces — never a neighbor's — a single
+    non-overlapping left-to-right replace is EXACTLY canonical greedy
+    BPE: disjoint adjacent occurrences all merge in one round
+    (``a b a b`` → ``ab ab``; a shared-single-space encoding skips
+    every other one), while self-overlap still merges greedily
+    (``a a a`` → ``aa a``).  Literal replace has identical semantics in
+    Spark and DuckDB, so the x143 oracle mirrors this exactly.
 
     Scale shape: the corpus is touched ONCE (token explode + word-freq
     hash agg); every loop round runs on the |distinct words| frame —
@@ -1161,9 +1168,7 @@ def bpe_learn(
     localCheckpointed per round to keep lineage flat, same loop hygiene
     as :func:`graph.pagerank`.  Output: ``merge_round, pair, merged, n``.
     """
-    spaced = F.concat(
-        F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
-    )
+    spaced = F.regexp_replace(F.col("word"), "(.)", " $1 ")
     words = (
         df.where(F.col(text_col).isNotNull())
         .select(F.explode(H.tokens(F.col(text_col))).alias("word"))
@@ -1174,7 +1179,7 @@ def bpe_learn(
     )
     merges = []
     for rnd in range(1, n_merges + 1):
-        symbols = F.split(F.trim(F.col("r")), " ")
+        symbols = F.split(F.trim(F.col("r")), "  ")
         pairs = (
             words.select(
                 F.explode(H.word_ngrams(symbols, 2)).alias("pair"), "freq"
@@ -1188,10 +1193,11 @@ def bpe_learn(
         pair, n = best[0]["pair"], best[0]["n"]
         merged = pair.replace(" ", "")
         merges.append((rnd, pair, merged, int(n)))
+        wrapped_pair = " " + pair.replace(" ", "  ") + " "
         words = words.withColumn(
             "r",
             F.replace(
-                F.col("r"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                F.col("r"), F.lit(wrapped_pair), F.lit(f" {merged} ")
             ),
         ).localCheckpoint(eager=False)
     spark = df.sparkSession

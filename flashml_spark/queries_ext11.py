@@ -241,25 +241,29 @@ def x142(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # x143 — BPE tokenizer training, first 5 merge rules: the driver-side
 # loop holds ONE row per round; the oracle unrolls the same 5 rounds as
-# CTEs (pair count -> argmax -> greedy left-to-right merge via sentinel-
-# spaced replace, identical semantics in both engines).
+# CTEs (pair count -> argmax -> greedy left-to-right merge).  Symbols
+# are each wrapped in their OWN sentinel spaces (' a  b  c ', double
+# space between neighbors) so one literal replace of ' a  b ' -> ' ab '
+# is EXACTLY canonical greedy BPE in both engines: a match consumes
+# only its own wrapper spaces, so disjoint adjacent occurrences all
+# merge in one round while self-overlap still merges left-to-right.
 def _bpe_oracle(k: int = 5) -> str:
     parts = [
         f"""WITH tok AS (SELECT unnest({_TOK}) AS word FROM documents
                      WHERE text IS NOT NULL),
         wf AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
-        w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS r,
+        w0 AS (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS r,
                       freq FROM wf)"""
     ]
     for i in range(1, k + 1):
         parts.append(
             f"""p{i} AS (SELECT s[j] || ' ' || s[j + 1] AS pair, SUM(freq) AS n
-              FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM w{i - 1}) t,
+              FROM (SELECT string_split(trim(r), '  ') AS s, freq FROM w{i - 1}) t,
                    LATERAL (SELECT unnest(range(1, len(s))) AS j) L
               GROUP BY 1),
         b{i} AS (SELECT pair, replace(pair, ' ', '') AS merged, n
                FROM p{i} ORDER BY n DESC, pair LIMIT 1),
-        w{i} AS (SELECT replace(r, ' ' || b{i}.pair || ' ',
+        w{i} AS (SELECT replace(r, ' ' || replace(b{i}.pair, ' ', '  ') || ' ',
                                ' ' || b{i}.merged || ' ') AS r, freq
                FROM w{i - 1}, b{i})"""
         )

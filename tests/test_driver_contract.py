@@ -50,17 +50,36 @@ def test_bench_headline_names_are_registered():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
 
 
+def test_correctness_ledger_covers_every_registered_query():
+    # CORRECTNESS_LEDGER.md is generated (scripts/correctness_ledger.py)
+    # so per-query driver-row staleness is machine-checked, not
+    # comment-tracked; every registered query must have a row.
+    e = _entry()
+    with open("/root/repo/CORRECTNESS_LEDGER.md") as f:
+        ledger = f.read()
+    missing = [n for n in e.queries() if f"| {n} |" not in ledger]
+    assert not missing, f"queries absent from CORRECTNESS_LEDGER.md: {missing}"
+
+
 def test_bench_totals_line_stays_compact():
     # the driver captures a bounded tail of stdout; the LAST line must be
     # small regardless of how many queries run (r03 lost its totals to a
-    # 73-query dict on the final line)
-    payload = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": 999.999,
-            "unit": "sec",
-            "queries": {"n_queries": 999, "max": 99.9, "top3_sum": 99.9},
-            "sf": 0.1,
-        }
-    )
-    assert len(payload) < 500
+    # 73-query dict on the final line).  Exercise the REAL formatter
+    # bench.py prints (r4 ADVICE fix — a locally-built payload guarded
+    # nothing): even at a 999-query scale the real payload stays compact
+    # and never embeds the per-query dict.
+    import bench
+
+    timings = {f"x{i:03d}_query_with_a_long_name": i + 0.123 for i in range(999)}
+    line = bench.totals_line(timings, sum(timings.values()), 0.1)
+    assert len(line) < 500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["queries"]["n_queries"] == 999
+    assert parsed["queries"]["max"] == 998.123
+    # totals must be the LAST line main() prints: the detail line (which
+    # CAN be huge) is emitted strictly before it
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert src.index("detail_line(") < src.index("totals_line(")

@@ -256,6 +256,25 @@ def test_bpe_greedy_merge_overlap(spark):
     assert rows[1]["pair"] == "aa a"
 
 
+def test_bpe_disjoint_adjacent_occurrences_merge_in_one_round(spark):
+    # r4 ADVICE regression: 'abab' has two DISJOINT adjacent 'a b'
+    # occurrences; canonical Sennrich BPE merges BOTH in round 1
+    # ('abab' -> 'ab ab').  A shared-single-space replace encoding
+    # consumes the boundary space and skips every other occurrence
+    # ('ab a b') — the wrapped-symbol encoding must not.
+    docs = spark.createDataFrame([(1, "abab abab")], "doc_id long, text string")
+    rows = textops.bpe_learn(docs, "text", n_merges=2).collect()
+    assert (rows[0]["pair"], rows[0]["n"]) == ("a b", 4)  # 2 per word
+    # both occurrences merged -> each word is now 'ab ab', so round 2's
+    # best pair is ('ab ab', 2); the buggy encoding would leave
+    # 'ab a b' and pick ('ab a', 2) / ('a b', 2) instead
+    assert (rows[1]["pair"], rows[1]["merged"], rows[1]["n"]) == (
+        "ab ab",
+        "abab",
+        2,
+    )
+
+
 def test_bpe_stops_when_no_pairs(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     # single-char words have no adjacent pairs -> empty merge table
@@ -605,6 +624,23 @@ def test_referential_integrity_hand_case(spark):
     assert row["n_parents"] == 3 and row["n_children"] == 3
     assert row["childless_parents"] == 2  # keys 2 and 3
     assert row["orphan_children"] == 1    # fk 9
+
+
+def test_referential_integrity_is_lazy(spark):
+    # r4 ADVICE regression: the audit must be ONE deferred plan — no
+    # eager .count() jobs at build time, and re-evaluation must see
+    # input changes (baked literals would go stale).
+    from flashml_spark.operators import relational
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (9,)], "fk long")
+    audit = relational.referential_integrity_audit(parent, child, "k", "fk")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the audit frame ran Spark jobs"
+    row = audit.collect()[0]
+    assert (row["childless_parents"], row["orphan_children"]) == (1, 1)
 
 
 def test_profile_columns_hand_case(spark):

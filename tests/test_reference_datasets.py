@@ -1,0 +1,125 @@
+"""Golden end-to-end runs over the REFERENCE'S shipped public datasets,
+driven through the config-file CLI — mirroring the reference's own
+system-test matrix, which replays `src/test/resources/*.json` configs
+over `data/*.gz` (`systemTests/MultiIntentSVMTest.scala:24-107`).
+
+The pinned metrics are THIS engine's fixed-seed goldens (SURVEY §5
+stance: reference metrics are anchors, not cross-engine equality —
+different tokenizers/optimizers legitimately give different numbers).
+Any drift in sampling, preprocessing, vectorization, or training
+changes these values, so they pin the whole pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+TITANIC = "/root/reference/data/titanic-survival-data.csv.gz"
+YELP = "/root/reference/data/yelp-data/reviews_1k.json.gz"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(TITANIC) and os.path.exists(YELP)),
+    reason="reference datasets not present",
+)
+
+
+def test_titanic_binary_lr_golden(spark, tmp_path):
+    """Binary LR on titanic-survival (the reference ships this dataset
+    for its binary configs; cf. `binary_test_config.json` shape): csv.gz
+    source -> SQL view chain casts/NULL-imputes -> random split ->
+    categorical hashing + numeric assembly -> LR -> metrics."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "titanic_sp")
+    cfg = {
+        "project": {
+            "id": "titanic_binary_lr",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {
+                    "source": f"csv://{TITANIC}",
+                    "queries": [
+                        # CSV columns are strings; cast the numerics and
+                        # impute NULL age with the classic 28.0 median
+                        "SELECT pclass, sex, COALESCE(embarked, '') AS embarked, "
+                        "CAST(COALESCE(age, '28.0') AS DOUBLE) AS age, "
+                        "CAST(sibsp AS DOUBLE) AS sibsp, "
+                        "CAST(parch AS DOUBLE) AS parch, "
+                        "CAST(COALESCE(fare, '0') AS DOUBLE) AS fare, "
+                        "survived FROM flashml_table_in"
+                    ],
+                },
+                "responseVariable": "survived",
+                "categoricalVariables": ["pclass", "sex", "embarked"],
+                "numericalVariables": ["age", "sibsp", "parch", "fare"],
+            },
+        },
+        "sampling": {"type": "random", "trainFraction": 0.8, "seed": 20},
+        "model": {"algorithm": "logistic_regression"},
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "titanic.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    # fixed-seed goldens for THIS engine (seed 20 split, deterministic LR;
+    # byte-identical across repeated runs — verified twice before pinning)
+    for key, want in GOLDEN_TITANIC.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    # sanity floor independent of the golden pin
+    assert metrics["test.accuracy"] > 0.75
+
+
+def test_yelp_multiintent_nb_golden(spark, tmp_path):
+    """Multi-intent Naive Bayes on yelp reviews_1k — the reference's
+    `multiIntent_nb_test_config.json` scenario (stars as the intent
+    label, count_vectorizer 15000 slots, multinomial NB) replayed
+    through this engine's CLI on the same shipped dataset."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "yelp_sp")
+    cfg = {
+        "project": {
+            "id": "yelp_multiintent_nb",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {"source": f"json://{YELP}"},
+                "primaryKey": ["review_id"],
+                "responseVariable": "stars",
+                "textVariables": ["text"],
+            },
+        },
+        "sampling": {"type": "random", "trainFraction": 0.7, "seed": 20},
+        "vectorization": {"text": {"method": "count_vectorizer", "slots": 15000}},
+        "model": {"algorithm": "naive_bayes", "multiIntent": True},
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "yelp.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_YELP.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    # 5-class problem: meaningful lift over random (20%)
+    assert metrics["test.accuracy"] > 0.40
+
+
+# Pinned from the first green run (verified identical on a second run);
+# see module docstring for what a change here means.
+GOLDEN_TITANIC = {
+    "test.accuracy": 0.7805755395683454,
+    "test.auroc": 0.8342864923747276,
+    "test.weightedF1": 0.7791141822832289,
+}
+GOLDEN_YELP = {
+    "test.accuracy": 0.45544554455445546,
+    "test.weightedF1": 0.40702506539022465,
+    "test.weightedPrecision": 0.5838778877887788,
+}
