@@ -935,6 +935,7 @@ def minhash_accuracy_audit(
     threshold: float = 0.6,
     shingle_n: int = 2,
     num_hashes: int = 8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-calibration audit: on the EXACT near-duplicate pairs (the
     lossless prefix-filter join), compare the minhash Jaccard estimate —
@@ -948,8 +949,18 @@ def minhash_accuracy_audit(
     joins |pairs| rows against the |docs| signature frame on each side
     (keyed) and reduces to ONE summary row: ``n_pairs, mean_abs_err,
     max_abs_err, bias`` (estimate − truth, rounded to 6).
+
+    The exact pair join is the dominant cost; a pipeline that has
+    already materialized it (e.g. it ran the dedup first) passes the
+    frame via ``pairs=`` (columns ``id_a, id_b, jaccard``) and the
+    audit becomes two keyed signature joins plus a 1-row agg — nothing
+    exact is recomputed.  Default (``pairs=None``) stays standalone and
+    computes the truth set itself.
     """
-    pairs = prefix_filter_jaccard_pairs(df, text_col, id_col, threshold, shingle_n)
+    if pairs is None:
+        pairs = prefix_filter_jaccard_pairs(
+            df, text_col, id_col, threshold, shingle_n
+        )
     sigged = with_minhash_signature(
         df.select(id_col, text_col), text_col, num_hashes=num_hashes,
         shingle_n=shingle_n,

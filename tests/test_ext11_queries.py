@@ -305,6 +305,29 @@ def test_minhash_audit_empty_population(spark):
     assert row["n_pairs"] == 0 and row["mean_abs_err"] is None
 
 
+def test_minhash_audit_accepts_precomputed_pairs(spark):
+    # amortization path: a pipeline that already ran the exact pair join
+    # hands it over via pairs= and gets IDENTICAL audit output — the
+    # expensive truth set is not recomputed (r4 VERDICT item 6)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    standalone = dedup.minhash_accuracy_audit(
+        docs, "text", "doc_id", threshold=0.6
+    ).collect()[0]
+    pairs = dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id", 0.6, 2)
+    amortized = dedup.minhash_accuracy_audit(
+        docs, "text", "doc_id", threshold=0.6, pairs=pairs
+    ).collect()[0]
+    assert standalone.asDict() == amortized.asDict()
+    assert standalone["n_pairs"] >= 1
+
+
 # --- vocabulary growth ------------------------------------------------------
 
 
