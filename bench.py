@@ -170,6 +170,8 @@ HEADLINE = [
     "x158_batch_retrieval",
     "x159_referential_integrity",
     "x160_column_profile",
+    "x161_dup_span_stats",
+    "x162_scd2_intervals",
 ]
 
 

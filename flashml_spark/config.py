@@ -74,6 +74,7 @@ _KEY_MAP = {
     "project.data.numPages": "num_pages",
     "project.data.filter": "input_filter",
     "project.data.randomIdVariable": "random_id_col",
+    "project.data.randomVariable": "random_col",
     "sampling.type": "split",
     "sampling.trainFraction": "train_fraction",
     "sampling.conditions": "conditions",
@@ -155,6 +156,7 @@ CONFIG_CHECKS: dict[str, list[ConfigCheck]] = {
         ConfigCheck("project.data.pageVariable", pattern=_IDENT),
         ConfigCheck("project.data.filter"),
         ConfigCheck("project.data.randomIdVariable", pattern=_IDENT),
+        ConfigCheck("project.data.randomVariable", pattern=_IDENT),
     ],
     "sampling": [
         ConfigCheck(

@@ -45,6 +45,10 @@ class ExperimentConfig:
     # dataReader
     input_filter: str | None = None
     random_id_col: str | None = None  # derive random_variable from this id
+    # an EXISTING random/split column declared as a role (reference
+    # ``randomVariable``, config.json / ConfigValues.scala:545-606): kept
+    # through pruning for conditional splits, never vectorized
+    random_col: str | None = None
     # sampling
     split: str = "random"  # random | stratified | conditional
     train_fraction: float = 0.8
@@ -117,6 +121,7 @@ class Experiment:
                 + ([c.page_col] if c.page_col else [])
                 + ([c.uplift_treatment] if c.uplift_treatment else [])
                 + (["random_variable"] if c.random_id_col else [])
+                + ([c.random_col] if c.random_col else [])
             )
         )
         if not require_response:

@@ -673,3 +673,53 @@ def conversion_within_window(
         F.sum("conv").cast("bigint").alias("n_converted"),
         F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("conv_rate"),
     )
+
+
+def scd2_run_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Build an SCD2-style change history from an event stream: per key,
+    collapse CONSECUTIVE events carrying the same value into one
+    validity interval — ``valid_from`` is the run's first event time,
+    ``valid_to`` the next run's first event time (NULL for the current,
+    open interval), the slowly-changing-dimension type-2 load that a
+    warehouse build runs over change-capture feeds.  A value that
+    recurs after an intervening different value opens a NEW interval
+    (true SCD2, not a distinct-values rollup).
+
+    Scale shape: gaps-and-islands entirely inside PER-KEY windows (two
+    window passes + one (key, run) agg + one lead) — keyed by
+    ``key_col`` throughout, no global window, no driver state.
+    ``order_tiebreak`` breaks equal timestamps deterministically.
+
+    Output: ``key_col, value_col, valid_from, valid_to, n_events``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    # null-safe change test (IS DISTINCT FROM), plus an explicit first-row
+    # start so a leading NULL value still opens a run
+    changed = (
+        (F.row_number().over(w) == 1)
+        | ~F.lag(value_col).over(w).eqNullSafe(F.col(value_col))
+    ).cast("long")
+    runs = df.withColumn(
+        "__run",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy(key_col, "__run").agg(
+        # value is constant within a run; MIN is the deterministic pick
+        F.min(value_col).alias(value_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wk = Window.partitionBy(key_col).orderBy("__run")
+    return per_run.select(
+        key_col,
+        value_col,
+        "valid_from",
+        F.lead("valid_from").over(wk).alias("valid_to"),
+        "n_events",
+    )

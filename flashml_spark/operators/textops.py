@@ -1373,3 +1373,83 @@ def multi_query_bm25(
     return top_n_per_group(
         scored, ["query_id"], "bm25", k, descending=True, tiebreak_cols=[id_col]
     ).select("query_id", id_col, "bm25", F.col("rn").cast("bigint").alias("rn"))
+
+
+def dup_span_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document duplicated-SPAN statistics — the exact-substring
+    dedup measurement behind training-data span removal ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    arXiv:2107.06499): a word ``n``-gram is DUPLICATED if it occurs at
+    two or more positions corpus-wide (in another document or repeated
+    within the same one); per document, overlapping or token-adjacent
+    duplicated occurrences merge into maximal spans.  The per-doc
+    duplicated-token fraction is the signal a curation run thresholds
+    on (or hands to a span-cutting pass).
+
+    Scale shape — linear keyed passes, the same claim-join discipline
+    as :func:`ngram_novelty`: positional gram explode (corpus-linear),
+    ONE gram-keyed count agg to find duplicated grams (hot-gram skew
+    left to AQE skew-join, as x139), a semi-join back to claim
+    positions, then a PER-DOCUMENT window for the gaps-and-islands
+    merge (keyed by doc — no global window) and one agg per doc.
+    Because every interval has the same length ``n``, the running-max
+    island test reduces to a single ``lag``: a new span starts iff
+    ``pos > lag(pos) + n`` (gap of at least one uncovered token).
+
+    Output: ``id_col, n_tokens, n_dup_spans, dup_tokens, dup_frac``
+    for EVERY non-null-text document (docs with no duplicated grams or
+    fewer than ``n`` tokens report zeros).
+    """
+    from pyspark.sql import Window
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gram")
+    )
+    claims = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_span = (
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + n)
+    ).cast("long")
+    islands = claims.withColumn(
+        "island",
+        F.sum(new_span).over(
+            Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        (F.max("pos") - F.min("pos") + n).alias("span_len")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        toks.select(id_col, F.size("__ts").cast("bigint").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -373,3 +373,4 @@ from flashml_spark import queries_ext8  # noqa: E402,F401
 from flashml_spark import queries_ext9  # noqa: E402,F401
 from flashml_spark import queries_ext10  # noqa: E402,F401
 from flashml_spark import queries_ext11  # noqa: E402,F401
+from flashml_spark import queries_ext12  # noqa: E402,F401

@@ -105,6 +105,7 @@ PROBES = [
     "x135_bm25_topk",
     "x143_bpe_learn",
     "x145_vocab_growth",
+    "x161_dup_span_stats",
 ]
 
 

@@ -117,3 +117,33 @@ def test_every_declared_check_is_well_formed():
             if c.range:
                 lo, hi = (float(x) for x in c.range.split("-"))
                 assert lo <= hi, (step, c.path)
+
+
+def test_random_variable_role_kept_through_pruning(spark):
+    """Reference ``randomVariable`` (config.json / ConfigValues.scala:
+    545-606): an EXISTING random/split column declared as a role survives
+    column pruning (so conditional splits can reference it) but is never
+    a feature column."""
+    from flashml_spark.experiment import Experiment
+
+    cfg = load_config(
+        {
+            "project": {
+                "data": {
+                    "responseVariable": "y",
+                    "randomVariable": "rv",
+                    "numericalVariables": ["x1"],
+                }
+            },
+            "sampling": {"type": "conditional", "conditions": ["rv<=80", "rv>80"]},
+            "model": {"algorithm": "logistic_regression"},
+        }
+    )
+    assert cfg.random_col == "rv"
+    df = spark.createDataFrame(
+        [(1.0, 5.0, 10.0, "drop_me")] * 4, "y double, x1 double, rv double, junk string"
+    )
+    kept = Experiment(cfg).read(df)
+    assert set(kept.columns) == {"y", "x1", "rv"}
+    # rv drives the split but is not vectorized
+    assert "rv" not in cfg.numerical_cols + cfg.categorical_cols + cfg.text_cols

@@ -19,6 +19,7 @@ import pytest
 
 TITANIC = "/root/reference/data/titanic-survival-data.csv.gz"
 YELP = "/root/reference/data/yelp-data/reviews_1k.json.gz"
+WEB_JOURNEY = "/root/reference/data/web_journey_data.tsv.gz"
 
 pytestmark = pytest.mark.skipif(
     not (os.path.exists(TITANIC) and os.path.exists(YELP)),
@@ -111,6 +112,108 @@ def test_yelp_multiintent_nb_golden(spark, tmp_path):
     assert metrics["test.accuracy"] > 0.40
 
 
+def test_web_journey_binary_lr_conditional_split_golden(spark, tmp_path):
+    """Binary LR on the reference's web-journey dataset with the exact
+    `binary_test_config.json` scenario: purchase_flag response,
+    URL/referrer text + categorical/numerical roles, and the reference's
+    CONDITIONAL split on the rv column (train rv<=80 / test rv>80,
+    `sample.condition` in the config)."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "wj_sp")
+    cfg = {
+        "project": {
+            "id": "web_journey_binary_lr",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {
+                    "source": f"tsv://{WEB_JOURNEY}",
+                    "queries": [
+                        "SELECT COALESCE(current_page_url, '') AS current_page_url, "
+                        "COALESCE(referrer, '') AS referrer, "
+                        "COALESCE(initial_referrer_cat, '') AS initial_referrer_cat, "
+                        "COALESCE(browser_cat, '') AS browser_cat, "
+                        "COALESCE(isp, '') AS isp, COALESCE(os_cat, '') AS os_cat, "
+                        "COALESCE(dd, '') AS dd, "
+                        "COALESCE(hour_of_day, '0') AS hour_of_day, "
+                        "CAST(COALESCE(no_of_visits_in_last_7_days, '0') AS DOUBLE) "
+                        "AS no_of_visits_in_last_7_days, "
+                        "CAST(COALESCE(session_time, '0') AS DOUBLE) AS session_time, "
+                        "CAST(COALESCE(rv, '0') AS DOUBLE) AS rv, "
+                        "purchase_flag FROM flashml_table_in "
+                        "WHERE purchase_flag IS NOT NULL"
+                    ],
+                },
+                "responseVariable": "purchase_flag",
+                "randomVariable": "rv",
+                "textVariables": ["current_page_url", "referrer"],
+                "categoricalVariables": [
+                    "initial_referrer_cat", "browser_cat", "isp", "os_cat",
+                    "dd", "hour_of_day",
+                ],
+                "numericalVariables": [
+                    "no_of_visits_in_last_7_days", "session_time",
+                ],
+            },
+        },
+        "sampling": {"type": "conditional", "conditions": ["rv<=80", "rv>80"]},
+        "vectorization": {"text": {"method": "tfidf", "slots": 2000}},
+        "model": {"algorithm": "logistic_regression"},
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "web_journey.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_WEB_JOURNEY.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.auroc"] > 0.75
+
+
+def test_yelp_multiintent_svm_platt_topk_golden(spark, tmp_path):
+    """Multi-intent SVM with Platt scaling and top-K intents on yelp —
+    the reference's flagship NLP scenario
+    (`multiIntent_svm_test_config.json`: OVR SVM,
+    plattScalingEnabled=true) plus the TopKIntents tail, end-to-end
+    through the CLI on the shipped dataset."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "yelp_svm_sp")
+    cfg = {
+        "project": {
+            "id": "yelp_multiintent_svm",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {"source": f"json://{YELP}"},
+                "primaryKey": ["review_id"],
+                "responseVariable": "stars",
+                "textVariables": ["text"],
+            },
+        },
+        "sampling": {"type": "random", "trainFraction": 0.7, "seed": 20},
+        "vectorization": {"text": {"method": "count_vectorizer", "slots": 15000}},
+        "model": {
+            "algorithm": "svm",
+            "multiIntent": True,
+            "platt": True,
+            "topK": 3,
+            "params": {"regParam": 0.1, "maxIter": 20},
+        },
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "yelp_svm.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_YELP_SVM.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.accuracy"] > 0.40
+
+
 # Pinned from the first green run (verified identical on a second run);
 # see module docstring for what a change here means.
 GOLDEN_TITANIC = {
@@ -122,4 +225,15 @@ GOLDEN_YELP = {
     "test.accuracy": 0.45544554455445546,
     "test.weightedF1": 0.40702506539022465,
     "test.weightedPrecision": 0.5838778877887788,
+}
+# purchase_flag is heavily imbalanced (majority ~0.975), so auroc is the
+# meaningful signal for web-journey; accuracy pins determinism
+GOLDEN_WEB_JOURNEY = {
+    "test.accuracy": 0.9752415140157314,
+    "test.auroc": 0.8219835422877038,
+    "test.weightedF1": 0.968447090958351,
+}
+GOLDEN_YELP_SVM = {
+    "test.accuracy": 0.47854785478547857,
+    "test.weightedF1": 0.47752217682937187,
 }
