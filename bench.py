@@ -172,6 +172,12 @@ HEADLINE = [
     "x160_column_profile",
     "x161_dup_span_stats",
     "x162_scd2_intervals",
+    "x163_dedup_span_removal",
+    "x164_triangle_parts",
+    "x165_quantile_normalize",
+    "x166_self_repetition",
+    "x167_bpe_fertility",
+    "x168_part_assortativity",
 ]
 
 

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from flashml_spark.metrics.binary import auroc, best_fbeta_threshold
 from flashml_spark.metrics.multiclass import multiclass_metrics
 from flashml_spark.operators import relational, sampling
-from flashml_spark.training.estimators import build_estimator, build_label_indexer
+from flashml_spark.training.estimators import (
+    build_estimator,
+    build_label_indexer,
+    strip_training_summary,
+)
 from flashml_spark.vectorization import build_assembler, build_text_vectorizer
 
 
@@ -285,7 +289,12 @@ class Experiment:
             return model, {"history": hb.history_, "bestParams": hb.best_params_}
         if c.tuning != "none":
             raise ValueError(f"unknown tuning mode {c.tuning!r}")
-        return est.fit(train_vec), None
+        model = est.fit(train_vec)
+        # keep model closures session-free (same hygiene as the OVR path;
+        # caught live: titanic golden failed whenever DataFrame.observe had
+        # initialized the session's ObservationManager earlier in the JVM)
+        strip_training_summary(model)
+        return model, None
 
     @staticmethod
     def _indexer_labels(pipeline: PipelineModel) -> list[str] | None:

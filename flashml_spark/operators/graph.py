@@ -141,3 +141,155 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(F.col("n").alias(node_col), F.col("hop").cast("bigint").alias("hop"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    UNDIRECTED simple graph given as an edge list (self-loops and
+    duplicate/reversed edges are normalized away here).
+
+    Algorithm: degree-ordered orientation ("node-iterator++" /
+    Schank-Wagner).  Every undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one; each triangle
+    {u, v, w} then materializes as EXACTLY ONE wedge (u->v, u->w) with
+    v < w in the total order whose closing edge (v->w) exists in the
+    oriented set.  The orientation bounds every node's out-degree by
+    O(sqrt(|E|)) on any graph (arboricity bound), so the wedge join is
+    Σ outdeg² — survives hub nodes that would make the naive
+    wedge-on-raw-degree join quadratic.  This is the standard
+    distributed triangle strategy (same shape as Cohen's MapReduce
+    triangle counting); no driver-side state at all.
+
+    Plan shape: one distinct (canonicalize), one degree agg + two keyed
+    joins to attach endpoint degrees, one self-join on the wedge apex,
+    one semi-ish join probing the closing edge, an explode-to-3 and a
+    keyed count.  All hash exchanges on node ids; AQE handles residual
+    skew.
+
+    Returns ``(node, degree, triangles, clustering)`` for every node of
+    the graph, ``clustering = 2T / (deg * (deg - 1))`` (0.0 when
+    deg < 2).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("a"),
+            F.greatest(a, b).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("dlo"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"),
+        F.col("dhi").alias("dv"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"),
+        F.col("dhi").alias("dw"),
+    )
+    # wedge (u->v, u->w) with v strictly before w in the (deg, id) order
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees across all edges of an UNDIRECTED
+    simple graph (each edge contributes both orientations, the standard
+    convention).  Positive = hubs link to hubs (social-style), negative
+    = hubs link to leaves (dependency/star-style) — the one-number
+    structure audit run next to :func:`triangle_stats`.
+
+    Scale shape: canonicalize + distinct, one degree agg, two keyed
+    joins to attach endpoint degrees, then ONE corr() agg row.  Nothing
+    driver-side, no windows.  Output: one row
+    ``(n_nodes, n_edges, assortativity)``.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    sym = keyed.select(
+        F.col("da").alias("dx"), F.col("db").alias("dy")
+    ).unionAll(keyed.select(F.col("db").alias("dx"), F.col("da").alias("dy")))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # NOT F.corr: under ANSI mode a zero-variance side (regular graph)
+    # raises DIVIDE_BY_ZERO inside corr; try_divide of the population
+    # moments is the same Pearson value and yields NULL there, matching
+    # SQL corr semantics.
+    dx = F.col("dx").cast("double")
+    dy = F.col("dy").cast("double")
+    r = sym.agg(
+        F.round(
+            F.try_divide(
+                F.covar_pop(dx, dy), F.stddev_pop(dx) * F.stddev_pop(dy)
+            ),
+            6,
+        ).alias("assortativity")
+    )
+    return n_nodes.crossJoin(n_edges).crossJoin(r)

@@ -623,3 +623,94 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.explode(structs).alias("p")).select(
         "p.col_name", "p.n_rows", "p.n_nulls", "p.null_frac", "p.n_distinct"
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Cross-group quantile normalization: map every row's value to the
+    GLOBAL distribution's value at the same relative rank, so scores from
+    heterogeneous groups (e.g. per-source quality scores with different
+    scales) become comparable.  The curation use-case: threshold once,
+    globally, instead of hand-tuning a cutoff per source.
+
+    Grid semantics (exact, engine-portable — no interpolation): with
+    ``r = percent_rank`` within the group and ``rg`` globally, a row maps
+    to grid cell ``g = floor(r * buckets)`` and receives
+    ``qnorm = max{ value : floor(rg * buckets) <= g }`` — the top of the
+    global distribution's matching quantile cell.  Ties share a
+    percent_rank in both engines, so the result is deterministic with no
+    tie-break column.
+
+    Scale shape: the within-group rank is a keyed window (fine); the
+    GLOBAL percent_rank is rebuilt WITHOUT a single-partition window —
+    ``rank(v) = 1 + |rows with value < v|`` from a per-distinct-value
+    count frame run through :func:`~flashml_spark.functions.windows.
+    global_cumsum` (range partition + offsets), which is bit-identical
+    to SQL ``percent_rank`` tie semantics.  Then a ``buckets``-row
+    boundary frame (cummax + gap fill over <= buckets+1 rows — bounded,
+    the accepted tiny-frame window) and ONE broadcast join of rows
+    against it.  Output: ``id, group, value, qnorm``.
+    """
+    from pyspark.sql import Window
+
+    from flashml_spark.functions.windows import global_cumsum
+
+    B = float(buckets)
+    v = F.col(value_col)
+    r_grp = F.percent_rank().over(Window.partitionBy(group_col).orderBy(v))
+    src = df.where(v.isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        v.alias("__v"),
+        F.floor(r_grp * B).cast("int").alias("__g"),
+    )
+    vals = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cum = global_cumsum(vals, "__v", ["__cnt"], prefix="cum_")
+    total = vals.agg(F.sum("__cnt").alias("__n"))
+    # rank of a value = rows strictly below it + 1; percent_rank ties share it
+    cell_max = (
+        cum.join(F.broadcast(total))
+        .select(
+            "__v",
+            F.when(
+                F.col("__n") > 1,
+                (F.col("cum___cnt") - F.col("__cnt"))
+                / (F.col("__n") - F.lit(1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__rg"),
+        )
+        .select("__v", F.floor(F.col("__rg") * B).cast("int").alias("__cell"))
+        .groupBy("__cell")
+        .agg(F.max("__v").alias("__cmax"))
+    )
+    # dense 0..buckets boundary frame: cummax fills each cell with the top
+    # of the last occupied cell at-or-below it (bounded window: <=B+1 rows)
+    grid = src.sparkSession.range(0, buckets + 1).select(
+        F.col("id").cast("int").alias("__g")
+    )
+    wb = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, 0)
+    bounds = (
+        grid.join(cell_max, grid["__g"] == cell_max["__cell"], "left")
+        .select(grid["__g"], F.col("__cmax"))
+        .withColumn("__qnorm", F.max("__cmax").over(wb))
+        .select("__g", "__qnorm")
+    )
+    return (
+        src.join(F.broadcast(bounds), "__g")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__qnorm").alias("qnorm"),
+        )
+    )

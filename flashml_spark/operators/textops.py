@@ -1453,3 +1453,232 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """The span-CUTTING transform behind exact substring dedup (the
+    removal pass that :func:`dup_span_stats` measures): rebuild every
+    document's text with all duplicated spans removed — conservative
+    symmetric cut (every occurrence goes; a keep-one policy would make
+    the result order-dependent, the same reason Lee et al.'s
+    deduplication cuts both copies of a cluster by default).  Documents
+    made empty by the cut survive with empty text so the caller can
+    filter or count them.
+
+    Scale shape: shares x161's claim pipeline (positional gram explode,
+    ONE gram-keyed dup agg, semi-join claims, per-doc island merge);
+    covered token positions come from exploding each span's
+    ``sequence(start, end)`` (output is corpus-linear: spans are
+    disjoint per doc so positions never duplicate), tokens drop via a
+    per-doc keyed LEFT ANTI on (doc, pos), and the text reassembles
+    with ``sort_array(collect_list(struct(pos, token)))`` — bounded per
+    document, never a global collect.
+
+    Output: ``id_col, clean_text, n_tokens, kept_tokens``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gram")
+    )
+    claims = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_span = (
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + n)
+    ).cast("long")
+    islands = claims.withColumn(
+        "island",
+        F.sum(new_span).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    covered = (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e"))
+        .select(
+            id_col, F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
+        )
+    )
+    positions = toks.select(
+        id_col, F.posexplode(F.col("__ts")).alias("pos", "token")
+    )
+    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+    )
+    return (
+        toks.select(id_col, F.size("__ts").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+def self_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """WITHIN-document duplicated-span statistics (the Gopher /
+    MassiveText "fraction of characters in duplicate n-grams" quality
+    rule, Rae et al. 2021 §A1.1): positions whose word ``n``-gram occurs
+    at >= 2 positions *in the same document* are claimed, claims merge
+    into maximal spans (gaps-and-islands, same machinery as
+    :func:`dup_span_stats` — which measures CORPUS-wide duplication;
+    this is the self-repetition twin used as a per-doc quality filter),
+    and the doc reports its duplicated token count plus the
+    char-weighted fraction ``dup_chars / total_token_chars``.
+
+    Scale shape: everything is keyed by (doc, gram) or doc — a
+    positional gram explode, ONE (doc, gram)-keyed dup agg, a semi-join
+    claim, a per-doc window island merge, and per-doc aggs.  No
+    corpus-global frame at all (unlike x161's gram claim), so skew risk
+    is bounded by the longest single document.
+
+    Output: ``id_col, n_tokens, dup_tokens, dup_char_frac`` for every
+    non-null-text document (zeros included).
+    """
+    from pyspark.sql import Window
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(id_col, "gram")
+    )
+    claims = grams.join(dup, [id_col, "gram"], "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_span = (
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + n)
+    ).cast("long")
+    islands = claims.withColumn(
+        "island",
+        F.sum(new_span).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    covered = (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e"))
+        .select(
+            id_col, F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
+        )
+    )
+    positions = toks.select(
+        id_col, F.posexplode(F.col("__ts")).alias("pos", "token")
+    )
+    per_doc = (
+        positions.join(covered, [id_col, "pos"], "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_tokens"),
+            F.sum(F.length("token")).alias("dup_chars"),
+        )
+    )
+    totals = toks.select(
+        id_col,
+        F.size("__ts").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.col("__ts"), lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("__tchars"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.when(
+                F.col("__tchars") > 0,
+                F.coalesce("dup_chars", F.lit(0))
+                / F.col("__tchars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_char_frac"),
+    )
+
+
+def bpe_encode_fertility(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    merges: list[str],
+) -> DataFrame:
+    """Apply learned BPE merge rules (from :func:`bpe_learn`, in rule
+    order) to the corpus and report per-group tokenizer FERTILITY —
+    BPE tokens per word — the audit that says how well a learned
+    vocabulary compresses each source (high fertility = the tokenizer
+    fragments that source; the standard multi-source tokenizer-quality
+    readout).
+
+    ``merges`` is the ordered pair list (``"a b"`` strings).  Greedy
+    BPE encoding = the same sentinel-spaced literal replace as the
+    learn loop, applied once per rule in order — semantics identical in
+    Spark and DuckDB, so the oracle can unroll the exact same chain.
+
+    Scale shape: the corpus is touched ONCE (token explode + a
+    (group, word) hash agg); the merge fold then runs on the DISTINCT
+    WORD frame only (|vocab| rows, R chained ``replace`` projections —
+    whole-stage-codegen'd, no UDF), and one keyed join carries symbol
+    counts back to the (group, word) frame for the per-group agg.
+    Driver state: the R merge strings (bounded by construction).
+    Output: ``group_col, n_words, n_bpe_tokens, fertility``.
+    """
+    gw = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col), F.explode(H.tokens(F.col(text_col))).alias("word")
+        )
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spaced = F.regexp_replace(F.col("word"), "(.)", " $1 ")
+    vocab = gw.select("word").distinct().select("word", spaced.alias("r"))
+    r = F.col("r")
+    for pair in merges:
+        wrapped = " " + pair.replace(" ", "  ") + " "
+        merged = " " + pair.replace(" ", "") + " "
+        r = F.replace(r, F.lit(wrapped), F.lit(merged))
+    encoded = vocab.select(
+        "word", F.size(F.split(F.trim(r), "  ")).alias("n_sym")
+    )
+    return (
+        gw.join(encoded, "word")
+        .groupBy(group_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_sym"))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )

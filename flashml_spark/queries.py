@@ -374,3 +374,4 @@ from flashml_spark import queries_ext9  # noqa: E402,F401
 from flashml_spark import queries_ext10  # noqa: E402,F401
 from flashml_spark import queries_ext11  # noqa: E402,F401
 from flashml_spark import queries_ext12  # noqa: E402,F401
+from flashml_spark import queries_ext13  # noqa: E402,F401

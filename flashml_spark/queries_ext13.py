@@ -1,0 +1,269 @@
+"""Extension queries, round 5 second wave (x164+): graph structure
+audits (triangle counting / clustering coefficient over the part
+co-order graph), cross-source quantile normalization (score
+calibration), and within-document self-repetition (the Gopher quality
+rule) — three operators a curation platform runs that were still
+missing from the registry.
+
+Oracle discipline unchanged: engine-portable DuckDB SQL sharing every
+literal and alias with the Spark side, deterministic tie-breaks,
+floats rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import graph, relational, textops
+from flashml_spark.queries import register
+from flashml_spark.queries_ext import _TOK
+from flashml_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# x164 — triangle count + local clustering coefficient over the part
+# co-order graph (parts appearing in the same order share an edge; the
+# per-order pair fan-out is bounded by basket size).  Degree-ordered
+# orientation counts each triangle exactly once; top 20 parts by
+# triangle count (part_id tie-break).
+_TRI_SQL = """
+WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     deg AS (SELECT node, COUNT(*) AS deg
+             FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY node),
+     o AS (SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                       THEN e0.a ELSE e0.b END AS lo,
+                  CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                       THEN e0.b ELSE e0.a END AS hi,
+                  CASE WHEN (da.deg, e0.a) < (db.deg, e0.b)
+                       THEN db.deg ELSE da.deg END AS dhi
+           FROM e0 JOIN deg da ON da.node = e0.a
+                   JOIN deg db ON db.node = e0.b),
+     tri AS (SELECT w1.lo AS u, w1.hi AS v, w2.hi AS w
+             FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+             WHERE (w1.dhi, w1.hi) < (w2.dhi, w2.hi)
+               AND EXISTS (SELECT 1 FROM o c
+                           WHERE c.lo = w1.hi AND c.hi = w2.hi)),
+     pn AS (SELECT node, COUNT(*) AS triangles
+            FROM (SELECT u AS node FROM tri UNION ALL
+                  SELECT v FROM tri UNION ALL SELECT w FROM tri)
+            GROUP BY node)
+SELECT deg.node AS part_id,
+       CAST(deg.deg AS BIGINT) AS degree,
+       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN deg.deg >= 2
+                  THEN 2.0 * COALESCE(pn.triangles, 0)
+                       / (deg.deg * (deg.deg - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+ORDER BY triangles DESC, part_id ASC
+LIMIT 20"""
+
+
+@register("x164_triangle_parts", _TRI_SQL)
+def x164(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    stats = graph.triangle_stats(edges)
+    return (
+        stats.select(
+            F.col("node").alias("part_id"),
+            "degree",
+            "triangles",
+            F.round("clustering", 6).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), F.asc("part_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x165 — cross-source quantile normalization of document lengths:
+# every doc's n_chars maps to the GLOBAL length distribution's value at
+# the same within-source relative rank (grid of 100 cells, exact max-of
+# -cell semantics — no interpolation, engine-portable).
+_QNORM_SQL = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents
+           WHERE n_chars IS NOT NULL),
+     s AS (SELECT doc_id, source, n_chars,
+                  CAST(floor(percent_rank() OVER
+                       (PARTITION BY source ORDER BY n_chars) * 100)
+                       AS INT) AS g
+           FROM d),
+     gl AS (SELECT n_chars,
+                   CAST(floor(percent_rank() OVER (ORDER BY n_chars) * 100)
+                        AS INT) AS cell
+            FROM d),
+     cm AS (SELECT cell, MAX(n_chars) AS cmax FROM gl GROUP BY cell),
+     grid AS (SELECT unnest(range(0, 101)) AS g),
+     b AS (SELECT grid.g, MAX(cm.cmax) AS qnorm
+           FROM grid LEFT JOIN cm ON cm.cell <= grid.g
+           GROUP BY grid.g)
+SELECT s.doc_id, s.source, s.n_chars, b.qnorm
+FROM s JOIN b ON s.g = b.g"""
+
+
+@register("x165_quantile_normalize", _QNORM_SQL)
+def x165(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return relational.quantile_normalize(
+        docs, "n_chars", "source", "doc_id", buckets=100
+    )
+
+
+# --------------------------------------------------------------------------
+# x166 — within-document self-repetition (Gopher "fraction of chars in
+# duplicate n-grams", Rae et al. 2021): word 3-grams occurring >= 2
+# times IN THE SAME doc claim their positions; merged spans report the
+# duplicated token count and the char-weighted fraction.
+_N_SELF = 3
+_SELF_GRAM = " || ' ' || ".join(f"ts[i + {j}]" for j in range(_N_SELF))
+_SELF_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents
+             WHERE text IS NOT NULL),
+     g AS (SELECT doc_id, i - 1 AS pos, {_SELF_GRAM} AS gram
+           FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - {_N_SELF} + 2))
+                              AS i) r),
+     d AS (SELECT doc_id, gram FROM g
+           GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+     c AS (SELECT g.doc_id, g.pos FROM g
+           JOIN d ON g.doc_id = d.doc_id AND g.gram = d.gram),
+     w AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER win IS NULL
+                            OR pos > lag(pos) OVER win + {_N_SELF}
+                       THEN 1 ELSE 0 END AS ni
+           FROM c WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+     isl AS (SELECT doc_id, pos,
+                    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+             FROM w),
+     sp AS (SELECT doc_id, island, MIN(pos) AS s,
+                   MAX(pos) + {_N_SELF} - 1 AS e
+            FROM isl GROUP BY doc_id, island),
+     cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+     tp AS (SELECT doc_id, i - 1 AS pos, ts[i] AS token
+            FROM tok, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) r),
+     dupc AS (SELECT tp.doc_id, COUNT(*) AS dup_tokens,
+                     SUM(len(tp.token)) AS dup_chars
+              FROM tp JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+              GROUP BY tp.doc_id),
+     tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                    list_aggregate(list_transform(ts, x -> len(x)), 'sum')
+                        AS tchars
+             FROM tok)
+SELECT tot.doc_id, tot.n_tokens,
+       CAST(COALESCE(dupc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CASE WHEN tot.tchars > 0
+                  THEN CAST(COALESCE(dupc.dup_chars, 0) AS DOUBLE) / tot.tchars
+                  ELSE 0.0 END, 6) AS dup_char_frac
+FROM tot LEFT JOIN dupc ON dupc.doc_id = tot.doc_id"""
+
+
+@register("x166_self_repetition", _SELF_SQL)
+def x166(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.self_repetition_stats(docs, "text", "doc_id", n=_N_SELF)
+
+
+# --------------------------------------------------------------------------
+# x167 — tokenizer fertility per source under the x143-learned BPE
+# merges: the encode half of the BPE loop.  The oracle unrolls the SAME
+# learn chain as x143 (threading word identity through every round) and
+# then encodes each (source, word) with the final symbol table.
+def _bpe_fertility_oracle(k: int = 5) -> str:
+    parts = [
+        f"""WITH tok AS (SELECT source, unnest({_TOK}) AS word FROM documents
+                     WHERE text IS NOT NULL),
+        gw AS (SELECT source, word, COUNT(*) AS cnt FROM tok
+               GROUP BY source, word),
+        wf AS (SELECT word, SUM(cnt) AS freq FROM gw GROUP BY word),
+        w0 AS (SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') AS r,
+                      freq FROM wf)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (SELECT s[j] || ' ' || s[j + 1] AS pair, SUM(freq) AS n
+              FROM (SELECT string_split(trim(r), '  ') AS s, freq FROM w{i - 1}) t,
+                   LATERAL (SELECT unnest(range(1, len(s))) AS j) L
+              GROUP BY 1),
+        b{i} AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+               FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+        w{i} AS (SELECT word, replace(r, ' ' || replace(b{i}.pair, ' ', '  ') || ' ',
+                               ' ' || b{i}.merged || ' ') AS r, freq
+               FROM w{i - 1}, b{i})"""
+        )
+    parts.append(
+        f"""enc AS (SELECT word, len(string_split(trim(r), '  ')) AS n_sym
+               FROM w{k})"""
+    )
+    return (
+        ",\n        ".join(parts)
+        + """
+       SELECT gw.source,
+              CAST(SUM(gw.cnt) AS BIGINT) AS n_words,
+              CAST(SUM(gw.cnt * enc.n_sym) AS BIGINT) AS n_bpe_tokens,
+              ROUND(SUM(gw.cnt * enc.n_sym) / CAST(SUM(gw.cnt) AS DOUBLE), 6)
+                  AS fertility
+       FROM gw JOIN enc ON gw.word = enc.word
+       GROUP BY gw.source"""
+    )
+
+
+@register("x167_bpe_fertility", _bpe_fertility_oracle(5))
+def x167(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    merges_df = textops.bpe_learn(docs.select("text"), "text", n_merges=5)
+    merges = [
+        r["pair"] for r in merges_df.orderBy("merge_round").collect()
+    ]
+    return textops.bpe_encode_fertility(docs, "text", "source", merges)
+
+
+# --------------------------------------------------------------------------
+# x168 — degree assortativity of the part co-order graph (Newman 2002):
+# do frequently-co-ordered hub parts pair with other hubs or with
+# one-off parts?  One corr() row over the symmetrized edge-degree
+# frame; shares x164's edge build.
+_ASSORT_SQL = """
+WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+     deg AS (SELECT node, COUNT(*) AS deg
+             FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY node),
+     k AS (SELECT da.deg AS dx, db.deg AS dy
+           FROM e0 JOIN deg da ON da.node = e0.a
+                   JOIN deg db ON db.node = e0.b),
+     sym AS (SELECT dx, dy FROM k UNION ALL SELECT dy AS dx, dx AS dy FROM k)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+       (SELECT ROUND(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 6)
+        FROM sym) AS assortativity"""
+
+
+@register("x168_part_assortativity", _ASSORT_SQL)
+def x168(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return graph.degree_assortativity(edges)

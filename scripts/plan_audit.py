@@ -68,6 +68,8 @@ ACCEPTED_CROSS = {
     "x154_cuped_readout": "1-row pooled-moment scalar broadcast",
     "x156_corpus_card": "1-row head-language-share scalar broadcast",
     "x158_batch_retrieval": "1-row (N, avgdl) stats scalar broadcast",
+    "x165_quantile_normalize": "1-row corpus-total scalar broadcast (percent_rank denominator)",
+    "x168_part_assortativity": "1-row n_nodes/n_edges/corr scalar crosses",
     "x159_referential_integrity": "1-row x 1-row totals cross (pure scalars)",
 }
 

@@ -164,3 +164,51 @@ def test_scd2_interval_chain_invariants(spark):
             assert a["event_type"] != b["event_type"] or a["valid_to"] is None
         total += sum(r["n_events"] for r in ivs)
     assert total == 48
+
+
+# --- remove_dup_spans -------------------------------------------------------
+
+
+def test_remove_dup_spans_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y a b c"), (2, "q x y r"), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.remove_dup_spans(docs, "text", "doc_id", n=2).collect()}
+    assert out[1]["clean_text"] == "a b c" and out[1]["kept_tokens"] == 3
+    assert out[2]["clean_text"] == "q r" and out[2]["kept_tokens"] == 2
+    assert out[3]["clean_text"] == "tiny" and out[3]["kept_tokens"] == 1
+
+
+def test_remove_dup_spans_can_empty_a_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.remove_dup_spans(docs, "text", "doc_id", n=2).collect()}
+    # doc 1 is one merged span covering all 4 tokens -> emptied, survives
+    assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
+    assert out[1]["n_tokens"] == 4
+    # doc 2 loses its 'a b' claim, keeps 'c'
+    assert out[2]["clean_text"] == "c" and out[2]["kept_tokens"] == 1
+
+
+def test_remove_dup_spans_consistent_with_stats(spark):
+    # the cut and the measurement must agree: kept = n_tokens - dup_tokens
+    docs = spark.createDataFrame(
+        [(i, f"common prefix tokens here doc {i} unique tail {i * 7}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: r
+        for r in textops.dup_span_stats(docs, "text", "doc_id", n=3).collect()
+    }
+    cut = {
+        r["doc_id"]: r
+        for r in textops.remove_dup_spans(docs, "text", "doc_id", n=3).collect()
+    }
+    assert set(stats) == set(cut)
+    for d in stats:
+        assert cut[d]["kept_tokens"] == stats[d]["n_tokens"] - stats[d]["dup_tokens"]
+        assert len(cut[d]["clean_text"].split()) == cut[d]["kept_tokens"] or (
+            cut[d]["clean_text"] == "" and cut[d]["kept_tokens"] == 0
+        )

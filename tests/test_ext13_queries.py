@@ -1,0 +1,256 @@
+"""Unit + property tests for the round-5 second-wave operators:
+triangle counting / clustering coefficient, cross-group quantile
+normalization, and within-doc self-repetition.  Oracle parity runs via
+test_oracle_queries.py's registry sweep; these pin hand-checkable
+semantics and brute-force equivalence the SQL compare can't isolate.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flashml_spark.operators import graph, relational, textops
+
+# --- triangle_stats ---------------------------------------------------------
+
+
+def _tri(df):
+    return {r["node"]: r for r in df.collect()}
+
+
+def test_triangle_k4(spark):
+    # complete graph on 4 nodes: every node sits in C(3,2)=3 triangles,
+    # degree 3, clustering 1.0
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(4), 2)],
+        "src long, dst long",
+    )
+    out = _tri(graph.triangle_stats(edges))
+    assert len(out) == 4
+    for n in range(4):
+        assert out[n]["degree"] == 3
+        assert out[n]["triangles"] == 3
+        assert out[n]["clustering"] == 1.0
+
+
+def test_triangle_path_graph_has_none(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = _tri(graph.triangle_stats(edges))
+    assert all(r["triangles"] == 0 for r in out.values())
+    assert out[0]["clustering"] == 0.0  # degree 1 -> defined as 0
+    assert out[1]["degree"] == 2
+
+
+def test_triangle_normalizes_dupes_loops_reversals(spark):
+    # one triangle, delivered messily: duplicates, both directions, a loop
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 1), (2, 2)],
+        "src long, dst long",
+    )
+    out = _tri(graph.triangle_stats(edges))
+    assert [out[n]["triangles"] for n in range(3)] == [1, 1, 1]
+    assert [out[n]["degree"] for n in range(3)] == [2, 2, 2]
+
+
+def _brute_triangles(edge_set):
+    nodes = sorted({n for e in edge_set for n in e})
+    per = {n: 0 for n in nodes}
+    for u, v, w in itertools.combinations(nodes, 3):
+        if (
+            frozenset((u, v)) in edge_set
+            and frozenset((u, w)) in edge_set
+            and frozenset((v, w)) in edge_set
+        ):
+            for n in (u, v, w):
+                per[n] += 1
+    return per
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_matches_brute_force(spark, edge_tuples):
+    edge_set = {frozenset(e) for e in edge_tuples}
+    expect = _brute_triangles(edge_set)
+    edges = spark.createDataFrame(
+        [tuple(sorted(e)) for e in edge_set], "src long, dst long"
+    )
+    out = _tri(graph.triangle_stats(edges))
+    assert {n: r["triangles"] for n, r in out.items()} == expect
+
+
+# --- quantile_normalize -----------------------------------------------------
+
+
+def test_qnorm_equal_ranks_map_to_same_global_value(spark):
+    # two sources with wildly different scales; the top row of each maps
+    # to the global max, the bottom row to the global min's cell top
+    rows = [(i, "a", float(i)) for i in range(1, 6)] + [
+        (10 + i, "b", 1000.0 * i) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    out = {r["id"]: r for r in relational.quantile_normalize(df, "v", "src", "id", buckets=4).collect()}
+    gmax = 5000.0
+    assert out[5]["qnorm"] == gmax and out[15]["qnorm"] == gmax
+    # same within-source rank -> same qnorm, whatever the raw scale
+    for i in range(1, 6):
+        assert out[i]["qnorm"] == out[10 + i]["qnorm"]
+
+
+def test_qnorm_is_monotone_within_group(spark):
+    rows = [(i, "s", float(i * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    out = relational.quantile_normalize(df, "v", "src", "id", buckets=10).collect()
+    got = [r["qnorm"] for r in sorted(out, key=lambda r: r["v"])]
+    assert got == sorted(got)
+    # single group: normalizing against yourself at full resolution keeps
+    # the max fixed
+    assert got[-1] == 49.0 * 49.0
+
+
+def test_qnorm_single_row_group_gets_cell_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "solo", 7.0), (2, "big", 1.0), (3, "big", 2.0), (4, "big", 3.0)],
+        "id long, src string, v double",
+    )
+    out = {r["id"]: r for r in relational.quantile_normalize(df, "v", "src", "id", buckets=4).collect()}
+    # percent_rank of a single-row group is 0 -> global cell 0's top value
+    assert out[1]["qnorm"] == out[2]["qnorm"]
+
+
+def test_qnorm_skips_null_values(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 1.0), (2, "s", None), (3, "s", 3.0)],
+        "id long, src string, v double",
+    )
+    out = relational.quantile_normalize(df, "v", "src", "id").collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+# --- self_repetition_stats --------------------------------------------------
+
+
+def _rep(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_self_repetition_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),  # 'a b'/'b c' repeat within doc (n=2)
+            (2, "all words unique here"),
+            (3, "a b c a b c"),  # same text; claims stay per-doc
+        ],
+        "doc_id long, text string",
+    )
+    out = _rep(textops.self_repetition_stats(docs, "text", "doc_id", n=2))
+    # every position of doc 1 is inside a duplicated 2-gram span
+    assert out[1]["dup_tokens"] == 6 and out[1]["dup_char_frac"] == 1.0
+    assert out[2]["dup_tokens"] == 0 and out[2]["dup_char_frac"] == 0.0
+    assert out[3]["dup_tokens"] == 6
+
+
+def test_self_repetition_is_within_doc_only(spark):
+    # identical docs share every 2-gram ACROSS docs, but none repeats
+    # WITHIN either doc -> zero self-repetition (contrast dup_span_stats)
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s")], "doc_id long, text string"
+    )
+    out = _rep(textops.self_repetition_stats(docs, "text", "doc_id", n=2))
+    assert out[1]["dup_tokens"] == 0 and out[2]["dup_tokens"] == 0
+    corpus = _rep(textops.dup_span_stats(docs, "text", "doc_id", n=2))
+    assert corpus[1]["dup_tokens"] == 4  # the corpus-wide twin DOES flag
+
+
+def test_self_repetition_char_weighting(spark):
+    # 'aa bb' repeats (4 tokens, 8 chars of 11 total incl 'c'? tokens:
+    # aa bb aa bb c -> dup tokens 4 (chars 8), total chars 9
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb c")], "doc_id long, text string"
+    )
+    out = _rep(textops.self_repetition_stats(docs, "text", "doc_id", n=2))
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["dup_tokens"] == 4
+    assert abs(out[1]["dup_char_frac"] - 8.0 / 9.0) < 1e-6
+
+
+# --- degree_assortativity ---------------------------------------------------
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # star K(1,3): hub degree 3 pairs only with leaf degree 1 -> r = -1
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    row = graph.degree_assortativity(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # cycle C4: every degree equals 2 -> zero variance -> corr undefined
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    row = graph.degree_assortativity(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 4
+    assert row["assortativity"] is None
+
+
+# --- bpe_encode_fertility ---------------------------------------------------
+
+
+def test_bpe_fertility_hand_case(spark):
+    # corpus: 'ab' x2 + 'b' -> first merge is 'a b' -> 'ab'; encoding
+    # then spends 1 symbol on 'ab' and 1 on 'b'
+    docs = spark.createDataFrame(
+        [("s1", "ab ab"), ("s2", "ab b")], "src string, text string"
+    )
+    merges_df = textops.bpe_learn(docs.select("text"), "text", n_merges=1)
+    merges = [r["pair"] for r in merges_df.orderBy("merge_round").collect()]
+    assert merges == ["a b"]
+    out = {
+        r["src"]: r
+        for r in textops.bpe_encode_fertility(docs, "text", "src", merges).collect()
+    }
+    assert out["s1"]["n_words"] == 2 and out["s1"]["n_bpe_tokens"] == 2
+    assert out["s1"]["fertility"] == 1.0
+    assert out["s2"]["n_words"] == 2 and out["s2"]["n_bpe_tokens"] == 2
+
+
+def test_bpe_fertility_no_merges_counts_chars(spark):
+    docs = spark.createDataFrame(
+        [("s", "abc de")], "src string, text string"
+    )
+    out = textops.bpe_encode_fertility(docs, "text", "src", []).collect()[0]
+    assert out["n_words"] == 2 and out["n_bpe_tokens"] == 5
+    assert abs(out["fertility"] - 2.5) < 1e-9
+
+
+def test_bpe_fertility_applies_merges_in_order(spark):
+    # merges ['a b', 'ab c']: 'abc' -> a b c -> ab c -> abc (1 symbol);
+    # order-reversed rules would leave 'ab c' unmerged first pass
+    docs = spark.createDataFrame(
+        [("s", "abc abc")], "src string, text string"
+    )
+    out = textops.bpe_encode_fertility(
+        docs, "text", "src", ["a b", "ab c"]
+    ).collect()[0]
+    assert out["n_bpe_tokens"] == 2 and out["fertility"] == 1.0
+    out2 = textops.bpe_encode_fertility(
+        docs, "text", "src", ["ab c", "a b"]
+    ).collect()[0]
+    # 'ab c' never matches raw ' a  b  c '; only 'a b' applies -> 2 symbols
+    assert out2["n_bpe_tokens"] == 4 and out2["fertility"] == 2.0

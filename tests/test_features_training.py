@@ -557,3 +557,28 @@ def test_multiclass_metrics_empty_frame(spark):
     empty = spark.createDataFrame([], "label double, prediction double")
     m = multiclass_metrics(empty)
     assert m["accuracy"] == 0.0 and m["weightedF1"] == 0.0 and m["perClass"] == {}
+
+
+def test_plain_fit_path_strips_training_summary(spark):
+    """Regression (caught live in round 5): the non-tuned fit path kept
+    the LR trainingSummary, whose SparkSession reference made every
+    scoring-task closure serialize the session — which breaks as soon as
+    anything non-serializable attaches to it (Spark 4.1's
+    ObservationManager after the first DataFrame.observe).  Every fit
+    path (plain / OVR / CV / HyperBand / Platt) must strip the summary."""
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    from flashml_spark.experiment import Experiment, ExperimentConfig
+
+    rows = [
+        ("buy now great deal" if i % 2 == 0 else "just browsing", float(i % 2))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["text", "label"])
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    vec = HashingTF(inputCol="toks", outputCol="features", numFeatures=16).transform(
+        tok.transform(df)
+    )
+    exp = Experiment(ExperimentConfig(response="label"))
+    model, _ = exp._fit_model(vec, label_col="label", page=0)
+    assert not model._java_obj.hasSummary()
