@@ -178,6 +178,8 @@ HEADLINE = [
     "x166_self_repetition",
     "x167_bpe_fertility",
     "x168_part_assortativity",
+    "x169_calibration_curve",
+    "x170_group_weighted_sample",
 ]
 
 

@@ -127,3 +127,42 @@ def auroc(
     if n_pos == 0 or n_neg == 0:
         return 0.0
     return (agg["rank_sum"] - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram: bucket model scores into ``buckets``
+    equal-width cells of [0, 1] and report, per cell, the support, the
+    mean predicted score, the observed positive rate, and their absolute
+    gap — the per-cell terms of expected calibration error (ECE =
+    Σ n_b/N · gap_b, computable from this frame with one more agg).
+
+    Scale shape: ONE projection (bucket id from the score) + ONE hash
+    agg keyed by bucket — nothing global, no windows, no driver state.
+    Empty cells are absent (support 0 rows carry no evidence).
+
+    Output: ``bucket, n, mean_score, pos_rate, abs_gap`` — bucket i
+    covers scores [i/buckets, (i+1)/buckets), with 1.0 folded into the
+    last cell.
+    """
+    B = float(buckets)
+    s = F.col(score_col).cast("double")
+    bucket = F.least(
+        F.floor(s * B).cast("int"), F.lit(buckets - 1)
+    )
+    y = F.when(F.col(label_col).cast("double") == 1.0, 1.0).otherwise(0.0)
+    out = (
+        df.select(bucket.alias("bucket"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+            F.round(F.avg("__y"), 6).alias("pos_rate"),
+            F.round(F.abs(F.avg("__s") - F.avg("__y")), 6).alias("abs_gap"),
+        )
+    )
+    return out

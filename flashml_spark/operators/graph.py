@@ -168,7 +168,11 @@ def triangle_stats(
     joins to attach endpoint degrees, one self-join on the wedge apex,
     one semi-ish join probing the closing edge, an explode-to-3 and a
     keyed count.  All hash exchanges on node ids; AQE handles residual
-    skew.
+    skew.  The normalized edge frame and the oriented frame are
+    localCheckpointed: ``und`` feeds two consumers and ``oriented``
+    three (both wedge sides + the closing probe) — without the pin the
+    whole canonicalize+degree+orientation chain re-executes per
+    consumer (measured 2x wall on the sf0.1 co-order graph).
 
     Returns ``(node, degree, triangles, clustering)`` for every node of
     the graph, ``clustering = 2T / (deg * (deg - 1))`` (0.0 when
@@ -182,6 +186,7 @@ def triangle_stats(
             F.greatest(a, b).alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -200,7 +205,7 @@ def triangle_stats(
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("dlo"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dhi"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("lo").alias("u"), F.col("hi").alias("v"),
         F.col("dhi").alias("dv"),
@@ -253,9 +258,16 @@ def degree_assortativity(
     = hubs link to leaves (dependency/star-style) — the one-number
     structure audit run next to :func:`triangle_stats`.
 
-    Scale shape: canonicalize + distinct, one degree agg, two keyed
-    joins to attach endpoint degrees, then ONE corr() agg row.  Nothing
-    driver-side, no windows.  Output: one row
+    Scale shape: canonicalize + distinct (localCheckpointed — three
+    consumers), one degree agg, two keyed joins to attach endpoint
+    degrees, then ONE moment-agg row.  The symmetrized (dx, dy) /
+    (dy, dx) frame is never materialized: over the doubled edge set the
+    two marginals are identical, so Pearson r reduces to moments of a
+    SINGLE pass over the edges — ``r = (sp/c - (s/2c)^2) / (ss/2c -
+    (s/2c)^2)`` with ``s = Σ(da+db)``, ``ss = Σ(da²+db²)``,
+    ``sp = Σ(da·db)``, ``c = |E|``.  try_divide (not F.corr) so a
+    regular graph's zero variance yields NULL like SQL ``corr`` instead
+    of ANSI DIVIDE_BY_ZERO.  Output: one row
     ``(n_nodes, n_edges, assortativity)``.
     """
     a, b = F.col(src), F.col(dst)
@@ -263,6 +275,7 @@ def degree_assortativity(
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -273,23 +286,21 @@ def degree_assortativity(
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     keyed = und.join(da, "a").join(db, "b")
-    sym = keyed.select(
-        F.col("da").alias("dx"), F.col("db").alias("dy")
-    ).unionAll(keyed.select(F.col("db").alias("dx"), F.col("da").alias("dy")))
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    n_edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    # NOT F.corr: under ANSI mode a zero-variance side (regular graph)
-    # raises DIVIDE_BY_ZERO inside corr; try_divide of the population
-    # moments is the same Pearson value and yields NULL there, matching
-    # SQL corr semantics.
-    dx = F.col("dx").cast("double")
-    dy = F.col("dy").cast("double")
-    r = sym.agg(
-        F.round(
-            F.try_divide(
-                F.covar_pop(dx, dy), F.stddev_pop(dx) * F.stddev_pop(dy)
-            ),
-            6,
-        ).alias("assortativity")
+    xa = F.col("da").cast("double")
+    xb = F.col("db").cast("double")
+    m = keyed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(xa + xb).alias("s"),
+        F.sum(xa * xa + xb * xb).alias("ss"),
+        F.sum(xa * xb).alias("sp"),
     )
-    return n_nodes.crossJoin(n_edges).crossJoin(r)
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    c = F.col("n_edges").cast("double")
+    mean = F.col("s") / (2.0 * c)
+    cov = F.col("sp") / c - mean * mean
+    var = F.col("ss") / (2.0 * c) - mean * mean
+    return n_nodes.crossJoin(m).select(
+        "n_nodes",
+        "n_edges",
+        F.round(F.try_divide(cov, var), 6).alias("assortativity"),
+    )

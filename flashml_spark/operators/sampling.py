@@ -403,3 +403,51 @@ def split_leakage_audit(
     return leak_count(id_col, "row_hash").unionByName(
         leak_count(group_col, "group_hash")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-GROUP deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, the keyed twin of
+    :func:`weighted_sample_topk`): within every group, the k rows with
+    the largest ``ln(u)/w`` keys are the sample, u a reproducible
+    uniform from md5(id) — inclusion probability proportional to weight,
+    identical on any cluster and in the SQL oracle.  Rows with
+    weight <= 0 are excluded.
+
+    Scale shape: the key is a per-row projection; selection is a keyed
+    window ``row_number() <= k`` — one hash exchange on the group, no
+    global sort, no driver state.  Output: the input columns plus
+    ``rank_col`` (1 = strongest draw).
+    """
+    from flashml_spark.functions import hashing as H
+
+    u = (
+        F.conv(
+            F.substring(
+                H.md5_hex(F.col(id_col).cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        + 1.0
+    ) / 4294967296.0
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__es_key"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__es_key")
+    )

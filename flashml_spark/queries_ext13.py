@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flashml_spark.operators import graph, relational, textops
+from flashml_spark.operators import graph, relational, sampling, textops
 from flashml_spark.queries import register
 from flashml_spark.queries_ext import _TOK
 from flashml_spark.sources.readers import load_table
@@ -267,3 +267,78 @@ def x168(spark: SparkSession, sf: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return graph.degree_assortativity(edges)
+
+
+# --------------------------------------------------------------------------
+# x169 — reliability diagram / calibration curve: scores and labels are
+# hash-derived (score = uniform from md5(orderkey); label drawn with
+# probability = score from a second independent hash), so the curve is
+# calibrated by construction up to sampling noise — per-decile support,
+# mean score, observed rate, and the |gap| (the ECE terms).
+_CAL_SQL = """
+WITH s AS (SELECT o_orderkey,
+                  (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0 AS score,
+                  (CAST(('0x' || substr(md5('lbl:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0 AS u2
+           FROM orders),
+     lab AS (SELECT score,
+                    CASE WHEN u2 < score THEN 1.0 ELSE 0.0 END AS label,
+                    LEAST(CAST(floor(score * 10) AS INT), 9) AS bucket
+             FROM s)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(AVG(label), 6) AS pos_rate,
+       ROUND(ABS(AVG(score) - AVG(label)), 6) AS abs_gap
+FROM lab GROUP BY bucket"""
+
+
+@register("x169_calibration_curve", _CAL_SQL)
+def x169(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+    from flashml_spark.metrics.binary import calibration_curve
+
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    okey = F.col("o_orderkey").cast("string")
+
+    def _u(col):
+        return (
+            F.conv(F.substring(H.md5_hex(col.cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            + 1.0
+        ) / 4294967296.0
+
+    scored = orders.select(
+        _u(okey).alias("score"),
+        _u(F.concat(F.lit("lbl:"), okey)).alias("u2"),
+    ).select(
+        "score",
+        F.when(F.col("u2") < F.col("score"), 1.0).otherwise(0.0).alias("label"),
+    )
+    return calibration_curve(scored, "score", "label", buckets=10)
+
+
+# --------------------------------------------------------------------------
+# x170 — per-language weighted document sample (Efraimidis-Spirakis
+# A-ES, keyed): 5 docs per lang, inclusion probability proportional to
+# n_chars; u from md5(doc_id) so any engine draws the same sample.
+_WSG_SQL = """
+WITH s AS (SELECT lang, doc_id, n_chars,
+                  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 1.0) / 4294967296.0) / n_chars AS es_key
+           FROM documents WHERE n_chars > 0),
+     r AS (SELECT lang, doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY es_key DESC, doc_id) AS rk
+           FROM s)
+SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5"""
+
+
+@register("x170_group_weighted_sample", _WSG_SQL)
+def x170(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+    out = sampling.weighted_sample_per_group(
+        docs, "lang", "n_chars", "doc_id", k=5
+    )
+    return out.select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))

@@ -106,6 +106,8 @@ PROBES = [
     "x143_bpe_learn",
     "x145_vocab_growth",
     "x161_dup_span_stats",
+    "x166_self_repetition",
+    "x167_bpe_fertility",
 ]
 
 
@@ -114,6 +116,8 @@ def main() -> int:
     ap.add_argument("--factors", default="1,2,4,8")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scaleprobe")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated probe subset (prefix match)")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
 
@@ -129,13 +133,17 @@ def main() -> int:
         if not os.path.exists(f"{dst}/documents.parquet"):
             replicate(spark, args.src, dst, k)
 
-    timings: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    probes = PROBES
+    if args.only:
+        pres = [p.strip() for p in args.only.split(",")]
+        probes = [q for q in PROBES if any(q.startswith(p) for p in pres)]
+    timings: dict[str, dict[int, float]] = {q: {} for q in probes}
     # warm once on the smallest factor so JIT/footer costs don't land on x1
-    run_query(QUERIES[PROBES[0]][0](spark, f"{args.out}/x{factors[0]}"))
+    run_query(QUERIES[probes[0]][0](spark, f"{args.out}/x{factors[0]}"))
     release_storage(spark)
     for k in factors:
         dst = f"{args.out}/x{k}"
-        for q in PROBES:
+        for q in probes:
             t0 = time.perf_counter()
             run_query(QUERIES[q][0](spark, dst))
             dt = time.perf_counter() - t0

@@ -254,3 +254,87 @@ def test_bpe_fertility_applies_merges_in_order(spark):
     ).collect()[0]
     # 'ab c' never matches raw ' a  b  c '; only 'a b' applies -> 2 symbols
     assert out2["n_bpe_tokens"] == 4 and out2["fertility"] == 2.0
+
+
+# --- calibration_curve ------------------------------------------------------
+
+
+def test_calibration_curve_hand_case(spark):
+    from flashml_spark.metrics.binary import calibration_curve
+
+    rows = [
+        (0.05, 0.0), (0.05, 0.0),          # bucket 0: rate 0, mean .05
+        (0.55, 1.0), (0.55, 0.0),          # bucket 5: rate .5, mean .55
+        (1.0, 1.0),                        # folds into bucket 9
+    ]
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = {r["bucket"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["n"] == 2 and out[0]["pos_rate"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["pos_rate"] == 0.5
+    assert abs(out[5]["abs_gap"] - 0.05) < 1e-9
+    assert out[9]["n"] == 1 and out[9]["pos_rate"] == 1.0 and out[9]["abs_gap"] == 0.0
+
+
+def test_calibration_curve_calibrated_scores_have_small_gaps(spark):
+    # label drawn with probability == score (deterministic hash draw):
+    # every populated decile's gap must be sampling noise, not bias
+    from flashml_spark.functions import hashing as H
+    from flashml_spark.metrics.binary import calibration_curve
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 4000)
+    def u(col):
+        return (F.conv(F.substring(H.md5_hex(col.cast("string").cast("binary")), 1, 8), 16, 10)
+                .cast("bigint").cast("double") + 1.0) / 4294967296.0
+    df = ids.select(u(F.col("id")).alias("score"),
+                    u(F.concat(F.lit("l"), F.col("id").cast("string"))).alias("u2"))
+    df = df.select("score", F.when(F.col("u2") < F.col("score"), 1.0).otherwise(0.0).alias("label"))
+    out = calibration_curve(df, "score", "label").collect()
+    assert sum(r["n"] for r in out) == 4000
+    for r in out:
+        assert r["abs_gap"] < 0.08, (r["bucket"], r["abs_gap"])
+
+
+# --- weighted_sample_per_group ----------------------------------------------
+
+
+def test_group_weighted_sample_k_per_group(spark):
+    from flashml_spark.operators import sampling
+
+    rows = [(f"g{i % 3}", i, float(1 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    out = sampling.weighted_sample_per_group(df, "grp", "w", "id", k=4).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["rk"])
+    assert set(by_grp) == {"g0", "g1", "g2"}
+    for rks in by_grp.values():
+        assert sorted(rks) == [1, 2, 3, 4]
+
+
+def test_group_weighted_sample_small_group_and_nonpos_weight(spark):
+    from flashml_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, 0.0), ("b", 3, 1.0)],
+        "grp string, id long, w double",
+    )
+    out = sampling.weighted_sample_per_group(df, "grp", "w", "id", k=5).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [1, 3]  # zero-weight row excluded; small groups keep all
+
+
+def test_group_weighted_sample_heavier_rows_win_more(spark):
+    # one heavy row per group vs 9 light ones: across many groups the
+    # heavy row should take rank 1 far more often than 1/10 of the time
+    from flashml_spark.operators import sampling
+
+    rows = []
+    for g in range(40):
+        rows.append((f"g{g}", g * 100, 50.0))          # heavy
+        rows += [(f"g{g}", g * 100 + j, 1.0) for j in range(1, 10)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    out = sampling.weighted_sample_per_group(df, "grp", "w", "id", k=1).collect()
+    heavy_wins = sum(1 for r in out if r["id"] % 100 == 0)
+    assert heavy_wins >= 30  # E[wins] = 40 * 50/59 ≈ 34
