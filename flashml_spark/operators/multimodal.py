@@ -8,9 +8,13 @@ overhead, no per-row pickling, executor-parallel).
 The codec step has two paths: ``fake=True`` produces a DETERMINISTIC
 md5-derived fake (so the full Spark plumbing — schema, Arrow batches,
 partitioning — is real and test-covered everywhere), and ``fake=False``
-decodes for real via PIL (dimensions + 8x8 average-hash), raising
-``NotImplementedError`` where PIL is not installed — as in this container,
-where the real-codec test import-skips.
+decodes FOR REAL: BMP images and PCM WAV audio through the
+dependency-free pure-struct codecs in
+``flashml_spark.functions.codecs`` (exercised end-to-end in this
+container — payload bytes in, pixel-/sample-exact metadata out), and
+every other format through PIL/soundfile, raising
+``NotImplementedError`` where those are not installed (as here; that
+test import-skips).
 """
 
 from __future__ import annotations
@@ -69,14 +73,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, str]:
-    """Real image decode (PIL): dimensions + 8x8 average perceptual hash.
-    Raises NotImplementedError where PIL is not installed (this container)
-    — the test for this path is import-gated accordingly."""
+    """Real image decode: dimensions + 8x8 average perceptual hash.
+
+    BMP payloads decode via the dependency-free codec
+    (:mod:`flashml_spark.functions.codecs` — pure struct parsing, so the
+    REAL path is exercised end-to-end in this container); other formats
+    fall through to PIL, raising NotImplementedError where PIL is not
+    installed (as here) — that test is import-gated accordingly."""
+    from flashml_spark.functions import codecs
+
+    if payload[:2] == b"BM":
+        width, height, rows = codecs.decode_bmp(payload)
+        return width, height, codecs.average_hash(codecs.bmp_grayscale(rows))
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg — not in this environment"
+            "real decode of non-BMP formats requires PIL — not in this environment"
         ) from exc
     import io
 
@@ -161,13 +174,21 @@ def resize_media(
         import pandas as pd
 
         def real(p: bytes) -> bytes:
+            from flashml_spark.functions import codecs
+
+            if p[:2] == b"BM":  # dependency-free real path (see codecs.py)
+                _, _, rows = codecs.decode_bmp(p)
+                gray = codecs.nearest_resize(
+                    codecs.bmp_grayscale(rows), width, height
+                )
+                return bytes(v for row in gray for v in row)
             try:
                 import io
 
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize path requires PIL; install pillow"
+                    "real resize of non-BMP formats requires PIL; install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
             return img.convert("L").resize((width, height)).tobytes()
@@ -214,13 +235,18 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
             return sr, n, f"{n / sr:.6f}"
 
         def real_feats(p: bytes) -> tuple[int, int, str]:
+            from flashml_spark.functions import codecs
+
+            if p[:4] == b"RIFF":  # dependency-free real path (PCM WAV)
+                sr, _ch, n = codecs.decode_wav(p)
+                return sr, n, f"{n / sr:.6f}"
             try:
                 import soundfile  # noqa: F401
             except ImportError as exc:  # pragma: no cover - container lacks codec
                 raise NotImplementedError(
-                    "real audio path requires soundfile/librosa"
+                    "real decode of non-WAV audio requires soundfile/librosa"
                 ) from exc
-            raise NotImplementedError("real audio decode not wired in this build")
+            raise NotImplementedError("real non-WAV audio decode not wired in this build")
 
         feats = fake_feats if fake else real_feats
         for pdf in batches:
