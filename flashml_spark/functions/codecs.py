@@ -170,3 +170,98 @@ def wav_rms(payload: bytes) -> float:
             return (sum(v * v for v in vals) / n) ** 0.5 if n else 0.0
         pos += 8 + clen + (clen % 2)
     raise ValueError("WAV missing data chunk")
+
+
+# --------------------------------------------------------------------------
+# Y4M / YUV4MPEG2 (uncompressed video, the mjpegtools interchange format)
+
+
+def encode_y4m(
+    frames: list[list[list[int]]], fps: tuple[int, int] = (30, 1)
+) -> bytes:
+    """Encode luma-plane frames (each a HxW grid of 0..255) as a
+    YUV4MPEG2 stream, C420jpeg with flat gray chroma.  Frame dims must
+    be even (4:2:0 chroma is quarter-res)."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = len(frames[0]), len(frames[0][0])
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 needs even dimensions")
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    )
+    chroma = bytes([128]) * ((w // 2) * (h // 2))
+    for fr in frames:
+        if len(fr) != h or any(len(row) != w for row in fr):
+            raise ValueError("ragged frame")
+        out += b"FRAME\n"
+        for row in fr:
+            out += bytes(row)
+        out += chroma + chroma  # U then V planes
+    return bytes(out)
+
+
+def decode_y4m_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a YUV4MPEG2 stream header: (width, height, fps_num,
+    fps_den).  Only 4:2:0 chroma variants (the default) are supported —
+    anything else raises, loudly."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = num = den = None
+    for tok in payload[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(b":"))
+        elif tag == b"C" and not val.startswith(b"420"):
+            raise ValueError(f"unsupported Y4M chroma {val.decode()!r}")
+    if None in (w, h, num, den):
+        raise ValueError("Y4M header missing W/H/F")
+    return w, h, num, den
+
+
+def iter_y4m_frames(payload: bytes, every_n: int = 1):
+    """Yield ``(frame_idx, luma_grid)`` for every ``every_n``-th frame of
+    a 4:2:0 YUV4MPEG2 stream.  Skipped frames are never materialized —
+    the cursor jumps over their bytes, which is what a real frame
+    sampler does."""
+    w, h, _num, _den = decode_y4m_header(payload)
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    pos = payload.find(b"\n") + 1
+    idx = 0
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or not payload[pos : pos + 5] == b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        data_start = nl + 1
+        if idx % every_n == 0:
+            plane = payload[data_start : data_start + w * h]
+            yield idx, [list(plane[y * w : (y + 1) * w]) for y in range(h)]
+        pos = data_start + frame_bytes
+        idx += 1
+
+
+def y4m_frame_count(payload: bytes) -> int:
+    """Frame count by cursor arithmetic — no plane is ever copied."""
+    w, h, _num, _den = decode_y4m_header(payload)
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    pos = payload.find(b"\n") + 1
+    n = 0
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = nl + 1 + frame_bytes
+        n += 1
+    return n
+
+
+def hamming64(a: str, b: str) -> int:
+    """Hamming distance between two 16-hex-char (64-bit) hashes."""
+    return bin(int(a, 16) ^ int(b, 16)).count("1")

@@ -261,3 +261,142 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", StringType()),
+    ]
+)
+
+
+def video_stats(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Video container stats: payload → (width, height, fps, n_frames,
+    duration).  ``fake=True`` derives deterministic values from the
+    payload digest (plumbing-only, any bytes); ``fake=False`` decodes
+    REAL YUV4MPEG2 streams through the dependency-free codec
+    (`functions/codecs.py`) — frame count by cursor arithmetic, no
+    plane ever copied — and raises NotImplementedError for compressed
+    containers (those need ffmpeg, absent here)."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from flashml_spark.functions import codecs
+
+        def fake_stats(p: bytes) -> tuple[int, int, str, int, str]:
+            d = hashlib.md5(p).digest()
+            w = 160 + 8 * (d[0] % 64)
+            h = 120 + 8 * (d[1] % 48)
+            n = 10 + int.from_bytes(d[2:4], "big") % 1000
+            return w, h, "30:1", n, f"{n / 30.0:.6f}"
+
+        def real_stats(p: bytes) -> tuple[int, int, str, int, str]:
+            if p[:9] != b"YUV4MPEG2":
+                raise NotImplementedError(
+                    "real decode of compressed video requires ffmpeg — "
+                    "only YUV4MPEG2 is dependency-free"
+                )
+            w, h, num, den = codecs.decode_y4m_header(p)
+            n = codecs.y4m_frame_count(p)
+            return w, h, f"{num}:{den}", n, f"{n * den / num:.6f}"
+
+        stats = fake_stats if fake else real_stats
+        for pdf in batches:
+            got = [stats(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [g[0] for g in got],
+                    "height": [g[1] for g in got],
+                    "fps": [g[2] for g in got],
+                    "n_frames": [g[3] for g in got],
+                    "duration_s": [g[4] for g in got],
+                }
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("phash", StringType()),
+        StructField("mean_luma", IntegerType()),
+        StructField("hamming_prev", IntegerType()),
+        StructField("dmean_prev", IntegerType()),
+        StructField("is_cut", IntegerType()),
+    ]
+)
+
+
+def scene_cuts(
+    df: DataFrame,
+    every_n: int = 5,
+    threshold: int = 16,
+    luma_threshold: int = 32,
+) -> DataFrame:
+    """REAL frame sampling + scene-cut detection over YUV4MPEG2
+    payloads: every ``every_n``-th frame's luma plane is average-hashed
+    (8x8 aHash) and mean-luma'd; a sampled frame is a cut when EITHER
+    its hash Hamming distance to the previous sampled frame is
+    >= ``threshold`` (structure change) OR the mean-luma delta is
+    >= ``luma_threshold`` (exposure/fade change).  Two signals because
+    aHash is deliberately brightness-invariant — any two FLAT frames
+    hash identically (every cell >= its own mean), so a hard black→white
+    cut is invisible to the hash and caught by the luma delta; this is
+    the same pairing FFmpeg-style detectors use (structure + intensity).
+    Skipped frames are cursor-jumped, never decoded.
+
+    Scale shape: one Arrow-batched mapInPandas; all state is per-video
+    and per-batch (the previous sampled frame's hash + mean), so videos
+    parallelize freely across executors.  Output: one row per SAMPLED
+    frame.
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from flashml_spark.functions import codecs
+
+        def per_video(mid: int, p: bytes) -> list[tuple]:
+            rows = []
+            prev_hash, prev_mean = None, None
+            for idx, luma in codecs.iter_y4m_frames(p, every_n=every_n):
+                ph = codecs.average_hash(luma)
+                n_px = len(luma) * len(luma[0])
+                mean = sum(sum(row) for row in luma) // n_px
+                if prev_hash is None:
+                    d, dm, cut = 0, 0, 0
+                else:
+                    d = codecs.hamming64(prev_hash, ph)
+                    dm = abs(mean - prev_mean)
+                    cut = 1 if (d >= threshold or dm >= luma_threshold) else 0
+                rows.append((mid, idx, ph, mean, d, dm, cut))
+                prev_hash, prev_mean = ph, mean
+            return rows
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out.extend(per_video(int(mid), bytes(p)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "phash",
+                    "mean_luma",
+                    "hamming_prev",
+                    "dmean_prev",
+                    "is_cut",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=SCENE_SCHEMA)

@@ -227,3 +227,108 @@ def test_real_audio_features_wav_end_to_end(spark):
     assert out[1]["duration_s"] == "1.000000"
     assert (out[2]["sample_rate"], out[2]["n_samples"]) == (44100, 4410)
     assert out[2]["duration_s"] == "0.100000"
+
+
+# --- Y4M video: real container stats + frame sampling + scene cuts ----------
+
+
+def _gradient_frame(w, h, shift):
+    return [[(x * 8 + y * 4 + shift) % 256 for x in range(w)] for y in range(h)]
+
+
+def test_y4m_roundtrip_and_frame_count():
+    from flashml_spark.functions import codecs
+
+    frames = [_gradient_frame(16, 8, s) for s in range(7)]
+    payload = codecs.encode_y4m(frames, fps=(25, 1))
+    assert codecs.decode_y4m_header(payload) == (16, 8, 25, 1)
+    assert codecs.y4m_frame_count(payload) == 7
+    got = dict(codecs.iter_y4m_frames(payload, every_n=1))
+    assert set(got) == set(range(7))
+    assert got[3] == frames[3]  # luma-exact
+
+
+def test_y4m_sampling_skips_frames():
+    from flashml_spark.functions import codecs
+
+    payload = codecs.encode_y4m([_gradient_frame(8, 8, s) for s in range(10)])
+    idxs = [i for i, _ in codecs.iter_y4m_frames(payload, every_n=3)]
+    assert idxs == [0, 3, 6, 9]
+
+
+def test_y4m_rejects_non420_and_garbage():
+    from flashml_spark.functions import codecs
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        codecs.decode_y4m_header(b"RIFF....")
+    hdr = b"YUV4MPEG2 W8 H8 F30:1 C444\n"
+    with pytest.raises(ValueError, match="unsupported Y4M chroma"):
+        codecs.decode_y4m_header(hdr)
+
+
+def test_video_stats_real_y4m_end_to_end(spark):
+    from flashml_spark.functions import codecs
+    from flashml_spark.operators.multimodal import video_stats
+
+    p1 = codecs.encode_y4m([_gradient_frame(16, 8, s) for s in range(30)], fps=(30, 1))
+    p2 = codecs.encode_y4m([_gradient_frame(8, 8, s) for s in range(12)], fps=(24, 1))
+    df = spark.createDataFrame(
+        [(1, p1, "video/x-y4m"), (2, p2, "video/x-y4m")],
+        "media_id long, payload binary, mime string",
+    )
+    out = {r["media_id"]: r for r in video_stats(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (16, 8, 30)
+    assert out[1]["fps"] == "30:1" and out[1]["duration_s"] == "1.000000"
+    assert (out[2]["n_frames"], out[2]["duration_s"]) == (12, "0.500000")
+
+
+def test_video_stats_real_rejects_compressed(spark):
+    from flashml_spark.operators.multimodal import video_stats
+
+    df = spark.createDataFrame(
+        [(1, b"\x00\x00\x00\x20ftypisom....", "video/mp4")],
+        "media_id long, payload binary, mime string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        video_stats(df, fake=False).collect()
+
+
+def test_scene_cuts_detects_black_to_white(spark):
+    from flashml_spark.functions import codecs
+    from flashml_spark.operators.multimodal import scene_cuts
+
+    black = [[0] * 16 for _ in range(16)]
+    white = [[255] * 16 for _ in range(16)]
+    # 10 black frames then 10 white: sampling every 5 sees 0,5,10,15 —
+    # the 10 is the cut
+    payload = codecs.encode_y4m([black] * 10 + [white] * 10)
+    df = spark.createDataFrame(
+        [(7, payload, "video/x-y4m")],
+        "media_id long, payload binary, mime string",
+    )
+    rows = sorted(
+        scene_cuts(df, every_n=5, threshold=16).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 5, 10, 15]
+    # flat black and flat white frames hash IDENTICALLY (aHash is
+    # brightness-invariant: every cell >= its own mean) — the cut must
+    # come from the mean-luma delta channel, not the hash
+    assert [r["is_cut"] for r in rows] == [0, 0, 1, 0]
+    assert rows[2]["hamming_prev"] == 0 and rows[2]["dmean_prev"] == 255
+    assert rows[1]["hamming_prev"] == 0 and rows[1]["dmean_prev"] == 0
+    # structure change with similar brightness: caught by the hash channel
+    structured = [_gradient_frame(16, 16, 0)] * 5
+    p2 = codecs.encode_y4m([black] * 5 + structured)
+    rows2 = sorted(
+        scene_cuts(
+            spark.createDataFrame(
+                [(8, p2, "video/x-y4m")],
+                "media_id long, payload binary, mime string",
+            ),
+            every_n=5,
+            threshold=10,
+        ).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert rows2[1]["hamming_prev"] >= 10 and rows2[1]["is_cut"] == 1
