@@ -180,6 +180,8 @@ HEADLINE = [
     "x168_part_assortativity",
     "x169_calibration_curve",
     "x170_group_weighted_sample",
+    "x171_frequent_pairs",
+    "x172_seasonal_indices",
 ]
 
 

@@ -723,3 +723,47 @@ def scd2_run_intervals(
         F.lead("valid_from").over(wk).alias("valid_to"),
         "n_events",
     )
+
+
+def seasonal_indices(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonal indices per key: mean value on each weekday
+    divided by the key's overall mean — the classical multiplicative
+    seasonality readout (index > 1 = that weekday runs hot), the first
+    thing a forecaster or anomaly detector normalizes by.
+
+    Weekday is computed as ``(days_since_epoch + 4) % 7`` (0 = Sunday;
+    1970-01-01 was a Thursday) — pure integer arithmetic, bit-identical
+    across engines, unlike the engines' dayofweek() functions which
+    disagree on the base index.
+
+    Scale shape: one (key, dow) hash agg + one |keys| agg joined back —
+    both value-domain bounded; no windows.  Output:
+    ``key_col, dow, n, avg_value, seasonal_index``.
+    """
+    dow = (
+        F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01"))) + 4
+    ) % 7
+    per = (
+        df.select(F.col(key_col), dow.alias("dow"), F.col(value_col).alias("__v"))
+        .groupBy(key_col, "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg("__v").alias("__avg"),
+        )
+    )
+    overall = df.groupBy(key_col).agg(F.avg(value_col).alias("__all"))
+    return (
+        per.join(overall, key_col)
+        .select(
+            key_col,
+            F.col("dow").cast("int").alias("dow"),
+            "n",
+            F.round("__avg", 6).alias("avg_value"),
+            F.round(F.col("__avg") / F.col("__all"), 6).alias("seasonal_index"),
+        )
+    )

@@ -714,3 +714,70 @@ def quantile_normalize(
             F.col("__qnorm").alias("qnorm"),
         )
     )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_k: int = 15,
+) -> DataFrame:
+    """Market-basket association mining for item PAIRS: support (baskets
+    containing both), confidence in both directions' max, and lift
+    (observed co-occurrence over the independence expectation) — the
+    classic curation/merchandising readout, and on a training-data
+    platform the "documents co-selected by the same pipeline run" audit.
+
+    Scale shape: per-basket pair fan-out is C(basket_size, 2) — bounded
+    by the basket, never by the catalog; pairs and item supports are
+    hash aggs; the |items|-sized support frame joins back twice (keyed);
+    the basket count is a 1-row scalar broadcast.  ``min_support``
+    prunes the pair frame BEFORE the joins.  Top-k lands as
+    TakeOrderedAndProject.  Output:
+    ``item_a, item_b, support, confidence, lift`` with ``item_a <
+    item_b``; ordered by lift desc (support, item tie-breaks).
+    """
+    b, i = F.col(basket_col), F.col(item_col)
+    items = df.select(b.alias("bk"), i.alias("it")).distinct()
+    a = items.select(F.col("bk"), F.col("it").alias("ia"))
+    c = items.select(F.col("bk"), F.col("it").alias("ib"))
+    pairs = (
+        a.join(c, "bk")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    isup = items.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+    n_baskets = items.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("n_bk")
+    )
+    sa = isup.select(F.col("it").alias("ia"), F.col("n_it").alias("na"))
+    sb = isup.select(F.col("it").alias("ib"), F.col("n_it").alias("nb"))
+    out = (
+        pairs.join(sa, "ia")
+        .join(sb, "ib")
+        .join(F.broadcast(n_baskets))
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("support").cast("bigint").alias("support"),
+            F.round(
+                F.greatest(
+                    F.col("support") / F.col("na").cast("double"),
+                    F.col("support") / F.col("nb").cast("double"),
+                ),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("support")
+                * F.col("n_bk").cast("double")
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("support"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_k)

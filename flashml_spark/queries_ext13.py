@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flashml_spark.operators import graph, relational, sampling, textops
+from flashml_spark.operators import events, graph, relational, sampling, textops
 from flashml_spark.queries import register
 from flashml_spark.queries_ext import _TOK
 from flashml_spark.sources.readers import load_table
@@ -342,3 +342,56 @@ def x170(spark: SparkSession, sf: str) -> DataFrame:
         docs, "lang", "n_chars", "doc_id", k=5
     )
     return out.select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# x171 — market-basket frequent pairs over order baskets: support,
+# max-direction confidence, lift; min_support prunes before the joins.
+_FP_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+     pairs AS (SELECT a.it AS ia, c.it AS ib, COUNT(*) AS support
+               FROM items a JOIN items c ON a.bk = c.bk AND a.it < c.it
+               GROUP BY a.it, c.it HAVING COUNT(*) >= 2),
+     isup AS (SELECT it, COUNT(*) AS n_it FROM items GROUP BY it),
+     nb AS (SELECT COUNT(DISTINCT bk) AS n_bk FROM items)
+SELECT p.ia AS item_a, p.ib AS item_b,
+       CAST(p.support AS BIGINT) AS support,
+       ROUND(GREATEST(p.support / CAST(sa.n_it AS DOUBLE),
+                      p.support / CAST(sb.n_it AS DOUBLE)), 6) AS confidence,
+       ROUND(p.support * CAST(nb.n_bk AS DOUBLE)
+             / (sa.n_it * CAST(sb.n_it AS DOUBLE)), 6) AS lift
+FROM pairs p JOIN isup sa ON sa.it = p.ia
+             JOIN isup sb ON sb.it = p.ib, nb
+ORDER BY lift DESC, support DESC, item_a, item_b LIMIT 15"""
+
+
+@register("x171_frequent_pairs", _FP_SQL)
+def x171(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return relational.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, top_k=15
+    )
+
+
+# --------------------------------------------------------------------------
+# x172 — day-of-week seasonal indices per event type: weekday mean over
+# overall mean.  dow = (days_since_epoch + 4) % 7 (0=Sunday) — integer
+# arithmetic, identical in both engines (their dayofweek() bases differ).
+_SEAS_SQL = """
+WITH e AS (SELECT event_type,
+                  (DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                      AS dow,
+                  value FROM events),
+     per AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+                    AVG(value) AS a FROM e GROUP BY event_type, dow),
+     tot AS (SELECT event_type, AVG(value) AS t FROM e GROUP BY event_type)
+SELECT per.event_type, CAST(per.dow AS INT) AS dow, per.n,
+       ROUND(per.a, 6) AS avg_value,
+       ROUND(per.a / tot.t, 6) AS seasonal_index
+FROM per JOIN tot ON per.event_type = tot.event_type"""
+
+
+@register("x172_seasonal_indices", _SEAS_SQL)
+def x172(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_type", "ts", "value")
+    return events.seasonal_indices(ev, "ts", "event_type", "value")

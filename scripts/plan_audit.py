@@ -70,6 +70,7 @@ ACCEPTED_CROSS = {
     "x158_batch_retrieval": "1-row (N, avgdl) stats scalar broadcast",
     "x165_quantile_normalize": "1-row corpus-total scalar broadcast (percent_rank denominator)",
     "x168_part_assortativity": "1-row n_nodes/n_edges/corr scalar crosses",
+    "x171_frequent_pairs": "1-row basket-count scalar broadcast",
     "x159_referential_integrity": "1-row x 1-row totals cross (pure scalars)",
 }
 

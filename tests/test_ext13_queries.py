@@ -12,7 +12,7 @@ import itertools
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from flashml_spark.operators import graph, relational, textops
+from flashml_spark.operators import events, graph, relational, textops
 
 # --- triangle_stats ---------------------------------------------------------
 
@@ -338,3 +338,50 @@ def test_group_weighted_sample_heavier_rows_win_more(spark):
     out = sampling.weighted_sample_per_group(df, "grp", "w", "id", k=1).collect()
     heavy_wins = sum(1 for r in out if r["id"] % 100 == 0)
     assert heavy_wins >= 30  # E[wins] = 40 * 50/59 ≈ 34
+
+
+# --- frequent_pairs ---------------------------------------------------------
+
+
+def test_frequent_pairs_hand_case(spark):
+    # baskets: {1,2,3}, {1,2}, {1,2}, {3} -> pair (1,2) support 3;
+    # (1,3),(2,3) support 1 (pruned at min_support=2)
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (12, 1), (12, 2), (13, 3)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = relational.frequent_pairs(df, "bk", "it", min_support=2, top_k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["support"]) == (1, 2, 3)
+    # conf = max(3/3, 3/3) = 1.0; lift = 3*4/(3*3) = 1.333333
+    assert r["confidence"] == 1.0
+    assert abs(r["lift"] - 4.0 / 3.0) < 1e-6
+
+
+def test_frequent_pairs_dedups_within_basket(spark):
+    # the same item twice in one basket must count the basket once
+    rows = [(1, 7), (1, 7), (1, 8), (2, 7), (2, 8)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = relational.frequent_pairs(df, "bk", "it", min_support=2).collect()
+    assert len(out) == 1 and out[0]["support"] == 2
+
+
+# --- seasonal_indices -------------------------------------------------------
+
+
+def test_seasonal_indices_hand_case(spark):
+    import datetime
+
+    # key 'a': Sundays avg 20, Mondays avg 10 -> overall 15,
+    # indices 1.333333 / 0.666667
+    rows = [
+        ("a", datetime.datetime(2024, 1, 7), 20.0),   # Sunday
+        ("a", datetime.datetime(2024, 1, 14), 20.0),  # Sunday
+        ("a", datetime.datetime(2024, 1, 8), 10.0),   # Monday
+        ("a", datetime.datetime(2024, 1, 15), 10.0),  # Monday
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["dow"]: r for r in events.seasonal_indices(df, "ts", "k", "v").collect()}
+    assert set(out) == {0, 1}  # 0=Sunday
+    assert out[0]["avg_value"] == 20.0 and abs(out[0]["seasonal_index"] - 4/3) < 1e-6
+    assert out[1]["avg_value"] == 10.0 and abs(out[1]["seasonal_index"] - 2/3) < 1e-6
+    assert out[0]["n"] == 2
