@@ -18,3 +18,9 @@ from flashml_spark.streaming.sinks import (  # noqa: F401
     write_stream_parquet,
     write_stream_upsert,
 )
+from flashml_spark.streaming.drift import (  # noqa: F401
+    baseline_fractions,
+    batch_windowed_psi,
+    quantile_edges,
+    windowed_psi,
+)
