@@ -182,6 +182,8 @@ HEADLINE = [
     "x170_group_weighted_sample",
     "x171_frequent_pairs",
     "x172_seasonal_indices",
+    "x173_nation_supplier_hhi",
+    "x174_retention_decay",
 ]
 
 

@@ -767,3 +767,61 @@ def seasonal_indices(
             F.round(F.col("__avg") / F.col("__all"), 6).alias("seasonal_index"),
         )
     )
+
+
+def retention_decay(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    min_offsets: int = 3,
+) -> DataFrame:
+    """Per-cohort exponential retention-decay fit: regress
+    ``ln(retained fraction)`` on day offset (offsets >= 1, fraction > 0)
+    with closed-form OLS, reporting the slope and the implied half-life
+    ``-ln(2)/slope`` — the one-number retention readout product teams
+    track per acquisition cohort.
+
+    Composes :func:`retention_cohorts`; the regression runs over the
+    (|cohorts| x |offsets|)-bounded matrix via moment sums (same
+    machinery as the Zipf/forecast fits) — one extra hash agg, no
+    windows, no driver math beyond none (the fit is in-plan).
+
+    Output: ``cohort_day, n_points, slope, half_life_days`` for cohorts
+    with at least ``min_offsets`` usable offset points (slope < 0 gives
+    a finite half-life; flat/growing cohorts report NULL half-life).
+    """
+    m = retention_cohorts(df, user_col, ts_col)
+    base = m.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("__n0")
+    )
+    pts = (
+        m.filter(F.col("day_offset") >= 1)
+        .join(base, "cohort_day")
+        .filter(F.col("n_users") > 0)
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("double").alias("x"),
+            F.log(F.col("n_users") / F.col("__n0")).alias("y"),
+        )
+    )
+    agg = pts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        agg.filter(F.col("n") >= min_offsets)
+        .select(
+            "cohort_day",
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                F.when(slope < 0, -F.log(F.lit(2.0)) / slope), 6
+            ).alias("half_life_days"),
+        )
+    )

@@ -781,3 +781,44 @@ def frequent_pairs(
     return out.orderBy(
         F.desc("lift"), F.desc("support"), F.asc("item_a"), F.asc("item_b")
     ).limit(top_k)
+
+
+def concentration_hhi(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: the sum of
+    squared entity value-shares within the group (1.0 = monopoly,
+    1/|entities| = perfectly even) — the standard market/supplier/source
+    concentration audit, and on a data platform the "is one source
+    dominating this slice" screen.
+
+    Scale shape: one (group, entity) hash agg, one |groups| total agg
+    joined back, one squared-share agg — all value-domain bounded, no
+    windows.  Output: ``group_col, n_entities, total_value, hhi``.
+    """
+    per = df.groupBy(group_col, entity_col).agg(
+        F.sum(value_col).alias("__v")
+    )
+    tot = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("__v").alias("__t"),
+    )
+    return (
+        per.join(tot, group_col)
+        .groupBy(group_col, "n_entities", "__t")
+        .agg(
+            F.round(
+                F.sum((F.col("__v") / F.col("__t")) * (F.col("__v") / F.col("__t"))),
+                6,
+            ).alias("hhi")
+        )
+        .select(
+            group_col,
+            "n_entities",
+            F.round(F.col("__t"), 2).alias("total_value"),
+            "hhi",
+        )
+    )

@@ -395,3 +395,67 @@ FROM per JOIN tot ON per.event_type = tot.event_type"""
 def x172(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select("event_type", "ts", "value")
     return events.seasonal_indices(ev, "ts", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# x173 — supplier revenue concentration per nation (Herfindahl index):
+# sum of squared supplier revenue shares within each nation.
+_HHI_SQL = """
+WITH rev AS (SELECT s.s_nationkey AS nation, l.l_suppkey AS sup,
+                    SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             GROUP BY s.s_nationkey, l.l_suppkey),
+     tot AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_entities,
+                    SUM(v) AS t FROM rev GROUP BY nation)
+SELECT rev.nation, tot.n_entities,
+       ROUND(tot.t, 2) AS total_value,
+       ROUND(SUM((rev.v / tot.t) * (rev.v / tot.t)), 6) AS hhi
+FROM rev JOIN tot ON rev.nation = tot.nation
+GROUP BY rev.nation, tot.n_entities, tot.t"""
+
+
+@register("x173_nation_supplier_hhi", _HHI_SQL)
+def x173(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    sup = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey").alias("nation")
+    )
+    joined = li.join(sup, "l_suppkey")
+    return relational.concentration_hhi(joined, "nation", "l_suppkey", "rev")
+
+
+# --------------------------------------------------------------------------
+# x174 — per-cohort exponential retention decay: OLS of ln(retained
+# fraction) on day offset (offsets >= 1), slope + implied half-life.
+_RETD_SQL = """
+WITH day AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+             FROM events),
+     first AS (SELECT user_id, MIN(d) AS cohort FROM day GROUP BY user_id),
+     m AS (SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+                  DATEDIFF('day', f.cohort, day.d) AS off,
+                  COUNT(DISTINCT day.user_id) AS n_users
+           FROM day JOIN first f ON day.user_id = f.user_id
+           GROUP BY f.cohort, DATEDIFF('day', f.cohort, day.d)),
+     base AS (SELECT cohort_day, n_users AS n0 FROM m WHERE off = 0),
+     pts AS (SELECT m.cohort_day, CAST(m.off AS DOUBLE) AS x,
+                    ln(m.n_users / CAST(b.n0 AS DOUBLE)) AS y
+             FROM m JOIN base b ON m.cohort_day = b.cohort_day
+             WHERE m.off >= 1 AND m.n_users > 0),
+     agg AS (SELECT cohort_day, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             FROM pts GROUP BY cohort_day)
+SELECT cohort_day, CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0
+                  THEN -ln(2.0) / ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             END, 6) AS half_life_days
+FROM agg WHERE n >= 3"""
+
+
+@register("x174_retention_decay", _RETD_SQL)
+def x174(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return events.retention_decay(ev, "user_id", "ts", min_offsets=3)

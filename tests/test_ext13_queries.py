@@ -385,3 +385,61 @@ def test_seasonal_indices_hand_case(spark):
     assert out[0]["avg_value"] == 20.0 and abs(out[0]["seasonal_index"] - 4/3) < 1e-6
     assert out[1]["avg_value"] == 10.0 and abs(out[1]["seasonal_index"] - 2/3) < 1e-6
     assert out[0]["n"] == 2
+
+
+# --- concentration_hhi ------------------------------------------------------
+
+
+def test_hhi_monopoly_vs_even(spark):
+    rows = [
+        ("mono", "a", 100.0),
+        ("even", "a", 50.0), ("even", "b", 50.0),
+        ("mixed", "a", 75.0), ("mixed", "b", 25.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ent string, v double")
+    out = {r["grp"]: r for r in relational.concentration_hhi(df, "grp", "ent", "v").collect()}
+    assert out["mono"]["hhi"] == 1.0 and out["mono"]["n_entities"] == 1
+    assert out["even"]["hhi"] == 0.5
+    assert abs(out["mixed"]["hhi"] - (0.75**2 + 0.25**2)) < 1e-6
+    assert out["mixed"]["total_value"] == 100.0
+
+
+def test_hhi_sums_entity_rows_first(spark):
+    # the same entity twice must aggregate before sharing
+    rows = [("g", "a", 30.0), ("g", "a", 70.0), ("g", "b", 100.0)]
+    df = spark.createDataFrame(rows, "grp string, ent string, v double")
+    out = relational.concentration_hhi(df, "grp", "ent", "v").collect()[0]
+    assert out["n_entities"] == 2 and out["hhi"] == 0.5
+
+
+# --- retention_decay --------------------------------------------------------
+
+
+def test_retention_decay_exact_halving(spark):
+    import datetime
+
+    # cohort day 0: 8 users; exactly half remain each day for 3 days ->
+    # ln-linear with slope -ln2, half-life exactly 1 day
+    rows = []
+    users = list(range(8))
+    for off, active in [(0, 8), (1, 4), (2, 2), (3, 1)]:
+        for u in users[:active]:
+            rows.append((u, datetime.datetime(2024, 3, 1 + off, 12, 0)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = events.retention_decay(df, "user_id", "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] == 3
+    import math
+    assert abs(r["slope"] + math.log(2.0)) < 1e-6
+    assert abs(r["half_life_days"] - 1.0) < 1e-6
+
+
+def test_retention_decay_skips_thin_cohorts(spark):
+    import datetime
+
+    # only 2 usable offsets -> below min_offsets=3 -> no row
+    rows = [(1, datetime.datetime(2024, 3, 1)), (1, datetime.datetime(2024, 3, 2)),
+            (1, datetime.datetime(2024, 3, 3))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    assert events.retention_decay(df, "user_id", "ts").count() == 0
