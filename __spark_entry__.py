@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      per ADVICE.md, so their rows land on current code.
 #   2. backfill: the 13 oldest anchors — q01-q13, whose last driver
 #      rows are r02 — so their rows get refreshed on current code.
-# x161-x174 are NEW in round 5 (window full): in-repo oracle parity at
+# x161-x175 are NEW in round 5 (window full): in-repo oracle parity at
 # sf0.001 AND sf0.01 is green; rotate them into the r6 window front.
 # Staleness is machine-tracked in CORRECTNESS_LEDGER.md
 # (scripts/correctness_ledger.py).

@@ -184,6 +184,7 @@ HEADLINE = [
     "x172_seasonal_indices",
     "x173_nation_supplier_hhi",
     "x174_retention_decay",
+    "x175_random_projection",
 ]
 
 

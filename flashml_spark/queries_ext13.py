@@ -459,3 +459,34 @@ FROM agg WHERE n >= 3"""
 def x174(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select("user_id", "ts")
     return events.retention_decay(ev, "user_id", "ts", min_offsets=3)
+
+
+# --------------------------------------------------------------------------
+# x175 — Johnson-Lindenstrauss random projection of the embedding table
+# to 8 dims: deterministic Rademacher signs from md5('jl:i:j') parity,
+# rebuilt identically by the oracle; 1/sqrt(k) scaling.
+_JL_K, _JL_D = 8, 64
+_JL_SQL = f"""
+WITH m AS (SELECT i.i, j.j,
+                  CASE WHEN CAST(('0x' || substr(md5('jl:' || i.i || ':' || j.j), 1, 8))
+                            AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+           FROM (SELECT unnest(range(0, {_JL_D})) AS i) i,
+                (SELECT unnest(range(0, {_JL_K})) AS j) j),
+     e AS (SELECT vec_id, u.i - 1 AS i, CAST(u.v AS DOUBLE) AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(embedding) AS v,
+                                generate_subscripts(embedding, 1) AS i) u)
+SELECT e.vec_id, CAST(m.j AS INT) AS out_dim,
+       ROUND(SUM(e.v * m.s) / sqrt({_JL_K}.0), 6) AS value
+FROM e JOIN m ON e.i = m.i
+GROUP BY e.vec_id, m.j"""
+
+
+@register("x175_random_projection", _JL_SQL)
+def x175(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.random_projection(
+        emb, "embedding", "vec_id", k=_JL_K, dim=_JL_D
+    )

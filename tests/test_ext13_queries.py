@@ -443,3 +443,46 @@ def test_retention_decay_skips_thin_cohorts(spark):
             (1, datetime.datetime(2024, 3, 3))]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     assert events.retention_decay(df, "user_id", "ts").count() == 0
+
+
+# --- random_projection ------------------------------------------------------
+
+
+def test_jl_projection_hand_case(spark):
+    from flashml_spark.operators import similarity
+
+    signs = similarity.jl_signs(3, 2)
+    df = spark.createDataFrame([(1, [1.0, 2.0, 4.0])], "id long, v array<double>")
+    out = {r["out_dim"]: r["value"] for r in
+           similarity.random_projection(df, "v", "id", k=2, dim=3).collect()}
+    import math
+    for j in (0, 1):
+        want = sum(s * x for s, x in zip(signs[j], [1.0, 2.0, 4.0])) / math.sqrt(2)
+        assert abs(out[j] - want) < 1e-6
+
+
+def test_jl_projection_preserves_distances_in_expectation(spark):
+    # 20 deterministic 64-d vectors, k=16: pairwise squared distances in
+    # the projected space should track the originals within JL tolerance
+    import math
+
+    from flashml_spark.operators import similarity
+
+    vecs = [
+        (i, [math.sin(0.7 * i + 0.13 * d) for d in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    proj = similarity.random_projection(df, "v", "id", k=16, dim=64).collect()
+    pv = {}
+    for r in proj:
+        pv.setdefault(r["id"], {})[r["out_dim"]] = r["value"]
+    orig = dict(vecs)
+    ratios = []
+    for a in range(0, 20, 3):
+        for b in range(a + 1, 20, 3):
+            d0 = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            d1 = sum((pv[a][j] - pv[b][j]) ** 2 for j in range(16))
+            if d0 > 1e-9:
+                ratios.append(d1 / d0)
+    assert ratios and all(0.3 < r < 2.5 for r in ratios)
+    assert 0.7 < sum(ratios) / len(ratios) < 1.4
