@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #      ledger.  x143 (BPE fixed-point merge), x157 (ttl anchor
 #      semantics) and x159 (lazy audit plan) also CHANGED this round
 #      per ADVICE.md, so their rows land on current code.
-#   2. backfill: the 13 oldest anchors — q01-q13, whose last driver
-#      rows are r02 — so their rows get refreshed on current code.
-# x161-x175 are NEW in round 5 (window full): in-repo oracle parity at
-# sf0.001 AND sf0.01 is green; rotate them into the r6 window front.
+#   2. x161-x173: 13 of the 15 round-5 additions — also never
+#      driver-checked (verified in-repo at sf0.001 AND sf0.01).
+# Never-checked beats stale: with 52 never-checked queries and 50
+# slots, the q01-q13 refreshes (r02 rows, still green) wait for r6
+# together with x174/x175.
 # Staleness is machine-tracked in CORRECTNESS_LEDGER.md
 # (scripts/correctness_ledger.py).
 _PRIORITY = [
@@ -55,12 +56,15 @@ _PRIORITY = [
     "x154_cuped_readout", "x155_conversion_window", "x156_corpus_card",
     "x157_ttl_dedup", "x158_batch_retrieval", "x159_referential_integrity",
     "x160_column_profile",
-    # (2) backfill: oldest driver rows (r02) refreshed on current code
-    "q01_filter_project", "q02_sql_view_chain", "q03_window_lead",
-    "q04_page_bucket", "q05_minmax", "q06_interval_binning",
-    "q07_minority_labels", "q08_class_stabilizer", "q09_union_pages",
-    "q10_except", "q11_qa_join", "q12_hotlead_rollup",
-    "q13_distinct_visitors",
+    # (2) the round-5 additions — also never driver-checked; 13 of the
+    # 15 fit (x174/x175 queue for r6 with the q01-q13 refreshes)
+    "x161_dup_span_stats", "x162_scd2_intervals",
+    "x163_dedup_span_removal", "x164_triangle_parts",
+    "x165_quantile_normalize", "x166_self_repetition",
+    "x167_bpe_fertility", "x168_part_assortativity",
+    "x169_calibration_curve", "x170_group_weighted_sample",
+    "x171_frequent_pairs", "x172_seasonal_indices",
+    "x173_nation_supplier_hhi",
 ]
 
 
