@@ -106,6 +106,8 @@ PROBES = [
     "x143_bpe_learn",
     "x145_vocab_growth",
     "x161_dup_span_stats",
+    "x163_dedup_span_removal",
+    "x165_quantile_normalize",
     "x166_self_repetition",
     "x167_bpe_fertility",
 ]
