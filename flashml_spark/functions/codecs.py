@@ -154,6 +154,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
         pos += 8 + clen + (clen % 2)  # chunks are word-aligned
     if sr is None or data_len is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not block:
+        raise ValueError("WAV fmt declares 0 channels / zero blockalign")
     return sr, ch, data_len // block
 
 

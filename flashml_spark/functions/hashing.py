@@ -31,6 +31,17 @@ def md5_long(col: Column, n_hex: int = 12) -> Column:
     return F.conv(F.substring(md5_hex(col), 1, n_hex), 16, 10).cast("bigint")
 
 
+def md5_uniform(col: Column) -> Column:
+    """Deterministic uniform in (0, 1]: ``(first-8-hex-of-md5 + 1) / 2^32``
+    — the engine-portable u behind every reproducible sampler here
+    (SQL twin: ``(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) + 1.0)
+    / 4294967296.0``).  Strictly positive so ``ln(u)`` is always
+    finite."""
+    return (
+        md5_long(col.cast("string"), 8).cast("double") + 1.0
+    ) / 4294967296.0
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization after lowercase+trim (array<string>)."""
     return F.split(F.lower(F.trim(text)), r"\s+")

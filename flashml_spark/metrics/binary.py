@@ -146,17 +146,20 @@ def calibration_curve(
     Empty cells are absent (support 0 rows carry no evidence).
 
     Output: ``bucket, n, mean_score, pos_rate, abs_gap`` — bucket i
-    covers scores [i/buckets, (i+1)/buckets), with 1.0 folded into the
-    last cell.
+    covers scores [i/buckets, (i+1)/buckets).  Out-of-range scores
+    clamp into the edge cells (1.0 and above fold into the last, below
+    0 into the first — an uncalibrated regressor must not mint a
+    bucket -1 row); NULL scores are excluded.
     """
     B = float(buckets)
     s = F.col(score_col).cast("double")
-    bucket = F.least(
-        F.floor(s * B).cast("int"), F.lit(buckets - 1)
+    bucket = F.greatest(
+        F.lit(0), F.least(F.floor(s * B).cast("int"), F.lit(buckets - 1))
     )
     y = F.when(F.col(label_col).cast("double") == 1.0, 1.0).otherwise(0.0)
     out = (
-        df.select(bucket.alias("bucket"), s.alias("__s"), y.alias("__y"))
+        df.where(s.isNotNull())
+        .select(bucket.alias("bucket"), s.alias("__s"), y.alias("__y"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -736,18 +736,22 @@ def seasonal_indices(
     seasonality readout (index > 1 = that weekday runs hot), the first
     thing a forecaster or anomaly detector normalizes by.
 
-    Weekday is computed as ``(days_since_epoch + 4) % 7`` (0 = Sunday;
+    Weekday is computed as ``pmod(days_since_epoch + 4, 7)`` (0 = Sunday;
     1970-01-01 was a Thursday) — pure integer arithmetic, bit-identical
     across engines, unlike the engines' dayofweek() functions which
-    disagree on the base index.
+    disagree on the base index.  pmod, not ``%``: signed remainder would
+    report dow = -1 for pre-1970 Saturdays.  A key whose overall mean is
+    0 gets NULL indices (try_divide) instead of aborting the job under
+    ANSI mode.
 
     Scale shape: one (key, dow) hash agg + one |keys| agg joined back —
     both value-domain bounded; no windows.  Output:
     ``key_col, dow, n, avg_value, seasonal_index``.
     """
-    dow = (
-        F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01"))) + 4
-    ) % 7
+    dow = F.pmod(
+        F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01"))) + 4,
+        F.lit(7),
+    )
     per = (
         df.select(F.col(key_col), dow.alias("dow"), F.col(value_col).alias("__v"))
         .groupBy(key_col, "dow")
@@ -764,7 +768,9 @@ def seasonal_indices(
             F.col("dow").cast("int").alias("dow"),
             "n",
             F.round("__avg", 6).alias("avg_value"),
-            F.round(F.col("__avg") / F.col("__all"), 6).alias("seasonal_index"),
+            F.round(F.try_divide(F.col("__avg"), F.col("__all")), 6).alias(
+                "seasonal_index"
+            ),
         )
     )
 

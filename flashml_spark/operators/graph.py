@@ -143,6 +143,36 @@ def bfs_hops(
     return visited.select(F.col("n").alias(node_col), F.col("hop").cast("bigint").alias("hop"))
 
 
+def _degree_keyed_edges(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared edge-normalization front-end for the undirected graph
+    audits: canonicalize (drop self-loops, least/greatest, distinct,
+    lazily localCheckpointed — multiple consumers), degree agg, and the
+    edge frame with both endpoint degrees attached.  Returns
+    ``(und, deg, keyed)`` with columns ``(a, b)``, ``(node, deg)``,
+    ``(a, b, da, db)``.  One normalization to keep
+    :func:`triangle_stats` and :func:`degree_assortativity` from
+    silently diverging."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    return und, deg, keyed
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",
@@ -178,25 +208,7 @@ def triangle_stats(
     the graph, ``clustering = 2T / (deg * (deg - 1))`` (0.0 when
     deg < 2).
     """
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.filter(a != b)
-        .select(
-            F.least(a, b).alias("a"),
-            F.greatest(a, b).alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
-    keyed = und.join(da, "a").join(db, "b")
+    und, deg, keyed = _degree_keyed_edges(edges, src, dst)
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -270,22 +282,7 @@ def degree_assortativity(
     of ANSI DIVIDE_BY_ZERO.  Output: one row
     ``(n_nodes, n_edges, assortativity)``.
     """
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
-    keyed = und.join(da, "a").join(db, "b")
+    _und, deg, keyed = _degree_keyed_edges(edges, src, dst)
     xa = F.col("da").cast("double")
     xb = F.col("db").cast("double")
     m = keyed.agg(
@@ -296,9 +293,11 @@ def degree_assortativity(
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     c = F.col("n_edges").cast("double")
-    mean = F.col("s") / (2.0 * c)
-    cov = F.col("sp") / c - mean * mean
-    var = F.col("ss") / (2.0 * c) - mean * mean
+    # try_divide throughout: a zero-edge input (everything self-loops)
+    # must report NULL, not abort under ANSI mode
+    mean = F.try_divide(F.col("s"), 2.0 * c)
+    cov = F.try_divide(F.col("sp"), c) - mean * mean
+    var = F.try_divide(F.col("ss"), 2.0 * c) - mean * mean
     return n_nodes.crossJoin(m).select(
         "n_nodes",
         "n_edges",

@@ -797,7 +797,9 @@ def concentration_hhi(
 
     Scale shape: one (group, entity) hash agg, one |groups| total agg
     joined back, one squared-share agg — all value-domain bounded, no
-    windows.  Output: ``group_col, n_entities, total_value, hhi``.
+    windows.  A group whose total is 0 (all-zero or cancelling values)
+    reports NULL hhi (try_divide) instead of aborting the job under
+    ANSI mode.  Output: ``group_col, n_entities, total_value, hhi``.
     """
     per = df.groupBy(group_col, entity_col).agg(
         F.sum(value_col).alias("__v")
@@ -806,15 +808,11 @@ def concentration_hhi(
         F.count(F.lit(1)).cast("bigint").alias("n_entities"),
         F.sum("__v").alias("__t"),
     )
+    share = F.try_divide(F.col("__v"), F.col("__t"))
     return (
         per.join(tot, group_col)
         .groupBy(group_col, "n_entities", "__t")
-        .agg(
-            F.round(
-                F.sum((F.col("__v") / F.col("__t")) * (F.col("__v") / F.col("__t"))),
-                6,
-            ).alias("hhi")
-        )
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
         .select(
             group_col,
             "n_entities",

@@ -222,13 +222,7 @@ def weighted_sample_topk(
     """
     from flashml_spark.functions import hashing as H
 
-    u = (
-        F.conv(F.substring(H.md5_hex(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        + 1.0
-    ) / 4294967296.0
-    key = F.log(u) / F.col(weight_col)
+    key = F.log(H.md5_uniform(F.col(id_col))) / F.col(weight_col)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn(key_col, key)
@@ -428,19 +422,7 @@ def weighted_sample_per_group(
     """
     from flashml_spark.functions import hashing as H
 
-    u = (
-        F.conv(
-            F.substring(
-                H.md5_hex(F.col(id_col).cast("string").cast("binary")), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .cast("double")
-        + 1.0
-    ) / 4294967296.0
-    key = F.log(u) / F.col(weight_col)
+    key = F.log(H.md5_uniform(F.col(id_col))) / F.col(weight_col)
     w = Window.partitionBy(group_col).orderBy(
         F.desc("__es_key"), F.asc(id_col)
     )

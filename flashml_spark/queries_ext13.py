@@ -284,7 +284,7 @@ WITH s AS (SELECT o_orderkey,
            FROM orders),
      lab AS (SELECT score,
                     CASE WHEN u2 < score THEN 1.0 ELSE 0.0 END AS label,
-                    LEAST(CAST(floor(score * 10) AS INT), 9) AS bucket
+                    GREATEST(0, LEAST(CAST(floor(score * 10) AS INT), 9)) AS bucket
              FROM s)
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(score), 6) AS mean_score,
@@ -301,17 +301,9 @@ def x169(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderkey")
     okey = F.col("o_orderkey").cast("string")
 
-    def _u(col):
-        return (
-            F.conv(F.substring(H.md5_hex(col.cast("binary")), 1, 8), 16, 10)
-            .cast("bigint")
-            .cast("double")
-            + 1.0
-        ) / 4294967296.0
-
     scored = orders.select(
-        _u(okey).alias("score"),
-        _u(F.concat(F.lit("lbl:"), okey)).alias("u2"),
+        H.md5_uniform(okey).alias("score"),
+        H.md5_uniform(F.concat(F.lit("lbl:"), okey)).alias("u2"),
     ).select(
         "score",
         F.when(F.col("u2") < F.col("score"), 1.0).otherwise(0.0).alias("label"),
@@ -375,12 +367,13 @@ def x171(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x172 — day-of-week seasonal indices per event type: weekday mean over
-# overall mean.  dow = (days_since_epoch + 4) % 7 (0=Sunday) — integer
-# arithmetic, identical in both engines (their dayofweek() bases differ).
+# overall mean.  dow = pmod(days_since_epoch + 4, 7) (0=Sunday) — integer
+# arithmetic, identical in both engines (their dayofweek() bases differ;
+# the oracle's double-% is SQL's positive-mod spelling).
 _SEAS_SQL = """
 WITH e AS (SELECT event_type,
-                  (DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
-                      AS dow,
+                  ((DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                   + 7) % 7 AS dow,
                   value FROM events),
      per AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
                     AVG(value) AS a FROM e GROUP BY event_type, dow),

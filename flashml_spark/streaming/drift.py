@@ -64,16 +64,46 @@ def baseline_fractions(
     return [by_b.get(i, 0) / total for i in range(n_buckets)]
 
 
-def _psi_projection(
-    count_cols: list[Column], fracs: list[float], eps: float
-) -> Column:
+def _psi_from_windowed_counts(
+    df: DataFrame,
+    value_col: str,
+    edges: list[float],
+    fracs: list[float],
+    window: str,
+    ts_col: str,
+    eps: float,
+) -> DataFrame:
+    """Shared body of the streaming operator and its batch twin: the
+    bit-equal parity guarantee between them holds BECAUSE both route
+    through this single set of bucket/count/PSI expressions.  NULL
+    values are excluded before bucketing (a null satisfies no
+    ``v >= edge`` test and would otherwise silently count as
+    lowest-bucket mass — a burst of sensor nulls must not read as
+    drift; standard PSI tracks nulls separately)."""
+    v = F.col(value_col)
+    b = _bucket(v, edges)
+    n_buckets = len(edges) + 1
+    conds = [
+        F.sum(F.when(b == i, 1).otherwise(0)).cast("double").alias(f"__c{i}")
+        for i in range(n_buckets)
+    ]
+    agg = (
+        df.where(v.isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*conds)
+    )
+    count_cols = [F.col(f"__c{i}") for i in range(n_buckets)]
     n = sum(count_cols[1:], count_cols[0])
     terms = []
     for c, q in zip(count_cols, fracs):
         p = F.greatest(c / n, F.lit(eps))
         qc = F.lit(max(q, eps))
         terms.append((p - qc) * F.log(p / qc))
-    return F.round(sum(terms[1:], terms[0]), 6)
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        n.cast("bigint").alias("n"),
+        F.round(sum(terms[1:], terms[0]), 6).alias("psi"),
+    )
 
 
 def windowed_psi(
@@ -89,24 +119,16 @@ def windowed_psi(
     """Per-window PSI of a streaming value column against the baseline
     fractions.  ONE watermarked windowed agg (B conditional counts),
     then a stateless PSI projection — append-mode safe, O(B) state per
-    open window.  Output: ``window_start, n, psi``."""
-    v = F.col(value_col)
-    b = _bucket(v, edges)
-    conds = [
-        F.sum(F.when(b == i, 1).otherwise(0)).cast("double").alias(f"__c{i}")
-        for i in range(len(edges) + 1)
-    ]
-    agg = (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"))
-        .agg(*conds)
-    )
-    count_cols = [F.col(f"__c{i}") for i in range(len(edges) + 1)]
-    n = sum(count_cols[1:], count_cols[0])
-    return agg.select(
-        F.col("w.start").alias("window_start"),
-        n.cast("bigint").alias("n"),
-        _psi_projection(count_cols, fracs, eps).alias("psi"),
+    open window.  NULL values are excluded (see the shared body).
+    Output: ``window_start, n, psi``."""
+    return _psi_from_windowed_counts(
+        stream.withWatermark(ts_col, watermark),
+        value_col,
+        edges,
+        fracs,
+        window,
+        ts_col,
+        eps,
     )
 
 
@@ -119,20 +141,9 @@ def batch_windowed_psi(
     window: str = "1 day",
     eps: float = 1e-6,
 ) -> DataFrame:
-    """Batch twin of :func:`windowed_psi` — identical bucket edges,
-    windowing, and PSI arithmetic over a static frame, for parity tests
-    and backfills."""
-    v = F.col(value_col)
-    b = _bucket(v, edges)
-    conds = [
-        F.sum(F.when(b == i, 1).otherwise(0)).cast("double").alias(f"__c{i}")
-        for i in range(len(edges) + 1)
-    ]
-    agg = df.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(*conds)
-    count_cols = [F.col(f"__c{i}") for i in range(len(edges) + 1)]
-    n = sum(count_cols[1:], count_cols[0])
-    return agg.select(
-        F.col("w.start").alias("window_start"),
-        n.cast("bigint").alias("n"),
-        _psi_projection(count_cols, fracs, eps).alias("psi"),
+    """Batch twin of :func:`windowed_psi` — literally the same bucket,
+    count, and PSI expressions (shared helper), over a static frame,
+    for parity tests and backfills."""
+    return _psi_from_windowed_counts(
+        df, value_col, edges, fracs, window, ts_col, eps
     )

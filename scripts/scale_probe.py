@@ -139,6 +139,10 @@ def main() -> int:
     if args.only:
         pres = [p.strip() for p in args.only.split(",")]
         probes = [q for q in PROBES if any(q.startswith(p) for p in pres)]
+        if not probes:
+            raise SystemExit(
+                f"--only {args.only!r} matches no probe; valid prefixes: {PROBES}"
+            )
     timings: dict[str, dict[int, float]] = {q: {} for q in probes}
     # warm once on the smallest factor so JIT/footer costs don't land on x1
     run_query(QUERIES[probes[0]][0](spark, f"{args.out}/x{factors[0]}"))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -486,3 +487,76 @@ def test_jl_projection_preserves_distances_in_expectation(spark):
                 ratios.append(d1 / d0)
     assert ratios and all(0.3 < r < 2.5 for r in ratios)
     assert 0.7 < sum(ratios) / len(ratios) < 1.4
+
+
+# --- review-pass regressions (ANSI zero-division, dow sign, null/range) ----
+
+
+def test_seasonal_indices_zero_mean_key_yields_null_not_crash(spark):
+    import datetime
+
+    rows = [("z", datetime.datetime(2024, 1, 7), 0.0),
+            ("z", datetime.datetime(2024, 1, 8), 0.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = events.seasonal_indices(df, "ts", "k", "v").collect()
+    assert len(out) == 2 and all(r["seasonal_index"] is None for r in out)
+
+
+def test_seasonal_indices_pre_epoch_saturday_is_dow_6(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("k", datetime.datetime(1969, 12, 20, 12), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    assert events.seasonal_indices(df, "ts", "k", "v").collect()[0]["dow"] == 6
+
+
+def test_hhi_zero_total_group_yields_null_not_crash(spark):
+    df = spark.createDataFrame(
+        [("g", "a", 5.0), ("g", "b", -5.0)], "grp string, ent string, v double"
+    )
+    out = relational.concentration_hhi(df, "grp", "ent", "v").collect()[0]
+    assert out["hhi"] is None and out["n_entities"] == 2
+
+
+def test_calibration_curve_clamps_and_drops_nulls(spark):
+    from flashml_spark.metrics.binary import calibration_curve
+
+    df = spark.createDataFrame(
+        [(-0.05, 0.0), (1.7, 1.0), (None, 1.0), (0.5, 1.0)],
+        "score double, label double",
+    )
+    out = {r["bucket"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(out) == {0, 5, 9}  # clamped edges; null row gone
+    assert out[0]["n"] == 1 and out[9]["n"] == 1
+
+
+def test_assortativity_zero_edge_graph_is_null(spark):
+    edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    row = graph.degree_assortativity(edges).collect()[0]
+    assert row["n_edges"] == 0 and row["assortativity"] is None
+
+
+def test_streaming_psi_excludes_nulls(spark):
+    from flashml_spark.streaming.drift import batch_windowed_psi
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, 1, 1), 5.0),
+            (datetime.datetime(2024, 1, 1, 2), None),
+            (datetime.datetime(2024, 1, 1, 3), None)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = batch_windowed_psi(df, "ts", "v", edges=[3.0, 7.0], fracs=[0.2, 0.6, 0.2]).collect()
+    assert len(out) == 1 and out[0]["n"] == 1  # nulls excluded from n and buckets
+
+
+def test_wav_zero_channels_raises_value_error(spark):
+    import struct
+
+    from flashml_spark.functions import codecs
+
+    payload = bytearray(codecs.encode_wav([1, 2], 8000))
+    # fmt chunk content starts at 12+8; blockalign (the divisor) at +12
+    struct.pack_into("<H", payload, 12 + 8 + 12, 0)
+    with pytest.raises(ValueError, match="0 channels"):
+        codecs.decode_wav(bytes(payload))
