@@ -185,6 +185,8 @@ HEADLINE = [
     "x173_nation_supplier_hhi",
     "x174_retention_decay",
     "x175_random_projection",
+    "x176_expectations_audit",
+    "x177_k_anonymity",
 ]
 
 

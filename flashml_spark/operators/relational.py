@@ -820,3 +820,116 @@ def concentration_hhi(
             "hhi",
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy risk screen before publishing a dataset: k-anonymity
+    (every quasi-identifier combination should describe >= k rows) and
+    l-diversity (each combination should carry >= l distinct sensitive
+    values, else the group discloses its members' attribute even at
+    size k).  One summary row — the go/no-go numbers a release review
+    reads.
+
+    Scale shape: one (quasi...) hash agg with a distinct-count, then
+    ONE summary agg — both bounded by the quasi-combination domain; no
+    windows, no driver state.  Output: ``n_rows, n_groups,
+    risky_groups, risky_rows, risky_row_pct, min_group_size, min_l``
+    where risky = group size < k.
+    """
+    per = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col(sensitive_col)).alias("__l"),
+    )
+    risky = F.col("__n") < k
+    return per.agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias("risky_groups"),
+        F.sum(F.when(risky, F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("risky_rows"),
+        F.round(
+            F.sum(F.when(risky, F.col("__n")).otherwise(0))
+            / F.sum("__n").cast("double")
+            * 100.0,
+            6,
+        ).alias("risky_row_pct"),
+        F.min("__n").cast("bigint").alias("min_group_size"),
+        F.min("__l").cast("bigint").alias("min_l"),
+    )
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: list[dict],
+) -> DataFrame:
+    """Declarative data-contract validation (the Great-Expectations
+    shape, engine-native): evaluate a fixed rule list against a frame
+    and report one row per rule with its violation count — the gate a
+    pipeline runs before promoting a batch.
+
+    Rule dicts (``id`` optional, defaults to ``<type>:<column>``):
+      ``{"type": "not_null", "column": c}``
+      ``{"type": "range", "column": c, "lo": x, "hi": y}``  (inclusive)
+      ``{"type": "allowed", "column": c, "values": [...]}``
+      ``{"type": "unique", "columns": [c, ...]}``
+      ``{"type": "predicate", "id": name, "sql": "<boolean expr>"}``
+        (rows where the expr is false or NULL count as violations)
+
+    Scale shape: every rule — including ``unique`` via
+    ``count - count_distinct`` — compiles into ONE aggregation pass
+    over the data (conditional sums side by side), then the 1-row
+    result explodes to the |rules|-long report.  No second scan, no
+    windows, no driver evaluation.  Output:
+    ``rule_id, rule_type, violations, n_rows, passed``.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    metas: list[tuple[str, str]] = []
+    for i, r in enumerate(rules):
+        t = r["type"]
+        rid = r.get("id") or f"{t}:{r.get('column') or ','.join(r.get('columns', []))}"
+        alias = f"__v{i}"
+        if t == "not_null":
+            bad = F.col(r["column"]).isNull()
+            agg = F.sum(F.when(bad, 1).otherwise(0))
+        elif t == "range":
+            c = F.col(r["column"])
+            ok = c.isNotNull() & (c >= F.lit(r["lo"])) & (c <= F.lit(r["hi"]))
+            agg = F.sum(F.when(ok, 0).otherwise(1))
+        elif t == "allowed":
+            c = F.col(r["column"])
+            ok = c.isin(list(r["values"]))
+            agg = F.sum(F.when(ok, 0).otherwise(1))
+        elif t == "unique":
+            cols = [F.col(c) for c in r["columns"]]
+            agg = F.count(F.lit(1)) - F.count_distinct(F.struct(*cols))
+        elif t == "predicate":
+            ok = F.expr(r["sql"])
+            agg = F.sum(F.when(ok, 0).otherwise(1))
+        else:
+            raise ValueError(f"unknown expectation type {t!r}")
+        aggs.append(agg.cast("bigint").alias(alias))
+        metas.append((rid, t))
+    one = df.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.lit(t).alias("rule_type"),
+                F.col(f"__v{i}").alias("violations"),
+            )
+            for i, (rid, t) in enumerate(metas)
+        ]
+    )
+    return one.select(F.explode(report).alias("r"), F.col("__n")).select(
+        F.col("r.rule_id").alias("rule_id"),
+        F.col("r.rule_type").alias("rule_type"),
+        F.col("r.violations").alias("violations"),
+        F.col("__n").alias("n_rows"),
+        (F.col("r.violations") == 0).alias("passed"),
+    )

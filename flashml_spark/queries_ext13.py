@@ -483,3 +483,82 @@ def x175(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.random_projection(
         emb, "embedding", "vec_id", k=_JL_K, dim=_JL_D
     )
+
+
+# --------------------------------------------------------------------------
+# x176 — declarative data-contract validation over lineitem: six rules
+# (not-null, two ranges, an allowed set, composite-key uniqueness, a
+# cross-field predicate), ALL evaluated in one aggregation pass.
+_EXPECT_RULES = [
+    {"type": "not_null", "column": "l_shipdate"},
+    {"type": "range", "column": "l_quantity", "lo": 1, "hi": 50},
+    {"type": "range", "column": "l_discount", "lo": 0.0, "hi": 0.1},
+    {"type": "allowed", "column": "l_returnflag", "values": ["A", "N", "R"]},
+    {"type": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+    {
+        "type": "predicate",
+        "id": "unit_price_above_one",
+        "sql": "l_extendedprice > l_quantity",
+    },
+]
+_EXPECT_SQL = """
+WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                  CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                                 AND l_quantity >= 1 AND l_quantity <= 50
+                            THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                  CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                                 AND l_discount >= 0.0 AND l_discount <= 0.1
+                            THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+                  CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+                  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                       AS BIGINT) AS v4,
+                  CAST(SUM(CASE WHEN l_extendedprice > l_quantity
+                            THEN 0 ELSE 1 END) AS BIGINT) AS v5
+           FROM lineitem)
+SELECT r.rule_id, r.rule_type, r.violations, a.n AS n_rows,
+       r.violations = 0 AS passed
+FROM a, LATERAL (VALUES
+    ('not_null:l_shipdate', 'not_null', a.v0),
+    ('range:l_quantity', 'range', a.v1),
+    ('range:l_discount', 'range', a.v2),
+    ('allowed:l_returnflag', 'allowed', a.v3),
+    ('unique:l_orderkey,l_linenumber', 'unique', a.v4),
+    ('unit_price_above_one', 'predicate', a.v5)
+) AS r(rule_id, rule_type, violations)"""
+
+
+@register("x176_expectations_audit", _EXPECT_SQL)
+def x176(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return relational.validate_expectations(li, _EXPECT_RULES)
+
+
+# --------------------------------------------------------------------------
+# x177 — privacy release screen: k-anonymity + l-diversity of documents
+# under quasi-identifiers (lang, n_chars bucket) with source as the
+# sensitive attribute; one go/no-go summary row (k=5).
+_KANON_SQL = """
+WITH per AS (SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS bkt,
+                    COUNT(*) AS n, COUNT(DISTINCT source) AS l
+             FROM documents GROUP BY lang, CAST(floor(n_chars / 100) AS BIGINT))
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS risky_rows,
+       ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+             / CAST(SUM(n) AS DOUBLE) * 100.0, 6) AS risky_row_pct,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(MIN(l) AS BIGINT) AS min_l
+FROM per"""
+
+
+@register("x177_k_anonymity", _KANON_SQL)
+def x177(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select(
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("bkt"),
+        "source",
+    )
+    return relational.k_anonymity_audit(docs, ["lang", "bkt"], "source", k=5)

@@ -560,3 +560,67 @@ def test_wav_zero_channels_raises_value_error(spark):
     struct.pack_into("<H", payload, 12 + 8 + 12, 0)
     with pytest.raises(ValueError, match="0 channels"):
         codecs.decode_wav(bytes(payload))
+
+
+# --- validate_expectations --------------------------------------------------
+
+
+def test_expectations_counts_each_rule_type(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A", 5.0),
+            (2, 1, None, "N", 0.5),     # null v -> range violation (not not_null rule)
+            (2, 1, 70.0, "X", 2.0),     # dup key; bad flag; v out of range
+            (3, 2, 20.0, "R", -1.0),    # w negative -> predicate violation
+        ],
+        "k1 long, k2 long, v double, flag string, w double",
+    )
+    rules = [
+        {"type": "not_null", "column": "v"},
+        {"type": "range", "column": "v", "lo": 0.0, "hi": 50.0},
+        {"type": "allowed", "column": "flag", "values": ["A", "N", "R"]},
+        {"type": "unique", "columns": ["k1", "k2"]},
+        {"type": "predicate", "id": "w_nonneg", "sql": "w >= 0"},
+    ]
+    out = {r["rule_id"]: r for r in relational.validate_expectations(df, rules).collect()}
+    assert out["not_null:v"]["violations"] == 1
+    assert out["range:v"]["violations"] == 2     # null + 70.0
+    assert out["allowed:flag"]["violations"] == 1
+    assert out["unique:k1,k2"]["violations"] == 1
+    assert out["w_nonneg"]["violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_expectations_single_scan(spark):
+    # the whole report must compile to ONE aggregate over the input
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    rules = [
+        {"type": "not_null", "column": "v"},
+        {"type": "unique", "columns": ["k"]},
+    ]
+    plan = relational.validate_expectations(df, rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") <= 2  # partial+final of one agg
+
+
+def test_expectations_unknown_type_raises(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="unknown expectation"):
+        relational.validate_expectations(df, [{"type": "nope", "column": "k"}])
+
+
+# --- k_anonymity_audit ------------------------------------------------------
+
+
+def test_k_anonymity_hand_case(spark):
+    rows = (
+        [("en", 1, "s1")] * 6          # big group, 1 sensitive value
+        + [("fr", 1, "s1"), ("fr", 1, "s2")]  # size-2 group -> risky at k=5
+        + [("de", 2, "s3")]            # singleton -> risky
+    )
+    df = spark.createDataFrame(rows, "lang string, bkt long, src string")
+    out = relational.k_anonymity_audit(df, ["lang", "bkt"], "src", k=5).collect()[0]
+    assert out["n_rows"] == 9 and out["n_groups"] == 3
+    assert out["risky_groups"] == 2 and out["risky_rows"] == 3
+    assert out["min_group_size"] == 1
+    assert out["min_l"] == 1  # the en group is size-6 but l-diversity 1
