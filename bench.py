@@ -187,6 +187,8 @@ HEADLINE = [
     "x175_random_projection",
     "x176_expectations_audit",
     "x177_k_anonymity",
+    "x178_decontamination",
+    "x179_unigram_logprob",
 ]
 
 

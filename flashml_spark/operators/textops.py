@@ -1682,3 +1682,94 @@ def bpe_encode_fertility(
             ).alias("fertility"),
         )
     )
+
+
+def decontamination_audit(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Llama recipe):
+    flag training documents sharing word ``n``-grams with a held-out
+    evaluation set, reporting per-document overlap so the pipeline can
+    drop or redact contaminated examples before pretraining.
+
+    Scale shape: both sides explode to DISTINCT gram keys; the overlap
+    is ONE equi-join on the gram followed by one per-document agg — no
+    window, no driver state, and no forced broadcast (the eval gram set
+    is corpus-sized in the worst case; AQE picks the join strategy).
+    Documents with fewer than ``n`` tokens have no grams and drop out,
+    matching `ngram_novelty`'s contract.
+
+    Output: ``id_col, n_grams, n_hit, contamination`` (rounded to 6) —
+    one row per TRAIN document that produced at least one gram.
+    """
+    t_grams = (
+        train.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(H.word_ngrams(H.tokens(F.col(text_col)), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    e_grams = (
+        eval_df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(H.word_ngrams(H.tokens(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        t_grams.join(e_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    MLE unigram model — the cheap stand-in for CCNet's LM-perplexity
+    quality score (docs full of rare/garbled tokens score low; docs of
+    common fluent tokens score high).  ``avg ln p(w) = avg ln n_w -
+    ln N`` keeps the corpus total out of the per-row join: tokens join
+    the vocab-sized count frame, the 1-row total attaches after the
+    per-document agg.
+
+    Scale shape: one token explode, one vocab agg, one keyed join back,
+    one per-doc agg, one 1-row cross join — no window, no driver state.
+    Output: ``id_col, n_tokens, avg_logp`` (rounded to 6).
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("n_w")
+    )
+    total = counts.agg(F.sum("n_w").alias("total"))
+    per_doc = (
+        toks.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.avg(F.log(F.col("n_w"))).alias("avg_ln_n"),
+        )
+    )
+    return per_doc.crossJoin(total).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("avg_ln_n") - F.log(F.col("total")), 6).alias("avg_logp"),
+    )

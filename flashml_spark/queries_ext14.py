@@ -1,0 +1,75 @@
+"""Extension queries, round 5 third wave (x178+): the two curation
+signals still missing from the LLM-pipeline surface — benchmark
+decontamination (train/eval n-gram overlap, the GPT-3 appendix-C /
+Llama recipe) and a corpus-unigram log-probability quality score (the
+cheap stand-in for CCNet's LM-perplexity filter).
+
+Oracle discipline unchanged: engine-portable DuckDB SQL sharing every
+literal and alias with the Spark side, deterministic splits (id
+modulus, never random), floats rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import textops
+from flashml_spark.queries import register
+from flashml_spark.queries_ext import _TOK
+from flashml_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# x178 — eval-set decontamination: documents table split by id modulus
+# into a held-out eval shard (doc_id % 17 = 0) and a train shard; every
+# train document reports the fraction of its DISTINCT word 5-grams that
+# any eval document contains.  Docs shorter than 5 tokens drop out
+# (no grams), matching x139's contract.
+_DECON_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents
+             WHERE text IS NOT NULL),
+     g AS (SELECT DISTINCT doc_id,
+                  ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' ' ||
+                  ts[i + 3] || ' ' || ts[i + 4] AS gram
+           FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 3)) AS i) r),
+     e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+     t AS (SELECT doc_id, gram FROM g WHERE doc_id % 17 <> 0),
+     p AS (SELECT t.doc_id, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+           FROM t LEFT JOIN e USING (gram) GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit * 1.0 / n_grams, 6) AS contamination
+FROM p"""
+
+
+@register("x178_decontamination", _DECON_SQL)
+def x178(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    return textops.decontamination_audit(train, eval_df, "text", "doc_id", n=5)
+
+
+# --------------------------------------------------------------------------
+# x179 — corpus-unigram log-probability quality score: per-document mean
+# ln p(token) under the corpus's own MLE unigram model (CCNet's
+# perplexity filter with the LM swapped for the corpus unigram counts).
+_ULOGP_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents
+             WHERE text IS NOT NULL),
+     c AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS n_w
+           FROM tok GROUP BY token),
+     tot AS (SELECT SUM(n_w) AS total FROM c),
+     p AS (SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(ln(c.n_w)) AS avg_ln_n
+           FROM tok t JOIN c USING (token) GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(avg_ln_n - ln(tot.total), 6) AS avg_logp
+FROM p CROSS JOIN tot"""
+
+
+@register("x179_unigram_logprob", _ULOGP_SQL)
+def x179(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.unigram_logprob_score(docs, "text", "doc_id")

@@ -72,6 +72,7 @@ ACCEPTED_CROSS = {
     "x168_part_assortativity": "1-row n_nodes/n_edges/corr scalar crosses",
     "x171_frequent_pairs": "1-row basket-count scalar broadcast",
     "x159_referential_integrity": "1-row x 1-row totals cross (pure scalars)",
+    "x179_unigram_logprob": "1-row ln(N) corpus-total scalar broadcast (post per-doc agg)",
 }
 
 
