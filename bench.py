@@ -189,6 +189,8 @@ HEADLINE = [
     "x177_k_anonymity",
     "x178_decontamination",
     "x179_unigram_logprob",
+    "x180_correlation_matrix",
+    "x181_markov_transitions",
 ]
 
 

@@ -831,3 +831,43 @@ def retention_decay(
             ).alias("half_life_days"),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every observed (state, next_state) pair, the count
+    and the conditional probability P(next | state) — the "what do
+    users do after X" product-analytics staple and the input to
+    next-event prediction baselines.
+
+    Scale shape: one per-user window (lead on (ts, id) order — keyed
+    by the user, the same partitioning every sessionize/funnel op here
+    uses), one (state, next_state) hash agg, and one |states|-keyed
+    window for the row-normalizing totals (the state domain is tiny by
+    construction; the frame under that window is |states|² aggregated
+    rows, not events).  Each user's final event has no successor and
+    drops out.
+
+    Output: ``state, next_state, n, p`` (p rounded to 6).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = (
+        df.select(
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .where(F.col("next_state").isNotNull())
+    )
+    counts = steps.groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = Window.partitionBy("state")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+    )

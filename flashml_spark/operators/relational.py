@@ -933,3 +933,65 @@ def validate_expectations(
         F.col("__n").alias("n_rows"),
         (F.col("r.violations") == 0).alias("passed"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` — the one-glance
+    collinearity screen a feature-engineering pass runs before model
+    fit (and the numeric twin of `column_profile`'s per-column stats).
+
+    Scale shape: every pair reduces to six moment sums (count/sums/
+    squares/cross under a both-non-null filter — true pairwise
+    deletion, same as SQL ``corr``), so ALL |cols|·(|cols|-1)/2 pairs
+    compile into ONE aggregation pass over a single scan (same
+    single-pass discipline as `validate_expectations`); the 1-row
+    result explodes to the pair report.  The ratio is guarded on
+    positive variances, so a zero-variance column yields NULL instead
+    of ANSI-mode division errors (``F.corr`` raises there; SQL engines
+    return NULL).
+
+    Output: ``col_a, col_b, pearson_r`` (rounded to 6) for a < b in
+    the given column order.
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for k, (a, b) in enumerate(pairs):
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        x = F.when(both, x)
+        y = F.when(both, y)
+        aggs += [
+            F.count(x).cast("double").alias(f"__n{k}"),
+            F.sum(x).alias(f"__sx{k}"),
+            F.sum(y).alias(f"__sy{k}"),
+            F.sum(x * x).alias(f"__sxx{k}"),
+            F.sum(y * y).alias(f"__syy{k}"),
+            F.sum(x * y).alias(f"__sxy{k}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _r(k: int):
+        n, sx, sy = F.col(f"__n{k}"), F.col(f"__sx{k}"), F.col(f"__sy{k}")
+        vx = n * F.col(f"__sxx{k}") - sx * sx
+        vy = n * F.col(f"__syy{k}") - sy * sy
+        cov = n * F.col(f"__sxy{k}") - sx * sy
+        return F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
+
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(_r(k), 6).alias("pearson_r"),
+            )
+            for k, (a, b) in enumerate(pairs)
+        ]
+    )
+    return one.select(F.explode(report).alias("r")).select(
+        "r.col_a", "r.col_b", "r.pearson_r"
+    )

@@ -1,8 +1,10 @@
-"""Extension queries, round 5 third wave (x178+): the two curation
-signals still missing from the LLM-pipeline surface — benchmark
+"""Extension queries, round 5 third wave (x178+): benchmark
 decontamination (train/eval n-gram overlap, the GPT-3 appendix-C /
-Llama recipe) and a corpus-unigram log-probability quality score (the
-cheap stand-in for CCNet's LM-perplexity filter).
+Llama recipe), a corpus-unigram log-probability quality score (the
+cheap stand-in for CCNet's LM-perplexity filter), a single-pass
+pairwise correlation matrix (the collinearity screen before feature
+assembly), and a first-order Markov transition matrix over per-user
+event sequences (next-event product analytics).
 
 Oracle discipline unchanged: engine-portable DuckDB SQL sharing every
 literal and alias with the Spark side, deterministic splits (id
@@ -14,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flashml_spark.operators import textops
+from flashml_spark.operators import events, relational, textops
 from flashml_spark.queries import register
 from flashml_spark.queries_ext import _TOK
 from flashml_spark.sources.readers import load_table
@@ -73,3 +75,60 @@ FROM p CROSS JOIN tot"""
 def x179(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return textops.unigram_logprob_score(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x180 — pairwise Pearson correlation matrix over lineitem's numeric
+# columns: all pairs compiled into ONE aggregation pass (the
+# collinearity screen before feature assembly).
+_CORR_SQL = """
+WITH one AS (SELECT
+    corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)) AS c0,
+    corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) AS c1,
+    corr(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)) AS c2,
+    corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)) AS c3,
+    corr(CAST(l_extendedprice AS DOUBLE), CAST(l_tax AS DOUBLE)) AS c4,
+    corr(CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)) AS c5
+  FROM lineitem)
+SELECT r.col_a, r.col_b, ROUND(r.c, 6) AS pearson_r
+FROM one, LATERAL (VALUES
+    ('l_quantity', 'l_extendedprice', one.c0),
+    ('l_quantity', 'l_discount', one.c1),
+    ('l_quantity', 'l_tax', one.c2),
+    ('l_extendedprice', 'l_discount', one.c3),
+    ('l_extendedprice', 'l_tax', one.c4),
+    ('l_discount', 'l_tax', one.c5)
+) AS r(col_a, col_b, c)"""
+
+
+@register("x180_correlation_matrix", _CORR_SQL)
+def x180(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return relational.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+# --------------------------------------------------------------------------
+# x181 — first-order Markov transition matrix over per-user event
+# sequences: P(next event type | event type), ordered by (ts,
+# event_id) within each user.  Each user's final event has no
+# successor and drops out.
+_MARKOV_SQL = """
+WITH s AS (SELECT event_type AS state,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_state
+           FROM events),
+     c AS (SELECT state, next_state, COUNT(*) AS n
+           FROM s WHERE next_state IS NOT NULL GROUP BY state, next_state)
+SELECT state, next_state, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY state), 6) AS p
+FROM c"""
+
+
+@register("x181_markov_transitions", _MARKOV_SQL)
+def x181(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return events.markov_transitions(ev, "user_id", "ts", "event_id", "event_type")

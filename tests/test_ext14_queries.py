@@ -93,3 +93,74 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     )
     out = _rows(textops.unigram_logprob_score(df, "text", "doc_id"))
     assert out[1]["avg_logp"] > out[2]["avg_logp"]
+
+
+# --- correlation_matrix -----------------------------------------------------
+
+
+def test_correlation_matrix_hand_values(spark):
+    from flashml_spark.operators import relational
+
+    # y = 2x exactly (r=1); z anti-correlated with x (r=-1); w constant
+    # (corr undefined -> NULL)
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0), (3.0, 6.0, 1.0, 5.0)],
+        "x double, y double, z double, w double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in relational.correlation_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert len(out) == 6  # C(4,2) ordered pairs
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("x", "w")] is None  # zero variance
+
+
+def test_correlation_matrix_is_single_pass(spark):
+    from flashml_spark.operators import relational
+
+    df = spark.range(100).selectExpr("id * 1.0 AS a", "id * 2.0 AS b", "id % 7 * 1.0 AS c")
+    plan = relational.correlation_matrix(df, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
+    # all pairs ride ONE aggregate over one scan: exactly one exchange
+    assert plan.count("Exchange") <= 1
+
+
+# --- markov_transitions -----------------------------------------------------
+
+
+def test_markov_transitions_hand_matrix(spark):
+    from flashml_spark.operators import events as ev
+
+    rows = [
+        # user 1: a -> b -> a -> c   (a->b, b->a, a->c)
+        (1, 1, 1, "a"), (2, 1, 2, "b"), (3, 1, 3, "a"), (4, 1, 4, "c"),
+        # user 2: a -> b            (a->b)
+        (5, 2, 1, "a"), (6, 2, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        (r["state"], r["next_state"]): (r["n"], r["p"])
+        for r in ev.markov_transitions(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "c")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, 1.0)
+    # final events per user have no successor: no ("c", *) and no ("b", None)
+    assert all(k[0] != "c" for k in out)
+
+
+def test_markov_transitions_no_cross_user_leak(spark):
+    from flashml_spark.operators import events as ev
+
+    # user 1 ends with "x", user 2 starts with "y" — must NOT produce x->y
+    df = spark.createDataFrame(
+        [(1, 1, 1, "x"), (2, 2, 2, "y"), (3, 2, 3, "z")],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    out = ev.markov_transitions(df, "user_id", "ts", "event_id", "event_type")
+    assert {(r["state"], r["next_state"]) for r in out.collect()} == {("y", "z")}
