@@ -191,6 +191,8 @@ HEADLINE = [
     "x179_unigram_logprob",
     "x180_correlation_matrix",
     "x181_markov_transitions",
+    "x182_rfm_segments",
+    "x183_tfidf_keywords",
 ]
 
 

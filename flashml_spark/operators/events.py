@@ -871,3 +871,90 @@ def markov_transitions(
     return counts.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
     )
+
+
+def _ntile_from_rn(rn, n, buckets: int):
+    """SQL NTILE(buckets) from a 1-based global row number and total n —
+    the first ``n % buckets`` tiles get one extra row (integer math,
+    engine-portable)."""
+    q = F.floor(n / buckets)
+    r = n % buckets
+    head = r * (q + 1)
+    return F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - head - 1) / q) + 1
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per-user Recency (seconds since the user's last
+    event, against the corpus max), Frequency (event count) and Monetary
+    (summed value, rounded to 6 so the float sum is a stable sort key),
+    each cut into global NTILE quintiles — the classic
+    marketing-segmentation rollup (tile 1 = most recent / least frequent
+    / lowest spend; ties broken by user id).
+
+    Recency is measured in MICROSECONDS (``unix_micros``; exact
+    integers, engine-portable — second-truncating ``unix_timestamp``
+    would floor each side separately and disagree with engines that
+    subtract first).
+
+    Scale shape: one per-user agg, a 1-row anchor/total scalar cross,
+    and per metric a scale-safe global row number via
+    :func:`~flashml_spark.functions.windows.global_cumsum` over the
+    unique (metric, user) struct key — range partition + offsets, never
+    a single-partition NTILE window over |users| rows.  NTILE itself is
+    rebuilt from the row number with integer math (`_ntile_from_rn`),
+    bit-identical to SQL tie semantics because the order key is unique.
+
+    Output: ``user_col, recency_us, frequency, monetary, r_tile, f_tile,
+    m_tile, rfm`` (rfm = "R-F-M" string).
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    per_user = df.groupBy(user_col).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.coalesce(F.sum(value_col), F.lit(0.0)), 6).alias("monetary"),
+    )
+    anchor = df.agg(
+        F.max(ts_col).alias("__anchor"),
+        F.count_distinct(F.col(user_col)).cast("bigint").alias("__n"),
+    )
+    base = per_user.crossJoin(anchor).select(
+        user_col,
+        (
+            F.unix_micros("__anchor") - F.unix_micros("__last")
+        ).cast("bigint").alias("recency_us"),
+        "frequency",
+        "monetary",
+        "__n",
+    )
+    out = base
+    for metric, tile in (
+        ("recency_us", "r_tile"),
+        ("frequency", "f_tile"),
+        ("monetary", "m_tile"),
+    ):
+        keyed = out.withColumn(
+            "__k", F.struct(F.col(metric), F.col(user_col))
+        ).withColumn("__one", F.lit(1))
+        rn = global_cumsum(keyed, "__k", ["__one"], prefix="rn_")
+        out = rn.withColumn(
+            tile, _ntile_from_rn(F.col("rn___one"), F.col("__n"), buckets).cast("bigint")
+        ).drop("__k", "__one", "rn___one", "__pid")
+    return out.select(
+        user_col,
+        "recency_us",
+        "frequency",
+        "monetary",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        F.concat_ws("-", "r_tile", "f_tile", "m_tile").alias("rfm"),
+    )

@@ -1773,3 +1773,51 @@ def unigram_logprob_score(
         "n_tokens",
         F.round(F.col("avg_ln_n") - F.log(F.col("total")), 6).alias("avg_logp"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf·idf against the corpus's
+    own document frequencies (``idf = ln(N / df)``) — the summarize-
+    what-this-doc-is-about extraction a curation UI or index pipeline
+    runs.  Ties break by score desc, then token asc (deterministic).
+
+    Scale shape: one token explode, one (doc, token) tf agg, one
+    vocab-sized df agg riding the same frame, one keyed join, one
+    per-doc top-k window (keyed by the doc — never global), and the
+    1-row N attaches to the vocab frame (not the token frame).
+    Output: ``id_col, token, tf, score, rk``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_docs = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    scored = tf.join(
+        dfreq.crossJoin(n_docs).select(
+            "token", F.log(F.col("__n") / F.col("__df")).alias("__idf")
+        ),
+        "token",
+    ).select(
+        id_col,
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.col("__idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+    )

@@ -132,3 +132,63 @@ def x181(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return events.markov_transitions(ev, "user_id", "ts", "event_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# x182 — RFM segmentation: per-user recency (µs vs the corpus max ts) /
+# frequency / monetary, each cut into global NTILE(5) tiles with
+# (metric, user_id) tie-breaks.  The Spark side rebuilds NTILE from a
+# scale-safe global row number (range partition + offsets), never a
+# single-partition window over |users|.
+_RFM_SQL = """
+WITH a AS (SELECT MAX(ts) AS anchor FROM events),
+     u AS (SELECT user_id,
+                  CAST(epoch_us((SELECT anchor FROM a)) - epoch_us(MAX(ts))
+                       AS BIGINT) AS recency_us,
+                  CAST(COUNT(*) AS BIGINT) AS frequency,
+                  ROUND(COALESCE(SUM(value), 0), 6) AS monetary
+           FROM events GROUP BY user_id),
+     t AS (SELECT user_id, recency_us, frequency, monetary,
+                  CAST(NTILE(5) OVER (ORDER BY recency_us, user_id) AS BIGINT)
+                      AS r_tile,
+                  CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+                      AS f_tile,
+                  CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS BIGINT)
+                      AS m_tile
+           FROM u)
+SELECT user_id, recency_us, frequency, monetary, r_tile, f_tile, m_tile,
+       r_tile || '-' || f_tile || '-' || m_tile AS rfm
+FROM t"""
+
+
+@register("x182_rfm_segments", _RFM_SQL)
+def x182(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    return events.rfm_segments(ev, "user_id", "ts", "value", buckets=5)
+
+
+# --------------------------------------------------------------------------
+# x183 — per-document top-3 tf·idf keywords (idf = ln(N/df), rounded
+# score as the sort key on BOTH sides; ties break token-ascending).
+_KEYWORDS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents
+             WHERE text IS NOT NULL),
+     tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token),
+     d AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfq FROM tf
+           GROUP BY token),
+     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+           WHERE text IS NOT NULL),
+     s AS (SELECT tf.doc_id, tf.token, tf.tf,
+                  ROUND(tf.tf * ln(n.nd / d.dfq), 6) AS score
+           FROM tf JOIN d USING (token) CROSS JOIN n),
+     r AS (SELECT s.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS BIGINT) AS rk
+           FROM s)
+SELECT doc_id, token, tf, score, rk FROM r WHERE rk <= 3"""
+
+
+@register("x183_tfidf_keywords", _KEYWORDS_SQL)
+def x183(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.tfidf_keywords(docs, "text", "doc_id", k=3)

@@ -73,6 +73,8 @@ ACCEPTED_CROSS = {
     "x171_frequent_pairs": "1-row basket-count scalar broadcast",
     "x159_referential_integrity": "1-row x 1-row totals cross (pure scalars)",
     "x179_unigram_logprob": "1-row ln(N) corpus-total scalar broadcast (post per-doc agg)",
+    "x182_rfm_segments": "1-row anchor-ts + |users| total scalar broadcast",
+    "x183_tfidf_keywords": "1-row N_docs scalar broadcast onto the vocab frame",
 }
 
 

@@ -110,6 +110,9 @@ PROBES = [
     "x165_quantile_normalize",
     "x166_self_repetition",
     "x167_bpe_fertility",
+    "x178_decontamination",
+    "x179_unigram_logprob",
+    "x180_correlation_matrix",
 ]
 
 

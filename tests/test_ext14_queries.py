@@ -164,3 +164,85 @@ def test_markov_transitions_no_cross_user_leak(spark):
     )
     out = ev.markov_transitions(df, "user_id", "ts", "event_id", "event_type")
     assert {(r["state"], r["next_state"]) for r in out.collect()} == {("y", "z")}
+
+
+# --- rfm_segments -----------------------------------------------------------
+
+
+def test_rfm_ntile_matches_sql_semantics(spark):
+    from flashml_spark.operators import events as ev
+
+    # 7 users, buckets=5: NTILE gives the first 2 tiles 2 rows, rest 1.
+    # user u gets one event at ts=u hours, value=u*10 -> all three
+    # metrics order users identically (recency DESCENDS with u, so
+    # r_tile reverses).
+    rows = [
+        (u, f"2024-01-01 0{u}:00:00", float(u * 10)) for u in range(1, 8)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {r["user_id"]: r for r in ev.rfm_segments(df, "user_id", "ts", "value").collect()}
+    # frequency all 1 -> ties broken by user_id: tiles 1,1,2,2,3,4,5
+    assert [out[u]["f_tile"] for u in range(1, 8)] == [1, 1, 2, 2, 3, 4, 5]
+    # monetary ascends with user_id: same tiling
+    assert [out[u]["m_tile"] for u in range(1, 8)] == [1, 1, 2, 2, 3, 4, 5]
+    # recency: user 7 is most recent (0 us) -> r_tile 1; user 1 oldest -> 5
+    assert [out[u]["r_tile"] for u in (7, 6, 5, 4, 3, 2, 1)] == [1, 1, 2, 2, 3, 4, 5]
+    assert out[7]["recency_us"] == 0
+    assert out[7]["rfm"] == "1-5-5"
+
+
+def test_rfm_monetary_null_values_fold_to_zero(spark):
+    from flashml_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", None), (2, "2024-01-01 01:00:00", 5.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {r["user_id"]: r for r in ev.rfm_segments(df, "user_id", "ts", "value").collect()}
+    assert out[1]["monetary"] == 0.0
+    assert out[2]["monetary"] == 5.0
+
+
+# --- tfidf_keywords ---------------------------------------------------------
+
+
+def test_tfidf_keywords_hand_ranking(spark):
+    import math
+
+    from flashml_spark.operators import textops as t
+
+    # "rare" appears only in doc 1 (idf=ln(3)); "common" in all (idf=0)
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare common alpha"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["token"], r["tf"], r["score"], r["rk"])
+        for r in t.tfidf_keywords(df, "text", "doc_id", k=2)
+        .where("doc_id = 1")
+        .orderBy("rk")
+        .collect()
+    ]
+    assert out[0][0] == "rare" and out[0][1] == 2
+    assert abs(out[0][2] - round(2 * math.log(3), 6)) < 1e-9
+    assert out[1][0] == "alpha"  # ln(3) beats common's 0
+    assert len(out) == 2
+
+
+def test_tfidf_keywords_tie_breaks_token_asc(spark):
+    from flashml_spark.operators import textops as t
+
+    # all tokens unique to the doc and tf=1 -> identical scores; order
+    # must be token-ascending
+    df = spark.createDataFrame([(1, "zeta alpha mid")], "doc_id long, text string")
+    toks = [
+        r["token"]
+        for r in t.tfidf_keywords(df, "text", "doc_id", k=3).orderBy("rk").collect()
+    ]
+    assert toks == ["alpha", "mid", "zeta"]
