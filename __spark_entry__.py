@@ -57,7 +57,7 @@ _PRIORITY = [
     "x157_ttl_dedup", "x158_batch_retrieval", "x159_referential_integrity",
     "x160_column_profile",
     # (2) the round-5 additions — also never driver-checked; 13 of the
-    # 23 fit (x174-x183 queue for r6 with the q01-q13 refreshes)
+    # 25 fit (x174-x185 queue for r6 with the q01-q13 refreshes)
     "x161_dup_span_stats", "x162_scd2_intervals",
     "x163_dedup_span_removal", "x164_triangle_parts",
     "x165_quantile_normalize", "x166_self_repetition",

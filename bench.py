@@ -193,6 +193,8 @@ HEADLINE = [
     "x181_markov_transitions",
     "x182_rfm_segments",
     "x183_tfidf_keywords",
+    "x184_km_survival",
+    "x185_position_attribution",
 ]
 
 

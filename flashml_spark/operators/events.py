@@ -958,3 +958,140 @@ def rfm_segments(
         "m_tile",
         F.concat_ws("-", "r_tile", "f_tile", "m_tile").alias("rfm"),
     )
+
+
+def kaplan_meier_survival(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (days between a
+    user's first and last event), right-censoring users still active on
+    the corpus's final day — the churn-analysis estimator that handles
+    "hasn't churned YET" correctly instead of treating it as churn.
+
+    ``S(t) = Π_{t_i ≤ t} (1 - d_i / n_i)`` with deaths ``d_i``
+    (uncensored lifetimes ending at ``t_i``) and at-risk counts ``n_i``
+    (lifetimes ≥ ``t_i``).  The product runs as ``exp(Σ ln factor)``
+    with an explicit zero flag once ``d_i = n_i`` (Spark's ``log`` of 0
+    is NULL, other engines -inf — the flag sidesteps both).
+
+    Scale shape: one per-user agg, a 1-row (max-day, N) scalar cross,
+    one (lifetime)-keyed agg, then cumulative windows over the
+    POST-AGG |distinct lifetime days| frame — value-domain bounded
+    (the accepted tiny-frame window class), never over users.
+    Output: ``t, at_risk, deaths, censored_n, survival`` (rounded 6).
+    """
+    from pyspark.sql import Window
+
+    day = F.col(ts_col).cast("date")
+    per_user = df.groupBy(user_col).agg(
+        F.min(day).alias("__first"),
+        F.max(day).alias("__last"),
+    )
+    anchor = df.agg(
+        F.max(day).alias("__maxday"),
+        F.count_distinct(F.col(user_col)).cast("long").alias("__total"),
+    )
+    u = per_user.crossJoin(anchor).select(
+        F.datediff("__last", "__first").cast("bigint").alias("t"),
+        (F.col("__last") == F.col("__maxday")).cast("int").alias("__cens"),
+        "__total",
+    )
+    g = u.groupBy("t", "__total").agg(
+        F.count(F.lit(1)).alias("__ending"),
+        F.sum(1 - F.col("__cens")).alias("deaths"),
+        F.sum("__cens").alias("censored_n"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    at_risk = F.col("__total") - F.sum("__ending").over(w) + F.col("__ending")
+    s = g.withColumn("at_risk", at_risk).withColumn(
+        "__dead_all",
+        F.max((F.col("deaths") >= F.col("at_risk")).cast("int")).over(w),
+    ).withColumn(
+        "__lnsum",
+        F.sum(
+            F.when(
+                F.col("deaths") < F.col("at_risk"),
+                F.log(1.0 - F.col("deaths") / F.col("at_risk")),
+            ).otherwise(F.lit(0.0))
+        ).over(w),
+    )
+    return s.select(
+        F.col("t"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("deaths").cast("bigint").alias("deaths"),
+        F.col("censored_n").cast("bigint").alias("censored_n"),
+        F.round(
+            F.when(F.col("__dead_all") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("__lnsum"))
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+def position_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    conversion: str,
+) -> DataFrame:
+    """Position-based (40/20/40, "U-shaped") multi-touch attribution:
+    each conversion's credit splits 0.4 to the journey's first touch,
+    0.4 to its last, and 0.2 evenly across the middle — the standard
+    middle ground between `last_touch_attribution`'s winner-take-all
+    and linear models.  A journey is the run of non-conversion events
+    between consecutive conversions; single-touch journeys take 1.0,
+    two-touch journeys 0.5 each; a conversion with no prior touches
+    goes unattributed (documented).
+
+    Scale shape: journey ids from a per-user prior-conversion running
+    count (keyed window), a semi-join onto converting journeys, one
+    (user, journey)-keyed position window, and a |channels| agg — no
+    global windows, no driver state.
+    Output: ``channel, credit, n_touches`` (credit rounded to 6).
+    """
+    from pyspark.sql import Window
+
+    conv = (F.col(state_col) == conversion).cast("int")
+    wj = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(state_col),
+        conv.alias("__conv"),
+        F.coalesce(F.sum(conv).over(wj), F.lit(0)).alias("__journey"),
+    )
+    conv_j = j.where(F.col("__conv") == 1).select(
+        user_col, "__journey"
+    ).distinct()
+    touches = j.where(F.col("__conv") == 0).join(
+        conv_j, [user_col, "__journey"]
+    )
+    wp = Window.partitionBy(user_col, "__journey").orderBy(ts_col, id_col)
+    wm = Window.partitionBy(user_col, "__journey")
+    p = touches.select(
+        F.col(state_col).alias("channel"),
+        F.row_number().over(wp).alias("__pos"),
+        F.count(F.lit(1)).over(wm).alias("__m"),
+    )
+    credit = (
+        F.when(F.col("__m") == 1, F.lit(1.0))
+        .when(F.col("__m") == 2, F.lit(0.5))
+        .when((F.col("__pos") == 1) | (F.col("__pos") == F.col("__m")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("__m") - 2))
+    )
+    return (
+        p.select("channel", credit.alias("__credit"))
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("__credit"), 6).alias("credit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )

@@ -27,7 +27,10 @@ from flashml_spark.sources.readers import load_table
 # into a held-out eval shard (doc_id % 17 = 0) and a train shard; every
 # train document reports the fraction of its DISTINCT word 5-grams that
 # any eval document contains.  Docs shorter than 5 tokens drop out
-# (no grams), matching x139's contract.
+# (no grams), matching x139's contract.  Quantifies what x55's
+# contamination SCAN only flags: x55 answers "touched at all?"
+# (3-grams, boolean), this reports per-document overlap mass (5-grams,
+# fraction) — the number a redact-or-drop policy thresholds on.
 _DECON_SQL = f"""
 WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents
              WHERE text IS NOT NULL),
@@ -80,7 +83,10 @@ def x179(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # x180 — pairwise Pearson correlation matrix over lineitem's numeric
 # columns: all pairs compiled into ONE aggregation pass (the
-# collinearity screen before feature assembly).
+# collinearity screen before feature assembly).  Generalizes x54's
+# fixed 1-row corr stats into an any-column-list tidy report, and
+# fixes the constant-column case (`F.corr` raises under ANSI;
+# this yields NULL like SQL engines).
 _CORR_SQL = """
 WITH one AS (SELECT
     corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)) AS c0,
@@ -192,3 +198,87 @@ SELECT doc_id, token, tf, score, rk FROM r WHERE rk <= 3"""
 def x183(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return textops.tfidf_keywords(docs, "text", "doc_id", k=3)
+
+
+# --------------------------------------------------------------------------
+# x184 — Kaplan-Meier survival over user lifetimes (days first→last
+# event), right-censored at the corpus max day.  Cumulative windows run
+# over the |distinct lifetime days| POST-AGG frame (value-domain
+# bounded); the zero-survival flag sidesteps ln(0) (NULL in Spark,
+# -inf elsewhere).
+_KM_SQL = """
+WITH u AS (SELECT user_id,
+                  date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                      AS t,
+                  CASE WHEN MAX(CAST(ts AS DATE)) =
+                            (SELECT MAX(CAST(ts AS DATE)) FROM events)
+                       THEN 1 ELSE 0 END AS cens
+           FROM events GROUP BY user_id),
+     n AS (SELECT COUNT(*) AS total FROM u),
+     g AS (SELECT t, COUNT(*) AS ending,
+                  SUM(1 - cens) AS deaths, SUM(cens) AS censored_n
+           FROM u GROUP BY t),
+     w AS (SELECT g.*, n.total - SUM(ending) OVER (ORDER BY t) + ending
+                      AS at_risk
+           FROM g CROSS JOIN n),
+     s AS (SELECT *,
+                  MAX(CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY t) AS dead_all,
+                  SUM(CASE WHEN deaths < at_risk
+                           THEN ln(1.0 - deaths * 1.0 / at_risk)
+                           ELSE 0.0 END) OVER (ORDER BY t) AS lnsum
+           FROM w)
+SELECT CAST(t AS BIGINT) AS t, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       CAST(censored_n AS BIGINT) AS censored_n,
+       ROUND(CASE WHEN dead_all = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+           AS survival
+FROM s"""
+
+
+@register("x184_km_survival", _KM_SQL)
+def x184(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return events.kaplan_meier_survival(ev, "user_id", "ts")
+
+
+# --------------------------------------------------------------------------
+# x185 — position-based (40/20/40) multi-touch attribution: per-user
+# journeys between purchases; first/last touch take 0.4 each, middles
+# split 0.2 (1.0 / 0.5-0.5 for one- / two-touch journeys).
+_POSATTR_SQL = """
+WITH e AS (SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+           FROM events),
+     j AS (SELECT *, COALESCE(SUM(conv) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS journey
+           FROM e),
+     cj AS (SELECT DISTINCT user_id, journey FROM j WHERE conv = 1),
+     t AS (SELECT j.user_id, j.journey, j.event_type, j.ts, j.event_id
+           FROM j JOIN cj USING (user_id, journey) WHERE j.conv = 0),
+     p AS (SELECT event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                     ORDER BY ts, event_id) AS pos,
+                  COUNT(*) OVER (PARTITION BY user_id, journey) AS m
+           FROM t),
+     c AS (SELECT event_type AS channel,
+                  CASE WHEN m = 1 THEN 1.0
+                       WHEN m = 2 THEN 0.5
+                       WHEN pos = 1 OR pos = m THEN 0.4
+                       ELSE 0.2 / (m - 2) END AS credit
+           FROM p)
+SELECT channel, ROUND(SUM(credit), 6) AS credit,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM c GROUP BY channel"""
+
+
+@register("x185_position_attribution", _POSATTR_SQL)
+def x185(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return events.position_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase"
+    )

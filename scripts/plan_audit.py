@@ -41,6 +41,7 @@ ACCEPTED_GLOBAL = {
     "x124_important_parts": "ORDER BY on |important parts| result rows",
     "x148_mannwhitney_u": "cumulative over |distinct values| rows",
     "x150_revenue_autocorr": "lag over |days| post-agg rows",
+    "x184_km_survival": "cumulative over |distinct lifetime days| post-agg rows",
 }
 
 
@@ -75,6 +76,7 @@ ACCEPTED_CROSS = {
     "x179_unigram_logprob": "1-row ln(N) corpus-total scalar broadcast (post per-doc agg)",
     "x182_rfm_segments": "1-row anchor-ts + |users| total scalar broadcast",
     "x183_tfidf_keywords": "1-row N_docs scalar broadcast onto the vocab frame",
+    "x184_km_survival": "1-row (max-day, N) scalar broadcast",
 }
 
 

@@ -246,3 +246,106 @@ def test_tfidf_keywords_tie_breaks_token_asc(spark):
         for r in t.tfidf_keywords(df, "text", "doc_id", k=3).orderBy("rk").collect()
     ]
     assert toks == ["alpha", "mid", "zeta"]
+
+
+# --- kaplan_meier_survival --------------------------------------------------
+
+
+def test_km_survival_textbook_example(spark):
+    from flashml_spark.operators import events as ev
+
+    # lifetimes: deaths at t=1 (u1), t=2 (u2); u3 censored at t=2 (active
+    # on the max day); u4 death at t=0.
+    # max day = 2024-01-03.  Timeline: t=0: 4 at risk, 1 death -> S=0.75
+    # t=1: 3 at risk, 1 death -> S=0.5; t=2: 2 at risk, 1 death+1 cens
+    # -> S=0.25
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"),                 # t=1 death
+        (2, "2024-01-01"), (2, "2024-01-03"),                 # t=2 death? last==max -> censored!
+        (3, "2024-01-01"), (3, "2024-01-03"),                 # t=2 censored
+        (4, "2024-01-02"),                                    # t=0 death
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP) AS ts"
+    )
+    out = {r["t"]: r for r in ev.kaplan_meier_survival(df, "user_id", "ts").collect()}
+    # t=0: ending u4 (death), at_risk 4 -> S = 0.75
+    assert out[0]["at_risk"] == 4 and out[0]["deaths"] == 1
+    assert out[0]["survival"] == 0.75
+    # t=1: u1 death, at_risk 3 -> S = 0.75 * 2/3 = 0.5
+    assert out[1]["at_risk"] == 3 and out[1]["survival"] == 0.5
+    # t=2: u2 and u3 BOTH end on the max day -> both censored, S stays 0.5
+    assert out[2]["censored_n"] == 2 and out[2]["deaths"] == 0
+    assert out[2]["survival"] == 0.5
+
+
+def test_km_survival_hits_zero_when_all_die(spark):
+    from flashml_spark.operators import events as ev
+
+    # both users' last activity precedes the max day user 3 sets
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"),
+        (2, "2024-01-01"), (2, "2024-01-02"),
+        (3, "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP) AS ts"
+    )
+    out = {r["t"]: r for r in ev.kaplan_meier_survival(df, "user_id", "ts").collect()}
+    # t=0: u3 censored (its last IS the max day), 3 at risk, 0 deaths
+    assert out[0]["survival"] == 1.0
+    # t=1: u1, u2 die; at_risk 2, deaths 2 -> survival 0 (no ln(0) NULL)
+    assert out[1]["deaths"] == 2 and out[1]["survival"] == 0.0
+
+
+# --- position_attribution ---------------------------------------------------
+
+
+def test_position_attribution_u_shape(spark):
+    from flashml_spark.operators import events as ev
+
+    # one user, journey: view, click, error, view -> purchase
+    rows = [
+        (1, 1, 1, "view"), (2, 1, 2, "click"), (3, 1, 3, "error"),
+        (4, 1, 4, "view"), (5, 1, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        r["channel"]: r["credit"]
+        for r in ev.position_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    # first view 0.4 + last view 0.4 = 0.8; click/error middles 0.1 each
+    assert out["view"] == 0.8
+    assert out["click"] == 0.1 and out["error"] == 0.1
+
+
+def test_position_attribution_edge_journeys(spark):
+    from flashml_spark.operators import events as ev
+
+    rows = [
+        # user 1: single-touch journey -> 1.0 to click
+        (1, 1, 1, "click"), (2, 1, 2, "purchase"),
+        # user 2: two-touch journey -> 0.5 / 0.5
+        (3, 2, 1, "view"), (4, 2, 2, "error"), (5, 2, 3, "purchase"),
+        # user 3: trailing touches with NO closing purchase -> no credit
+        (6, 3, 1, "view"), (7, 3, 2, "click"),
+        # user 4: purchase with no prior touch -> unattributed
+        (8, 4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        r["channel"]: (r["credit"], r["n_touches"])
+        for r in ev.position_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert out["click"] == (1.0, 1)
+    assert out["view"] == (0.5, 1)
+    assert out["error"] == (0.5, 1)
+    assert sum(c for c, _ in out.values()) == 2.0  # user 3/4 journeys excluded
