@@ -651,3 +651,42 @@ def test_weighted_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
                 if cw and round(cw / uw, 6) >= threshold:
                     want.add((a, b, round(cw / uw, 6)))
     assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=0, max_value=50),  # ts
+            st.sampled_from(["a", "b", "c"]),        # state
+        ),
+        min_size=2, max_size=60,
+    )
+)
+def test_markov_transitions_rows_normalize(spark, rows):
+    """Per-state probabilities sum to ~1 and counts equal the brute-force
+    per-user bigram count (ties broken by event id = list index)."""
+    from collections import Counter
+
+    from flashml_spark.operators.events import markov_transitions
+
+    df = spark.createDataFrame(
+        [(i, u, t, s) for i, (u, t, s) in enumerate(rows)],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    got = markov_transitions(df, "user_id", "ts", "event_id", "event_type").collect()
+    want = Counter()
+    by_user = {}
+    for i, (u, t, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, i, s))
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert {(r["state"], r["next_state"]): r["n"] for r in got} == dict(want)
+    sums = Counter()
+    for r in got:
+        sums[r["state"]] += r["p"]
+    for s, tot in sums.items():
+        assert abs(tot - 1.0) < 1e-4  # rounded-6 components
