@@ -195,6 +195,10 @@ HEADLINE = [
     "x183_tfidf_keywords",
     "x184_km_survival",
     "x185_position_attribution",
+    "x186_join_skew_audit",
+    "x187_bootstrap_ci",
+    "x188_ewma_anomaly",
+    "x189_functional_dependency",
 ]
 
 

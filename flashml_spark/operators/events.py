@@ -1095,3 +1095,100 @@ def position_attribution(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         )
     )
+
+
+def ewma_weights(alpha: float, lags: int) -> list[float]:
+    """The EWMA lag weights ``(1-alpha)**(j-1)``, j = 1..lags, computed
+    ONCE in Python and injected as literals into BOTH the Spark plan and
+    the SQL oracle — engine libm ``pow`` differences never enter."""
+    return [(1.0 - alpha) ** j for j in range(lags)]
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    lags: int = 30,
+    z: float = 3.0,
+    min_lags: int = 5,
+) -> DataFrame:
+    """EWMA anomaly flags over a daily total: each day's value is
+    compared against the exponentially-weighted moving average of the
+    preceding ``lags`` observed days (weight ``(1-alpha)**(j-1)`` for
+    the j-th most recent, normalized over the days actually present),
+    and flagged when it deviates from that forecast by more than ``z``
+    trailing standard deviations — the classic ops-monitoring detector,
+    recursion unrolled into a bounded-lag weighted window so it stays a
+    pure relational plan (no stateful fold).
+
+    Scale shape: the raw frame reduces to |distinct days| rows in one
+    keyed hash agg; the lag attachment is a self-join on a day-index
+    band of width ``lags`` over that POST-AGG value-domain frame (a few
+    thousand rows for decades of data), never over events.  Days with
+    fewer than ``min_lags`` predecessors report NULL ewma and flag 0
+    (warm-up).
+
+    Cross-engine determinism: every sum that feeds a 6-decimal rounding
+    is EXACT — daily revenue and the weighted/lag moment sums accumulate
+    as decimals (association order can't shift an ulp), lag weights are
+    Python-computed literals shared with the SQL oracle, and the
+    trailing sd comes from exact moment sums, so the oracle comparison
+    never sits on a rounding knife-edge.
+
+    Output: ``d, revenue, ewma, sd, deviation, is_anomaly`` — floats
+    rounded to 6; deviation = revenue - ewma.
+    """
+    weights = ewma_weights(alpha, lags)
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select("d", "revenue", F.row_number().over(w).alias("__rn"))
+    cur = idx.select(F.col("d"), F.col("revenue"), F.col("__rn").alias("__i"))
+    prior = idx.select(F.col("revenue").alias("__pv"), F.col("__rn").alias("__j"))
+    j = cur.join(
+        prior,
+        (F.col("__j") >= F.col("__i") - lags) & (F.col("__j") <= F.col("__i") - 1),
+        "left",
+    )
+    wgt = F.element_at(
+        F.array(*[F.lit(x) for x in weights]), (F.col("__i") - F.col("__j")).cast("int")
+    )
+    dec = "decimal(38,6)"
+    agg = j.groupBy("d", "revenue", "__i").agg(
+        F.count("__pv").alias("__np"),
+        F.sum((wgt * F.col("__pv")).cast(dec)).cast("double").alias("__ws"),
+        F.sum(F.when(F.col("__pv").isNotNull(), wgt).cast(dec))
+        .cast("double")
+        .alias("__wt"),
+        F.sum(F.col("__pv").cast(dec)).cast("double").alias("__s1"),
+        F.sum((F.col("__pv") * F.col("__pv")).cast(dec))
+        .cast("double")
+        .alias("__s2"),
+    )
+    np_ = F.col("__np").cast("double")
+    # greatest(.,0): exact-cancellation noise on near-constant lags must
+    # not feed sqrt a tiny negative
+    var = F.greatest(
+        (np_ * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+        / (np_ * (np_ - 1)),
+        F.lit(0.0),
+    )
+    ok = F.col("__np") >= min_lags
+    ewma = F.when(ok, F.col("__ws") / F.col("__wt"))
+    sd = F.when(ok, F.sqrt(var))
+    dev = F.col("revenue") - ewma
+    return agg.select(
+        "d",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(ewma, 6).alias("ewma"),
+        F.round(sd, 6).alias("sd"),
+        F.round(dev, 6).alias("deviation"),
+        F.when(sd.isNotNull() & (F.abs(dev) > z * sd), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("d")

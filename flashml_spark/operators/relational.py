@@ -995,3 +995,86 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(report).alias("r")).select(
         "r.col_a", "r.col_b", "r.pearson_r"
     )
+
+
+def join_key_skew_audit(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Pre-join skew audit: the heavy-hitter report a pipeline reads
+    before picking a join strategy (broadcast / AQE skew-join / salting).
+    Reports the ``top_k`` heaviest values of ``key_col`` with their row
+    count, share of all rows, and skew ratio (count / mean count per
+    key) — a skew ratio near 1 means uniform keys; >> 1 means the
+    shuffle partition owning that key becomes the join's straggler.
+
+    Scale shape: one keyed hash agg (map-side partial combine reduces
+    every partition to its local key counts), a 1-row global agg
+    attached by broadcast cross join, and a TakeOrdered top-k
+    (``orderBy().limit()`` — Spark plans TakeOrderedAndProject, no full
+    sort shuffle).  The rank window runs on the collected ``top_k``-row
+    frame only.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    glob = counts.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_keys"),
+        F.sum("cnt").cast("double").alias("__total"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(glob))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+        F.round(
+            F.col("cnt") * F.col("__n_keys") / F.col("__total"), 6
+        ).alias("skew_ratio"),
+    )
+
+
+def functional_dependency_audit(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency discovery audit: for each candidate
+    ``determinant -> dependent`` pair, how many determinant values map
+    to MORE than one distinct dependent value.  A 0.0 violation rate
+    certifies the FD holds on this corpus (safe to normalize /
+    dedupe on the determinant); a high rate kills the hypothesis.
+
+    Scale shape: one two-level keyed aggregation per pair — group by
+    the determinant counting distinct dependents (hash agg with
+    map-side partial), then a 1-row summary agg; the |pairs| passes
+    union into one frame.  Distinct-counting by DIFFERENT keys cannot
+    share a shuffle, so passes scale with the audit list, not the data.
+
+    Output: ``det_col, dep_col, n_keys, n_violating, violation_rate``
+    (rate rounded to 6), one row per audited pair.
+    """
+    parts = []
+    for det, dep in pairs:
+        per_key = df.groupBy(det).agg(
+            F.countDistinct(dep).alias("__nd")
+        )
+        parts.append(
+            per_key.agg(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.round(
+                    F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("violation_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -433,3 +433,88 @@ def weighted_sample_per_group(
         .filter(F.col(rank_col) <= k)
         .drop("__es_key")
     )
+
+
+# Poisson(1) inverse-CDF ladder: cumulative P(X <= k) for k = 0..5,
+# shared verbatim with the SQL oracle (literals, not library calls) so
+# the replicate weights are bit-identical across engines.  P(X > 5) at
+# lambda=1 is 6e-4; the ladder caps the weight at 6.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    reps: int = 32,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Poisson bootstrap for the mean: the resampling scheme that works
+    on a distributed table because each row draws its replicate
+    multiplicity INDEPENDENTLY — Poisson(1) weights approximate
+    multinomial resampling without ever shuffling rows into samples
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012).  Weights come from the engine-portable
+    md5 uniform and a literal inverse-CDF ladder, so every replicate is
+    reproducible on any cluster and in the SQL oracle.
+
+    Scale shape: the ``reps``-way fan-out is a per-row ``explode``
+    (map-side only — hash agg partial-combines every partition down to
+    ``reps`` groups before the one shuffle); the replicate means then
+    reduce to ONE summary row.  The normal-theory bootstrap interval
+    (point estimate ± z · sd of replicate means) keeps the final
+    reduction a plain agg — no cross-engine percentile-interpolation
+    hazard.
+
+    Output (1 row): ``n_rows, point_mean, boot_mean, boot_se, ci_lo,
+    ci_hi`` (floats rounded to 6).
+    """
+    from flashml_spark.functions import hashing as H
+
+    r = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r")
+    base = df.select(
+        F.col(value_col).alias("__v"), F.col(id_col).alias("__id")
+    ).where(F.col("__v").isNotNull())
+    fanned = base.select("__v", "__id", r)
+    u = H.md5_uniform(
+        F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__r").cast("string"))
+    )
+    wexpr = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        wexpr = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(wexpr)
+    weighted = fanned.select(
+        "__r", F.col("__v"), wexpr.cast("double").alias("__w")
+    )
+    # exact decimal sums -> the replicate means are BIT-identical across
+    # engines regardless of summation order; only then divide in double
+    per_rep = weighted.groupBy("__r").agg(
+        (
+            F.sum((F.col("__w") * F.col("__v")).cast("decimal(28,6)")).cast("double")
+            / F.sum(F.col("__w").cast("decimal(28,6)")).cast("double")
+        ).alias("__m")
+    )
+    stats = per_rep.agg(
+        F.avg("__m").alias("__bm"), F.stddev_samp("__m").alias("__bse")
+    )
+    point = df.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__pm"),
+    )
+    return point.crossJoin(F.broadcast(stats)).select(
+        "n_rows",
+        F.round("__pm", 6).alias("point_mean"),
+        F.round("__bm", 6).alias("boot_mean"),
+        F.round("__bse", 6).alias("boot_se"),
+        F.round(F.col("__pm") - F.lit(z) * F.col("__bse"), 6).alias("ci_lo"),
+        F.round(F.col("__pm") + F.lit(z) * F.col("__bse"), 6).alias("ci_hi"),
+    )

@@ -1,0 +1,184 @@
+"""Extension queries, round 5 fourth wave (x186+): the pre-join skew
+audit (heavy-hitter report behind broadcast/salting decisions), a
+Poisson-bootstrap confidence interval for a mean (distributed
+resampling without resampling shuffles), EWMA anomaly detection over a
+daily series (the ops-monitoring detector, recursion unrolled to a
+bounded-lag weighted window), and a functional-dependency discovery
+audit (the data-profiling step behind normalization / dedup-key
+choices).
+
+Oracle discipline unchanged: engine-portable DuckDB SQL sharing every
+literal with the Spark side; md5-derived uniforms for anything random;
+exact decimal sums wherever a mean's 6-decimal rounding could flip on
+float association order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flashml_spark.operators import events, relational, sampling
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# x186 — pre-join skew audit on orders.o_custkey: the top-10 heaviest
+# join-key values with share and skew ratio (count / mean per-key
+# count) — the report a pipeline reads before picking broadcast /
+# AQE skew-join / salting for a customer-keyed join.
+_SKEW_SQL = """
+WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY o_custkey),
+     g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_keys,
+                  CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+     r AS (SELECT key, cnt,
+                  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC)
+                       AS BIGINT) AS rk
+           FROM c)
+SELECT rk AS "rank", key, cnt, ROUND(cnt / g.total, 6) AS share,
+       ROUND(cnt * g.n_keys / g.total, 6) AS skew_ratio
+FROM r CROSS JOIN g WHERE rk <= 10"""
+
+
+@register("x186_join_skew_audit", _SKEW_SQL)
+def x186(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_custkey")
+    return relational.join_key_skew_audit(orders, "o_custkey", top_k=10)
+
+
+# --------------------------------------------------------------------------
+# x187 — Poisson-bootstrap CI for mean(o_totalprice): 32 replicates,
+# Poisson(1) weights from the md5 uniform via the shared literal
+# inverse-CDF ladder; normal-theory interval from the replicate means.
+def _poisson_case(u_expr: str) -> str:
+    arms = "".join(
+        f"\n             WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(sampling.POISSON1_CDF)
+    )
+    return f"CASE{arms}\n             ELSE {len(sampling.POISSON1_CDF)} END"
+
+
+_BOOT_SQL = f"""
+WITH v AS (SELECT o_orderkey AS id, o_totalprice AS val FROM orders
+           WHERE o_totalprice IS NOT NULL),
+     f AS (SELECT id, val, r FROM v
+           CROSS JOIN (SELECT unnest(range(0, 32)) AS r) reps),
+     u AS (SELECT val, r,
+                  (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+                         CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                  / 4294967296.0 AS u
+           FROM f),
+     w AS (SELECT val, r,
+                  {_poisson_case("u")} AS w
+           FROM u),
+     m AS (SELECT r,
+                  CAST(SUM(CAST(w * val AS DECIMAL(28,6))) AS DOUBLE)
+                  / CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS m
+           FROM w GROUP BY r),
+     s AS (SELECT AVG(m) AS bm, STDDEV_SAMP(m) AS bse FROM m),
+     p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(*) AS pm
+           FROM v)
+SELECT n_rows, ROUND(pm, 6) AS point_mean, ROUND(bm, 6) AS boot_mean,
+       ROUND(bse, 6) AS boot_se,
+       ROUND(pm - 1.959963984540054 * bse, 6) AS ci_lo,
+       ROUND(pm + 1.959963984540054 * bse, 6) AS ci_hi
+FROM p CROSS JOIN s"""
+
+
+@register("x187_bootstrap_ci", _BOOT_SQL)
+def x187(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return sampling.poisson_bootstrap_ci(
+        orders, "o_totalprice", "o_orderkey", reps=32
+    )
+
+
+# --------------------------------------------------------------------------
+# x188 — EWMA anomaly flags on daily order revenue: alpha=0.3 over the
+# trailing 30 observed days (normalized over days present), flag when
+# the day deviates from the EWMA forecast by > 3 trailing sds; first
+# min_lags=5 days are warm-up (NULL ewma, flag 0).  Determinism: daily
+# revenue and all lag moment sums are EXACT decimal sums, the lag
+# weights are the SAME Python-computed literals the Spark plan bakes
+# in, and sd comes from moment sums — no engine pow/stddev/association
+# differences can shift a 6-decimal rounding.
+_EWMA_W = "CASE i - jn " + " ".join(
+    f"WHEN {j + 1} THEN {w!r}" for j, w in enumerate(events.ewma_weights(0.3, 30))
+) + " END"
+
+_EWMA_SQL = f"""
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1),
+     idx AS (SELECT d, revenue, ROW_NUMBER() OVER (ORDER BY d) AS rn
+             FROM daily),
+     j AS (SELECT c.d, c.revenue, c.rn AS i, p.revenue AS pv, p.rn AS jn
+           FROM idx c LEFT JOIN idx p
+             ON p.rn >= c.rn - 30 AND p.rn <= c.rn - 1),
+     a AS (SELECT d, revenue, COUNT(pv) AS np,
+                  CAST(SUM(CAST(({_EWMA_W}) * pv AS DECIMAL(38,6)))
+                       AS DOUBLE) AS ws,
+                  CAST(SUM(CAST(CASE WHEN pv IS NOT NULL
+                                     THEN ({_EWMA_W}) END
+                                AS DECIMAL(38,6))) AS DOUBLE) AS wt,
+                  CAST(SUM(CAST(pv AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(pv * pv AS DECIMAL(38,6))) AS DOUBLE) AS s2
+           FROM j GROUP BY d, revenue, i),
+     e AS (SELECT d, revenue,
+                  CASE WHEN np >= 5 THEN ws / wt END AS ewma,
+                  CASE WHEN np >= 5
+                       THEN sqrt(GREATEST((np * s2 - s1 * s1) / (np * (np - 1.0)), 0.0))
+                       END AS sd
+           FROM a)
+SELECT d, ROUND(revenue, 6) AS revenue, ROUND(ewma, 6) AS ewma,
+       ROUND(sd, 6) AS sd, ROUND(revenue - ewma, 6) AS deviation,
+       CASE WHEN sd IS NOT NULL AND ABS(revenue - ewma) > 3.0 * sd
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM e"""
+
+
+@register("x188_ewma_anomaly", _EWMA_SQL)
+def x188(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    return events.ewma_anomaly(
+        orders, "o_orderdate", "o_totalprice", alpha=0.3, lags=30, z=3.0
+    )
+
+
+# --------------------------------------------------------------------------
+# x189 — functional-dependency discovery over lineitem: which candidate
+# determinant -> dependent rules hold (violation_rate 0.0) and which
+# die.  l_orderkey -> l_returnflag/ l_linestatus are plausible FDs an
+# order-grain normalizer would bet on; the partkey<->suppkey pair
+# measures the many-to-many density both ways.
+def _fd_arm(det: str, dep: str) -> str:
+    return f"""
+SELECT '{det}' AS det_col, '{dep}' AS dep_col,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS violation_rate
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM lineitem
+      GROUP BY {det}) g"""
+
+
+_FD_PAIRS = [
+    ("l_orderkey", "l_returnflag"),
+    ("l_orderkey", "l_linestatus"),
+    ("l_partkey", "l_suppkey"),
+    ("l_suppkey", "l_partkey"),
+]
+_FD_SQL = "\nUNION ALL".join(_fd_arm(det, dep) for det, dep in _FD_PAIRS)
+
+
+@register("x189_functional_dependency", _FD_SQL)
+def x189(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"
+    )
+    return relational.functional_dependency_audit(li, _FD_PAIRS)

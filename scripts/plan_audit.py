@@ -42,6 +42,8 @@ ACCEPTED_GLOBAL = {
     "x148_mannwhitney_u": "cumulative over |distinct values| rows",
     "x150_revenue_autocorr": "lag over |days| post-agg rows",
     "x184_km_survival": "cumulative over |distinct lifetime days| post-agg rows",
+    "x186_join_skew_audit": "rank window over the top_k-row TakeOrdered result",
+    "x188_ewma_anomaly": "day-index row_number over |days| post-agg rows",
 }
 
 
@@ -58,6 +60,9 @@ ACCEPTED_CROSS = {
     "x109_chisq_lang_source": "|A|x|B| marginal cross, both sides post-agg tiny",
     "x118_event_lift": "1-row population-size scalar broadcast",
     "x120_doc_freq_stopwords": "1-row N_docs scalar broadcast",
+    "x186_join_skew_audit": "1-row n_keys/total scalar broadcast onto top_k rows",
+    "x187_bootstrap_ci": "1-row replicate-stats scalar broadcast onto the 1-row point agg",
+    "x188_ewma_anomaly": "lag-band self-join over the |days| post-agg frame",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
     "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",
