@@ -199,6 +199,9 @@ HEADLINE = [
     "x187_bootstrap_ci",
     "x188_ewma_anomaly",
     "x189_functional_dependency",
+    "x190_zorder_keys",
+    "x191_skyline_parts",
+    "x192_markov_attribution",
 ]
 
 

@@ -1192,3 +1192,159 @@ def ewma_anomaly(
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("d")
+
+
+def markov_transition_counts_with_bounds(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    conv_state: str,
+) -> DataFrame:
+    """Journey-level transition counts for attribution chains: per-user
+    event sequences split into journeys at each ``conv_state`` event
+    (the conversion closes its journey, exactly x185's journey
+    derivation); every journey contributes START -> first touch,
+    touch -> touch steps, and last touch -> CONV (converting journey)
+    or -> DROP (trailing unconverted journey).  Touchless conversions
+    contribute START -> CONV directly.
+
+    Scale shape: one per-user window pass for journey ids + leads, one
+    (state, next_state) hash agg — identical shuffle shape to
+    :func:`markov_transitions`.  Output: ``state, next_state, n``.
+    """
+    wj = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    conv = F.when(F.col(state_col) == conv_state, 1).otherwise(0)
+    j = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(state_col).alias("__st"),
+        conv.alias("__conv"),
+        F.coalesce(
+            F.sum(conv).over(
+                wj.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__journey"),
+    )
+    wp = Window.partitionBy("__u", "__journey").orderBy("__ts", "__id")
+    steps = j.select(
+        "__u",
+        "__journey",
+        "__st",
+        "__conv",
+        F.row_number().over(wp).alias("__pos"),
+        F.lead("__st").over(wp).alias("__next"),
+    )
+    # START -> first element of every journey
+    starts = steps.where(F.col("__pos") == 1).select(
+        F.lit("START").alias("state"),
+        F.when(F.col("__conv") == 1, F.lit("CONV"))
+        .otherwise(F.col("__st"))
+        .alias("next_state"),
+    )
+    # touch -> successor (touch rows only; a conversion row terminates
+    # its journey and emits nothing itself)
+    mids = steps.where(F.col("__conv") == 0).select(
+        F.col("__st").alias("state"),
+        F.when(F.col("__next").isNull(), F.lit("DROP"))
+        .when(F.col("__next") == conv_state, F.lit("CONV"))
+        .otherwise(F.col("__next"))
+        .alias("next_state"),
+    )
+    return (
+        starts.unionByName(mids)
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def markov_removal_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    conv_state: str,
+) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution, the
+    data-driven alternative to x141/x185's positional rules (Anderl et
+    al. 2016): fit a first-order chain over journeys with absorbing
+    CONV/DROP states, then credit each channel by how much the overall
+    conversion probability drops when that channel is removed
+    (its transitions redirected to DROP).  ``share`` normalizes the
+    removal effects to sum to 1.
+
+    Scale shape: the transition counts are fully distributed (one
+    window pass + one hash agg, see
+    :func:`markov_transition_counts_with_bounds`); only the
+    |states|² transition matrix is collected — states are the event-type
+    domain, a few dozen at most — and the absorbing-chain solves run on
+    that matrix driver-side (numpy, exact LU), one (|states|-1)² solve
+    per channel.  Not SQL-expressible (matrix inverse) — registered
+    rows-only; unit tests pin closed-form chains.
+
+    Output: ``channel, p_conv_full, p_conv_removed, removal_effect,
+    share`` (rounded to 6), one row per non-absorbing channel.
+    """
+    import numpy as np
+
+    counts = markov_transition_counts_with_bounds(
+        df, user_col, ts_col, id_col, state_col, conv_state
+    ).collect()  # |states|^2 bounded: event-type domain
+    states = sorted(
+        ({r["state"] for r in counts} | {r["next_state"] for r in counts})
+        - {"CONV", "DROP"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    trans = np.zeros((n, n + 2))  # columns: states..., CONV, DROP
+    for r in counts:
+        i = idx[r["state"]]
+        if r["next_state"] == "CONV":
+            trans[i, n] += r["n"]
+        elif r["next_state"] == "DROP":
+            trans[i, n + 1] += r["n"]
+        else:
+            trans[i, idx[r["next_state"]]] += r["n"]
+
+    def p_conv(removed: int | None) -> float:
+        t = trans.copy()
+        if removed is not None:
+            t[:, n + 1] += t[:, removed]  # into-channel edges -> DROP
+            t[:, removed] = 0.0
+            t[removed, :] = 0.0
+        rows = t.sum(axis=1)
+        safe = np.where(rows > 0, rows, 1.0)
+        q = t[:, :n] / safe[:, None]
+        b = t[:, n] / safe
+        sol = np.linalg.solve(np.eye(n) - q, b)
+        return float(sol[idx["START"]])
+
+    full = p_conv(None)
+    out = []
+    channels = [s for s in states if s != "START"]
+    effects = {}
+    for c in channels:
+        pr = p_conv(idx[c])
+        effects[c] = max(0.0, (full - pr) / full) if full > 0 else 0.0
+        out.append((c, pr))
+    tot = sum(effects.values())
+    spark = df.sparkSession
+    rows = [
+        (
+            c,
+            round(full, 6),
+            round(pr, 6),
+            round(effects[c], 6),
+            round(effects[c] / tot, 6) if tot > 0 else 0.0,
+        )
+        for c, pr in out
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect double, share double",
+    )

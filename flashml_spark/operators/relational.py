@@ -1078,3 +1078,44 @@ def functional_dependency_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the rows not dominated by any
+    other — row q dominates p when q is <= on ``min_col`` (minimize)
+    and >= on ``max_col`` (maximize), strictly better on at least one.
+    Rows tied on BOTH dimensions are mutually non-dominating and all
+    survive (standard skyline semantics).
+
+    Scale shape — the classic nested-loop formulation is quadratic;
+    this is two keyed reductions plus one value-domain pass:
+    (1) lossless prune: within each ``min_col`` group only rows
+    achieving the group max of ``max_col`` can be in the skyline (a
+    keyed window), collapsing the frame to <= |distinct min_col| + ties;
+    (2) the sorted sweep: ordered by ``min_col`` ascending, a row is
+    dominated iff a predecessor has a strictly larger ``max_col``
+    (running max window over the PRUNED value-domain frame), or a row
+    with the same ``max_col`` has a strictly smaller ``min_col`` (keyed
+    min window).  The only global window runs over the post-prune
+    |distinct min_col| frame.
+    """
+    per = Window.partitionBy(min_col)
+    pruned = (
+        df.withColumn("__gmax", F.max(max_col).over(per))
+        .where(F.col(max_col) == F.col("__gmax"))
+        .drop("__gmax")
+    )
+    sweep = Window.orderBy(F.asc(min_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    same_val = Window.partitionBy(max_col)
+    out = (
+        pruned.withColumn("__m1", F.max(max_col).over(sweep))
+        .withColumn("__mp", F.min(min_col).over(same_val))
+        .where(
+            (F.col("__m1").isNull() | (F.col("__m1") <= F.col(max_col)))
+            & (F.col("__mp") == F.col(min_col))
+        )
+        .drop("__m1", "__mp")
+    )
+    return out

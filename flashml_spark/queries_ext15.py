@@ -182,3 +182,85 @@ def x189(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"
     )
     return relational.functional_dependency_audit(li, _FD_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# x190 — Z-order (Morton) clustering keys for orders on
+# (o_custkey, order day): the interleaved value behind
+# write_zorder_layout's 2-D file clustering, computed as pure integer
+# bit arithmetic on both engines (16 bits per dimension).  The day
+# dimension anchors at 1992-01-01 (TPC-H epoch).
+from flashml_spark.functions.zorder import z_value, z_value_sql  # noqa: E402
+
+_ZORDER_SQL = f"""
+SELECT o_orderkey,
+       o_custkey % 65536 AS za,
+       date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536
+           AS zb,
+       {z_value_sql(
+           "o_custkey % 65536",
+           "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+           " % 65536",
+       )} AS zvalue
+FROM orders"""
+
+
+@register("x190_zorder_keys", _ZORDER_SQL)
+def x190(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    za = (F.col("o_custkey") % 65536).cast("bigint")
+    zb = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        % 65536
+    ).cast("bigint")
+    return orders.select(
+        "o_orderkey",
+        za.alias("za"),
+        zb.alias("zb"),
+        z_value(za, zb, bits=16).alias("zvalue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x191 — 2-D skyline (Pareto frontier) over part: minimize
+# p_retailprice, maximize p_size — "no other part is both cheaper and
+# larger".  The oracle is the INDEPENDENT quadratic NOT EXISTS
+# formulation, so it checks the windowed sweep against first-principles
+# dominance semantics, not a re-derivation of the same plan.
+_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""
+
+
+@register("x191_skyline_parts", _SKYLINE_SQL)
+def x191(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+    return relational.skyline_2d(part, "p_retailprice", "p_size")
+
+
+# --------------------------------------------------------------------------
+# x192 — Markov removal-effect attribution over event journeys
+# (purchase = conversion): the data-driven credit model.  The absorbing
+# -chain solve is a matrix inverse — not SQL-expressible, registered
+# rows-only; the transition-count stage is oracle-shaped via x181 and
+# the closed-form chains are pinned in unit tests.
+@register("x192_markov_attribution", None)
+def x192(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return events.markov_removal_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase"
+    )

@@ -13,6 +13,7 @@ Writes are partitioned — never ``coalesce(1)`` for data-sized outputs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SavepointManager:
@@ -186,6 +187,44 @@ def write_range_sorted(
     (
         df.repartitionByRange(n_files, sort_col)
         .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    path: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered on the Z-order (Morton) interleave of two
+    columns — the 2-D generalization of :func:`write_range_sorted`.
+    Each output file covers a narrow min/max BOX in both ``col_a`` and
+    ``col_b``, so parquet footer stats prune scans that range over
+    either or both dimensions (Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    semantics, done with stock Spark writers).
+
+    ``repartitionByRange`` on the z-value samples for balanced bounds;
+    the within-file sort keeps row-group stats tight.  The z-value is
+    dropped from the stored schema — the layout, not the column, is the
+    product.
+    """
+    from flashml_spark.functions.zorder import z_value
+
+    mask = (1 << bits) - 1
+    zv = z_value(
+        F.col(col_a).bitwiseAND(F.lit(mask)),
+        F.col(col_b).bitwiseAND(F.lit(mask)),
+        bits,
+    )
+    (
+        df.withColumn("__zv", zv)
+        .repartitionByRange(n_files, "__zv")
+        .sortWithinPartitions("__zv")
+        .drop("__zv")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -38,6 +38,7 @@ def test_queries_and_oracles_are_consistent():
         "x25_porter_stem",
         "x27_ann_ivf",
         "x72_cluster_balanced_sample",
+        "x192_markov_attribution",  # absorbing-chain matrix inverse
     }
 
 

@@ -156,3 +156,203 @@ def test_bootstrap_nulls_excluded(spark):
     out = sampling.poisson_bootstrap_ci(df, "v", "id", reps=4).collect()[0]
     assert out["n_rows"] == 2
     assert out["point_mean"] == 2.0
+
+
+# --- z_value / write_zorder_layout -------------------------------------------
+
+
+def test_z_value_interleaves_bits(spark):
+    from flashml_spark.functions.zorder import z_value
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011), (0, 0), (1, 0), (0, 1), (65535, 65535)],
+        "a long, b long",
+    )
+    out = [
+        r["z"]
+        for r in df.select(
+            z_value(F.col("a"), F.col("b"), bits=16).alias("z")
+        ).collect()
+    ]
+
+    def py_z(a, b):
+        z = 0
+        for j in range(16):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert out == [py_z(0b101, 0b011), 0, 1, 2, py_z(65535, 65535)]
+    assert out[-1] == (1 << 32) - 1
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    import itertools
+
+    from flashml_spark.sources.savepoint import write_zorder_layout
+
+    # a 64x64 grid: every (x, y) pair once — perfectly uniform 2-D data
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(64), range(64))],
+        "x long, y long",
+    )
+    path = str(tmp_path / "zorder")
+    write_zorder_layout(grid, "x", "y", path, n_files=16, bits=6)
+    import glob as _g
+
+    files = sorted(_g.glob(path + "/part-*.parquet"))
+    assert len(files) >= 8
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    mean_x = sum(s[0] for s in spans) / len(spans)
+    mean_y = sum(s[1] for s in spans) / len(spans)
+    # a 1-D sort on x would give y-span 63 in every file; z-order keeps
+    # BOTH mean spans well under the global span of 63
+    assert mean_x < 40 and mean_y < 40
+
+
+# --- skyline_2d ---------------------------------------------------------------
+
+
+def test_skyline_hand_frontier(spark):
+    # points: (price, size).  Frontier: (1,1),(2,5),(4,9) — (3,5) is
+    # dominated by (2,5) (same size, cheaper); (5,2) by (1,1)? no —
+    # (1,1) is cheaper but smaller... (5,2) dominated by (2,5) (cheaper
+    # AND larger).  (6,9) dominated by (4,9).
+    df = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 2.0, 5), (3, 3.0, 5), (4, 4.0, 9),
+         (5, 5.0, 2), (6, 6.0, 9)],
+        "id long, price double, size long",
+    )
+    out = sorted(
+        r["id"] for r in relational.skyline_2d(df, "price", "size").collect()
+    )
+    assert out == [1, 2, 4]
+
+
+def test_skyline_keeps_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 5), (2, 1.0, 5), (3, 2.0, 4)], "id long, price double, size long"
+    )
+    out = sorted(
+        r["id"] for r in relational.skyline_2d(df, "price", "size").collect()
+    )
+    # the two (1.0, 5) twins are mutually non-dominating; (2.0, 4) loses
+    assert out == [1, 2]
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, float(rng.randint(0, 20)), rng.randint(0, 20)) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, price double, size long")
+    got = sorted(
+        r["id"] for r in relational.skyline_2d(df, "price", "size").collect()
+    )
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+
+    exp = sorted(p[0] for p in pts if not dominated(p))
+    assert got == exp
+
+
+# --- markov_removal_attribution ----------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _mk_rows(seqs):
+    """seqs: list of per-user event-type sequences."""
+    rows = []
+    eid = 0
+    for u, seq in enumerate(seqs):
+        for i, st in enumerate(seq):
+            eid += 1
+            rows.append((u, f"2024-01-01 00:{i:02d}:00", eid, st))
+    return rows
+
+
+def test_markov_attribution_single_channel_takes_all(spark):
+    from datetime import datetime
+
+    rows = [
+        (u, datetime(2024, 1, 1, 0, i), u * 10 + i, st)
+        for u, seq in enumerate([["a", "purchase"], ["a", "purchase"]])
+        for i, st in enumerate(seq)
+    ]
+    df = _ev(spark, rows)
+    out = {
+        r["channel"]: r
+        for r in events.markov_removal_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert set(out) == {"a"}
+    assert out["a"]["p_conv_full"] == 1.0
+    assert out["a"]["p_conv_removed"] == 0.0
+    assert out["a"]["share"] == 1.0
+
+
+def test_markov_attribution_closed_form_two_paths(spark):
+    from datetime import datetime
+
+    # 1 user converts via a, 1 user touches b and drops:
+    # chain: START -> a (1/2) -> CONV; START -> b (1/2) -> DROP
+    # p_full = 0.5; removing a -> 0; removing b -> still 0.5
+    seqs = [["a", "purchase"], ["b"]]
+    rows = [
+        (u, datetime(2024, 1, 1, 0, i), u * 10 + i, st)
+        for u, seq in enumerate(seqs)
+        for i, st in enumerate(seq)
+    ]
+    df = _ev(spark, rows)
+    out = {
+        r["channel"]: r
+        for r in events.markov_removal_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert out["a"]["p_conv_full"] == 0.5
+    assert out["a"]["p_conv_removed"] == 0.0
+    assert out["a"]["removal_effect"] == 1.0
+    assert out["b"]["p_conv_removed"] == 0.5
+    assert out["b"]["removal_effect"] == 0.0
+    assert out["a"]["share"] == 1.0 and out["b"]["share"] == 0.0
+
+
+def test_markov_transition_counts_journeys(spark):
+    from datetime import datetime
+
+    # one user: a -> purchase -> b (trailing drop journey)
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 0, 1), 2, "purchase"),
+        (1, datetime(2024, 1, 1, 0, 2), 3, "b"),
+    ]
+    df = _ev(spark, rows)
+    out = {
+        (r["state"], r["next_state"]): r["n"]
+        for r in events.markov_transition_counts_with_bounds(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert out == {
+        ("START", "a"): 1,
+        ("a", "CONV"): 1,
+        ("START", "b"): 1,
+        ("b", "DROP"): 1,
+    }
