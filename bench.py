@@ -202,6 +202,11 @@ HEADLINE = [
     "x190_zorder_keys",
     "x191_skyline_parts",
     "x192_markov_attribution",
+    "x193_mutual_information",
+    "x194_price_elasticity",
+    "x195_token_budget_curve",
+    "x196_ab_ztest",
+    "x197_logrank_test",
 ]
 
 

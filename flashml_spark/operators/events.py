@@ -1348,3 +1348,161 @@ def markov_removal_attribution(
         "channel string, p_conv_full double, p_conv_removed double, "
         "removal_effect double, share double",
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    user_col: str,
+    variant_expr,
+    conv_expr,
+) -> DataFrame:
+    """Two-proportion z-test for an A/B conversion readout: users split
+    by ``variant_expr`` (0/1), converted when ANY of their rows
+    satisfies ``conv_expr``; the pooled-variance z statistic compares
+    the two conversion rates (CUPED's x154 sharpens a mean metric; this
+    is the categorical-outcome counterpart).
+
+    Scale shape: one per-user agg (keyed), one 2-row variant agg, one
+    1-row pivot — counts stay integers until the final single
+    divisions, so every output is bit-identical across engines.
+
+    Output (1 row): ``n_a, conv_a, rate_a, n_b, conv_b, rate_b, z,
+    significant`` (rates/z rounded 6; significant = |z| > 1.96).
+    """
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(variant_expr).cast("int").alias("__variant"),
+        F.max(F.when(conv_expr, 1).otherwise(0)).alias("__conv"),
+    )
+    counts = per_user.agg(
+        F.sum(F.when(F.col("__variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when((F.col("__variant") == 0) & (F.col("__conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("__variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when((F.col("__variant") == 1) & (F.col("__conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    zstat = F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0))
+    return counts.select(
+        "n_a",
+        "conv_a",
+        F.round(pa, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(pb, 6).alias("rate_b"),
+        F.round(zstat, 6).alias("z"),
+        F.when(F.abs(zstat) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    group_expr,
+) -> DataFrame:
+    """Two-group log-rank test over user lifetimes — the significance
+    readout for x184's Kaplan-Meier curves: do the two cohorts churn at
+    the same rate?  Lifetimes and right-censoring follow x184 exactly
+    (days first->last event, censored at the corpus max day); the
+    statistic is the standard Mantel-Haenszel form
+    ``chi2 = (O1 - E1)^2 / V`` over the distinct death times.
+
+    Scale shape: one per-user agg; every later stage runs on the
+    |distinct lifetime days| x 2 value-domain frame — per-group at-risk
+    counts come from a grp-keyed cumulative window that counts ALL
+    endings (deaths AND censorings reduce the risk set), then a
+    conditional-sum pivot per death time and a 1-row reduction.
+
+    Output (1 row): ``o1, e1, o2, e2, chi2`` (floats rounded 6).
+    """
+    day = F.col(ts_col).cast("date")
+    anchor = df.select(F.max(day).alias("__maxd"))
+    u = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.min(day).alias("__first"),
+            F.max(day).alias("__last"),
+            F.max(group_expr).cast("int").alias("__grp"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff(F.col("__last"), F.col("__first")).alias("__t"),
+            F.when(F.col("__last") == F.col("__maxd"), 1)
+            .otherwise(0)
+            .alias("__cens"),
+            "__grp",
+        )
+    )
+    end = u.groupBy("__t", "__grp").agg(
+        F.count(F.lit(1)).alias("__ending"),
+        F.sum(1 - F.col("__cens")).alias("__deaths"),
+    )
+    totals = u.groupBy("__grp").agg(F.count(F.lit(1)).alias("__total"))
+    # dense (t x grp) frame so the cumulative never skips a time where
+    # only the OTHER group had endings
+    allt = end.select("__t").distinct().crossJoin(
+        end.select("__grp").distinct()
+    )
+    dense = (
+        allt.join(end, ["__t", "__grp"], "left")
+        .fillna(0, ["__ending", "__deaths"])
+        .join(totals, "__grp")
+    )
+    w = Window.partitionBy("__grp").orderBy("__t")
+    risky = dense.select(
+        "__t",
+        "__grp",
+        "__deaths",
+        (
+            F.col("__total") - F.sum("__ending").over(w) + F.col("__ending")
+        ).alias("__at_risk"),
+    )
+    wide = risky.groupBy("__t").agg(
+        F.sum(F.when(F.col("__grp") == 0, F.col("__deaths")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("__grp") == 1, F.col("__deaths")).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("__grp") == 0, F.col("__at_risk")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("__grp") == 1, F.col("__at_risk")).otherwise(0)).alias("n2"),
+    )
+    dt = F.col("d1") + F.col("d2")
+    nt = F.col("n1") + F.col("n2")
+    terms = wide.where((dt > 0) & (nt > 1)).select(
+        F.col("d1").alias("__o1"),
+        F.col("d2").alias("__o2"),
+        (dt * F.col("n1") / nt).alias("__e1"),
+        (dt * F.col("n2") / nt).alias("__e2"),
+        (
+            dt
+            * (F.col("n1") / nt)
+            * (F.col("n2") / nt)
+            * (nt - dt)
+            / (nt - 1)
+        ).alias("__v"),
+    )
+    agg = terms.agg(
+        F.sum("__o1").cast("bigint").alias("o1"),
+        F.sum("__e1").alias("__se1"),
+        F.sum("__o2").cast("bigint").alias("o2"),
+        F.sum("__e2").alias("__se2"),
+        F.sum("__v").alias("__sv"),
+    )
+    chi2 = F.when(
+        F.col("__sv") > 0,
+        (F.col("o1") - F.col("__se1")) * (F.col("o1") - F.col("__se1")) / F.col("__sv"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "o1",
+        F.round("__se1", 6).alias("e1"),
+        "o2",
+        F.round("__se2", 6).alias("e2"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -1119,3 +1119,104 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
         .drop("__m1", "__mp")
     )
     return out
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (and normalized MI) between two categorical
+    columns — the feature-selection / redundancy screen that chi-square
+    (x109) ranks but does not quantify in information units:
+    ``MI = Σ_ab p(a,b) ln( p(a,b) / (p(a) p(b)) )`` in nats, with
+    ``NMI = MI / sqrt(H(a) H(b))`` for a scale-free [0, 1] score.
+
+    Scale shape: one (a, b) hash agg over the data; marginals and
+    entropies derive from THAT post-agg contingency frame (|A|x|B|
+    rows), attached by two keyed joins plus a 1-row total broadcast;
+    the final reduction is a 1-row agg.  Nothing after the first agg
+    touches row-count-scaled data.
+
+    Output (1 row): ``n, mi, h_a, h_b, nmi`` (floats rounded to 6).
+    """
+    joint = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__nab"))
+    ma = joint.groupBy("__a").agg(F.sum("__nab").alias("__na"))
+    mb = joint.groupBy("__b").agg(F.sum("__nab").alias("__nb"))
+    tot = joint.agg(F.sum("__nab").alias("__n"))
+    full = (
+        joint.join(ma, "__a")
+        .join(mb, "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("__nab") / F.col("__n")) * F.log(
+        F.col("__nab") * F.col("__n") / (F.col("__na") * F.col("__nb"))
+    )
+    # entropies from the SAME frame: Σ_ab nab/n · ln(n/na) telescopes to
+    # Σ_a pa ln(1/pa) because Σ_b nab = na
+    ha_term = (F.col("__nab") / F.col("__n")) * F.log(F.col("__n") / F.col("__na"))
+    hb_term = (F.col("__nab") / F.col("__n")) * F.log(F.col("__n") / F.col("__nb"))
+    out = full.agg(
+        F.sum("__nab").cast("bigint").alias("n"),
+        F.sum(mi_term).alias("__mi"),
+        F.sum(ha_term).alias("__ha"),
+        F.sum(hb_term).alias("__hb"),
+    )
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n",
+        F.round("__mi", 6).alias("mi"),
+        F.round("__ha", 6).alias("h_a"),
+        F.round("__hb", 6).alias("h_b"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def loglog_elasticity(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    min_n: int = 10,
+) -> DataFrame:
+    """Per-group log-log OLS slope — the price-elasticity estimate when
+    ``x`` is unit price and ``y`` is quantity (slope = %Δy per %Δx).
+    Closed-form from moment sums of (ln x, ln y); rows with x <= 0 or
+    y <= 0 drop out; groups with fewer than ``min_n`` usable rows are
+    suppressed (slope noise).
+
+    Scale shape: one keyed hash agg computing all five moment sums —
+    map-side partial combine, one shuffle on the group key, no windows,
+    no second pass.
+
+    Output: ``<group_col>, n, slope, intercept`` (floats rounded 6).
+    """
+    lx = F.log(F.col(x_col))
+    ly = F.log(F.col(y_col))
+    g = (
+        df.where((F.col(x_col) > 0) & (F.col(y_col) > 0))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(lx).alias("__sx"),
+            F.sum(ly).alias("__sy"),
+            F.sum(lx * lx).alias("__sxx"),
+            F.sum(lx * ly).alias("__sxy"),
+        )
+        .where(F.col("__n") >= min_n)
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    return g.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -1821,3 +1821,54 @@ def tfidf_keywords(
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= k)
     )
+
+
+def token_budget_curve(
+    df: DataFrame,
+    text_col: str,
+    budgets: list[int],
+) -> DataFrame:
+    """Context-budget planning curve: for each candidate per-document
+    token budget L, how many documents would truncate and what fraction
+    of corpus tokens survives — the table a pipeline reads before
+    choosing max_seq_len / chunking policy (truncate-vs-chunk is a
+    budget-retention tradeoff, not a guess).
+
+    Scale shape: ONE pass computes each doc's token count; the
+    |budgets|-way fan-out explodes a literal array on the |docs|
+    COUNTS frame (two ints per row, not text), then one keyed agg per
+    budget.  Output: ``budget, n_docs, n_truncated, tokens_total,
+    tokens_retained, retention`` (rounded 6), |budgets| rows.
+    """
+    from flashml_spark.functions import hashing as H
+
+    counts = df.where(F.col(text_col).isNotNull()).select(
+        F.size(H.tokens(F.col(text_col))).cast("bigint").alias("__n")
+    )
+    fanned = counts.select(
+        "__n",
+        F.explode(F.array(*[F.lit(b) for b in budgets])).alias("budget"),
+    )
+    return (
+        fanned.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__n") > F.col("budget"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum("__n").cast("bigint").alias("tokens_total"),
+            F.sum(F.least(F.col("__n"), F.col("budget").cast("bigint")))
+            .cast("bigint")
+            .alias("tokens_retained"),
+        )
+        .select(
+            F.col("budget").cast("bigint").alias("budget"),
+            "n_docs",
+            "n_truncated",
+            "tokens_total",
+            "tokens_retained",
+            F.round(F.col("tokens_retained") / F.col("tokens_total"), 6).alias(
+                "retention"
+            ),
+        )
+    )

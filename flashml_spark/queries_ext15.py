@@ -264,3 +264,212 @@ def x192(spark: SparkSession, sf: str) -> DataFrame:
     return events.markov_removal_attribution(
         ev, "user_id", "ts", "event_id", "event_type", "purchase"
     )
+
+
+# --------------------------------------------------------------------------
+# x193 — mutual information lang x source over documents: quantifies in
+# nats what x109's chi-square only ranks; NMI gives the scale-free
+# redundancy score a feature-selection pass thresholds on.
+_MI_SQL = """
+WITH j AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS DOUBLE) AS nab
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY lang, source),
+     ma AS (SELECT a, SUM(nab) AS na FROM j GROUP BY a),
+     mb AS (SELECT b, SUM(nab) AS nb FROM j GROUP BY b),
+     t AS (SELECT SUM(nab) AS n FROM j),
+     f AS (SELECT j.nab, ma.na, mb.nb, t.n
+           FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t),
+     s AS (SELECT CAST(SUM(nab) AS BIGINT) AS n,
+                  SUM((nab / n) * ln(nab * n / (na * nb))) AS mi0,
+                  SUM((nab / n) * ln(n / na)) AS ha0,
+                  SUM((nab / n) * ln(n / nb)) AS hb0
+           FROM f)
+SELECT n, ROUND(mi0, 6) AS mi, ROUND(ha0, 6) AS h_a, ROUND(hb0, 6) AS h_b,
+       ROUND(CASE WHEN ha0 > 0 AND hb0 > 0
+                  THEN mi0 / sqrt(ha0 * hb0) ELSE 0.0 END, 6) AS nmi
+FROM s"""
+
+
+@register("x193_mutual_information", _MI_SQL)
+def x193(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("lang", "source")
+    return relational.mutual_information(docs, "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# x194 — log-log price elasticity of demand per brand: OLS slope of
+# ln(quantity) on ln(unit price) over lineitem joined to the part
+# dimension (broadcast).  Brands with < 10 usable rows suppressed.
+_ELAST_SQL = """
+WITH b AS (SELECT p.p_brand,
+                  ln(l.l_extendedprice / l.l_quantity) AS lx,
+                  ln(l.l_quantity) AS ly
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_extendedprice / l.l_quantity > 0 AND l.l_quantity > 0),
+     g AS (SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+                  SUM(lx) AS sx, SUM(ly) AS sy,
+                  SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+           FROM b GROUP BY p_brand HAVING COUNT(*) >= 10)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+           AS slope,
+       ROUND((sy - CASE WHEN n * sxx - sx * sx <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+                   * sx) / n, 6) AS intercept
+FROM g"""
+
+
+@register("x194_price_elasticity", _ELAST_SQL)
+def x194(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    # unhinted: AQE broadcasts the part dim while it is small and keeps
+    # a shuffle join when it is not (part scales with SF)
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        "l_quantity",
+    )
+    return relational.loglog_elasticity(
+        joined, "p_brand", "unit_price", "l_quantity", min_n=10
+    )
+
+
+# --------------------------------------------------------------------------
+# x195 — token-budget truncation curve: % of corpus tokens retained at
+# each candidate max_seq_len — the table behind a truncate-vs-chunk
+# policy choice.  One token-count pass; the fan-out explodes literals
+# on the 1-int-per-doc counts frame.
+from flashml_spark.operators import textops  # noqa: E402
+from flashml_spark.queries_ext import _TOK  # noqa: E402
+
+_BUDGETS = [64, 128, 256, 512, 1024]
+
+_BUDGET_SQL = f"""
+WITH n AS (SELECT len({_TOK}) AS n FROM documents WHERE text IS NOT NULL),
+     f AS (SELECT n.n, b.budget FROM n
+           CROSS JOIN (SELECT unnest({_BUDGETS}) AS budget) b)
+SELECT CAST(budget AS BIGINT) AS budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated,
+       CAST(SUM(n) AS BIGINT) AS tokens_total,
+       CAST(SUM(LEAST(n, budget)) AS BIGINT) AS tokens_retained,
+       ROUND(SUM(LEAST(n, budget)) * 1.0 / SUM(n), 6) AS retention
+FROM f GROUP BY budget"""
+
+
+@register("x195_token_budget_curve", _BUDGET_SQL)
+def x195(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("text")
+    return textops.token_budget_curve(docs, "text", _BUDGETS)
+
+
+# --------------------------------------------------------------------------
+# x196 — two-proportion z-test on an A/B split (user_id parity) with
+# conversion = any purchase event: the categorical-outcome counterpart
+# of x154's CUPED readout.  Counts stay integers to the final single
+# divisions, so every float is bit-identical across engines.
+_ZTEST_SQL = """
+WITH pu AS (SELECT user_id,
+                   MAX(CAST(user_id % 2 AS INT)) AS variant,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id),
+     c AS (SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM pu),
+     d AS (SELECT *, conv_a * 1.0 / n_a AS pa, conv_b * 1.0 / n_b AS pb,
+                  (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp
+           FROM c),
+     e AS (SELECT *, sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se
+           FROM d)
+SELECT n_a, conv_a, ROUND(pa, 6) AS rate_a, n_b, conv_b,
+       ROUND(pb, 6) AS rate_b,
+       ROUND(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END, 6) AS z,
+       CAST(CASE WHEN se > 0 AND ABS((pa - pb) / se) > 1.96
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM e"""
+
+
+@register("x196_ab_ztest", _ZTEST_SQL)
+def x196(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    return events.two_proportion_ztest(
+        ev,
+        "user_id",
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase",
+    )
+
+
+# --------------------------------------------------------------------------
+# x197 — log-rank test between the user_id-parity cohorts' survival
+# (lifetimes and censoring exactly as x184): the significance readout
+# for the Kaplan-Meier curves.
+_LOGRANK_SQL = """
+WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+     u AS (SELECT date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS t,
+                  CASE WHEN MAX(CAST(ts AS DATE)) = (SELECT maxd FROM a)
+                       THEN 1 ELSE 0 END AS cens,
+                  CAST(MAX(user_id % 2) AS INT) AS grp
+           FROM events GROUP BY user_id),
+     e AS (SELECT t, grp, COUNT(*) AS ending, SUM(1 - cens) AS deaths
+           FROM u GROUP BY t, grp),
+     tot AS (SELECT grp, COUNT(*) AS total FROM u GROUP BY grp),
+     allt AS (SELECT DISTINCT t FROM e),
+     allg AS (SELECT DISTINCT grp FROM e),
+     dense AS (SELECT allt.t, allg.grp, COALESCE(e.ending, 0) AS ending,
+                      COALESCE(e.deaths, 0) AS deaths, tot.total
+               FROM allt CROSS JOIN allg
+               LEFT JOIN e ON e.t = allt.t AND e.grp = allg.grp
+               JOIN tot ON tot.grp = allg.grp),
+     risky AS (SELECT t, grp, deaths,
+                      total - SUM(ending) OVER (PARTITION BY grp ORDER BY t)
+                            + ending AS at_risk
+               FROM dense),
+     wide AS (SELECT t,
+                     SUM(CASE WHEN grp = 0 THEN deaths ELSE 0 END) AS d1,
+                     SUM(CASE WHEN grp = 1 THEN deaths ELSE 0 END) AS d2,
+                     SUM(CASE WHEN grp = 0 THEN at_risk ELSE 0 END) AS n1,
+                     SUM(CASE WHEN grp = 1 THEN at_risk ELSE 0 END) AS n2
+              FROM risky GROUP BY t),
+     terms AS (SELECT d1 AS o1, d2 AS o2,
+                      (d1 + d2) * n1 * 1.0 / (n1 + n2) AS e1t,
+                      (d1 + d2) * n2 * 1.0 / (n1 + n2) AS e2t,
+                      (d1 + d2) * (n1 * 1.0 / (n1 + n2))
+                          * (n2 * 1.0 / (n1 + n2))
+                          * ((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1) AS v
+               FROM wide WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+     s AS (SELECT CAST(SUM(o1) AS BIGINT) AS o1, SUM(e1t) AS se1,
+                  CAST(SUM(o2) AS BIGINT) AS o2, SUM(e2t) AS se2,
+                  SUM(v) AS sv
+           FROM terms)
+SELECT o1, ROUND(se1, 6) AS e1, o2, ROUND(se2, 6) AS e2,
+       ROUND(CASE WHEN sv > 0 THEN (o1 - se1) * (o1 - se1) / sv
+                  ELSE 0.0 END, 6) AS chi2
+FROM s"""
+
+
+@register("x197_logrank_test", _LOGRANK_SQL)
+def x197(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    return events.logrank_test(
+        ev, "user_id", "ts", (F.col("user_id") % 2).cast("int")
+    )

@@ -212,3 +212,83 @@ def decayed_trending_counts(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def ewma_monitor(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    z: float = 3.0,
+    min_n: int = 5,
+) -> DataFrame:
+    """Streaming EWMA anomaly monitor: the RECURSIVE (infinite-memory)
+    twin of the batch ``events.ewma_anomaly`` detector.  Per key, state
+    carries (n, ewma, ewvar) and updates with the RiskMetrics
+    exponentially-weighted recursions on every observation in event
+    order::
+
+        diff   = x - ewma
+        ewma  += alpha * diff
+        ewvar  = (1 - alpha) * (ewvar + alpha * diff**2)
+
+    An observation is flagged when it deviates from the PRE-update
+    forecast by more than ``z`` EW standard deviations, after a
+    ``min_n``-observation warm-up.  The batch operator unrolls a
+    bounded-lag approximation of the same forecast so it stays a pure
+    relational plan; this one is exact because streaming state makes
+    the recursion free.
+
+    Scale posture: O(1) state per key in the state store; one output
+    row per key per micro-batch (latest forecast + anomaly count).
+    Rows inside a batch are processed in (ts) order per key — Spark
+    hands each key's batch rows to one call.
+    """
+    import pandas as pd
+
+    key_type = stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("ewsd", DoubleType()),
+            StructField("batch_anomalies", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma, ewvar = (state.get if state.exists else (0, 0.0, 0.0))
+        flagged = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for x in pdf[value_col].astype(float):
+                if n >= min_n and ewvar > 0:
+                    if abs(x - ewma) > z * (ewvar ** 0.5):
+                        flagged += 1
+                if n == 0:
+                    ewma = x
+                else:
+                    diff = x - ewma
+                    ewma += alpha * diff
+                    ewvar = (1.0 - alpha) * (ewvar + alpha * diff * diff)
+                n += 1
+        state.update((n, ewma, ewvar))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "ewma": [float(ewma)],
+                "ewsd": [float(ewvar ** 0.5)],
+                "batch_anomalies": [flagged],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n LONG, ewma DOUBLE, ewvar DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

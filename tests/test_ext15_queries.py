@@ -356,3 +356,161 @@ def test_markov_transition_counts_journeys(spark):
         ("START", "b"): 1,
         ("b", "DROP"): 1,
     }
+
+
+# --- mutual_information --------------------------------------------------------
+
+
+def test_mutual_information_independent_and_identical(spark):
+    import math
+
+    # perfectly dependent: b == a -> MI = H(a), NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 2 + [("y", "y")] * 2, "a string, b string"
+    )
+    r = relational.mutual_information(dep, "a", "b").collect()[0]
+    assert r["n"] == 4
+    assert abs(r["mi"] - math.log(2)) < 1e-6
+    assert r["nmi"] == 1.0
+
+    # independent 2x2 with uniform margins -> MI = 0
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")], "a string, b string"
+    )
+    r = relational.mutual_information(ind, "a", "b").collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
+    assert abs(r["h_a"] - math.log(2)) < 1e-6
+
+
+def test_mutual_information_hand_2x2(spark):
+    import math
+
+    # joint counts: (x,p)=3 (x,q)=1 (y,p)=1 (y,q)=3, N=8
+    rows = [("x", "p")] * 3 + [("x", "q")] + [("y", "p")] + [("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = relational.mutual_information(df, "a", "b").collect()[0]
+    exp = sum(
+        (nab / 8) * math.log(nab * 8 / (4 * 4)) for nab in (3, 1, 1, 3)
+    )
+    assert abs(r["mi"] - exp) < 1e-6
+
+
+# --- loglog_elasticity ----------------------------------------------------------
+
+
+def test_elasticity_recovers_exact_powerlaw(spark):
+    # y = 100 * x^(-2) exactly -> slope -2, intercept ln(100)
+    import math
+
+    rows = [("g", float(x), 100.0 * x**-2.0) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = relational.loglog_elasticity(df, "g", "x", "y", min_n=5).collect()[0]
+    assert abs(r["slope"] - (-2.0)) < 1e-6
+    assert abs(r["intercept"] - math.log(100)) < 1e-6
+    assert r["n"] == 20
+
+
+def test_elasticity_filters_and_min_n(spark):
+    rows = [("g", 1.0, 0.0), ("g", -1.0, 2.0)] + [
+        ("h", float(x), float(x)) for x in range(1, 12)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in relational.loglog_elasticity(df, "g", "x", "y").collect()}
+    # g has 0 usable rows (nonpositive x/y) -> suppressed entirely
+    assert list(out) == ["h"]
+    assert out["h"]["slope"] == 1.0
+
+
+# --- token_budget_curve --------------------------------------------------------
+
+
+def test_token_budget_curve_hand_counts(spark):
+    from flashml_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c d e",), (None,)], "text string"
+    )
+    out = {
+        r["budget"]: r
+        for r in textops.token_budget_curve(df, "text", [4, 10]).collect()
+    }
+    b4 = out[4]
+    assert b4["n_docs"] == 2 and b4["tokens_total"] == 8
+    assert b4["n_truncated"] == 1  # the 5-token doc
+    assert b4["tokens_retained"] == 3 + 4
+    assert b4["retention"] == round(7 / 8, 6)
+    b10 = out[10]
+    assert b10["n_truncated"] == 0 and b10["retention"] == 1.0
+
+
+# --- two_proportion_ztest -------------------------------------------------------
+
+
+def test_ztest_hand_counts_and_significance(spark):
+    import math
+
+    # variant 0: 4 users, 1 converts; variant 1: 4 users, 3 convert
+    rows = []
+    for u in range(8):
+        rows.append((u, "view"))
+    for u in (0, 1, 3, 5):  # conversions: u0 (v0); u1, u3, u5 (v1)
+        rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = events.two_proportion_ztest(
+        df,
+        "user_id",
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase",
+    ).collect()[0]
+    assert (out["n_a"], out["conv_a"]) == (4, 1)
+    assert (out["n_b"], out["conv_b"]) == (4, 3)
+    pa, pb, pp = 0.25, 0.75, 0.5
+    se = math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert abs(out["z"] - (pa - pb) / se) < 1e-6
+    assert out["significant"] == 0  # |z| ~ 1.414 < 1.96
+
+
+# --- logrank_test ---------------------------------------------------------------
+
+
+def test_logrank_identical_groups_is_zero(spark):
+    from datetime import datetime
+
+    # two identical cohorts: every lifetime appears once per group ->
+    # O = E in every stratum -> chi2 == 0
+    rows = []
+    for g in range(2):
+        for u, life in enumerate([1, 2, 3]):
+            uid = 10 * u + g  # parity = g
+            rows.append((uid, datetime(2024, 1, 1)))
+            rows.append((uid, datetime(2024, 1, 1 + life)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = events.logrank_test(
+        df, "user_id", "ts", (F.col("user_id") % 2).cast("int")
+    ).collect()[0]
+    assert out["chi2"] == 0.0
+    assert out["e1"] == out["o1"] and out["e2"] == out["o2"]
+
+
+def test_logrank_textbook_hand_computation(spark):
+    from datetime import datetime
+
+    # group 0 lifetimes: 1, 2 (both deaths); group 1 lifetimes: 3, 4
+    # where 4 = corpus max -> censored.  Hand Mantel-Haenszel:
+    # t=1: d=1 (g0), n1=2 n2=2 -> e1 += 1*2/4 = .5, v += (2/4)(2/4)(3/3) = .25
+    # t=2: d=1 (g0), n1=1 n2=2 -> e1 += 1/3,  v += (1/3)(2/3)(2/2) = 2/9
+    # t=3: d=1 (g1), n1=0 n2=2 -> e1 += 0,    v += 0
+    # (t=4 censored only -> no stratum)
+    rows = []
+    for uid, life in ((0, 1), (2, 2), (1, 3), (3, 4)):
+        rows.append((uid, datetime(2024, 3, 1)))
+        rows.append((uid, datetime(2024, 3, 1 + life)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = events.logrank_test(
+        df, "user_id", "ts", (F.col("user_id") % 2).cast("int")
+    ).collect()[0]
+    e1 = 0.5 + 1 / 3
+    v = 0.25 + 2 / 9
+    assert out["o1"] == 2 and out["o2"] == 1
+    assert abs(out["e1"] - e1) < 1e-6
+    assert abs(out["chi2"] - (2 - e1) ** 2 / v) < 1e-5
