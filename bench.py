@@ -207,6 +207,9 @@ HEADLINE = [
     "x195_token_budget_curve",
     "x196_ab_ztest",
     "x197_logrank_test",
+    "x198_table_digest",
+    "x199_weighted_median",
+    "x200_compression_ratio",
 ]
 
 

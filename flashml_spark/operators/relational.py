@@ -1220,3 +1220,78 @@ def loglog_elasticity(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent table fingerprint: an anti-entropy checksum two
+    replicas (or a snapshot and its upsert-reconstructed twin) can
+    compare without shipping rows.  Each row canonicalizes to
+    ``col=value`` pairs joined with ``|`` (NULL spelled as the
+    ``__NULL__`` sentinel), hashes to a 48-bit
+    md5-derived int, and the digest is the SUM — commutative, so
+    partition order, shuffle layout, and engine never matter.
+
+    Scale shape: pure map + ONE 1-row agg (sum + count); zero shuffles
+    beyond the final 1-row exchange.  A 48-bit-per-row sum over even
+    10^12 rows stays far inside int64/decimal range (uses an exact
+    decimal sum), and any single-row difference moves the digest with
+    probability 1 - 2^-48.
+
+    Cross-engine digests require cast-stable column types (ints,
+    strings, dates): double->string formatting differs between engines
+    (Java scientific notation), so round/format float columns first.
+
+    Output (1 row): ``n_rows, digest`` (digest as bigint).
+    """
+    from flashml_spark.functions import hashing as H
+
+    use = cols or df.columns
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.concat(
+                F.lit(c + "="),
+                F.coalesce(F.col(c).cast("string"), F.lit("__NULL__")),
+            )
+            for c in use
+        ],
+    )
+    h = H.md5_long(canon, 12)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("bigint").alias("digest"),
+    )
+
+
+def weighted_median_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total (lower weighted median —
+    deterministic, no interpolation, so it ports to any engine
+    bit-for-bit).  The robust location estimate when rows carry
+    unequal mass (revenue-weighted price, quantity-weighted rate).
+
+    Scale shape: pre-aggregate to (group, value) cells first — the
+    cumulative window then runs over the per-group DISTINCT-VALUE
+    domain, not raw rows; one keyed window, one keyed filter-agg.
+    """
+    cells = df.groupBy(group_col, F.col(value_col).alias("__v")).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    w = Window.partitionBy(group_col).orderBy("__v")
+    tot = Window.partitionBy(group_col)
+    cum = cells.select(
+        group_col,
+        "__v",
+        F.sum("__w").over(w).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tw"),
+    )
+    return (
+        cum.where(F.col("__cw") * 2 >= F.col("__tw"))
+        .groupBy(group_col)
+        .agg(F.min("__v").alias("weighted_median"))
+    )

@@ -1872,3 +1872,52 @@ def token_budget_curve(
             ),
         )
     )
+
+
+def compression_ratio_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher-style
+    repetitiveness heuristic: highly repetitive / boilerplate text
+    compresses far below prose (~0.3-0.4 for English), so a low ratio
+    flags low-quality documents no token statistic catches.
+
+    Scale shape: embarrassingly parallel ``mapInPandas`` — Arrow
+    batches in, one zlib pass per document, no shuffle; this is the
+    documented "Python only when unavoidable, always Arrow-batched"
+    path (zlib has no SQL twin, so the registered query is rows-only
+    and unit tests pin a Python mirror).
+
+    Output: ``<id_col>, raw_bytes, comp_bytes, ratio`` (ratio rounded
+    6; empty/NULL docs drop out).
+    """
+    import zlib
+
+    out_schema = (
+        f"{id_col} long, raw_bytes long, comp_bytes long, ratio double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mask = pdf[text_col].notna()
+            pdf = pdf[mask]
+            raw = pdf[text_col].map(lambda t: t.encode("utf-8"))
+            nz = raw.map(len) > 0
+            pdf, raw = pdf[nz], raw[nz]
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            rawlen = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "raw_bytes": rawlen.astype("int64"),
+                    "comp_bytes": comp.astype("int64"),
+                    "ratio": (comp / rawlen).round(6),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(score, out_schema)

@@ -473,3 +473,60 @@ def x197(spark: SparkSession, sf: str) -> DataFrame:
     return events.logrank_test(
         ev, "user_id", "ts", (F.col("user_id") % 2).cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# x198 — order-independent table digest over lineitem's cast-stable key
+# + flag columns: the anti-entropy checksum a replication / upsert
+# pipeline compares instead of shipping rows (pairs with x106/x79).
+_DIGEST_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+_DIGEST_CANON = " || '|' || ".join(
+    f"'{c}=' || CAST({c} AS VARCHAR)" for c in _DIGEST_COLS
+)
+_DIGEST_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(('0x' || substr(md5({_DIGEST_CANON}), 1, 12))
+                          AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS digest
+FROM lineitem"""
+
+
+@register("x198_table_digest", _DIGEST_SQL)
+def x198(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(*_DIGEST_COLS)
+    return relational.table_digest(li, _DIGEST_COLS)
+
+
+# --------------------------------------------------------------------------
+# x199 — per-returnflag weighted median price (weight = quantity): the
+# lower weighted median, deterministic with no interpolation so it
+# ports bit-for-bit.
+_WMED_SQL = """
+WITH cells AS (SELECT l_returnflag, l_extendedprice AS v,
+                      SUM(l_quantity) AS w
+               FROM lineitem GROUP BY 1, 2),
+     c AS (SELECT l_returnflag, v,
+                  SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+                  SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+           FROM cells)
+SELECT l_returnflag, MIN(v) AS weighted_median
+FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag"""
+
+
+@register("x199_weighted_median", _WMED_SQL)
+def x199(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return relational.weighted_median_per_group(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+# --------------------------------------------------------------------------
+# x200 — zlib compression-ratio quality score per document (Gopher
+# repetitiveness heuristic).  zlib has no SQL twin -> rows-only; the
+# Python mirror is pinned in unit tests.
+@register("x200_compression_ratio", None)
+def x200(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.compression_ratio_score(docs, "text", "doc_id")

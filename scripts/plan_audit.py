@@ -63,6 +63,8 @@ ACCEPTED_CROSS = {
     "x186_join_skew_audit": "1-row n_keys/total scalar broadcast onto top_k rows",
     "x187_bootstrap_ci": "1-row replicate-stats scalar broadcast onto the 1-row point agg",
     "x188_ewma_anomaly": "lag-band self-join over the |days| post-agg frame",
+    "x193_mutual_information": "1-row corpus-total scalar broadcast onto the |A|x|B| contingency frame",
+    "x197_logrank_test": "1-row max-day anchor broadcast + |lifetime days| x 2-group densify cross",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
     "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",

@@ -39,6 +39,7 @@ def test_queries_and_oracles_are_consistent():
         "x27_ann_ivf",
         "x72_cluster_balanced_sample",
         "x192_markov_attribution",  # absorbing-chain matrix inverse
+        "x200_compression_ratio",  # zlib has no SQL twin
     }
 
 

@@ -12,6 +12,7 @@ import math
 from pyspark.sql import functions as F
 
 from flashml_spark.operators import events, relational, sampling
+from flashml_spark.operators import textops as textops_mod
 
 # --- join_key_skew_audit ----------------------------------------------------
 
@@ -514,3 +515,102 @@ def test_logrank_textbook_hand_computation(spark):
     assert out["o1"] == 2 and out["o2"] == 1
     assert abs(out["e1"] - e1) < 1e-6
     assert abs(out["chi2"] - (2 - e1) ** 2 / v) < 1e-5
+
+
+# --- table_digest ----------------------------------------------------------------
+
+
+def test_table_digest_is_order_and_partition_independent(spark):
+    rows = [(i, f"v{i % 3}") for i in range(40)]
+    a = spark.createDataFrame(rows, "id long, v string").repartition(8)
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string").coalesce(1)
+    da = relational.table_digest(a).collect()[0]
+    db = relational.table_digest(b).collect()[0]
+    assert da["digest"] == db["digest"] and da["n_rows"] == db["n_rows"] == 40
+
+
+def test_table_digest_detects_single_row_change(spark):
+    rows = [(i, "x") for i in range(20)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    changed = rows[:10] + [(10, "y")] + rows[11:]
+    b = spark.createDataFrame(changed, "id long, v string")
+    assert (
+        relational.table_digest(a).collect()[0]["digest"]
+        != relational.table_digest(b).collect()[0]["digest"]
+    )
+
+
+def test_table_digest_null_vs_literal_sentinel(spark):
+    a = spark.createDataFrame([(1, None)], "id long, v string")
+    b = spark.createDataFrame([(1, "__NULL__")], "id long, v string")
+    # documented collision: NULL canonicalizes to the sentinel string
+    assert (
+        relational.table_digest(a).collect()[0]["digest"]
+        == relational.table_digest(b).collect()[0]["digest"]
+    )
+
+
+def test_table_digest_matches_python_mirror(spark):
+    import hashlib
+
+    rows = [(1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    got = relational.table_digest(df).collect()[0]["digest"]
+    exp = sum(
+        int(hashlib.md5(f"id={i}|v={v}".encode()).hexdigest()[:12], 16)
+        for i, v in rows
+    )
+    assert got == exp
+
+
+# --- weighted_median_per_group ----------------------------------------------------
+
+
+def test_weighted_median_hand_cases(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0),
+         ("h", 5.0, 1.0), ("h", 7.0, 1.0)],
+        "g string, v double, w double",
+    )
+    out = {
+        r["g"]: r["weighted_median"]
+        for r in relational.weighted_median_per_group(df, "g", "v", "w").collect()
+    }
+    assert out["g"] == 3.0  # the heavy row owns the median
+    assert out["h"] == 5.0  # even split -> lower median
+
+
+def test_weighted_median_merges_duplicate_values(spark):
+    # two (v=2) rows each weight 2 must act as one weight-4 cell
+    df = spark.createDataFrame(
+        [("g", 1.0, 3.0), ("g", 2.0, 2.0), ("g", 2.0, 2.0)],
+        "g string, v double, w double",
+    )
+    out = relational.weighted_median_per_group(df, "g", "v", "w").collect()
+    assert out[0]["weighted_median"] == 2.0
+
+
+# --- compression_ratio_score -------------------------------------------------------
+
+
+def test_compression_ratio_matches_zlib_mirror(spark):
+    import zlib
+
+    rows = [
+        (1, "a" * 400),                       # repetitive -> tiny ratio
+        (2, "The quick brown fox jumps over the lazy dog. " * 5),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops_mod.compression_ratio_score(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2}  # NULL and empty drop out
+    for i in (1, 2):
+        raw = rows[i - 1][1].encode()
+        assert out[i]["raw_bytes"] == len(raw)
+        assert out[i]["comp_bytes"] == len(zlib.compress(raw, 6))
+        assert out[i]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert out[1]["ratio"] < out[2]["ratio"]  # repetition compresses harder
