@@ -210,6 +210,9 @@ HEADLINE = [
     "x198_table_digest",
     "x199_weighted_median",
     "x200_compression_ratio",
+    "x201_densify_daily",
+    "x202_weekday_quantiles",
+    "x203_chao1_vocab",
 ]
 
 

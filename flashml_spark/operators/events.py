@@ -1506,3 +1506,47 @@ def logrank_test(
         F.round("__se2", 6).alias("e2"),
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+def densify_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Calendar densification: the daily aggregate with every missing
+    calendar day between the corpus min and max dates materialized as
+    an explicit zero row — the step LOCF (x128), forecasting (x122) and
+    EWMA (x188) consumers need when "no rows" must mean 0, not a
+    silently skipped lag.
+
+    Scale shape: the raw frame reduces to |days| in one keyed agg; the
+    spine is a 1-row min/max agg exploded into a |calendar days|
+    sequence (value-domain, never row-scaled) and left-joined back.
+
+    Output: ``d, n, total, is_gap`` (total rounded 6; gap rows carry
+    n=0, total=0.0, is_gap=1).
+    """
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(day.alias("__d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(value_col).alias("__total"),
+    )
+    spine = (
+        df.agg(F.min(day).alias("__lo"), F.max(day).alias("__hi"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr("interval 1 day")
+                )
+            ).alias("__d")
+        )
+    )
+    return (
+        spine.join(daily, "__d", "left")
+        .select(
+            F.col("__d").alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(F.coalesce(F.col("__total"), F.lit(0.0)), 6).alias("total"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+    )

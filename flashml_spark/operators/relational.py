@@ -1295,3 +1295,45 @@ def weighted_median_per_group(
         .groupBy(group_col)
         .agg(F.min("__v").alias("weighted_median"))
     )
+
+
+def exact_quantiles_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Per-group exact lower quantiles without interpolation: quantile q
+    is the smallest value whose cumulative count reaches ``ceil(q * n)``
+    — deterministic and engine-portable (percentile_cont interpolation
+    differs across engines), the generalization of
+    :func:`weighted_median_per_group` to arbitrary q lists.
+
+    Scale shape: (group, value) cell pre-agg first, so the cumulative
+    window runs over each group's DISTINCT-VALUE domain; the |q| fan-out
+    explodes literals on that post-agg frame.  Output:
+    ``<group_col>, q, value`` sorted-friendly, |groups| x |q| rows.
+    """
+    cells = df.groupBy(group_col, F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(group_col).orderBy("__v")
+    tot = Window.partitionBy(group_col)
+    cum = cells.select(
+        group_col,
+        "__v",
+        F.sum("__c").over(w).alias("__cw"),
+        F.sum("__c").over(tot).alias("__n"),
+    )
+    fanned = cum.select(
+        group_col,
+        "__v",
+        "__cw",
+        "__n",
+        F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q"),
+    )
+    return (
+        fanned.where(F.col("__cw") >= F.ceil(F.col("q") * F.col("__n")))
+        .groupBy(group_col, "q")
+        .agg(F.min("__v").alias("value"))
+    )

@@ -1921,3 +1921,47 @@ def compression_ratio_score(
             )
 
     return df.select(id_col, text_col).mapInPandas(score, out_schema)
+
+
+def chao1_vocab_estimate(df: DataFrame, text_col: str) -> DataFrame:
+    """Chao1 richness estimate of the TRUE vocabulary size from the
+    observed type counts: ``V + f1^2 / (2 f2)`` (f1 = singleton types,
+    f2 = doubleton types) — the ecology estimator that tells a corpus
+    builder how much unseen vocabulary remains (the asymptote x145's
+    Heaps curve grows toward).  The bias-corrected form
+    ``V + f1(f1-1)/(2(f2+1))`` is also reported (defined even when
+    f2 = 0).
+
+    Scale shape: token explode -> one vocab hash agg -> ONE summary
+    row; everything after the type-count agg is |vocab|-bounded.
+
+    Output (1 row): ``v_obs, f1, f2, chao1, chao1_bc`` (floats rounded
+    6; classic chao1 is NULL when f2 = 0).
+    """
+    from flashml_spark.functions import hashing as H
+
+    types = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(H.tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    agg = types.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_obs"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("__n") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    chao = F.when(
+        F.col("f2") > 0,
+        F.col("v_obs") + F.col("f1") * F.col("f1") / (2.0 * F.col("f2")),
+    )
+    chao_bc = F.col("v_obs") + F.col("f1") * (F.col("f1") - 1) / (
+        2.0 * (F.col("f2") + 1)
+    )
+    return agg.select(
+        "v_obs",
+        "f1",
+        "f2",
+        F.round(chao, 6).alias("chao1"),
+        F.round(chao_bc, 6).alias("chao1_bc"),
+    )

@@ -530,3 +530,97 @@ def x199(spark: SparkSession, sf: str) -> DataFrame:
 def x200(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return textops.compression_ratio_score(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x201 — calendar-densified daily event series: every missing day
+# between corpus min/max materialized as an explicit zero row (the
+# spine LOCF/forecast/EWMA consumers need when "no rows" means 0).
+_DENSIFY_SQL = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(value) AS total
+               FROM events GROUP BY 1),
+     spine AS (SELECT unnest(generate_series(
+                   (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                   (SELECT MAX(CAST(ts AS DATE)) FROM events),
+                   INTERVAL 1 DAY))::DATE AS d)
+SELECT spine.d, COALESCE(daily.n, 0) AS n,
+       ROUND(COALESCE(daily.total, 0.0), 6) AS total,
+       CAST(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM spine LEFT JOIN daily ON spine.d = daily.d"""
+
+
+@register("x201_densify_daily", _DENSIFY_SQL)
+def x201(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    return events.densify_daily(ev, "ts", "value")
+
+
+# --------------------------------------------------------------------------
+# x202 — weekday revenue envelope: exact lower p25/p50/p75 of daily
+# order revenue per ISO weekday — the seasonal band x172's mean indices
+# flatten.  Daily revenue is an exact decimal sum (x188's determinism
+# rule) so the quantile CELL VALUES are bit-identical across engines.
+_QBAND_SQL = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1),
+     wd AS (SELECT CAST(isodow(d) AS BIGINT) AS weekday, revenue
+            FROM daily),
+     cells AS (SELECT weekday, revenue AS v, COUNT(*) AS c
+               FROM wd GROUP BY 1, 2),
+     cum AS (SELECT weekday, v,
+                    SUM(c) OVER (PARTITION BY weekday ORDER BY v) AS cw,
+                    SUM(c) OVER (PARTITION BY weekday) AS n
+             FROM cells),
+     f AS (SELECT weekday, v, cw, n, q.q
+           FROM cum CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q) q)
+SELECT weekday, q, MIN(v) AS value
+FROM f WHERE cw >= CEIL(q * n) GROUP BY weekday, q"""
+
+
+@register("x202_weekday_quantiles", _QBAND_SQL)
+def x202(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    # ISO weekday 1..7 (engine-portable: Spark dayofweek is 1=Sunday)
+    wd = daily.select(
+        (((F.dayofweek("d") + 5) % 7) + 1).cast("bigint").alias("weekday"),
+        "revenue",
+    )
+    return relational.exact_quantiles_per_group(
+        wd, "weekday", "revenue", [0.25, 0.5, 0.75]
+    )
+
+
+# --------------------------------------------------------------------------
+# x203 — Chao1 vocabulary-richness estimate: how much unseen vocabulary
+# remains (the asymptote x145's Heaps curve grows toward).
+_CHAO_SQL = f"""
+WITH tok AS (SELECT unnest({_TOK}) AS t FROM documents
+             WHERE text IS NOT NULL),
+     types AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+                  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS f1,
+                  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS f2
+           FROM types)
+SELECT v_obs, f1, f2,
+       ROUND(CASE WHEN f2 > 0 THEN v_obs + f1 * f1 / (2.0 * f2) END, 6)
+           AS chao1,
+       ROUND(v_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1_bc
+FROM a"""
+
+
+@register("x203_chao1_vocab", _CHAO_SQL)
+def x203(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("text")
+    return textops.chao1_vocab_estimate(docs, "text")

@@ -614,3 +614,73 @@ def test_compression_ratio_matches_zlib_mirror(spark):
         assert out[i]["comp_bytes"] == len(zlib.compress(raw, 6))
         assert out[i]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
     assert out[1]["ratio"] < out[2]["ratio"]  # repetition compresses harder
+
+
+# --- densify_daily ---------------------------------------------------------------
+
+
+def test_densify_fills_gaps_with_zero_rows(spark):
+    from datetime import datetime
+
+    rows = [
+        (datetime(2024, 1, 1, 5), 10.0),
+        (datetime(2024, 1, 1, 9), 5.0),
+        (datetime(2024, 1, 4, 0), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {str(r["d"]): r for r in events.densify_daily(df, "ts", "value").collect()}
+    assert len(out) == 4  # Jan 1-4 inclusive
+    assert out["2024-01-01"]["n"] == 2 and out["2024-01-01"]["total"] == 15.0
+    assert out["2024-01-02"]["n"] == 0 and out["2024-01-02"]["is_gap"] == 1
+    assert out["2024-01-03"]["is_gap"] == 1
+    assert out["2024-01-04"]["total"] == 2.0 and out["2024-01-04"]["is_gap"] == 0
+
+
+# --- exact_quantiles_per_group ------------------------------------------------------
+
+
+def test_exact_quantiles_hand_cases(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "g string, v double"
+    )
+    out = {
+        r["q"]: r["value"]
+        for r in relational.exact_quantiles_per_group(
+            df, "g", "v", [0.25, 0.5, 0.75, 1.0]
+        ).collect()
+    }
+    # lower quantile: smallest v with cum-count >= ceil(q*10)
+    assert out[0.25] == 3.0 and out[0.5] == 5.0
+    assert out[0.75] == 8.0 and out[1.0] == 10.0
+
+
+def test_exact_quantiles_duplicate_values_merge(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0)] * 9 + [("g", 100.0)], "g string, v double"
+    )
+    out = {
+        r["q"]: r["value"]
+        for r in relational.exact_quantiles_per_group(
+            df, "g", "v", [0.5, 0.9, 1.0]
+        ).collect()
+    }
+    assert out[0.5] == 1.0 and out[0.9] == 1.0 and out[1.0] == 100.0
+
+
+# --- chao1_vocab_estimate -----------------------------------------------------------
+
+
+def test_chao1_hand_counts(spark):
+    # tokens: a a b c  -> V=3, f1={b,c}=2, f2={a}? a appears twice -> f2=1
+    df = spark.createDataFrame([("a a b c",)], "text string")
+    out = textops_mod.chao1_vocab_estimate(df, "text").collect()[0]
+    assert out["v_obs"] == 3 and out["f1"] == 2 and out["f2"] == 1
+    assert out["chao1"] == 3 + 4 / 2
+    assert out["chao1_bc"] == round(3 + 2 * 1 / (2 * 2), 6)
+
+
+def test_chao1_no_doubletons_uses_bias_corrected(spark):
+    df = spark.createDataFrame([("x y z",)], "text string")
+    out = textops_mod.chao1_vocab_estimate(df, "text").collect()[0]
+    assert out["f2"] == 0 and out["chao1"] is None
+    assert out["chao1_bc"] == 3 + round(3 * 2 / 2, 6)
