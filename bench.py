@@ -213,6 +213,7 @@ HEADLINE = [
     "x201_densify_daily",
     "x202_weekday_quantiles",
     "x203_chao1_vocab",
+    "x204_theil_sen_trend",
 ]
 
 

@@ -104,6 +104,19 @@ _KEY_MAP = {
 }
 
 
+_MISSING = object()
+
+
+def _get_path(d: dict, dotted: str):
+    """The value at a dotted path in a nested dict, or _MISSING."""
+    cur = d
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return _MISSING
+        cur = cur[part]
+    return cur
+
+
 def _flatten(d: dict, prefix: str = "") -> dict[str, Any]:
     out: dict[str, Any] = {}
     for k, v in d.items():
@@ -281,8 +294,16 @@ def load_config(source: str | dict) -> ExperimentConfig:
     validate_config_items(_effective_flat(flat))
     kwargs = {}
     for dotted, field_name in _KEY_MAP.items():
-        if dotted in flat:
-            kwargs[field_name] = flat[dotted]
+        # fetch by PATH from the raw nested dict, not from the flattened
+        # view: dict-valued entries (model.params, tuning.paramGrid,
+        # tuning.paramRanges) must arrive verbatim — the flattener
+        # descends into them, which silently dropped every user-supplied
+        # algorithm param and tuning grid (caught round 5 when a
+        # regParam=100 CV config reproduced the untuned goldens
+        # bit-for-bit)
+        val = _get_path(raw, dotted)
+        if val is not _MISSING:
+            kwargs[field_name] = val
     cfg = ExperimentConfig(**kwargs)
     _validate(cfg)
     return cfg

@@ -1550,3 +1550,63 @@ def densify_daily(
             F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend of a daily total: the MEDIAN of all
+    pairwise slopes between distinct days — the estimator that shrugs
+    off the outlier days x188 flags (OLS x122/x174 chase them;
+    breakdown point 29.3 %).  The median is the exact lower median,
+    computed scale-safely.
+
+    Scale shape: events reduce to the |days| frame in one keyed agg
+    (exact decimal revenue, the x188 determinism rule); the pairwise
+    slopes are a |days|² /2 self-join of that POST-AGG value-domain
+    frame (thousands of rows for decades — millions of slope pairs is
+    a map-stage triviality, never row-scaled); the median uses
+    ``global_cumsum``'s range-partition + offsets machinery, so no
+    single-partition window ever sees the slope frame.
+
+    Output (1 row): ``n_days, n_pairs, slope_per_day`` (slope rounded
+    6; needs >= 2 distinct days, else empty).
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("__d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("__v")
+    )
+    a = daily.select(
+        F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date")).alias("__x1"),
+        F.col("__v").alias("__y1"),
+    )
+    b = daily.select(
+        F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date")).alias("__x2"),
+        F.col("__v").alias("__y2"),
+    )
+    pairs = a.join(b, F.col("__x1") < F.col("__x2")).select(
+        (
+            (F.col("__y2") - F.col("__y1")) / (F.col("__x2") - F.col("__x1"))
+        ).alias("__slope")
+    )
+    cells = pairs.groupBy("__slope").agg(F.count(F.lit(1)).alias("__c"))
+    cum = global_cumsum(cells, "__slope", ["__c"])
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum___c") * 2 >= F.col("n_pairs"))
+        .agg(F.min("__slope").alias("__med"))
+    )
+    return (
+        days.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .select("n_days", "n_pairs", F.round("__med", 6).alias("slope_per_day"))
+    )

@@ -624,3 +624,34 @@ FROM a"""
 def x203(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("text")
     return textops.chao1_vocab_estimate(docs, "text")
+
+
+# --------------------------------------------------------------------------
+# x204 — Theil-Sen robust slope of daily order revenue: the median of
+# all pairwise day slopes (breakdown 29.3%), the outlier-proof trend
+# x122's OLS is not.  Slopes are identical doubles on both engines
+# (exact-decimal daily revenue; single-subtraction/division terms), and
+# the median is the exact lower median.
+_THEIL_SQL = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                           AS DOUBLE) AS v
+               FROM orders GROUP BY 1),
+     ix AS (SELECT date_diff('day', DATE '1970-01-01', d) AS x, v
+            FROM daily),
+     pairs AS (SELECT (b.v - a.v) / (b.x - a.x) AS slope
+               FROM ix a JOIN ix b ON a.x < b.x),
+     cells AS (SELECT slope, COUNT(*) AS c FROM pairs GROUP BY slope),
+     cum AS (SELECT slope, SUM(c) OVER (ORDER BY slope) AS cw FROM cells),
+     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+     dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+     m AS (SELECT MIN(slope) AS med FROM cum CROSS JOIN t
+           WHERE cw * 2 >= n_pairs)
+SELECT n_days, n_pairs, ROUND(med, 6) AS slope_per_day
+FROM dd CROSS JOIN t CROSS JOIN m"""
+
+
+@register("x204_theil_sen_trend", _THEIL_SQL)
+def x204(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    return events.theil_sen_trend(orders, "o_orderdate", "o_totalprice")

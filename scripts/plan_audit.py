@@ -65,6 +65,7 @@ ACCEPTED_CROSS = {
     "x188_ewma_anomaly": "lag-band self-join over the |days| post-agg frame",
     "x193_mutual_information": "1-row corpus-total scalar broadcast onto the |A|x|B| contingency frame",
     "x197_logrank_test": "1-row max-day anchor broadcast + |lifetime days| x 2-group densify cross",
+    "x204_theil_sen_trend": "|days|^2/2 pairwise-slope self-join on the post-agg daily frame + 1-row scalar broadcasts",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
     "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",

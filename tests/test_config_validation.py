@@ -147,3 +147,38 @@ def test_random_variable_role_kept_through_pruning(spark):
     assert set(kept.columns) == {"y", "x1", "rv"}
     # rv drives the split but is not vectorized
     assert "rv" not in cfg.numerical_cols + cfg.categorical_cols + cfg.text_cols
+
+
+def test_dict_valued_config_keys_arrive_verbatim():
+    """Round-5 regression: the flattener used to descend INTO dict
+    values, silently dropping model.params / tuning.paramGrid /
+    tuning.paramRanges — a regParam=100 CV config reproduced the
+    untuned goldens bit-for-bit.  Dict-valued mapped keys must arrive
+    whole."""
+    from flashml_spark.config import load_config
+
+    cfg = load_config(
+        {
+            "project": {
+                "id": "t",
+                "data": {
+                    "location": {"source": "csv://x"},
+                    "responseVariable": "y",
+                },
+            },
+            "sampling": {"type": "random", "trainFraction": 0.8, "seed": 20},
+            "model": {
+                "algorithm": "svm",
+                "params": {"regParam": 0.25, "maxIter": 7},
+            },
+            "tuning": {
+                "type": "cv",
+                "paramGrid": {"regParam": [0.01, 0.1]},
+                "folds": 4,
+                "metric": "weightedPrecision",
+            },
+        }
+    )
+    assert cfg.algo_params == {"regParam": 0.25, "maxIter": 7}
+    assert cfg.param_grid == {"regParam": [0.01, 0.1]}
+    assert cfg.cv_folds == 4 and cfg.tuning == "cv"

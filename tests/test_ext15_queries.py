@@ -684,3 +684,35 @@ def test_chao1_no_doubletons_uses_bias_corrected(spark):
     out = textops_mod.chao1_vocab_estimate(df, "text").collect()[0]
     assert out["f2"] == 0 and out["chao1"] is None
     assert out["chao1_bc"] == 3 + round(3 * 2 / 2, 6)
+
+
+# --- theil_sen_trend --------------------------------------------------------------
+
+
+def test_theil_sen_recovers_slope_despite_outlier(spark):
+    from datetime import datetime
+
+    # y = 10*t except day 5 is a wild outlier; median slope stays 10
+    rows = []
+    for t in range(8):
+        v = 10.0 * t if t != 5 else 10000.0
+        rows.append((datetime(2024, 1, 1 + t), v))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = events.theil_sen_trend(df, "ts", "v").collect()[0]
+    assert out["n_days"] == 8 and out["n_pairs"] == 28
+    assert out["slope_per_day"] == 10.0
+
+
+def test_theil_sen_aggregates_within_day_first(spark):
+    from datetime import datetime
+
+    # two rows on day 0 sum to 0; day 1 is 5 -> slope 5
+    rows = [
+        (datetime(2024, 2, 1, 1), 3.0),
+        (datetime(2024, 2, 1, 2), -3.0),
+        (datetime(2024, 2, 2, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = events.theil_sen_trend(df, "ts", "v").collect()[0]
+    assert out["n_days"] == 2 and out["n_pairs"] == 1
+    assert out["slope_per_day"] == 5.0

@@ -233,7 +233,110 @@ GOLDEN_WEB_JOURNEY = {
     "test.auroc": 0.8219835422877038,
     "test.weightedF1": 0.968447090958351,
 }
+# re-pinned round 5: the config loader's flattener had silently dropped
+# dict-valued keys (model.params), so the original pin ran DEFAULT SVM
+# params; with regParam=0.1/maxIter=20 actually applied the model improves
 GOLDEN_YELP_SVM = {
-    "test.accuracy": 0.47854785478547857,
-    "test.weightedF1": 0.47752217682937187,
+    "test.accuracy": 0.5016501650165016,
+    "test.weightedF1": 0.5002251453289693,
 }
+GOLDEN_TITANIC_CV = {
+    "test.accuracy": 0.7697841726618705,
+    "test.auroc": 0.8296568627450981,
+    "test.weightedF1": 0.7680031041479812,
+}
+GOLDEN_TITANIC_HB = {
+    "test.accuracy": 0.7805755395683454,
+    "test.auroc": 0.8281318082788671,
+    "test.weightedF1": 0.7764275299071584,
+}
+
+
+_TITANIC_QUERY = (
+    "SELECT pclass, sex, COALESCE(embarked, '') AS embarked, "
+    "CAST(COALESCE(age, '28.0') AS DOUBLE) AS age, "
+    "CAST(sibsp AS DOUBLE) AS sibsp, CAST(parch AS DOUBLE) AS parch, "
+    "CAST(COALESCE(fare, '0') AS DOUBLE) AS fare, "
+    "survived FROM flashml_table_in"
+)
+
+
+def _titanic_cfg(pid, root):
+    return {
+        "project": {
+            "id": pid,
+            "logLevel": "ERROR",
+            "data": {
+                "location": {
+                    "source": f"csv://{TITANIC}",
+                    "queries": [_TITANIC_QUERY],
+                },
+                "responseVariable": "survived",
+                "categoricalVariables": ["pclass", "sex", "embarked"],
+                "numericalVariables": ["age", "sibsp", "parch", "fare"],
+            },
+        },
+        "sampling": {"type": "random", "trainFraction": 0.8, "seed": 20},
+        "model": {"algorithm": "logistic_regression"},
+        "savepoint": {"root": root},
+    }
+
+
+def test_titanic_lr_grid_cv_golden(spark, tmp_path):
+    """Grid-CV tuning scenario on titanic — the reference's *_cv_test
+    configs (`binary_gbt_cv_test_config.json` family) replayed with an
+    LR regParam grid.  The pinned metrics DIFFER from the plain-LR
+    golden, proving the chosen grid point reaches the refit model (the
+    round-5 config-flattener regression ran the untuned model
+    silently)."""
+    import json as _json
+
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "titanic_cv_sp")
+    cfg = _titanic_cfg("titanic_lr_cv", root)
+    cfg["tuning"] = {
+        "type": "cv",
+        "paramGrid": {"regParam": [0.01, 0.1]},
+        "folds": 3,
+        "metric": "weightedPrecision",
+    }
+    cfg_path = tmp_path / "titanic_cv.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = _json.load(f)
+    for key, want in GOLDEN_TITANIC_CV.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.accuracy"] != GOLDEN_TITANIC["test.accuracy"]
+
+
+def test_titanic_lr_hyperband_golden(spark, tmp_path):
+    """HyperBand tuning scenario on titanic — the reference's
+    *_hyperband configs (`binary_gbt_hyperband.json` family) replayed
+    with an LR regParam space (maxIter 9, eta 3)."""
+    import json as _json
+
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "titanic_hb_sp")
+    cfg = _titanic_cfg("titanic_lr_hb", root)
+    cfg["tuning"] = {
+        "type": "hyperband",
+        "paramRanges": {"regParam": [0.001, 0.01, 0.1, 0.3]},
+        "metric": "weightedPrecision",
+        "hyperband": {
+            "maxIter": 9,
+            "eta": 3,
+            "iterationMultiplier": 2,
+            "maxIterationsFinalModel": 50,
+        },
+    }
+    cfg_path = tmp_path / "titanic_hb.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = _json.load(f)
+    for key, want in GOLDEN_TITANIC_HB.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.auroc"] != GOLDEN_TITANIC["test.auroc"]
