@@ -214,6 +214,7 @@ HEADLINE = [
     "x202_weekday_quantiles",
     "x203_chao1_vocab",
     "x204_theil_sen_trend",
+    "x205_dedup_savings",
 ]
 
 

@@ -1159,3 +1159,78 @@ def ttl_dedup_flags(
         )
         .drop("__h")
     )
+
+
+def dedup_savings_report(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One-row dedup savings readout: how many rows and characters the
+    two cheap dedup tiers would reclaim — tier 1 exact (md5 of raw
+    text), tier 2 whitespace/case-normalized exact among tier-1
+    survivors.  The report a pipeline reads BEFORE paying for minhash:
+    if cheap tiers already reclaim the bulk, the LSH pass can wait.
+
+    Scale shape: one projection computing both digests and the char
+    length, two keyed hash aggs (tier 2 groups only tier-1 keepers),
+    ONE summary row.  Exact groups share identical text, so reclaimed
+    chars are ``(cnt-1) * len``; normalized groups may differ in
+    whitespace, so the keeper's length comes from ``min_by`` (portable:
+    DuckDB has it too).
+
+    Output (1 row): ``n_docs, total_chars, exact_dupes,
+    exact_chars_saved, norm_dupes, norm_chars_saved, pct_rows_saved,
+    pct_chars_saved`` (pcts rounded 6).
+    """
+    r = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.length(F.col(text_col)).cast("bigint").alias("__len"),
+        H.md5_hex(F.col(text_col)).alias("__h1"),
+        H.md5_hex(
+            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        ).alias("__h2"),
+    )
+    g1 = r.groupBy("__h1").agg(
+        F.min("__id").alias("__keep1"),
+        F.count(F.lit(1)).alias("__cnt1"),
+        F.max("__len").alias("__len1"),  # identical text -> identical len
+        F.min_by("__h2", "__id").alias("__h2k"),
+    )
+    tier1 = g1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_keep1"),
+        F.sum(F.col("__cnt1") - 1).cast("bigint").alias("exact_dupes"),
+        F.sum((F.col("__cnt1") - 1) * F.col("__len1"))
+        .cast("bigint")
+        .alias("exact_chars_saved"),
+    )
+    g2 = g1.groupBy("__h2k").agg(
+        F.count(F.lit(1)).alias("__cnt2"),
+        F.sum("__len1").alias("__sum2"),
+        F.min_by("__len1", "__keep1").alias("__keeplen2"),
+    )
+    tier2 = g2.agg(
+        F.sum(F.col("__cnt2") - 1).cast("bigint").alias("norm_dupes"),
+        F.sum(F.col("__sum2") - F.col("__keeplen2"))
+        .cast("bigint")
+        .alias("norm_chars_saved"),
+    )
+    base = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__len").cast("bigint").alias("total_chars"),
+    )
+    out = base.crossJoin(F.broadcast(tier1)).crossJoin(F.broadcast(tier2))
+    return out.select(
+        "n_docs",
+        "total_chars",
+        "exact_dupes",
+        "exact_chars_saved",
+        "norm_dupes",
+        "norm_chars_saved",
+        F.round(
+            (F.col("exact_dupes") + F.col("norm_dupes")) / F.col("n_docs"), 6
+        ).alias("pct_rows_saved"),
+        F.round(
+            (F.col("exact_chars_saved") + F.col("norm_chars_saved"))
+            / F.col("total_chars"),
+            6,
+        ).alias("pct_chars_saved"),
+    )

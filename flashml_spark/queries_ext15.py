@@ -655,3 +655,46 @@ FROM dd CROSS JOIN t CROSS JOIN m"""
 def x204(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
     return events.theil_sen_trend(orders, "o_orderdate", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# x205 — dedup savings report: rows/chars reclaimed by the exact and
+# normalized-exact tiers — the go/no-go readout before paying for the
+# minhash pass (x35).  min_by is portable (Spark 3.3+/DuckDB).
+from flashml_spark.operators import dedup  # noqa: E402
+
+_SAVINGS_SQL = """
+WITH r AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len,
+                  md5(text) AS h1,
+                  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                      AS h2
+           FROM documents WHERE text IS NOT NULL),
+     g1 AS (SELECT h1, MIN(id) AS keep1, COUNT(*) AS cnt1,
+                   MAX(len) AS len1, min_by(h2, id) AS h2k
+            FROM r GROUP BY h1),
+     t1 AS (SELECT CAST(SUM(cnt1 - 1) AS BIGINT) AS exact_dupes,
+                   CAST(SUM((cnt1 - 1) * len1) AS BIGINT)
+                       AS exact_chars_saved
+            FROM g1),
+     g2 AS (SELECT h2k, COUNT(*) AS cnt2, SUM(len1) AS sum2,
+                   min_by(len1, keep1) AS keeplen2
+            FROM g1 GROUP BY h2k),
+     t2 AS (SELECT CAST(SUM(cnt2 - 1) AS BIGINT) AS norm_dupes,
+                   CAST(SUM(sum2 - keeplen2) AS BIGINT)
+                       AS norm_chars_saved
+            FROM g2),
+     b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len) AS BIGINT) AS total_chars FROM r)
+SELECT n_docs, total_chars, exact_dupes, exact_chars_saved, norm_dupes,
+       norm_chars_saved,
+       ROUND((exact_dupes + norm_dupes) * 1.0 / n_docs, 6)
+           AS pct_rows_saved,
+       ROUND((exact_chars_saved + norm_chars_saved) * 1.0 / total_chars, 6)
+           AS pct_chars_saved
+FROM b CROSS JOIN t1 CROSS JOIN t2"""
+
+
+@register("x205_dedup_savings", _SAVINGS_SQL)
+def x205(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup.dedup_savings_report(docs, "text", "doc_id")

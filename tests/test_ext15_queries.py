@@ -716,3 +716,38 @@ def test_theil_sen_aggregates_within_day_first(spark):
     out = events.theil_sen_trend(df, "ts", "v").collect()[0]
     assert out["n_days"] == 2 and out["n_pairs"] == 1
     assert out["slope_per_day"] == 5.0
+
+
+# --- dedup_savings_report -----------------------------------------------------------
+
+
+def test_dedup_savings_hand_tiers(spark):
+    from flashml_spark.operators import dedup as dedup_mod
+
+    rows = [
+        (1, "hello world"),        # keeper (exact group A)
+        (2, "hello world"),        # exact dup of 1 (11 chars saved)
+        (3, "Hello   World"),      # tier-2 dup of 1 after norm (13 chars)
+        (4, "unique text"),        # survives both tiers
+        (5, None),                 # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_mod.dedup_savings_report(df, "text", "doc_id").collect()[0]
+    assert out["n_docs"] == 4
+    assert out["total_chars"] == 11 + 11 + 13 + 11
+    assert out["exact_dupes"] == 1 and out["exact_chars_saved"] == 11
+    assert out["norm_dupes"] == 1 and out["norm_chars_saved"] == 13
+    assert out["pct_rows_saved"] == 0.5
+    assert out["pct_chars_saved"] == round(24 / 46, 6)
+
+
+def test_dedup_savings_norm_keeper_is_min_id(spark):
+    from flashml_spark.operators import dedup as dedup_mod
+
+    # norm group where the min-id keeper is the LONGER variant: saved
+    # chars must be the group sum minus the KEEPER's length, not max/min
+    rows = [(1, "a   b"), (2, "a b")]  # both normalize to "a b"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_mod.dedup_savings_report(df, "text", "doc_id").collect()[0]
+    assert out["norm_dupes"] == 1
+    assert out["norm_chars_saved"] == 3  # 5 + 3 - keeper(5)
