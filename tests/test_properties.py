@@ -690,3 +690,139 @@ def test_markov_transitions_rows_normalize(spark, rows):
         sums[r["state"]] += r["p"]
     for s, tot in sums.items():
         assert abs(tot - 1.0) < 1e-4  # rounded-6 components
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_matches_bruteforce(spark, pts):
+    """skyline_2d (keyed prune + sorted sweep) == first-principles
+    dominance filter, including duplicate points and ties."""
+    from flashml_spark.operators.relational import skyline_2d
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = sorted(r["id"] for r in skyline_2d(df, "price", "size").collect())
+
+    def dominated(me):
+        return any(
+            q[1] <= me[1] and q[2] >= me[2] and (q[1] < me[1] or q[2] > me[2])
+            for q in rows
+        )
+
+    want = sorted(r[0] for r in rows if not dominated(r))
+    assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),       # value
+            st.integers(min_value=1, max_value=5),        # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_python_model(spark, cells):
+    """Lower weighted median == smallest value whose cumulative weight
+    reaches half the total, on the merged-by-value cells."""
+    from flashml_spark.operators.relational import weighted_median_per_group
+
+    rows = [("g", float(v), float(w)) for v, w in cells]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = weighted_median_per_group(df, "g", "v", "w").collect()[0][
+        "weighted_median"
+    ]
+    agg = {}
+    for v, w in cells:
+        agg[v] = agg.get(v, 0) + w
+    tot = sum(agg.values())
+    cum = 0
+    for v in sorted(agg):
+        cum += agg[v]
+        if cum * 2 >= tot:
+            assert got == float(v)
+            break
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_theil_sen_matches_bruteforce_median_slope(spark, vals):
+    """Theil-Sen slope == exact lower median of all pairwise slopes
+    computed in pure python on consecutive days."""
+    from datetime import datetime
+
+    from flashml_spark.operators.events import theil_sen_trend
+
+    rows = [(datetime(2024, 1, 1 + t), v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    got = theil_sen_trend(df, "ts", "v").collect()[0]
+
+    slopes = sorted(
+        (vals[j] - vals[i]) / (j - i)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    # lower median: smallest slope with cum-count*2 >= n (dup-merged cells)
+    n = len(slopes)
+    from collections import Counter
+
+    cum = 0
+    for v, c in sorted(Counter(slopes).items()):
+        cum += c
+        if cum * 2 >= n:
+            want = v
+            break
+    assert got["n_pairs"] == n
+    assert got["slope_per_day"] == round(want, 6)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "purchase"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_markov_attribution_shares_are_a_distribution(spark, seqs):
+    """Removal-effect shares: each in [0,1], and they sum to ~1 whenever
+    any journey converts through at least one touch."""
+    from datetime import datetime
+
+    from flashml_spark.operators.events import markov_removal_attribution
+
+    rows = [
+        (u, datetime(2024, 1, 1, 0, i), u * 100 + i, s)
+        for u, seq in enumerate(seqs)
+        for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = markov_removal_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "purchase"
+    ).collect()
+    if not out:
+        return
+    shares = [r["share"] for r in out]
+    assert all(0.0 <= s <= 1.0 for s in shares)
+    assert all(0.0 <= r["removal_effect"] <= 1.0 for r in out)
+    total = sum(shares)
+    assert total == 0.0 or abs(total - 1.0) < 1e-3
