@@ -215,6 +215,8 @@ HEADLINE = [
     "x203_chao1_vocab",
     "x204_theil_sen_trend",
     "x205_dedup_savings",
+    "x206_time_weighted_avg",
+    "x207_revenue_drawdown",
 ]
 
 

@@ -1610,3 +1610,93 @@ def theil_sen_trend(
         .crossJoin(F.broadcast(med))
         .select("n_days", "n_pairs", F.round("__med", 6).alias("slope_per_day"))
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-user time-weighted average (TWAP semantics): each observation
+    holds from its timestamp until the next one, so its weight is that
+    holding duration in seconds — the right average for sampled state
+    (a sensor level, a price, a session quality score), where the plain
+    mean over-counts bursts.  The final observation has no successor
+    and contributes no interval (standard TWAP).
+
+    Scale shape: one per-user lead window (the sessionize partitioning)
+    + one keyed agg.  Users with a single event (no interval) drop out.
+
+    Output: ``<user_col>, n_intervals, span_seconds, twap, plain_avg``
+    (floats rounded 6) — plain_avg over the SAME interval-opening rows,
+    so the two columns differ exactly by the duration weighting.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    stepped = df.select(
+        user_col,
+        F.col(value_col).alias("__v"),
+        (
+            F.lead(F.col(ts_col).cast("double")).over(w)
+            - F.col(ts_col).cast("double")
+        ).alias("__dur"),
+    ).where(F.col("__dur").isNotNull())
+    return (
+        stepped.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.round(F.sum("__dur"), 6).alias("span_seconds"),
+            F.round(
+                F.sum(F.col("__v") * F.col("__dur")) / F.sum("__dur"), 6
+            ).alias("twap"),
+            F.round(F.avg("__v"), 6).alias("plain_avg"),
+        )
+    )
+
+
+def running_peak_drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key maximum drawdown of the running total: the largest drop
+    from a running peak — the churn-risk / spend-collapse readout
+    (finance's max-drawdown applied to any cumulative series).
+
+    Scale shape: ONE keyed window spec serves the running sum, and a
+    second pass over the same partitioning takes the running max and
+    the max gap — Catalyst shares the sort, so it's one shuffle on the
+    key.  Output: ``<key_col>, n, final_total, peak, max_drawdown``
+    (floats rounded 6).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    # two stacked windows over the SAME partitioning + order: Catalyst
+    # shares one sort/shuffle; the running peak follows EVENT order
+    cum = df.select(
+        key_col,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+        F.sum(value_col).over(w).alias("__cum"),
+    )
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cum.withColumn("__peak", F.max("__cum").over(wp))
+    return (
+        cum.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("__cum"), 6).alias("peak"),
+            F.round(F.sum("__v"), 6).alias("final_total"),
+            F.round(F.max(F.col("__peak") - F.col("__cum")), 6).alias(
+                "max_drawdown"
+            ),
+        )
+        .select(key_col, "n", "final_total", "peak", "max_drawdown")
+    )

@@ -698,3 +698,78 @@ FROM b CROSS JOIN t1 CROSS JOIN t2"""
 def x205(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return dedup.dedup_savings_report(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x206 — per-user time-weighted average event value (TWAP semantics):
+# each observation holds until the next, weighted by its duration; the
+# plain mean over the same rows rides along so the two columns differ
+# exactly by the weighting.
+_TWAP_SQL = """
+WITH s AS (SELECT user_id, value AS v,
+                  LEAD(epoch_us(ts) / 1000000.0) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                  - epoch_us(ts) / 1000000.0 AS dur
+           FROM events),
+     t AS (SELECT user_id, v, dur FROM s WHERE dur IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(SUM(dur), 6) AS span_seconds,
+       ROUND(SUM(v * dur) / SUM(dur), 6) AS twap,
+       ROUND(AVG(v), 6) AS plain_avg
+FROM t GROUP BY user_id"""
+
+
+@register("x206_time_weighted_avg", _TWAP_SQL)
+def x206(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return events.time_weighted_average(ev, "user_id", "ts", "event_id", "value")
+
+
+# --------------------------------------------------------------------------
+# x207 — per-customer max drawdown of the running order-revenue total:
+# the largest drop from a running peak (values are all-positive here so
+# the drawdown is 0 by construction UNLESS returns appear — the oracle
+# uses signed value: returned orders subtract).
+_DRAWDOWN_SQL = """
+WITH s AS (SELECT o_custkey,
+                  CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                       ELSE -o_totalprice END AS v,
+                  o_orderdate, o_orderkey
+           FROM orders),
+     c AS (SELECT o_custkey, v, o_orderdate, o_orderkey,
+                  SUM(v) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS cum
+           FROM s),
+     p AS (SELECT o_custkey, v, cum,
+                  MAX(cum) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS peak
+           FROM c)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(v), 6) AS final_total,
+       ROUND(MAX(cum), 6) AS peak,
+       ROUND(MAX(peak - cum), 6) AS max_drawdown
+FROM p GROUP BY o_custkey"""
+
+
+@register("x207_revenue_drawdown", _DRAWDOWN_SQL)
+def x207(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderkey"
+    )
+    signed = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(-F.col("o_totalprice"))
+        .alias("signed_value"),
+    )
+    return events.running_peak_drawdown(
+        signed, "o_custkey", "o_orderdate", "o_orderkey", "signed_value"
+    )

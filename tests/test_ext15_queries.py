@@ -751,3 +751,52 @@ def test_dedup_savings_norm_keeper_is_min_id(spark):
     out = dedup_mod.dedup_savings_report(df, "text", "doc_id").collect()[0]
     assert out["norm_dupes"] == 1
     assert out["norm_chars_saved"] == 3  # 5 + 3 - keeper(5)
+
+
+# --- time_weighted_average ----------------------------------------------------------
+
+
+def test_twap_duration_weighting(spark):
+    from datetime import datetime
+
+    # v=10 held 10s, v=100 held 90s, final obs opens no interval
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 2, 100.0),
+        (1, datetime(2024, 1, 1, 0, 1, 40), 3, 7.0),
+        (2, datetime(2024, 1, 1), 4, 5.0),  # single event -> drops out
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r["user_id"]: r for r in events.time_weighted_average(
+        df, "user_id", "ts", "event_id", "value").collect()}
+    assert list(out) == [1]
+    r = out[1]
+    assert r["n_intervals"] == 2 and r["span_seconds"] == 100.0
+    assert r["twap"] == round((10 * 10 + 100 * 90) / 100, 6)
+    assert r["plain_avg"] == 55.0  # unweighted over the same 2 rows
+
+
+# --- running_peak_drawdown ----------------------------------------------------------
+
+
+def test_drawdown_hand_series(spark):
+    from datetime import datetime
+
+    # cum: 10, 30, 15, 25 -> peak path 10, 30, 30, 30 -> max drawdown 15
+    vals = [10.0, 20.0, -15.0, 10.0]
+    rows = [(1, datetime(2024, 1, 1 + i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v double")
+    out = events.running_peak_drawdown(df, "k", "ts", "id", "v").collect()[0]
+    assert out["n"] == 4
+    assert out["final_total"] == 25.0
+    assert out["peak"] == 30.0
+    assert out["max_drawdown"] == 15.0
+
+
+def test_drawdown_monotonic_series_is_zero(spark):
+    from datetime import datetime
+
+    rows = [(1, datetime(2024, 2, 1 + i), i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v double")
+    out = events.running_peak_drawdown(df, "k", "ts", "id", "v").collect()[0]
+    assert out["max_drawdown"] == 0.0 and out["peak"] == 20.0
