@@ -217,6 +217,8 @@ HEADLINE = [
     "x205_dedup_savings",
     "x206_time_weighted_avg",
     "x207_revenue_drawdown",
+    "x208_ltv_curve",
+    "x209_weekday_anomaly",
 ]
 
 

@@ -1700,3 +1700,132 @@ def running_peak_drawdown(
         )
         .select(key_col, "n", "final_total", "peak", "max_drawdown")
     )
+
+
+def ltv_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    max_days: int = 60,
+) -> DataFrame:
+    """Average cumulative revenue per user by account age (LTV curve):
+    day k's value is the mean over ALL users of revenue accrued in
+    their first k days — the payback-horizon curve a marketing budget
+    is set against.  Users enter at their first event; days beyond
+    ``max_days`` truncate.
+
+    Scale shape: first-seen agg joined back (keyed), per-(user, offset)
+    agg, then an |offsets| x 1 frame: per-offset totals cumulate over
+    the value-domain day axis and divide by the FIXED user count (every
+    user is in every day's denominator — no survivorship bias).
+
+    Output: ``day_offset, n_users_active, cum_revenue_per_user``
+    (rounded 6), ``max_days + 1`` rows at most.
+    """
+    day = F.col(ts_col).cast("date")
+    first = df.groupBy(user_col).agg(F.min(day).alias("__first"))
+    n_users = first.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_users")
+    )
+    per = (
+        df.join(first, user_col)
+        .select(
+            F.col(user_col).alias("__u"),
+            F.datediff(day, F.col("__first")).alias("day_offset"),
+            F.col(value_col).alias("__v"),
+        )
+        .where(F.col("day_offset") <= max_days)
+        .groupBy("day_offset")
+        .agg(
+            F.countDistinct("__u").cast("bigint").alias("n_users_active"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0.0))).alias("__rev"),
+        )
+    )
+    w = Window.orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_users_active",
+            F.round(F.sum("__rev").over(w) / F.col("__n_users"), 6).alias(
+                "cum_revenue_per_user"
+            ),
+        )
+    )
+
+
+def weekday_adjusted_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 5.0,
+) -> DataFrame:
+    """Seasonality-robust daily anomaly flags: each day's total is
+    compared against ITS WEEKDAY's median, scaled by that weekday's MAD
+    — the robust twin of x188's EWMA detector (a weekly cycle never
+    trips it, and one wild day cannot poison the baseline the way it
+    inflates a mean/sd).  Flag when ``|x - median_w| > k * MAD_w``.
+
+    Scale shape: daily totals (exact decimal), then medians/MADs via
+    two keyed distinct-value cumulative passes over the 7-weekday
+    value domain; one join back on weekday.
+
+    Output: ``d, weekday, revenue, wd_median, wd_mad, is_anomaly``.
+    """
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    wd = daily.select(
+        "d",
+        (((F.dayofweek("d") + 5) % 7) + 1).cast("bigint").alias("weekday"),
+        "revenue",
+    )
+
+    def _lower_median(frame: DataFrame, grp: str, val: str, out: str) -> DataFrame:
+        cells = frame.groupBy(grp, F.col(val).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cw = Window.partitionBy(grp).orderBy("__v")
+        tot = Window.partitionBy(grp)
+        cum = cells.select(
+            grp,
+            "__v",
+            F.sum("__c").over(cw).alias("__cw"),
+            F.sum("__c").over(tot).alias("__tw"),
+        )
+        return (
+            cum.where(F.col("__cw") * 2 >= F.col("__tw"))
+            .groupBy(grp)
+            .agg(F.min("__v").alias(out))
+        )
+
+    med = _lower_median(wd, "weekday", "revenue", "wd_median")
+    dev = wd.join(med, "weekday").select(
+        "weekday",
+        "d",
+        "revenue",
+        "wd_median",
+        F.abs(F.col("revenue") - F.col("wd_median")).alias("__ad"),
+    )
+    mad = _lower_median(dev, "weekday", "__ad", "wd_mad")
+    out = dev.join(mad, "weekday")
+    return out.select(
+        "d",
+        "weekday",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("wd_median", 6).alias("wd_median"),
+        F.round("wd_mad", 6).alias("wd_mad"),
+        F.when(
+            (F.col("wd_mad") > 0)
+            & (F.col("__ad") > F.lit(k) * F.col("wd_mad")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    )

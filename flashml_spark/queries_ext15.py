@@ -773,3 +773,79 @@ def x207(spark: SparkSession, sf: str) -> DataFrame:
     return events.running_peak_drawdown(
         signed, "o_custkey", "o_orderdate", "o_orderkey", "signed_value"
     )
+
+
+# --------------------------------------------------------------------------
+# x208 — cohort LTV curve over events (value as revenue, 60-day
+# horizon): mean cumulative revenue per user by account-age day, fixed
+# denominator (no survivorship bias).
+_LTV_SQL = """
+WITH day AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+     first AS (SELECT user_id, MIN(d) AS f FROM day GROUP BY user_id),
+     nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_users FROM first),
+     per AS (SELECT date_diff('day', f, d) AS day_offset,
+                    COUNT(DISTINCT day.user_id) AS n_active,
+                    SUM(COALESCE(value, 0.0)) AS rev
+             FROM day JOIN first ON day.user_id = first.user_id
+             WHERE date_diff('day', f, d) <= 60
+             GROUP BY 1),
+     c AS (SELECT day_offset, n_active,
+                  SUM(rev) OVER (ORDER BY day_offset
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cumrev
+           FROM per)
+SELECT CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(n_active AS BIGINT) AS n_users_active,
+       ROUND(cumrev / nu.n_users, 6) AS cum_revenue_per_user
+FROM c CROSS JOIN nu"""
+
+
+@register("x208_ltv_curve", _LTV_SQL)
+def x208(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    return events.ltv_curve(ev, "user_id", "ts", "value", max_days=60)
+
+
+# --------------------------------------------------------------------------
+# x209 — weekday-robust daily anomaly: |revenue - weekday median| >
+# k * weekday MAD (k=5) — the robust seasonal twin of x188, immune to
+# the weekly cycle and to baseline poisoning by the outlier itself.
+_WDANOM_SQL = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1),
+     wd AS (SELECT d, CAST(isodow(d) AS BIGINT) AS weekday, revenue
+            FROM daily),
+     mc AS (SELECT weekday, revenue AS v, COUNT(*) AS c FROM wd
+            GROUP BY 1, 2),
+     mcum AS (SELECT weekday, v,
+                     SUM(c) OVER (PARTITION BY weekday ORDER BY v) AS cw,
+                     SUM(c) OVER (PARTITION BY weekday) AS tw
+              FROM mc),
+     med AS (SELECT weekday, MIN(v) AS wd_median FROM mcum
+             WHERE cw * 2 >= tw GROUP BY weekday),
+     dev AS (SELECT wd.weekday, wd.d, wd.revenue, med.wd_median,
+                    ABS(wd.revenue - med.wd_median) AS ad
+             FROM wd JOIN med USING (weekday)),
+     ac AS (SELECT weekday, ad AS v, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+     acum AS (SELECT weekday, v,
+                     SUM(c) OVER (PARTITION BY weekday ORDER BY v) AS cw,
+                     SUM(c) OVER (PARTITION BY weekday) AS tw
+              FROM ac),
+     mad AS (SELECT weekday, MIN(v) AS wd_mad FROM acum
+             WHERE cw * 2 >= tw GROUP BY weekday)
+SELECT dev.d, dev.weekday, ROUND(dev.revenue, 6) AS revenue,
+       ROUND(dev.wd_median, 6) AS wd_median,
+       ROUND(mad.wd_mad, 6) AS wd_mad,
+       CAST(CASE WHEN mad.wd_mad > 0 AND dev.ad > 5.0 * mad.wd_mad
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM dev JOIN mad USING (weekday)"""
+
+
+@register("x209_weekday_anomaly", _WDANOM_SQL)
+def x209(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    return events.weekday_adjusted_anomaly(
+        orders, "o_orderdate", "o_totalprice", k=5.0
+    )

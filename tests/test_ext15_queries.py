@@ -800,3 +800,48 @@ def test_drawdown_monotonic_series_is_zero(spark):
     df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v double")
     out = events.running_peak_drawdown(df, "k", "ts", "id", "v").collect()[0]
     assert out["max_drawdown"] == 0.0 and out["peak"] == 20.0
+
+
+# --- ltv_curve -----------------------------------------------------------------------
+
+
+def test_ltv_curve_fixed_denominator(spark):
+    from datetime import datetime
+
+    # u1: 10 on day0, 20 on day1; u2: 30 on day0 only.
+    rows = [
+        (1, datetime(2024, 1, 1), 10.0),
+        (1, datetime(2024, 1, 2), 20.0),
+        (2, datetime(2024, 1, 5), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["day_offset"]: r for r in events.ltv_curve(
+        df, "user_id", "ts", "value").collect()}
+    assert out[0]["n_users_active"] == 2
+    assert out[0]["cum_revenue_per_user"] == 20.0  # (10+30)/2
+    # day 1 adds u1's 20 but the denominator stays 2 (no survivorship)
+    assert out[1]["n_users_active"] == 1
+    assert out[1]["cum_revenue_per_user"] == 30.0  # (10+30+20)/2
+
+
+# --- weekday_adjusted_anomaly ---------------------------------------------------------
+
+
+def test_weekday_anomaly_flags_only_the_break(spark):
+    from datetime import datetime, timedelta
+
+    # 6 Mondays at ~100, one Monday at 1000; other weekdays stable.
+    rows = []
+    base = datetime(2024, 1, 1)  # a Monday
+    for week in range(7):
+        for dow in range(7):
+            d = base + timedelta(days=7 * week + dow)
+            v = 100.0 + dow + week * 0.5  # distinct per week -> nonzero MAD
+            if week == 3 and dow == 0:
+                v = 1000.0
+            rows.append((d, v))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = events.weekday_adjusted_anomaly(df, "ts", "v", k=5.0).collect()
+    flagged = [r for r in out if r["is_anomaly"] == 1]
+    assert len(flagged) == 1
+    assert str(flagged[0]["d"]) == "2024-01-22" and flagged[0]["weekday"] == 1
