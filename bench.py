@@ -219,6 +219,7 @@ HEADLINE = [
     "x207_revenue_drawdown",
     "x208_ltv_curve",
     "x209_weekday_anomaly",
+    "x210_ship_latency_bands",
 ]
 
 

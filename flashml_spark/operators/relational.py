@@ -1232,10 +1232,12 @@ def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     partition order, shuffle layout, and engine never matter.
 
     Scale shape: pure map + ONE 1-row agg (sum + count); zero shuffles
-    beyond the final 1-row exchange.  A 48-bit-per-row sum over even
-    10^12 rows stays far inside int64/decimal range (uses an exact
-    decimal sum), and any single-row difference moves the digest with
-    probability 1 - 2^-48.
+    beyond the final 1-row exchange.  The exact decimal sum reduces mod
+    2^63 at the very end (modular addition commutes, so the digest
+    stays order-independent and row-count-unbounded — a raw 48-bit sum
+    overflows int64 around 3x10^5 rows, caught at sf0.1); any
+    single-row difference moves the digest with probability
+    ~1 - 2^-48.
 
     Cross-engine digests require cast-stable column types (ints,
     strings, dates): double->string formatting differs between engines
@@ -1257,9 +1259,10 @@ def table_digest(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ],
     )
     h = H.md5_long(canon, 12)
+    mod = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")  # 2^63
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(h.cast("decimal(38,0)")).cast("bigint").alias("digest"),
+        (F.sum(h.cast("decimal(38,0)")) % mod).cast("bigint").alias("digest"),
     )
 
 

@@ -486,7 +486,9 @@ _DIGEST_CANON = " || '|' || ".join(
 _DIGEST_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(CAST(('0x' || substr(md5({_DIGEST_CANON}), 1, 12))
-                          AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS digest
+                          AS BIGINT) AS DECIMAL(38,0)))
+            % CAST('9223372036854775808' AS DECIMAL(38,0))
+            AS BIGINT) AS digest
 FROM lineitem"""
 
 
@@ -848,4 +850,55 @@ def x209(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
     return events.weekday_adjusted_anomaly(
         orders, "o_orderdate", "o_totalprice", k=5.0
+    )
+
+
+# --------------------------------------------------------------------------
+# x210 — order-to-first-ship latency quantiles per order priority:
+# operational SLA bands (p25/p50/p75/p95 days), built by REUSING the
+# generic exact-quantile operator on an orders-lineitem join — the
+# first-ship agg keys on l_orderkey, so it co-partitions with the join.
+_SHIPLAT_SQL = """
+WITH ship AS (SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+              FROM lineitem GROUP BY l_orderkey),
+     lat AS (SELECT o.o_orderpriority,
+                    date_diff('day', CAST(o.o_orderdate AS DATE), s.first_ship)
+                        AS days
+             FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey),
+     cells AS (SELECT o_orderpriority, days AS v, COUNT(*) AS c
+               FROM lat GROUP BY 1, 2),
+     cum AS (SELECT o_orderpriority, v,
+                    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY v)
+                        AS cw,
+                    SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+             FROM cells),
+     f AS (SELECT o_orderpriority, v, cw, n, q.q
+           FROM cum CROSS JOIN
+                (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE)
+                     AS q) q)
+SELECT o_orderpriority, q, CAST(MIN(v) AS BIGINT) AS value
+FROM f WHERE cw >= CEIL(q * n) GROUP BY o_orderpriority, q"""
+
+
+@register("x210_ship_latency_bands", _SHIPLAT_SQL)
+def x210(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("__first_ship")
+    )
+    lat = orders.join(
+        ship, orders.o_orderkey == ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("__first_ship"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days"),
+    )
+    return relational.exact_quantiles_per_group(
+        lat, "o_orderpriority", "days", [0.25, 0.5, 0.75, 0.95]
     )

@@ -44,6 +44,7 @@ ACCEPTED_GLOBAL = {
     "x184_km_survival": "cumulative over |distinct lifetime days| post-agg rows",
     "x186_join_skew_audit": "rank window over the top_k-row TakeOrdered result",
     "x188_ewma_anomaly": "day-index row_number over |days| post-agg rows",
+    "x208_ltv_curve": "cumulative over the <= max_days+1 offset rows",
 }
 
 
@@ -66,6 +67,8 @@ ACCEPTED_CROSS = {
     "x193_mutual_information": "1-row corpus-total scalar broadcast onto the |A|x|B| contingency frame",
     "x197_logrank_test": "1-row max-day anchor broadcast + |lifetime days| x 2-group densify cross",
     "x204_theil_sen_trend": "|days|^2/2 pairwise-slope self-join on the post-agg daily frame + 1-row scalar broadcasts",
+    "x205_dedup_savings": "1-row tier summaries cross-joined into the report row",
+    "x208_ltv_curve": "1-row user-count scalar broadcast onto the |offsets| frame",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
     "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",
