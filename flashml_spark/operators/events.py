@@ -1294,6 +1294,12 @@ def markov_removal_attribution(
     counts = markov_transition_counts_with_bounds(
         df, user_col, ts_col, id_col, state_col, conv_state
     ).collect()  # |states|^2 bounded: event-type domain
+    schema = (
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect double, share double"
+    )
+    if not counts:
+        return df.sparkSession.createDataFrame([], schema)
     states = sorted(
         ({r["state"] for r in counts} | {r["next_state"] for r in counts})
         - {"CONV", "DROP"}
@@ -1343,11 +1349,7 @@ def markov_removal_attribution(
         )
         for c, pr in out
     ]
-    return spark.createDataFrame(
-        rows,
-        "channel string, p_conv_full double, p_conv_removed double, "
-        "removal_effect double, share double",
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 def two_proportion_ztest(
@@ -1572,7 +1574,8 @@ def theil_sen_trend(
     single-partition window ever sees the slope frame.
 
     Output (1 row): ``n_days, n_pairs, slope_per_day`` (slope rounded
-    6; needs >= 2 distinct days, else empty).
+    6; with < 2 distinct days the row carries n_pairs = 0 and a NULL
+    slope).
     """
     from flashml_spark.functions.windows import global_cumsum
 

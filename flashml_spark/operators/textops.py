@@ -1896,8 +1896,9 @@ def compression_ratio_score(
     """
     import zlib
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, raw_bytes long, comp_bytes long, ratio double"
+        f"{id_col} {id_type}, raw_bytes long, comp_bytes long, ratio double"
     )
 
     def score(batches):
@@ -1913,7 +1914,7 @@ def compression_ratio_score(
             rawlen = raw.map(len)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "raw_bytes": rawlen.astype("int64"),
                     "comp_bytes": comp.astype("int64"),
                     "ratio": (comp / rawlen).round(6),
