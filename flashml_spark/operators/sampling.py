@@ -471,21 +471,48 @@ def poisson_bootstrap_ci(
     reduce to ONE summary row.  The normal-theory bootstrap interval
     (point estimate ± z · sd of replicate means) keeps the final
     reduction a plain agg — no cross-engine percentile-interpolation
-    hazard.
+    hazard.  md5 cost is amortized 4x: each digest of
+    ``md5(id || ':' || block)`` yields FOUR 32-bit uniforms (hex slots),
+    so 32 replicates cost 8 digests per row, not 32 (the minhash block
+    trick; measured 10.7 s -> see SCALE.md at sf0.1).
 
     Output (1 row): ``n_rows, point_mean, boot_mean, boot_se, ci_lo,
     ci_hi`` (floats rounded to 6).
     """
-    from flashml_spark.functions import hashing as H
-
-    r = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r")
+    n_blocks = (reps + 3) // 4
     base = df.select(
         F.col(value_col).alias("__v"), F.col(id_col).alias("__id")
     ).where(F.col("__v").isNotNull())
-    fanned = base.select("__v", "__id", r)
-    u = H.md5_uniform(
-        F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__r").cast("string"))
+    # the reps-way fan-out multiplies PER-PARTITION work: a small table
+    # read as one parquet file would run the whole explode+hash on one
+    # task (measured: the entire 10.7 s of x187 at sf0.1 was a single
+    # task).  Spread only when the scan is under-partitioned — at real
+    # scale inputs already have >> cores partitions and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    digests = base.select(
+        "__v",
+        F.array(
+            *[
+                F.md5(
+                    F.concat(
+                        F.col("__id").cast("string"), F.lit(f":{b}")
+                    ).cast("binary")
+                )
+                for b in range(n_blocks)
+            ]
+        ).alias("__dg"),
     )
+    r = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r")
+    fanned = digests.select("__v", "__dg", r)
+    # replicate r reads hex slot r%4 of digest block r//4
+    hex8 = F.substring(
+        F.element_at(F.col("__dg"), (F.col("__r") / 4).cast("int") + 1),
+        (F.col("__r") % 4) * 8 + 1,
+        8,
+    )
+    u = (F.conv(hex8, 16, 10).cast("double") + 1.0) / 4294967296.0
     wexpr = F.lit(len(POISSON1_CDF))
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         wexpr = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(wexpr)

@@ -66,7 +66,8 @@ WITH v AS (SELECT o_orderkey AS id, o_totalprice AS val FROM orders
            CROSS JOIN (SELECT unnest(range(0, 32)) AS r) reps),
      u AS (SELECT val, r,
                   (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
-                         CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                         CAST(r // 4 AS VARCHAR)), (r % 4) * 8 + 1, 8))
+                        AS BIGINT) + 1.0)
                   / 4294967296.0 AS u
            FROM f),
      w AS (SELECT val, r,
