@@ -220,6 +220,8 @@ HEADLINE = [
     "x208_ltv_curve",
     "x209_weekday_anomaly",
     "x210_ship_latency_bands",
+    "x211_funnel_latencies",
+    "x212_pareto_concentration",
 ]
 
 

@@ -1832,3 +1832,114 @@ def weekday_adjusted_anomaly(
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+def funnel_stage_latencies(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    quantiles: list[float] | None = None,
+) -> DataFrame:
+    """Per-stage-transition latency quantiles inside sessions: for each
+    consecutive funnel pair (stage k-1 -> stage k, weak ordering by
+    earliest event, x48's session semantics), the distribution of
+    seconds between the two earliest occurrences — the "WHERE does the
+    funnel stall" readout that x48's reach counts cannot answer.
+
+    Scale shape: sessionize (one user shuffle) -> conditional-min per
+    session -> per-transition latency rows -> the exact lower-quantile
+    machinery over each transition's distinct-value domain.
+
+    Output: ``stage, q, value`` (value = microseconds, bigint), one
+    row per (transition, quantile).
+    """
+    from flashml_spark.operators.relational import exact_quantiles_per_group
+
+    qs = quantiles or [0.5]
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    mins = [
+        F.min(F.when(F.col(type_col) == st, F.col(ts_col))).alias(f"__t{i}")
+        for i, st in enumerate(stages)
+    ]
+    per = s.groupBy(user_col, "session_idx").agg(*mins)
+    parts = []
+    for i in range(1, len(stages)):
+        lat = F.unix_micros(F.col(f"__t{i}")) - F.unix_micros(
+            F.col(f"__t{i-1}")
+        )
+        parts.append(
+            per.where(
+                F.col(f"__t{i-1}").isNotNull()
+                & F.col(f"__t{i}").isNotNull()
+                & (lat >= 0)
+            ).select(
+                F.lit(f"{stages[i-1]}->{stages[i]}").alias("stage"),
+                lat.cast("bigint").alias("__lat"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return exact_quantiles_per_group(allp, "stage", "__lat", qs).withColumnRenamed(
+        "value", "value"
+    )
+
+
+def pareto_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pareto (80/20) concentration: the smallest number of keys whose
+    summed value reaches ``threshold`` of the total, keys ranked by
+    value descending — "how many customers make 80 % of revenue".
+
+    Scale shape: one keyed agg to per-key EXACT-decimal totals, then a
+    scale-safe global cumulative (range-partition + offsets via
+    ``global_cumsum`` on a (-value, key) composite — no single-partition
+    window over |keys|), and a 1-row reduction.  Determinism: the
+    ENTIRE chain stays decimal — per-key totals, the cumulative, and
+    the threshold product — so the prefix-boundary comparison is exact
+    integer arithmetic on both engines (a double cumulative would
+    associate differently in the offsets machinery vs a sequential SQL
+    window and could flip the boundary row).
+
+    Output (1 row): ``n_keys, total_value, n_top, pct_keys``
+    (total rounded 6; ``n_top`` keys reach the threshold).
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    per = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__v")
+    )
+    ordered = per.select(
+        F.struct((-F.col("__v")).alias("a"), F.col("__k").alias("b")).alias(
+            "__ord"
+        ),
+        "__v",
+    )
+    cum = global_cumsum(ordered, "__ord", ["__v"])
+    thr = F.lit(str(threshold)).cast("decimal(10,6)")
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__v").alias("__tot"),
+    )
+    reach = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum___v") - F.col("__v") < thr * F.col("__tot"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_top"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(reach))
+        .select(
+            "n_keys",
+            F.round(F.col("__tot").cast("double"), 6).alias("total_value"),
+            "n_top",
+            F.round(F.col("n_top") / F.col("n_keys"), 6).alias("pct_keys"),
+        )
+    )

@@ -903,3 +903,86 @@ def x210(spark: SparkSession, sf: str) -> DataFrame:
     return relational.exact_quantiles_per_group(
         lat, "o_orderpriority", "days", [0.25, 0.5, 0.75, 0.95]
     )
+
+
+# --------------------------------------------------------------------------
+# x211 — funnel stage-latency quantiles (p25/p50/p75) inside 30-minute
+# sessions, weak ordering by earliest event (x48's semantics): WHERE
+# the funnel stalls, in exact integer microseconds.
+_STAGELAT_SQL = """
+WITH s0 AS (
+     SELECT user_id, event_id, ts, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+   s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1
+                       AS session_idx
+         FROM s0),
+   f AS (SELECT user_id, session_idx,
+                MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+         FROM s GROUP BY user_id, session_idx),
+   lat AS (
+     SELECT 'view->click' AS stage,
+            epoch_us(t1) - epoch_us(t0) AS l
+     FROM f WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+       AND epoch_us(t1) - epoch_us(t0) >= 0
+     UNION ALL
+     SELECT 'click->purchase' AS stage,
+            epoch_us(t2) - epoch_us(t1) AS l
+     FROM f WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+       AND epoch_us(t2) - epoch_us(t1) >= 0),
+   cells AS (SELECT stage, l AS v, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+   cum AS (SELECT stage, v,
+                  SUM(c) OVER (PARTITION BY stage ORDER BY v) AS cw,
+                  SUM(c) OVER (PARTITION BY stage) AS n
+           FROM cells),
+   ff AS (SELECT stage, v, cw, n, q.q
+          FROM cum CROSS JOIN
+               (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q) q)
+SELECT stage, q, CAST(MIN(v) AS BIGINT) AS value
+FROM ff WHERE cw >= CEIL(q * n) GROUP BY stage, q"""
+
+
+@register("x211_funnel_latencies", _STAGELAT_SQL)
+def x211(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return events.funnel_stage_latencies(
+        ev, ("view", "click", "purchase"), quantiles=[0.25, 0.5, 0.75]
+    )
+
+
+# --------------------------------------------------------------------------
+# x212 — Pareto revenue concentration: the smallest number of customers
+# whose summed order revenue reaches 80 % of the total.  The WHOLE
+# chain (per-key totals, cumulative, threshold product) is exact
+# decimal arithmetic, so the prefix-boundary row cannot flip across
+# engines or across the scale-safe cumulative's association order.
+_PARETO_SQL = """
+WITH per AS (SELECT o_custkey AS k,
+                    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS v
+             FROM orders GROUP BY 1),
+     c AS (SELECT v, SUM(v) OVER (ORDER BY v DESC, k ASC) AS cum FROM per),
+     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(v) AS tot
+           FROM per),
+     r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top
+           FROM c CROSS JOIN t
+           WHERE cum - v < CAST(0.8 AS DECIMAL(10,6)) * tot)
+SELECT n_keys, ROUND(CAST(tot AS DOUBLE), 6) AS total_value, n_top,
+       ROUND(n_top * 1.0 / n_keys, 6) AS pct_keys
+FROM t CROSS JOIN r"""
+
+
+@register("x212_pareto_concentration", _PARETO_SQL)
+def x212(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    return events.pareto_concentration(
+        orders, "o_custkey", "o_totalprice", threshold=0.8
+    )

@@ -69,6 +69,7 @@ ACCEPTED_CROSS = {
     "x204_theil_sen_trend": "|days|^2/2 pairwise-slope self-join on the post-agg daily frame + 1-row scalar broadcasts",
     "x205_dedup_savings": "1-row tier summaries cross-joined into the report row",
     "x208_ltv_curve": "1-row user-count scalar broadcast onto the |offsets| frame",
+    "x212_pareto_concentration": "1-row totals/threshold scalar broadcasts",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
     "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",

@@ -864,3 +864,66 @@ def test_x210_registered_and_shaped(spark):
         vals = [v for _, v in sorted(pairs)]
         assert vals == sorted(vals)
     assert oracle is not None
+
+
+# --- funnel_stage_latencies -----------------------------------------------------------
+
+
+def test_funnel_latencies_hand_session(spark):
+    from datetime import datetime
+
+    # one session: view at t0, click +10s, purchase +40s
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 2, "click"),
+        (1, datetime(2024, 1, 1, 0, 0, 50), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r["stage"], r["q"]): r["value"]
+        for r in events.funnel_stage_latencies(df, quantiles=[0.5]).collect()
+    }
+    assert out[("view->click", 0.5)] == 10_000_000
+    assert out[("click->purchase", 0.5)] == 40_000_000
+
+
+def test_funnel_latencies_skip_out_of_order_and_partial(spark):
+    from datetime import datetime
+
+    rows = [
+        # click BEFORE view in the same session -> negative, excluded
+        (1, datetime(2024, 2, 1, 0, 0, 0), 1, "click"),
+        (1, datetime(2024, 2, 1, 0, 0, 5), 2, "view"),
+        # view only, no click -> contributes nothing
+        (2, datetime(2024, 2, 1), 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = events.funnel_stage_latencies(df, quantiles=[0.5]).collect()
+    assert out == []
+
+
+# --- pareto_concentration --------------------------------------------------------------
+
+
+def test_pareto_hand_distribution(spark):
+    # values: 50, 30, 10, 10 -> total 100; 80% needs 50+30 -> 2 keys
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 10.0), (4, 10.0)], "k long, v double"
+    )
+    out = events.pareto_concentration(df, "k", "v", threshold=0.8).collect()[0]
+    assert out["n_keys"] == 4 and out["total_value"] == 100.0
+    assert out["n_top"] == 2 and out["pct_keys"] == 0.5
+
+
+def test_pareto_boundary_row_included(spark):
+    # exact boundary: 40+40 = 80 = 0.8*100 exactly -> the row REACHING
+    # the threshold is counted, the next is not
+    df = spark.createDataFrame(
+        [(1, 40.0), (2, 40.0), (3, 20.0)], "k long, v double"
+    )
+    out = events.pareto_concentration(df, "k", "v", threshold=0.8).collect()[0]
+    assert out["n_top"] == 2
