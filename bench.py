@@ -222,6 +222,8 @@ HEADLINE = [
     "x210_ship_latency_bands",
     "x211_funnel_latencies",
     "x212_pareto_concentration",
+    "x213_order_total_audit",
+    "x214_cross_source_dups",
 ]
 
 

@@ -1234,3 +1234,59 @@ def dedup_savings_report(
             6,
         ).alias("pct_chars_saved"),
     )
+
+
+def cross_source_duplication(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every ordered source
+    pair (a < b), how many distinct text digests appear in BOTH — the
+    mirror-detection readout that tells a corpus builder which sources
+    copy from which (within-source duplication is x01/x205's job).
+
+    Scale shape: one (digest, source) distinct agg, a digest-keyed
+    self-join restricted to a < b (each digest joins only its own
+    source list — fan-out bounded by per-digest source counts, which
+    the |sources| domain caps), and a |sources|² hash agg.
+
+    Output: ``source_a, source_b, n_shared, share_of_a, share_of_b``
+    (shares = n_shared / distinct digests in that source, rounded 6).
+    """
+    ds = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            H.md5_hex(F.col(text_col)).alias("__h"),
+            F.col(source_col).alias("__s"),
+        )
+        .distinct()
+    )
+    totals = ds.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    a = ds.select(F.col("__h"), F.col("__s").alias("source_a"))
+    b = ds.select(F.col("__h"), F.col("__s").alias("source_b"))
+    pairs = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            totals.select(
+                F.col("__s").alias("source_a"), F.col("__n").alias("__na")
+            ),
+            "source_a",
+        )
+        .join(
+            totals.select(
+                F.col("__s").alias("source_b"), F.col("__n").alias("__nb")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("__na"), 6).alias("share_of_a"),
+            F.round(F.col("n_shared") / F.col("__nb"), 6).alias("share_of_b"),
+        )
+    )

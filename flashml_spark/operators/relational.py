@@ -1340,3 +1340,56 @@ def exact_quantiles_per_group(
         .groupBy(group_col, "q")
         .agg(F.min("__v").alias("value"))
     )
+
+
+def order_total_consistency_audit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Cross-table VALUE integrity (the twin of x159's key integrity):
+    recompute each order's total from its line items
+    (``sum(extendedprice * (1-discount) * (1+tax))``, the TPC-H
+    invariant) and report how the stored ``o_totalprice`` disagrees —
+    count within tolerance, worst offenders, error mass.  On clean
+    TPC-H data every order matches; on real pipelines this catches
+    partial loads and double-applied discounts.
+
+    Scale shape: one keyed lineitem agg (exact decimal), one keyed join
+    on the order key (co-partitions with the agg shuffle), ONE summary
+    row.
+
+    Output (1 row): ``n_orders, n_matched, n_mismatched, match_rate,
+    max_abs_err, mean_abs_err`` (floats rounded 6).
+    """
+    recomputed = lineitem.groupBy(
+        F.col("l_orderkey").alias("__ok")
+    ).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("__recomputed")
+    )
+    j = orders.select(
+        F.col("o_orderkey").alias("__ok"), F.col("o_totalprice").alias("__stored")
+    ).join(recomputed, "__ok", "inner")
+    err = F.abs(F.col("__stored") - F.col("__recomputed"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(err <= tolerance, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(err > tolerance, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.round(
+            F.sum(F.when(err <= tolerance, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("match_rate"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+    )

@@ -986,3 +986,61 @@ def x212(spark: SparkSession, sf: str) -> DataFrame:
     return events.pareto_concentration(
         orders, "o_custkey", "o_totalprice", threshold=0.8
     )
+
+
+# --------------------------------------------------------------------------
+# x213 — order-total VALUE integrity: recompute each order's total from
+# its line items (the TPC-H invariant) and report agreement with the
+# stored o_totalprice.  The synthetic generator does NOT enforce the
+# invariant, so the interesting output is the error distribution — the
+# oracle guarantees the numbers, whatever they are.
+_TOTCHECK_SQL = """
+WITH rec AS (SELECT l_orderkey,
+                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) AS DECIMAL(28,6)))
+                         AS DOUBLE) AS recomputed
+             FROM lineitem GROUP BY l_orderkey),
+     j AS (SELECT o.o_totalprice AS stored, rec.recomputed
+           FROM orders o JOIN rec ON o.o_orderkey = rec.l_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN ABS(stored - recomputed) <= 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN ABS(stored - recomputed) > 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       ROUND(SUM(CASE WHEN ABS(stored - recomputed) <= 0.01
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS match_rate,
+       ROUND(MAX(ABS(stored - recomputed)), 6) AS max_abs_err,
+       ROUND(AVG(ABS(stored - recomputed)), 6) AS mean_abs_err
+FROM j"""
+
+
+@register("x213_order_total_audit", _TOTCHECK_SQL)
+def x213(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return relational.order_total_consistency_audit(orders, li, tolerance=0.01)
+
+
+# --------------------------------------------------------------------------
+# x214 — cross-source exact-duplicate matrix over documents: which
+# sources mirror which (within-source duplication is x01/x205's job).
+_XSRC_SQL = """
+WITH ds AS (SELECT DISTINCT md5(text) AS h, source AS s FROM documents
+            WHERE text IS NOT NULL),
+     tot AS (SELECT s, COUNT(*) AS n FROM ds GROUP BY s),
+     p AS (SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared
+           FROM ds a JOIN ds b ON a.h = b.h AND a.s < b.s
+           GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       ROUND(p.n_shared * 1.0 / ta.n, 6) AS share_of_a,
+       ROUND(p.n_shared * 1.0 / tb.n, 6) AS share_of_b
+FROM p JOIN tot ta ON ta.s = p.source_a
+       JOIN tot tb ON tb.s = p.source_b"""
+
+
+@register("x214_cross_source_dups", _XSRC_SQL)
+def x214(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    return dedup.cross_source_duplication(docs, "text", "doc_id", "source")

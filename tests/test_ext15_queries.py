@@ -927,3 +927,53 @@ def test_pareto_boundary_row_included(spark):
     )
     out = events.pareto_concentration(df, "k", "v", threshold=0.8).collect()[0]
     assert out["n_top"] == 2
+
+
+# --- order_total_consistency_audit -------------------------------------------------------
+
+
+def test_order_total_audit_hand_cases(spark):
+    orders = spark.createDataFrame(
+        [(1, 110.0), (2, 999.0)], "o_orderkey long, o_totalprice double"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.10),   # 100*1.1 = 110 -> matches
+            (2, 100.0, 0.10, 0.0),   # 90 vs stored 999 -> mismatch
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = relational.order_total_consistency_audit(orders, li).collect()[0]
+    assert out["n_orders"] == 2
+    assert out["n_matched"] == 1 and out["n_mismatched"] == 1
+    assert out["match_rate"] == 0.5
+    assert out["max_abs_err"] == 909.0
+
+
+# --- cross_source_duplication --------------------------------------------------------------
+
+
+def test_cross_source_duplication_matrix(spark):
+    from flashml_spark.operators import dedup as dedup_mod
+
+    rows = [
+        (1, "shared one", "a"),
+        (2, "shared one", "b"),      # a<->b share 1
+        (3, "shared two", "a"),
+        (4, "shared two", "c"),      # a<->c share 1
+        (5, "only a", "a"),
+        (6, "shared one", "a"),      # within-source dup: distinct digests only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup_mod.cross_source_duplication(
+            df, "text", "doc_id", "source"
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_shared"] == 1
+    # a has 3 distinct digests, b has 1
+    assert ab["share_of_a"] == round(1 / 3, 6) and ab["share_of_b"] == 1.0
+    assert out[("a", "c")]["n_shared"] == 1
+    assert ("b", "c") not in out
