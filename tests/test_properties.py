@@ -826,3 +826,65 @@ def test_markov_attribution_shares_are_a_distribution(spark, seqs):
     assert all(0.0 <= r["removal_effect"] <= 1.0 for r in out)
     total = sum(shares)
     assert total == 0.0 or abs(total - 1.0) < 1e-3
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    lifetimes=st.lists(
+        st.integers(min_value=0, max_value=8), min_size=1, max_size=10
+    )
+)
+def test_logrank_identical_cohorts_always_zero(spark, lifetimes):
+    """Log-rank invariant: two cohorts with IDENTICAL lifetime
+    multisets have O = E in every stratum, so chi2 == 0 regardless of
+    the lifetime distribution or censoring pattern."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import logrank_test
+
+    rows = []
+    for g in range(2):
+        for u, life in enumerate(lifetimes):
+            uid = 10 * u + g  # parity encodes the cohort
+            rows.append((uid, datetime(2024, 1, 1)))
+            rows.append((uid, datetime(2024, 1, 1) + timedelta(days=life)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = logrank_test(
+        df, "user_id", "ts", (F.col("user_id") % 2).cast("int")
+    ).collect()[0]
+    assert out["chi2"] == 0.0
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),   # day index
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_densify_preserves_totals_and_covers_range(spark, counts):
+    """Densification invariants: the spine covers every calendar day
+    between min and max exactly once, gap rows are zero, and the summed
+    totals/row counts equal the input's."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import densify_daily
+
+    rows = [
+        (datetime(2024, 3, 1) + timedelta(days=d, hours=1), v)
+        for d, v in counts
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = densify_daily(df, "ts", "value").collect()
+    days = sorted(r["d"] for r in out)
+    span = (max(days) - min(days)).days + 1
+    assert len(out) == span and len(set(days)) == span
+    assert sum(r["n"] for r in out) == len(rows)
+    got_total = sum(r["total"] for r in out)
+    assert abs(got_total - sum(v for _, v in counts)) < 1e-4
+    for r in out:
+        assert (r["is_gap"] == 1) == (r["n"] == 0)
