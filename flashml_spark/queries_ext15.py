@@ -1,16 +1,24 @@
-"""Extension queries, round 5 fourth wave (x186+): the pre-join skew
-audit (heavy-hitter report behind broadcast/salting decisions), a
-Poisson-bootstrap confidence interval for a mean (distributed
-resampling without resampling shuffles), EWMA anomaly detection over a
-daily series (the ops-monitoring detector, recursion unrolled to a
-bounded-lag weighted window), and a functional-dependency discovery
-audit (the data-profiling step behind normalization / dedup-key
-choices).
+"""Extension queries, round 5 fourth-to-eighth waves (x186-x214):
+data-engineering audits (pre-join skew x186, functional dependencies
+x189, table digest x198, referential VALUE integrity x213, dedup
+savings x205, cross-source duplication x214), resampling and robust
+statistics (Poisson-bootstrap CI x187, Theil-Sen x204, weighted
+medians/quantile bands x199/x202/x210, mutual information x193,
+log-log elasticity x194, Chao1 x203), anomaly detection (bounded-lag
+EWMA x188, weekday median/MAD x209, calendar densification x201),
+experimentation/survival (A/B z-test x196, log-rank x197, Markov
+removal-effect attribution x192, funnel latencies x211), product
+analytics (TWAP x206, drawdown x207, LTV x208, Pareto concentration
+x212), layout/frontier (Z-order keys x190, skyline x191), and
+LLM-pipeline curation (token-budget curves x195, zlib compression
+ratio x200).
 
 Oracle discipline unchanged: engine-portable DuckDB SQL sharing every
 literal with the Spark side; md5-derived uniforms for anything random;
-exact decimal sums wherever a mean's 6-decimal rounding could flip on
-float association order.
+and the round-5 determinism rule — exact decimal sums, Python-literal
+constants in BOTH plans, moment sums over stddev, lower quantiles over
+percentile_cont — wherever a 6-decimal rounding could flip on float
+association order (see SCALE.md "round-5 fourth wave").
 """
 
 from __future__ import annotations
