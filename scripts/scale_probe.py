@@ -113,6 +113,10 @@ PROBES = [
     "x178_decontamination",
     "x179_unigram_logprob",
     "x180_correlation_matrix",
+    "x187_bootstrap_ci",
+    "x198_table_digest",
+    "x204_theil_sen_trend",
+    "x214_cross_source_dups",
 ]
 
 

@@ -888,3 +888,38 @@ def test_densify_preserves_totals_and_covers_range(spark, counts):
     assert abs(got_total - sum(v for _, v in counts)) < 1e-4
     for r in out:
         assert (r["is_gap"] == 1) == (r["n"] == 0)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=1e5, allow_nan=False),
+        min_size=6,
+        max_size=14,
+    )
+)
+def test_ewma_anomaly_matches_python_mirror(spark, vals):
+    """Batch EWMA forecast == a pure-Python mirror of the bounded-lag
+    normalized weighting, on arbitrary daily series."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import ewma_anomaly
+
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = ewma_anomaly(df, "ts", "v", alpha=0.3, lags=30, min_lags=5).collect()
+    for t, r in enumerate(out):
+        if t < 5:
+            assert r["ewma"] is None
+            continue
+        lo = max(0, t - 30)
+        ws = sum((0.7) ** (t - j - 1) * vals[j] for j in range(lo, t))
+        wt = sum((0.7) ** (t - j - 1) for j in range(lo, t))
+        # the operator truncates weighted products to DECIMAL(38,6) for
+        # cross-engine determinism (documented accuracy trade), so the
+        # tolerance scales with the value magnitude
+        exp = ws / wt
+        assert abs(r["ewma"] - exp) < 1e-6 * (1 + abs(exp)) + 1e-5
