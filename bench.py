@@ -224,6 +224,8 @@ HEADLINE = [
     "x212_pareto_concentration",
     "x213_order_total_audit",
     "x214_cross_source_dups",
+    "x215_ab_zcurve",
+    "x216_price_qty_histogram",
 ]
 
 

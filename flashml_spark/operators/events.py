@@ -1943,3 +1943,67 @@ def pareto_concentration(
             F.round(F.col("n_top") / F.col("n_keys"), 6).alias("pct_keys"),
         )
     )
+
+
+def ab_ztest_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    variant_expr,
+    conv_expr,
+) -> DataFrame:
+    """Sequential A/B monitoring curve: the two-proportion z statistic
+    recomputed at each day boundary over CUMULATIVE first-conversions —
+    the "peeking" trace an experimentation dashboard plots (and the
+    reason naive daily peeking inflates false positives; the curve
+    makes the wandering visible).  A user enters their variant's
+    denominator on their first event day and the conversion numerator
+    on their first conversion day.
+
+    Scale shape: two per-user aggs (first seen, first conversion),
+    keyed day aggs, then cumulative sums and the z formula on the
+    |days| x 2 value-domain frame.  Counts stay integers to the final
+    divisions — bit-identical across engines.
+
+    Output: ``d, n_a, conv_a, n_b, conv_b, z`` per day (z rounded 6;
+    0.0 while either arm is empty).
+    """
+    day = F.col(ts_col).cast("date")
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(variant_expr).cast("int").alias("__variant"),
+        F.min(day).alias("__first"),
+        F.min(F.when(conv_expr, day)).alias("__conv_day"),
+    )
+    entries = per_user.groupBy(F.col("__first").alias("d")).agg(
+        F.sum(F.when(F.col("__variant") == 0, 1).otherwise(0)).alias("__ea"),
+        F.sum(F.when(F.col("__variant") == 1, 1).otherwise(0)).alias("__eb"),
+    )
+    convs = (
+        per_user.where(F.col("__conv_day").isNotNull())
+        .groupBy(F.col("__conv_day").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("__variant") == 0, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__variant") == 1, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    daily = entries.join(convs, "d", "full").fillna(
+        0, ["__ea", "__eb", "__ca", "__cb"]
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "d",
+        F.sum("__ea").over(w).cast("bigint").alias("n_a"),
+        F.sum("__ca").over(w).cast("bigint").alias("conv_a"),
+        F.sum("__eb").over(w).cast("bigint").alias("n_b"),
+        F.sum("__cb").over(w).cast("bigint").alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0), (pa - pb) / se
+    ).otherwise(F.lit(0.0))
+    return cum.select(
+        "d", "n_a", "conv_a", "n_b", "conv_b", F.round(z, 6).alias("z")
+    )

@@ -1393,3 +1393,66 @@ def order_total_consistency_audit(
         F.round(F.max(err), 6).alias("max_abs_err"),
         F.round(F.avg(err), 6).alias("mean_abs_err"),
     )
+
+
+def histogram_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Fixed-width 2-D histogram (heat grid): joint distribution of two
+    numeric columns over a bins x bins grid anchored at the global
+    min/max of each axis — the joint-density readout behind every
+    price-vs-quantity / length-vs-quality heat map.  The top edge folds
+    into the last cell (max values land in bin bins-1).
+
+    Scale shape: one 1-row min/max agg broadcast onto the scan, a pure
+    map bucketing expression, one (bx, by) hash agg — bins² output
+    rows.  Bucket arithmetic is single-op double math on engine-
+    identical inputs, so cells are bit-identical cross-engine.
+
+    Output: ``bx, by, n, x_lo, y_lo`` (cell counts + lower edges,
+    edges rounded 6).
+    """
+    bounds = df.agg(
+        F.min(x_col).cast("double").alias("__xmin"),
+        F.max(x_col).cast("double").alias("__xmax"),
+        F.min(y_col).cast("double").alias("__ymin"),
+        F.max(y_col).cast("double").alias("__ymax"),
+    )
+    j = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).crossJoin(F.broadcast(bounds))
+    wx = (F.col("__xmax") - F.col("__xmin")) / bins
+    wy = (F.col("__ymax") - F.col("__ymin")) / bins
+
+    def bucket(col, lo, width):
+        # constant axis (width 0) folds everything into bin 0
+        raw = F.floor((F.col(col).cast("double") - lo) / width)
+        return F.when(width > 0, F.least(raw, F.lit(bins - 1))).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+
+    bx = bucket(x_col, F.col("__xmin"), wx)
+    by = bucket(y_col, F.col("__ymin"), wy)
+    return (
+        j.select(
+            bx.alias("bx"),
+            by.alias("by"),
+            F.col("__xmin"),
+            F.col("__ymin"),
+            (F.col("__xmax") - F.col("__xmin")).alias("__xspan"),
+            (F.col("__ymax") - F.col("__ymin")).alias("__yspan"),
+        )
+        .groupBy("bx", "by")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.first("__xmin") + F.col("bx") * F.first("__xspan") / bins, 6
+            ).alias("x_lo"),
+            F.round(
+                F.first("__ymin") + F.col("by") * F.first("__yspan") / bins, 6
+            ).alias("y_lo"),
+        )
+    )

@@ -1052,3 +1052,94 @@ FROM p JOIN tot ta ON ta.s = p.source_a
 def x214(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
     return dedup.cross_source_duplication(docs, "text", "doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# x215 — sequential A/B z-curve (the peeking trace): the x196 statistic
+# recomputed at every day boundary over cumulative first-entries /
+# first-conversions per variant (user_id parity, purchase conversion).
+_ZCURVE_SQL = """
+WITH pu AS (SELECT user_id,
+                   MAX(CAST(user_id % 2 AS INT)) AS variant,
+                   MIN(CAST(ts AS DATE)) AS first_d,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS conv_d
+            FROM events GROUP BY user_id),
+     e AS (SELECT first_d AS d,
+                  SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ea,
+                  SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS eb
+           FROM pu GROUP BY first_d),
+     c AS (SELECT conv_d AS d,
+                  SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+           FROM pu WHERE conv_d IS NOT NULL GROUP BY conv_d),
+     daily AS (SELECT COALESCE(e.d, c.d) AS d,
+                      COALESCE(ea, 0) AS ea, COALESCE(eb, 0) AS eb,
+                      COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM e FULL OUTER JOIN c ON e.d = c.d),
+     cum AS (SELECT d,
+                    CAST(SUM(ea) OVER w AS BIGINT) AS n_a,
+                    CAST(SUM(ca) OVER w AS BIGINT) AS conv_a,
+                    CAST(SUM(eb) OVER w AS BIGINT) AS n_b,
+                    CAST(SUM(cb) OVER w AS BIGINT) AS conv_b
+             FROM daily
+             WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)),
+     f AS (SELECT *, conv_a * 1.0 / n_a AS pa, conv_b * 1.0 / n_b AS pb,
+                  (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp
+           FROM cum),
+     g AS (SELECT *, sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se
+           FROM f)
+SELECT d, n_a, conv_a, n_b, conv_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+                  THEN (pa - pb) / se ELSE 0.0 END, 6) AS z
+FROM g"""
+
+
+@register("x215_ab_zcurve", _ZCURVE_SQL)
+def x215(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    return events.ab_ztest_curve(
+        ev,
+        "user_id",
+        "ts",
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase",
+    )
+
+
+# --------------------------------------------------------------------------
+# x216 — 10x10 joint histogram of lineitem quantity x extendedprice:
+# the heat-grid readout; top edges fold into the last cell.
+_H2D_SQL = """
+WITH b AS (SELECT CAST(MIN(l_quantity) AS DOUBLE) AS xmin,
+                  CAST(MAX(l_quantity) AS DOUBLE) AS xmax,
+                  CAST(MIN(l_extendedprice) AS DOUBLE) AS ymin,
+                  CAST(MAX(l_extendedprice) AS DOUBLE) AS ymax
+           FROM lineitem),
+     j AS (SELECT l_quantity AS x, l_extendedprice AS y, b.*
+           FROM lineitem CROSS JOIN b
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+     cells AS (SELECT
+         CASE WHEN (xmax - xmin) / 10 > 0
+              THEN CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - xmin)
+                                    / ((xmax - xmin) / 10)), 9) AS BIGINT)
+              ELSE 0 END AS bx,
+         CASE WHEN (ymax - ymin) / 10 > 0
+              THEN CAST(LEAST(FLOOR((CAST(y AS DOUBLE) - ymin)
+                                    / ((ymax - ymin) / 10)), 9) AS BIGINT)
+              ELSE 0 END AS by,
+         xmin, ymin, xmax - xmin AS xspan, ymax - ymin AS yspan
+       FROM j)
+SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(xmin) + bx * MIN(xspan) / 10, 6) AS x_lo,
+       ROUND(MIN(ymin) + by * MIN(yspan) / 10, 6) AS y_lo
+FROM cells GROUP BY bx, by"""
+
+
+@register("x216_price_qty_histogram", _H2D_SQL)
+def x216(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_quantity", "l_extendedprice")
+    return relational.histogram_2d(li, "l_quantity", "l_extendedprice", bins=10)

@@ -70,6 +70,8 @@ ACCEPTED_CROSS = {
     "x205_dedup_savings": "1-row tier summaries cross-joined into the report row",
     "x208_ltv_curve": "1-row user-count scalar broadcast onto the |offsets| frame",
     "x212_pareto_concentration": "1-row totals/threshold scalar broadcasts",
+    "x215_ab_zcurve": "cumulative over the |days| x 2-variant post-agg frame",
+    "x216_price_qty_histogram": "1-row axis-bounds scalar broadcast onto the scan",
     "x124_important_parts": "1-row total-value scalar broadcast (Q11 threshold)",
     "x134_edit_distance_pairs": "broadcast side channel for length<=k strings (degenerate-short docs only)",
     "x135_bm25_topk": "1-row (N, avgdl, per-term df) stats scalar broadcast",

@@ -977,3 +977,53 @@ def test_cross_source_duplication_matrix(spark):
     assert ab["share_of_a"] == round(1 / 3, 6) and ab["share_of_b"] == 1.0
     assert out[("a", "c")]["n_shared"] == 1
     assert ("b", "c") not in out
+
+
+# --- ab_ztest_curve -------------------------------------------------------------------------
+
+
+def test_ab_zcurve_cumulates_and_matches_final_ztest(spark):
+    import math
+    from datetime import datetime
+
+    # day 1: u0(v0) enters+converts, u1(v1) enters; day 2: u2(v0), u3(v1)
+    # enter, u1 converts
+    rows = [
+        (0, datetime(2024, 1, 1, 9), "purchase"),
+        (1, datetime(2024, 1, 1, 10), "view"),
+        (2, datetime(2024, 1, 2, 9), "view"),
+        (3, datetime(2024, 1, 2, 10), "view"),
+        (1, datetime(2024, 1, 2, 11), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {str(r["d"]): r for r in events.ab_ztest_curve(
+        df, "user_id", "ts",
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase").collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1["n_a"], d1["conv_a"], d1["n_b"], d1["conv_b"]) == (1, 1, 1, 0)
+    assert (d2["n_a"], d2["conv_a"], d2["n_b"], d2["conv_b"]) == (2, 1, 2, 1)
+    # day 2 rates equal -> z = 0
+    assert d2["z"] == 0.0
+    # day 1: pa=1, pb=0, pp=.5 -> z = 1/sqrt(.25*2) = sqrt(2)
+    assert abs(d1["z"] - math.sqrt(2)) < 1e-6
+
+
+# --- histogram_2d ----------------------------------------------------------------------------
+
+
+def test_histogram_2d_hand_grid(spark):
+    rows = [(0.0, 0.0), (9.99, 9.99), (10.0, 10.0), (5.0, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r["bx"], r["by"]): r for r in
+           relational.histogram_2d(df, "x", "y", bins=10).collect()}
+    assert out[(0, 0)]["n"] == 1 and out[(0, 0)]["x_lo"] == 0.0
+    assert out[(9, 9)]["n"] == 2  # 9.99 and the folded max 10.0
+    assert out[(5, 0)]["n"] == 1 and out[(5, 0)]["x_lo"] == 5.0
+
+
+def test_histogram_2d_constant_axis_folds_to_zero(spark):
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    out = relational.histogram_2d(df, "x", "y", bins=10).collect()
+    assert all(r["by"] == 0 for r in out)
+    assert sum(r["n"] for r in out) == 2
