@@ -226,6 +226,8 @@ HEADLINE = [
     "x214_cross_source_dups",
     "x215_ab_zcurve",
     "x216_price_qty_histogram",
+    "x217_embedding_distance_profile",
+    "x218_dup_rate_by_length",
 ]
 
 

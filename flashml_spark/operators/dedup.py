@@ -1290,3 +1290,46 @@ def cross_source_duplication(
             F.round(F.col("n_shared") / F.col("__nb"), 6).alias("share_of_b"),
         )
     )
+
+
+def duplication_by_length(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Duplicate-rate vs document length: exact-duplicate share per
+    log2 length bin — the curation bias check ("do short docs duplicate
+    more?") that decides whether a dedup pass needs length
+    stratification.  A doc is a duplicate when its md5 digest appears
+    more than once in the corpus (ALL copies count as duplicated mass).
+
+    Scale shape: one digest agg for per-digest counts, a digest-keyed
+    join back (co-partitions with the agg shuffle), one log2-bin hash
+    agg — |log2 bins| output rows.
+
+    Output: ``len_bin, n_docs, n_dup_docs, dup_rate, chars_lo``
+    (rate rounded 6; chars_lo = 2^len_bin).
+    """
+    r = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        H.md5_hex(F.col(text_col)).alias("__h"),
+        F.floor(F.log2(F.length(text_col))).cast("bigint").alias("len_bin"),
+    )
+    counts = r.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    j = r.join(counts, "__h")
+    return (
+        j.groupBy("len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+            F.pow(F.lit(2.0), F.first(F.col("len_bin")))
+            .cast("bigint")
+            .alias("chars_lo"),
+        )
+    )

@@ -637,3 +637,69 @@ def random_projection(
         F.col("o.out_dim").cast("int").alias("out_dim"),
         F.round(F.col("o.value"), 6).alias("value"),
     )
+
+
+def pairwise_distance_profile(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    strides: tuple[int, ...] = (1, 7, 101),
+    bins: int = 20,
+) -> DataFrame:
+    """Embedding-space geometry audit: the distribution of cosine
+    similarity over DETERMINISTIC id-stride pairs (id, id+stride) — a
+    cheap proxy for the full pairwise distribution that detects
+    embedding collapse (mass near 1) and anisotropy (mean far above 0)
+    without sampling randomness or an all-pairs join.  Multiple strides
+    guard against id-locality artifacts (adjacent ids could share a
+    shard or a source).
+
+    Scale shape: one keyed self-equi-join per stride (id + stride is a
+    pure projection — co-partitioned, AQE-sized), a per-pair HOF cosine
+    (codegen, zero shuffle), and a (stride, bin) hash agg — |strides| x
+    ``bins`` output rows on fixed [-1, 1] edges.
+
+    Output: ``stride, bin, n, cos_lo`` (bin = floor((cos+1)/2*bins),
+    top edge folds; cos_lo rounded 6).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    parts = []
+    for k in strides:
+        a = base.select(F.col("__id"), F.col("__v").alias("__va"))
+        b = base.select(
+            (F.col("__id") - k).alias("__id"), F.col("__v").alias("__vb")
+        )
+        dot = F.aggregate(
+            F.zip_with("__va", "__vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(
+            F.aggregate("__va", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        nb = F.sqrt(
+            F.aggregate("__vb", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        cos = dot / (na * nb)
+        parts.append(
+            a.join(b, "__id")
+            .select(cos.alias("__cos"))
+            .where(F.col("__cos").isNotNull())
+            .select(
+                F.lit(k).cast("bigint").alias("stride"),
+                F.least(
+                    F.floor((F.col("__cos") + 1.0) / 2.0 * bins),
+                    F.lit(bins - 1),
+                )
+                .cast("bigint")
+                .alias("bin"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("stride", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.first(F.col("bin")) * 2.0 / bins - 1.0, 6).alias("cos_lo"),
+    )

@@ -1143,3 +1143,63 @@ FROM cells GROUP BY bx, by"""
 def x216(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_quantity", "l_extendedprice")
     return relational.histogram_2d(li, "l_quantity", "l_extendedprice", bins=10)
+
+
+# --------------------------------------------------------------------------
+# x217 — embedding pairwise-distance profile over deterministic
+# id-stride pairs: collapse/anisotropy audit without sampling
+# randomness (strides 1/7/101 guard id-locality artifacts).
+from flashml_spark.operators import similarity  # noqa: E402
+
+_PDIST_SQL = """
+WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+     pairs AS (
+        SELECT s.stride, a.v AS va, b.v AS vb
+        FROM (SELECT unnest([1, 7, 101]) AS stride) s
+        JOIN base a ON TRUE
+        JOIN base b ON b.id = a.id + s.stride),
+     c AS (SELECT stride,
+                  list_dot_product(va, vb)
+                  / (sqrt(list_dot_product(va, va))
+                     * sqrt(list_dot_product(vb, vb))) AS cos
+           FROM pairs),
+     bnd AS (SELECT CAST(stride AS BIGINT) AS stride,
+                    CAST(LEAST(FLOOR((cos + 1.0) / 2.0 * 20), 19) AS BIGINT)
+                        AS bin
+             FROM c WHERE cos IS NOT NULL)
+SELECT stride, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(bin * 2.0 / 20 - 1.0, 6) AS cos_lo
+FROM bnd GROUP BY stride, bin"""
+
+
+@register("x217_embedding_distance_profile", _PDIST_SQL)
+def x217(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.pairwise_distance_profile(
+        emb, "embedding", "vec_id", strides=(1, 7, 101), bins=20
+    )
+
+
+# --------------------------------------------------------------------------
+# x218 — duplicate rate per log2 length bin: does short text duplicate
+# more?  The stratification check before a length-blind dedup pass.
+_DUPLEN_SQL = """
+WITH r AS (SELECT md5(text) AS h,
+                  CAST(FLOOR(log2(length(text))) AS BIGINT) AS len_bin
+           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+     c AS (SELECT h, COUNT(*) AS cnt FROM r GROUP BY h),
+     j AS (SELECT r.len_bin, c.cnt FROM r JOIN c ON r.h = c.h)
+SELECT len_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS dup_rate,
+       CAST(POWER(2.0, len_bin) AS BIGINT) AS chars_lo
+FROM j GROUP BY len_bin"""
+
+
+@register("x218_dup_rate_by_length", _DUPLEN_SQL)
+def x218(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup.duplication_by_length(docs, "text", "doc_id")

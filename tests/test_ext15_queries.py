@@ -1027,3 +1027,50 @@ def test_histogram_2d_constant_axis_folds_to_zero(spark):
     out = relational.histogram_2d(df, "x", "y", bins=10).collect()
     assert all(r["by"] == 0 for r in out)
     assert sum(r["n"] for r in out) == 2
+
+
+# --- pairwise_distance_profile -----------------------------------------------------------------
+
+
+def test_distance_profile_identical_and_orthogonal(spark):
+    from flashml_spark.operators import similarity as sim
+
+    # ids 1..4: v1 == v2 (cos 1 at stride 1), v3 orthogonal to v4
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.pairwise_distance_profile(
+        df, "embedding", "vec_id", strides=(1,), bins=20
+    ).collect()
+    got = {r["bin"]: r["n"] for r in out}
+    # cos=1 -> bin folds to 19; cos=0 -> bin 10
+    assert got[19] == 1      # (1,2)
+    assert got[10] == 2      # (2,3) and (3,4) both orthogonal
+    for r in out:
+        assert r["cos_lo"] == round(r["bin"] * 2.0 / 20 - 1.0, 6)
+
+
+# --- duplication_by_length -----------------------------------------------------------------------
+
+
+def test_dup_rate_by_length_bins(spark):
+    from flashml_spark.operators import dedup as dedup_mod
+
+    rows = [
+        (1, "abcd"),     # len 4 -> bin 2, unique
+        (2, "efgh"),     # len 4 -> bin 2, dup pair with 3
+        (3, "efgh"),
+        (4, "a" * 100),  # len 100 -> bin 6, unique
+        (5, ""),         # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["len_bin"]: r for r in dedup_mod.duplication_by_length(
+        df, "text", "doc_id").collect()}
+    b2 = out[2]
+    assert b2["n_docs"] == 3 and b2["n_dup_docs"] == 2
+    assert b2["dup_rate"] == round(2 / 3, 6) and b2["chars_lo"] == 4
+    assert out[6]["n_dup_docs"] == 0 and out[6]["chars_lo"] == 64
