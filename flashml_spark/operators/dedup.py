@@ -1115,35 +1115,120 @@ def ttl_dedup_flags(
     ts_col: str,
     id_col: str,
     horizon_seconds: int,
+    anchor: str = "refresh",
 ) -> DataFrame:
-    """Horizon (TTL) deduplication flags with REFRESHING-horizon
-    semantics: a row is a duplicate iff the SAME content key occurred
-    within the previous ``horizon_seconds`` measured from the LAST
-    occurrence — every hit refreshes the key's TTL, like a TTL cache,
-    so a burst extends its own horizon and a chain of closely-spaced
-    retries is flagged end-to-end even when the chain spans more than
-    one horizon.  Outside the horizon the key is "forgotten" and the
-    next occurrence is kept — retry/resubmission dedup for event
-    streams.
+    """Horizon (TTL) deduplication flags.  Appends ``is_dup``.
 
-    Deliberate divergence from streaming
-    ``dropDuplicatesWithinWatermark``, which anchors the delay window
-    at the FIRST event and does not refresh state on duplicates (its
-    guarantee is earliest-to-latest distance < delay, so it would
-    re-emit partway through a long chain).  The refreshing semantics
-    is chosen here because for retry storms the whole chain is one
-    logical event; it is also the cheaper batch plan (one ``lag`` gap
-    per key vs. a data-dependent anchor scan).
+    ``anchor="refresh"`` (default) — REFRESHING-horizon semantics: a
+    row is a duplicate iff the SAME content key occurred within the
+    previous ``horizon_seconds`` measured from the LAST occurrence —
+    every hit refreshes the key's TTL, like a TTL cache, so a burst
+    extends its own horizon and a chain of closely-spaced retries is
+    flagged end-to-end even when the chain spans more than one
+    horizon.  Outside the horizon the key is "forgotten" and the next
+    occurrence is kept — retry/resubmission dedup for event streams.
+    One ``lag`` gap per keyed window per content digest.
 
-    One keyed window per content digest (md5 of the null-safe
-    concatenated key columns; the same digest expression is usable on
-    any SQL engine).  Appends ``is_dup``.
+    ``anchor="first"`` — FIRST-occurrence-anchored semantics, the
+    batch twin of streaming ``dropDuplicatesWithinWatermark``: the
+    horizon is measured from the kept anchor row, duplicates do NOT
+    extend it, and the first row past ``anchor + horizon`` is
+    re-emitted as the new anchor.  A retry chain spanning more than
+    one horizon is therefore re-emitted partway through (exactly what
+    a user migrating a ``dropDuplicatesWithinWatermark`` pipeline
+    expects), whereas the default flags it end-to-end.  The anchor
+    recursion is sequential per key, so it runs as a JVM-side
+    ``aggregate`` fold over the key's time-sorted occurrence array —
+    no Python UDF; per-key state is bounded by the key's occurrence
+    count (the same bound streaming state eviction relies on), and
+    keys process in parallel.  Streaming-parity caveat: within one
+    microbatch the streaming operator also drops duplicates FARTHER
+    apart than the delay (state is only evicted when the watermark
+    passes), so exact parity holds when batch boundaries advance the
+    watermark past each anchor's expiry — the deterministic,
+    data-only semantics implemented here is the documented guarantee
+    ("events within the delay are deduplicated"), not the
+    batch-boundary accident.
+
+    The content digest is md5 of the null-safe concatenated key
+    columns; the same digest expression is usable on any SQL engine.
     """
+    if anchor not in ("refresh", "first"):
+        raise ValueError(f"anchor must be 'refresh' or 'first': {anchor!r}")
     digest = H.md5_hex(
         F.concat_ws(
             "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
         )
     )
+    h_us = horizon_seconds * 1_000_000
+    if anchor == "first":
+        # Fold over each key's sorted (ts, id) array: keep an anchor
+        # timestamp; a row within horizon of it is a dup; the first row
+        # beyond it becomes the new anchor.  struct sort = (us, id) asc,
+        # matching the refresh mode's window ordering.
+        keyed = df.withColumn("__h", digest)
+        arrs = keyed.groupBy("__h").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("us"),
+                        F.col(id_col).alias("id"),
+                    )
+                )
+            ).alias("arr")
+        )
+        folded = arrs.select(
+            "__h",
+            F.aggregate(
+                "arr",
+                F.struct(
+                    F.lit(None).cast("long").alias("anchor"),
+                    F.array().cast(
+                        "array<struct<id:string,is_dup:int>>"
+                    ).alias("out"),
+                ),
+                lambda acc, x: F.struct(
+                    F.when(
+                        acc["anchor"].isNull()
+                        | (x["us"] - acc["anchor"] > F.lit(h_us)),
+                        x["us"],
+                    )
+                    .otherwise(acc["anchor"])
+                    .alias("anchor"),
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.struct(
+                                x["id"].cast("string").alias("id"),
+                                F.when(
+                                    acc["anchor"].isNotNull()
+                                    & (x["us"] - acc["anchor"] <= F.lit(h_us)),
+                                    F.lit(1),
+                                )
+                                .otherwise(F.lit(0))
+                                .alias("is_dup"),
+                            )
+                        ),
+                    ).alias("out"),
+                ),
+                lambda acc: acc["out"],
+            ).alias("out"),
+        )
+        flags = folded.select(
+            "__h", F.explode("out").alias("o")
+        ).select(
+            "__h",
+            F.col("o.id").alias("__fid"),
+            F.col("o.is_dup").alias("is_dup"),
+        )
+        return (
+            keyed.join(
+                flags,
+                (keyed["__h"] == flags["__h"])
+                & (F.col(id_col).cast("string") == flags["__fid"]),
+            )
+            .drop("__h", "__fid")
+        )
     w = Window.partitionBy("__h").orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )

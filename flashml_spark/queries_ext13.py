@@ -65,7 +65,15 @@ LIMIT 20"""
 
 @register("x164_triangle_parts", _TRI_SQL)
 def x164(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # Distinct BEFORE the pair self-join: an order holding the same part
+    # on several lines would fan out duplicate pairs the downstream edge
+    # distinct collapses anyway; pre-collapsing moves that dedup ahead of
+    # the multiplicative join (dominant cost on denser basket tables).
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = a.join(
@@ -256,7 +264,14 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
 
 @register("x168_part_assortativity", _ASSORT_SQL)
 def x168(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # Same pre-distinct as x164: the oracle's e0 is DISTINCT-after-join,
+    # and _degree_keyed_edges distincts internally, so collapsing
+    # duplicate (order, part) lines before the self-join is free parity.
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = a.join(

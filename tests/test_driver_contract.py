@@ -43,6 +43,40 @@ def test_queries_and_oracles_are_consistent():
     }
 
 
+def test_priority_window_follows_ledger_policy():
+    # PRIORITY_WINDOW.json is GENERATED (scripts/correctness_ledger.py):
+    # never-driver-checked queries first in registry order, then the
+    # stalest checked rows by ascending last-driver-round.  The committed
+    # file must match what the policy computes from the committed
+    # CORRECTNESS_r*.json history — i.e. the 50 max-age keys.
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import correctness_ledger as cl
+
+    last, _ = cl.collect()
+    names = cl.registry_names()
+    expected = cl.next_window(last, names)
+    with open("/root/repo/PRIORITY_WINDOW.json") as f:
+        committed = json.load(f)["window"]
+    assert committed == expected
+    # and the entry module serves exactly that window as its prefix
+    e = _entry()
+    assert e._PRIORITY == expected
+    # policy sanity: nothing outside the window is staler than anything
+    # inside it (never-checked counts as infinitely stale)
+    in_window = set(committed)
+    worst_in = max(last.get(n, (-1,))[0] for n in committed)
+    best_out = min(
+        (last[n][0] for n in names if n not in in_window and n in last),
+        default=None,
+    )
+    never_out = [n for n in names if n not in in_window and n not in last]
+    assert not never_out, f"never-checked left outside window: {never_out}"
+    if best_out is not None:
+        assert worst_in <= best_out
+
+
 def test_bench_headline_names_are_registered():
     import bench
     from flashml_spark.queries import QUERIES

@@ -607,6 +607,55 @@ def test_ttl_dedup_null_payload_is_its_own_key(spark):
     assert out == {1: 0, 2: 1, 3: 1}
 
 
+def test_ttl_dedup_anchor_first_reemits_long_chain(spark):
+    # A retry chain spanning more than one horizon: the default
+    # refreshing mode flags it end-to-end; anchor="first"
+    # (dropDuplicatesWithinWatermark semantics) re-emits the first row
+    # past anchor + horizon as a new anchor.
+    rows = [
+        (1, 9, "submit", "payload", "2024-01-01 00:00:00"),  # anchor
+        (2, 9, "submit", "payload", "2024-01-01 00:50:00"),  # within 1h of #1
+        (3, 9, "submit", "payload", "2024-01-01 01:40:00"),  # 100m from #1:
+        # beyond the FIRST anchor's horizon -> new anchor under "first",
+        # but 50m from #2 -> still dup under refreshing default
+        (4, 9, "submit", "payload", "2024-01-01 02:20:00"),  # 40m from #3
+        (5, 9, "submit", "payload", "2024-01-01 06:00:00"),  # horizon expired
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, props string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    keys = ["user_id", "event_type", "props"]
+    refresh = {r["event_id"]: r["is_dup"] for r in dedup.ttl_dedup_flags(
+        df, keys, "ts", "event_id", 3600
+    ).collect()}
+    first = {r["event_id"]: r["is_dup"] for r in dedup.ttl_dedup_flags(
+        df, keys, "ts", "event_id", 3600, anchor="first"
+    ).collect()}
+    assert refresh == {1: 0, 2: 1, 3: 1, 4: 1, 5: 0}
+    assert first == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0}
+
+
+def test_ttl_dedup_anchor_first_matches_refresh_on_short_chains(spark):
+    # When no chain spans the horizon the two anchor modes agree.
+    rows = [
+        (1, 9, "submit", "p", "2024-01-01 00:00:00"),
+        (2, 9, "submit", "p", "2024-01-01 00:30:00"),
+        (3, 9, "submit", "p", "2024-01-01 03:00:00"),
+        (4, 9, "submit", "q", "2024-01-01 00:10:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, props string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    keys = ["user_id", "event_type", "props"]
+    refresh = {r["event_id"]: r["is_dup"] for r in dedup.ttl_dedup_flags(
+        df, keys, "ts", "event_id", 3600
+    ).collect()}
+    first = {r["event_id"]: r["is_dup"] for r in dedup.ttl_dedup_flags(
+        df, keys, "ts", "event_id", 3600, anchor="first"
+    ).collect()}
+    assert refresh == first == {1: 0, 2: 1, 3: 0, 4: 0}
+
+
 # --- batch retrieval --------------------------------------------------------
 
 

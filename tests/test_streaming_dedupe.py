@@ -128,3 +128,85 @@ def test_streaming_curation_matches_batch_stages(spark, tmp_path):
         r["text"] for r in dedup.exact_dedup(batch_kept, "text", "doc_id").collect()
     }
     assert got_texts == want_texts
+
+
+def test_ttl_anchor_first_parity_with_dropDuplicatesWithinWatermark(
+    spark, tmp_path
+):
+    """ttl_dedup_flags(anchor="first") is the batch twin of streaming
+    dropDuplicatesWithinWatermark: same kept set when batch boundaries
+    advance the watermark past each anchor's expiry (the operator's
+    documented guarantee — within one microbatch streaming also drops
+    farther-apart duplicates because state is only evicted at watermark
+    advance, which is a batch-boundary accident, not the contract).
+
+    Scenario (delay = horizon = 10 s): key A bursts at +0/+5/+8 s, a
+    watermark-advancing filler key at +100 s (watermark -> 90 s), an
+    intermediate microbatch whose END evicts A's state (Spark removes
+    expired dedup state at batch end, not before processing — verified
+    empirically: without this batch A@+95 is still dropped), then A
+    returns at +95 s (re-emitted new anchor) and +97 s (dup of it).
+    """
+    import time
+
+    base = 86_400  # seconds; epoch-adjacent event times are "late" rows
+    rows1 = [
+        ("A", 1, base + 0),
+        ("A", 2, base + 5),
+        ("A", 3, base + 8),
+        ("W", 4, base + 100),
+    ]
+    rows_evict = [("W2", 7, base + 105)]
+    rows2 = [
+        ("A", 5, base + 95),
+        ("A", 6, base + 97),
+    ]
+
+    def _frame(rows):
+        return spark.createDataFrame(
+            rows, "key string, event_id long, sec long"
+        ).select(
+            "key", "event_id", F.timestamp_seconds("sec").alias("ts")
+        )
+
+    src = str(tmp_path / "ttl_src")
+    # three files, strictly increasing mtime -> three microbatches under
+    # maxFilesPerTrigger=1, watermark advancing between them
+    for rows in (rows1, rows_evict, rows2):
+        _frame(rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    batch_df = _frame(rows1 + rows_evict + rows2)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["key"])
+        .writeStream.format("memory")
+        .queryName("ttl_anchor_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streaming_kept = {
+        r["event_id"] for r in spark.table("ttl_anchor_stream").collect()
+    }
+
+    flagged = dedup.ttl_dedup_flags(
+        batch_df, ["key"], "ts", "event_id", 10, anchor="first"
+    )
+    batch_kept = {
+        r["event_id"] for r in flagged.filter(F.col("is_dup") == 0).collect()
+    }
+    assert streaming_kept == batch_kept == {1, 4, 5, 7}
+    # and the refreshing default would NOT re-emit at +95 if the chain
+    # were gap-free; here the 87 s gap exceeds the horizon either way,
+    # so pin the distinguishing rows instead: 2,3,6 are dups in both
+    dups = {
+        r["event_id"] for r in flagged.filter(F.col("is_dup") == 1).collect()
+    }
+    assert dups == {2, 3, 6}
