@@ -286,6 +286,51 @@ def totals_line(timings: dict[str, float], total: float, sf_val) -> str:
     )
 
 
+def local_table_path() -> str:
+    """Destination for the committed full per-query timing table.
+
+    The r4/r5 driver bench tails shared zero per-query keys, so
+    round-over-round regressions needed a re-run to spot; committing
+    the full table each round makes them a ``diff``
+    (BENCH_LOCAL_r{N}.json, N = newest CORRECTNESS round + 1, i.e. the
+    round being benched; override with $SPARK_GRAFT_BENCH_OUT).
+    """
+    override = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if override:
+        return override
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    return os.path.join(repo, f"BENCH_LOCAL_r{n:02d}.json")
+
+
+def write_local_table(
+    timings: dict[str, float], total: float, sf_val, path: str
+) -> None:
+    """Write the FULL per-query table (what the bounded stdout tail
+    cannot carry) as a committed, diffable artifact."""
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_detail",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": dict(sorted(timings.items())),
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -332,6 +377,7 @@ def main() -> int:
         release_storage(spark)
     total = sum(timings.values())
 
+    write_local_table(timings, total, sf_val, local_table_path())
     print(detail_line(timings, total, sf_val))
     sys.stdout.flush()
     print(totals_line(timings, total, sf_val))

@@ -119,3 +119,33 @@ def test_bench_totals_line_stays_compact():
 
     src = inspect.getsource(bench.main)
     assert src.index("detail_line(") < src.index("totals_line(")
+    # the full table must also land on disk (the committed diffable
+    # artifact) BEFORE any stdout printing
+    assert src.index("write_local_table(") < src.index("detail_line(")
+
+
+def test_bench_local_table_roundtrip(tmp_path):
+    # the committed per-query table carries EVERY timing, sorted by
+    # name, and the default path targets the round being benched
+    # (newest CORRECTNESS round + 1)
+    import glob
+    import re
+
+    import bench
+
+    timings = {f"x{i:03d}_q": float(i) for i in range(250)}
+    out = str(tmp_path / "BENCH_LOCAL_test.json")
+    bench.write_local_table(timings, sum(timings.values()), 0.1, out)
+    with open(out) as f:
+        table = json.load(f)
+    assert table["queries"] == dict(sorted(timings.items()))
+    assert list(table["queries"]) == sorted(timings)
+    assert table["sf"] == 0.1
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    expect = f"BENCH_LOCAL_r{max(rounds) + 1:02d}.json"
+    assert bench.local_table_path().endswith(expect)

@@ -923,3 +923,94 @@ def test_ewma_anomaly_matches_python_mirror(spark, vals):
         # tolerance scales with the value magnitude
         exp = ws / wt
         assert abs(r["ewma"] - exp) < 1e-6 * (1 + abs(exp)) + 1e-5
+
+
+# --- BPE learn + encode vs a pure-Python Sennrich reference -----------------
+# (r5 verdict item 7: learn is `abab`-pinned; the encode/learn PAIR gets
+# the same hammer on random corpora.)
+
+
+def _ref_merge_word(word: tuple, pair: tuple) -> tuple:
+    """Canonical greedy left-to-right non-overlapping merge of one pair."""
+    out, i = [], 0
+    while i < len(word):
+        if i < len(word) - 1 and (word[i], word[i + 1]) == pair:
+            out.append(word[i] + word[i + 1])
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe_learn(word_freq: dict, n_merges: int) -> list:
+    """Sennrich et al. learn loop: count adjacent pairs over the word
+    frequency table, merge the most frequent (ties: ascending 'a b'
+    string), repeat.  Returns [(pair_str, merged, count), ...]."""
+    from collections import Counter
+
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for word, freq in vocab.items():
+            for a, b in zip(word, word[1:]):
+                stats[(a, b)] += freq
+        if not stats:
+            break
+        maxn = max(stats.values())
+        pair = min(
+            (p for p, n in stats.items() if n == maxn),
+            key=lambda p: " ".join(p),
+        )
+        merges.append((" ".join(pair), pair[0] + pair[1], maxn))
+        vocab = {_ref_merge_word(w, pair): f for w, f in vocab.items()}
+    return merges
+
+
+def _ref_encode_len(word: str, merges: list) -> int:
+    syms = tuple(word)
+    for pair_str in merges:
+        a, b = pair_str.split(" ")
+        syms = _ref_merge_word(syms, (a, b))
+    return len(syms)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_learn_and_encode_match_sennrich_reference(spark, docs, n_merges):
+    from collections import Counter
+
+    from flashml_spark.operators.textops import bpe_encode_fertility, bpe_learn
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id int, text string")
+    learned = [
+        (r["pair"], r["merged"], r["n"])
+        for r in bpe_learn(df, "text", n_merges=n_merges).orderBy("merge_round").collect()
+    ]
+
+    word_freq = Counter(w for d in docs for w in d.split(" "))
+    want = _ref_bpe_learn(word_freq, n_merges)
+    assert learned == want
+
+    # encode: per-corpus token totals under the learned rules
+    merges = [p for p, _, _ in learned]
+    row = (
+        bpe_encode_fertility(
+            df.withColumn("g", F.lit("all")), "text", "g", merges
+        )
+        .collect()[0]
+    )
+    want_tokens = sum(f * _ref_encode_len(w, merges) for w, f in word_freq.items())
+    n_words = sum(word_freq.values())
+    assert row["n_words"] == n_words
+    assert row["n_bpe_tokens"] == want_tokens
