@@ -169,3 +169,59 @@ def calibration_curve(
         )
     )
     return out
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / decile lift table — the campaign-targeting
+    readout next to AUROC: rank by score descending, cut into
+    ``n_buckets`` equal-count buckets, and report each bucket's capture
+    of all positives (gain) and its rate vs the base rate (lift).
+
+    Scale shape: ranking uses ``global_ntile`` (range partition +
+    per-partition offsets — no single-partition window over raw rows);
+    per-bucket aggregation is one hash agg; the cumulative runs over
+    the |buckets| frame via ``global_cumsum`` with a ``rows_hint``; the
+    scalar totals ride a 1-row broadcast.
+
+    Output: ``bucket, n, n_pos, cum_pos, gain, lift`` (bucket 1 = top
+    scores).
+    """
+    from flashml_spark.functions.windows import global_cumsum, global_ntile
+
+    ranked = df.select(
+        (-F.col(score_col)).alias("__neg"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    tiled = global_ntile(ranked, "__neg", n_buckets, tiebreak_cols=["__tb"])
+    per = tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+    )
+    cum = global_cumsum(
+        per, "bucket", ["n_pos"], rows_hint=n_buckets, prefix="cum_"
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("double").alias("__tp"),
+        F.sum("n").cast("double").alias("__tn"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n",
+            "n_pos",
+            F.col("cum_n_pos").cast("bigint").alias("cum_pos"),
+            F.round(F.col("cum_n_pos") / F.col("__tp"), 6).alias("gain"),
+            F.round(
+                (F.col("n_pos") / F.col("n")) / (F.col("__tp") / F.col("__tn")), 6
+            ).alias("lift"),
+        )
+        .orderBy("bucket")
+    )

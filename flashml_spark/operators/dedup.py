@@ -1418,3 +1418,49 @@ def duplication_by_length(
             .alias("chars_lo"),
         )
     )
+
+
+def fs_weight_bands(
+    pairs: DataFrame,
+    agreements: list[tuple[str, float, float]],
+    truth_col: str,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969): each field comparison contributes ``log(m/u)`` when it
+    agrees and ``log((1-m)/(1-u))`` when it disagrees (m = P(agree |
+    match), u = P(agree | non-match)); the pair's weight is the sum.
+    Reports the weight-band calibration table — per integer band, how
+    many candidate pairs land there and what fraction are true matches —
+    the readout that picks the upper/lower decision thresholds.
+
+    ``agreements`` is ``[(bool_col_name, m, u), ...]``.  The log-weights
+    are computed in PYTHON and baked as shared literals (cross-engine
+    float rule, SCALE.md): both engines add the same constants, so the
+    band histogram is bit-identical.
+
+    Scale shape: the caller owns blocking (candidate generation); this
+    is a projection + one band agg over the candidate frame — linear in
+    |pairs|.  Output: ``band, n_pairs, n_match, match_rate``.
+    """
+    import math
+
+    w = F.lit(0.0)
+    for col, m, u in agreements:
+        agree_w = math.log(m / u)
+        disagree_w = math.log((1.0 - m) / (1.0 - u))
+        w = w + F.when(F.col(col), F.lit(agree_w)).otherwise(F.lit(disagree_w))
+    banded = pairs.withColumn("__w", w).withColumn(
+        "band", F.floor(F.col("__w")).cast("bigint")
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col(truth_col).cast("long")).cast("bigint").alias("n_match"),
+        )
+        .withColumn(
+            "match_rate",
+            F.round(F.col("n_match") / F.col("n_pairs").cast("double"), 6),
+        )
+        .orderBy("band")
+    )

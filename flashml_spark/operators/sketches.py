@@ -1,0 +1,99 @@
+"""Distributed sketch operators.
+
+The reference's analytics stack has no sketch family (its dedup is
+exact); these are the cardinality/frequency companions a 100 TB
+curation pipeline runs *before* paying for exact passes.  Every sketch
+here is DETERMINISTIC (md5-derived hashing, no engine RNG) so the same
+computation is expressible in any SQL engine and the driver's DuckDB
+oracle can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flashml_spark.functions import hashing as H
+
+# alpha_256: the standard HLL bias constant for m >= 128 registers
+# (Flajolet et al. 2007, eq. 3: 0.7213 / (1 + 1.079/m)).  Computed in
+# Python and baked as a literal into BOTH the Spark plan and the SQL
+# oracle — never each engine's own arithmetic — per the cross-engine
+# float determinism rule (SCALE.md).
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate next to the exact count —
+    the sketch-accuracy audit.  256 registers from a 60-bit md5-derived
+    hash: low 8 bits pick the register, the remaining 52 bits' leading-
+    zero rank (``53 - bitlength``) is the register value.
+
+    Deliberately NOT ``approx_count_distinct``: Spark's HLL++ and any
+    other engine's HLL use different hash functions and bias tables, so
+    their estimates can't be compared across engines.  This one is pure
+    integer/md5 arithmetic + exact powers of two, so DuckDB reproduces
+    it bit-for-bit — the estimate itself becomes testable, which is the
+    point of an accuracy audit.  No small-range (linear counting)
+    correction: the raw HLL estimator is the thing being audited, and
+    the exact count sits in the next column anyway.
+
+    Scale shape: distinct (group, value) hash agg → (group, register)
+    max-rank agg (≤ 256·|groups| rows) → per-group sum.  The corpus is
+    touched once; everything after the first agg is register-bounded.
+    Output: ``<group>, n_exact, hll_estimate, rel_error``.
+    """
+    hv = H.md5_long(F.col(value_col).cast("string"), 15)  # 60 bits, positive
+    # high 52 bits via shiftright — hv/256 through double division would
+    # round (60 significant bits > the 53-bit mantissa) and floor() could
+    # land off by one; the SQL twin is exact integer division (hv // 256)
+    w = F.shiftright(hv, 8)
+    rank = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w))
+    )
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.col(value_col))
+        .distinct()
+        .select(
+            group_col,
+            (hv % HLL_M).alias("reg"),
+            rank.alias("rank"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    exact = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct(value_col).alias("n_exact"))
+    )
+    # absent registers contribute 2^0 = 1.0 each
+    est = (
+        regs.groupBy(group_col)
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+            F.count(F.lit(1)).alias("used"),
+        )
+        .select(
+            group_col,
+            (
+                F.lit(HLL_ALPHA * HLL_M * HLL_M)
+                / (F.col("s") + (F.lit(HLL_M) - F.col("used")))
+            ).alias("hll"),
+        )
+    )
+    return (
+        exact.join(est, group_col)
+        .select(
+            group_col,
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round("hll", 6).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("hll") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+    )

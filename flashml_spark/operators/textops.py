@@ -1966,3 +1966,235 @@ def chao1_vocab_estimate(df: DataFrame, text_col: str) -> DataFrame:
         F.round(chao, 6).alias("chao1"),
         F.round(chao_bc, 6).alias("chao1_bc"),
     )
+
+
+def collocations_g2(
+    df: DataFrame, text_col: str, top_k: int = 15, min_count: int = 3
+) -> DataFrame:
+    """Collocation detection via Dunning's log-likelihood ratio (G²,
+    Dunning 1993) over corpus word bigrams: which adjacent word pairs
+    co-occur far more than their unigram frequencies predict — the
+    statistically-sound alternative to raw PMI (which over-ranks rare
+    pairs; G² weights evidence by support).
+
+    For each bigram (a, b) the 2×2 contingency table against all other
+    bigram slots: k11 = count(a,b), k12 = count(a,·) − k11,
+    k21 = count(·,b) − k11, k22 = N − k11 − k12 − k21, and
+    G² = 2·Σ k·ln(k·N / (rowsum·colsum)) with 0·ln(·) = 0.
+
+    Scale shape: one corpus pass explodes positional bigrams; one hash
+    agg counts them; two |vocab|-bounded aggs give the left/right
+    marginals, joined back by key (never a cross join); the scalar N
+    rides a 1-row broadcast.  ln/exp agree bit-for-bit cross-engine on
+    one machine (same libm — the repo-wide convention, cf. x140 JSD).
+
+    Output: ``word_a, word_b, n_pair, g2`` — top ``top_k`` by G²
+    (ties: ascending words), pairs with fewer than ``min_count``
+    occurrences dropped.
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        H.tokens(F.col(text_col)).alias("__t")
+    )
+    pairs = (
+        toks.select(F.explode(H.word_ngrams(F.col("__t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("k11"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("wa"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("wb"),
+            "k11",
+        )
+    )
+    left = pairs.groupBy("wa").agg(F.sum("k11").alias("ra"))
+    right = pairs.groupBy("wb").agg(F.sum("k11").alias("cb"))
+    n_tot = pairs.agg(F.sum("k11").alias("n"))
+
+    def term(k, e):
+        return F.when(k > 0, k.cast("double") * F.log(k.cast("double") / e)).otherwise(
+            F.lit(0.0)
+        )
+
+    j = (
+        pairs.join(left, "wa")
+        .join(right, "wb")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("k12", F.col("ra") - F.col("k11"))
+        .withColumn("k21", F.col("cb") - F.col("k11"))
+        .withColumn(
+            "k22", F.col("n") - F.col("ra") - F.col("cb") + F.col("k11")
+        )
+    )
+    n = F.col("n").cast("double")
+    e11 = F.col("ra") * F.col("cb") / n
+    e12 = F.col("ra") * (n - F.col("cb")) / n
+    e21 = (n - F.col("ra")) * F.col("cb") / n
+    e22 = (n - F.col("ra")) * (n - F.col("cb")) / n
+    g2 = 2.0 * (
+        term(F.col("k11"), e11)
+        + term(F.col("k12"), e12)
+        + term(F.col("k21"), e21)
+        + term(F.col("k22"), e22)
+    )
+    return (
+        j.where(F.col("k11") >= min_count)
+        .select(
+            F.col("wa").alias("word_a"),
+            F.col("wb").alias("word_b"),
+            F.col("k11").cast("bigint").alias("n_pair"),
+            F.round(g2, 6).alias("g2"),
+        )
+        .orderBy(F.desc("g2"), F.asc("word_a"), F.asc("word_b"))
+        .limit(top_k)
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Gopher-style per-document quality rule screen (Rae et al. 2021,
+    table A1 subset), reported as per-group violation counts — the
+    corpus triage that says WHICH filter would remove how much of each
+    source before any document is actually dropped.
+
+    Rules (violation = outside the published bounds):
+      * word count outside [50, 100 000]
+      * mean word length outside [3, 10]
+      * < 80% of words contain an alphabetic character
+      * stop-word fraction < 0.06 (the 8-word canonical list)
+
+    Scale shape: every measure is an array higher-order expression over
+    the token array — ONE pass, zero shuffle, no explode; the only agg
+    is the per-group rollup.  Output: ``<group>, n_docs, v_wordcount,
+    v_wordlen, v_alpha, v_stop, v_any, pass_rate``.
+    """
+    toks = H.tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / n.cast("double")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n.cast("double")
+    )
+    stop_frac = (
+        F.size(
+            F.filter(
+                toks, lambda x: x.isin(*GOPHER_STOPWORDS)
+            )
+        )
+        / n.cast("double")
+    )
+    flagged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        ((n < 50) | (n > 100_000)).cast("long").alias("v_wordcount"),
+        ((mean_wl < 3.0) | (mean_wl > 10.0)).cast("long").alias("v_wordlen"),
+        (alpha_frac < 0.8).cast("long").alias("v_alpha"),
+        (stop_frac < 0.06).cast("long").alias("v_stop"),
+    )
+    v_any = (
+        (F.col("v_wordcount") + F.col("v_wordlen") + F.col("v_alpha") + F.col("v_stop"))
+        > 0
+    ).cast("long")
+    return (
+        flagged.withColumn("v_any", v_any)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("v_wordcount").cast("bigint").alias("v_wordcount"),
+            F.sum("v_wordlen").cast("bigint").alias("v_wordlen"),
+            F.sum("v_alpha").cast("bigint").alias("v_alpha"),
+            F.sum("v_stop").cast("bigint").alias("v_stop"),
+            F.sum("v_any").cast("bigint").alias("v_any"),
+            F.round(
+                1.0 - F.sum("v_any") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    target_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-bigram profile is —
+    ``log w(doc) = Σ_features count · log(p_target[b] / p_raw[b])``
+    with hashed word-bigram features (md5 → ``n_buckets`` buckets,
+    Laplace-smoothed bucket probabilities).  The per-group summary says
+    which sources to up/down-sample toward the target mixture.
+
+    ``target_col`` is a boolean column marking target-domain docs (the
+    target profile is estimated from them; raw = everything).
+
+    Scale shape: one corpus explode to (doc, bucket) counts; bucket
+    profiles are two ``n_buckets``-row aggs joined back on the bucket
+    key (broadcast-size); per-doc weight is one keyed agg; the final
+    rollup is |groups| rows.  Output: ``<group>, n_docs,
+    mean_log_weight, pos_share``.
+    """
+    toks = H.tokens(F.col(text_col))
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(target_col).alias("__is_t"),
+            F.explode(H.word_ngrams(toks, 2)).alias("__g"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "__is_t",
+            (H.md5_long(F.col("__g"), 8) % n_buckets).alias("__b"),
+        )
+    )
+    doc_bucket = grams.groupBy(id_col, group_col, "__is_t", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    raw = grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt = (
+        grams.where(F.col("__is_t"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    n_raw = grams.agg(F.count(F.lit(1)).alias("__nr"))
+    n_tgt = grams.where(F.col("__is_t")).agg(F.count(F.lit(1)).alias("__nt"))
+    profile = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "__b",
+            F.log(
+                ((F.coalesce(F.col("__ct"), F.lit(0)) + 1.0)
+                 / (F.col("__nt") + F.lit(float(n_buckets))))
+                / ((F.col("__cr") + 1.0) / (F.col("__nr") + F.lit(float(n_buckets))))
+            ).alias("__lr"),
+        )
+    )
+    doc_w = (
+        doc_bucket.join(F.broadcast(profile), "__b")
+        .groupBy(id_col, group_col)
+        .agg(F.sum(F.col("__c") * F.col("__lr")).alias("__w"))
+    )
+    return (
+        doc_w.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("__w"), 6).alias("mean_log_weight"),
+            F.round(
+                F.sum((F.col("__w") > 0).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_share"),
+        )
+        .orderBy(group_col)
+    )

@@ -1,0 +1,340 @@
+"""Extension queries x219+ — round-6 additions.
+
+Families: deterministic sketches (HLL cardinality audit), collocation
+statistics (Dunning G²), model-quality tables (cumulative gains /
+decile lift, exact isotonic calibration), probabilistic record linkage
+(Fellegi-Sunter), corpus quality rule screens (Gopher-style), data
+mixing (DSIR importance weights), and multiple-testing control
+(Benjamini-Hochberg).  Every query keeps the repo's oracle discipline:
+deterministic md5-derived randomness, Python-computed shared float
+literals, no engine-specific approximations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import sketches
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# x219 — HyperLogLog distinct-token estimate per source, next to the
+# exact count: the sketch-accuracy audit a pipeline runs before trusting
+# approximate cardinalities at 100 TB (where exact count_distinct of
+# tokens is a full shuffle but the 256-register sketch is a broadcastable
+# few KB per group).  The sketch is md5-deterministic, so the DuckDB
+# oracle replays the ESTIMATE itself bit-for-bit — not just the exact
+# side.
+_HLL_SQL = f"""
+WITH toks AS (SELECT DISTINCT source,
+                     UNNEST({_TOK}) AS token
+              FROM documents WHERE text IS NOT NULL),
+     h AS (SELECT source, token,
+                  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS hv
+           FROM toks),
+     r AS (SELECT source, hv % 256 AS reg, hv // 256 AS w FROM h),
+     mr AS (SELECT source, reg,
+                   MAX(CASE WHEN w = 0 THEN 53
+                            ELSE 53 - LENGTH(bin(w)) END) AS mr
+            FROM r GROUP BY source, reg),
+     est AS (SELECT source,
+                    CAST({sketches.HLL_ALPHA!r} AS DOUBLE) * 65536.0
+                    / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS hll
+             FROM mr GROUP BY source),
+     ex AS (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact
+            FROM toks GROUP BY source)
+SELECT ex.source, ex.n_exact, ROUND(est.hll, 6) AS hll_estimate,
+       ROUND(ABS(est.hll - ex.n_exact) / ex.n_exact, 6) AS rel_error
+FROM ex JOIN est ON est.source = ex.source
+ORDER BY ex.source"""
+
+
+@register("x219_hll_distinct", _HLL_SQL)
+def x219(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "source", F.explode(H.tokens(F.col("text"))).alias("token")
+    )
+    return sketches.hll_distinct(toks, "source", "token").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# x220 — collocation detection via Dunning's G² log-likelihood ratio on
+# corpus word bigrams (Dunning 1993): the statistically-sound collocation
+# ranking (PMI over-ranks rare pairs; G² weighs evidence by support).
+# Complements x88's PMI pairs with the significance-tested variant.
+_G2_SQL = f"""
+WITH tok AS (SELECT {_TOK} AS ts FROM documents WHERE text IS NOT NULL),
+     bg AS (SELECT ts[i] AS wa, ts[i + 1] AS wb
+            FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r),
+     p AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS k11
+           FROM bg GROUP BY wa, wb),
+     l AS (SELECT wa, SUM(k11) AS ra FROM p GROUP BY wa),
+     rr AS (SELECT wb, SUM(k11) AS cb FROM p GROUP BY wb),
+     nt AS (SELECT SUM(k11) AS n FROM p),
+     j AS (SELECT p.wa, p.wb, p.k11, l.ra, rr.cb,
+                  CAST(nt.n AS DOUBLE) AS n,
+                  p.k11 AS a11, l.ra - p.k11 AS a12, rr.cb - p.k11 AS a21,
+                  nt.n - l.ra - rr.cb + p.k11 AS a22
+           FROM p JOIN l ON l.wa = p.wa
+                  JOIN rr ON rr.wb = p.wb, nt),
+     g AS (SELECT wa, wb, k11,
+                  2.0 * (
+                    (CASE WHEN a11 > 0 THEN a11 * LN(a11 / (ra * cb / n)) ELSE 0.0 END)
+                  + (CASE WHEN a12 > 0 THEN a12 * LN(a12 / (ra * (n - cb) / n)) ELSE 0.0 END)
+                  + (CASE WHEN a21 > 0 THEN a21 * LN(a21 / ((n - ra) * cb / n)) ELSE 0.0 END)
+                  + (CASE WHEN a22 > 0 THEN a22 * LN(a22 / ((n - ra) * (n - cb) / n)) ELSE 0.0 END)
+                  ) AS g2
+           FROM j)
+SELECT wa AS word_a, wb AS word_b, k11 AS n_pair, ROUND(g2, 6) AS g2
+FROM g WHERE k11 >= 3
+ORDER BY g2 DESC, word_a ASC, word_b ASC LIMIT 15"""
+
+
+@register("x220_collocations_g2", _G2_SQL)
+def x220(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.collocations_g2(docs, "text", top_k=15, min_count=3)
+
+
+# --------------------------------------------------------------------------
+# x221 — cumulative gains / decile lift table: the campaign-targeting
+# readout (top-decile capture, per-decile lift over base rate) for a
+# scored population.  Scores/labels are hash-derived exactly as in
+# x169's calibration construction (score = md5-uniform; label drawn
+# with probability = score from an independent hash), so the table is
+# well-behaved by construction and fully deterministic cross-engine.
+_GAINS_SQL = """
+WITH s AS (SELECT o_orderkey,
+                  (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0 AS score,
+                  (CAST(('0x' || substr(md5('lbl:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0 AS u2
+           FROM orders),
+     lab AS (SELECT o_orderkey, score,
+                    CASE WHEN u2 < score THEN 1.0 ELSE 0.0 END AS y FROM s),
+     t AS (SELECT o_orderkey, y,
+                  ntile(10) OVER (ORDER BY -score, o_orderkey) AS bucket
+           FROM lab),
+     per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS n_pos
+             FROM t GROUP BY bucket),
+     cum AS (SELECT bucket, n, n_pos,
+                    SUM(n_pos) OVER (ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS cum_pos
+             FROM per),
+     tot AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS tp,
+                    CAST(SUM(n) AS DOUBLE) AS tn FROM per)
+SELECT bucket, n, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+       ROUND(cum_pos / tot.tp, 6) AS gain,
+       ROUND((n_pos / CAST(n AS DOUBLE)) / (tot.tp / tot.tn), 6) AS lift
+FROM cum, tot ORDER BY bucket"""
+
+
+@register("x221_cumulative_gains", _GAINS_SQL)
+def x221(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+    from flashml_spark.metrics.binary import cumulative_gains
+
+    o = load_table(spark, sf, "orders").select("o_orderkey")
+    scored = o.select(
+        "o_orderkey",
+        H.md5_uniform(F.col("o_orderkey")).alias("score"),
+        (
+            H.md5_uniform(F.concat(F.lit("lbl:"), F.col("o_orderkey")))
+            < H.md5_uniform(F.col("o_orderkey"))
+        ).cast("double").alias("y"),
+    )
+    return cumulative_gains(scored, "score", "y", "o_orderkey", n_buckets=10)
+
+
+# --------------------------------------------------------------------------
+# x222 — Fellegi-Sunter probabilistic record linkage calibration table.
+# A deterministic noisy-duplicate view of customer (md5-perturbed segment
+# and balance) is linked back to the original by blocking on
+# (nation, balance-band); each candidate pair scores log(m/u) /
+# log((1-m)/(1-u)) field weights (Python-computed literals shared with
+# the oracle), and the integer weight-band histogram reports the
+# true-match rate per band — the table that picks linkage thresholds.
+# Blocking recall loss (perturbed balances that cross a band edge) is the
+# documented, measured trade: candidate generation stays |block|²-bounded.
+import math as _math  # noqa: E402
+
+_FS_M_SEG, _FS_U_SEG = 0.8, 0.2
+_FS_M_BAL, _FS_U_BAL = 0.7, 0.02
+_FS_W = {
+    "seg_a": _math.log(_FS_M_SEG / _FS_U_SEG),
+    "seg_d": _math.log((1 - _FS_M_SEG) / (1 - _FS_U_SEG)),
+    "bal_a": _math.log(_FS_M_BAL / _FS_U_BAL),
+    "bal_d": _math.log((1 - _FS_M_BAL) / (1 - _FS_U_BAL)),
+}
+
+_FS_SQL = f"""
+WITH b AS (SELECT c_custkey, c_nationkey,
+                  CASE WHEN (CAST(('0x' || substr(md5('seg:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                             AS BIGINT) + 1.0) / 4294967296.0 < 0.2
+                       THEN 'PERTURBED' ELSE c_mktsegment END AS b_seg,
+                  c_acctbal + CASE WHEN (CAST(('0x' || substr(md5('bal:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                             AS BIGINT) + 1.0) / 4294967296.0 < 0.3
+                       THEN 500.0 ELSE 0.0 END AS b_bal
+           FROM customer),
+     cand AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+                     a.c_mktsegment = b.b_seg AS agree_seg,
+                     ABS(a.c_acctbal - b.b_bal) < 100.0 AS agree_bal,
+                     a.c_custkey = b.c_custkey AS is_match
+              FROM customer a JOIN b
+                ON a.c_nationkey = b.c_nationkey
+               AND CAST(floor(a.c_acctbal / 2000.0) AS BIGINT)
+                   = CAST(floor(b.b_bal / 2000.0) AS BIGINT)),
+     w AS (SELECT is_match,
+                  (CASE WHEN agree_seg THEN CAST({_FS_W["seg_a"]!r} AS DOUBLE)
+                        ELSE CAST({_FS_W["seg_d"]!r} AS DOUBLE) END)
+                + (CASE WHEN agree_bal THEN CAST({_FS_W["bal_a"]!r} AS DOUBLE)
+                        ELSE CAST({_FS_W["bal_d"]!r} AS DOUBLE) END) AS wt
+           FROM cand)
+SELECT CAST(floor(wt) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       ROUND(SUM(CASE WHEN is_match THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS match_rate
+FROM w GROUP BY band ORDER BY band"""
+
+
+@register("x222_record_linkage_fs", _FS_SQL)
+def x222(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+    from flashml_spark.operators import dedup
+
+    cust = load_table(spark, sf, "customer")
+    b = cust.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nb"),
+        F.when(
+            H.md5_uniform(F.concat(F.lit("seg:"), F.col("c_custkey"))) < 0.2,
+            F.lit("PERTURBED"),
+        ).otherwise(F.col("c_mktsegment")).alias("b_seg"),
+        (
+            F.col("c_acctbal")
+            + F.when(
+                H.md5_uniform(F.concat(F.lit("bal:"), F.col("c_custkey"))) < 0.3,
+                F.lit(500.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("b_bal"),
+    )
+    pairs = cust.join(
+        b,
+        (F.col("c_nationkey") == F.col("nb"))
+        & (
+            F.floor(F.col("c_acctbal") / 2000.0).cast("bigint")
+            == F.floor(F.col("b_bal") / 2000.0).cast("bigint")
+        ),
+    ).select(
+        (F.col("c_mktsegment") == F.col("b_seg")).alias("agree_seg"),
+        (F.abs(F.col("c_acctbal") - F.col("b_bal")) < 100.0).alias("agree_bal"),
+        (F.col("c_custkey") == F.col("kb")).alias("is_match"),
+    )
+    return dedup.fs_weight_bands(
+        pairs,
+        [
+            ("agree_seg", _FS_M_SEG, _FS_U_SEG),
+            ("agree_bal", _FS_M_BAL, _FS_U_BAL),
+        ],
+        "is_match",
+    )
+
+
+# --------------------------------------------------------------------------
+# x223 — Gopher quality rule screen per source (Rae et al. 2021 table A1
+# subset): per-rule violation counts BEFORE any document is dropped —
+# the triage readout complementing x46's keep/drop filter.  All measures
+# are token-array HOF expressions (one pass, no explode).
+_STOPLIST_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+_GOPHER_SQL = f"""
+WITH t AS (SELECT source, {_TOK} AS ts FROM documents WHERE text IS NOT NULL),
+     m AS (SELECT source, len(ts) AS n,
+                  list_sum(list_transform(ts, x -> length(x)))
+                    / CAST(len(ts) AS DOUBLE) AS mean_wl,
+                  len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+                    / CAST(len(ts) AS DOUBLE) AS alpha_frac,
+                  len(list_filter(ts, x -> list_contains({_STOPLIST_SQL}, x)))
+                    / CAST(len(ts) AS DOUBLE) AS stop_frac
+           FROM t),
+     v AS (SELECT source,
+                  CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS v_wordcount,
+                  CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 1 ELSE 0 END AS v_wordlen,
+                  CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END AS v_alpha,
+                  CASE WHEN stop_frac < 0.06 THEN 1 ELSE 0 END AS v_stop
+           FROM m),
+     w AS (SELECT *, CASE WHEN v_wordcount + v_wordlen + v_alpha + v_stop > 0
+                          THEN 1 ELSE 0 END AS v_any FROM v)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v_wordcount) AS BIGINT) AS v_wordcount,
+       CAST(SUM(v_wordlen) AS BIGINT) AS v_wordlen,
+       CAST(SUM(v_alpha) AS BIGINT) AS v_alpha,
+       CAST(SUM(v_stop) AS BIGINT) AS v_stop,
+       CAST(SUM(v_any) AS BIGINT) AS v_any,
+       ROUND(1.0 - SUM(v_any) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+FROM w GROUP BY source ORDER BY source"""
+
+
+@register("x223_gopher_rules", _GOPHER_SQL)
+def x223(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.gopher_quality_rules(docs, "text", "source")
+
+
+# --------------------------------------------------------------------------
+# x224 — DSIR importance weights (Xie et al. 2023): score every doc by
+# hashed-bigram target-likeness (target = the 'en' slice) and report the
+# per-source mixture readout.  Hashed features keep the profile frame at
+# a fixed 1024 rows regardless of corpus size — the broadcastable-profile
+# property that makes importance resampling feasible at 100 TB.
+_DSIR_SQL = f"""
+WITH tok AS (SELECT doc_id, source, lang = 'en' AS is_t, {_TOK} AS ts
+             FROM documents WHERE text IS NOT NULL),
+     g AS (SELECT doc_id, source, is_t,
+                  CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 8))
+                       AS BIGINT) % 1024 AS b
+           FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r),
+     db AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM g GROUP BY doc_id, source, b),
+     raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY b),
+     tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+             FROM g WHERE is_t GROUP BY b),
+     nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+     nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g WHERE is_t),
+     prof AS (SELECT raw.b,
+                     LN(((COALESCE(tgt.ct, 0) + 1.0) / (nt.n + 1024.0))
+                        / ((raw.cr + 1.0) / (nr.n + 1024.0))) AS lr
+              FROM raw LEFT JOIN tgt ON tgt.b = raw.b, nr, nt),
+     dw AS (SELECT db.doc_id, db.source, SUM(db.c * prof.lr) AS w
+            FROM db JOIN prof ON prof.b = db.b
+            GROUP BY db.doc_id, db.source)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(w), 6) AS mean_log_weight,
+       ROUND(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pos_share
+FROM dw GROUP BY source ORDER BY source"""
+
+
+@register("x224_dsir_weights", _DSIR_SQL)
+def x224(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    return textops.dsir_importance(
+        docs, "text", "doc_id", "source", "is_target", n_buckets=1024
+    )

@@ -340,3 +340,127 @@ def test_titanic_lr_hyperband_golden(spark, tmp_path):
     for key, want in GOLDEN_TITANIC_HB.items():
         assert metrics[key] == pytest.approx(want, abs=1e-9), key
     assert metrics["test.auroc"] != GOLDEN_TITANIC["test.auroc"]
+
+
+_WEB_JOURNEY_PAGE_QUERY = (
+    "SELECT COALESCE(current_page_url, '') AS current_page_url, "
+    "COALESCE(referrer, '') AS referrer, "
+    "COALESCE(initial_referrer_cat, '') AS initial_referrer_cat, "
+    "COALESCE(browser_cat, '') AS browser_cat, "
+    "COALESCE(isp, '') AS isp, COALESCE(os_cat, '') AS os_cat, "
+    "COALESCE(dd, '') AS dd, COALESCE(hour_of_day, '0') AS hour_of_day, "
+    "CAST(COALESCE(no_of_visits_in_last_7_days, '0') AS DOUBLE) "
+    "AS no_of_visits_in_last_7_days, "
+    "CAST(COALESCE(rv, '0') AS DOUBLE) AS rv, "
+    "CAST(COALESCE(nop_count, '1') AS INT) AS nop_count, "
+    "CAST(COALESCE(page_count, '1') AS INT) AS page_count, "
+    "CAST(COALESCE(repeatVisitor, '0') AS DOUBLE) AS repeatVisitor, "
+    "purchase_flag FROM flashml_table_in WHERE purchase_flag IS NOT NULL"
+)
+
+
+def _web_journey_page_cfg(pid, root):
+    """The reference's page-level web-journey scenario shape
+    (`singleIntent_svm_PG_test_config.json` /
+    `singleIntent_svm_PGUP_test_config.json`): pageVariable nop_count,
+    4 page models (page>=4 folds into the last), customFilter
+    page_count<=10, conditional rv split — with LR as the estimator."""
+    return {
+        "project": {
+            "id": pid,
+            "logLevel": "ERROR",
+            "data": {
+                "location": {
+                    "source": f"tsv://{WEB_JOURNEY}",
+                    "queries": [_WEB_JOURNEY_PAGE_QUERY],
+                },
+                "responseVariable": "purchase_flag",
+                "randomVariable": "rv",
+                "pageVariable": "nop_count",
+                "numPages": 4,
+                "filter": "page_count<=10",
+                "textVariables": ["current_page_url", "referrer"],
+                "categoricalVariables": [
+                    "initial_referrer_cat", "browser_cat", "isp", "os_cat",
+                    "dd", "hour_of_day",
+                ],
+                "numericalVariables": ["no_of_visits_in_last_7_days"],
+            },
+        },
+        "sampling": {"type": "conditional", "conditions": ["rv<=80", "rv>80"]},
+        "vectorization": {"text": {"method": "tfidf", "slots": 2000}},
+        "model": {"algorithm": "logistic_regression"},
+        "savepoint": {"root": root},
+    }
+
+
+def test_web_journey_page_level_lr_golden(spark, tmp_path):
+    """Page-level modelling on the reference's shipped web-journey data:
+    one LR per nop_count page (4 models, page>=4 folded into the last),
+    the reference's customFilter and conditional rv split, end-to-end
+    through the config CLI.  Pins overall AND per-page metrics — the
+    per-page rows prove the fan-out actually trained distinct models."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "wj_pg_sp")
+    cfg = _web_journey_page_cfg("web_journey_page_lr", root)
+    cfg_path = tmp_path / "wj_pg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_WEB_JOURNEY_PAGE.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    # the four page models must all have scored rows and distinct metrics
+    page_accs = [metrics[f"test.page{k}.accuracy"] for k in range(4)]
+    assert len(set(page_accs)) > 1
+
+
+def test_web_journey_uplift_lr_golden(spark, tmp_path):
+    """Uplift modelling on shipped web-journey data — the reference's
+    `treatmentVariable` scenario (`singleIntent_svm_UP_test_config.json`
+    shape, LR estimator): repeatVisitor rides as the LAST feature slot,
+    scoring runs twice with it forced 0/1, and probability becomes
+    [1-d, d] (UpliftTransformer.scala:93-148 semantics).  auroc over the
+    uplift score is the pinned signal; prediction is the constant 1.0
+    the transformer emits, so accuracy pins only determinism."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "wj_up_sp")
+    cfg = _web_journey_page_cfg("web_journey_uplift_lr", root)
+    # noPage uplift: drop the page fan-out, add the treatment variable
+    del cfg["project"]["data"]["pageVariable"]
+    del cfg["project"]["data"]["numPages"]
+    cfg["project"]["data"]["numericalVariables"].append("repeatVisitor")
+    cfg["model"]["upliftTreatment"] = "repeatVisitor"
+    cfg_path = tmp_path / "wj_up.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_WEB_JOURNEY_UPLIFT.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+
+
+# Pinned from the first green run, verified byte-identical on a second
+# full run (same discipline as the r5 goldens above).
+GOLDEN_WEB_JOURNEY_PAGE = {
+    "test.accuracy": 0.9785710257711611,
+    "test.auroc": 0.8265011768963194,
+    "test.weightedF1": 0.9739452197669061,
+    "test.page0.accuracy": 0.9917653113741637,
+    "test.page1.accuracy": 0.9752941176470589,
+    "test.page2.accuracy": 0.9569569569569569,
+    "test.page3.accuracy": 0.950381679389313,
+}
+# uplift probability is the treatment-EFFECT score d = p1 - p0, not an
+# outcome propensity: auroc against the outcome label is NOT expected to
+# beat 0.5 (the pin is determinism), and prediction is the constant 1.0
+# UpliftTransformer emits, so accuracy equals the positive rate.
+GOLDEN_WEB_JOURNEY_UPLIFT = {
+    "test.accuracy": 0.024023007951277278,
+    "test.auroc": 0.29565264509380584,
+    "test.weightedF1": 0.0011271327041405496,
+}
