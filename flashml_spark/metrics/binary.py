@@ -13,7 +13,7 @@ Here everything is windows/aggregations — no RDDs, no driver data loops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -222,6 +222,95 @@ def cumulative_gains(
             F.round(
                 (F.col("n_pos") / F.col("n")) / (F.col("__tp") / F.col("__tn")), 6
             ).alias("lift"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """EXACT isotonic (monotone non-decreasing) calibration of a score
+    against binary outcomes, via the minimax closed form of the
+    pool-adjacent-violators solution: on the binned frame,
+    ``g(i) = max_{j<=i} min_{k>=i} wavg(rate[j..k])`` (Barlow et al.
+    1972, thm 1.4.4) — no iterative PAV loop, no driver-side fitting,
+    and unlike ``pyspark.ml.IsotonicRegression`` the arithmetic is
+    plain integer-sum divisions, so a SQL engine reproduces the fit
+    bit-for-bit.
+
+    Scale shape: the corpus collapses to ``n_bins`` rows in one hash
+    agg; prefix sums, the (j,k) interval means (``B(B+1)/2`` rows) and
+    the minimax double-agg all run on frames bounded by ``n_bins²`` —
+    config-bounded, never data-bounded.  Label sums stay integers until
+    the final division.
+
+    Output: ``bucket, n, mean_score, raw_rate, iso_rate`` — iso_rate is
+    non-decreasing in bucket by construction.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = (
+        df.select(
+            F.greatest(b, F.lit(0)).alias("bucket"),
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__s").alias("sum_s"),
+            F.sum("__y").cast("bigint").alias("sum_y"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bucket", "n", "sum_s", "sum_y",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("sum_y").over(w).alias("cy"),
+    )
+    jj = pre.select(
+        F.col("bucket").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cy") - F.col("sum_y")).alias("cy_before"),
+    )
+    kk = pre.select(
+        F.col("bucket").alias("k"), F.col("cn").alias("cn_k"),
+        F.col("cy").alias("cy_k"),
+    )
+    intervals = jj.join(kk, F.col("j") <= F.col("k")).select(
+        "j", "k",
+        (
+            (F.col("cy_k") - F.col("cy_before"))
+            / (F.col("cn_k") - F.col("cn_before")).cast("double")
+        ).alias("a"),
+    )
+    buckets = bins.select(F.col("bucket").alias("i"))
+    g = (
+        buckets.join(
+            intervals, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("a").alias("mn"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("iso"))
+    )
+    return (
+        bins.join(g, bins["bucket"] == g["i"])
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("sum_s") / F.col("n").cast("double"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("sum_y") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("iso_rate"),
         )
         .orderBy("bucket")
     )

@@ -1456,3 +1456,87 @@ def histogram_2d(
             ).alias("y_lo"),
         )
     )
+
+
+# Abramowitz & Stegun 26.2.17 polynomial constants for the standard
+# normal survival function — Python literals shared verbatim with SQL
+# oracles (cross-engine float rule, SCALE.md): both engines evaluate the
+# SAME literal arithmetic in the same association order, so the p-values
+# are bit-identical (|error| < 7.5e-8, far inside the ROUND(...,6) pin).
+AS_B1 = 0.319381530
+AS_B2 = -0.356563782
+AS_B3 = 1.781477937
+AS_B4 = -1.821255978
+AS_B5 = 1.330274429
+AS_P = 0.2316419
+INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_sf(z: Column) -> Column:
+    """P(Z > z) for z >= 0 via the A&S 26.2.17 polynomial (explicit
+    powers, left-associated — mirror the SQL spelling exactly)."""
+    t = 1.0 / (1.0 + F.lit(AS_P) * z)
+    pdf = F.exp(-0.5 * z * z) * F.lit(INV_SQRT_2PI)
+    poly = (
+        F.lit(AS_B1) * t
+        + F.lit(AS_B2) * t * t
+        + F.lit(AS_B3) * t * t * t
+        + F.lit(AS_B4) * t * t * t * t
+        + F.lit(AS_B5) * t * t * t * t * t
+    )
+    return pdf * poly
+
+
+def normal_sf_sql(z_expr: str) -> str:
+    """The DuckDB twin of :func:`normal_sf` — identical literals,
+    identical association order."""
+    t = f"(1.0 / (1.0 + CAST({AS_P!r} AS DOUBLE) * {z_expr}))"
+    pdf = (
+        f"(EXP(-0.5 * {z_expr} * {z_expr})"
+        f" * CAST({INV_SQRT_2PI!r} AS DOUBLE))"
+    )
+    poly = (
+        f"(CAST({AS_B1!r} AS DOUBLE) * {t}"
+        f" + CAST({AS_B2!r} AS DOUBLE) * {t} * {t}"
+        f" + CAST({AS_B3!r} AS DOUBLE) * {t} * {t} * {t}"
+        f" + CAST({AS_B4!r} AS DOUBLE) * {t} * {t} * {t} * {t}"
+        f" + CAST({AS_B5!r} AS DOUBLE) * {t} * {t} * {t} * {t} * {t})"
+    )
+    return f"({pdf} * {poly})"
+
+
+def bh_fdr(
+    df: DataFrame, key_col: str, p_col: str, q: float = 0.1
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a family of tests:
+    rank p-values ascending, find the largest rank k with
+    ``p_(k) <= (k/m)·q``, and flag ranks 1..k as discoveries — the
+    multiple-testing guard every per-segment metric sweep needs before
+    anyone acts on "23 of 25 segments moved".
+
+    Scale shape: the input is the FAMILY of tests (one row per test —
+    |tests| is config-bounded, e.g. 25 nations), so the rank window and
+    the 1-row max-k broadcast run on an already-aggregated tiny frame;
+    the heavy per-test aggregation happened upstream.  Output adds
+    ``rank, bh_threshold, discovered``.
+    """
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    m_df = df.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    ranked = (
+        df.crossJoin(F.broadcast(m_df))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "bh_threshold", F.round(F.col("rank") / F.col("__m") * q, 6)
+        )
+    )
+    kmax = ranked.where(
+        F.col(p_col) <= F.col("rank") / F.col("__m") * q
+    ).agg(F.max("rank").alias("__k"))
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .withColumn(
+            "discovered",
+            (F.col("rank") <= F.coalesce(F.col("__k"), F.lit(0))).cast("int"),
+        )
+        .drop("__m", "__k")
+    )

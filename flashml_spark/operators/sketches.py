@@ -37,9 +37,10 @@ def hll_distinct(
     their estimates can't be compared across engines.  This one is pure
     integer/md5 arithmetic + exact powers of two, so DuckDB reproduces
     it bit-for-bit — the estimate itself becomes testable, which is the
-    point of an accuracy audit.  No small-range (linear counting)
-    correction: the raw HLL estimator is the thing being audited, and
-    the exact count sits in the next column anyway.
+    point of an accuracy audit.  Small-range correction per Flajolet
+    et al. 2007 §4: when the raw estimate is below 2.5·m and empty
+    registers remain, switch to linear counting ``m·ln(m/V)`` (V = empty
+    registers) — the raw estimator is badly biased high in that regime.
 
     Scale shape: distinct (group, value) hash agg → (group, register)
     max-rank agg (≤ 256·|groups| rows) → per-group sum.  The corpus is
@@ -83,7 +84,17 @@ def hll_distinct(
             (
                 F.lit(HLL_ALPHA * HLL_M * HLL_M)
                 / (F.col("s") + (F.lit(HLL_M) - F.col("used")))
-            ).alias("hll"),
+            ).alias("raw"),
+            (F.lit(HLL_M) - F.col("used")).cast("double").alias("v"),
+        )
+        .select(
+            group_col,
+            F.when(
+                (F.col("raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
+                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+            )
+            .otherwise(F.col("raw"))
+            .alias("hll"),
         )
     )
     return (

@@ -42,10 +42,15 @@ WITH toks AS (SELECT DISTINCT source,
                    MAX(CASE WHEN w = 0 THEN 53
                             ELSE 53 - LENGTH(bin(w)) END) AS mr
             FROM r GROUP BY source, reg),
-     est AS (SELECT source,
+     raw AS (SELECT source,
                     CAST({sketches.HLL_ALPHA!r} AS DOUBLE) * 65536.0
-                    / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS hll
+                    / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS raw,
+                    CAST(256 - COUNT(*) AS DOUBLE) AS v
              FROM mr GROUP BY source),
+     est AS (SELECT source,
+                    CASE WHEN raw <= 640.0 AND v > 0
+                         THEN 256.0 * LN(256.0 / v) ELSE raw END AS hll
+             FROM raw),
      ex AS (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact
             FROM toks GROUP BY source)
 SELECT ex.source, ex.n_exact, ROUND(est.hll, 6) AS hll_estimate,
@@ -338,3 +343,166 @@ def x224(spark: SparkSession, sf: str) -> DataFrame:
     return textops.dsir_importance(
         docs, "text", "doc_id", "source", "is_target", n_buckets=1024
     )
+
+
+# --------------------------------------------------------------------------
+# x225 — per-nation A/B z-tests with Benjamini-Hochberg FDR control:
+# 25 simultaneous two-proportion tests (arms = custkey parity,
+# conversion = customer has a finalized order) and the step-up rule that
+# says which nation-level "movements" survive multiple-testing control
+# at q = 0.1.  p-values come from the shared A&S 26.2.17 polynomial
+# (relational.normal_sf / normal_sf_sql — identical literal arithmetic
+# in both engines), counts stay integers until the final divisions.
+from flashml_spark.operators import relational as _rel  # noqa: E402
+
+_BH_Q = 0.1
+_ZN = "(CASE WHEN se > 0 THEN ABS(pa - pb) / se ELSE 0.0 END)"
+_BH_SQL = f"""
+WITH conv AS (SELECT c.c_custkey, c.c_nationkey,
+                     CAST(c.c_custkey % 2 AS INT) AS variant,
+                     MAX(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                         AS conv
+              FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey, c.c_nationkey),
+     agg AS (SELECT c_nationkey,
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      FROM conv GROUP BY c_nationkey),
+     d AS (SELECT *, conv_a * 1.0 / n_a AS pa, conv_b * 1.0 / n_b AS pb,
+                  (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp
+           FROM agg WHERE n_a > 0 AND n_b > 0),
+     e AS (SELECT *, sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se
+           FROM d),
+     pv AS (SELECT n.n_name,
+                   CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END AS z,
+                   CASE WHEN se > 0
+                        THEN 2.0 * {_rel.normal_sf_sql("(" + _ZN + ")")}
+                        ELSE 1.0 END AS p
+            FROM e JOIN nation n ON n.n_nationkey = e.c_nationkey),
+     rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p ASC, n_name ASC) AS rank,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM pv) AS m
+            FROM pv),
+     k AS (SELECT MAX(rank) AS kmax FROM rk
+           WHERE p <= rank / m * CAST({_BH_Q!r} AS DOUBLE))
+SELECT n_name, ROUND(z, 6) AS z, ROUND(p, 6) AS p,
+       CAST(rank AS BIGINT) AS rank,
+       ROUND(rank / m * CAST({_BH_Q!r} AS DOUBLE), 6) AS bh_threshold,
+       CAST(CASE WHEN rank <= COALESCE((SELECT kmax FROM k), 0)
+                 THEN 1 ELSE 0 END AS INT) AS discovered
+FROM rk ORDER BY rank"""
+
+
+@register("x225_bh_fdr", _BH_SQL)
+def x225(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderstatus")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    conv = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("variant", (F.col("c_custkey") % 2).cast("int"))
+    )
+    agg = conv.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint").alias("conv_b"),
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    d = agg.select(
+        "*",
+        (F.col("conv_a") * 1.0 / F.col("n_a")).alias("pa"),
+        (F.col("conv_b") * 1.0 / F.col("n_b")).alias("pb"),
+        ((F.col("conv_a") + F.col("conv_b")) * 1.0
+         / (F.col("n_a") + F.col("n_b"))).alias("pp"),
+    )
+    e = d.withColumn(
+        "se",
+        F.sqrt(
+            F.col("pp") * (1 - F.col("pp"))
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+    )
+    z = F.when(F.col("se") > 0, (F.col("pa") - F.col("pb")) / F.col("se")).otherwise(
+        F.lit(0.0)
+    )
+    pv = (
+        e.join(F.broadcast(nation), nation["n_nationkey"] == e["c_nationkey"])
+        .select(
+            "n_name",
+            z.alias("z"),
+            F.when(
+                F.col("se") > 0, 2.0 * _rel.normal_sf(F.abs(z))
+            ).otherwise(F.lit(1.0)).alias("p"),
+        )
+    )
+    out = _rel.bh_fdr(pv, "n_name", "p", q=_BH_Q)
+    return out.select(
+        "n_name", F.round("z", 6).alias("z"), F.round("p", 6).alias("p"),
+        "rank", "bh_threshold", "discovered",
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# x226 — EXACT isotonic score calibration via the minimax closed form of
+# the PAV solution (Barlow et al. 1972): g(i) = max_{j<=i} min_{k>=i}
+# wavg(rate[j..k]) on the 20-bin frame.  No iterative fitting, no
+# driver state; label sums stay integers to the final division, so the
+# whole fit — not just the inputs — replays bit-for-bit in DuckDB
+# (pyspark.ml.IsotonicRegression could not be oracle-checked).  Scores
+# and labels are x169's hash-derived construction.
+_ISO_SQL = """
+WITH s AS (SELECT o_orderkey,
+                  (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0 AS score,
+                  (CAST(('0x' || substr(md5('lbl:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0 AS u2
+           FROM orders),
+     lab AS (SELECT score,
+                    CASE WHEN u2 < score THEN 1 ELSE 0 END AS y FROM s),
+     bins AS (SELECT GREATEST(0, LEAST(CAST(floor(score * 20) AS INT), 19)) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n, SUM(score) AS sum_s,
+                     CAST(SUM(y) AS BIGINT) AS sum_y
+              FROM lab GROUP BY bucket),
+     pre AS (SELECT *, SUM(n) OVER (ORDER BY bucket) AS cn,
+                    SUM(sum_y) OVER (ORDER BY bucket) AS cy
+             FROM bins),
+     jj AS (SELECT bucket AS j, cn - n AS cn_before, cy - sum_y AS cy_before
+            FROM pre),
+     kk AS (SELECT bucket AS k, cn AS cn_k, cy AS cy_k FROM pre),
+     iv AS (SELECT j, k, (cy_k - cy_before)
+                          / CAST(cn_k - cn_before AS DOUBLE) AS a
+            FROM jj JOIN kk ON j <= k),
+     mn AS (SELECT b.bucket AS i, iv.j, MIN(iv.a) AS mn
+            FROM bins b JOIN iv ON iv.j <= b.bucket AND iv.k >= b.bucket
+            GROUP BY b.bucket, iv.j),
+     g AS (SELECT i, MAX(mn) AS iso FROM mn GROUP BY i)
+SELECT bins.bucket, bins.n,
+       ROUND(bins.sum_s / CAST(bins.n AS DOUBLE), 6) AS mean_score,
+       ROUND(bins.sum_y / CAST(bins.n AS DOUBLE), 6) AS raw_rate,
+       ROUND(g.iso, 6) AS iso_rate
+FROM bins JOIN g ON g.i = bins.bucket ORDER BY bins.bucket"""
+
+
+@register("x226_isotonic_calibration", _ISO_SQL)
+def x226(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+    from flashml_spark.metrics.binary import isotonic_calibration
+
+    o = load_table(spark, sf, "orders").select("o_orderkey")
+    scored = o.select(
+        H.md5_uniform(F.col("o_orderkey")).alias("score"),
+        (
+            H.md5_uniform(F.concat(F.lit("lbl:"), F.col("o_orderkey")))
+            < H.md5_uniform(F.col("o_orderkey"))
+        ).cast("long").alias("y"),
+    )
+    return isotonic_calibration(scored, "score", "y", n_bins=20)

@@ -72,8 +72,13 @@ def test_priority_window_follows_ledger_policy():
         default=None,
     )
     never_out = [n for n in names if n not in in_window and n not in last]
-    assert not never_out, f"never-checked left outside window: {never_out}"
-    if best_out is not None:
+    if never_out:
+        # more never-checked queries than slots: legitimate only when
+        # the whole window is spent on never-checked entries
+        assert all(n not in last for n in committed), (
+            f"never-checked left outside a window with checked rows: {never_out}"
+        )
+    elif best_out is not None:
         assert worst_in <= best_out
 
 
