@@ -228,6 +228,14 @@ HEADLINE = [
     "x216_price_qty_histogram",
     "x217_embedding_distance_profile",
     "x218_dup_rate_by_length",
+    "x219_hll_distinct",
+    "x220_collocations_g2",
+    "x221_cumulative_gains",
+    "x222_record_linkage_fs",
+    "x223_gopher_rules",
+    "x224_dsir_weights",
+    "x225_bh_fdr",
+    "x226_isotonic_calibration",
 ]
 
 

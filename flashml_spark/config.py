@@ -79,6 +79,7 @@ _KEY_MAP = {
     "sampling.trainFraction": "train_fraction",
     "sampling.conditions": "conditions",
     "sampling.seed": "seed",
+    "preprocessing.steps": "preprocessing_steps",
     "featuregeneration.binning": "binning",
     "vectorization.text.method": "text_method",
     "vectorization.text.slots": "slots",
@@ -351,5 +352,31 @@ def _validate(cfg: ExperimentConfig) -> None:
                     problems.append(f"unknown binning type {spec.get('type')!r}")
                 if spec.get("type") == "intervals" and not spec.get("splits"):
                     problems.append(f"binning {var!r}: type intervals needs splits")
+    if cfg.preprocessing_steps:
+        known = {
+            "nullcheck", "tokenizer", "case_normalization", "sentence_marker",
+            "stopwords", "stemming", "word_substitutions", "word_substitution",
+            "word_classes_replacement", "regex_replacement", "regex_removal",
+        }
+        for step in cfg.preprocessing_steps:
+            if not step.get("inputVariable"):
+                problems.append("preprocessing step needs inputVariable")
+                continue
+            ts = step.get("transformations", [])
+            if not ts:
+                problems.append(
+                    f"preprocessing step {step['inputVariable']!r} has no transformations"
+                )
+            for t in ts:
+                if t.get("type") not in known:
+                    problems.append(
+                        f"unknown preprocessing transformation type {t.get('type')!r}"
+                    )
+            tok_at = [i for i, t in enumerate(ts) if t.get("type") == "tokenizer"]
+            if tok_at and tok_at != [len(ts) - 1]:
+                problems.append(
+                    f"preprocessing step {step['inputVariable']!r}: tokenizer "
+                    "must be the last transformation"
+                )
     if problems:
         raise ValueError("invalid config: " + "; ".join(problems))

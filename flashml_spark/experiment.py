@@ -66,6 +66,14 @@ class ExperimentConfig:
     # variable moves numerical -> categorical for vectorization
     # (ConfigValues.scala:104-119,380-430).
     binning: list = field(default_factory=list)
+    # config-driven per-variable preprocessing chains (reference
+    # ``experiment.preprocessing.steps``, PreprocessingEngine.scala:
+    # each step is {"inputVariable": ..., "outputVariable": ...,
+    # "transformations": [{"type": ..., "parameter": ...}, ...]}).
+    # A text_cols entry naming a step's outputVariable gets that chain
+    # applied before vectorization; a chain ending in ``tokenizer``
+    # feeds its token array to the vectorizer directly.
+    preprocessing_steps: list = field(default_factory=list)
     # vectorization
     text_method: str = "tfidf"
     slots: int = 1000
@@ -115,11 +123,22 @@ class Experiment:
             out = relational.input_filter(df, c.input_filter)
         if c.random_id_col:
             out = relational.derive_random_variable(out, c.random_id_col)
+        # preprocessing chains read their inputVariable from the source
+        # frame; a text_cols entry naming the chain's OUTPUT must not let
+        # pruning drop the input (the output doesn't exist yet at read time)
+        prep_inputs = [
+            s["inputVariable"] for s in c.preprocessing_steps
+        ]
+        prep_outputs = {
+            s.get("outputVariable", f"{s['inputVariable']}__prep")
+            for s in c.preprocessing_steps
+        }
         keep = list(
             dict.fromkeys(
                 c.primary_keys
                 + [c.response]
-                + c.text_cols
+                + [t for t in c.text_cols if t not in prep_outputs]
+                + prep_inputs
                 + c.categorical_cols
                 + c.numerical_cols
                 + ([c.page_col] if c.page_col else [])
@@ -177,13 +196,42 @@ class Experiment:
                     splits=[float(s) for s in spec["splits"]] if "splits" in spec else None,
                 )
             )
-        for col in c.text_cols:
-            toks = f"{col}__toks"
-            stages.append(
-                __import__("pyspark.ml.feature", fromlist=["RegexTokenizer"]).RegexTokenizer(
-                    inputCol=col, outputCol=toks, pattern=r"\s+", toLowercase=True
-                )
+        # config-driven preprocessing chains: a text_cols entry naming a
+        # step's outputVariable gets that chain instead of the default
+        # whitespace tokenizer (reference PreprocessingStageLoader flow)
+        from flashml_spark.preprocessing.transformers import (
+            build_preprocessing_chain,
+        )
+
+        prep_chains = {}  # outputVariable -> (stages, final_col, tokenized)
+        for step in c.preprocessing_steps:
+            out_name = step.get(
+                "outputVariable", f"{step['inputVariable']}__prep"
             )
+            prep_chains[out_name] = build_preprocessing_chain(step)
+
+        for col in c.text_cols:
+            if col in prep_chains:
+                chain_stages, final_col, tokenized = prep_chains[col]
+                stages.extend(chain_stages)
+                toks = final_col
+                if not tokenized:
+                    toks = f"{col}__toks"
+                    stages.append(
+                        __import__(
+                            "pyspark.ml.feature", fromlist=["RegexTokenizer"]
+                        ).RegexTokenizer(
+                            inputCol=final_col, outputCol=toks,
+                            pattern=r"\s+", toLowercase=True,
+                        )
+                    )
+            else:
+                toks = f"{col}__toks"
+                stages.append(
+                    __import__("pyspark.ml.feature", fromlist=["RegexTokenizer"]).RegexTokenizer(
+                        inputCol=col, outputCol=toks, pattern=r"\s+", toLowercase=True
+                    )
+                )
             vec = f"{col}__vec"
             stages.extend(build_text_vectorizer(c.text_method, toks, vec, c.slots))
             feature_vec_cols.append(vec)

@@ -321,3 +321,82 @@ def build_tokenizer(input_col: str, output_col: str, pattern: str = r"\s+") -> R
         pattern=f"{pattern}|({TOKEN_DELIMITER})",
         toLowercase=False,
     )
+
+
+def build_preprocessing_chain(step: dict) -> tuple[list, str, bool]:
+    """Build the transformer chain for ONE config preprocessing step —
+    the reference's ``experiment.preprocessing.steps`` entry
+    (``PreprocessingStageLoader.scala:60-202``):
+
+        {"inputVariable": "url", "outputVariable": "url1",
+         "transformations": [{"type": "nullcheck", "parameter": ""},
+                             {"type": "case_normalization"},
+                             {"type": "tokenizer", "parameter": "/"}]}
+
+    Returns ``(stages, final_col, tokenized)`` where ``final_col`` is
+    the column downstream vectorization should read and ``tokenized``
+    says whether it is already an ``array<string>`` (chain ended in the
+    final String→Array ``tokenizer``, so the vectorizer must NOT
+    re-tokenize).  Intermediate columns are ``<out>__p<i>``; the last
+    transformation writes ``outputVariable``.
+    """
+    inp = step["inputVariable"]
+    out = step.get("outputVariable", f"{inp}__prep")
+    transformations = step.get("transformations", [])
+    if not transformations:
+        raise ValueError(f"preprocessing step for {inp!r} has no transformations")
+    stages: list = []
+    cur = inp
+    tokenized = False
+    for i, t in enumerate(transformations):
+        ttype = t.get("type")
+        param = t.get("parameter")
+        last = i == len(transformations) - 1
+        nxt = out if last else f"{out}__p{i}"
+        if ttype == "nullcheck":
+            # imputes IN PLACE (adds the imputerCol_ indicator); no new col
+            stages.append(NullImputer(inputCol=cur, fillValue=param or ""))
+            continue
+        if ttype == "tokenizer":
+            if not last:
+                raise ValueError(
+                    "tokenizer must be the LAST transformation "
+                    f"(step for {inp!r}) — it is the String->Array boundary"
+                )
+            stages.append(build_tokenizer(cur, nxt, pattern=param or r"\s+"))
+            tokenized = True
+        elif ttype == "case_normalization":
+            stages.append(CaseNormalizer(inputCol=cur, outputCol=nxt))
+        elif ttype == "sentence_marker":
+            stages.append(SentenceMarker(inputCol=cur, outputCol=nxt))
+        elif ttype == "stopwords":
+            stages.append(
+                StopwordRemover(inputCol=cur, outputCol=nxt, stopwords=list(param or []))
+            )
+        elif ttype == "stemming":
+            stages.append(
+                PorterStemmer(inputCol=cur, outputCol=nxt, exceptions=list(param or []))
+            )
+        elif ttype in ("word_substitutions", "word_substitution"):
+            stages.append(
+                WordSubstituter(inputCol=cur, outputCol=nxt, dictionary=param or {})
+            )
+        elif ttype == "word_classes_replacement":
+            pats, reps = word_class_patterns(param or {})
+            stages.append(
+                RegexReplacer(inputCol=cur, outputCol=nxt, patterns=pats, replacements=reps)
+            )
+        elif ttype == "regex_replacement":
+            pats = [p["pattern"] for p in (param or [])]
+            reps = [p["replacement"] for p in (param or [])]
+            stages.append(
+                RegexReplacer(inputCol=cur, outputCol=nxt, patterns=pats, replacements=reps)
+            )
+        elif ttype == "regex_removal":
+            stages.append(
+                RegexRemover(inputCol=cur, outputCol=nxt, patterns=list(param or []))
+            )
+        else:
+            raise ValueError(f"unknown preprocessing transformation type {ttype!r}")
+        cur = nxt
+    return stages, cur, tokenized

@@ -91,6 +91,11 @@ ACCEPTED_CROSS = {
     "x182_rfm_segments": "1-row anchor-ts + |users| total scalar broadcast",
     "x183_tfidf_keywords": "1-row N_docs scalar broadcast onto the vocab frame",
     "x184_km_survival": "1-row (max-day, N) scalar broadcast",
+    "x220_collocations_g2": "1-row bigram-total scalar broadcast onto the pair frame",
+    "x221_cumulative_gains": "1-row positives/rows totals scalar broadcast onto the |buckets| frame",
+    "x224_dsir_weights": "1-row corpus/target gram-count scalar broadcasts onto the 1024-bucket profile",
+    "x225_bh_fdr": "1-row m and max-k scalar broadcasts onto the |tests|=25 frame",
+    "x226_isotonic_calibration": "n_bins(n_bins+1)/2 interval inequality joins, all frames config-bounded (n_bins=20)",
 }
 
 

@@ -10,6 +10,8 @@ every step.  Pure driver-side — no SparkSession needed.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from flashml_spark.config import (
@@ -182,3 +184,43 @@ def test_dict_valued_config_keys_arrive_verbatim():
     assert cfg.algo_params == {"regParam": 0.25, "maxIter": 7}
     assert cfg.param_grid == {"regParam": [0.01, 0.1]}
     assert cfg.cv_folds == 4 and cfg.tuning == "cv"
+
+
+def test_preprocessing_steps_config_validation():
+    from flashml_spark.config import load_config
+
+    base = {
+        "project": {"data": {"responseVariable": "y", "textVariables": ["t1"]}},
+    }
+
+    def with_steps(steps):
+        cfg = json.loads(json.dumps(base))
+        cfg["preprocessing"] = {"steps": steps}
+        return cfg
+
+    # valid chain parses and lands on the config
+    cfg = load_config(with_steps([
+        {"inputVariable": "t", "outputVariable": "t1",
+         "transformations": [{"type": "case_normalization"},
+                             {"type": "tokenizer", "parameter": "/"}]},
+    ]))
+    assert cfg.preprocessing_steps[0]["outputVariable"] == "t1"
+
+    # unknown type rejected with the offending name
+    with pytest.raises(ValueError, match="not_a_transform"):
+        load_config(with_steps([
+            {"inputVariable": "t",
+             "transformations": [{"type": "not_a_transform"}]},
+        ]))
+
+    # tokenizer must be last
+    with pytest.raises(ValueError, match="tokenizer"):
+        load_config(with_steps([
+            {"inputVariable": "t",
+             "transformations": [{"type": "tokenizer"},
+                                 {"type": "case_normalization"}]},
+        ]))
+
+    # missing inputVariable rejected
+    with pytest.raises(ValueError, match="inputVariable"):
+        load_config(with_steps([{"transformations": [{"type": "stemming"}]}]))

@@ -170,3 +170,70 @@ def test_pipeline_roundtrip(spark, tmp_path):
 
     reloaded = PipelineModel.load(path)
     assert reloaded.transform(df).first()["o"] == "the dog runs"
+
+
+def test_build_preprocessing_chain_e2e(spark):
+    # reference PGUP config chain: nullcheck -> case_normalization ->
+    # tokenizer('/') — the output is a token array ready to vectorize
+    from pyspark.ml import Pipeline
+
+    from flashml_spark.preprocessing.transformers import (
+        build_preprocessing_chain,
+    )
+
+    step = {
+        "inputVariable": "url",
+        "outputVariable": "url1",
+        "transformations": [
+            {"type": "nullcheck", "parameter": ""},
+            {"type": "case_normalization"},
+            {"type": "tokenizer", "parameter": "/"},
+        ],
+    }
+    stages, final_col, tokenized = build_preprocessing_chain(step)
+    assert final_col == "url1" and tokenized
+    df = spark.createDataFrame(
+        [("HTTP://A/B",), (None,)], "url string"
+    )
+    out = Pipeline(stages=stages).fit(df).transform(df).collect()
+    rows = {tuple(r["url1"]) for r in out}
+    assert ("http:", "a", "b") in rows
+    assert () in rows or ("",) in rows  # imputed empty string tokenizes
+    # nullcheck indicator column present
+    assert "imputerCol_url" in Pipeline(stages=stages).fit(df).transform(df).columns
+
+
+def test_build_preprocessing_chain_string_chain(spark):
+    # chain without tokenizer stays String -> String
+    from pyspark.ml import Pipeline
+
+    from flashml_spark.preprocessing.transformers import (
+        build_preprocessing_chain,
+    )
+
+    step = {
+        "inputVariable": "t",
+        "outputVariable": "t_clean",
+        "transformations": [
+            {"type": "case_normalization"},
+            {"type": "regex_removal", "parameter": ["[0-9]+"]},
+        ],
+    }
+    stages, final_col, tokenized = build_preprocessing_chain(step)
+    assert final_col == "t_clean" and not tokenized
+    df = spark.createDataFrame([("AbC123",)], "t string")
+    got = Pipeline(stages=stages).fit(df).transform(df).collect()[0]["t_clean"]
+    assert got == "abc"
+
+
+def test_build_preprocessing_chain_rejects_unknown():
+    import pytest as _pytest
+
+    from flashml_spark.preprocessing.transformers import (
+        build_preprocessing_chain,
+    )
+
+    with _pytest.raises(ValueError, match="unknown preprocessing"):
+        build_preprocessing_chain(
+            {"inputVariable": "t", "transformations": [{"type": "nope"}]}
+        )

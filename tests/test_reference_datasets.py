@@ -464,3 +464,86 @@ GOLDEN_WEB_JOURNEY_UPLIFT = {
     "test.auroc": 0.29565264509380584,
     "test.weightedF1": 0.0011271327041405496,
 }
+
+
+def test_web_journey_svm_preprocessing_chain_golden(spark, tmp_path):
+    """Config-driven preprocessing chains on shipped web-journey data —
+    the reference's `singleIntent_svm_PG*_test_config.json` preprocessing
+    shape: nullcheck -> case_normalization -> tokenizer('/') per URL
+    variable, hashingtf(2000) vectorization, SVM(regparam .01, maxiter
+    10) with Platt scaling, conditional rv split.  This is the first e2e
+    exercise of `preprocessing.steps` through the CLI: the chain's
+    output variables are what vectorization reads (the raw URL columns
+    never reach the vectorizer)."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "wj_prep_sp")
+    cfg = {
+        "project": {
+            "id": "web_journey_svm_prep",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {
+                    "source": f"tsv://{WEB_JOURNEY}",
+                    "queries": [
+                        "SELECT current_page_url, referrer, "
+                        "COALESCE(browser_cat, '') AS browser_cat, "
+                        "COALESCE(os_cat, '') AS os_cat, "
+                        "CAST(COALESCE(rv, '0') AS DOUBLE) AS rv, "
+                        "purchase_flag FROM flashml_table_in "
+                        "WHERE purchase_flag IS NOT NULL"
+                    ],
+                },
+                "responseVariable": "purchase_flag",
+                "randomVariable": "rv",
+                "textVariables": ["current_page_url1", "referrer1"],
+                "categoricalVariables": ["browser_cat", "os_cat"],
+            },
+        },
+        "preprocessing": {
+            "steps": [
+                {
+                    "inputVariable": "current_page_url",
+                    "outputVariable": "current_page_url1",
+                    "transformations": [
+                        {"type": "nullcheck", "parameter": ""},
+                        {"type": "case_normalization"},
+                        {"type": "tokenizer", "parameter": "/"},
+                    ],
+                },
+                {
+                    "inputVariable": "referrer",
+                    "outputVariable": "referrer1",
+                    "transformations": [
+                        {"type": "nullcheck", "parameter": ""},
+                        {"type": "case_normalization"},
+                        {"type": "tokenizer", "parameter": "/"},
+                    ],
+                },
+            ]
+        },
+        "sampling": {"type": "conditional", "conditions": ["rv<=80", "rv>80"]},
+        "vectorization": {"text": {"method": "hashingtf", "slots": 2000}},
+        "model": {
+            "algorithm": "svm",
+            "params": {"regParam": 0.01, "maxIter": 10},
+        },
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "wj_prep.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_WEB_JOURNEY_PREP.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.auroc"] > 0.5
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_WEB_JOURNEY_PREP = {
+    "test.accuracy": 0.9745552446814126,
+    "test.auroc": 0.7911479209447377,
+    "test.weightedF1": 0.9674312508875317,
+}
