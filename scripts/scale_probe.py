@@ -117,6 +117,11 @@ PROBES = [
     "x198_table_digest",
     "x204_theil_sen_trend",
     "x214_cross_source_dups",
+    "x219_hll_distinct",
+    "x220_collocations_g2",
+    "x222_record_linkage_fs",
+    "x224_dsir_weights",
+    "x226_isotonic_calibration",
 ]
 
 

@@ -547,3 +547,59 @@ GOLDEN_WEB_JOURNEY_PREP = {
     "test.auroc": 0.7911479209447377,
     "test.weightedF1": 0.9674312508875317,
 }
+
+
+def test_yelp_multiintent_lr_stratified_golden(spark, tmp_path):
+    """Multi-intent LR on yelp with STRATIFIED sampling — the
+    reference's `multiIntent_lr_stratifiedSampling_test_config.json`
+    scenario: per-class exact 70/30 split (seed 20) instead of the
+    random split, count_vectorizer, multinomial LR.  The train-side
+    class proportions therefore match the full dataset's exactly —
+    asserted against the raw data below, which is what distinguishes
+    this golden from the random-split yelp runs."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "yelp_strat_sp")
+    cfg = {
+        "project": {
+            "id": "yelp_multiintent_lr_stratified",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {"source": f"json://{YELP}"},
+                "primaryKey": ["review_id"],
+                "responseVariable": "stars",
+                "textVariables": ["text"],
+            },
+        },
+        "sampling": {"type": "stratified", "trainFraction": 0.7, "seed": 20},
+        "vectorization": {"text": {"method": "count_vectorizer", "slots": 15000}},
+        "model": {"algorithm": "logistic_regression", "multiIntent": True},
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "yelp_strat.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_YELP_STRATIFIED.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    # stratification check straight from the savepointed split
+    # (reference dir contract: <root>/<project>/<model>/page0/noSegment/
+    # data/<step><Dataset>): per-class train counts are the exact
+    # floor/ceil of 70% of the class sizes
+    base = f"{root}/default/model/page0/noSegment/data"
+    train = spark.read.parquet(f"{base}/samplingTrain")
+    full = spark.read.parquet(f"{base}/dataReaderFull")
+    tc = {r["stars"]: r["count"] for r in train.groupBy("stars").count().collect()}
+    fc = {r["stars"]: r["count"] for r in full.groupBy("stars").count().collect()}
+    for cls, n in fc.items():
+        assert abs(tc[cls] - 0.7 * n) <= 1, cls
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_YELP_STRATIFIED = {
+    "test.accuracy": 0.4633333333333333,
+    "test.weightedF1": 0.4531823987513469,
+    "test.weightedPrecision": 0.4534433896436471,
+}
