@@ -236,6 +236,10 @@ HEADLINE = [
     "x224_dsir_weights",
     "x225_bh_fdr",
     "x226_isotonic_calibration",
+    "x227_ttl_dedup_anchored",
+    "x228_hll_merge",
+    "x229_changepoint_split",
+    "x230_mann_kendall",
 ]
 
 

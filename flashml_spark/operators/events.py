@@ -2007,3 +2007,185 @@ def ab_ztest_curve(
     return cum.select(
         "d", "n_a", "conv_a", "n_b", "conv_b", F.round(z, 6).alias("z")
     )
+
+
+def changepoint_single_split(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single-changepoint detection on the daily series via exact binary
+    segmentation: evaluate EVERY candidate split day k, pick the one
+    minimizing within-segment sum of squares (equivalently maximizing
+    the between-segment F statistic) — the first step of binary
+    segmentation (Scott & Knott 1974) done exactly, no iterative
+    scanning.
+
+    Scale shape: the corpus collapses to |days| exact-decimal daily
+    totals; prefix sums/sum-of-squares run over that bounded frame, so
+    every candidate split is one row of arithmetic — the |days| frame is
+    date-range-bounded, never row-count-bounded.  Sums convert
+    decimal→double once, so both engines do identical float arithmetic
+    (x188's rule).
+
+    Output (1 row): ``last_before_date, n_before, n_after,
+    mean_before, mean_after, sse_reduction_pct, f_stat`` — the BEFORE
+    segment ends on ``last_before_date`` inclusive (the series may have
+    calendar gaps, so the boundary is named by a day that exists).
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__sd")
+    )
+    # per-day value = day total; the changepoint is over the daily series
+    dd = daily.select("d", F.col("__sd").cast("double").alias("x"))
+    pre = global_cumsum(
+        dd.withColumn("__one", F.lit(1)).withColumn(
+            "x2", F.col("x") * F.col("x")
+        ),
+        "d",
+        ["x", "x2", "__one"],
+        prefix="c_",
+    )
+    tot = dd.agg(
+        F.sum("x").alias("ts_"),
+        F.sum(F.col("x") * F.col("x")).alias("tss"),
+        F.count(F.lit(1)).cast("double").alias("tn"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("c___one") < F.col("tn"))  # split must leave a tail
+        .select(
+            "d",
+            F.col("c___one").cast("double").alias("n1"),
+            (F.col("tn") - F.col("c___one")).alias("n2"),
+            F.col("c_x").alias("s1"),
+            (F.col("ts_") - F.col("c_x")).alias("s2"),
+            F.col("c_x2").alias("ss1"),
+            (F.col("tss") - F.col("c_x2")).alias("ss2"),
+            "ts_", "tss", "tn",
+        )
+    )
+    sse_w = (
+        F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")
+        + F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2")
+    )
+    sst = F.col("tss") - F.col("ts_") * F.col("ts_") / F.col("tn")
+    scored = cand.select(
+        "d", "n1", "n2", "s1", "s2",
+        sse_w.alias("sse_w"),
+        sst.alias("sst"),
+        F.col("tn").alias("tn"),
+    )
+    best = (
+        scored.orderBy(F.col("sse_w").asc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("last_before_date"),
+            F.col("n1").cast("bigint").alias("n_before"),
+            F.col("n2").cast("bigint").alias("n_after"),
+            F.round(F.col("s1") / F.col("n1"), 6).alias("mean_before"),
+            F.round(F.col("s2") / F.col("n2"), 6).alias("mean_after"),
+            F.round(
+                (F.col("sst") - F.col("sse_w")) / F.col("sst") * 100.0, 6
+            ).alias("sse_reduction_pct"),
+            F.round(
+                (F.col("sst") - F.col("sse_w"))
+                / (F.col("sse_w") / (F.col("tn") - 2.0)),
+                6,
+            ).alias("f_stat"),
+        )
+    )
+    return best
+
+
+def mann_kendall_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mann-Kendall trend test on the daily series — the significance
+    companion to :func:`theil_sen_trend` (same robustness: rank-based,
+    outlier-immune): S = Σ_{i<j} sign(x_j − x_i), tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected z with a two-sided p-value from the shared
+    A&S polynomial (relational.normal_sf — identical literal arithmetic
+    in both engines).
+
+    Scale shape: daily exact-decimal totals first, then the |days|²/2
+    pair frame — date-range-bounded, never row-count-bounded (same
+    posture as Theil-Sen); S and the tie counts stay integers until the
+    final divisions.
+
+    Output (1 row): ``n_days, s_stat, var_s, z, p, trend`` (trend is
+    +1/-1/0 at the given alpha).
+    """
+    from flashml_spark.operators.relational import normal_sf
+
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    n_df = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    j = (
+        s.crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n", "s_stat",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                ).cast("double")
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1.0) / F.sqrt("var_s"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1.0) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    scored = j.withColumn("z", z).withColumn(
+        "p",
+        F.when(F.col("z") == 0, F.lit(1.0)).otherwise(
+            2.0 * normal_sf(F.abs(F.col("z")))
+        ),
+    )
+    return scored.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p"),
+        F.when(
+            (F.col("p") < alpha) & (F.col("s_stat") > 0), F.lit(1)
+        )
+        .when((F.col("p") < alpha) & (F.col("s_stat") < 0), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("trend"),
+    )

@@ -24,78 +24,100 @@ HLL_M = 256
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """The per-group HLL register frame ``(<groups...>, reg, mr)`` —
+    ≤ 256 rows per group.  256 registers from a 60-bit md5-derived
+    hash: low 8 bits pick the register, the remaining 52 bits' leading-
+    zero rank (``53 - bitlength``) is the register value.
+
+    This frame IS the sketch: merging sketches (across sources, shards,
+    or days) is ``groupBy(reg).max(mr)`` — the associative property that
+    makes HLL usable at 100 TB (per-partition sketches meet in one
+    register-bounded agg instead of a global distinct shuffle).
+
+    The high bits come via ``shiftright`` — hv/256 through double
+    division would round (60 significant bits > the 53-bit mantissa)
+    and floor() could land off by one; the SQL twin is exact integer
+    division (``hv // 256``).
+    """
+    hv = H.md5_long(F.col(value_col).cast("string"), 15)  # 60 bits, positive
+    w = F.shiftright(hv, 8)
+    rank = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col))
+        .distinct()
+        .select(
+            *group_cols,
+            (hv % HLL_M).alias("reg"),
+            rank.alias("rank"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Cardinality estimate from a register frame: the raw HLL harmonic
+    mean, with the Flajolet et al. 2007 §4 small-range correction —
+    linear counting ``m·ln(m/V)`` (V = empty registers) when the raw
+    estimate is below 2.5·m, where the raw estimator is badly biased
+    high.  Absent registers contribute 2^0 = 1.0 each.  Output:
+    ``<groups...>, hll`` (unrounded double).
+    """
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    raw = agg.select(
+        *group_cols,
+        (
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            / (F.col("s") + (F.lit(HLL_M) - F.col("used")))
+        ).alias("raw"),
+        (F.lit(HLL_M) - F.col("used")).cast("double").alias("v"),
+    )
+    return raw.select(
+        *group_cols,
+        F.when(
+            (F.col("raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+        )
+        .otherwise(F.col("raw"))
+        .alias("hll"),
+    )
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
     """Per-group HyperLogLog distinct estimate next to the exact count —
-    the sketch-accuracy audit.  256 registers from a 60-bit md5-derived
-    hash: low 8 bits pick the register, the remaining 52 bits' leading-
-    zero rank (``53 - bitlength``) is the register value.
+    the sketch-accuracy audit.
 
     Deliberately NOT ``approx_count_distinct``: Spark's HLL++ and any
     other engine's HLL use different hash functions and bias tables, so
     their estimates can't be compared across engines.  This one is pure
     integer/md5 arithmetic + exact powers of two, so DuckDB reproduces
     it bit-for-bit — the estimate itself becomes testable, which is the
-    point of an accuracy audit.  Small-range correction per Flajolet
-    et al. 2007 §4: when the raw estimate is below 2.5·m and empty
-    registers remain, switch to linear counting ``m·ln(m/V)`` (V = empty
-    registers) — the raw estimator is badly biased high in that regime.
+    point of an accuracy audit.
 
     Scale shape: distinct (group, value) hash agg → (group, register)
     max-rank agg (≤ 256·|groups| rows) → per-group sum.  The corpus is
     touched once; everything after the first agg is register-bounded.
     Output: ``<group>, n_exact, hll_estimate, rel_error``.
     """
-    hv = H.md5_long(F.col(value_col).cast("string"), 15)  # 60 bits, positive
-    # high 52 bits via shiftright — hv/256 through double division would
-    # round (60 significant bits > the 53-bit mantissa) and floor() could
-    # land off by one; the SQL twin is exact integer division (hv // 256)
-    w = F.shiftright(hv, 8)
-    rank = F.when(w == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(w))
-    )
-    regs = (
-        df.where(F.col(value_col).isNotNull())
-        .select(F.col(group_col), F.col(value_col))
-        .distinct()
-        .select(
-            group_col,
-            (hv % HLL_M).alias("reg"),
-            rank.alias("rank"),
-        )
-        .groupBy(group_col, "reg")
-        .agg(F.max("rank").alias("mr"))
-    )
+    regs = hll_registers(df, [group_col], value_col)
+    est = hll_estimate_from_registers(regs, [group_col])
     exact = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(group_col)
         .agg(F.count_distinct(value_col).alias("n_exact"))
-    )
-    # absent registers contribute 2^0 = 1.0 each
-    est = (
-        regs.groupBy(group_col)
-        .agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
-            F.count(F.lit(1)).alias("used"),
-        )
-        .select(
-            group_col,
-            (
-                F.lit(HLL_ALPHA * HLL_M * HLL_M)
-                / (F.col("s") + (F.lit(HLL_M) - F.col("used")))
-            ).alias("raw"),
-            (F.lit(HLL_M) - F.col("used")).cast("double").alias("v"),
-        )
-        .select(
-            group_col,
-            F.when(
-                (F.col("raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
-                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
-            )
-            .otherwise(F.col("raw"))
-            .alias("hll"),
-        )
     )
     return (
         exact.join(est, group_col)
@@ -105,6 +127,46 @@ def hll_distinct(
             F.round("hll", 6).alias("hll_estimate"),
             F.round(
                 F.abs(F.col("hll") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+    )
+
+
+def hll_merge_audit(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The merge-associativity audit: estimate global cardinality two
+    ways — directly from the whole corpus, and by MERGING the per-group
+    register frames (``groupBy(reg).max(mr)``) — and report both next
+    to the exact count.  Because max is associative, the merged
+    registers are IDENTICAL to the directly-computed ones, so the two
+    estimates agree bit-for-bit: the property that lets 100 TB
+    pipelines sketch per shard/day/source and combine later without
+    ever re-touching the data.  Output (1 row): ``n_exact,
+    direct_hll, merged_hll, merge_identical, rel_error``.
+    """
+    per_group = hll_registers(df, [group_col], value_col)
+    merged = per_group.groupBy("reg").agg(F.max("mr").alias("mr"))
+    m_est = hll_estimate_from_registers(merged, [])
+    direct = hll_registers(df, [], value_col)
+    d_est = hll_estimate_from_registers(direct, [])
+    exact = df.where(F.col(value_col).isNotNull()).agg(
+        F.count_distinct(value_col).alias("n_exact")
+    )
+    return (
+        exact.crossJoin(
+            F.broadcast(d_est.select(F.col("hll").alias("direct")))
+        )
+        .crossJoin(F.broadcast(m_est.select(F.col("hll").alias("merged"))))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round("direct", 6).alias("direct_hll"),
+            F.round("merged", 6).alias("merged_hll"),
+            (F.col("direct") == F.col("merged")).cast("int").alias(
+                "merge_identical"
+            ),
+            F.round(
+                F.abs(F.col("merged") - F.col("n_exact")) / F.col("n_exact"), 6
             ).alias("rel_error"),
         )
     )

@@ -506,3 +506,194 @@ def x226(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("y"),
     )
     return isotonic_calibration(scored, "score", "y", n_bins=20)
+
+
+# --------------------------------------------------------------------------
+# x227 — TTL dedup with FIRST-occurrence-anchored horizon (the batch
+# twin of streaming dropDuplicatesWithinWatermark, added per the r5
+# verdict): unlike x157's refreshing horizon, duplicates do NOT extend
+# the window, so a retry chain longer than the horizon re-emits.  The
+# Spark side is a JVM-side aggregate fold per key; the oracle expresses
+# the same anchor recursion as a recursive CTE stepping through each
+# key's rows in (ts, event_id) order — the per-key sequential semantics
+# is the SAME recursion in both engines.
+_TTL_ANCHOR_SQL = """
+WITH RECURSIVE k AS (
+    SELECT event_id, event_type, epoch_us(ts) AS us,
+           md5(CAST(user_id AS VARCHAR) || '|' || event_type
+               || '|' || COALESCE(props, '')) AS h,
+           ROW_NUMBER() OVER (PARTITION BY md5(CAST(user_id AS VARCHAR)
+               || '|' || event_type || '|' || COALESCE(props, ''))
+               ORDER BY ts, event_id) AS rn
+    FROM events),
+  r AS (
+    SELECT h, rn, us, event_type, us AS anchor, 0 AS is_dup
+    FROM k WHERE rn = 1
+    UNION ALL
+    SELECT k.h, k.rn, k.us, k.event_type,
+           CASE WHEN k.us - r.anchor > 3600000000 THEN k.us
+                ELSE r.anchor END AS anchor,
+           CASE WHEN k.us - r.anchor <= 3600000000 THEN 1 ELSE 0 END AS is_dup
+    FROM r JOIN k ON k.h = r.h AND k.rn = r.rn + 1)
+SELECT event_type,
+       CAST(SUM(is_dup) AS BIGINT) AS dropped,
+       CAST(SUM(1 - is_dup) AS BIGINT) AS kept
+FROM r GROUP BY event_type ORDER BY event_type"""
+
+
+@register("x227_ttl_dedup_anchored", _TTL_ANCHOR_SQL)
+def x227(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts", "props"
+    )
+    flagged = dedup.ttl_dedup_flags(
+        ev, ["user_id", "event_type", "props"], "ts", "event_id",
+        horizon_seconds=3600, anchor="first",
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum("is_dup").cast("bigint").alias("dropped"),
+            F.sum(1 - F.col("is_dup")).cast("bigint").alias("kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x228 — HLL merge-associativity audit: estimate global distinct tokens
+# directly AND by merging the per-source register frames
+# (groupBy(reg).max(mr)); max is associative, so the two estimates agree
+# bit-for-bit — the property that lets a 100 TB pipeline sketch per
+# shard/day/source and combine later without re-touching data.  The
+# oracle replays both paths and the equality check.
+_HLL_MERGE_SQL = f"""
+WITH toks AS (SELECT DISTINCT source, UNNEST({_TOK}) AS token
+              FROM documents WHERE text IS NOT NULL),
+     h AS (SELECT source, token,
+                  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS hv
+           FROM toks),
+     r AS (SELECT source, hv % 256 AS reg, hv // 256 AS w FROM h),
+     pg AS (SELECT source, reg,
+                   MAX(CASE WHEN w = 0 THEN 53
+                            ELSE 53 - LENGTH(bin(w)) END) AS mr
+            FROM r GROUP BY source, reg),
+     mg AS (SELECT reg, MAX(mr) AS mr FROM pg GROUP BY reg),
+     dg AS (SELECT reg, MAX(CASE WHEN w = 0 THEN 53
+                                 ELSE 53 - LENGTH(bin(w)) END) AS mr
+            FROM r GROUP BY reg),
+     est_m AS (SELECT CAST({sketches.HLL_ALPHA!r} AS DOUBLE) * 65536.0
+                      / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS raw,
+                      CAST(256 - COUNT(*) AS DOUBLE) AS v FROM mg),
+     est_d AS (SELECT CAST({sketches.HLL_ALPHA!r} AS DOUBLE) * 65536.0
+                      / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS raw,
+                      CAST(256 - COUNT(*) AS DOUBLE) AS v FROM dg),
+     fm AS (SELECT CASE WHEN raw <= 640.0 AND v > 0
+                        THEN 256.0 * LN(256.0 / v) ELSE raw END AS hll
+            FROM est_m),
+     fd AS (SELECT CASE WHEN raw <= 640.0 AND v > 0
+                        THEN 256.0 * LN(256.0 / v) ELSE raw END AS hll
+            FROM est_d),
+     ex AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact FROM toks)
+SELECT ex.n_exact, ROUND(fd.hll, 6) AS direct_hll,
+       ROUND(fm.hll, 6) AS merged_hll,
+       CAST(CASE WHEN fd.hll = fm.hll THEN 1 ELSE 0 END AS INT)
+           AS merge_identical,
+       ROUND(ABS(fm.hll - ex.n_exact) / ex.n_exact, 6) AS rel_error
+FROM ex, fd, fm"""
+
+
+@register("x228_hll_merge", _HLL_MERGE_SQL)
+def x228(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "source", F.explode(H.tokens(F.col("text"))).alias("token")
+    )
+    return sketches.hll_merge_audit(toks, "source", "token")
+
+
+# --------------------------------------------------------------------------
+# x229 — single-changepoint detection on daily order revenue (exact
+# binary-segmentation step): every candidate split day scored by
+# within-segment SSE on the |days| post-agg frame; daily totals are
+# exact-decimal before ONE double conversion (x188's rule), so both
+# engines run identical float arithmetic.
+_CHG_SQL = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS x
+               FROM orders GROUP BY 1),
+     pre AS (SELECT d, x,
+                    SUM(x) OVER w AS s1,
+                    SUM(x * x) OVER w AS ss1,
+                    CAST(COUNT(*) OVER w AS DOUBLE) AS n1
+             FROM daily WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+     tot AS (SELECT SUM(x) AS ts_, SUM(x * x) AS tss,
+                    CAST(COUNT(*) AS DOUBLE) AS tn FROM daily),
+     cand AS (SELECT d, n1, tn - n1 AS n2, s1, ts_ - s1 AS s2,
+                     ss1 - s1 * s1 / n1
+                     + (tss - ss1) - (ts_ - s1) * (ts_ - s1) / (tn - n1) AS sse_w,
+                     tss - ts_ * ts_ / tn AS sst, tn
+              FROM pre, tot WHERE n1 < tn)
+SELECT d AS last_before_date,
+       CAST(n1 AS BIGINT) AS n_before, CAST(n2 AS BIGINT) AS n_after,
+       ROUND(s1 / n1, 6) AS mean_before, ROUND(s2 / n2, 6) AS mean_after,
+       ROUND((sst - sse_w) / sst * 100.0, 6) AS sse_reduction_pct,
+       ROUND((sst - sse_w) / (sse_w / (tn - 2.0)), 6) AS f_stat
+FROM cand ORDER BY sse_w ASC, d ASC LIMIT 1"""
+
+
+@register("x229_changepoint_split", _CHG_SQL)
+def x229(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    o = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    return events.changepoint_single_split(o, "o_orderdate", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# x230 — Mann-Kendall trend test on daily order revenue: the
+# significance companion to x204's Theil-Sen slope (same rank-based
+# robustness; |days|²/2 pair frame, date-range-bounded).  S and tie
+# counts stay integers; z's p-value uses the shared A&S polynomial.
+_MK_SQL = f"""
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS x
+               FROM orders GROUP BY 1),
+     s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                      AS s_stat
+           FROM daily a JOIN daily b ON a.d < b.d),
+     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+     ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                         AS tie_term
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                    FROM daily GROUP BY x HAVING COUNT(*) > 1)),
+     v AS (SELECT nn.n, s.s_stat,
+                  CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                       AS DOUBLE) / 18.0 AS var_s
+           FROM nn, s, ties),
+     zz AS (SELECT *, CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var_s)
+                           WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var_s)
+                           ELSE 0.0 END AS z
+            FROM v),
+     pp AS (SELECT *, CASE WHEN z = 0 THEN 1.0
+                           ELSE 2.0 * {_rel.normal_sf_sql("ABS(z)")} END AS p
+            FROM zz)
+SELECT n AS n_days, s_stat, ROUND(var_s, 6) AS var_s, ROUND(z, 6) AS z,
+       ROUND(p, 6) AS p,
+       CAST(CASE WHEN p < 0.05 AND s_stat > 0 THEN 1
+                 WHEN p < 0.05 AND s_stat < 0 THEN -1 ELSE 0 END AS INT)
+           AS trend
+FROM pp"""
+
+
+@register("x230_mann_kendall", _MK_SQL)
+def x230(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    o = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
+    return events.mann_kendall_test(o, "o_orderdate", "o_totalprice")

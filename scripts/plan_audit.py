@@ -95,6 +95,9 @@ ACCEPTED_CROSS = {
     "x221_cumulative_gains": "1-row positives/rows totals scalar broadcast onto the |buckets| frame",
     "x224_dsir_weights": "1-row corpus/target gram-count scalar broadcasts onto the 1024-bucket profile",
     "x225_bh_fdr": "1-row m and max-k scalar broadcasts onto the |tests|=25 frame",
+    "x228_hll_merge": "1-row direct/merged estimate scalar broadcasts (register-bounded inputs)",
+    "x229_changepoint_split": "1-row series-totals scalar broadcast onto the |days| candidate frame",
+    "x230_mann_kendall": "|days|^2/2 sign-pair inequality self-join on the post-agg daily frame + 1-row scalar broadcasts",
     "x226_isotonic_calibration": "n_bins(n_bins+1)/2 interval inequality joins, all frames config-bounded (n_bins=20)",
 }
 

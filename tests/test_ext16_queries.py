@@ -240,3 +240,62 @@ def test_isotonic_matches_pav_and_is_monotone(spark):
     ]
     want = [round(v, 6) for v in _py_pav(binned)]
     assert iso == pytest.approx(want, abs=1e-6)
+
+
+def test_hll_merge_identical_and_cross_group_dedup(spark):
+    # values shared by several groups count once globally; merged and
+    # direct register paths agree bit-for-bit (max associativity)
+    from flashml_spark.operators.sketches import hll_merge_audit
+
+    rows = [(f"g{i % 4}", f"tok{i % 300}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = hll_merge_audit(df, "g", "v").collect()[0]
+    assert r["n_exact"] == 300
+    assert r["merge_identical"] == 1
+    assert r["direct_hll"] == r["merged_hll"]
+    assert r["rel_error"] < 0.1  # linear-counting regime is tight
+
+
+def test_changepoint_finds_planted_break(spark):
+    from flashml_spark.operators.events import changepoint_single_split
+
+    # 20 days at ~100, then 20 days at ~200 (small deterministic wiggle
+    # so SSE is not degenerate)
+    rows = []
+    for i in range(40):
+        base = 100.0 if i < 20 else 200.0
+        rows.append((f"2024-01-{i + 1:02d}" if i < 31 else f"2024-02-{i - 30:02d}",
+                     base + (i % 3)))
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.col("d").cast("timestamp").alias("ts"), "v"
+    )
+    r = changepoint_single_split(df, "ts", "v").collect()[0]
+    assert str(r["last_before_date"]) == "2024-01-20"
+    assert r["n_before"] == 20 and r["n_after"] == 20
+    # sum of i%3 over i=0..19 is 19 -> mean 100 + 19/20
+    assert r["mean_before"] == pytest.approx(100.95, abs=0.01)
+    assert r["mean_after"] == pytest.approx(201.0, abs=0.01)
+    assert r["sse_reduction_pct"] > 99.0
+
+
+def test_mann_kendall_directions(spark):
+    from flashml_spark.operators.events import mann_kendall_test
+
+    def series(vals):
+        rows = [(f"2024-01-{i + 1:02d}", float(v)) for i, v in enumerate(vals)]
+        return spark.createDataFrame(rows, "d string, v double").select(
+            F.col("d").cast("timestamp").alias("ts"), "v"
+        )
+
+    up = mann_kendall_test(series(range(1, 21)), "ts", "v").collect()[0]
+    n = 20
+    assert up["s_stat"] == n * (n - 1) // 2  # every pair concordant
+    assert up["trend"] == 1 and up["p"] < 0.001
+
+    down = mann_kendall_test(series(range(20, 0, -1)), "ts", "v").collect()[0]
+    assert down["s_stat"] == -n * (n - 1) // 2 and down["trend"] == -1
+
+    flat = mann_kendall_test(series([7] * 20), "ts", "v").collect()[0]
+    assert flat["s_stat"] == 0 and flat["trend"] == 0 and flat["p"] == 1.0
+    # all-tied variance: n(n-1)(2n+5) == tie term -> var 0, z guarded to 0
+    assert flat["var_s"] == 0.0
