@@ -20,9 +20,11 @@ reference naming where the concept carries over):
     project.data.location.temp_table_prefix
                                   temp-view name for the source (+ chain
                                   intermediates get <prefix><i>)
-    experiment.type               "model" (default: fit + score) or
+    experiment.type               "model" (default: fit + score),
                                   "predict" (load persisted pipelines,
-                                  score the input, no refit)
+                                  score the input, no refit), or
+                                  "monitoring" (PSI/VSI model-health job
+                                  — see ``_run_monitoring``)
     predict.output                parquet path for predict-mode output
 
 Exit code 0 on success; config/validation errors print the offending
@@ -43,6 +45,66 @@ def _dotted_get(raw: dict, dotted: str, default: Any = None) -> Any:
             return default
         cur = cur[part]
     return cur
+
+
+def _run_monitoring(spark, raw: dict, new_df) -> int:
+    """The reference's model-health job type (``psivsi_config.json`` /
+    ``ModelHealthMetricsEvaluator.scala:43-210``): PSI between the base
+    (training-time) and new (serving-time) score distributions, plus
+    per-categorical-variable VSI with missing/new value reports.
+
+    Config keys:
+        experiment.type            "monitoring"
+        monitoring.baseSource      URI of the base dataset (read_source)
+        monitoring.scoreColumn     score column for PSI
+        monitoring.categoricalVariables   per-variable VSI list
+        monitoring.buckets         PSI buckets (default 10)
+        project.data.pageVariable / numPages   per-page PSI fan-out
+        savepoint.root             where metrics/health.json lands
+    """
+    from flashml_spark.metrics import stability
+    from flashml_spark.sources.readers import read_source
+
+    base_uri = _dotted_get(raw, "monitoring.baseSource")
+    if base_uri is None or new_df is None:
+        print(
+            "invalid config: monitoring needs monitoring.baseSource and "
+            "project.data.location.source",
+            file=sys.stderr,
+        )
+        return 2
+    base = read_source(spark, base_uri)
+    score_col = _dotted_get(raw, "monitoring.scoreColumn")
+    buckets = int(_dotted_get(raw, "monitoring.buckets", 10))
+    cats = _dotted_get(raw, "monitoring.categoricalVariables") or []
+    page_col = _dotted_get(raw, "project.data.pageVariable")
+    num_pages = int(_dotted_get(raw, "project.data.numPages", 1))
+
+    report: dict[str, Any] = {}
+    if score_col:
+        report["psi"] = stability.psi(base, new_df, score_col, buckets)
+        report["psiEmptyBuckets"] = stability.empty_psi_buckets(
+            base, new_df, score_col, buckets
+        )
+        if page_col and num_pages > 1:
+            report["psiByPage"] = {
+                str(k): v
+                for k, v in stability.psi_by_page(
+                    base, new_df, score_col, page_col, num_pages, buckets
+                ).items()
+            }
+    for var in cats:
+        report[f"vsi.{var}"] = stability.vsi(base, new_df, var)
+
+    root = _dotted_get(raw, "savepoint.root")
+    if root:
+        import os
+
+        os.makedirs(f"{root}/metrics", exist_ok=True)
+        with open(f"{root}/metrics/health.json", "w") as f:
+            json.dump(report, f, indent=1, default=float)
+    print(json.dumps({"health": report}, default=float))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -106,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             df.createOrReplaceTempView(f"{prefix}in")
             df = run_sql_view_chain(spark, queries, view_prefix=prefix)
+
+    if mode == "monitoring":
+        return _run_monitoring(spark, raw, df)
 
     exp = Experiment(cfg)
     if mode == "predict":
