@@ -24,3 +24,6 @@ from flashml_spark.streaming.drift import (  # noqa: F401
     quantile_edges,
     windowed_psi,
 )
+from flashml_spark.streaming.stateful import (  # noqa: F401
+    streaming_hll_distinct,
+)

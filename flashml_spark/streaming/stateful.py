@@ -292,3 +292,81 @@ def ewma_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_distinct(
+    stream: DataFrame,
+    key_col: str = "source",
+    value_col: str = "token",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming per-key distinct-cardinality monitor — the stateful
+    twin of ``operators.sketches.hll_distinct``: per key, state is the
+    256-register HLL array (O(256) ints, CONSTANT regardless of how
+    many distinct values stream through — the property that makes a
+    lifetime distinct-counter feasible in a state store), updated with
+    the SAME md5-derived register/rank arithmetic as the batch sketch,
+    so after any sequence of micro-batches the streaming estimate
+    equals the batch estimate over the union of the data.
+
+    Emits one row per touched key per micro-batch:
+    ``<key>, n_rows, hll_estimate`` (n_rows = lifetime rows seen).
+    """
+    import hashlib
+    import math
+
+    from flashml_spark.operators.sketches import HLL_ALPHA, HLL_M
+
+    def _reg_rank(v: str) -> tuple[int, int]:
+        hv = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        w = hv >> 8
+        return hv % HLL_M, (53 - w.bit_length()) if w else 53
+
+    def _estimate(regs: list[int]) -> float:
+        used = sum(1 for r in regs if r > 0)
+        s = sum(2.0 ** -r for r in regs if r > 0)
+        raw = HLL_ALPHA * HLL_M * HLL_M / (s + (HLL_M - used))
+        v = HLL_M - used
+        if raw <= 2.5 * HLL_M and v > 0:
+            return HLL_M * math.log(HLL_M / v)
+        return raw
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, regs = state.get
+            regs = list(regs)
+        else:
+            n, regs = 0, [0] * HLL_M
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            for v in vals:
+                reg, rank = _reg_rank(v)
+                if rank > regs[reg]:
+                    regs[reg] = rank
+        state.update((n, regs))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n],
+                "hll_estimate": [_estimate(regs)],
+            }
+        )
+
+    key_type = stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n_rows", LongType()),
+            StructField("hll_estimate", DoubleType()),
+        ]
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n LONG, regs ARRAY<INTEGER>",
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

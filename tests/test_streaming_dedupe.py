@@ -4,6 +4,7 @@ agree with ``operators.dedup.exact_dedup`` semantics."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flashml_spark.operators import dedup
@@ -210,3 +211,60 @@ def test_ttl_anchor_first_parity_with_dropDuplicatesWithinWatermark(
         r["event_id"] for r in flagged.filter(F.col("is_dup") == 1).collect()
     }
     assert dups == {2, 3, 6}
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """streaming_hll_distinct over two micro-batches converges to the
+    batch hll_distinct estimate on the union — same md5 register
+    arithmetic, O(256) state per key."""
+    import time
+
+    from flashml_spark.operators.sketches import hll_distinct
+    from flashml_spark.streaming import streaming_hll_distinct
+
+    rows1 = [("s1", f"tok{i}") for i in range(400)] + [
+        ("s2", f"v{i % 37}") for i in range(100)
+    ]
+    rows2 = [("s1", f"tok{i}") for i in range(200, 700)] + [
+        ("s2", f"v{i % 53}") for i in range(100)
+    ]
+
+    def _frame(rows):
+        return spark.createDataFrame(rows, "source string, token string")
+
+    src = str(tmp_path / "hll_src")
+    _frame(rows1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _frame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(_frame(rows1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_hll_distinct(stream, "source", "token")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per key = the converged estimate
+    out = spark.sql(
+        "SELECT source, hll_estimate FROM hll_stream "
+        "WHERE (source, n_rows) IN "
+        "(SELECT source, MAX(n_rows) FROM hll_stream GROUP BY source)"
+    ).collect()
+    got = {r["source"]: r["hll_estimate"] for r in out}
+
+    batch = {
+        r["source"]: r["hll_estimate"]
+        for r in hll_distinct(
+            _frame(rows1 + rows2), "source", "token"
+        ).collect()
+    }
+    # batch rounds to 6; the streaming estimate must agree to that digit
+    assert round(got["s1"], 6) == pytest.approx(batch["s1"], abs=2e-6)
+    assert round(got["s2"], 6) == pytest.approx(batch["s2"], abs=2e-6)
