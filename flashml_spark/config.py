@@ -152,9 +152,14 @@ class ConfigCheck:
 
 
 _IDENT = "[0-9a-zA-Z_.]+"
+# both the reference's plural spelling (configChecks.json uses
+# "decision_trees") and this engine's ALGORITHMS key are accepted; the
+# loader normalizes the plural to "decision_tree" (caught round 6: the
+# item pattern and ALGORITHMS disagreed, so NEITHER spelling passed both
+# checks and decision trees were unusable through the CLI)
 _ALGOS = (
     "logistic_regression|naive_bayes|svm|multilayer_perceptron|decision_trees"
-    "|random_forest|gradient_boosted_trees"
+    "|decision_tree|random_forest|gradient_boosted_trees"
 )
 
 # step -> validation list, mirroring configChecks.json's per-step grouping
@@ -305,6 +310,8 @@ def load_config(source: str | dict) -> ExperimentConfig:
         val = _get_path(raw, dotted)
         if val is not _MISSING:
             kwargs[field_name] = val
+    if kwargs.get("algorithm") == "decision_trees":
+        kwargs["algorithm"] = "decision_tree"  # reference plural spelling
     cfg = ExperimentConfig(**kwargs)
     _validate(cfg)
     return cfg

@@ -224,3 +224,17 @@ def test_preprocessing_steps_config_validation():
     # missing inputVariable rejected
     with pytest.raises(ValueError, match="inputVariable"):
         load_config(with_steps([{"transformations": [{"type": "stemming"}]}]))
+
+
+def test_decision_tree_both_spellings_load():
+    # r6 regression: the item pattern said "decision_trees" (reference
+    # configChecks.json plural) while ALGORITHMS said "decision_tree" —
+    # NEITHER spelling passed both checks, so DTs were unusable via CLI
+    from flashml_spark.config import load_config
+
+    for spelling in ("decision_tree", "decision_trees"):
+        cfg = load_config({
+            "project": {"data": {"responseVariable": "y"}},
+            "model": {"algorithm": spelling},
+        })
+        assert cfg.algorithm == "decision_tree", spelling

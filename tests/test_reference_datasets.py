@@ -603,3 +603,59 @@ GOLDEN_YELP_STRATIFIED = {
     "test.weightedF1": 0.4531823987513469,
     "test.weightedPrecision": 0.4534433896436471,
 }
+
+
+def test_titanic_rf_and_gbt_goldens(spark, tmp_path):
+    """Remaining algorithm scenario classes through the CLI on titanic —
+    the reference's `binaryRF_test_config.json`,
+    `binary_gbt_test_config.json`, `binary_decisionTree_test_config.json`
+    and the MLP config shapes (seed-999 estimators, seed-20 split).  All
+    pinned after byte-identical repeat runs; together with the LR/NB/SVM
+    goldens above, EVERY ALGORITHMS entry now runs end-to-end on shipped
+    data through the config CLI."""
+    from flashml_spark.__main__ import main
+
+    for algo, params, golden in (
+        ("random_forest", {}, GOLDEN_TITANIC_RF),
+        ("gradient_boosted_trees", {}, GOLDEN_TITANIC_GBT),
+        # "decision_trees" = the reference's plural configChecks spelling
+        # (the loader normalizes it — r6 regression where neither
+        # spelling passed both validators)
+        ("decision_trees", {}, GOLDEN_TITANIC_DT),
+        ("multilayer_perceptron", {"hiddenLayers": [10]}, GOLDEN_TITANIC_MLP),
+    ):
+        root = str(tmp_path / f"titanic_{algo}_sp")
+        cfg = _titanic_cfg(f"titanic_{algo}", root)
+        cfg["model"] = {"algorithm": algo}
+        if params:
+            cfg["model"]["params"] = params
+        cfg_path = tmp_path / f"titanic_{algo}.json"
+        cfg_path.write_text(json.dumps(cfg))
+        assert main([str(cfg_path)]) == 0
+        with open(f"{root}/metrics/metrics.json") as f:
+            metrics = json.load(f)
+        for key, want in golden.items():
+            assert metrics[key] == pytest.approx(want, abs=1e-9), (algo, key)
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_TITANIC_RF = {
+    "test.accuracy": 0.8093525179856115,
+    "test.auroc": 0.8389978213507625,
+    "test.weightedF1": 0.8046320327075223,
+}
+GOLDEN_TITANIC_GBT = {
+    "test.accuracy": 0.8129496402877698,
+    "test.auroc": 0.8529139433551198,
+    "test.weightedF1": 0.809149734554662,
+}
+GOLDEN_TITANIC_DT = {
+    "test.accuracy": 0.7985611510791367,
+    "test.auroc": 0.8509803921568627,
+    "test.weightedF1": 0.7944689449050206,
+}
+GOLDEN_TITANIC_MLP = {
+    "test.accuracy": 0.7589928057553957,
+    "test.auroc": 0.7798202614379085,
+    "test.weightedF1": 0.7583495393148791,
+}
