@@ -240,6 +240,8 @@ HEADLINE = [
     "x228_hll_merge",
     "x229_changepoint_split",
     "x230_mann_kendall",
+    "x231_count_min_audit",
+    "x232_hll_source_overlap",
 ]
 
 

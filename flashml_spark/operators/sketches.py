@@ -170,3 +170,175 @@ def hll_merge_audit(
             ).alias("rel_error"),
         )
     )
+
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def count_min_audit(
+    df: DataFrame, value_col: str, top_k: int = 10
+) -> DataFrame:
+    """Count-min sketch frequency audit (Cormode & Muthukrishnan 2005):
+    a d=4 × w=1024 counter grid (md5-derived row hashes), read back for
+    the exact top-``top_k`` heavy hitters next to their true counts —
+    the overestimate column IS the sketch's error guarantee made
+    visible (CMS never underestimates; E[error] ≤ N/w per row, min over
+    d rows).
+
+    Scale shape: one corpus pass explodes each value to its d (row,
+    bucket) cells; the sketch is a 4096-row agg (broadcast-size — the
+    point: frequency estimates for ANY value from a fixed-size
+    structure); the heavy-hitter list is one TakeOrdered.  Estimates
+    join the sketch on (row, bucket) — never a rescan.
+
+    Output: ``value, n_exact, cms_estimate, overestimate`` ordered by
+    exact count desc (ties: value asc).
+    """
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    H.md5_long(F.concat(F.lit(f"cm{j}:"), F.col("v")), 8)
+                    % CMS_W
+                ).alias("b"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    sketch = (
+        vals.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("v"))
+        .limit(top_k)
+    )
+    probe_cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    H.md5_long(F.concat(F.lit(f"cm{j}:"), F.col("v")), 8)
+                    % CMS_W
+                ).alias("b"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    probes = top.select("v", "n_exact", F.explode(probe_cells).alias("c"))
+    est = (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("c.j") == F.col("j")) & (F.col("c.b") == F.col("b")),
+        )
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("v").alias("value"),
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).cast("bigint").alias(
+            "overestimate"
+        ),
+    ).orderBy(F.desc("n_exact"), F.asc("value"))
+
+
+def hll_pairwise_jaccard(
+    df: DataFrame, group_col: str, value_col: str, top_k: int = 10
+) -> DataFrame:
+    """Pairwise set-overlap matrix from HLL sketches: for every group
+    pair, |A∩B| is estimated by inclusion-exclusion over three register
+    estimates (|A|, |B|, and |A∪B| from the pair's MERGED registers —
+    sketch union is free), reported next to the exact Jaccard — the
+    audit that says whether sketch-based overlap triage is accurate
+    enough to replace the exact vocabulary join at 100 TB (where the
+    sketches are a few KB per shard and the exact join is a full
+    shuffle).
+
+    Scale shape: per-group registers once (≤ 256·|groups| rows); the
+    pair-union frame is |pairs| × ≤ 512 register rows (group-count
+    bounded, never data bounded); the exact side is one distinct
+    (group, value) self-join on the value key.  Output: ``group_a,
+    group_b, jaccard_est, jaccard_exact, abs_err`` — top ``top_k`` by
+    estimated Jaccard (ties: group names).
+    """
+    regs = hll_registers(df, [group_col], value_col)
+    singles = hll_estimate_from_registers(regs, [group_col])
+    groups = regs.select(F.col(group_col).alias("ga")).distinct()
+    pairs = groups.join(
+        regs.select(F.col(group_col).alias("gb")).distinct(),
+        F.col("ga") < F.col("gb"),
+    )
+    tagged = pairs.join(
+        regs,
+        (F.col(group_col) == F.col("ga")) | (F.col(group_col) == F.col("gb")),
+    ).select("ga", "gb", "reg", "mr")
+    union_regs = tagged.groupBy("ga", "gb", "reg").agg(
+        F.max("mr").alias("mr")
+    )
+    eu = hll_estimate_from_registers(union_regs, ["ga", "gb"]).select(
+        "ga", "gb", F.col("hll").alias("eu")
+    )
+    ea = singles.select(F.col(group_col).alias("ga"), F.col("hll").alias("ea"))
+    eb = singles.select(F.col(group_col).alias("gb"), F.col("hll").alias("eb"))
+    est = (
+        eu.join(ea, "ga")
+        .join(eb, "gb")
+        .select(
+            "ga", "gb",
+            F.greatest(
+                (F.col("ea") + F.col("eb") - F.col("eu")) / F.col("eu"),
+                F.lit(0.0),
+            ).alias("jac_est"),
+        )
+    )
+    dv = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).distinct()
+    sizes = dv.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dv.select(F.col("g").alias("ga"), "v")
+        .join(dv.select(F.col("g").alias("gb"), "v"), "v")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("g").alias("ga"), F.col("n").alias("na")), "ga")
+        .join(sizes.select(F.col("g").alias("gb"), F.col("n").alias("nb")), "gb")
+        .select(
+            "ga", "gb",
+            (
+                F.col("ni")
+                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+            ).alias("jac_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.round("jac_est", 6).alias("jaccard_est"),
+            F.round(F.coalesce("jac_exact", F.lit(0.0)), 6).alias(
+                "jaccard_exact"
+            ),
+            F.round(
+                F.abs(
+                    F.col("jac_est") - F.coalesce("jac_exact", F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+        .orderBy(F.desc("jaccard_est"), F.asc("group_a"), F.asc("group_b"))
+        .limit(top_k)
+    )

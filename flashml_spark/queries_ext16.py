@@ -697,3 +697,122 @@ def x230(spark: SparkSession, sf: str) -> DataFrame:
 
     o = load_table(spark, sf, "orders").select("o_orderdate", "o_totalprice")
     return events.mann_kendall_test(o, "o_orderdate", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# x231 — count-min sketch heavy-hitter audit on corpus tokens: the d=4 ×
+# w=1024 counter grid's estimate next to the exact count for the top-10
+# tokens — the overestimate column makes the CMS error guarantee (never
+# under, ≤ N/w expected over per row, min over rows) visible and
+# oracle-checkable.  The sketch is a fixed 4096-row frame regardless of
+# corpus size.
+def _cms_cells_sql(expr: str) -> str:
+    cells = ", ".join(
+        "STRUCT_PACK(j := {j}, b := CAST(('0x' || substr(md5('cm{j}:' || {e}), 1, 8)) "
+        "AS BIGINT) % 1024)".format(j=j, e=expr)
+        for j in range(4)
+    )
+    return f"[{cells}]"
+
+
+_CMS_SQL = f"""
+WITH toks AS (SELECT UNNEST({_TOK}) AS v
+              FROM documents WHERE text IS NOT NULL),
+     cells AS (SELECT UNNEST({_cms_cells_sql("v")}) AS c FROM toks),
+     sk AS (SELECT c.j AS j, c.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY c.j, c.b),
+     top AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_exact
+             FROM toks GROUP BY v
+             ORDER BY n_exact DESC, v ASC LIMIT 10),
+     pr AS (SELECT top.v, top.n_exact, UNNEST({_cms_cells_sql("top.v")}) AS c
+            FROM top),
+     est AS (SELECT pr.v, pr.n_exact,
+                    CAST(MIN(sk.cnt) AS BIGINT) AS cms_estimate
+             FROM pr JOIN sk ON sk.j = pr.c.j AND sk.b = pr.c.b
+             GROUP BY pr.v, pr.n_exact)
+SELECT v AS value, n_exact, cms_estimate,
+       CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
+FROM est ORDER BY n_exact DESC, value ASC"""
+
+
+@register("x231_count_min_audit", _CMS_SQL)
+def x231(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(F.explode(H.tokens(F.col("text"))).alias("token"))
+    return sketches.count_min_audit(toks, "token", top_k=10)
+
+
+# --------------------------------------------------------------------------
+# x232 — sketch-based source-overlap triage: pairwise Jaccard between
+# sources estimated by HLL inclusion-exclusion (|A∪B| from the pair's
+# merged registers — union is free on sketches) next to the exact
+# Jaccard from the vocabulary join; the audit that says whether sketch
+# overlap can replace the exact join for triage at scale.
+_EST_EXPR = (
+    f"CASE WHEN raw <= 640.0 AND v > 0 THEN 256.0 * LN(256.0 / v) "
+    f"ELSE raw END"
+)
+_HLL_JAC_SQL = f"""
+WITH toks AS (SELECT DISTINCT source, UNNEST({_TOK}) AS token
+              FROM documents WHERE text IS NOT NULL),
+     h AS (SELECT source, token,
+                  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS hv
+           FROM toks),
+     r AS (SELECT source, hv % 256 AS reg, hv // 256 AS w FROM h),
+     pg AS (SELECT source, reg,
+                   MAX(CASE WHEN w = 0 THEN 53
+                            ELSE 53 - LENGTH(bin(w)) END) AS mr
+            FROM r GROUP BY source, reg),
+     singles0 AS (SELECT source,
+                         CAST({sketches.HLL_ALPHA!r} AS DOUBLE) * 65536.0
+                         / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS raw,
+                         CAST(256 - COUNT(*) AS DOUBLE) AS v
+                  FROM pg GROUP BY source),
+     singles AS (SELECT source, {_EST_EXPR} AS hll FROM singles0),
+     prs AS (SELECT a.source AS ga, b.source AS gb
+             FROM (SELECT DISTINCT source FROM pg) a
+             JOIN (SELECT DISTINCT source FROM pg) b ON a.source < b.source),
+     tagged AS (SELECT prs.ga, prs.gb, pg.reg, pg.mr
+                FROM prs JOIN pg ON pg.source = prs.ga OR pg.source = prs.gb),
+     ur AS (SELECT ga, gb, reg, MAX(mr) AS mr
+            FROM tagged GROUP BY ga, gb, reg),
+     eu0 AS (SELECT ga, gb,
+                    CAST({sketches.HLL_ALPHA!r} AS DOUBLE) * 65536.0
+                    / (SUM(POWER(2.0, -mr)) + (256 - COUNT(*))) AS raw,
+                    CAST(256 - COUNT(*) AS DOUBLE) AS v
+             FROM ur GROUP BY ga, gb),
+     eu AS (SELECT ga, gb, {_EST_EXPR} AS eu FROM eu0),
+     est AS (SELECT eu.ga, eu.gb,
+                    GREATEST((sa.hll + sb.hll - eu.eu) / eu.eu, 0.0) AS jac_est
+             FROM eu JOIN singles sa ON sa.source = eu.ga
+                     JOIN singles sb ON sb.source = eu.gb),
+     sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM toks GROUP BY source),
+     inter AS (SELECT a.source AS ga, b.source AS gb,
+                      CAST(COUNT(*) AS BIGINT) AS ni
+               FROM toks a JOIN toks b
+                 ON a.token = b.token AND a.source < b.source
+               GROUP BY a.source, b.source),
+     exact AS (SELECT i.ga, i.gb,
+                      i.ni / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS jac_exact
+               FROM inter i JOIN sizes sa ON sa.source = i.ga
+                            JOIN sizes sb ON sb.source = i.gb)
+SELECT est.ga AS group_a, est.gb AS group_b,
+       ROUND(est.jac_est, 6) AS jaccard_est,
+       ROUND(COALESCE(exact.jac_exact, 0.0), 6) AS jaccard_exact,
+       ROUND(ABS(est.jac_est - COALESCE(exact.jac_exact, 0.0)), 6) AS abs_err
+FROM est LEFT JOIN exact ON exact.ga = est.ga AND exact.gb = est.gb
+ORDER BY jaccard_est DESC, group_a ASC, group_b ASC LIMIT 10"""
+
+
+@register("x232_hll_source_overlap", _HLL_JAC_SQL)
+def x232(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "source", F.explode(H.tokens(F.col("text"))).alias("token")
+    )
+    return sketches.hll_pairwise_jaccard(toks, "source", "token", top_k=10)

@@ -98,6 +98,8 @@ ACCEPTED_CROSS = {
     "x228_hll_merge": "1-row direct/merged estimate scalar broadcasts (register-bounded inputs)",
     "x229_changepoint_split": "1-row series-totals scalar broadcast onto the |days| candidate frame",
     "x230_mann_kendall": "|days|^2/2 sign-pair inequality self-join on the post-agg daily frame + 1-row scalar broadcasts",
+    "x231_count_min_audit": "4096-row sketch broadcast probed by the top-k list",
+    "x232_hll_source_overlap": "|sources|^2 pair frame x <=512 register rows, group-count bounded; singles joins on post-agg estimates",
     "x226_isotonic_calibration": "n_bins(n_bins+1)/2 interval inequality joins, all frames config-bounded (n_bins=20)",
 }
 

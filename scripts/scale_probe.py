@@ -122,6 +122,8 @@ PROBES = [
     "x222_record_linkage_fs",
     "x224_dsir_weights",
     "x226_isotonic_calibration",
+    "x231_count_min_audit",
+    "x232_hll_source_overlap",
 ]
 
 

@@ -299,3 +299,37 @@ def test_mann_kendall_directions(spark):
     assert flat["s_stat"] == 0 and flat["trend"] == 0 and flat["p"] == 1.0
     # all-tied variance: n(n-1)(2n+5) == tie term -> var 0, z guarded to 0
     assert flat["var_s"] == 0.0
+
+
+def test_count_min_never_underestimates_and_is_tight_for_heavy_hitters(spark):
+    from flashml_spark.operators.sketches import count_min_audit
+
+    # one dominant value + a long tail
+    rows = [("hot",)] * 500 + [(f"tail{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "v string")
+    out = count_min_audit(df, "v", top_k=5).collect()
+    assert out[0]["value"] == "hot" and out[0]["n_exact"] == 500
+    for r in out:
+        assert r["overestimate"] >= 0  # CMS never underestimates
+    # E[error] <= N/w = 2500/1024 per row; min over 4 rows is tight
+    assert out[0]["overestimate"] < 50
+
+
+def test_hll_pairwise_jaccard_identical_and_disjoint_groups(spark):
+    from flashml_spark.operators.sketches import hll_pairwise_jaccard
+
+    rows = (
+        [("a", f"t{i}") for i in range(400)]
+        + [("b", f"t{i}") for i in range(400)]       # identical to a
+        + [("c", f"other{i}") for i in range(400)]   # disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {(r["group_a"], r["group_b"]): r for r in hll_pairwise_jaccard(
+        df, "g", "v", top_k=10
+    ).collect()}
+    ab = out[("a", "b")]
+    # identical sets: union registers == single registers -> est exactly 1
+    assert ab["jaccard_est"] == 1.0 and ab["jaccard_exact"] == 1.0
+    for pair in (("a", "c"), ("b", "c")):
+        assert out[pair]["jaccard_exact"] == 0.0
+        assert out[pair]["jaccard_est"] < 0.15  # sketch noise only
