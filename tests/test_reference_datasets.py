@@ -659,3 +659,86 @@ GOLDEN_TITANIC_MLP = {
     "test.auroc": 0.7798202614379085,
     "test.weightedF1": 0.7583495393148791,
 }
+
+
+def test_yelp_tuned_multiintent_goldens(spark, tmp_path):
+    """Tuned multi-intent scenario classes on yelp — the reference's
+    `multiIntent_nb_cv_test_config.json` (smoothing grid [3,5,7], 2
+    folds) and `multiIntent_lr_hyperband_test_config.json` shapes
+    through the CLI.  The NB-CV golden differs from the untuned yelp NB
+    golden, proving the chosen grid point reaches the refit model.
+    (The OVR-SVM path bypasses tuning by design, so the HB variant uses
+    LR — natively multiclass — exactly the reference's LR-hyperband
+    scenario.)"""
+    from flashml_spark.__main__ import main
+
+    def base_cfg(pid, root, algo):
+        return {
+            "project": {
+                "id": pid,
+                "logLevel": "ERROR",
+                "data": {
+                    "location": {"source": f"json://{YELP}"},
+                    "primaryKey": ["review_id"],
+                    "responseVariable": "stars",
+                    "textVariables": ["text"],
+                },
+            },
+            "sampling": {"type": "random", "trainFraction": 0.7, "seed": 20},
+            "vectorization": {
+                "text": {"method": "count_vectorizer", "slots": 15000}
+            },
+            "model": {"algorithm": algo, "multiIntent": True},
+            "savepoint": {"root": root},
+        }
+
+    root = str(tmp_path / "yelp_nbcv_sp")
+    cfg = base_cfg("yelp_nb_cv", root, "naive_bayes")
+    cfg["tuning"] = {
+        "type": "cv",
+        "paramGrid": {"smoothing": [3.0, 5.0, 7.0]},
+        "folds": 2,
+        "metric": "weightedPrecision",
+    }
+    cfg_path = tmp_path / "yelp_nbcv.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_YELP_NB_CV.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.accuracy"] != GOLDEN_YELP["test.accuracy"]
+
+    root = str(tmp_path / "yelp_lrhb_sp")
+    cfg = base_cfg("yelp_lr_hb", root, "logistic_regression")
+    cfg["tuning"] = {
+        "type": "hyperband",
+        "paramRanges": {"regParam": [0.001, 0.01, 0.1, 0.3]},
+        "metric": "weightedPrecision",
+        "hyperband": {
+            "maxIter": 9,
+            "eta": 3,
+            "iterationMultiplier": 2,
+            "maxIterationsFinalModel": 50,
+        },
+    }
+    cfg_path = tmp_path / "yelp_lrhb.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_YELP_LR_HB.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_YELP_NB_CV = {
+    "test.accuracy": 0.38943894389438943,
+    "test.weightedF1": 0.2841770174545505,
+    "test.weightedPrecision": 0.5788239961305423,
+}
+GOLDEN_YELP_LR_HB = {
+    "test.accuracy": 0.45874587458745875,
+    "test.weightedF1": 0.46069141715558243,
+    "test.weightedPrecision": 0.47811552425373277,
+}
