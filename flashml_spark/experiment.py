@@ -469,6 +469,7 @@ class Experiment:
             te_v = te  # already vectorized (fresh transform or savepoint)
             scored = model.transform(te_v)
             tail = [model]
+            calibrator = None
             if use_platt:
                 from flashml_spark.training.platt import PlattScalar
 
@@ -485,7 +486,7 @@ class Experiment:
             if c.uplift_treatment:
                 from flashml_spark.training.postprocess import uplift_transform
 
-                scored = uplift_transform(scored, model)
+                scored = uplift_transform(scored, model, calibrator=calibrator)
             if c.top_k and labels:
                 from flashml_spark.training.postprocess import top_k_intents
 
@@ -600,14 +601,15 @@ class Experiment:
                 from flashml_spark.training.postprocess import uplift_transform
 
                 # the bare classifier stage: last stage, or the one before
-                # the Platt calibrator when the tail is calibrated
+                # the Platt calibrator when the tail is calibrated (the
+                # calibrator is then ALSO the margin->probability map the
+                # counterfactual scorings need)
                 stages = list(m.stages)
-                model_stage = (
-                    stages[-2]
-                    if isinstance(stages[-1], PlattScalarModel)
-                    else stages[-1]
-                )
-                scored = uplift_transform(scored, model_stage)
+                if isinstance(stages[-1], PlattScalarModel):
+                    model_stage, cal = stages[-2], stages[-1]
+                else:
+                    model_stage, cal = stages[-1], None
+                scored = uplift_transform(scored, model_stage, calibrator=cal)
             if c.top_k and labels:
                 from flashml_spark.training.postprocess import top_k_intents
 

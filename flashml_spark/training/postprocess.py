@@ -84,12 +84,20 @@ def uplift_transform(
     model,
     features_col: str = "features",
     probability_col: str = "probability",
+    calibrator=None,
 ) -> DataFrame:
     """Uplift scoring (``UpliftTransformer.scala:93-148``): score twice with
     the treatment variable (LAST feature slot) forced to 0 then 1;
     uplift d = p1(1) - p0(1); output ``probability = [1-d, d]``,
     ``prediction = 1.0``, logit-based ``rawPrediction``; the model's own
     outputs renamed ``modelProbability``/``modelPrediction``/``modelRawPrediction``.
+
+    Margin-only models (LinearSVC has no ``probabilityCol``) need a
+    fitted binary ``PlattScalarModel`` as ``calibrator`` — each of the
+    two counterfactual scorings maps its margin through the SAME Platt
+    sigmoid the pipeline's calibrated probabilities use, exactly the
+    reference's SVM+uplift composition (``UpliftTransformer`` consumes
+    the Platt-calibrated pipeline, ``PipelineSteps.scala``).
 
     Vector slot surgery is ``vector_to_array`` → rewrite last slot →
     ``array_to_vector`` (JVM-side, no Python UDF).
@@ -104,6 +112,12 @@ def uplift_transform(
             )
         )
 
+    has_prob = hasattr(model, "setProbabilityCol")
+    if not has_prob and calibrator is None:
+        raise ValueError(
+            f"{type(model).__name__} emits no probability column; "
+            "uplift scoring needs a fitted PlattScalarModel calibrator"
+        )
     out = df
     for tag, value in (("0", 0.0), ("1", 1.0)):
         m = (
@@ -111,12 +125,26 @@ def uplift_transform(
             .setFeaturesCol("__feat_t")
             .setPredictionCol(f"__pred_{tag}")
             .setRawPredictionCol(f"__raw_{tag}")
-            .setProbabilityCol(f"__prob_{tag}")
         )
+        if has_prob:
+            m = m.setProbabilityCol(f"__prob_{tag}")
         out = m.transform(out.withColumn("__feat_t", with_treatment(value)))
-        out = out.withColumn(
-            f"__p{tag}", vector_to_array(F.col(f"__prob_{tag}")).getItem(1)
-        ).drop("__feat_t", f"__pred_{tag}", f"__raw_{tag}", f"__prob_{tag}")
+        if has_prob:
+            p_tag = vector_to_array(F.col(f"__prob_{tag}")).getItem(1)
+        else:
+            sigmoids = calibrator.sigmoids
+            if len(sigmoids) != 1:
+                raise ValueError(
+                    "margin-model uplift needs a BINARY Platt calibrator "
+                    f"(got {len(sigmoids)} class sigmoids)"
+                )
+            a, b = sigmoids[0]
+            margin = vector_to_array(F.col(f"__raw_{tag}")).getItem(1)
+            p_tag = calibrator._sigmoid(a, b, margin)
+        out = out.withColumn(f"__p{tag}", p_tag).drop(
+            "__feat_t", f"__pred_{tag}", f"__raw_{tag}",
+            *([f"__prob_{tag}"] if has_prob else []),
+        )
 
     # original-model outputs (if present) renamed model*
     for orig, renamed in (

@@ -742,3 +742,75 @@ GOLDEN_YELP_LR_HB = {
     "test.weightedF1": 0.46069141715558243,
     "test.weightedPrecision": 0.47811552425373277,
 }
+
+
+def test_titanic_lr_binning_golden(spark, tmp_path):
+    """Config-driven feature binning through the CLI — the reference's
+    `binning_test_config.json` / `binaryLR_binning_test_noPage.json`
+    scenario class: age equidistant(8) + fare intervals([10,50,100]);
+    the binned variables leave the numerical list and vectorize as
+    categoricals.  The pinned metrics DIFFER from the unbinned titanic
+    LR golden, proving the binning stages actually re-shaped the
+    features."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "titanic_bin_sp")
+    cfg = _titanic_cfg("titanic_lr_binning", root)
+    cfg["featuregeneration"] = {"binning": [
+        {"variable": "age", "type": "equidistant", "buckets": 8},
+        {"variable": "fare", "type": "intervals", "splits": [10.0, 50.0, 100.0]},
+    ]}
+    cfg_path = tmp_path / "titanic_bin.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_TITANIC_BINNING.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.accuracy"] != GOLDEN_TITANIC["test.accuracy"]
+
+
+def test_web_journey_pgup_svm_golden(spark, tmp_path):
+    """The reference's RICHEST scenario composition —
+    `singleIntent_svm_PGUP_test_config.json`: page-level (4 nop_count
+    models) + uplift (repeatVisitor last-slot) + SVM + Platt + custom
+    filter + conditional rv split, end-to-end through the CLI.  This is
+    the scenario that required margin-model uplift support: LinearSVC
+    emits no probability, so each counterfactual scoring maps its
+    margin through the SAME per-page Platt sigmoid the calibrated
+    pipeline uses."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "wj_pgup_sp")
+    cfg = _web_journey_page_cfg("web_journey_pgup_svm", root)
+    cfg["project"]["data"]["numericalVariables"].append("repeatVisitor")
+    cfg["model"] = {
+        "algorithm": "svm",
+        "params": {"regParam": 0.01, "maxIter": 10},
+        "upliftTreatment": "repeatVisitor",
+    }
+    cfg_path = tmp_path / "wj_pgup.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    for key, want in GOLDEN_WEB_JOURNEY_PGUP.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_TITANIC_BINNING = {
+    "test.accuracy": 0.7841726618705036,
+    "test.auroc": 0.8407135076252723,
+    "test.weightedF1": 0.7829607494846402,
+}
+# uplift semantics: prediction is the constant 1.0, so accuracy = the
+# positive rate; auroc over the uplift score pins determinism (see the
+# uplift-LR golden's rationale above)
+GOLDEN_WEB_JOURNEY_PGUP = {
+    "test.accuracy": 0.024023007951277278,
+    "test.auroc": 0.32039717165108095,
+    "test.weightedF1": 0.0011271327041405496,
+    "test.page0.accuracy": 0.008131755018013382,
+    "test.page3.accuracy": 0.07633587786259542,
+}
