@@ -203,7 +203,7 @@ def cumulative_gains(
     per = tiled.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("__y").cast("bigint").alias("n_pos"),
-    )
+    ).localCheckpoint(eager=False)  # |buckets| rows, read twice
     cum = global_cumsum(
         per, "bucket", ["n_pos"], rows_hint=n_buckets, prefix="cum_"
     )
@@ -266,6 +266,9 @@ def isotonic_calibration(
             F.sum("__s").alias("sum_s"),
             F.sum("__y").cast("bigint").alias("sum_y"),
         )
+        # n_bins rows, read three times (prefix sums, bucket list, final
+        # join) — checkpointed so the corpus agg runs once
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     pre = bins.select(

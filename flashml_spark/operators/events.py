@@ -2038,8 +2038,12 @@ def changepoint_single_split(
     daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
         F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__sd")
     )
-    # per-day value = day total; the changepoint is over the daily series
-    dd = daily.select("d", F.col("__sd").cast("double").alias("x"))
+    # per-day value = day total; the changepoint is over the daily
+    # series.  |days|-bounded and read twice (prefix sums + totals) —
+    # checkpointed so the corpus agg runs once
+    dd = daily.select(
+        "d", F.col("__sd").cast("double").alias("x")
+    ).localCheckpoint(eager=False)
     pre = global_cumsum(
         dd.withColumn("__one", F.lit(1)).withColumn(
             "x2", F.col("x") * F.col("x")
@@ -2124,9 +2128,11 @@ def mann_kendall_test(
     """
     from flashml_spark.operators.relational import normal_sf
 
+    # |days|-bounded, read four times (both pair-join sides, tie scan,
+    # count) — checkpointed so the corpus agg runs once
     daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
         F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias("x")
-    )
+    ).localCheckpoint(eager=False)
     a, b = daily.alias("a"), daily.alias("b")
     s = (
         a.join(b, F.col("a.d") < F.col("b.d"))

@@ -271,7 +271,12 @@ def hll_pairwise_jaccard(
     group_b, jaccard_est, jaccard_exact, abs_err`` — top ``top_k`` by
     estimated Jaccard (ties: group names).
     """
-    regs = hll_registers(df, [group_col], value_col)
+    # register-bounded (≤256·|groups| rows); checkpointed so the five
+    # downstream consumers read it instead of re-running the corpus
+    # distinct+hash pass each
+    regs = hll_registers(df, [group_col], value_col).localCheckpoint(
+        eager=False
+    )
     singles = hll_estimate_from_registers(regs, [group_col])
     groups = regs.select(F.col(group_col).alias("ga")).distinct()
     pairs = groups.join(
@@ -301,9 +306,14 @@ def hll_pairwise_jaccard(
             ).alias("jac_est"),
         )
     )
-    dv = df.where(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).distinct()
+    # vocab-bounded distinct frame, read three times (sizes + both join
+    # sides) — checkpointed for the same reason
+    dv = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = dv.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         dv.select(F.col("g").alias("ga"), "v")

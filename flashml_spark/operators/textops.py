@@ -2004,6 +2004,9 @@ def collocations_g2(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("wb"),
             "k11",
         )
+        # vocab-bounded; checkpointed so the marginal aggs and the join
+        # read it instead of re-running the corpus bigram explode 4x
+        .localCheckpoint(eager=False)
     )
     left = pairs.groupBy("wa").agg(F.sum("k11").alias("ra"))
     right = pairs.groupBy("wb").agg(F.sum("k11").alias("cb"))
@@ -2156,17 +2159,23 @@ def dsir_importance(
             (H.md5_long(F.col("__g"), 8) % n_buckets).alias("__b"),
         )
     )
-    doc_bucket = grams.groupBy(id_col, group_col, "__is_t", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+    # ONE corpus explode feeds ONE keyed agg; the bucket profiles and
+    # scalar totals all derive from the (doc, bucket) counts frame —
+    # never a second scan (lazy checkpoint keeps the four downstream
+    # consumers from re-running the explode)
+    doc_bucket = (
+        grams.groupBy(id_col, group_col, "__is_t", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
-    raw = grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    raw = doc_bucket.groupBy("__b").agg(F.sum("__c").alias("__cr"))
     tgt = (
-        grams.where(F.col("__is_t"))
+        doc_bucket.where(F.col("__is_t"))
         .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+        .agg(F.sum("__c").alias("__ct"))
     )
-    n_raw = grams.agg(F.count(F.lit(1)).alias("__nr"))
-    n_tgt = grams.where(F.col("__is_t")).agg(F.count(F.lit(1)).alias("__nt"))
+    n_raw = doc_bucket.agg(F.sum("__c").alias("__nr"))
+    n_tgt = doc_bucket.where(F.col("__is_t")).agg(F.sum("__c").alias("__nt"))
     profile = (
         raw.join(tgt, "__b", "left")
         .crossJoin(F.broadcast(n_raw))
