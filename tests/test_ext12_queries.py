@@ -86,7 +86,7 @@ def _brute_dup_spans(corpus: dict[int, list[str]], n: int):
     return out
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.lists(st.sampled_from("abcd"), min_size=1, max_size=12),
