@@ -13,6 +13,7 @@ call with an Arrow batch of that key's new rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (  # noqa: F401
     DoubleType,
@@ -318,6 +319,12 @@ def streaming_hll_distinct(
     from flashml_spark.operators.sketches import HLL_ALPHA, HLL_M
 
     def _reg_rank(v: str) -> tuple[int, int]:
+        # v is always a string here: value_col is cast to string in the
+        # Spark plan below, so the bytes hashed match the batch sketch's
+        # CAST(value AS STRING) exactly (Python str() of a double /
+        # timestamp / boolean renders differently from Spark's cast —
+        # "True" vs "true" — which would silently break the claimed
+        # streaming/batch estimate parity for non-string columns).
         hv = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
         w = hv >> 8
         return hv % HLL_M, (53 - w.bit_length()) if w else 53
@@ -363,6 +370,9 @@ def streaming_hll_distinct(
             StructField("hll_estimate", DoubleType()),
         ]
     )
+    # JVM-side cast so the pandas worker receives the same string
+    # rendering the batch sketch hashes (CAST(value AS STRING)).
+    stream = stream.withColumn(value_col, F.col(value_col).cast("string"))
     return stream.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,

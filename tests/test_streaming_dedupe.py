@@ -268,3 +268,45 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
     # batch rounds to 6; the streaming estimate must agree to that digit
     assert round(got["s1"], 6) == pytest.approx(batch["s1"], abs=2e-6)
     assert round(got["s2"], 6) == pytest.approx(batch["s2"], abs=2e-6)
+
+
+def test_streaming_hll_non_string_values_match_batch(spark, tmp_path):
+    """Regression (r6 ADVICE): for NON-string value columns the pandas
+    worker used to hash Python str(v) while the batch sketch hashes
+    Spark's CAST(value AS STRING) — e.g. 3e18 renders "3e+18" in Python
+    but "3.0E18" in Spark, silently breaking estimate parity.  The
+    value column is now cast JVM-side, so a DOUBLE column must give the
+    batch estimate exactly."""
+    import time
+
+    from flashml_spark.operators.sketches import hll_distinct
+    from flashml_spark.streaming import streaming_hll_distinct
+
+    # doubles whose str()/CAST renderings disagree (exponent notation)
+    rows = [("s1", (i + 1) * 1e18) for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, token double")
+    src = str(tmp_path / "hll_dbl_src")
+    df.limit(150).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_hll_distinct(stream, "source", "token")
+        .writeStream.format("memory")
+        .queryName("hll_dbl_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT hll_estimate FROM hll_dbl_stream "
+        "ORDER BY n_rows DESC LIMIT 1"
+    ).collect()[0]["hll_estimate"]
+    batch = hll_distinct(df, "source", "token").collect()[0]["hll_estimate"]
+    assert round(got, 6) == pytest.approx(batch, abs=2e-6)
