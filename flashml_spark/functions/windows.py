@@ -112,10 +112,16 @@ def global_ntile(
     Same machinery as ``global_cumsum``: range-repartition on the order key
     (partition order == sort order), per-partition row counts to the driver
     (|partitions| scalars), then a within-partition ``row_number`` plus the
-    partition's offset gives the global rank.  The bucket follows from the
-    standard NTILE arithmetic ``floor((rank-1) * n / total) + 1`` — larger
-    buckets first, sizes differ by at most one, bit-identical to DuckDB /
-    ANSI NTILE for a deterministic total order (supply tie-break columns).
+    partition's offset gives the global rank.  The bucket follows ANSI
+    NTILE's remainder-first arithmetic: with ``base, rem = divmod(total,
+    n)``, the first ``rem`` buckets get ``base+1`` rows and the rest get
+    ``base``, so ranks up to the cutover ``rem*(base+1)`` map via
+    ``floor((rank-1)/(base+1))+1`` and later ranks via ``rem +
+    floor((rank-1-cut)/base)+1``.  (NOT ``floor((rank-1)*n/total)+1`` —
+    that proportional formula spreads the remainder across buckets and
+    diverges from ANSI/DuckDB NTILE whenever ``total % n != 0``.)
+    Bit-identical to DuckDB NTILE for a deterministic total order
+    (supply tie-break columns).
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism

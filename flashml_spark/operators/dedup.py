@@ -1138,10 +1138,14 @@ def ttl_dedup_flags(
     a user migrating a ``dropDuplicatesWithinWatermark`` pipeline
     expects), whereas the default flags it end-to-end.  The anchor
     recursion is sequential per key, so it runs as a JVM-side
-    ``aggregate`` fold over the key's time-sorted occurrence array —
-    no Python UDF; per-key state is bounded by the key's occurrence
-    count (the same bound streaming state eviction relies on), and
-    keys process in parallel.  Streaming-parity caveat: within one
+    ``aggregate`` fold over time-sorted occurrence arrays — no Python
+    UDF.  The fold is gap-sessionized (a gap > horizon provably resets
+    the anchor), so each aggregation buffer holds one SESSION of one
+    key, not the key's lifetime history; sessions and keys process in
+    parallel.  A key whose duplicates arrive forever at sub-horizon
+    spacing is one unbounded session — inherent to the semantics (the
+    streaming twin's state store grows the same way), documented here
+    as the residual hot-key bound.  Streaming-parity caveat: within one
     microbatch the streaming operator also drops duplicates FARTHER
     apart than the delay (state is only evicted when the watermark
     passes), so exact parity holds when batch boundaries advance the
@@ -1166,8 +1170,30 @@ def ttl_dedup_flags(
         # timestamp; a row within horizon of it is a dup; the first row
         # beyond it becomes the new anchor.  struct sort = (us, id) asc,
         # matching the refresh mode's window ordering.
+        #
+        # Hot-key guard (r6 ADVICE): folding a key's LIFETIME history in
+        # one collect_list concentrates a pathologically hot key's whole
+        # occurrence array in a single aggregation buffer.  But any gap
+        # > horizon between consecutive occurrences provably starts a
+        # new anchor (anchor <= previous ts, so x - anchor > horizon),
+        # so the fold is segmented by gap-sessionization first: the
+        # window sort spills gracefully (ExternalSorter), and each
+        # aggregation buffer holds ONE session, not the key's lifetime.
+        # Residual bound: a key whose duplicates arrive forever at
+        # sub-horizon spacing is a single unbounded session — the same
+        # state growth that would break dropDuplicatesWithinWatermark's
+        # state store, i.e. inherent to the semantics, not this plan.
         keyed = df.withColumn("__h", digest)
-        arrs = keyed.groupBy("__h").agg(
+        wk = Window.partitionBy("__h").orderBy(
+            F.col(ts_col).asc(), F.col(id_col).asc()
+        )
+        prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(wk)
+        new_sess = (
+            prev_us.isNull()
+            | (F.unix_micros(F.col(ts_col)) - prev_us > F.lit(h_us))
+        ).cast("int")
+        keyed = keyed.withColumn("__s", F.sum(new_sess).over(wk))
+        arrs = keyed.groupBy("__h", "__s").agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
@@ -1179,6 +1205,7 @@ def ttl_dedup_flags(
         )
         folded = arrs.select(
             "__h",
+            "__s",
             F.aggregate(
                 "arr",
                 F.struct(
@@ -1227,7 +1254,7 @@ def ttl_dedup_flags(
                 (keyed["__h"] == flags["__h"])
                 & (F.col(id_col).cast("string") == flags["__fid"]),
             )
-            .drop("__h", "__fid")
+            .drop("__h", "__fid", "__s")
         )
     w = Window.partitionBy("__h").orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
