@@ -300,6 +300,92 @@ def totals_line(timings: dict[str, float], total: float, sf_val) -> str:
     )
 
 
+def previous_table_path(current: str) -> str | None:
+    """The newest BENCH_LOCAL_r{N}.json in `current`'s directory OLDER
+    than `current` (the drift baseline); None when there is no prior
+    round table."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(current))
+    cur = re.search(r"BENCH_LOCAL_r(\d+)\.json$", current)
+    cands = []
+    for p in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        if m and (not cur or int(m.group(1)) < int(cur.group(1))):
+            cands.append((int(m.group(1)), p))
+    return max(cands)[1] if cands else None
+
+
+def isolated_rerun(name: str, sf_dir: str) -> float | None:
+    """Re-time ONE query in a FRESH subprocess/JVM (one untimed warm-up
+    run, then the timed run) — the adjudicator for in-session numbers.
+    A long single-JVM bench session inflates arbitrary mid-list queries
+    (r4-r6 driver sessions: up to ~4x on queries that replay at 1x),
+    so a flagged slowdown is only a regression if the ISOLATED number
+    moved too.  Returns None if the subprocess fails."""
+    import subprocess
+
+    code = (
+        "import json,time,os,sys\n"
+        "from flashml_spark.session import get_spark\n"
+        "from flashml_spark.queries import QUERIES\n"
+        f"fn = QUERIES[{name!r}][0]\n"
+        "spark = get_spark('flashml-bench-isolated')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"fn(spark, {sf_dir!r}).write.format('noop').mode('overwrite').save()\n"
+        "t0 = time.perf_counter()\n"
+        f"fn(spark, {sf_dir!r}).write.format('noop').mode('overwrite').save()\n"
+        "print(json.dumps({'sec': round(time.perf_counter() - t0, 3)}))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        last = out.stdout.strip().splitlines()[-1]
+        return float(json.loads(last)["sec"])
+    except Exception:  # noqa: BLE001 - adjudication is best-effort
+        return None
+
+
+def adjudicate_drift(
+    timings: dict[str, float], sf_dir: str, table_path: str
+) -> dict[str, dict[str, float]]:
+    """Self-adjudicating drift check (r6 verdict item 4): diff this
+    run's per-query numbers against the previous committed table with
+    bench_diff's thresholds (>=0.5 s AND >=1.5x slower), then re-run
+    each flagged query ISOLATED (fresh JVM) and record BOTH numbers.
+    Bounded by $SPARK_GRAFT_BENCH_DRIFT_K fresh sessions (default 5,
+    0 disables); slowest-first so the bound spends itself where the
+    headline numbers are read."""
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_K", "5"))
+    prev_path = previous_table_path(table_path)
+    if k <= 0 or prev_path is None:
+        return {}
+    with open(prev_path) as f:
+        prev = json.load(f)["queries"]
+    flagged = [
+        q
+        for q in timings
+        if q in prev
+        and timings[q] - prev[q] >= 0.5
+        and timings[q] >= 1.5 * prev[q]
+    ]
+    flagged.sort(key=lambda q: prev[q] - timings[q])  # biggest slowdown first
+    drift: dict[str, dict[str, float]] = {}
+    for q in flagged[:k]:
+        iso = isolated_rerun(q, sf_dir)
+        entry = {"prev": prev[q], "in_session": timings[q]}
+        if iso is not None:
+            entry["isolated"] = iso
+        drift[q] = entry
+    return drift
+
+
 def local_table_path() -> str:
     """Destination for the committed full per-query timing table.
 
@@ -326,22 +412,27 @@ def local_table_path() -> str:
 
 
 def write_local_table(
-    timings: dict[str, float], total: float, sf_val, path: str
+    timings: dict[str, float],
+    total: float,
+    sf_val,
+    path: str,
+    drift: dict[str, dict[str, float]] | None = None,
 ) -> None:
     """Write the FULL per-query table (what the bounded stdout tail
-    cannot carry) as a committed, diffable artifact."""
+    cannot carry) as a committed, diffable artifact.  `drift` carries
+    the {prev, in_session, isolated} adjudication triples for queries
+    that regressed vs the previous round's table."""
+    payload = {
+        "metric": "headline_queries_detail",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": dict(sorted(timings.items())),
+    }
+    if drift:
+        payload["drift"] = dict(sorted(drift.items()))
     with open(path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_detail",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf_val,
-                "queries": dict(sorted(timings.items())),
-            },
-            f,
-            indent=1,
-        )
+        json.dump(payload, f, indent=1)
         f.write("\n")
 
 
@@ -391,7 +482,9 @@ def main() -> int:
         release_storage(spark)
     total = sum(timings.values())
 
-    write_local_table(timings, total, sf_val, local_table_path())
+    table_path = local_table_path()
+    drift = adjudicate_drift(timings, sf_dir, table_path)
+    write_local_table(timings, total, sf_val, table_path, drift)
     print(detail_line(timings, total, sf_val))
     sys.stdout.flush()
     print(totals_line(timings, total, sf_val))

@@ -154,3 +154,45 @@ def test_bench_local_table_roundtrip(tmp_path):
     ]
     expect = f"BENCH_LOCAL_r{max(rounds) + 1:02d}.json"
     assert bench.local_table_path().endswith(expect)
+
+
+def test_bench_drift_adjudication(tmp_path, monkeypatch):
+    # r6 verdict item 4: queries that regressed >=0.5 s AND >=1.5x vs
+    # the previous round's committed table get an ISOLATED fresh-JVM
+    # re-run, and the table records the {prev, in_session, isolated}
+    # triple — the recurring "driver session drift" conversation as
+    # data instead of assertion.
+    import bench
+
+    prev = {"metric": "headline_queries_detail", "value": 3.0, "unit": "sec",
+            "sf": 0.1, "queries": {"xA": 1.0, "xB": 1.0, "xC": 1.0}}
+    with open(tmp_path / "BENCH_LOCAL_r06.json", "w") as f:
+        json.dump(prev, f)
+    cur_path = str(tmp_path / "BENCH_LOCAL_r07.json")
+
+    seen = []
+
+    def fake_iso(name, sf_dir):
+        seen.append(name)
+        return 1.05
+
+    monkeypatch.setattr(bench, "isolated_rerun", fake_iso)
+    # xA regressed (1.0 -> 2.1: both thresholds), xB only ratio
+    # (1.0 -> 1.4: < 0.5 s), xC only abs (1.0 -> 1.45 is neither;
+    # use 1.0 -> 1.49) — only xA is flagged
+    timings = {"xA": 2.1, "xB": 1.4, "xC": 1.49}
+    drift = bench.adjudicate_drift(timings, "/tmp/sf", cur_path)
+    assert seen == ["xA"]
+    assert drift == {"xA": {"prev": 1.0, "in_session": 2.1, "isolated": 1.05}}
+
+    # the triple lands in the written table under "drift"
+    bench.write_local_table(timings, 5.0, 0.1, cur_path, drift)
+    with open(cur_path) as f:
+        table = json.load(f)
+    assert table["drift"]["xA"]["isolated"] == 1.05
+    # disabled or no-prior-table -> no adjudication, no key
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DRIFT_K", "0")
+    assert bench.adjudicate_drift(timings, "/tmp/sf", cur_path) == {}
+    bench.write_local_table(timings, 5.0, 0.1, cur_path, {})
+    with open(cur_path) as f:
+        assert "drift" not in json.load(f)
