@@ -59,10 +59,25 @@ def _run_monitoring(spark, raw: dict, new_df) -> int:
         monitoring.scoreColumn     score column for PSI
         monitoring.categoricalVariables   per-variable VSI list
         monitoring.buckets         PSI buckets (default 10)
+        monitoring.cardinalityVariables   per-variable HLL distinct
+                                   estimate on base AND new + ratio —
+                                   cardinality drift without an exact
+                                   count_distinct over the serving data
+        monitoring.heavyHitterVariables   per-variable count-min top-k
+                                   heavy hitters of the NEW data, each
+                                   flagged whether it was also a base
+                                   heavy hitter (hot-key churn)
+        monitoring.heavyHitterK    top-k size (default 10)
         project.data.pageVariable / numPages   per-page PSI fan-out
         savepoint.root             where metrics/health.json lands
+
+    The sketch metrics extend the reference's PSI/VSI surface (it has
+    no sketch family): one ``monitoring`` run reports distribution
+    drift (PSI), category churn (VSI), cardinality drift (HLL), and
+    hot-key churn (CMS) together.
     """
     from flashml_spark.metrics import stability
+    from flashml_spark.operators import sketches
     from flashml_spark.sources.readers import read_source
 
     base_uri = _dotted_get(raw, "monitoring.baseSource")
@@ -95,6 +110,31 @@ def _run_monitoring(spark, raw: dict, new_df) -> int:
             }
     for var in cats:
         report[f"vsi.{var}"] = stability.vsi(base, new_df, var)
+
+    for var in _dotted_get(raw, "monitoring.cardinalityVariables") or []:
+        b = sketches.hll_cardinality(base, var)
+        n = sketches.hll_cardinality(new_df, var)
+        report[f"cardinality.{var}"] = {
+            "base": round(b, 1),
+            "new": round(n, 1),
+            "ratio": round(n / b, 6) if b else None,
+        }
+
+    hh_k = int(_dotted_get(raw, "monitoring.heavyHitterK", 10))
+    for var in _dotted_get(raw, "monitoring.heavyHitterVariables") or []:
+        base_top = {
+            r["value"]
+            for r in sketches.count_min_audit(base, var, top_k=hh_k).collect()
+        }
+        report[f"heavyHitters.{var}"] = [
+            {
+                "value": r["value"],
+                "count": r["n_exact"],
+                "cms_estimate": r["cms_estimate"],
+                "in_base_topk": r["value"] in base_top,
+            }
+            for r in sketches.count_min_audit(new_df, var, top_k=hh_k).collect()
+        ]
 
     root = _dotted_get(raw, "savepoint.root")
     if root:

@@ -94,6 +94,18 @@ def hll_estimate_from_registers(
     )
 
 
+def hll_cardinality(df: DataFrame, value_col: str) -> float:
+    """Whole-frame HLL distinct estimate as a scalar — the monitoring
+    readout (``experiment.type="monitoring"``), where the question is
+    "did this column's cardinality move between training and serving"
+    and an exact ``count_distinct`` over the serving corpus is the cost
+    the sketch exists to avoid.  One corpus pass, one 1-row collect.
+    """
+    regs = hll_registers(df, [], value_col)
+    rows = hll_estimate_from_registers(regs, []).collect()
+    return float(rows[0]["hll"]) if rows else 0.0
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

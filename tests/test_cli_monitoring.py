@@ -53,6 +53,9 @@ def test_cli_monitoring_psi_vsi(spark, tmp_path):
             "scoreColumn": "score",
             "categoricalVariables": ["browser"],
             "buckets": 10,
+            "cardinalityVariables": ["score"],
+            "heavyHitterVariables": ["browser"],
+            "heavyHitterK": 3,
         },
         "savepoint": {"root": root},
     }
@@ -75,6 +78,24 @@ def test_cli_monitoring_psi_vsi(spark, tmp_path):
     assert v["newValues"] == ["edge"]
     assert v["vsi"] > 0.0
     assert v["missingTruncated"] is False
+
+    # sketch metrics (r6 verdict item 5): cardinality drift via HLL —
+    # base has 100 distinct scores, new has 100 (both well inside the
+    # linear-counting regime, so estimates are near-exact) — and the
+    # count-min heavy-hitter list with base-membership churn flags
+    from flashml_spark.operators import sketches
+
+    card = health["cardinality.score"]
+    assert card["base"] == round(sketches.hll_cardinality(base, "score"), 1)
+    assert card["new"] == round(sketches.hll_cardinality(new, "score"), 1)
+    assert abs(card["base"] - 100) <= 5 and abs(card["new"] - 100) <= 5
+    assert card["ratio"] > 0.0
+
+    hh = health["heavyHitters.browser"]
+    assert [h["value"] for h in hh] == ["chrome", "firefox", "edge"]
+    assert hh[0]["count"] == 500 and hh[0]["cms_estimate"] >= 500
+    # chrome/firefox were base heavy hitters; edge is churn
+    assert [h["in_base_topk"] for h in hh] == [True, True, False]
 
 
 def test_cli_monitoring_rejects_missing_base(spark, tmp_path):
