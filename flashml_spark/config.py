@@ -101,6 +101,7 @@ _KEY_MAP = {
     "tuning.hyperband.maxIterationsFinalModel": "hyperband_final_max_iter",
     "experiment.parallelism": "parallelism",
     "scoring.filter": "post_predict_filter",
+    "customMetrics": "custom_metrics",
     "savepoint.root": "savepoint_root",
 }
 

@@ -102,6 +102,13 @@ class ExperimentConfig:
     uplift_treatment: str | None = None  # numerical col, forced LAST feature slot
     # scoring
     post_predict_filter: str | None = None
+    # custom metrics — the reference's journey-level hotlead rollup step
+    # (``experiment.customMetrics``, WebCustomMetricsEvaluator.scala:
+    # 126-189).  Keys: ``type`` ("prob_only" ignores the top signal),
+    # ``probThresholds`` (per-page list; default = each page's best-F2
+    # threshold from the standard-metrics sweep, the reference's
+    # source), ``topVariable`` + ``topThresholds`` (two-signal rule).
+    custom_metrics: dict = field(default_factory=dict)
     # savepoints
     savepoint_root: str | None = None
 
@@ -210,6 +217,15 @@ class Experiment:
             )
             prep_chains[out_name] = build_preprocessing_chain(step)
 
+        # chains whose output is NOT a text variable still run — the
+        # reference's numeric/categorical imputer steps (e.g. the
+        # ``multiIntent_lr_withImputer_test_config.json`` step imputing
+        # ``age`` with "0"): a nullcheck-only chain keeps the column
+        # name, so the imputed value flows into the assembler
+        for out_name, (chain_stages, _, _) in prep_chains.items():
+            if out_name not in c.text_cols:
+                stages.extend(chain_stages)
+
         for col in c.text_cols:
             if col in prep_chains:
                 chain_stages, final_col, tokenized = prep_chains[col]
@@ -281,10 +297,23 @@ class Experiment:
 
             from flashml_spark.tuning.cv import CrossValidatorWithFoldMetrics
 
-            names = sorted(c.param_grid)
+            grid_spec = dict(c.param_grid)
+            # the reference grids MLP hidden layers as "intermediateLayers"
+            # ([[4,4],[5,5]] — multiIntent_mlp_cv_test_config.json /
+            # ModelTrainingUtils.scala:341-361); the Spark param is the FULL
+            # layer spec, so wrap each hidden spec with the input dim and
+            # class count the base estimator already sniffed from the data
+            for alias in ("intermediateLayers", "hiddenLayers"):
+                if c.algorithm == "multilayer_perceptron" and alias in grid_spec:
+                    full = est.getLayers()
+                    grid_spec["layers"] = [
+                        [int(full[0]), *map(int, h), int(full[-1])]
+                        for h in grid_spec.pop(alias)
+                    ]
+            names = sorted(grid_spec)
             grid = [
                 dict(zip(names, vals))
-                for vals in itertools.product(*[c.param_grid[n] for n in names])
+                for vals in itertools.product(*[grid_spec[n] for n in names])
             ] or [{}]
             savepoint_path = cols = None
             if c.cv_predict_savepoint:
@@ -547,17 +576,124 @@ class Experiment:
             )
             self.metrics_["auroc"] = auroc(binary)
             self.metrics_["bestF2"] = best_fbeta_threshold(binary)
+        if (
+            c.custom_metrics
+            and c.primary_keys
+            and not c.multi_intent
+            and "probability" in scored_all.columns
+        ):
+            self.metrics_["customMetrics"] = self._custom_metrics_rows(
+                scored_all, label_col
+            )
         if c.savepoint_root:
             from flashml_spark.metrics.report import MetricsAccumulator
 
             acc = MetricsAccumulator()
-            acc.add("test", {k: v for k, v in self.metrics_.items() if k != "perClass"})
+            acc.add(
+                "test",
+                {
+                    k: v
+                    for k, v in self.metrics_.items()
+                    if k not in ("perClass", "customMetrics")
+                },
+            )
             for k, pm in enumerate(self.page_metrics_):
                 acc.add(f"test.page{k}", {x: v for x, v in pm.items() if x != "perClass"})
+            for row in self.metrics_.get("customMetrics", []):
+                acc.add(f"test.customMetrics.page{row['pageNo']}", row)
             acc.write(f"{c.savepoint_root}/metrics")
         if data is not None:
             data.unpersist()
         return self.metrics_
+
+    def _custom_metrics_rows(self, scored_all: DataFrame, label_col: str) -> list:
+        """The reference's custom-metrics step — journey-level hotlead
+        rollup (``WebCustomMetricsEvaluator.scala:126-189``,
+        ``totalVisitorsCount_test_config.json``): per page, the hotlead
+        visitor count, global distinct-visitor and positive-visitor
+        totals, hotleadRate and captureRate, with per-page probability
+        thresholds taken from the config or (the reference's source)
+        each page's best-F2 sweep.  One row per page, reference column
+        names.  The rollup is two groupBys over the scored frame —
+        never the reference's per-visitor ``collect()``."""
+        from flashml_spark.metrics.hotlead import hotlead_simulation
+
+        c = self.config
+        cm = c.custom_metrics
+        n_pages = c.num_pages if (c.page_col and c.num_pages > 1) else 1
+        prob_type = dict(scored_all.dtypes)["probability"]
+        if prob_type == "vector":
+            from pyspark.ml.functions import vector_to_array
+
+            positive = vector_to_array("probability").getItem(1)
+        else:
+            positive = F.element_at(F.col("probability"), 2)
+        page_col = c.page_col or "__cm_page"
+        if not c.page_col:
+            scored_all = scored_all.withColumn(page_col, F.lit(1))
+
+        given = cm.get("probThresholds")
+        thresholds: list[float] = []
+        best_f2: list[dict] = []
+        for k in range(n_pages):
+            page_rows = (
+                scored_all.filter(
+                    F.least(F.col(page_col).cast("int"), F.lit(n_pages)) == k + 1
+                )
+                if n_pages > 1
+                else scored_all
+            )
+            sel = best_fbeta_threshold(
+                page_rows.select(
+                    positive.alias("positive_probability"),
+                    F.col(label_col).alias("label"),
+                )
+            )
+            best_f2.append(sel)
+            thresholds.append(
+                float(given[k]) if given else float(sel["threshold"])
+            )
+
+        prob_only = str(cm.get("type", "prob_only")).lower() == "prob_only"
+        top_var = None if prob_only else cm.get("topVariable")
+        top_list = cm.get("topThresholds") if top_var else None
+        sim = hotlead_simulation(
+            scored_all,
+            c.primary_keys,
+            page_col,
+            positive,
+            c.response,
+            thresholds,
+            num_pages=n_pages,
+            top_thresholds=top_list,
+            top_col=F.col(top_var) if top_var else None,
+        )
+        per_page = {r["hotleadPage"]: r for r in sim["perPage"].collect()}
+        rows = []
+        for k in range(n_pages):
+            r = per_page.get(k + 1)
+            hot = int(r["hotleads"]) if r else 0
+            cap = int(r["captured"]) if r else 0
+            rows.append(
+                {
+                    "pageNo": k + 1,
+                    "accuracy": best_f2[k]["accuracy"],
+                    "bestF2": best_f2[k]["fbeta"],
+                    "probThreshold": thresholds[k],
+                    "topThreshold": float(top_list[k]) if top_list else 0.0,
+                    "hotLead": hot,
+                    "totalVisitor": sim["visitors"],
+                    "hotleadRate": hot / sim["visitors"] if sim["visitors"] else 0.0,
+                    "capturedPositiveClass": cap,
+                    "totalPositiveClass": sim["positiveVisitors"],
+                    "captureRate": (
+                        cap / sim["positiveVisitors"]
+                        if sim["positiveVisitors"]
+                        else 0.0
+                    ),
+                }
+            )
+        return rows
 
     # ---- predict-only resume (SURVEY §3.2) -------------------------------
     def load_models(self, root: str | None = None) -> list[PipelineModel]:

@@ -29,13 +29,30 @@ def hotlead_simulation(
     response_col: str,
     prob_thresholds: list[float],
     num_pages: int | None = None,
+    top_thresholds: list[float] | None = None,
+    top_col: Column | None = None,
 ) -> dict:
     """Returns summary rates + the per-page rollup DataFrame (not collected
-    beyond the per-page table, which has ``num_pages`` rows)."""
+    beyond the per-page table, which has ``num_pages`` rows).
+
+    ``top_thresholds``/``top_col`` add the reference's two-signal hotlead
+    rule (``WebCustomMetricsEvaluator.scala:103-109``): a row is hot only
+    when BOTH the positive probability and the top-intent score clear
+    their per-page thresholds (``customMetrics.type != "PROB_ONLY"``).
+    """
     num_pages = num_pages or len(prob_thresholds)
     df = scored.withColumn(
         "visitors", F.concat_ws("_", *[F.col(c).cast("string") for c in primary_keys])
-    ).withColumn("isHotLead", hotlead_flag(prob_positive, F.col(page_col), prob_thresholds))
+    ).withColumn(
+        "isHotLead",
+        hotlead_flag(
+            prob_positive,
+            F.col(page_col),
+            prob_thresholds,
+            top_thresholds=top_thresholds,
+            top=top_col,
+        ),
+    )
 
     n_visitors = df.select("visitors").distinct().count()
 

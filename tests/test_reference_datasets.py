@@ -814,3 +814,214 @@ GOLDEN_WEB_JOURNEY_PGUP = {
     "test.page0.accuracy": 0.008131755018013382,
     "test.page3.accuracy": 0.07633587786259542,
 }
+
+
+def test_titanic_lr_imputer_chain_golden(spark, tmp_path):
+    """The reference's `multiIntent_lr_withImputer_test_config.json`
+    scenario class: imputers INSIDE config preprocessing chains — a text
+    variable's chain opens with nullcheck (impute "" + indicator) before
+    case_normalization/stopwords/stemming/tokenizer, AND a second
+    numeric-only step imputes age with "0" (typed NullImputer).  The
+    numeric chain has no text consumer, exercising the non-text chain
+    path; its imputed value must reach the assembler (pinned below by
+    the golden differing when the imputer is dropped)."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "titanic_imp_sp")
+    cfg = {
+        "project": {
+            "id": "titanic_lr_imputer",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {
+                    "source": f"csv://{TITANIC}",
+                    "queries": [
+                        # home_dest/age arrive RAW (nullable) — the imputers
+                        # in the preprocessing chains do the null handling,
+                        # unlike the other titanic goldens' SQL COALESCE
+                        "SELECT ticket, home_dest, "
+                        "CAST(age AS DOUBLE) AS age, "
+                        "CAST(sibsp AS DOUBLE) AS sibsp, "
+                        "survived FROM flashml_table_in "
+                        "WHERE survived IS NOT NULL"
+                    ],
+                },
+                "primaryKey": ["ticket"],
+                "responseVariable": "survived",
+                "textVariables": ["linetext1"],
+                "numericalVariables": ["age", "sibsp"],
+            },
+        },
+        "preprocessing": {
+            "steps": [
+                {
+                    "inputVariable": "home_dest",
+                    "outputVariable": "linetext1",
+                    "transformations": [
+                        {"type": "nullcheck", "parameter": "tempText"},
+                        {"type": "case_normalization"},
+                        {"type": "stopwords", "parameter": ["the", "of", "a"]},
+                        {"type": "stemming", "parameter": []},
+                        {"type": "tokenizer", "parameter": "[.,? /]"},
+                    ],
+                },
+                {
+                    "inputVariable": "age",
+                    "transformations": [
+                        {"type": "nullcheck", "parameter": "0"},
+                    ],
+                },
+            ]
+        },
+        "sampling": {"type": "random", "trainFraction": 0.8, "seed": 20},
+        "vectorization": {"text": {"method": "hashingtf", "slots": 15000}},
+        "model": {"algorithm": "logistic_regression"},
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "titanic_imp.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    print("IMPUTER_GOLDEN", {k: metrics[k] for k in
+          ("test.accuracy", "test.auroc", "test.weightedF1")})
+    for key, want in GOLDEN_TITANIC_IMPUTER.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert metrics["test.accuracy"] > 0.55
+
+
+def test_yelp_mlp_cv_golden(spark, tmp_path):
+    """MLP with grid-CV on yelp — the reference's
+    `multiIntent_mlp_cv_test_config.json` scenario class: the CV grid is
+    declared over `intermediateLayers` ([[4,4],[5,5]]) exactly as the
+    reference writes it, and the engine wraps each hidden spec with the
+    sniffed input dim and class count to form the Spark `layers` param
+    (ModelTrainingUtils.scala:341-361).  Slots reduced 15000 -> 1000 to
+    bound test runtime; the scenario class (MLP + CV + layer grid) is
+    what's replayed."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "yelp_mlpcv_sp")
+    cfg = {
+        "project": {
+            "id": "yelp_mlp_cv",
+            "logLevel": "ERROR",
+            "data": {
+                "location": {"source": f"json://{YELP}"},
+                "primaryKey": ["review_id"],
+                "responseVariable": "stars",
+                "textVariables": ["text"],
+            },
+        },
+        "sampling": {"type": "random", "trainFraction": 0.7, "seed": 20},
+        "vectorization": {"text": {"method": "hashingtf", "slots": 1000}},
+        "model": {
+            "algorithm": "multilayer_perceptron",
+            "multiIntent": True,
+            "params": {"maxIter": 40, "blockSize": 128},
+        },
+        "tuning": {
+            "type": "cv",
+            "paramGrid": {"intermediateLayers": [[4, 4], [5, 5]]},
+            "folds": 2,
+        },
+        "savepoint": {"root": root},
+    }
+    cfg_path = tmp_path / "yelp_mlpcv.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+    print("MLPCV_GOLDEN", {k: metrics[k] for k in
+          ("test.accuracy", "test.weightedF1")})
+    for key, want in GOLDEN_YELP_MLP_CV.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+    # 5-class problem: the tuned MLP must beat the majority class floor
+    assert metrics["test.accuracy"] > 0.30
+
+
+def test_web_journey_total_visitors_custom_metrics_golden(spark, tmp_path):
+    """The reference's `totalVisitorsCount_test_config.json` scenario —
+    the custom-metrics step (WebCustomMetricsEvaluator.scala:126-189):
+    page-level LR over nop_count with primaryKey (vid, active_session,
+    dt), then the journey-level hotlead rollup — per page: hotLead
+    visitor count, global totalVisitor / totalPositiveClass, hotleadRate
+    and captureRate, prob thresholds from each page's best-F2 sweep."""
+    from flashml_spark.__main__ import main
+
+    root = str(tmp_path / "wj_tv_sp")
+    cfg = _web_journey_page_cfg("web_journey_total_visitors", root)
+    cfg["project"]["data"]["location"]["queries"] = [
+        _WEB_JOURNEY_PAGE_QUERY.replace(
+            "SELECT ",
+            "SELECT COALESCE(vid, '') AS vid, "
+            "COALESCE(active_session, '') AS active_session, "
+            "COALESCE(dt, '') AS dt, ",
+        )
+    ]
+    cfg["project"]["data"]["primaryKey"] = ["vid", "active_session", "dt"]
+    cfg["customMetrics"] = {"type": "prob_only"}
+    cfg_path = tmp_path / "wj_tv.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        metrics = json.load(f)
+
+    rows = [
+        {
+            k.rsplit(".", 1)[-1]: v
+            for k, v in metrics.items()
+            if k.startswith(f"test.customMetrics.page{p}.")
+        }
+        for p in (1, 2, 3, 4)
+    ]
+    print("TV_GOLDEN", rows)
+    # reference row shape + internal consistency (the semantics the
+    # evaluator logs: hotleadRate = hotLead/totalVisitor, captureRate =
+    # capturedPositiveClass/totalPositiveClass, globals shared by pages)
+    for p, r in zip((1, 2, 3, 4), rows):
+        assert r["pageNo"] == p
+        assert set(r) == {
+            "pageNo", "accuracy", "bestF2", "probThreshold", "topThreshold",
+            "hotLead", "totalVisitor", "hotleadRate",
+            "capturedPositiveClass", "totalPositiveClass", "captureRate",
+        }
+        assert r["totalVisitor"] == rows[0]["totalVisitor"] > 0
+        assert r["totalPositiveClass"] == rows[0]["totalPositiveClass"] > 0
+        assert r["hotleadRate"] == pytest.approx(
+            r["hotLead"] / r["totalVisitor"], abs=1e-12
+        )
+        assert r["captureRate"] == pytest.approx(
+            r["capturedPositiveClass"] / r["totalPositiveClass"], abs=1e-12
+        )
+        assert 0 <= r["capturedPositiveClass"] <= r["totalPositiveClass"]
+        assert r["topThreshold"] == 0.0  # prob_only
+    # a visitor is counted at its EARLIEST hotlead page only: the page
+    # hotLead counts sum to at most the distinct hotlead visitors
+    assert sum(r["hotLead"] for r in rows) <= rows[0]["totalVisitor"]
+    assert sum(r["hotLead"] for r in rows) > 0
+    for key, want in GOLDEN_WEB_JOURNEY_TV.items():
+        assert metrics[key] == pytest.approx(want, abs=1e-9), key
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_TITANIC_IMPUTER = {
+    "test.accuracy": 0.6906474820143885,
+    "test.auroc": 0.6483519447591304,
+    "test.weightedF1": 0.6781203510013387,
+}
+GOLDEN_YELP_MLP_CV = {
+    "test.accuracy": 0.4158415841584158,
+    "test.weightedF1": 0.42362721039550016,
+}
+GOLDEN_WEB_JOURNEY_TV = {
+    "test.customMetrics.page1.hotLead": 380,
+    "test.customMetrics.page1.probThreshold": 0.04866160198340341,
+    "test.customMetrics.page1.captureRate": 0.26582278481012656,
+    "test.customMetrics.page2.hotLead": 340,
+    "test.customMetrics.page3.hotLead": 221,
+    "test.customMetrics.page4.hotLead": 23,
+    "test.customMetrics.page4.probThreshold": 0.24013129816560053,
+    "test.customMetrics.page4.totalVisitor": 9715,
+    "test.customMetrics.page4.totalPositiveClass": 79,
+}
