@@ -242,6 +242,7 @@ HEADLINE = [
     "x230_mann_kendall",
     "x231_count_min_audit",
     "x232_hll_source_overlap",
+    "x233_compression_ordering",
 ]
 
 

@@ -816,3 +816,83 @@ def x232(spark: SparkSession, sf: str) -> DataFrame:
         "source", F.explode(H.tokens(F.col("text"))).alias("token")
     )
     return sketches.hll_pairwise_jaccard(toks, "source", "token", top_k=10)
+
+
+# --------------------------------------------------------------------------
+# x233 — compression-score ORDERING oracle (r6 verdict item 6: a
+# partial, SQL-checkable oracle for the zlib family whose raw scores
+# x200 can only verify rows-only).  Four deterministic fixture texts —
+# uniform run, 8-char cycle, half-cycle/half-hex mix, md5-hex chain —
+# whose LENGTHS derive from the corpus row count (both engines compute
+# the same arithmetic), run through the REAL zlib operator; the oracle
+# pins raw_bytes arithmetic and the rank each repetitiveness class must
+# occupy (more repetitive => smaller ratio => lower rank).  The rank
+# ordering is invariant to the data-driven length, so the oracle is
+# exact while the zlib byte counts stay engine-side.
+_COMP_ORD_SQL = """
+WITH params AS (SELECT CAST(1024 + COUNT(*) % 997 AS BIGINT) AS reps
+                FROM documents)
+SELECT name, raw_bytes, rank FROM (
+    SELECT 'uniform_run' AS name, reps * 8 AS raw_bytes, 1 AS rank
+    FROM params
+    UNION ALL
+    SELECT 'cycle8', reps * 8, 2 FROM params
+    UNION ALL
+    SELECT 'half_mix', (reps // 2) * 8 + 3200, 3 FROM params
+    UNION ALL
+    SELECT 'md5_chain', 3200, 4 FROM params
+) ORDER BY rank"""
+
+
+@register("x233_compression_ordering", _COMP_ORD_SQL)
+def x233(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flashml_spark.operators import textops
+
+    reps = 1024 + load_table(spark, sf, "documents").count() % 997
+    # md5-hex chain: 100 concatenated digests = 3200 chars of 16-symbol
+    # "random" — the least-compressible fixture; built with the same
+    # md5(CAST(i AS STRING)) both engines share
+    chain = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(100)),
+            lambda i: F.md5(i.cast("string")),
+        ),
+        "",
+    )
+    fixtures = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("uniform_run").alias("name"),
+                        F.repeat(F.lit("a"), reps * 8).alias("text"),
+                    ),
+                    F.struct(
+                        F.lit("cycle8").alias("name"),
+                        F.repeat(F.lit("abcdefgh"), reps).alias("text"),
+                    ),
+                    F.struct(
+                        F.lit("half_mix").alias("name"),
+                        F.concat(
+                            F.repeat(F.lit("abcdefgh"), reps // 2), chain
+                        ).alias("text"),
+                    ),
+                    F.struct(F.lit("md5_chain").alias("name"), chain.alias("text")),
+                )
+            ).alias("f")
+        )
+        .select("f.name", "f.text")
+    )
+    scored = textops.compression_ratio_score(fixtures, "text", "name")
+    # 4-row frame: the single-partition rank window is value-domain
+    # bounded (|fixtures| = 4), never data-sized
+    return scored.select(
+        "name",
+        "raw_bytes",
+        F.row_number()
+        .over(Window.orderBy(F.col("ratio").asc(), F.col("name").asc()))
+        .alias("rank"),
+    ).orderBy("rank")

@@ -45,6 +45,7 @@ ACCEPTED_GLOBAL = {
     "x186_join_skew_audit": "rank window over the top_k-row TakeOrdered result",
     "x188_ewma_anomaly": "day-index row_number over |days| post-agg rows",
     "x208_ltv_curve": "cumulative over the <= max_days+1 offset rows",
+    "x233_compression_ordering": "rank window over the |fixtures|=4 row frame",
 }
 
 
