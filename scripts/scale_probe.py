@@ -119,11 +119,19 @@ PROBES = [
     "x214_cross_source_dups",
     "x219_hll_distinct",
     "x220_collocations_g2",
+    "x221_cumulative_gains",
     "x222_record_linkage_fs",
+    "x223_gopher_rules",
     "x224_dsir_weights",
+    "x225_bh_fdr",
     "x226_isotonic_calibration",
+    "x227_ttl_dedup_anchored",
+    "x228_hll_merge",
+    "x229_changepoint_split",
+    "x230_mann_kendall",
     "x231_count_min_audit",
     "x232_hll_source_overlap",
+    "x233_compression_ordering",
 ]
 
 
