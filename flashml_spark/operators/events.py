@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flashml_spark.functions import hashing as H
+
 
 def tumbling_window_agg(
     df: DataFrame,
@@ -2194,4 +2196,214 @@ def mann_kendall_test(
         .otherwise(F.lit(0))
         .cast("int")
         .alias("trend"),
+    )
+
+
+def holt_linear_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily total
+    series, with a one-step-ahead backtest (Holt 1957 / Hyndman &
+    Athanasopoulos FPP §8.2 — level ``l_t = αy_t + (1−α)(l_{t−1} +
+    b_{t−1})``, trend ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``, init
+    ``l_2 = y_2, b_2 = y_2 − y_1``): the trend-aware successor to the
+    flat EWMA forecast (``ewma_anomaly``) for series that drift.
+
+    Output: one row per horizon step — ``h, forecast = l_n + h·b_n,
+    backtest_mae`` (mean |y_t − (l_{t−1}+b_{t−1})| over t ≥ 3, the
+    honest one-step error of the SAME recursion that produced the
+    forecast).
+
+    Scale + determinism shape: ONE corpus pass for the exact
+    DECIMAL(28,6) daily sums (the x188 float-determinism rule); the
+    recursion is sequential by nature, so it runs as a JVM-side
+    ``aggregate`` fold over the |days|-bounded sorted array — no
+    Python, no window over raw rows.  All float ops in the fold are
+    IEEE exactly-rounded (+ − × ÷ abs) applied in the same order as
+    the SQL oracle's recursive CTE, so results replay bit-for-bit.
+    """
+    a = float(alpha)
+    om_a = 1.0 - a
+    bt = float(beta)
+    om_b = 1.0 - bt
+
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("yd")
+    )
+    # |days| is value-domain bounded (calendar span) — documented
+    # collect_list-over-post-agg contract
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("d"), F.col("yd").cast("double").alias("y"))
+            )
+        ).alias("a")
+    )
+
+    def step(acc, x):
+        lnew = F.lit(a) * x["y"] + F.lit(om_a) * (acc["l"] + acc["b"])
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(acc["i"] == 0, x["y"])
+            .when(acc["i"] == 1, x["y"])
+            .otherwise(lnew)
+            .alias("l"),
+            F.when(acc["i"] == 0, F.lit(0.0))
+            .when(acc["i"] == 1, x["y"] - acc["l"])
+            .otherwise(
+                F.lit(bt) * (lnew - acc["l"]) + F.lit(om_b) * acc["b"]
+            )
+            .alias("b"),
+            F.when(
+                acc["i"] >= 2,
+                acc["errsum"] + F.abs(x["y"] - (acc["l"] + acc["b"])),
+            )
+            .otherwise(acc["errsum"])
+            .alias("errsum"),
+        )
+
+    fin = arr.select(
+        F.aggregate(
+            "a",
+            F.struct(
+                F.lit(0).alias("i"),
+                F.lit(0.0).alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(0.0).alias("errsum"),
+            ),
+            step,
+        ).alias("s")
+    ).select("s.i", "s.l", "s.b", "s.errsum")
+    return (
+        fin.select(
+            F.explode(
+                F.array(*[F.lit(h) for h in range(1, horizon + 1)])
+            ).alias("h"),
+            "l",
+            "b",
+            "errsum",
+            "i",
+        )
+        .select(
+            F.col("h").cast("int").alias("h"),
+            F.round(
+                F.col("l") + F.col("h").cast("double") * F.col("b"), 6
+            ).alias("forecast"),
+            F.round(
+                F.col("errsum") / (F.col("i") - 2).cast("double"), 6
+            ).alias("backtest_mae"),
+        )
+        .orderBy("h")
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    ts_col: str,
+    unit_col: str,
+    value_col: str,
+    treat_col=None,
+    cutover=None,
+) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger 1994 two-by-two):
+    DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre),
+    with the classic four-cell pooled standard error
+    ``SE = sqrt(Σ s²_cell / n_cell)`` and z = DiD/SE — the panel
+    companion to the cross-sectional z-test (x196) and CUPED (x154).
+
+    ``treat_col`` defaults to a deterministic md5 coin on the unit id
+    (the repo's reproducible-assignment rule); ``cutover`` defaults to
+    the calendar midpoint of the observed span, computed INSIDE the
+    plan from a 1-row min/max aggregate (broadcast scalar — never a
+    driver collect).
+
+    Determinism shape: cell sums are exact DECIMAL(28,6) (Σv and, for
+    the variance, Σ CAST(v·v AS DECIMAL(28,6)) — the documented x188
+    truncation trade); every derived float uses exactly-rounded ops in
+    the same order as the SQL twin.  One corpus pass → 4-cell agg →
+    1-row output.
+    """
+    if treat_col is None:
+        treat_col = (H.md5_uniform(F.col(unit_col)) < 0.5).cast("int")
+    span = df.agg(
+        F.min(F.col(ts_col).cast("date")).alias("dmin"),
+        F.max(F.col(ts_col).cast("date")).alias("dmax"),
+    )
+    tagged = df.crossJoin(F.broadcast(span))  # 1-row scalar broadcast
+    if cutover is None:
+        cutover = F.date_add(
+            F.col("dmin"),
+            (F.datediff(F.col("dmax"), F.col("dmin")) / 2).cast("int"),
+        )
+    cells = (
+        tagged.select(
+            treat_col.alias("treat"),
+            (F.col(ts_col).cast("date") >= cutover).cast("int").alias("post"),
+            F.col(value_col).cast("decimal(28,6)").alias("v"),
+            (F.col(value_col) * F.col(value_col))
+            .cast("decimal(28,6)")
+            .alias("v2"),
+        )
+        .groupBy("treat", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum("v2").alias("sq"),
+        )
+        .select(
+            "treat",
+            "post",
+            F.col("n").cast("double").alias("n"),
+            F.col("s").cast("double").alias("s"),
+            F.col("sq").cast("double").alias("sq"),
+        )
+    )
+    # pivot the 4 cells wide via conditional firsts (4-row frame)
+    wide = cells.agg(
+        *[
+            F.first(
+                F.when(
+                    (F.col("treat") == t) & (F.col("post") == p), F.col(c)
+                ),
+                ignorenulls=True,
+            ).alias(f"{c}_{'t' if t else 'c'}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+            for c in ("n", "s", "sq")
+        ]
+    )
+    m = {
+        f"m_{g}{p}": F.col(f"s_{g}{p}") / F.col(f"n_{g}{p}")
+        for g in ("t", "c")
+        for p in (0, 1)
+    }
+    v = {
+        f"v_{g}{p}": (
+            F.col(f"sq_{g}{p}")
+            - F.col(f"s_{g}{p}") * F.col(f"s_{g}{p}") / F.col(f"n_{g}{p}")
+        )
+        / (F.col(f"n_{g}{p}") - F.lit(1.0))
+        for g in ("t", "c")
+        for p in (0, 1)
+    }
+    did = (m["m_t1"] - m["m_t0"]) - (m["m_c1"] - m["m_c0"])
+    se = F.sqrt(
+        v["v_t1"] / F.col("n_t1")
+        + v["v_t0"] / F.col("n_t0")
+        + v["v_c1"] / F.col("n_c1")
+        + v["v_c0"] / F.col("n_c0")
+    )
+    return wide.select(
+        F.round(m["m_c0"], 6).alias("mean_ctrl_pre"),
+        F.round(m["m_c1"], 6).alias("mean_ctrl_post"),
+        F.round(m["m_t0"], 6).alias("mean_treat_pre"),
+        F.round(m["m_t1"], 6).alias("mean_treat_post"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("z"),
     )

@@ -703,3 +703,70 @@ def pairwise_distance_profile(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.first(F.col("bin")) * 2.0 / bins - 1.0, 6).alias("cos_lo"),
     )
+
+
+def reciprocal_nn_pairs(
+    df: DataFrame, vec_col: str, id_col: str, round_to: int = 6
+) -> DataFrame:
+    """Reciprocal-nearest-neighbour canonical pairs: (a, b) such that b
+    is a's cosine top-1 AND a is b's — the classic mutual-NN criterion
+    for embedding-level duplicate canonicalization (far stricter than a
+    similarity threshold: each side must PREFER the other over every
+    other vector, so chains and hubs don't glue unrelated docs).
+
+    Determinism: similarities are ROUNDED to ``round_to`` BEFORE
+    ranking and ties break on the smaller neighbour id, so the top-1
+    choice — and therefore the mutual set — replays identically on any
+    engine regardless of last-ulp float differences.
+
+    Scale shape: this is the EXACT audit variant (all-pairs dot
+    products, |n|² — the same posture as x06/x144's exact baselines);
+    norms are computed once per row before the join, and the top-1 per
+    id is a k=1 window over each id's candidate row group.  The 100 TB
+    path applies the same mutual-top-1 criterion to LSH/IVF candidate
+    pairs (knn_lsh / ivf_probe) instead of the cross product.
+    Output: ``id_a < id_b, sim``.
+    """
+    from pyspark.sql import Window
+
+    v = V  # module alias for readability below
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__n", v.norm(F.col("__v")))
+    a = src.select(
+        F.col("__id").alias("ia"), F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = src.select(
+        F.col("__id").alias("ib"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(
+            v.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            round_to,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("sim"), F.asc("ib"))
+    top = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("ia", "ib", "sim")
+    )
+    other = top.select(
+        F.col("ia").alias("jb"), F.col("ib").alias("ja")
+    )
+    return (
+        top.join(
+            other,
+            (F.col("ia") == F.col("ja")) & (F.col("ib") == F.col("jb")),
+        )
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim"
+        )
+        .orderBy("id_a")
+    )

@@ -364,3 +364,158 @@ def hll_pairwise_jaccard(
         .orderBy(F.desc("jaccard_est"), F.asc("group_a"), F.asc("group_b"))
         .limit(top_k)
     )
+
+
+def moment_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group MERGEABLE moment sketch ``(n, s1, s2, s3, s4)`` — exact
+    integer-valued power sums (Braverman et al.'s moments-sketch idea
+    reduced to its exact core): merging shards is plain addition, the
+    associative property that lets per-partition sketches meet in one
+    |groups|-row agg at 100 TB.
+
+    The input must be integer-valued (``value_col`` cast to BIGINT):
+    power sums of integers are EXACT in decimal arithmetic, so the
+    sketch — unlike float sums, whose value depends on aggregation
+    order — is bit-identical across engines and replays (the x188
+    determinism rule).  ``s3``/``s4`` accumulate as DECIMAL(38,0).
+    """
+    v = F.col(value_col).cast("bigint")
+    v2 = (v * v).alias("v2")  # value <= ~1e9 fits bigint squared
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, v.alias("v"), v2)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("decimal(38,0)").alias("s1"),
+            F.sum("v2").cast("decimal(38,0)").alias("s2"),
+            F.sum(
+                (F.col("v2") * F.col("v")).cast("decimal(38,0)")
+            ).alias("s3"),
+            F.sum(
+                F.col("v2").cast("decimal(38,0)") * F.col("v2")
+            ).alias("s4"),
+        )
+    )
+
+
+def moment_quantile_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Moment-sketch quantile audit: per-group sketches are MERGED into
+    global power sums (plain addition over the |groups|-row frame —
+    never a corpus rescan), the merged moments yield Cornish-Fisher
+    quantile estimates (mean + sd·(z + ((z²−1)/6)·skew), A&S 26.2.49
+    first-order term), and each estimate is reported next to the exact
+    lower quantile — the audit that says whether a few integers per
+    shard can replace a global sort for tail monitoring at 100 TB.
+
+    Cross-engine float discipline: the sketch sums are EXACT integers
+    (see ``moment_registers``); every derived float uses only IEEE
+    exactly-rounded ops (+ − × ÷ sqrt — never ``pow``, whose libm
+    implementations differ in the last ulp between JVM and C) with the
+    SAME left-associative operation order written into both the Spark
+    plan and the SQL oracle, and the normal quantiles arrive as
+    Python-computed literals.  The estimates therefore replay
+    bit-for-bit.
+
+    Scale shape: one corpus pass for the per-group sketch + one for the
+    exact quantile cells (value-domain bounded cumsum); the merge and
+    the estimate arithmetic run on |groups| and |quantiles| rows.
+    Output: ``q, est, exact, abs_err`` ordered by q.
+    """
+    from statistics import NormalDist
+
+    from flashml_spark.functions.windows import global_cumsum
+
+    # standard normal quantiles, Python-computed and baked as literals
+    # into BOTH engines' plans (cross-engine float rule, SCALE.md)
+    nd = NormalDist()
+    consts = sorted(
+        (float(q), nd.inv_cdf(float(q)), (nd.inv_cdf(float(q)) ** 2 - 1.0) / 6.0)
+        for q in quantiles
+    )
+
+    sk = moment_registers(df, [group_col], value_col)
+    merged = sk.agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+    ).select(
+        F.col("n").cast("double").alias("n"),
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+        F.col("s3").cast("double").alias("s3"),
+    )
+    mom = merged.select(
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (F.col("s2") / F.col("n")).alias("m2"),
+        (F.col("s3") / F.col("n")).alias("m3"),
+    ).select(
+        "mu",
+        "m3",
+        "m2",
+        F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")).alias("sd"),
+    ).select(
+        "mu",
+        "sd",
+        (
+            (
+                F.col("m3")
+                - F.lit(3.0) * F.col("mu") * F.col("m2")
+                + F.lit(2.0) * F.col("mu") * F.col("mu") * F.col("mu")
+            )
+            / (F.col("sd") * F.col("sd") * F.col("sd"))
+        ).alias("skew"),
+    )
+    qrows = mom.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        (
+                            F.col("mu")
+                            + F.col("sd")
+                            * (F.lit(z) + F.lit(c2) * F.col("skew"))
+                        ).alias("est"),
+                    )
+                    for q, z, c2 in consts
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.est")
+
+    # exact lower quantiles: value cells -> range-partitioned cumsum
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("bigint").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = global_cumsum(cells, "v", ["c"])
+    total = cells.agg(F.sum("c").alias("nn"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,) for q, _, _ in consts], "q double")
+    exact = (
+        cum.crossJoin(F.broadcast(total))  # 1-row scalar broadcast
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("cum_c") >= F.ceil(F.col("q") * F.col("nn")))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact"))
+    )
+    return (
+        qrows.join(exact, "q")
+        .select(
+            "q",
+            F.round("est", 6).alias("est"),
+            F.col("exact").cast("bigint").alias("exact"),
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+        .orderBy("q")
+    )

@@ -1,0 +1,223 @@
+"""Extension queries x234+ — round-7 additions.
+
+Families: mergeable moment sketches (Cornish-Fisher quantile audit),
+sequential forecasting (Holt linear trend with one-step backtest),
+embedding canonicalization (reciprocal nearest neighbours), and
+experiment analytics (difference-in-differences).  Every query keeps
+the repo's oracle discipline: exact integer/decimal aggregation before
+any float, IEEE exactly-rounded float ops only (no ``pow``) written in
+the SAME operation order into both engines, deterministic md5-derived
+randomness, Python-computed shared literals.
+"""
+
+from __future__ import annotations
+
+from statistics import NormalDist
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import sketches
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# x234 — moment-sketch quantile audit on document lengths: per-source
+# EXACT integer power sums (n, Σv, Σv², Σv³ — the mergeable sketch: a
+# few integers per shard, merge = addition) → merged global moments →
+# Cornish-Fisher quantile estimates next to the exact lower quantiles.
+# The audit a 100 TB pipeline runs to decide whether shard-level moment
+# sketches can replace a global sort for tail monitoring.  The normal
+# quantiles and (z²−1)/6 coefficients are Python-computed HERE and
+# formatted into BOTH plans, so the estimates replay bit-for-bit.
+_ND = NormalDist()
+_MOM_QS = (0.25, 0.5, 0.75)
+_MOM_VALUES = ", ".join(
+    f"({q!r}, {_ND.inv_cdf(q)!r}, {(_ND.inv_cdf(q) ** 2 - 1.0) / 6.0!r})"
+    for q in _MOM_QS
+)
+
+_MOMENT_SQL = f"""
+WITH sk AS (SELECT source, COUNT(*) AS n,
+                   SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                   SUM(CAST(n_chars * n_chars AS HUGEINT)) AS s2,
+                   SUM(CAST(n_chars * n_chars AS HUGEINT) * n_chars) AS s3
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+     m AS (SELECT CAST(SUM(n) AS DOUBLE) AS n, CAST(SUM(s1) AS DOUBLE) AS s1,
+                  CAST(SUM(s2) AS DOUBLE) AS s2, CAST(SUM(s3) AS DOUBLE) AS s3
+           FROM sk),
+     mm AS (SELECT s1 / n AS mu, s2 / n AS m2, s3 / n AS m3 FROM m),
+     ms AS (SELECT mu, m2, m3, SQRT(m2 - mu * mu) AS sd FROM mm),
+     mom AS (SELECT mu, sd,
+                    (m3 - 3.0 * mu * m2 + 2.0 * mu * mu * mu)
+                        / (sd * sd * sd) AS skew
+             FROM ms),
+     ql AS (SELECT CAST(q AS DOUBLE) AS q, CAST(z AS DOUBLE) AS z,
+                   CAST(c2 AS DOUBLE) AS c2
+            FROM (VALUES {_MOM_VALUES}) AS t(q, z, c2)),
+     est AS (SELECT q, mu + sd * (z + c2 * skew) AS est
+             FROM mom CROSS JOIN ql),
+     cells AS (SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+               FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+     cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cw,
+                    SUM(c) OVER () AS nn
+             FROM cells),
+     ex AS (SELECT q, MIN(v) AS exact
+            FROM cum CROSS JOIN (SELECT q FROM ql) qq
+            WHERE cw >= CEIL(q * nn) GROUP BY q)
+SELECT est.q AS q, ROUND(est.est, 6) AS est,
+       CAST(ex.exact AS BIGINT) AS exact,
+       ROUND(ABS(est.est - ex.exact), 6) AS abs_err
+FROM est JOIN ex ON est.q = ex.q ORDER BY q"""
+
+
+@register("x234_moment_quantiles", _MOMENT_SQL)
+def x234(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    return sketches.moment_quantile_audit(
+        docs, "source", "n_chars", quantiles=_MOM_QS
+    )
+
+
+# --------------------------------------------------------------------------
+# x235 — Holt linear-trend forecast with one-step backtest: the
+# trend-aware successor to x122/x188's flat smoothing.  Sequential by
+# nature, so the Spark side is a JVM aggregate fold over the |days|
+# array and the oracle is the SAME recursion as a recursive CTE
+# stepping day by day (the x227 pattern) — identical operation order,
+# bit-identical floats.
+_HOLT_A = 0.3
+_HOLT_B = 0.1
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS d,
+                      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+     s AS (SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+     nn AS (SELECT COUNT(*) AS nd FROM daily),
+     r AS (
+        SELECT 1 AS rn, y AS l, CAST(0.0 AS DOUBLE) AS b,
+               CAST(0.0 AS DOUBLE) AS errsum
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.rn,
+               CASE WHEN s.rn = 2 THEN s.y
+                    ELSE {_HOLT_A!r} * s.y
+                         + {1.0 - _HOLT_A!r} * (r.l + r.b) END,
+               CASE WHEN s.rn = 2 THEN s.y - r.l
+                    ELSE {_HOLT_B!r} * (({_HOLT_A!r} * s.y
+                             + {1.0 - _HOLT_A!r} * (r.l + r.b)) - r.l)
+                         + {1.0 - _HOLT_B!r} * r.b END,
+               CASE WHEN s.rn >= 3
+                    THEN r.errsum + ABS(s.y - (r.l + r.b))
+                    ELSE r.errsum END
+        FROM r JOIN s ON s.rn = r.rn + 1),
+     fin AS (SELECT l, b, errsum FROM r
+             WHERE rn = (SELECT MAX(rn) FROM s)),
+     h AS (SELECT CAST(h AS INT) AS h
+           FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) t(h))
+SELECT h.h AS h,
+       ROUND(fin.l + CAST(h.h AS DOUBLE) * fin.b, 6) AS forecast,
+       ROUND(fin.errsum / CAST(nn.nd - 2 AS DOUBLE), 6) AS backtest_mae
+FROM fin CROSS JOIN h CROSS JOIN nn ORDER BY h"""
+
+
+@register("x235_holt_forecast", _HOLT_SQL)
+def x235(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    return events.holt_linear_forecast(
+        ev, "ts", "value", alpha=_HOLT_A, beta=_HOLT_B, horizon=7
+    )
+
+
+# --------------------------------------------------------------------------
+# x236 — reciprocal-nearest-neighbour canonical pairs over the
+# embeddings table: mutual cosine top-1 (each side must PREFER the
+# other), the strict criterion for embedding-level duplicate
+# canonicalization.  Exact all-pairs audit variant (x06/x144 posture);
+# similarities round to 6 BEFORE ranking so the top-1 choice replays
+# identically across engines.
+_RNN_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+     n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
+     p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+                      AS sim
+           FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+     top AS (SELECT ia, ib, sim,
+                    ROW_NUMBER() OVER (PARTITION BY ia
+                        ORDER BY sim DESC, ib ASC) AS rn
+             FROM p)
+SELECT t.ia AS id_a, t.ib AS id_b, t.sim AS sim
+FROM top t JOIN top o ON t.ia = o.ib AND t.ib = o.ia
+WHERE t.rn = 1 AND o.rn = 1 AND t.ia < t.ib
+ORDER BY id_a"""
+
+
+@register("x236_reciprocal_nn", _RNN_SQL)
+def x236(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.reciprocal_nn_pairs(emb, "embedding", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# x237 — difference-in-differences readout on events: deterministic
+# md5-coin treatment over users, calendar-midpoint cutover computed
+# inside the plan, four exact-decimal cells -> DiD, pooled SE, z.  The
+# panel companion to x196 (cross-sectional z) and x154 (CUPED).
+_DID_SQL = """
+WITH span AS (SELECT MIN(CAST(ts AS DATE)) AS dmin,
+                     MAX(CAST(ts AS DATE)) AS dmax
+              FROM events),
+     cells AS (
+        SELECT CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) + 1.0) / 4294967296.0 < 0.5
+                    THEN 1 ELSE 0 END AS treat,
+               CASE WHEN CAST(ts AS DATE) >=
+                         dmin + ((dmax - dmin) // 2) * INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS post,
+               CAST(value AS DECIMAL(28,6)) AS v,
+               CAST(value * value AS DECIMAL(28,6)) AS v2
+        FROM events CROSS JOIN span),
+     agg AS (SELECT treat, post, CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(v) AS DOUBLE) AS s, CAST(SUM(v2) AS DOUBLE) AS sq
+             FROM cells GROUP BY treat, post),
+     w AS (SELECT
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t1,
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s_t1,
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN sq END) AS sq_t1,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s_t0,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN sq END) AS sq_t0,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c1,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s_c1,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN sq END) AS sq_c1,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s_c0,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN sq END) AS sq_c0
+        FROM agg),
+     d AS (SELECT
+        s_c0 / n_c0 AS m_c0, s_c1 / n_c1 AS m_c1,
+        s_t0 / n_t0 AS m_t0, s_t1 / n_t1 AS m_t1,
+        (sq_t1 - s_t1 * s_t1 / n_t1) / (n_t1 - 1.0) / n_t1
+        + (sq_t0 - s_t0 * s_t0 / n_t0) / (n_t0 - 1.0) / n_t0
+        + (sq_c1 - s_c1 * s_c1 / n_c1) / (n_c1 - 1.0) / n_c1
+        + (sq_c0 - s_c0 * s_c0 / n_c0) / (n_c0 - 1.0) / n_c0 AS var_sum
+        FROM w)
+SELECT ROUND(m_c0, 6) AS mean_ctrl_pre, ROUND(m_c1, 6) AS mean_ctrl_post,
+       ROUND(m_t0, 6) AS mean_treat_pre, ROUND(m_t1, 6) AS mean_treat_post,
+       ROUND((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did,
+       ROUND(SQRT(var_sum), 6) AS se,
+       ROUND(((m_t1 - m_t0) - (m_c1 - m_c0)) / SQRT(var_sum), 6) AS z
+FROM d"""
+
+
+@register("x237_diff_in_diff", _DID_SQL)
+def x237(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    ev = load_table(spark, sf, "events").select("ts", "user_id", "value")
+    return events.diff_in_diff(ev, "ts", "user_id", "value")

@@ -1,0 +1,255 @@
+"""Round-7 extension operators: mergeable moment sketches, Holt linear
+forecast, reciprocal-NN canonicalization, difference-in-differences."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- x234 moment sketch -----------------------------------------------------
+def test_moment_registers_merge_is_exact_addition(spark):
+    """The sketch contract: per-group power sums merged by ADDITION are
+    IDENTICAL to the directly-computed global sums (exact integers, so
+    bit-equality, not tolerance)."""
+    from flashml_spark.operators.sketches import moment_registers
+
+    rows = [(f"g{i % 3}", (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per = moment_registers(df, ["g"], "v")
+    merged = per.agg(
+        *[F.sum(c).alias(c) for c in ("n", "s1", "s2", "s3", "s4")]
+    ).first()
+    direct = moment_registers(df, [], "v").first()
+    for c in ("n", "s1", "s2", "s3", "s4"):
+        assert merged[c] == direct[c], c
+    # and the sums equal the python mirror exactly
+    vals = [v for _, v in rows]
+    assert int(merged["s1"]) == sum(vals)
+    assert int(merged["s4"]) == sum(v**4 for v in vals)
+
+
+def test_moment_quantile_audit_normal_data_is_accurate(spark):
+    """On symmetric near-normal integer data the Cornish-Fisher estimate
+    lands close to the exact quantile (within a few % of sd), and the
+    exact column IS the lower quantile."""
+    from flashml_spark.operators.sketches import moment_quantile_audit
+
+    # binomial(60, 0.5) via deterministic bit-counts: mean 30, sd ~3.9
+    rows = [
+        ("s", bin((i * 2654435761) % (1 << 60)).count("1"))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["q"]: r for r in moment_quantile_audit(df, "g", "v").collect()}
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    for q in (0.25, 0.5, 0.75):
+        exact = vals[math.ceil(q * n) - 1]
+        assert out[q]["exact"] == exact
+        assert abs(out[q]["est"] - exact) < 2.0  # within half an sd
+        assert out[q]["abs_err"] == pytest.approx(
+            abs(out[q]["est"] - exact), abs=2e-6
+        )
+
+
+def test_moment_quantile_audit_skew_shifts_estimates(spark):
+    """A right-skewed distribution must push the median estimate BELOW
+    the mean (Cornish-Fisher's skew term working), and the exact median
+    must sit below the mean too."""
+    from flashml_spark.operators.sketches import moment_quantile_audit
+
+    # geometric-ish right skew: many small, few huge
+    rows = [("s", 1 + ((i * 7) % 97) ** 2 // 30) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["q"]: r for r in moment_quantile_audit(df, "g", "v").collect()}
+    mean = sum(v for _, v in rows) / len(rows)
+    assert out[0.5]["est"] < mean
+    assert out[0.5]["exact"] < mean
+
+
+# --- x235 Holt linear forecast ----------------------------------------------
+def _holt_mirror(ys, a=0.3, b=0.1):
+    l, t, errsum = ys[0], 0.0, 0.0
+    for i, y in enumerate(ys):
+        if i == 0:
+            continue
+        if i == 1:
+            l, t = y, y - l
+            continue
+        errsum += abs(y - (l + t))
+        lnew = a * y + (1 - a) * (l + t)
+        t = b * (lnew - l) + (1 - b) * t
+        l = lnew
+    return l, t, errsum
+
+
+def test_holt_recovers_exact_linear_trend(spark):
+    """On a perfectly linear daily series the recursion keeps l_t = y_t
+    and b_t = slope by induction, so every forecast continues the line
+    EXACTLY and the backtest MAE is 0."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import holt_linear_forecast
+
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(days=i), 100.0 + 2.5 * i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["h"]: r for r in holt_linear_forecast(df, "ts", "value").collect()}
+    last = 100.0 + 2.5 * 19
+    for h in range(1, 8):
+        assert out[h]["forecast"] == pytest.approx(last + 2.5 * h, abs=1e-6)
+        assert out[h]["backtest_mae"] == 0.0
+
+
+def test_holt_matches_python_mirror(spark):
+    """Arbitrary series: the fold == the textbook Python recursion, and
+    multiple same-day events aggregate into the daily total first."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import holt_linear_forecast
+
+    vals = [5.0, 9.25, 3.5, 14.0, 11.75, 6.25, 19.5, 2.0, 8.125, 13.0]
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append((datetime(2024, 3, 1, 6) + timedelta(days=i), v / 2))
+        rows.append((datetime(2024, 3, 1, 18) + timedelta(days=i), v / 2))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["h"]: r for r in holt_linear_forecast(df, "ts", "value").collect()}
+    l, t, errsum = _holt_mirror(vals)
+    for h in range(1, 8):
+        assert out[h]["forecast"] == pytest.approx(l + h * t, abs=1e-6)
+        assert out[h]["backtest_mae"] == pytest.approx(
+            errsum / (len(vals) - 2), abs=1e-6
+        )
+
+
+# --- x236 reciprocal NN -----------------------------------------------------
+def test_reciprocal_nn_finds_mutual_pairs_only(spark):
+    """Two tight pairs are mutual; a hub-chaser whose favourite vector
+    prefers its own twin must NOT pair (the mutuality criterion doing
+    its job vs a plain threshold)."""
+    from flashml_spark.operators.similarity import reciprocal_nn_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),     # 0 <-> 1 mutual
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.14]),     # 2 <-> 3 mutual
+        (4, [0.7, 0.1, 0.7]),       # closest to 0, but 0 prefers 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["id_a"], r["id_b"]) for r in
+           reciprocal_nn_pairs(df, "embedding", "vec_id").collect()}
+    assert out == {(0, 1), (2, 3)}
+
+
+def test_reciprocal_nn_matches_python_mirror(spark):
+    """Deterministic pseudo-random vectors: the mutual set equals a
+    brute-force python mirror applying the SAME round-then-rank rule."""
+    import math
+
+    from flashml_spark.operators.similarity import reciprocal_nn_pairs
+
+    vecs = {
+        i: [((i * 37 + j * 11) % 19) - 9.0 for j in range(8)]
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           reciprocal_nn_pairs(df, "embedding", "vec_id").collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    def nn(i):
+        return min(
+            ((-cos(vecs[i], vecs[j]), j) for j in vecs if j != i)
+        )[1]
+
+    want = {
+        (i, nn(i)) for i in vecs if nn(nn(i)) == i and i < nn(i)
+    }
+    assert got == want and got  # non-trivial mutual set
+
+
+# --- x237 difference-in-differences ------------------------------------------
+def test_did_recovers_planted_effect(spark):
+    """Control drifts +2 post; treated drifts +2 AND gets a +5 lift:
+    DiD must isolate exactly the +5 (the parallel-trends subtraction),
+    with a z far above significance."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import diff_in_diff
+
+    rows = []
+    for u in range(200):
+        treat = u % 2
+        for d in range(10):
+            post = d >= 5
+            base = 10.0 + (u % 7) * 0.25       # unit heterogeneity
+            y = base + (2.0 if post else 0.0) + (5.0 if treat and post else 0.0)
+            rows.append((datetime(2024, 1, 1) + timedelta(days=d), u, y))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    out = diff_in_diff(
+        df, "ts", "user_id", "value",
+        treat_col=(F.col("user_id") % 2 == 1).cast("int"),
+        cutover=F.lit("2024-01-06").cast("date"),
+    ).first()
+    assert out["did"] == pytest.approx(5.0, abs=1e-6)
+    assert out["mean_ctrl_post"] - out["mean_ctrl_pre"] == pytest.approx(
+        2.0, abs=1e-6
+    )
+    assert out["z"] > 10
+
+
+def test_did_matches_python_mirror(spark):
+    """Arbitrary cell values: means, DiD, pooled SE and z all equal the
+    textbook four-cell mirror."""
+    import math
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import diff_in_diff
+
+    rows = []
+    for u in range(40):
+        for d in range(8):
+            y = ((u * 13 + d * 7) % 23) / 3.0 + (u % 2) * ((d >= 4) * 1.5)
+            rows.append((datetime(2024, 2, 1) + timedelta(days=d), u, y))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    out = diff_in_diff(
+        df, "ts", "user_id", "value",
+        treat_col=(F.col("user_id") % 2 == 1).cast("int"),
+        cutover=F.lit("2024-02-05").cast("date"),
+    ).first()
+
+    cells = {}
+    for (ts, u, y) in rows:
+        key = (u % 2, int(ts >= datetime(2024, 2, 5)))
+        cells.setdefault(key, []).append(y)
+
+    def mv(k):
+        xs = cells[k]
+        m = sum(xs) / len(xs)
+        v = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+        return m, v, len(xs)
+
+    (mt1, vt1, nt1), (mt0, vt0, nt0) = mv((1, 1)), mv((1, 0))
+    (mc1, vc1, nc1), (mc0, vc0, nc0) = mv((0, 1)), mv((0, 0))
+    did = (mt1 - mt0) - (mc1 - mc0)
+    se = math.sqrt(vt1 / nt1 + vt0 / nt0 + vc1 / nc1 + vc0 / nc0)
+    assert out["mean_treat_post"] == pytest.approx(mt1, abs=1e-6)
+    assert out["mean_ctrl_pre"] == pytest.approx(mc0, abs=1e-6)
+    assert out["did"] == pytest.approx(did, abs=1e-6)
+    assert out["se"] == pytest.approx(se, abs=1e-5)
+    assert out["z"] == pytest.approx(did / se, abs=1e-4)
