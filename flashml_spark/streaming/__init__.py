@@ -25,5 +25,6 @@ from flashml_spark.streaming.drift import (  # noqa: F401
     windowed_psi,
 )
 from flashml_spark.streaming.stateful import (  # noqa: F401
+    streaming_count_min,
     streaming_hll_distinct,
 )

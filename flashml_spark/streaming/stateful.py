@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (  # noqa: F401
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -377,6 +378,91 @@ def streaming_hll_distinct(
         update,
         outputStructType=out_schema,
         stateStructType="n LONG, regs ARRAY<INTEGER>",
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+def streaming_count_min(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    targets: list[str],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming per-key count-min frequency monitor — the stateful twin
+    of ``operators.sketches.count_min_audit``: per key, state is the
+    d=4 × w=1024 counter grid (O(4096) longs, CONSTANT regardless of
+    how many distinct values stream through), updated with the SAME
+    md5-derived (row, bucket) arithmetic as the batch sketch, so after
+    any sequence of micro-batches each target's estimate equals the
+    batch sketch's over the union of the data (CMS updates are
+    additive — the merge property streaming state relies on).
+
+    ``targets`` are the values whose lifetime frequency estimates are
+    emitted each micro-batch (a monitoring allowlist — hot sentinel
+    tokens, known-bad boilerplate ids).  Output per touched key per
+    batch: ``<key>, n_rows, estimates array<long>`` (aligned with
+    ``targets``).
+    """
+    import hashlib
+
+    from flashml_spark.operators.sketches import CMS_D, CMS_W
+
+    def _cells(v: str) -> list[tuple[int, int]]:
+        # SAME arithmetic as the batch sketch's md5_long(concat('cm<j>:',
+        # v), 8) % CMS_W — first 8 hex chars as an int (32 bits), so the
+        # streaming grid cells coincide with count_min_audit's exactly
+        out = []
+        for j in range(CMS_D):
+            hv = int(hashlib.md5(f"cm{j}:{v}".encode()).hexdigest()[:8], 16)
+            out.append((j, hv % CMS_W))
+        return out
+
+    tcells = [_cells(str(t)) for t in targets]
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, flat = state.get
+            grid = list(flat)
+        else:
+            n, grid = 0, [0] * (CMS_D * CMS_W)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            for v in vals:
+                for j, b in _cells(v):
+                    grid[j * CMS_W + b] += 1
+        state.update((n, grid))
+        ests = [
+            min(grid[j * CMS_W + b] for j, b in cells) for cells in tcells
+        ]
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n],
+                "estimates": [ests],
+            }
+        )
+
+    key_type = stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField(key_col, key_type),
+            StructField("n_rows", LongType()),
+            StructField("estimates", ArrayType(LongType())),
+        ]
+    )
+    # JVM-side cast: hash the same string rendering as the batch sketch
+    # (CAST(value AS STRING)) — the non-string parity rule shared with
+    # streaming_hll_distinct
+    stream = stream.withColumn(value_col, F.col(value_col).cast("string"))
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n LONG, grid ARRAY<LONG>",
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )

@@ -310,3 +310,56 @@ def test_streaming_hll_non_string_values_match_batch(spark, tmp_path):
     ).collect()[0]["hll_estimate"]
     batch = hll_distinct(df, "source", "token").collect()[0]["hll_estimate"]
     assert round(got, 6) == pytest.approx(batch, abs=2e-6)
+
+
+def test_streaming_count_min_matches_batch_sketch(spark, tmp_path):
+    """streaming_count_min over two micro-batches: each target's
+    lifetime estimate equals the batch count_min_audit estimate over
+    the union — same md5 cell arithmetic, additive merges, O(4096)
+    state per key.  Targets include a value column needing the
+    JVM-side string cast (long token ids)."""
+    import time
+
+    from flashml_spark.operators.sketches import count_min_audit
+    from flashml_spark.streaming import streaming_count_min
+
+    rows1 = [("k", i % 7) for i in range(300)] + [("k", 999)] * 40
+    rows2 = [("k", i % 11) for i in range(200)] + [("k", 999)] * 25
+
+    def _frame(rows):
+        return spark.createDataFrame(rows, "g string, token long")
+
+    src = str(tmp_path / "cms_src")
+    _frame(rows1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _frame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    targets = ["999", "0", "5"]
+    stream = (
+        spark.readStream.schema(_frame(rows1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_count_min(stream, "g", "token", targets)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT estimates FROM cms_stream ORDER BY n_rows DESC LIMIT 1"
+    ).collect()[0]["estimates"]
+
+    batch = {
+        str(r["value"]): r["cms_estimate"]
+        for r in count_min_audit(
+            _frame(rows1 + rows2), "token", top_k=20
+        ).collect()
+    }
+    # exact counts as the floor; the sketch never underestimates
+    assert got[0] == batch["999"] >= 65
+    assert got[1] == batch["0"]
+    assert got[2] == batch["5"]
