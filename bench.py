@@ -243,6 +243,10 @@ HEADLINE = [
     "x231_count_min_audit",
     "x232_hll_source_overlap",
     "x233_compression_ordering",
+    "x234_moment_quantiles",
+    "x235_holt_forecast",
+    "x236_reciprocal_nn",
+    "x237_diff_in_diff",
 ]
 
 

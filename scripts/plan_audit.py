@@ -102,6 +102,9 @@ ACCEPTED_CROSS = {
     "x231_count_min_audit": "4096-row sketch broadcast probed by the top-k list",
     "x232_hll_source_overlap": "|sources|^2 pair frame x <=512 register rows, group-count bounded; singles joins on post-agg estimates",
     "x226_isotonic_calibration": "n_bins(n_bins+1)/2 interval inequality joins, all frames config-bounded (n_bins=20)",
+    "x234_moment_quantiles": "1-row total scalar broadcast + |quantiles|=3 literal frame onto the cells cumsum",
+    "x236_reciprocal_nn": "|n|^2 exact all-pairs audit (x06/x144 posture); 100 TB path = same mutual-top-1 over LSH/IVF candidate pairs",
+    "x237_diff_in_diff": "1-row calendar-span scalar broadcast onto the scan",
 }
 
 
