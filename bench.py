@@ -247,6 +247,8 @@ HEADLINE = [
     "x235_holt_forecast",
     "x236_reciprocal_nn",
     "x237_diff_in_diff",
+    "x238_join_size_sketch",
+    "x239_psi_timeline",
 ]
 
 

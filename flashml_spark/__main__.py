@@ -68,6 +68,11 @@ def _run_monitoring(spark, raw: dict, new_df) -> int:
                                    flagged whether it was also a base
                                    heavy hitter (hot-key churn)
         monitoring.heavyHitterK    top-k size (default 10)
+        monitoring.timeline        {"tsColumn": ..., "valueColumn": ...,
+                                   "baseDays": 7, "buckets": 10} — daily
+                                   PSI drift series over the NEW data vs
+                                   its own first-baseDays base period
+                                   ("when did the drift start")
         project.data.pageVariable / numPages   per-page PSI fan-out
         savepoint.root             where metrics/health.json lands
 
@@ -134,6 +139,19 @@ def _run_monitoring(spark, raw: dict, new_df) -> int:
                 "in_base_topk": r["value"] in base_top,
             }
             for r in sketches.count_min_audit(new_df, var, top_k=hh_k).collect()
+        ]
+
+    tl = _dotted_get(raw, "monitoring.timeline")
+    if tl:
+        series = stability.psi_timeline(
+            new_df,
+            tl["tsColumn"],
+            tl["valueColumn"],
+            base_days=int(tl.get("baseDays", 7)),
+            bins=int(tl.get("buckets", 10)),
+        ).collect()  # |days| rows — value-domain bounded
+        report["psiTimeline"] = [
+            {"d": str(r["d"]), "n": r["n"], "psi": r["psi"]} for r in series
         ]
 
     root = _dotted_get(raw, "savepoint.root")

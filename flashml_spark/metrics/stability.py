@@ -135,3 +135,97 @@ def vsi_for_variables(
     finally:
         b.unpersist()
         n.unpersist()
+
+
+def psi_timeline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    base_days: int = 7,
+    bins: int = 10,
+) -> DataFrame:
+    """Daily PSI drift timeline: the monitoring PSI (same
+    ``Σ (p_new − p_base)·ln(p_new/p_base)·100`` over buckets populated
+    on both sides) computed for EVERY day against a base period — the
+    first ``base_days`` calendar days — turning the one-shot
+    base-vs-serving health check into the time series an on-call
+    actually watches ("when did the drift start").
+
+    Buckets are ``bins`` equidistant cells over the BASE min/max
+    (values outside clamp into the edge cells), not quantile cells —
+    equidistant edges are pure arithmetic, so any engine reproduces
+    the bucketing exactly.  Scale shape: one corpus pass for the
+    (day, bin) counts; everything after is |days|·bins rows.
+    Output: ``d, n, psi`` ordered by day.
+    """
+    daily = df.select(
+        F.col(ts_col).cast("date").alias("d"), F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    span = daily.agg(F.min("d").alias("d0"))
+    base_bounds = (
+        daily.crossJoin(F.broadcast(span))  # 1-row scalar broadcast
+        .where(F.datediff(F.col("d"), F.col("d0")) < base_days)
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    binned = daily.crossJoin(F.broadcast(base_bounds)).crossJoin(
+        F.broadcast(span)
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                * F.lit(float(bins))
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    tagged = binned.select(
+        "d",
+        bin_col.alias("b"),
+        (F.datediff(F.col("d"), F.col("d0")) < base_days).alias("in_base"),
+    )
+    # single-scan discipline: three consumers (base shares, day totals,
+    # day shares) read this |days|·bins-bounded frame — pin it so the
+    # corpus bucketing pass runs once, not per consumer
+    cells = (
+        tagged.groupBy("d", "b", "in_base")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    base = (
+        cells.where("in_base")
+        .groupBy("b")
+        .agg(F.sum("c").alias("cb"))
+        .crossJoin(
+            F.broadcast(
+                cells.where("in_base").agg(F.sum("c").alias("tb"))
+            )
+        )
+        .select("b", (F.col("cb") / F.col("tb")).alias("pb"))
+    )
+    day_tot = cells.groupBy("d").agg(F.sum("c").alias("td"))
+    day_share = (
+        cells.groupBy("d", "b")
+        .agg(F.sum("c").alias("cd"))
+        .join(day_tot, "d")
+        .select("d", "b", (F.col("cd") / F.col("td")).alias("pd"))
+    )
+    return (
+        day_share.join(base, "b")  # inner: both-sides-populated buckets
+        .groupBy("d")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("pd") - F.col("pb"))
+                    * F.log(F.col("pd") / F.col("pb"))
+                )
+                * 100.0,
+                6,
+            ).alias("psi")
+        )
+        .join(day_tot.select("d", F.col("td").alias("n")), "d")
+        .select("d", F.col("n").cast("bigint").alias("n"), "psi")
+        .orderBy("d")
+    )

@@ -519,3 +519,89 @@ def moment_quantile_audit(
         )
         .orderBy("q")
     )
+
+
+def cms_grid(df: DataFrame, value_col: str) -> DataFrame:
+    """The d=4 × w=1024 count-min counter grid ``(j, b, cnt)`` for one
+    column — ≤ 4096 rows regardless of input size, the same md5 cell
+    arithmetic as ``count_min_audit`` (so grids built by different jobs
+    /shards are directly combinable: CMS merges by cell-wise ADDITION).
+    """
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("v")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    H.md5_long(F.concat(F.lit(f"cm{j}:"), F.col("v")), 8)
+                    % CMS_W
+                ).alias("b"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    return (
+        vals.select(F.explode(cells).alias("c"))
+        .select("c.j", "c.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_join_size(
+    df_a: DataFrame, key_a: str, df_b: DataFrame, key_b: str
+) -> DataFrame:
+    """Join-size estimation by count-min INNER PRODUCT (Cormode &
+    Muthukrishnan 2005 §4.2): ``|A ⋈ B| = Σ_k c_A(k)·c_B(k)`` is
+    estimated by ``min_j Σ_b A_j[b]·B_j[b]`` over the two 4-KB grids —
+    never an underestimate, expected overestimate ≤ N_A·N_B / w.  The
+    planning readout a 100 TB pipeline computes BEFORE paying for the
+    join shuffle: two single-pass grids answer "how big will this join
+    be" for any key pair, and grids from different days/shards merge by
+    addition.
+
+    Scale shape: one pass per side → two ≤4096-row grids → a
+    4096-row join + 4-row agg.  The exact side is one keyed count agg
+    per side + an equi-join on the key frame (|distinct keys| rows).
+    Output (1 row): ``exact, cms_estimate, overestimate, rel_error``.
+    """
+    ga = cms_grid(df_a, key_a)
+    gb = cms_grid(df_b, key_b).select(
+        "j", "b", F.col("cnt").alias("cnt_b")
+    )
+    est = (
+        ga.join(gb, ["j", "b"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    ca = (
+        df_a.where(F.col(key_a).isNotNull())
+        .groupBy(F.col(key_a).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        df_b.where(F.col(key_b).isNotNull())
+        .groupBy(F.col(key_b).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = ca.join(cb, "k").agg(
+        # empty join -> SUM is NULL; a disjoint key pair must read 0
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(  # 1-row x 1-row
+        F.col("exact").cast("bigint").alias("exact"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact"))
+        .cast("bigint")
+        .alias("overestimate"),
+        # guarded denominator so the exact=0 (disjoint) case stays a
+        # finite, engine-identical number
+        F.round(
+            (F.col("cms_estimate") - F.col("exact"))
+            / F.greatest(F.col("exact"), F.lit(1)).cast("double"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -221,3 +221,92 @@ def x237(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events").select("ts", "user_id", "value")
     return events.diff_in_diff(ev, "ts", "user_id", "value")
+
+
+# --------------------------------------------------------------------------
+# x238 — join-size estimation by count-min inner product (Cormode &
+# Muthukrishnan 2005 §4.2): |orders ⋈ lineitem on orderkey| estimated
+# from two 4-KB grids (min over rows of Σ_b A_j[b]·B_j[b] — never an
+# underestimate) next to the exact Σ_k c_A(k)·c_B(k).  The planning
+# readout that sizes a shuffle BEFORE paying for it.
+def _cms_cells17(expr: str) -> str:
+    cells = ", ".join(
+        "STRUCT_PACK(j := {j}, b := CAST(('0x' || substr(md5('cm{j}:' || {e}), 1, 8)) "
+        "AS BIGINT) % 1024)".format(j=j, e=expr)
+        for j in range(4)
+    )
+    return f"[{cells}]"
+
+
+_JOINSIZE_SQL = f"""
+WITH av AS (SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders
+            WHERE o_orderkey IS NOT NULL),
+     bv AS (SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+            WHERE l_orderkey IS NOT NULL),
+     ac AS (SELECT c.j AS j, c.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT UNNEST({_cms_cells17("v")}) AS c FROM av)
+            GROUP BY c.j, c.b),
+     bc AS (SELECT c.j AS j, c.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT UNNEST({_cms_cells17("v")}) AS c FROM bv)
+            GROUP BY c.j, c.b),
+     ip AS (SELECT ac.j, SUM(ac.cnt * bc.cnt) AS ip
+            FROM ac JOIN bc ON ac.j = bc.j AND ac.b = bc.b GROUP BY ac.j),
+     est AS (SELECT MIN(ip) AS cms_estimate FROM ip),
+     ca AS (SELECT v AS k, COUNT(*) AS na FROM av GROUP BY v),
+     cb AS (SELECT v AS k, COUNT(*) AS nb FROM bv GROUP BY v),
+     ex AS (SELECT COALESCE(SUM(na * nb), 0) AS exact
+            FROM ca JOIN cb USING (k))
+SELECT CAST(ex.exact AS BIGINT) AS exact,
+       CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(est.cms_estimate - ex.exact AS BIGINT) AS overestimate,
+       ROUND((est.cms_estimate - ex.exact)
+             / CAST(GREATEST(ex.exact, 1) AS DOUBLE), 6) AS rel_error
+FROM ex CROSS JOIN est"""
+
+
+@register("x238_join_size_sketch", _JOINSIZE_SQL)
+def x238(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey")
+    return sketches.cms_join_size(orders, "o_orderkey", li, "l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# x239 — daily PSI drift timeline on events.value vs the first-7-day
+# base period: the one-shot PSI health check (q14) turned into the time
+# series an on-call watches.  Equidistant bins over the base min/max
+# (pure arithmetic — engine-exact bucketing), inner-join bucket
+# convention, SI x 100, matching the monitoring PSI semantics.
+_PSI_TL_SQL = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, value AS v FROM events
+               WHERE value IS NOT NULL),
+     d0 AS (SELECT MIN(d) AS d0 FROM daily),
+     bb AS (SELECT MIN(v) AS lo, MAX(v) AS hi
+            FROM daily CROSS JOIN d0 WHERE d - d0 < 7),
+     tagged AS (SELECT d,
+                       LEAST(GREATEST(FLOOR((v - lo) * 10.0 / (hi - lo)),
+                                      0), 9) AS b,
+                       (d - d0 < 7) AS in_base
+                FROM daily CROSS JOIN bb CROSS JOIN d0),
+     cells AS (SELECT d, b, in_base, COUNT(*) AS c
+               FROM tagged GROUP BY d, b, in_base),
+     base AS (SELECT b, SUM(c) / (SELECT SUM(c) FROM cells WHERE in_base)
+                         AS pb
+              FROM cells WHERE in_base GROUP BY b),
+     dt AS (SELECT d, SUM(c) AS td FROM cells GROUP BY d),
+     ds AS (SELECT cells.d, cells.b, SUM(c) / dt.td AS pd
+            FROM cells JOIN dt ON cells.d = dt.d
+            GROUP BY cells.d, cells.b, dt.td),
+     p AS (SELECT ds.d,
+                  ROUND(SUM((pd - pb) * LN(pd / pb)) * 100.0, 6) AS psi
+           FROM ds JOIN base ON ds.b = base.b GROUP BY ds.d)
+SELECT p.d AS d, CAST(dt.td AS BIGINT) AS n, p.psi AS psi
+FROM p JOIN dt ON p.d = dt.d ORDER BY d"""
+
+
+@register("x239_psi_timeline", _PSI_TL_SQL)
+def x239(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.metrics.stability import psi_timeline
+
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    return psi_timeline(ev, "ts", "value", base_days=7, bins=10)

@@ -29,13 +29,19 @@ def test_cli_monitoring_psi_vsi(spark, tmp_path):
         .alias("browser"),
     )
     new = spark.range(1000).select(
-        ((F.col("id") % 100) / 200.0 + 0.5).alias("score"),  # drifted up
+        # drifted up; derived from id//4 so the per-day (id%4) score
+        # multisets are IDENTICAL -> the drift timeline reads flat
+        ((F.floor(F.col("id") / 4) % 100) / 200.0 + 0.5).alias("score"),
         # chrome 50% / firefox 30% / edge 20%: overlap {chrome, firefox}
         # has SHIFTED shares (vsi > 0), safari missing, edge new
         F.when(F.col("id") % 10 < 5, "chrome")
         .when(F.col("id") % 10 < 8, "firefox")
         .otherwise("edge")
         .alias("browser"),
+        # serving timestamps spread over 4 days for the drift timeline
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 4) * 86_400
+        ).alias("served_at"),
     )
     base_p = _write(base, str(tmp_path / "base"))
     new_p = _write(new, str(tmp_path / "new"))
@@ -56,6 +62,12 @@ def test_cli_monitoring_psi_vsi(spark, tmp_path):
             "cardinalityVariables": ["score"],
             "heavyHitterVariables": ["browser"],
             "heavyHitterK": 3,
+            "timeline": {
+                "tsColumn": "served_at",
+                "valueColumn": "score",
+                "baseDays": 2,
+                "buckets": 10,
+            },
         },
         "savepoint": {"root": root},
     }
@@ -96,6 +108,13 @@ def test_cli_monitoring_psi_vsi(spark, tmp_path):
     assert hh[0]["count"] == 500 and hh[0]["cms_estimate"] >= 500
     # chrome/firefox were base heavy hitters; edge is churn
     assert [h["in_base_topk"] for h in hh] == [True, True, False]
+
+    # drift timeline: the serving data is self-stationary across its 4
+    # days (same score distribution every day), so every day's PSI vs
+    # the first-2-day base is ~0 — the series exists and is quiet
+    tlr = health["psiTimeline"]
+    assert len(tlr) == 4 and all(r["n"] == 250 for r in tlr)
+    assert all(abs(r["psi"]) < 1e-9 for r in tlr)
 
 
 def test_cli_monitoring_rejects_missing_base(spark, tmp_path):

@@ -253,3 +253,64 @@ def test_did_matches_python_mirror(spark):
     assert out["did"] == pytest.approx(did, abs=1e-6)
     assert out["se"] == pytest.approx(se, abs=1e-5)
     assert out["z"] == pytest.approx(did / se, abs=1e-4)
+
+
+# --- x238 CMS join-size estimation -------------------------------------------
+def test_cms_join_size_never_underestimates_and_is_tight(spark):
+    """CMS inner product >= exact join size always; with |keys| << w the
+    collision mass is tiny so the estimate is exact or near-exact, and
+    the exact column equals the true join row count."""
+    from flashml_spark.operators.sketches import cms_join_size
+
+    a = spark.createDataFrame(
+        [(i % 50,) for i in range(1000)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(i % 80,) for i in range(1600)], "k long"
+    )
+    out = cms_join_size(a, "k", b, "k").first()
+    true_size = a.join(b, "k").count()
+    assert out["exact"] == true_size
+    assert out["cms_estimate"] >= out["exact"]
+    assert out["overestimate"] == out["cms_estimate"] - out["exact"]
+    # 50+80 distinct keys in 1024 buckets: collisions contribute < 5%
+    assert out["rel_error"] < 0.05
+
+
+def test_cms_join_size_disjoint_keys_stay_near_zero(spark):
+    """Disjoint key ranges: exact is 0; the estimate is pure collision
+    mass, bounded well below N_a*N_b/w * d safety margin."""
+    from flashml_spark.operators.sketches import cms_join_size
+
+    a = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    b = spark.createDataFrame([(i + 10_000,) for i in range(300)], "k long")
+    out = cms_join_size(a, "k", b, "k").first()
+    assert out["exact"] == 0
+    assert 0 <= out["cms_estimate"] <= 200 * 300 // 256  # << naive product
+
+
+# --- x239 PSI drift timeline --------------------------------------------------
+def test_psi_timeline_flags_the_drifted_day(spark):
+    """Stationary days read near-zero PSI; a day whose distribution
+    shifts up by half the range must spike far above them."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.metrics.stability import psi_timeline
+
+    rows = []
+    for d in range(12):
+        for i in range(400):
+            v = (i % 100) / 100.0          # uniform [0, 1)
+            if d == 10:
+                v = 0.5 + (i % 100) / 200.0  # drifted: uniform [0.5, 1)
+            rows.append((datetime(2024, 5, 1) + timedelta(days=d), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["d"].day: r["psi"] for r in
+           psi_timeline(df, "ts", "value", base_days=7, bins=10).collect()}
+    stationary = [out[d] for d in range(1, 11)]   # May 1-10 (day 11 = drift)
+    assert all(abs(p) < 1e-6 for p in stationary)
+    assert out[11] > 20            # the drifted day (inner-join convention
+    # drops the day-empty low bins, damping but not hiding the spike)
+    assert abs(out[12]) < 1e-6     # back to normal
+    # every day present, n column carried
+    assert len(out) == 12
