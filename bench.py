@@ -249,6 +249,7 @@ HEADLINE = [
     "x237_diff_in_diff",
     "x238_join_size_sketch",
     "x239_psi_timeline",
+    "x240_reciprocal_nn_lsh",
 ]
 
 

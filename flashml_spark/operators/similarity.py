@@ -770,3 +770,106 @@ def reciprocal_nn_pairs(
         )
         .orderBy("id_a")
     )
+
+
+def reciprocal_nn_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int = 3,
+    n_bands: int = 12,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """The 100 TB path for :func:`reciprocal_nn_pairs`: candidate pairs
+    come from BANDED LSH (OR-amplification — ``n_bands`` independent
+    sign-bucket tables of ``n_planes`` hyperplanes each; a pair is a
+    candidate if it shares ANY band's bucket), then the SAME
+    round-then-rank mutual-top-1 criterion applies within each vector's
+    candidate set.
+
+    Banding is what makes the recall dial honest: a pair at angle θ
+    survives one band with p = (1 − θ/π)^n_planes, and any of L bands
+    with 1 − (1 − p)^L — without it (the single-table variant this
+    replaced) recall DECAYS geometrically in the plane count, measured
+    at 0.08 for 6 planes on the test embeddings.  Near-duplicates
+    (θ ≈ 0, the canonicalization workload) have p ≈ 1, so production
+    configs raise ``n_planes`` (smaller buckets, less pair work) and
+    keep a few bands.
+
+    Scale shape: ``n_bands`` projection passes assign buckets (one scan,
+    posexplode of the band array); the candidate frame is
+    Σ_bands Σ|bucket|², dedup'd on (ia, ib) BEFORE the dot products so
+    each surviving pair pays ONE similarity evaluation.  Recall gate vs
+    the exact operator lives in the unit tests.  Output: ``id_a < id_b,
+    sim``.
+    """
+    from pyspark.sql import Window
+
+    dim = len(df.select(vec_col).first()[0])
+    bands = [
+        random_hyperplanes(dim, n_planes, seed + 1000 * l)
+        for l in range(n_bands)
+    ]
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__n", V.norm(F.col("__v")))
+    src = base.select(
+        "__id",
+        "__v",
+        "__n",
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("__v"), planes) for planes in bands])
+        ).alias("band", "bucket"),
+    )
+    a = src.select(
+        F.col("__id").alias("ia"), F.col("band").alias("la"),
+        F.col("bucket").alias("ba"),
+    )
+    b = src.select(
+        F.col("__id").alias("ib"), F.col("band").alias("lb"),
+        F.col("bucket").alias("bb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("ia") != F.col("ib")),
+        )
+        .select("ia", "ib")
+        .distinct()  # one similarity evaluation per surviving pair
+    )
+    va = base.select(
+        F.col("__id").alias("ia"), F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    vb = base.select(
+        F.col("__id").alias("ib"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    pairs = cand.join(va, "ia").join(vb, "ib").select(
+        "ia",
+        "ib",
+        F.round(
+            V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            round_to,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("sim"), F.asc("ib"))
+    top = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("ia", "ib", "sim")
+    )
+    other = top.select(F.col("ia").alias("jb"), F.col("ib").alias("ja"))
+    return (
+        top.join(
+            other,
+            (F.col("ia") == F.col("ja")) & (F.col("ib") == F.col("jb")),
+        )
+        .where(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim")
+        .orderBy("id_a")
+    )

@@ -310,3 +310,17 @@ def x239(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events").select("ts", "value")
     return psi_timeline(ev, "ts", "value", base_days=7, bins=10)
+
+
+# --------------------------------------------------------------------------
+# x240 — the banded-LSH scale path for x236 (rows-only, like x07 vs
+# x06: single-table LSH is not SQL-expressible worth the candle; the
+# recall gate vs the exact operator lives in
+# tests/test_ext17_queries.py::test_reciprocal_nn_lsh_recall_gate,
+# measured 0.97 at the 3-plane/12-band default).
+@register("x240_reciprocal_nn_lsh", None)
+def x240(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.reciprocal_nn_pairs_lsh(emb, "embedding", "vec_id")

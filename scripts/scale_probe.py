@@ -12,7 +12,12 @@ that preserve each workload's character without degenerating it:
   ``replica * 1e-3`` (cosine structure preserved, no exact clones).
 - ``lineitem``/``orders``: orderkey offset by the SAME constant on both
   sides, so the join graph replicates instead of densifying.
-- Small dims (part/supplier/nation/region/customer/events) copy through
+- ``events``: event_id/user_id offset per replica, timestamps UNCHANGED —
+  the event corpus grows linearly while the calendar span (and with it
+  every |days|-bounded post-agg frame) stays fixed, exactly the shape a
+  bigger cluster sees.  (Before round 7 events copied through unchanged,
+  so events-based probes measured fixed cost only.)
+- Small dims (part/supplier/nation/region/customer) copy through
   unchanged — at real scale dims grow sublinearly anyway.
 
 Usage:
@@ -86,7 +91,15 @@ def replicate(spark, src: str, out: str, k: int) -> None:
     ).drop("__rep")
     orders.write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
-    for t in ["part", "supplier", "nation", "region", "customer", "events"]:
+    ev = spark.read.parquet(f"{src}/events.parquet").select("*", rep)
+    ev = (
+        ev.withColumn("event_id", F.col("event_id") + F.col("__rep") * F.lit(OFFSET))
+        .withColumn("user_id", F.col("user_id") + F.col("__rep") * F.lit(OFFSET))
+        .drop("__rep")
+    )
+    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    for t in ["part", "supplier", "nation", "region", "customer"]:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
@@ -132,6 +145,12 @@ PROBES = [
     "x231_count_min_audit",
     "x232_hll_source_overlap",
     "x233_compression_ordering",
+    "x234_moment_quantiles",
+    "x235_holt_forecast",
+    "x236_reciprocal_nn",
+    "x237_diff_in_diff",
+    "x238_join_size_sketch",
+    "x239_psi_timeline",
 ]
 
 
@@ -139,7 +158,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,2,4,8")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default="/tmp/scaleprobe")
+    # v2: events now replicate too (new dir so stale replicas can't mix)
+    ap.add_argument("--out", default="/tmp/scaleprobe_v2")
     ap.add_argument("--only", default=None,
                     help="comma-separated probe subset (prefix match)")
     args = ap.parse_args()

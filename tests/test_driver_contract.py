@@ -39,7 +39,10 @@ def test_queries_and_oracles_are_consistent():
         "x27_ann_ivf",
         "x72_cluster_balanced_sample",
         "x192_markov_attribution",  # absorbing-chain matrix inverse
-        "x200_compression_ratio",  # zlib has no SQL twin
+        "x200_compression_ratio",  # zlib has no SQL twin (x233 pins the
+        # family's ORDERING with a SQL oracle over constructed fixtures)
+        "x240_reciprocal_nn_lsh",  # banded-LSH scale path; recall-gated
+        # vs the oracle-checked exact x236 in test_ext17_queries
     }
 
 

@@ -314,3 +314,25 @@ def test_psi_timeline_flags_the_drifted_day(spark):
     assert abs(out[12]) < 1e-6     # back to normal
     # every day present, n column carried
     assert len(out) == 12
+
+
+def test_reciprocal_nn_lsh_recall_gate(spark):
+    """The banded-LSH scale path recovers nearly all exact mutual pairs
+    on the real embeddings table (measured 0.97 at the 3-plane/12-band
+    default; a SINGLE-table variant measured 0.08 at 6 planes — the
+    banding is load-bearing, not a tuning nicety)."""
+    from flashml_spark.operators.similarity import (
+        reciprocal_nn_pairs,
+        reciprocal_nn_pairs_lsh,
+    )
+    from flashml_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             reciprocal_nn_pairs(emb, "embedding", "vec_id").collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              reciprocal_nn_pairs_lsh(emb, "embedding", "vec_id").collect()}
+    assert exact, "exact mutual set must be non-trivial on testdata"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} below the gate"

@@ -1025,3 +1025,55 @@ GOLDEN_WEB_JOURNEY_TV = {
     "test.customMetrics.page4.totalVisitor": 9715,
     "test.customMetrics.page4.totalPositiveClass": 79,
 }
+
+
+def test_titanic_rf_and_dt_grid_cv_goldens(spark, tmp_path):
+    """The last unreplayed *_cv scenario classes — the reference's
+    `multiIntent_rf_cv_test_config.json` (numberOfTrees x maxDepth grid)
+    and `multiIntent_dt_cv_test_config.json` (maxDepth x maxBins grid),
+    2 folds each, replayed on titanic through the CLI.  Each tuned
+    golden must DIFFER from the corresponding untuned r6 golden, proving
+    the chosen grid point reaches the refit model.  (multiIntent_svm_cv
+    stays out by design: the OVR-SVM path documents that per-class
+    binary tuning is bypassed — see _fit_model.)"""
+    import json as _json
+
+    from flashml_spark.__main__ import main
+
+    results = {}
+    for algo, grid in (
+        ("random_forest", {"numTrees": [15, 20], "maxDepth": [5, 7, 8]}),
+        ("decision_tree", {"maxDepth": [5, 7], "maxBins": [15, 25]}),
+    ):
+        root = str(tmp_path / f"titanic_{algo}_cv_sp")
+        cfg = _titanic_cfg(f"titanic_{algo}_cv", root)
+        cfg["model"] = {"algorithm": algo}
+        cfg["tuning"] = {
+            "type": "cv",
+            "paramGrid": grid,
+            "folds": 2,
+            "metric": "weightedPrecision",
+        }
+        cfg_path = tmp_path / f"titanic_{algo}_cv.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        assert main([str(cfg_path)]) == 0
+        with open(f"{root}/metrics/metrics.json") as f:
+            results[algo] = _json.load(f)
+    print("RFDT_CV_GOLDEN", {
+        a: {k: m[k] for k in ("test.accuracy", "test.auroc")}
+        for a, m in results.items()
+    })
+    for key, want in GOLDEN_TITANIC_RF_CV.items():
+        assert results["random_forest"][key] == pytest.approx(want, abs=1e-9), key
+    for key, want in GOLDEN_TITANIC_DT_CV.items():
+        assert results["decision_tree"][key] == pytest.approx(want, abs=1e-9), key
+
+
+GOLDEN_TITANIC_RF_CV = {
+    "test.accuracy": 0.8165467625899281,
+    "test.auroc": 0.8485294117647059,
+}
+GOLDEN_TITANIC_DT_CV = {
+    "test.accuracy": 0.7949640287769785,
+    "test.auroc": 0.8406318082788671,
+}
