@@ -250,6 +250,7 @@ HEADLINE = [
     "x238_join_size_sketch",
     "x239_psi_timeline",
     "x240_reciprocal_nn_lsh",
+    "x241_contrastive_triplets",
 ]
 
 

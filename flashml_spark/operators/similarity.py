@@ -21,6 +21,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flashml_spark.functions import hashing as H
 from flashml_spark.functions import vector as V
 
 
@@ -873,3 +874,81 @@ def reciprocal_nn_pairs_lsh(
         .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim")
         .orderBy("id_a")
     )
+
+
+def contrastive_triplets(
+    df: DataFrame, vec_col: str, id_col: str, round_to: int = 6
+) -> DataFrame:
+    """Contrastive training triplets from embedding structure:
+    (anchor, positive) = each reciprocal-NN canonical pair (both
+    orientations — a pair yields two anchors, the standard in-batch
+    convention), negative = a DETERMINISTIC md5-picked row from the
+    whole table (rank = md5(anchor:positive) % n over the vec-id-sorted
+    index, stepping past collisions with the pair itself) — the
+    random-negative baseline of triplet mining, reproducible on any
+    engine because the pick is hash arithmetic, not RNG.
+
+    Scale shape: the mutual-pair frame (see
+    :func:`reciprocal_nn_pairs`; at scale, feed the banded-LSH variant)
+    plus ONE global row_number index over the id column (the same
+    |corpus| ranking contract as percent_rank/x61 — precompute and
+    reuse it in a real pipeline) and a 3-candidate broadcastable join.
+    Output: ``anchor, positive, negative, sim_pos``.
+    """
+    from pyspark.sql import Window
+
+    pairs = reciprocal_nn_pairs(df, vec_col, id_col, round_to=round_to)
+    both = pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.col("sim").alias("sim_pos"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("positive"),
+            F.col("sim").alias("sim_pos"),
+        )
+    )
+    n = df.count()  # scalar: the modulus for the hash rank
+    idx = df.select(F.col(id_col).alias("cand")).withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("cand").asc())) - 1,
+    )
+    base_rank = H.md5_long(
+        F.concat(
+            F.col("anchor").cast("string"),
+            F.lit(":"),
+            F.col("positive").cast("string"),
+        ),
+        8,
+    ) % F.lit(n)
+    # 3 candidate ranks (with their step index for first-pick ordering):
+    # at most 2 can collide with {anchor, positive}
+    cands = both.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[((base_rank + F.lit(k)) % F.lit(n)) for k in range(3)]
+            )
+        ).alias("step", "rn"),
+    )
+    picked = (
+        cands.join(idx, "rn")
+        .where(
+            (F.col("cand") != F.col("anchor"))
+            & (F.col("cand") != F.col("positive"))
+        )
+        .withColumn(
+            "__pick",
+            F.row_number().over(
+                Window.partitionBy("anchor", "positive").orderBy("step")
+            ),
+        )
+        .where(F.col("__pick") == 1)
+    )
+    return picked.select(
+        "anchor",
+        "positive",
+        F.col("cand").alias("negative"),
+        "sim_pos",
+    ).orderBy("anchor", "positive")

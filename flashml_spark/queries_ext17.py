@@ -324,3 +324,55 @@ def x240(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     return similarity.reciprocal_nn_pairs_lsh(emb, "embedding", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# x241 — contrastive triplet mining: (anchor, positive) = both
+# orientations of each reciprocal-NN pair, negative = a deterministic
+# md5-picked row (rank = md5('a:b') % n over the vec-id-sorted index,
+# stepping past collisions) — the training-data op that turns embedding
+# structure into (a, p, n) rows, reproducible on any engine because the
+# negative pick is hash arithmetic, not RNG.
+_TRIPLET_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+     nrm AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
+     p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+                      AS sim
+           FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+     top AS (SELECT ia, ib, sim,
+                    ROW_NUMBER() OVER (PARTITION BY ia
+                        ORDER BY sim DESC, ib ASC) AS rn
+             FROM p),
+     mut AS (SELECT t.ia AS id_a, t.ib AS id_b, t.sim
+             FROM top t JOIN top o ON t.ia = o.ib AND t.ib = o.ia
+             WHERE t.rn = 1 AND o.rn = 1 AND t.ia < t.ib),
+     bo AS (SELECT id_a AS anchor, id_b AS positive, sim AS sim_pos
+              FROM mut
+              UNION ALL
+              SELECT id_b, id_a, sim FROM mut),
+     nn AS (SELECT COUNT(*) AS n FROM embeddings),
+     idx AS (SELECT vec_id AS cand,
+                    ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS rn
+             FROM embeddings),
+     cands AS (SELECT b.*, s.step,
+                      (CAST(('0x' || substr(md5(CAST(b.anchor AS VARCHAR)
+                           || ':' || CAST(b.positive AS VARCHAR)), 1, 8))
+                           AS BIGINT) + s.step) % nn.n AS rn
+               FROM bo b CROSS JOIN nn
+               CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS step) s),
+     picked AS (SELECT c.anchor, c.positive, c.sim_pos, i.cand,
+                       ROW_NUMBER() OVER (PARTITION BY c.anchor, c.positive
+                           ORDER BY c.step) AS pick
+                FROM cands c JOIN idx i ON c.rn = i.rn
+                WHERE i.cand <> c.anchor AND i.cand <> c.positive)
+SELECT anchor, positive, cand AS negative, sim_pos
+FROM picked WHERE pick = 1 ORDER BY anchor, positive"""
+
+
+@register("x241_contrastive_triplets", _TRIPLET_SQL)
+def x241(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.contrastive_triplets(emb, "embedding", "vec_id")

@@ -336,3 +336,35 @@ def test_reciprocal_nn_lsh_recall_gate(spark):
     assert exact, "exact mutual set must be non-trivial on testdata"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f} below the gate"
+
+
+# --- x241 contrastive triplets -----------------------------------------------
+def test_contrastive_triplets_structure(spark):
+    """Every mutual pair yields exactly two triplets (both anchor
+    orientations); negatives never equal the anchor or positive; the
+    negative pick is deterministic across runs."""
+    from flashml_spark.operators.similarity import (
+        contrastive_triplets,
+        reciprocal_nn_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.14]),
+        (4, [0.7, 0.1, 0.7]),
+        (5, [-1.0, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    trips = contrastive_triplets(df, "embedding", "vec_id").collect()
+    pairs = reciprocal_nn_pairs(df, "embedding", "vec_id").collect()
+    assert len(trips) == 2 * len(pairs) > 0
+    anchors = {(t["anchor"], t["positive"]) for t in trips}
+    for p in pairs:
+        assert (p["id_a"], p["id_b"]) in anchors
+        assert (p["id_b"], p["id_a"]) in anchors
+    for t in trips:
+        assert t["negative"] not in (t["anchor"], t["positive"])
+    again = contrastive_triplets(df, "embedding", "vec_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, trips))
