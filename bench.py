@@ -251,6 +251,8 @@ HEADLINE = [
     "x239_psi_timeline",
     "x240_reciprocal_nn_lsh",
     "x241_contrastive_triplets",
+    "x242_cusum_drift",
+    "x243_obf_boundary",
 ]
 
 

@@ -2407,3 +2407,153 @@ def diff_in_diff(
         F.round(se, 6).alias("se"),
         F.round(did / se, 6).alias("z"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    base_days: int = 7,
+) -> DataFrame:
+    """Two-sided CUSUM control chart over the daily total series (Page
+    1954): ``S⁺_t = max(0, S⁺_{t−1} + z_t − k)``, ``S⁻_t = max(0,
+    S⁻_{t−1} − z_t − k)`` with ``z_t = (y_t − μ)/σ`` standardized
+    against the first ``base_days`` calendar days, alarming when either
+    statistic exceeds ``h`` — the SEQUENTIAL drift detector that
+    accumulates small persistent shifts the per-day outlier tests
+    (x119/x209) and the retrospective changepoint (x229) treat as
+    noise; k is the half-shift deadband, h the run-length dial.
+
+    Determinism shape: daily totals are exact DECIMAL(28,6) sums; μ and
+    σ derive from the base period's moment sums (sqrt only — IEEE
+    exactly-rounded); the recursion folds JVM-side over the |days|
+    array in the SAME operation order as the oracle's recursive CTE.
+    Output: ``d, z, cusum_pos, cusum_neg, alarm`` per day.
+    """
+    kk, hh = float(k), float(h)
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("d")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("yd")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    base = (
+        daily.crossJoin(F.broadcast(d0))  # 1-row scalar broadcast
+        .where(F.datediff(F.col("d"), F.col("d0")) < base_days)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("yd").cast("double").alias("s1"),
+            F.sum(
+                (F.col("yd") * F.col("yd")).cast("decimal(38,6)")
+            ).cast("double").alias("s2"),
+        )
+        .select(
+            (F.col("s1") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            ).alias("sd"),
+        )
+    )
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("d"), F.col("yd").cast("double").alias("y"))
+            )
+        ).alias("a")
+    ).crossJoin(F.broadcast(base))
+
+    def step(acc, x):
+        z = (x["y"] - F.col("mu")) / F.col("sd")
+        sp = F.greatest(F.lit(0.0), acc["sp"] + z - F.lit(kk))
+        sn = F.greatest(F.lit(0.0), acc["sn"] - z - F.lit(kk))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["d"].alias("d"),
+                        z.alias("z"),
+                        sp.alias("sp"),
+                        sn.alias("sn"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = arr.select(
+        F.explode(
+            F.aggregate(
+                "a",
+                F.struct(
+                    F.lit(0.0).alias("sp"),
+                    F.lit(0.0).alias("sn"),
+                    F.array().cast(
+                        "array<struct<d:date,z:double,sp:double,sn:double>>"
+                    ).alias("out"),
+                ),
+                step,
+                lambda acc: acc["out"],
+            )
+        ).alias("o")
+    )
+    return folded.select(
+        F.col("o.d").alias("d"),
+        F.round("o.z", 6).alias("z"),
+        F.round("o.sp", 6).alias("cusum_pos"),
+        F.round("o.sn", 6).alias("cusum_neg"),
+        (
+            (F.col("o.sp") > F.lit(hh)) | (F.col("o.sn") > F.lit(hh))
+        ).cast("int").alias("alarm"),
+    ).orderBy("d")
+
+
+# z_{0.975}, Python-computed once and shared with every SQL twin (the
+# cross-engine literal rule): statistics.NormalDist().inv_cdf(0.975)
+OBF_Z975 = 1.959963984540054
+
+
+def obf_boundary_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    variant_expr,
+    conv_expr,
+    alpha_z: float = OBF_Z975,
+) -> DataFrame:
+    """O'Brien-Fleming-style sequential boundary over the peeking
+    z-curve (O'Brien & Fleming 1979; Lan-DeMets spending approximation
+    ``b(t) = z_{α/2} / sqrt(t)`` with t = information fraction): the
+    completion of the x215 story — the curve SHOWS the wandering z,
+    this adds the boundary that says when a peek is actually
+    significant.  Early looks (tiny t) face a huge boundary; the final
+    look converges to the fixed-horizon z_{α/2}.
+
+    Information fraction = cumulative enrolled users / final enrolled
+    users (a 1-row scalar broadcast of the last day's totals).  All
+    float ops are exactly-rounded and ordered identically to the SQL
+    twin; ``alpha_z`` ships as a shared Python literal.
+
+    Output: ``d, z, info_frac, boundary, crossed`` per day.
+    """
+    curve = ab_ztest_curve(df, user_col, ts_col, variant_expr, conv_expr)
+    total = curve.agg(
+        F.max(F.col("n_a") + F.col("n_b")).alias("__nt")
+    )
+    t = (F.col("n_a") + F.col("n_b")).cast("double") / F.col("__nt").cast(
+        "double"
+    )
+    boundary = F.lit(float(alpha_z)) / F.sqrt(t)
+    return (
+        curve.crossJoin(F.broadcast(total))  # 1-row scalar broadcast
+        .select(
+            "d",
+            "z",
+            F.round(t, 6).alias("info_frac"),
+            F.round(boundary, 6).alias("boundary"),
+            (F.abs(F.col("z")) > boundary).cast("int").alias("crossed"),
+        )
+        .orderBy("d")
+    )

@@ -376,3 +376,119 @@ def x241(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     return similarity.contrastive_triplets(emb, "embedding", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# x242 — two-sided CUSUM control chart (Page 1954) on daily event
+# totals: the sequential drift detector that accumulates small
+# persistent shifts the per-day outlier tests treat as noise.  The
+# oracle is the SAME max(0, ...) recursion as a recursive CTE; μ/σ come
+# from the first-7-day base period's exact moment sums.
+_CUSUM_K = 0.5
+_CUSUM_H = 5.0
+_CUSUM_SQL = f"""
+WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS d,
+                      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+     d0 AS (SELECT MIN(d) AS d0 FROM daily),
+     base AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                     CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS s2
+              FROM daily CROSS JOIN d0 WHERE d - d0 < 7),
+     ms AS (SELECT s1 / n AS mu,
+                   SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sd
+            FROM base),
+     s AS (SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+     r AS (
+        SELECT rn, d, (y - mu) / sd AS z,
+               GREATEST(0.0, 0.0 + (y - mu) / sd - {_CUSUM_K!r}) AS sp,
+               GREATEST(0.0, 0.0 - (y - mu) / sd - {_CUSUM_K!r}) AS sn
+        FROM s CROSS JOIN ms WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.d, (s.y - ms.mu) / ms.sd,
+               GREATEST(0.0, r.sp + (s.y - ms.mu) / ms.sd - {_CUSUM_K!r}),
+               GREATEST(0.0, r.sn - (s.y - ms.mu) / ms.sd - {_CUSUM_K!r})
+        FROM r JOIN s ON s.rn = r.rn + 1 CROSS JOIN ms)
+SELECT d, ROUND(z, 6) AS z, ROUND(sp, 6) AS cusum_pos,
+       ROUND(sn, 6) AS cusum_neg,
+       CAST(CASE WHEN sp > {_CUSUM_H!r} OR sn > {_CUSUM_H!r}
+                 THEN 1 ELSE 0 END AS INT) AS alarm
+FROM r ORDER BY d"""
+
+
+@register("x242_cusum_drift", _CUSUM_SQL)
+def x242(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    return events.cusum_drift(
+        ev, "ts", "value", k=_CUSUM_K, h=_CUSUM_H, base_days=7
+    )
+
+
+# --------------------------------------------------------------------------
+# x243 — O'Brien-Fleming sequential boundary over the x215 peeking
+# curve (Lan-DeMets b(t) = z_.975 / sqrt(t), t = cumulative/final
+# enrollment): the boundary that says when a peek is SIGNIFICANT —
+# early looks face a huge bar, the final look converges to the
+# fixed-horizon z.  z_.975 ships as a shared Python literal.
+from flashml_spark.operators.events import OBF_Z975 as _OBF_C
+
+_OBF_SQL = f"""
+WITH pu AS (SELECT user_id,
+                   MAX(CAST(user_id % 2 AS INT)) AS variant,
+                   MIN(CAST(ts AS DATE)) AS first_d,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS conv_d
+            FROM events GROUP BY user_id),
+     e AS (SELECT first_d AS d,
+                  SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ea,
+                  SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS eb
+           FROM pu GROUP BY first_d),
+     c AS (SELECT conv_d AS d,
+                  SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+           FROM pu WHERE conv_d IS NOT NULL GROUP BY conv_d),
+     daily AS (SELECT COALESCE(e.d, c.d) AS d,
+                      COALESCE(ea, 0) AS ea, COALESCE(eb, 0) AS eb,
+                      COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM e FULL OUTER JOIN c ON e.d = c.d),
+     cum AS (SELECT d,
+                    CAST(SUM(ea) OVER w AS BIGINT) AS n_a,
+                    CAST(SUM(ca) OVER w AS BIGINT) AS conv_a,
+                    CAST(SUM(eb) OVER w AS BIGINT) AS n_b,
+                    CAST(SUM(cb) OVER w AS BIGINT) AS conv_b
+             FROM daily
+             WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)),
+     f AS (SELECT *, conv_a * 1.0 / n_a AS pa, conv_b * 1.0 / n_b AS pb,
+                  (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp
+           FROM cum),
+     g AS (SELECT *, sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se
+           FROM f),
+     zc AS (SELECT d, n_a, n_b,
+                   ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+                              THEN (pa - pb) / se ELSE 0.0 END, 6) AS z
+            FROM g),
+     nt AS (SELECT MAX(n_a + n_b) AS nt FROM zc)
+SELECT d, z,
+       ROUND(CAST(n_a + n_b AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS info_frac,
+       ROUND({_OBF_C!r} / SQRT(CAST(n_a + n_b AS DOUBLE)
+             / CAST(nt AS DOUBLE)), 6) AS boundary,
+       CAST(CASE WHEN ABS(z) > {_OBF_C!r} / SQRT(CAST(n_a + n_b AS DOUBLE)
+                 / CAST(nt AS DOUBLE)) THEN 1 ELSE 0 END AS INT) AS crossed
+FROM zc CROSS JOIN nt ORDER BY d"""
+
+
+@register("x243_obf_boundary", _OBF_SQL)
+def x243(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    return events.obf_boundary_curve(
+        ev,
+        "user_id",
+        "ts",
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase",
+    )

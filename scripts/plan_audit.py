@@ -106,6 +106,8 @@ ACCEPTED_CROSS = {
     "x236_reciprocal_nn": "|n|^2 exact all-pairs audit (x06/x144 posture); 100 TB path = same mutual-top-1 over LSH/IVF candidate pairs",
     "x237_diff_in_diff": "1-row calendar-span scalar broadcast onto the scan",
     "x238_join_size_sketch": "1-row exact x 1-row estimate scalar cross (grids are <=4096-row frames)",
+    "x242_cusum_drift": "1-row base-period moment + min-date scalar broadcasts onto the |days| frame",
+    "x243_obf_boundary": "1-row final-enrollment scalar broadcast onto the |days| curve",
     "x241_contrastive_triplets": "inherits x236's |n|^2 exact-audit pair frame; negatives are a 3-candidate equi-join on the id index",
     "x239_psi_timeline": "1-row base-period min/max + start-date scalar broadcasts onto the scan",
 }

@@ -368,3 +368,99 @@ def test_contrastive_triplets_structure(spark):
         assert t["negative"] not in (t["anchor"], t["positive"])
     again = contrastive_triplets(df, "embedding", "vec_id").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, trips))
+
+
+# --- x242 CUSUM drift ---------------------------------------------------------
+def test_cusum_accumulates_small_persistent_shift(spark):
+    """A +1σ persistent shift from day 11 never crosses a 3σ per-day
+    outlier bar, but the CUSUM statistic accumulates ~0.5σ/day and
+    alarms within a few days; the pre-shift days stay quiet."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import cusum_drift
+
+    # base: deterministic noise around 100 (sd ~2.9); shift: +3 from day 11
+    vals = [100.0 + ((i * 7) % 11) - 5 for i in range(25)]
+    for i in range(10, 25):
+        vals[i] += 3.0
+    rows = [
+        (datetime(2024, 6, 1) + timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["d"].day: r for r in
+           cusum_drift(df, "ts", "value", base_days=10).collect()}
+    assert all(out[d]["alarm"] == 0 for d in range(1, 11))
+    assert all(abs(out[d]["z"]) < 3.0 for d in range(1, 26))  # no 3σ day
+    assert any(out[d]["alarm"] == 1 for d in range(12, 26))
+    # one-sided: the positive statistic fires, the negative stays low
+    assert max(out[d]["cusum_neg"] for d in range(1, 26)) < 5.0
+
+
+def test_cusum_matches_python_mirror(spark):
+    """Arbitrary series: z, both statistics and alarms equal the
+    textbook recursion."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import cusum_drift
+
+    vals = [10.0, 12.5, 9.0, 11.0, 8.5, 14.0, 10.5, 3.0, 2.5, 18.0, 17.5]
+    rows = [
+        (datetime(2024, 7, 1) + timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = cusum_drift(df, "ts", "value", k=0.5, h=2.0, base_days=7).collect()
+
+    base = vals[:7]
+    mu = sum(base) / len(base)
+    sd = (sum(v * v for v in base) / len(base) - mu * mu) ** 0.5
+    sp = sn = 0.0
+    for r, v in zip(out, vals):
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+        assert r["cusum_pos"] == pytest.approx(sp, abs=1e-6)
+        assert r["cusum_neg"] == pytest.approx(sn, abs=1e-6)
+        assert r["alarm"] == int(sp > 2.0 or sn > 2.0)
+
+
+# --- x243 O'Brien-Fleming boundary --------------------------------------------
+def test_obf_boundary_shrinks_to_fixed_horizon_z(spark):
+    """Boundary = z_.975/sqrt(t): huge at early looks, exactly z_.975 at
+    the final look; crossed only when |z| beats the boundary, so an
+    early wander that would 'win' under naive peeking stays uncrossed."""
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import OBF_Z975, obf_boundary_curve
+
+    rows = []
+    # 10 users/day for 10 days; variant by parity; early conversions
+    # lopsided (day-1 users: all variant-0 convert), later balanced
+    for d in range(10):
+        for u in range(10):
+            uid = d * 10 + u
+            rows.append((datetime(2024, 8, 1) + timedelta(days=d), uid, "view"))
+            converts = (uid % 2 == 0 and d == 0) or (d > 0 and uid % 4 == 1)
+            if converts:
+                rows.append(
+                    (datetime(2024, 8, 1) + timedelta(days=d), uid, "purchase")
+                )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+    out = obf_boundary_curve(
+        df, "user_id", "ts",
+        (F.col("user_id") % 2).cast("int"),
+        F.col("event_type") == "purchase",
+    ).collect()
+    assert out[-1]["info_frac"] == 1.0
+    assert out[-1]["boundary"] == pytest.approx(OBF_Z975, abs=1e-6)
+    # monotone: boundary never increases as information accrues
+    bounds = [r["boundary"] for r in out]
+    assert bounds == sorted(bounds, reverse=True)
+    # day 1: z is extreme (5/5 vs 0/5) but the boundary is sqrt(10)x
+    # the fixed-horizon bar — naive peeking would declare, OBF does not
+    assert abs(out[0]["z"]) > OBF_Z975
+    assert out[0]["crossed"] == 0
+    for r in out:
+        assert r["crossed"] == int(abs(r["z"]) > r["boundary"])
