@@ -253,6 +253,7 @@ HEADLINE = [
     "x241_contrastive_triplets",
     "x242_cusum_drift",
     "x243_obf_boundary",
+    "x244_neyman_allocation",
 ]
 
 

@@ -605,3 +605,70 @@ def cms_join_size(
             6,
         ).alias("rel_error"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Neyman-optimal sample allocation across strata (Neyman 1934):
+    for a fixed audit budget, sample ``n_h ∝ N_h·σ_h`` — more rows from
+    big AND internally-varied strata — reported next to proportional
+    allocation (``n_h ∝ N_h``) and the design-effect ratio of the two
+    allocations' estimator variances for the stratified mean.  The
+    sampling-design readout a corpus audit runs BEFORE drawing rows:
+    when strata differ in spread, Neyman beats proportional by exactly
+    the reported factor at the same budget.
+
+    Stratum σ_h derives from the SAME exact integer power sums as the
+    moment sketch (``moment_registers``), so every float is
+    order-independent and the allocation replays bit-for-bit.
+    Everything after the one sketch pass runs on the |strata| frame.
+    Output: ``<stratum>, n_rows, sd, n_neyman, n_proportional,
+    var_ratio`` (var_ratio repeated — the 1-row design effect).
+    """
+    sk = moment_registers(df, [stratum_col], value_col).select(
+        stratum_col,
+        F.col("n").cast("double").alias("n"),
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+    )
+    per = sk.select(
+        stratum_col,
+        "n",
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sd"),
+    )
+    totals = per.agg(
+        F.sum("n").alias("tn"),
+        F.sum(F.col("n") * F.col("sd")).alias("tns"),
+        # variance terms: Neyman V ∝ (Σ N_h σ_h)² ; proportional
+        # V ∝ N · Σ N_h σ_h²  (classic finite-budget comparison,
+        # Cochran 1977 eq. 5.26-5.27, fpc ignored)
+        F.sum(F.col("n") * F.col("sd") * F.col("sd")).alias("tns2"),
+    )
+    b = F.lit(float(budget))
+    return (
+        per.crossJoin(F.broadcast(totals))  # 1-row totals broadcast
+        .select(
+            stratum_col,
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round("sd", 6).alias("sd"),
+            F.round(b * (F.col("n") * F.col("sd")) / F.col("tns"), 6).alias(
+                "n_neyman"
+            ),
+            F.round(b * F.col("n") / F.col("tn"), 6).alias(
+                "n_proportional"
+            ),
+            F.round(
+                (F.col("tns") * F.col("tns"))
+                / (F.col("tn") * F.col("tns2")),
+                6,
+            ).alias("var_ratio"),
+        )
+        .orderBy(stratum_col)
+    )

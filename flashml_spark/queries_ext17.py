@@ -492,3 +492,34 @@ def x243(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int"),
         F.col("event_type") == "purchase",
     )
+
+
+# --------------------------------------------------------------------------
+# x244 — Neyman-optimal audit-sample allocation across sources (Neyman
+# 1934 / Cochran 1977): n_h ∝ N_h·σ_h from the SAME exact integer power
+# sums as x234's sketch, next to proportional allocation and the
+# design-effect variance ratio — the sampling-design readout run BEFORE
+# drawing audit rows.
+_NEYMAN_SQL = """
+WITH sk AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(n_chars * n_chars AS HUGEINT)) AS DOUBLE)
+                       AS s2
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+     per AS (SELECT source, n,
+                    SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sd
+             FROM sk),
+     t AS (SELECT SUM(n) AS tn, SUM(n * sd) AS tns,
+                  SUM(n * sd * sd) AS tns2
+           FROM per)
+SELECT source, CAST(n AS BIGINT) AS n_rows, ROUND(sd, 6) AS sd,
+       ROUND(10000.0 * (n * sd) / tns, 6) AS n_neyman,
+       ROUND(10000.0 * n / tn, 6) AS n_proportional,
+       ROUND((tns * tns) / (tn * tns2), 6) AS var_ratio
+FROM per CROSS JOIN t ORDER BY source"""
+
+
+@register("x244_neyman_allocation", _NEYMAN_SQL)
+def x244(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    return sketches.neyman_allocation(docs, "source", "n_chars", budget=10_000)

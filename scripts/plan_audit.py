@@ -108,6 +108,7 @@ ACCEPTED_CROSS = {
     "x238_join_size_sketch": "1-row exact x 1-row estimate scalar cross (grids are <=4096-row frames)",
     "x242_cusum_drift": "1-row base-period moment + min-date scalar broadcasts onto the |days| frame",
     "x243_obf_boundary": "1-row final-enrollment scalar broadcast onto the |days| curve",
+    "x244_neyman_allocation": "1-row allocation-totals scalar broadcast onto the |strata| frame",
     "x241_contrastive_triplets": "inherits x236's |n|^2 exact-audit pair frame; negatives are a 3-candidate equi-join on the id index",
     "x239_psi_timeline": "1-row base-period min/max + start-date scalar broadcasts onto the scan",
 }

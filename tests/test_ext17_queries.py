@@ -464,3 +464,48 @@ def test_obf_boundary_shrinks_to_fixed_horizon_z(spark):
     assert out[0]["crossed"] == 0
     for r in out:
         assert r["crossed"] == int(abs(r["z"]) > r["boundary"])
+
+
+# --- x244 Neyman allocation ---------------------------------------------------
+def test_neyman_shifts_budget_to_varied_strata(spark):
+    """Equal-size strata with very different spreads: Neyman gives the
+    high-variance stratum most of the budget while proportional splits
+    evenly; allocations sum to the budget; var_ratio <= 1 (Neyman never
+    loses) and is substantially below 1 here."""
+    from flashml_spark.operators.sketches import neyman_allocation
+
+    rows = (
+        [("flat", 100)] * 500                                   # sd = 0
+        + [("mild", 100 + (i % 11) - 5) for i in range(500)]    # small sd
+        + [("wild", 100 + ((i * 7) % 101) * 10) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in
+           neyman_allocation(df, "source", "n_chars", budget=900).collect()}
+    assert out["flat"]["n_neyman"] == 0.0            # zero variance -> zero
+    assert out["wild"]["n_neyman"] > 800
+    assert all(r["n_proportional"] == 300.0 for r in out.values())
+    total = sum(r["n_neyman"] for r in out.values())
+    assert total == pytest.approx(900.0, abs=1e-3)
+    vr = out["wild"]["var_ratio"]
+    assert all(r["var_ratio"] == vr for r in out.values())
+    assert 0 < vr < 0.8  # strong design effect on this mix
+
+
+def test_neyman_equal_spreads_match_proportional(spark):
+    """When every stratum has the SAME sd, Neyman == proportional and
+    the variance ratio is exactly 1 (no design effect to harvest)."""
+    from flashml_spark.operators.sketches import neyman_allocation
+
+    # sizes are multiples of 7 so every stratum sees the identical
+    # residue mix (hence identical sd)
+    rows = [
+        (g, 50 + (i % 7)) for g in ("a", "b") for i in range(196)
+    ] + [("c", 50 + (i % 7)) for i in range(392)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in
+           neyman_allocation(df, "source", "n_chars", budget=100).collect()}
+    for r in out.values():
+        assert r["n_neyman"] == pytest.approx(r["n_proportional"], abs=1e-5)
+        assert r["var_ratio"] == pytest.approx(1.0, abs=1e-9)
+    assert out["c"]["n_neyman"] == pytest.approx(50.0, abs=1e-3)
