@@ -254,6 +254,7 @@ HEADLINE = [
     "x242_cusum_drift",
     "x243_obf_boundary",
     "x244_neyman_allocation",
+    "x245_semantic_decontamination",
 ]
 
 

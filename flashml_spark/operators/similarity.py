@@ -952,3 +952,55 @@ def contrastive_triplets(
         F.col("cand").alias("negative"),
         "sim_pos",
     ).orderBy("anchor", "positive")
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-level holdout decontamination — the semantic
+    complement to token-overlap decontamination (x55/x178): flag every
+    corpus vector whose max cosine against ANY benchmark vector clears
+    ``threshold`` (paraphrases and translations that share no n-grams
+    still sit next to their source in embedding space).
+
+    Scale shape: the benchmark side is SMALL by nature (eval suites),
+    so it ships as a broadcast and the whole operator is ONE map-side
+    pass over the corpus — no shuffle until the final |flagged|-bounded
+    projection; corpus norms computed once per row, benchmark norms
+    once per broadcast row.  Output: flagged ``<id>, max_sim,
+    nearest_benchmark_id`` ordered by id (sim rounded 6 BEFORE the
+    max/argmax, ties to the smaller benchmark id — engine-exact).
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", V.norm(F.col("cv")))
+    b = benchmark.select(
+        F.col(id_col).alias("bid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("bv"),
+    ).withColumn("bn", V.norm(F.col("bv")))
+    sims = c.join(F.broadcast(b)).select(
+        "cid",
+        "bid",
+        F.round(
+            V.dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("bid"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("sim") >= F.lit(float(threshold))))
+        .select(
+            F.col("cid").alias(id_col),
+            F.col("sim").alias("max_sim"),
+            F.col("bid").alias("nearest_benchmark_id"),
+        )
+        .orderBy(id_col)
+    )

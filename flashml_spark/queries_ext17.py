@@ -523,3 +523,39 @@ FROM per CROSS JOIN t ORDER BY source"""
 def x244(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("source", "n_chars")
     return sketches.neyman_allocation(docs, "source", "n_chars", budget=10_000)
+
+
+# --------------------------------------------------------------------------
+# x245 — semantic holdout decontamination: flag corpus embeddings whose
+# max cosine against a benchmark set clears the threshold — catches the
+# paraphrases token-overlap decontamination (x55/x178) misses.  The
+# benchmark (vec_id % 97 == 0 here) ships as a broadcast, so the whole
+# operator is one map-side corpus pass.  Excluding benchmark members
+# themselves, the flags are the near-contamination set.
+_SEMDECON_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+     n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v),
+     bench AS (SELECT * FROM n WHERE vec_id % 97 = 0),
+     corp AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
+     sims AS (SELECT c.vec_id AS cid, b.vec_id AS bid,
+                     ROUND(list_dot_product(c.e, b.e) / (c.nrm * b.nrm), 6)
+                         AS sim
+              FROM corp c CROSS JOIN bench b),
+     top AS (SELECT cid, bid, sim,
+                    ROW_NUMBER() OVER (PARTITION BY cid
+                        ORDER BY sim DESC, bid ASC) AS rn
+             FROM sims)
+SELECT cid AS vec_id, sim AS max_sim, bid AS nearest_benchmark_id
+FROM top WHERE rn = 1 AND sim >= 0.4 ORDER BY vec_id"""
+
+
+@register("x245_semantic_decontamination", _SEMDECON_SQL)
+def x245(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    corp = emb.where(F.col("vec_id") % 97 != 0)
+    return similarity.semantic_decontamination(
+        corp, bench, "embedding", "vec_id", threshold=0.4
+    )

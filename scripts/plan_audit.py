@@ -109,6 +109,7 @@ ACCEPTED_CROSS = {
     "x242_cusum_drift": "1-row base-period moment + min-date scalar broadcasts onto the |days| frame",
     "x243_obf_boundary": "1-row final-enrollment scalar broadcast onto the |days| curve",
     "x244_neyman_allocation": "1-row allocation-totals scalar broadcast onto the |strata| frame",
+    "x245_semantic_decontamination": "broadcast benchmark (eval-suite sized) crossed onto the corpus scan - the intended map-side shape",
     "x241_contrastive_triplets": "inherits x236's |n|^2 exact-audit pair frame; negatives are a 3-candidate equi-join on the id index",
     "x239_psi_timeline": "1-row base-period min/max + start-date scalar broadcasts onto the scan",
 }

@@ -509,3 +509,31 @@ def test_neyman_equal_spreads_match_proportional(spark):
         assert r["n_neyman"] == pytest.approx(r["n_proportional"], abs=1e-5)
         assert r["var_ratio"] == pytest.approx(1.0, abs=1e-9)
     assert out["c"]["n_neyman"] == pytest.approx(50.0, abs=1e-3)
+
+
+# --- x245 semantic decontamination --------------------------------------------
+def test_semantic_decontamination_flags_planted_paraphrase(spark):
+    """A corpus vector planted as a tiny rotation of a benchmark vector
+    is flagged with its true nearest benchmark id; orthogonal corpus
+    vectors stay clean; benchmark members aren't in the corpus side."""
+    from flashml_spark.operators.similarity import semantic_decontamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.12, 0.0]),   # near benchmark 100
+            (2, [0.0, 0.05, 1.0]),    # clean
+            (3, [0.1, 0.98, 0.05]),   # near benchmark 200
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontamination(
+        corpus, bench, "embedding", "vec_id", threshold=0.9
+    ).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["nearest_benchmark_id"] == 100
+    assert out[3]["nearest_benchmark_id"] == 200
+    assert out[1]["max_sim"] > 0.99 and out[3]["max_sim"] > 0.97
