@@ -153,6 +153,8 @@ PROBES = [
     "x239_psi_timeline",
     "x242_cusum_drift",
     "x243_obf_boundary",
+    "x244_neyman_allocation",
+    "x245_semantic_decontamination",
 ]
 
 
