@@ -57,11 +57,18 @@ def test_priority_window_follows_ledger_policy():
     sys.path.insert(0, "/root/repo/scripts")
     import correctness_ledger as cl
 
-    last, _ = cl.collect()
+    with open("/root/repo/PRIORITY_WINDOW.json") as f:
+        pw = json.load(f)
+    committed = pw["window"]
+    # Recompute the window AS OF the committed generated_after_round so a
+    # fresh driver drop of CORRECTNESS_r{N+1}.json at the round boundary
+    # does not redden the suite (r6+r7 VERDICT item).  Regenerating via
+    # scripts/correctness_ledger.py remains the round-opening step; this
+    # test pins that the committed file matches the policy at its own
+    # stated generation point.
+    last, _ = cl.collect(upto=pw["generated_after_round"])
     names = cl.registry_names()
     expected = cl.next_window(last, names)
-    with open("/root/repo/PRIORITY_WINDOW.json") as f:
-        committed = json.load(f)["window"]
     assert committed == expected
     # and the entry module serves exactly that window as its prefix
     e = _entry()
@@ -83,6 +90,26 @@ def test_priority_window_follows_ledger_policy():
         )
     elif best_out is not None:
         assert worst_in <= best_out
+
+
+def test_ledger_collect_upto_ignores_later_driver_drops(tmp_path, monkeypatch):
+    # The round-boundary-proof property itself: a CORRECTNESS file from a
+    # LATER round than ``upto`` must not change the computed staleness.
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import correctness_ledger as cl
+
+    row = {"qa": {"hash_match": True, "spark_rows": 1}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(row))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"qb": {"hash_match": True, "spark_rows": 1}})
+    )
+    monkeypatch.setattr(cl, "REPO", str(tmp_path))
+    last_all, newest_all = cl.collect()
+    assert newest_all == 2 and set(last_all) == {"qa", "qb"}
+    last_r1, newest_r1 = cl.collect(upto=1)
+    assert newest_r1 == 1 and set(last_r1) == {"qa"}
 
 
 def test_bench_headline_names_are_registered():
