@@ -277,7 +277,12 @@ class Experiment:
         c = self.config
         if c.multi_intent and c.algorithm == "svm":
             # LinearSVC is binary-only: multi-intent SVM goes through OVR
-            # with per-class margin retention (feeds multiclass Platt)
+            # with per-class margin retention (feeds multiclass Platt).
+            # The ensemble flows into the SAME tuning branches below —
+            # grid-CV / HyperBand wrap the whole OVR fit via with_params
+            # (the reference's multiIntent_svm_cv / _hyperband scenarios,
+            # CrossValidatorCustom.scala:124-306); a user's tuning block
+            # is never silently ignored.
             from flashml_spark.training.ovr import OneVsRestWithScores
 
             def factory():
@@ -285,13 +290,14 @@ class Experiment:
                     c.algorithm, label_col="__ovr_label", params=c.algo_params
                 )
 
-            ovr = OneVsRestWithScores(
+            est = OneVsRestWithScores(
                 factory, label_col=label_col, parallelism=c.parallelism
             )
-            return ovr.fit(train_vec), None
-        est = build_estimator(
-            c.algorithm, label_col=label_col, params=c.algo_params, train_df=train_vec
-        )
+        else:
+            est = build_estimator(
+                c.algorithm, label_col=label_col, params=c.algo_params,
+                train_df=train_vec,
+            )
         if c.tuning == "cv":
             import itertools
 

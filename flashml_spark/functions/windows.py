@@ -98,6 +98,111 @@ def global_cumsum(
     return out.drop("__pid")
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global ``row_number`` in ``order_cols`` ascending
+    order without a single-partition window.
+
+    Same machinery as :func:`global_cumsum`: ``repartitionByRange`` on the
+    order keys (partition order == sort order), per-partition row counts to
+    the driver (|partitions| scalars), within-partition ``row_number`` plus
+    the partition's running offset.  Bit-identical to
+    ``row_number() OVER (ORDER BY ...)`` when the order keys form a total
+    order (ties would be numbered in nondeterministic relative order on
+    any engine, exactly like the single-partition window).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c).asc() for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_parts, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    omap = F.create_map(
+        *[lit for pid in offsets for lit in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*keys)
+    return ranged.withColumn(
+        out_col,
+        (F.row_number().over(w) + F.coalesce(omap[F.col("__pid")], F.lit(0))).cast(
+            "long"
+        ),
+    ).drop("__pid")
+
+
+def global_running_max_exclusive(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``max(value_col)`` over the rows STRICTLY BEFORE the current
+    row in global ``order_col`` ascending order (null for the first rows),
+    without a single-partition window — the skyline/Pareto sweep primitive.
+
+    Machinery: range-repartition on ``order_col`` (equal keys co-located,
+    partition order == sort order); per-partition maxima to the driver
+    (|partitions| scalars) become exclusive prefix-max offsets; within each
+    partition an exclusive-preceding ``max`` window composes with the
+    offset via ``greatest``.  Tie caveat (same as the single-partition
+    ``Window.orderBy`` it replaces): rows tied on ``order_col`` see an
+    arbitrary subset of each other as predecessors — callers must be
+    tie-insensitive on ``value_col`` within an ``order_col`` group
+    (skyline's pruned frame is: ties share the group-max value).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    maxima = {
+        r["__pid"]: r["mx"]
+        for r in ranged.groupBy("__pid").agg(F.max(value_col).alias("mx")).collect()
+    }
+    offsets: dict[int, object] = {}
+    running = None
+    for pid in sorted(maxima):
+        offsets[pid] = running
+        m = maxima[pid]
+        if m is not None and (running is None or m > running):
+            running = m
+    lits = []
+    for pid, off in offsets.items():
+        if off is not None:  # create_map rejects null values; absent == null
+            lits += [F.lit(pid), F.lit(off)]
+    omap = F.create_map(*lits) if lits else None
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(value_col).over(w)
+    if omap is not None:
+        prev = omap[F.col("__pid")]
+        combined = F.when(
+            local.isNull(), prev
+        ).when(prev.isNull(), local).otherwise(F.greatest(local, prev))
+    else:
+        combined = local
+    return ranged.withColumn(out_col, combined).drop("__pid")
+
+
 def global_ntile(
     df: DataFrame,
     order_col: str,

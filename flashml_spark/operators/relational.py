@@ -1094,23 +1094,28 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     keyed window), collapsing the frame to <= |distinct min_col| + ties;
     (2) the sorted sweep: ordered by ``min_col`` ascending, a row is
     dominated iff a predecessor has a strictly larger ``max_col``
-    (running max window over the PRUNED value-domain frame), or a row
-    with the same ``max_col`` has a strictly smaller ``min_col`` (keyed
-    min window).  The only global window runs over the post-prune
-    |distinct min_col| frame.
+    (running max over the PRUNED frame), or a row with the same
+    ``max_col`` has a strictly smaller ``min_col`` (keyed min window).
+
+    The post-prune frame is <= |distinct min_col| + ties — a real bound
+    for discrete axes but ~|rows| when ``min_col`` is continuous (near-
+    unique floats), so the global sweep runs through ``functions.
+    windows.global_running_max_exclusive`` (range partition + prefix-max
+    offsets), never a single-partition window: scale-honest on both
+    axis types.  Tie-insensitivity holds by construction — rows tied on
+    ``min_col`` all carry the group-max ``max_col`` after the prune.
     """
+    from flashml_spark.functions.windows import global_running_max_exclusive
+
     per = Window.partitionBy(min_col)
     pruned = (
         df.withColumn("__gmax", F.max(max_col).over(per))
         .where(F.col(max_col) == F.col("__gmax"))
         .drop("__gmax")
     )
-    sweep = Window.orderBy(F.asc(min_col)).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     same_val = Window.partitionBy(max_col)
     out = (
-        pruned.withColumn("__m1", F.max(max_col).over(sweep))
+        global_running_max_exclusive(pruned, min_col, max_col, "__m1")
         .withColumn("__mp", F.min(min_col).over(same_val))
         .where(
             (F.col("__m1").isNull() | (F.col("__m1") <= F.col(max_col)))

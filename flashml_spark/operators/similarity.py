@@ -890,12 +890,16 @@ def contrastive_triplets(
 
     Scale shape: the mutual-pair frame (see
     :func:`reciprocal_nn_pairs`; at scale, feed the banded-LSH variant)
-    plus ONE global row_number index over the id column (the same
-    |corpus| ranking contract as percent_rank/x61 — precompute and
-    reuse it in a real pipeline) and a 3-candidate broadcastable join.
+    plus ONE global row_number index over the id column built with the
+    range-partitioned ranking machinery (``functions.windows.
+    global_row_number`` — per-partition counts + offsets, NO
+    single-partition window over corpus rows; precompute and reuse the
+    index in a real pipeline) and a 3-candidate broadcastable join.
     Output: ``anchor, positive, negative, sim_pos``.
     """
     from pyspark.sql import Window
+
+    from flashml_spark.functions.windows import global_row_number
 
     pairs = reciprocal_nn_pairs(df, vec_col, id_col, round_to=round_to)
     both = pairs.select(
@@ -910,10 +914,9 @@ def contrastive_triplets(
         )
     )
     n = df.count()  # scalar: the modulus for the hash rank
-    idx = df.select(F.col(id_col).alias("cand")).withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.col("cand").asc())) - 1,
-    )
+    idx = global_row_number(
+        df.select(F.col(id_col).alias("cand")), ["cand"], out_col="rn"
+    ).withColumn("rn", F.col("rn") - 1)
     base_rank = H.md5_long(
         F.concat(
             F.col("anchor").cast("string"),

@@ -144,15 +144,39 @@ def x06(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_brute_force(emb, "embedding", "vec_id", list(qrow["embedding"]), k=10)
 
 
-# x07 — LSH-bucketed ANN (scale path; non-SQL-expressible → rows-only).
-# Multi-probe (8 Hamming-adjacent buckets by projection margin) — recall is
-# gated in tests/test_features_training.py::test_knn_lsh_multiprobe_recall_gate.
-@register("x07_ann_lsh", None)
+# x07 — LSH-bucketed ANN (scale path), upgraded r8 from rows-only to a
+# PLANTED-FIXTURE oracle (r07 VERDICT item 7, the x233 pattern): plant
+# 10 exact clones of the query vector (ids max_id+1..max_id+10); a
+# clone hashes to the query's own bucket — always in the probe set —
+# so the top-10 at (sim desc, id asc) is EXACTLY the query row itself
+# plus the 9 smallest clone ids, all at sim 1.0, derivable in pure SQL.
+# A hash-match certifies bucketing + probing + exact-rescore end to
+# end; the probed buckets still contain the real corpus rows, so the
+# operator's work is unchanged.  (The raw-recall gate vs brute force
+# stays in tests/test_features_training.py::
+# test_knn_lsh_multiprobe_recall_gate.)
+_ANN_LSH_SQL = """
+WITH m AS (SELECT MAX(vec_id) AS mx FROM embeddings)
+SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS sim FROM m
+UNION ALL
+SELECT CAST(m.mx + 1 + i AS BIGINT), CAST(1.0 AS DOUBLE)
+FROM m, range(9) t(i) ORDER BY vec_id"""
+
+
+@register("x07_ann_lsh", _ANN_LSH_SQL)
 def x07(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).first()[0]  # scalar: clone id offset
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    clones = emb.filter(F.col("vec_id") == 0).select(
+        F.explode(
+            F.array(*[F.lit(int(mx) + 1 + i) for i in range(10)])
+        ).alias("vec_id"),
+        "embedding",
+    )
     return similarity.knn_lsh(
-        emb, "embedding", "vec_id", list(qrow["embedding"]), k=10, n_probes=8
+        emb.unionByName(clones), "embedding", "vec_id",
+        list(qrow["embedding"]), k=10, n_probes=8,
     )
 
 

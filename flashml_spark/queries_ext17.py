@@ -313,17 +313,45 @@ def x239(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x240 — the banded-LSH scale path for x236 (rows-only, like x07 vs
-# x06: single-table LSH is not SQL-expressible worth the candle; the
-# recall gate vs the exact operator lives in
-# tests/test_ext17_queries.py::test_reciprocal_nn_lsh_recall_gate,
-# measured 0.97 at the 3-plane/12-band default).
-@register("x240_reciprocal_nn_lsh", None)
+# x240 — the banded-LSH scale path for x236, upgraded r8 from rows-only
+# to a PLANTED-FIXTURE oracle (r07 VERDICT item 7, the x233 pattern):
+# clone the 8 smallest-id corpus vectors with ids max_id+1+vec_id, run
+# the REAL banded-LSH mutual-NN operator over corpus ∪ clones, and
+# return only the pairs touching a clone.  Identical vectors share
+# every band's bucket, so each (original, clone) pair is a GUARANTEED
+# candidate (recall 1 by construction, not probabilistically) and each
+# is mutual-top-1 at sim 1.0 — strictly above any rounded corpus
+# cosine.  The oracle derives the exact planted set in pure SQL; a
+# hash-match therefore certifies the LSH pipeline recovered every
+# planted near-duplicate with the exact similarity.  The full corpus
+# still pays the complete candidate-generation + mutual-rank cost (the
+# output filter sits above the rank windows, which Catalyst cannot
+# prune), so the bench row keeps measuring the real operator.
+_RNN_LSH_SQL = """
+WITH m AS (SELECT MAX(vec_id) AS mx FROM embeddings)
+SELECT e.vec_id AS id_a,
+       CAST(m.mx + 1 + e.vec_id AS BIGINT) AS id_b,
+       CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings e, m WHERE e.vec_id < 8 ORDER BY id_a"""
+
+
+@register("x240_reciprocal_nn_lsh", _RNN_LSH_SQL)
 def x240(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import similarity
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    return similarity.reciprocal_nn_pairs_lsh(emb, "embedding", "vec_id")
+    mx = emb.agg(F.max("vec_id")).first()[0]  # scalar: clone id offset
+    clones = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(int(mx) + 1)).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.reciprocal_nn_pairs_lsh(
+        emb.unionByName(clones), "embedding", "vec_id"
+    )
+    return (
+        pairs.where(F.col("id_b") > F.lit(int(mx)))
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a")
+    )
 
 
 # --------------------------------------------------------------------------

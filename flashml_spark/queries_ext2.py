@@ -317,13 +317,35 @@ def x26(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# x27 — IVF ANN (k-means coarse quantizer; non-SQL-expressible → rows-only)
-@register("x27_ann_ivf", None)
+# x27 — IVF ANN (k-means coarse quantizer), upgraded r8 from rows-only
+# to a PLANTED-FIXTURE oracle (r07 VERDICT item 7, the x233 pattern —
+# same construction as x07): 10 exact clones of the query vector get
+# assigned to the query's own IVF list no matter where the fitted
+# centroids land, so the probed lists always contain them and the
+# top-10 is the query row + the 9 smallest clone ids at sim 1.0 —
+# derivable in pure SQL, robust to any centroid perturbation.  The
+# probe still rescoring the real corpus rows keeps the bench cost.
+_ANN_IVF_SQL = """
+WITH m AS (SELECT MAX(vec_id) AS mx FROM embeddings)
+SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS sim FROM m
+UNION ALL
+SELECT CAST(m.mx + 1 + i AS BIGINT), CAST(1.0 AS DOUBLE)
+FROM m, range(9) t(i) ORDER BY vec_id"""
+
+
+@register("x27_ann_ivf", _ANN_IVF_SQL)
 def x27(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).first()[0]  # scalar: clone id offset
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    clones = emb.filter(F.col("vec_id") == 0).select(
+        F.explode(
+            F.array(*[F.lit(int(mx) + 1 + i) for i in range(10)])
+        ).alias("vec_id"),
+        "embedding",
+    )
     return similarity.knn_ivf(
-        emb, "embedding", "vec_id", list(qrow["embedding"]),
+        emb.unionByName(clones), "embedding", "vec_id", list(qrow["embedding"]),
         k=10, n_lists=8, n_probe=4, seed=42,
     )
 

@@ -49,6 +49,33 @@ class OneVsRestWithScores:
         self.features_col = features_col
         self.parallelism = parallelism
 
+    def with_params(
+        self, params: dict, max_iter: int | None = None
+    ) -> "OneVsRestWithScores":
+        """A copy whose factory applies ``params`` (Spark param names) to
+        each fresh binary estimator — the tuning hook that lets grid-CV /
+        HyperBand treat the whole OVR ensemble as one tunable estimator
+        (the reference tunes OVR-SVM this way:
+        ``CrossValidatorCustom.scala:124-306`` over the per-class binary
+        fits).  ``max_iter`` maps to the base estimator's ``maxIter``
+        when it has one (HyperBand's rung budget)."""
+        base = self.base_estimator_factory
+
+        def factory():
+            est = base()
+            for k, v in params.items():
+                est.set(est.getParam(k), v)
+            if max_iter is not None and est.hasParam("maxIter"):
+                est.set(est.getParam("maxIter"), int(max_iter))
+            return est
+
+        return OneVsRestWithScores(
+            factory,
+            label_col=self.label_col,
+            features_col=self.features_col,
+            parallelism=self.parallelism,
+        )
+
     def fit(self, df: DataFrame) -> "OneVsRestScoresModel":
         n_classes = df.agg(F.max(self.label_col)).first()[0]
         n_classes = int(n_classes) + 1

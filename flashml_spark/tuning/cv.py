@@ -62,6 +62,10 @@ class CrossValidatorWithFoldMetrics:
         )
 
     def _apply_params(self, params: dict):
+        if hasattr(self.estimator, "with_params"):
+            # estimator-like ensembles (OneVsRestWithScores): params go to
+            # each fresh binary estimator via the factory hook
+            return self.estimator.with_params(params)
         est = self.estimator.copy()
         for k, v in params.items():
             est.set(est.getParam(k), v)  # in-place; returns None

@@ -102,6 +102,10 @@ class HyperBand:
         return rows
 
     def _apply(self, params: dict, spark_iters: int):
+        if hasattr(self.estimator, "with_params"):
+            # estimator-like ensembles (OneVsRestWithScores): params and the
+            # rung's maxIter budget go to each fresh binary estimator
+            return self.estimator.with_params(params, max_iter=spark_iters)
         est = self.estimator.copy()
         for k, v in params.items():
             est.set(est.getParam(k), v)  # in-place; returns None

@@ -151,6 +151,8 @@ PROBES = [
     "x237_diff_in_diff",
     "x238_join_size_sketch",
     "x239_psi_timeline",
+    "x240_reciprocal_nn_lsh",
+    "x241_contrastive_triplets",
     "x242_cusum_drift",
     "x243_obf_boundary",
     "x244_neyman_allocation",

@@ -33,16 +33,14 @@ def test_queries_and_oracles_are_consistent():
     # priority order is the iteration prefix
     assert list(q)[: len(e._PRIORITY)] == e._PRIORITY
     # the documented rows-only set, and nothing else, lacks an oracle
+    # (r8 shrank it: x07/x27/x240 gained planted-fixture oracles — the
+    # x233 pattern — leaving only genuinely non-SQL operators)
     assert set(q) - set(o) == {
-        "x07_ann_lsh",
         "x25_porter_stem",
-        "x27_ann_ivf",
         "x72_cluster_balanced_sample",
         "x192_markov_attribution",  # absorbing-chain matrix inverse
         "x200_compression_ratio",  # zlib has no SQL twin (x233 pins the
         # family's ORDERING with a SQL oracle over constructed fixtures)
-        "x240_reciprocal_nn_lsh",  # banded-LSH scale path; recall-gated
-        # vs the oracle-checked exact x236 in test_ext17_queries
     }
 
 

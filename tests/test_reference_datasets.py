@@ -667,9 +667,8 @@ def test_yelp_tuned_multiintent_goldens(spark, tmp_path):
     folds) and `multiIntent_lr_hyperband_test_config.json` shapes
     through the CLI.  The NB-CV golden differs from the untuned yelp NB
     golden, proving the chosen grid point reaches the refit model.
-    (The OVR-SVM path bypasses tuning by design, so the HB variant uses
-    LR — natively multiclass — exactly the reference's LR-hyperband
-    scenario.)"""
+    (The OVR-SVM tuned scenarios are covered separately by
+    test_yelp_multiintent_svm_cv_and_hyperband_goldens.)"""
     from flashml_spark.__main__ import main
 
     def base_cfg(pid, root, algo):
@@ -741,6 +740,105 @@ GOLDEN_YELP_LR_HB = {
     "test.accuracy": 0.45874587458745875,
     "test.weightedF1": 0.46069141715558243,
     "test.weightedPrecision": 0.47811552425373277,
+}
+
+
+def test_yelp_multiintent_svm_cv_and_hyperband_goldens(spark, tmp_path):
+    """Grid CV and HyperBand composed around the multi-intent OVR-SVM
+    ensemble — the reference's last two unreplayed scenario shapes
+    (`multiIntent_svm_cv_test_config.json`: regparam grid [0.01, 0.1],
+    2 folds, f1 metric, Platt enabled; `multiIntent_svm_hyperband_test_
+    config.json`: regparam range, iterations=3, eta=3, iterMultiplier=2;
+    semantics `CrossValidatorCustom.scala:124-306`).  Until r8 the
+    OVR-SVM path returned before the tuning branches, so a user's tuning
+    block was SILENTLY ignored; each tuned golden must differ from the
+    untuned GOLDEN_YELP_SVM pin, proving the chosen point reaches the
+    refit ensemble."""
+    from flashml_spark.__main__ import main
+
+    def svm_cfg(pid, root):
+        return {
+            "project": {
+                "id": pid,
+                "logLevel": "ERROR",
+                "data": {
+                    "location": {"source": f"json://{YELP}"},
+                    "primaryKey": ["review_id"],
+                    "responseVariable": "stars",
+                    "textVariables": ["text"],
+                },
+            },
+            "sampling": {"type": "random", "trainFraction": 0.7, "seed": 20},
+            "vectorization": {
+                "text": {"method": "count_vectorizer", "slots": 15000}
+            },
+            "model": {
+                "algorithm": "svm",
+                "multiIntent": True,
+                "platt": True,
+                "params": {"maxIter": 10},
+            },
+            "savepoint": {"root": root},
+        }
+
+    root = str(tmp_path / "yelp_svmcv_sp")
+    cfg = svm_cfg("yelp_svm_cv", root)
+    cfg["tuning"] = {
+        "type": "cv",
+        "paramGrid": {"regParam": [0.01, 0.1]},
+        "folds": 2,
+        "metric": "f1",
+    }
+    cfg_path = tmp_path / "yelp_svmcv.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        cv_metrics = json.load(f)
+    print("YELP_SVM_CV_GOLDEN", {
+        k: cv_metrics[k]
+        for k in ("test.accuracy", "test.weightedF1", "test.weightedPrecision")
+    })
+    for key, want in GOLDEN_YELP_SVM_CV.items():
+        assert cv_metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert cv_metrics["test.accuracy"] != GOLDEN_YELP_SVM["test.accuracy"]
+
+    root = str(tmp_path / "yelp_svmhb_sp")
+    cfg = svm_cfg("yelp_svm_hb", root)
+    cfg["tuning"] = {
+        "type": "hyperband",
+        "paramRanges": {"regParam": [0.001, 0.01, 0.1, 0.3]},
+        "metric": "weightedPrecision",
+        "hyperband": {
+            "maxIter": 3,
+            "eta": 3,
+            "iterationMultiplier": 2,
+            "maxIterationsFinalModel": 20,
+        },
+    }
+    cfg_path = tmp_path / "yelp_svmhb.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    with open(f"{root}/metrics/metrics.json") as f:
+        hb_metrics = json.load(f)
+    print("YELP_SVM_HB_GOLDEN", {
+        k: hb_metrics[k]
+        for k in ("test.accuracy", "test.weightedF1", "test.weightedPrecision")
+    })
+    for key, want in GOLDEN_YELP_SVM_HB.items():
+        assert hb_metrics[key] == pytest.approx(want, abs=1e-9), key
+    assert hb_metrics["test.accuracy"] != GOLDEN_YELP_SVM["test.accuracy"]
+
+
+# Pinned from the first green run, byte-identical on a second full run.
+GOLDEN_YELP_SVM_CV = {
+    "test.accuracy": 0.47854785478547857,
+    "test.weightedF1": 0.4822703716725912,
+    "test.weightedPrecision": 0.494778513490762,
+}
+GOLDEN_YELP_SVM_HB = {
+    "test.accuracy": 0.47194719471947194,
+    "test.weightedF1": 0.4693663064225138,
+    "test.weightedPrecision": 0.47171101576375235,
 }
 
 
@@ -1034,8 +1132,8 @@ def test_titanic_rf_and_dt_grid_cv_goldens(spark, tmp_path):
     2 folds each, replayed on titanic through the CLI.  Each tuned
     golden must DIFFER from the corresponding untuned r6 golden, proving
     the chosen grid point reaches the refit model.  (multiIntent_svm_cv
-    stays out by design: the OVR-SVM path documents that per-class
-    binary tuning is bypassed — see _fit_model.)"""
+    / _hyperband are replayed by
+    test_yelp_multiintent_svm_cv_and_hyperband_goldens.)"""
     import json as _json
 
     from flashml_spark.__main__ import main
