@@ -255,6 +255,11 @@ HEADLINE = [
     "x243_obf_boundary",
     "x244_neyman_allocation",
     "x245_semantic_decontamination",
+    "x246_matryoshka_fidelity",
+    "x247_shard_interleave",
+    "x248_packing_capacity_audit",
+    "x249_lsh_banding_planner",
+    "x250_waterfill_allocation",
 ]
 
 

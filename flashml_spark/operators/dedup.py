@@ -1491,3 +1491,112 @@ def fs_weight_bands(
         )
         .orderBy("band")
     )
+
+
+def lsh_banding_planner(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    probe_bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Banding planner: before re-running dedup at scale, measure the
+    corpus's candidate-pair similarity profile once and read off, for
+    every (bands b, rows r) factorization of the signature budget, the
+    expected candidate recall on THAT profile — the s-curve
+    ``P(s) = 1 - (1 - s^r)^b`` averaged over the observed similarity
+    mass.  Turns the b/r dial from folklore into a measured choice.
+
+    Method: one banded-LSH candidate pass at the permissive
+    ``probe_bands`` setting (the widest-net probe the budget allows);
+    each candidate pair's similarity is ESTIMATED from the signatures
+    already in hand (fraction of agreeing minhash components — the
+    unbiased Jaccard estimator, granularity 1/num_hashes, no shingle
+    re-join); the |num_hashes|+1-bin histogram of those estimates is the
+    profile.  Expected recall per (b, r) = Σ_bins frac · P(s_bin).
+
+    Scale shape: the candidate pass is the documented banded frame
+    (Σ_bands Σ|bucket|²); everything after is a ≤ num_hashes+1-row
+    profile crossed with a |factorizations| literal frame.  ``s^r`` and
+    ``(1-p)^b`` are expanded as literal-exponent multiplication chains
+    (no float ``pow``), identically in the SQL oracle; the per-band
+    threshold estimate ``(1/b)^(1/r)`` is a Python-computed literal.
+    Output: ``bands, rows_per_band, threshold_est, expected_recall``
+    ordered by bands.
+    """
+    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
+    sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=probe_bands,
+        shingle_n=shingle_n,
+    )
+    a = sigged.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+    )
+    b = sigged.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in sig_cols
+    )
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(agree.alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    total = est.agg(F.sum("__cnt").alias("__tot"))
+    profile = est.crossJoin(F.broadcast(total)).select(
+        (F.col("__k").cast("double") / float(num_hashes)).alias("s"),
+        (F.col("__cnt").cast("double") / F.col("__tot").cast("double")).alias(
+            "frac"
+        ),
+    )
+
+    def chain_pow(col, k: int):
+        out = F.lit(1.0)
+        for _ in range(k):
+            out = out * col
+        return out
+
+    # ONE aggregate over the profile computes every factorization's
+    # expected recall (per-bin contributions rounded to 12 and summed as
+    # exact decimals — order-free in both engines); rows assemble by
+    # explode, so the candidate pass upstream runs exactly once.
+    factorizations = sorted(
+        b for b in range(1, num_hashes + 1) if num_hashes % b == 0
+    )
+    aggs = []
+    for bands in factorizations:
+        r = num_hashes // bands
+        p_band = chain_pow(F.col("s"), r)
+        p_any = F.lit(1.0) - chain_pow(F.lit(1.0) - p_band, bands)
+        aggs.append(
+            F.sum(
+                F.round(F.col("frac") * p_any, 12).cast("decimal(18,12)")
+            ).alias(f"rec{bands}")
+        )
+    agg = profile.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(bands).alias("bands"),
+            F.lit(num_hashes // bands).alias("rows_per_band"),
+            F.lit(
+                round((1.0 / bands) ** (1.0 / (num_hashes // bands)), 6)
+            ).alias("threshold_est"),
+            F.round(F.col(f"rec{bands}").cast("double"), 6).alias(
+                "expected_recall"
+            ),
+        )
+        for bands in factorizations
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("bands")
+    )

@@ -545,3 +545,101 @@ def poisson_bootstrap_ci(
         F.round(F.col("__pm") - F.lit(z) * F.col("__bse"), 6).alias("ci_lo"),
         F.round(F.col("__pm") + F.lit(z) * F.col("__bse"), 6).alias("ci_hi"),
     )
+
+
+def waterfill_source_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget_frac: float = 0.9,
+) -> DataFrame:
+    """Equal-share water-filling of a token budget across sources — the
+    mixture-rebalancing step of a pretraining pipeline: give every
+    source the same allocation L, except sources with less material
+    than L, which contribute everything; their shortfall raises L for
+    the rest ("waterfall").  L is the unique level with
+    ``Σ min(avail_s, L) = budget``.
+
+    Closed form instead of iteration: sort sources by availability
+    ascending; source i (1-based, n total) is exhausted ("capped") iff
+    ``avail_i · (n − i + 1) <= budget − cum_before_i`` — the capped set
+    is always an ascending prefix — and
+    ``L = (budget − Σ capped avail) / n_uncapped``.  Everything after
+    the per-source agg runs on the |sources| frame (windows there are
+    the documented value-domain-bounded shape); budget arithmetic is
+    one written operation order in both engines.
+
+    Output: ``<group_col>, avail_tokens, alloc_tokens, capped``
+    ordered by group.
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("avail_tokens")
+    )
+    # |sources| frame: the rows_hint fast path keeps this tiny and exact
+    cum = global_cumsum(
+        per.withColumn("__one", F.lit(1)),
+        "avail_tokens",
+        ["avail_tokens", "__one"],
+        rows_hint=1,
+        prefix="__c_",
+    )
+    totals = per.agg(
+        F.sum("avail_tokens").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    staged = cum.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "avail_tokens",
+        (F.col("__total") * F.lit(float(budget_frac))).alias("__budget"),
+        (F.col("__c_avail_tokens") - F.col("avail_tokens"))
+        .cast("double")
+        .alias("__cum_before"),
+        (F.col("__n") - F.col("__c___one").cast("double") + F.lit(1.0)).alias(
+            "__remaining"
+        ),
+        "__n",
+    )
+    flagged = staged.withColumn(
+        "capped",
+        F.when(
+            F.col("avail_tokens").cast("double") * F.col("__remaining")
+            <= F.col("__budget") - F.col("__cum_before"),
+            1,
+        ).otherwise(0),
+    )
+    caps = flagged.agg(
+        F.sum(
+            F.when(F.col("capped") == 1, F.col("avail_tokens")).otherwise(0)
+        )
+        .cast("double")
+        .alias("__capped_sum"),
+        F.sum("capped").cast("double").alias("__n_capped"),
+        F.first("__budget").alias("__b"),
+        F.first("__n").alias("__nn"),
+    ).select(
+        F.when(
+            F.col("__nn") > F.col("__n_capped"),
+            (F.col("__b") - F.col("__capped_sum"))
+            / (F.col("__nn") - F.col("__n_capped")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__level")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(caps))
+        .select(
+            group_col,
+            "avail_tokens",
+            F.round(
+                F.when(
+                    F.col("capped") == 1,
+                    F.col("avail_tokens").cast("double"),
+                ).otherwise(F.col("__level")),
+                6,
+            ).alias("alloc_tokens"),
+            "capped",
+        )
+        .orderBy(group_col)
+    )

@@ -1007,3 +1007,103 @@ def semantic_decontamination(
         )
         .orderBy(id_col)
     )
+
+
+def matryoshka_fidelity(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: list[int],
+    sample_mod: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Truncation-fidelity audit for Matryoshka-style embeddings: how
+    faithfully does cosine similarity computed on a DIMENSION PREFIX
+    reproduce the full-dimension similarity?  The audit a pipeline runs
+    before switching its ANN index (or its dedup threshold) to truncated
+    vectors — prefix dims are the MRL deployment contract, and a low
+    Pearson r at dim d says d is below the corpus's intrinsic dimension.
+
+    Determinism/scale shape: the pair sample is hash-free arithmetic —
+    ids with ``id % sample_mod == 0`` cross ids with ``id % sample_mod
+    == sample_mod // 2`` (a (n/mod)² pair frame, sample-bounded, both
+    sides broadcastable slices of one scan; never the |n|² corpus
+    cross).  Per-pair full and truncated cosines round to ``round_to``
+    and accumulate as EXACT DECIMALS (sums are order-independent in
+    both engines); the Pearson/mean reductions then run in double with
+    one written operation order.  Output (|dims| rows): ``dim, n_pairs,
+    mean_abs_err, pearson_r`` ordered by dim.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a = base.where(F.col("__id") % sample_mod == 0).select(
+        F.col("__id").alias("ia"), F.col("__v").alias("va")
+    )
+    b = base.where(F.col("__id") % sample_mod == sample_mod // 2).select(
+        F.col("__id").alias("ib"), F.col("__v").alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+
+    def cos_prefix(d: int | None):
+        va, vb = F.col("va"), F.col("vb")
+        if d is not None:
+            va, vb = F.slice(va, 1, d), F.slice(vb, 1, d)
+        return V.dot(va, vb) / (V.norm(va) * V.norm(vb))
+
+    # ONE pass over the pair frame: all dims' per-pair sims in one select,
+    # all power sums in one aggregate, rows assembled by explode — the
+    # pair evaluation is never recomputed per dim.
+    full = F.round(cos_prefix(None), round_to).cast("decimal(18,6)")
+    ds = sorted(dims)
+    per = pairs.select(
+        full.alias("f"),
+        *[
+            F.round(cos_prefix(d), round_to)
+            .cast("decimal(18,6)")
+            .alias(f"k{d}")
+            for d in ds
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("f").alias("sf"),
+            F.sum(F.col("f") * F.col("f")).alias("sff")]
+    for d in ds:
+        k = F.col(f"k{d}")
+        aggs += [
+            F.sum(k).alias(f"sk{d}"),
+            F.sum(k * k).alias(f"skk{d}"),
+            F.sum(F.col("f") * k).alias(f"sfk{d}"),
+            F.sum(F.abs(F.col("f") - k)).alias(f"sabs{d}"),
+        ]
+    agg = per.agg(*aggs)
+    n = F.col("n").cast("double")
+    sf = F.col("sf").cast("double")
+    sff = F.col("sff").cast("double")
+    rows = []
+    for d in ds:
+        sk = F.col(f"sk{d}").cast("double")
+        skk = F.col(f"skk{d}").cast("double")
+        sfk = F.col(f"sfk{d}").cast("double")
+        rows.append(
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.col("n").cast("bigint").alias("n_pairs"),
+                F.round(F.col(f"sabs{d}").cast("double") / n, round_to).alias(
+                    "mean_abs_err"
+                ),
+                F.round(
+                    (n * sfk - sf * sk)
+                    / (
+                        F.sqrt(n * sff - sf * sf)
+                        * F.sqrt(n * skk - sk * sk)
+                    ),
+                    round_to,
+                ).alias("pearson_r"),
+            )
+        )
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("dim")
+    )

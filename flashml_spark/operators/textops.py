@@ -2207,3 +2207,106 @@ def dsir_importance(
         )
         .orderBy(group_col)
     )
+
+
+def stratified_shard_interleave(
+    df: DataFrame,
+    id_col: str,
+    strat_col: str,
+    n_strata: int = 10,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Curriculum-flat shard assignment: stratify the corpus into
+    ``n_strata`` equal-count buckets of ``strat_col`` (quality score,
+    length, ...), then deal each stratum round-robin across ``n_shards``
+    — every training shard sees the SAME stratum mix, so no shard is
+    accidentally a hard-examples (or junk) shard.  The audit output is
+    the (shard, stratum) count grid: by construction the per-stratum
+    spread across shards is <= 1 row.
+
+    Scale shape: stratification runs through :func:`~flashml_spark.
+    functions.windows.global_ntile` (range partition + offsets — no
+    single-partition window over corpus rows); the within-stratum deal
+    is a KEYED window (partitionBy stratum — parallel across strata);
+    the grid agg is a |n_strata| x |n_shards| frame.  Output:
+    ``shard, stratum, n_docs`` ordered by (shard, stratum).
+    """
+    from pyspark.sql import Window
+
+    from flashml_spark.functions.windows import global_ntile
+
+    tiled = global_ntile(
+        df.select(id_col, strat_col),
+        strat_col,
+        n_strata,
+        tiebreak_cols=[id_col],
+        out_col="stratum",
+    )
+    w = Window.partitionBy("stratum").orderBy(F.col(id_col).asc())
+    dealt = tiled.withColumn(
+        "shard", ((F.row_number().over(w) - 1) % n_shards).cast("int")
+    )
+    return (
+        dealt.groupBy("shard", "stratum")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("shard", "stratum")
+    )
+
+
+def packing_capacity_audit(
+    df: DataFrame,
+    token_col: str,
+    capacities: list[int],
+) -> DataFrame:
+    """Sequence-length capacity planning: for each candidate training
+    sequence capacity, the three costs a pipeline trades off —
+    truncation loss (tokens beyond the capacity, if long docs are cut),
+    padding waste (pad-to-capacity if each doc gets its own sequence),
+    and the concatenation-packing shard count (the :func:`pack_shards`
+    regime, where straddling makes waste ~0).  The numbers that decide
+    ``max_seq_len`` BEFORE paying for a tokenization+packing run.
+
+    Scale shape: ONE corpus scan crossed with the |capacities| literal
+    frame (broadcast), one hash agg keyed by capacity — the output is
+    |capacities| rows of exact integer sums; fractions are computed
+    from those integers in one written operation order.  Output:
+    ``capacity, n_docs, n_overflow, total_tokens, trunc_loss_frac,
+    pad_shards, pad_waste_frac, concat_shards`` ordered by capacity.
+    """
+    spark = df.sparkSession
+    caps = spark.createDataFrame(
+        [(int(c),) for c in sorted(capacities)], "capacity int"
+    )
+    t = F.col(token_col).cast("bigint")
+    c = F.col("capacity").cast("bigint")
+    per = df.select(t.alias("__t")).crossJoin(F.broadcast(caps))
+    agg = per.groupBy("capacity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("__t") > c, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow"),
+        F.sum("__t").cast("bigint").alias("total_tokens"),
+        F.sum(F.greatest(F.col("__t") - c, F.lit(0)))
+        .cast("bigint")
+        .alias("trunc_loss"),
+        F.sum(F.ceil(F.col("__t") / c)).cast("bigint").alias("pad_shards"),
+    )
+    cc = F.col("capacity").cast("bigint")
+    return agg.select(
+        "capacity",
+        "n_docs",
+        "n_overflow",
+        "total_tokens",
+        F.round(
+            F.col("trunc_loss").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("trunc_loss_frac"),
+        "pad_shards",
+        F.round(
+            (F.col("pad_shards") * cc - F.col("total_tokens")).cast("double")
+            / (F.col("pad_shards") * cc).cast("double"),
+            6,
+        ).alias("pad_waste_frac"),
+        F.ceil(F.col("total_tokens") / cc).cast("bigint").alias("concat_shards"),
+    ).orderBy("capacity")

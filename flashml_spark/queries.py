@@ -379,3 +379,4 @@ from flashml_spark import queries_ext14  # noqa: E402,F401
 from flashml_spark import queries_ext15  # noqa: E402,F401
 from flashml_spark import queries_ext16  # noqa: E402,F401
 from flashml_spark import queries_ext17  # noqa: E402,F401
+from flashml_spark import queries_ext18  # noqa: E402,F401

@@ -1,0 +1,299 @@
+"""Extension queries x246+ — round-8 additions.
+
+Training-data PLANNING operators: the audits a pipeline runs before
+committing to an expensive configuration — embedding truncation depth
+(Matryoshka fidelity), training sequence capacity (packing waste
+curve), LSH banding (measured-profile recall planner), shard
+composition (stratified interleave), and source mixture (water-filling
+budget allocation).  Oracle discipline unchanged: exact
+integer/decimal accumulation before any float, literal-exponent
+multiplication chains instead of float ``pow``, one written operation
+order in both engines, Python-computed shared literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# x246 — Matryoshka truncation fidelity: Pearson r and mean |Δsim|
+# between full-dim and prefix-dim cosine on a deterministic
+# arithmetic-sampled pair set.  The audit that picks the truncation
+# depth for a cheaper ANN index.  Per-pair sims round to 6 and
+# accumulate as exact decimals (order-free sums); the Pearson reduction
+# is one written double expression in both engines.
+_MAT_DIMS = (8, 16, 32)
+
+
+def _mat_cos(prefix: str) -> str:
+    """DuckDB cosine between va/vb sliced to ``prefix`` (or full)."""
+    a = f"va{prefix}"
+    b = f"vb{prefix}"
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _mat_block(d: int) -> str:
+    return f"""
+  SELECT {d} AS dim, n_pairs, mean_abs_err, pearson_r FROM (
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(sabs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_abs_err,
+           ROUND((CAST(n AS DOUBLE) * CAST(sfk AS DOUBLE)
+                  - CAST(sf AS DOUBLE) * CAST(sk AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sff AS DOUBLE)
+                         - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+                           - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))), 6)
+               AS pearson_r
+    FROM (
+      SELECT COUNT(*) AS n, SUM(f) AS sf, SUM(k) AS sk, SUM(f * f) AS sff,
+             SUM(k * k) AS skk, SUM(f * k) AS sfk, SUM(ABS(f - k)) AS sabs
+      FROM (
+        SELECT CAST(ROUND({_mat_cos("")}, 6) AS DECIMAL(18,6)) AS f,
+               CAST(ROUND({_mat_cos(f"[1:{d}]")}, 6) AS DECIMAL(18,6)) AS k
+        FROM pairs)))"""
+
+
+_MAT_SQL = (
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     a AS (SELECT vec_id AS ia, v AS va FROM e WHERE vec_id % 10 = 0),
+     b AS (SELECT vec_id AS ib, v AS vb FROM e WHERE vec_id % 10 = 5),
+     pairs AS (SELECT va, vb FROM a JOIN b ON ia < ib)
+"""
+    + "\nUNION ALL".join(_mat_block(d) for d in _MAT_DIMS)
+    + "\nORDER BY dim"
+)
+
+
+@register("x246_matryoshka_fidelity", _MAT_SQL)
+def x246(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.matryoshka_fidelity(
+        emb, "embedding", "vec_id", dims=list(_MAT_DIMS), sample_mod=10
+    )
+
+
+# --------------------------------------------------------------------------
+# x247 — stratified shard interleave: 10 length strata dealt round-robin
+# across 8 shards; the (shard, stratum) count grid certifies every shard
+# carries the same stratum mix (spread <= 1 by construction).
+_INTERLEAVE_SQL = """
+WITH t AS (SELECT doc_id,
+                  CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS INT)
+                      AS stratum
+           FROM documents),
+     d AS (SELECT stratum,
+                  CAST((ROW_NUMBER() OVER (PARTITION BY stratum
+                                           ORDER BY doc_id) - 1) % 8 AS INT)
+                      AS shard
+           FROM t)
+SELECT shard, stratum, COUNT(*) AS n_docs
+FROM d GROUP BY shard, stratum ORDER BY shard, stratum"""
+
+
+@register("x247_shard_interleave", _INTERLEAVE_SQL)
+def x247(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return textops.stratified_shard_interleave(
+        docs, "doc_id", "n_chars", n_strata=10, n_shards=8
+    )
+
+
+# --------------------------------------------------------------------------
+# x248 — sequence-capacity planning: truncation loss, pad-to-capacity
+# waste, and concat-packing shard count at four candidate capacities.
+# Exact integer sums per capacity; fractions derived from those integers.
+_CAPS = (64, 128, 256, 512)
+_CAP_SQL = f"""
+WITH tok AS (SELECT CAST(len({_TOK}) AS BIGINT) AS t FROM documents),
+     caps AS (SELECT CAST(c AS INT) AS capacity
+              FROM (VALUES {", ".join(f"({c})" for c in _CAPS)}) x(c)),
+     per AS (SELECT capacity, t FROM tok CROSS JOIN caps),
+     agg AS (SELECT capacity,
+                    COUNT(*) AS n_docs,
+                    SUM(CASE WHEN t > capacity THEN 1 ELSE 0 END)
+                        AS n_overflow,
+                    SUM(t) AS total_tokens,
+                    SUM(CASE WHEN t > capacity THEN t - capacity ELSE 0 END)
+                        AS trunc_loss,
+                    SUM(CAST(CEIL(CAST(t AS DOUBLE)
+                                  / CAST(capacity AS DOUBLE)) AS BIGINT))
+                        AS pad_shards
+             FROM per GROUP BY capacity)
+SELECT capacity,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_overflow AS BIGINT) AS n_overflow,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND(CAST(trunc_loss AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+           AS trunc_loss_frac,
+       CAST(pad_shards AS BIGINT) AS pad_shards,
+       ROUND(CAST(pad_shards * capacity - total_tokens AS DOUBLE)
+             / CAST(pad_shards * capacity AS DOUBLE), 6) AS pad_waste_frac,
+       CAST(CEIL(CAST(total_tokens AS DOUBLE)
+                 / CAST(capacity AS DOUBLE)) AS BIGINT) AS concat_shards
+FROM agg ORDER BY capacity"""
+
+
+@register("x248_packing_capacity_audit", _CAP_SQL)
+def x248(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = textops.with_token_count(
+        load_table(spark, sf, "documents"), "text"
+    )
+    return textops.packing_capacity_audit(docs, "n_tokens", list(_CAPS))
+
+
+# --------------------------------------------------------------------------
+# x249 — LSH banding planner: one permissive candidate pass measures the
+# corpus's candidate-similarity profile (signature-agreement estimator,
+# granularity 1/8); each (bands, rows) factorization of the 8-hash
+# budget reads off its expected recall on that profile via the s-curve
+# 1-(1-s^r)^b — exponents expanded as literal multiplication chains in
+# BOTH engines (no float pow); per-bin contributions round to 12 and
+# sum as exact decimals.
+def _x249_mh_comp(i: int) -> str:
+    block, slot = i // 4, i % 4
+    return (
+        f"list_min(list_transform(shs,"
+        f" s -> substr(md5('{block}:' || s), {slot * 8 + 1}, 8)))"
+    )
+
+
+def _x249_chain(base: str, k: int) -> str:
+    out = "1.0"
+    for _ in range(k):
+        out = f"({out} * {base})"
+    return out
+
+
+def _x249_sql() -> str:
+    comps = ",\n                ".join(
+        f"{_x249_mh_comp(i)} AS sig{i}" for i in range(8)
+    )
+    bands_keys = ", ".join(
+        f"'{b}|' || sig{2 * b} || '|' || sig{2 * b + 1}" for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    blocks = []
+    for bands in (1, 2, 4, 8):
+        r = 8 // bands
+        p_band = _x249_chain("s", r)
+        p_any = f"(1.0 - {_x249_chain(f'(1.0 - {p_band})', bands)})"
+        thr = round((1.0 / bands) ** (1.0 / r), 6)
+        blocks.append(
+            f"""
+  SELECT {bands} AS bands, {r} AS rows_per_band,
+         CAST({thr!r} AS DOUBLE) AS threshold_est,
+         ROUND(CAST(SUM(CAST(ROUND(frac * {p_any}, 12)
+                             AS DECIMAL(18,12))) AS DOUBLE), 6)
+             AS expected_recall
+  FROM profile"""
+        )
+    union = "\nUNION ALL".join(blocks)
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+     sh AS (SELECT doc_id,
+                   list_transform(range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i + 1]) AS shs
+            FROM tok),
+     sig AS (SELECT doc_id,
+                {comps}
+             FROM sh),
+     bnd AS (SELECT doc_id, unnest([{bands_keys}]) AS band_key FROM sig),
+     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bnd a JOIN bnd b USING (band_key)
+              WHERE a.doc_id < b.doc_id),
+     est AS (SELECT {agree} AS k
+             FROM cand c JOIN sig a ON c.id_a = a.doc_id
+                         JOIN sig b ON c.id_b = b.doc_id),
+     hist AS (SELECT k, COUNT(*) AS cnt FROM est GROUP BY k),
+     tot AS (SELECT SUM(cnt) AS t FROM hist),
+     profile AS (SELECT CAST(k AS DOUBLE) / 8.0 AS s,
+                        CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS frac
+                 FROM hist CROSS JOIN tot)
+{union}
+ORDER BY bands"""
+
+
+@register("x249_lsh_banding_planner", _x249_sql())
+def x249(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.lsh_banding_planner(
+        docs, "text", "doc_id", num_hashes=8, probe_bands=4, shingle_n=2
+    )
+
+
+# --------------------------------------------------------------------------
+# x250 — water-filling source allocation: the unique level L with
+# Σ min(avail_s, L) = 0.9 · total, via the sorted-prefix closed form
+# (capped set is an ascending prefix; the cap test is tie-order
+# invariant, so the unordered cumsum is safe).  All post-agg frames are
+# |sources|-bounded.
+_WF_SQL = f"""
+WITH tok AS (SELECT source, CAST(len({_TOK}) AS BIGINT) AS t FROM documents),
+     per AS (SELECT source, SUM(t) AS avail FROM tok GROUP BY source),
+     tot AS (SELECT CAST(SUM(avail) AS DOUBLE) AS total,
+                    CAST(COUNT(*) AS DOUBLE) AS n
+             FROM per),
+     cum AS (SELECT source, avail,
+                    SUM(avail) OVER (ORDER BY avail
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS c,
+                    CAST(ROW_NUMBER() OVER (ORDER BY avail) AS DOUBLE) AS i
+             FROM per),
+     staged AS (SELECT source, avail,
+                       tot.total * 0.9 AS budget,
+                       CAST(c - avail AS DOUBLE) AS cum_before,
+                       tot.n - i + 1.0 AS remaining,
+                       tot.n AS n
+                FROM cum CROSS JOIN tot),
+     flagged AS (SELECT *,
+                        CASE WHEN CAST(avail AS DOUBLE) * remaining
+                                  <= budget - cum_before
+                             THEN 1 ELSE 0 END AS capped
+                 FROM staged),
+     lvl AS (SELECT CASE WHEN MAX(n) > SUM(CAST(capped AS DOUBLE))
+                         THEN (MAX(budget)
+                               - CAST(SUM(CASE WHEN capped = 1
+                                               THEN avail ELSE 0 END)
+                                      AS DOUBLE))
+                              / (MAX(n) - SUM(CAST(capped AS DOUBLE)))
+                         ELSE 0.0 END AS level
+             FROM flagged)
+SELECT source, avail AS avail_tokens,
+       ROUND(CASE WHEN capped = 1 THEN CAST(avail AS DOUBLE)
+                  ELSE level END, 6) AS alloc_tokens,
+       capped
+FROM flagged CROSS JOIN lvl ORDER BY source"""
+
+
+@register("x250_waterfill_allocation", _WF_SQL)
+def x250(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling, textops
+
+    docs = textops.with_token_count(
+        load_table(spark, sf, "documents"), "text"
+    )
+    return sampling.waterfill_source_allocation(
+        docs, "source", "n_tokens", budget_frac=0.9
+    )

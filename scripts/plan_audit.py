@@ -62,6 +62,8 @@ ACCEPTED_GLOBAL = {
     "config-bounded bucket frame",
     "x243_obf_boundary": "information-fraction curve over the |days| "
     "per-day agg frame",
+    "x250_waterfill_allocation": "waterfall cumsum over the |sources| "
+    "post-agg frame (rows_hint fast path)",
 }
 
 
@@ -128,6 +130,13 @@ ACCEPTED_CROSS = {
     "x245_semantic_decontamination": "broadcast benchmark (eval-suite sized) crossed onto the corpus scan - the intended map-side shape",
     "x241_contrastive_triplets": "inherits x236's |n|^2 exact-audit pair frame; negatives are a 3-candidate equi-join on the id index",
     "x239_psi_timeline": "1-row base-period min/max + start-date scalar broadcasts onto the scan",
+    "x246_matryoshka_fidelity": "arithmetic-sampled (n/mod)^2 pair frame; "
+    "broadcast side is the sample slice, never the corpus",
+    "x248_packing_capacity_audit": "|capacities|=4 literal broadcast onto one scan",
+    "x249_lsh_banding_planner": "1-row candidate-total broadcast onto the "
+    "<=num_hashes+1-bin similarity profile",
+    "x250_waterfill_allocation": "1-row totals/level scalar broadcasts onto "
+    "the |sources| frame",
 }
 
 

@@ -1,0 +1,191 @@
+"""Round-8 extension operators: Matryoshka truncation fidelity,
+stratified shard interleave, packing capacity audit, LSH banding
+planner, and water-filling source allocation — the planning audits a
+pipeline runs before committing to an expensive configuration."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- x246 matryoshka fidelity ----------------------------------------------
+
+
+def _rand_embeddings(spark, n=80, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_matryoshka_full_dim_is_perfect_and_r_grows(spark):
+    from flashml_spark.operators.similarity import matryoshka_fidelity
+
+    df, _ = _rand_embeddings(spark)
+    out = {
+        r["dim"]: r
+        for r in matryoshka_fidelity(
+            df, "embedding", "vec_id", dims=[2, 8, 16], sample_mod=4
+        ).collect()
+    }
+    # the full-dimension "truncation" reproduces the similarity exactly
+    assert out[16]["mean_abs_err"] == 0.0
+    assert out[16]["pearson_r"] == 1.0
+    # fidelity is monotone in prefix depth on random gaussians
+    assert out[2]["pearson_r"] < out[8]["pearson_r"] <= out[16]["pearson_r"]
+    assert out[2]["mean_abs_err"] > out[8]["mean_abs_err"]
+
+
+def test_matryoshka_matches_python_mirror(spark):
+    from flashml_spark.operators.similarity import matryoshka_fidelity
+
+    df, rows = _rand_embeddings(spark, n=40, dim=8, seed=3)
+    got = matryoshka_fidelity(
+        df, "embedding", "vec_id", dims=[4], sample_mod=4
+    ).first()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    vecs = dict(rows)
+    pairs = [
+        (ia, ib)
+        for ia in vecs
+        if ia % 4 == 0
+        for ib in vecs
+        if ib % 4 == 2 and ia < ib
+    ]
+    fs = [round(cos(vecs[a], vecs[b]), 6) for a, b in pairs]
+    ks = [round(cos(vecs[a][:4], vecs[b][:4]), 6) for a, b in pairs]
+    assert got["n_pairs"] == len(pairs)
+    mae = sum(abs(f - k) for f, k in zip(fs, ks)) / len(pairs)
+    assert got["mean_abs_err"] == pytest.approx(mae, abs=2e-6)
+    n = len(pairs)
+    num = n * sum(f * k for f, k in zip(fs, ks)) - sum(fs) * sum(ks)
+    den = math.sqrt(n * sum(f * f for f in fs) - sum(fs) ** 2) * math.sqrt(
+        n * sum(k * k for k in ks) - sum(ks) ** 2
+    )
+    assert got["pearson_r"] == pytest.approx(num / den, abs=2e-6)
+
+
+# --- x247 shard interleave --------------------------------------------------
+
+
+def test_shard_interleave_spread_is_at_most_one(spark):
+    from flashml_spark.operators.textops import stratified_shard_interleave
+
+    rows = [(i, (i * 31) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    grid = stratified_shard_interleave(
+        df, "doc_id", "score", n_strata=10, n_shards=8
+    ).collect()
+    assert sum(r["n_docs"] for r in grid) == 500
+    by_stratum: dict[int, list[int]] = {}
+    for r in grid:
+        by_stratum.setdefault(r["stratum"], []).append(r["n_docs"])
+    for stratum, counts in by_stratum.items():
+        assert max(counts) - min(counts) <= 1, (stratum, counts)
+        assert len(counts) == 8  # every shard sees every stratum
+
+
+# --- x248 packing capacity audit -------------------------------------------
+
+
+def test_packing_capacity_audit_exact_arithmetic(spark):
+    from flashml_spark.operators.textops import packing_capacity_audit
+
+    toks = [5, 10, 17, 64, 65, 128, 200]
+    df = spark.createDataFrame([(t,) for t in toks], "n long")
+    out = {
+        r["capacity"]: r
+        for r in packing_capacity_audit(df, "n", [64, 256]).collect()
+    }
+    total = sum(toks)
+    r64 = out[64]
+    assert r64["n_docs"] == 7
+    assert r64["n_overflow"] == 3  # 65, 128, 200
+    assert r64["total_tokens"] == total
+    assert r64["trunc_loss_frac"] == pytest.approx(
+        (1 + 64 + 136) / total, abs=1e-6
+    )
+    assert r64["pad_shards"] == sum(math.ceil(t / 64) for t in toks)
+    assert r64["concat_shards"] == math.ceil(total / 64)
+    r256 = out[256]
+    assert r256["n_overflow"] == 0
+    assert r256["trunc_loss_frac"] == 0.0
+    assert r256["pad_shards"] == 7  # one sequence per doc
+    # bigger capacity, one-doc-per-sequence: more padding wasted
+    assert r256["pad_waste_frac"] > r64["pad_waste_frac"]
+
+
+# --- x249 LSH banding planner ----------------------------------------------
+
+
+def test_banding_planner_recall_monotone_in_bands(spark):
+    """More bands of fewer rows = a more permissive OR — expected recall
+    must increase monotonically from (1 band, 8 rows) to (8 bands,
+    1 row), and every recall is a probability."""
+    from flashml_spark.operators.dedup import lsh_banding_planner
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_banding_planner(df, "text", "doc_id", num_hashes=8).collect()
+    assert [r["bands"] for r in out] == [1, 2, 4, 8]
+    recs = [r["expected_recall"] for r in out]
+    assert all(0.0 <= r <= 1.0 for r in recs)
+    assert recs == sorted(recs)
+    assert recs[-1] > recs[0]
+    # threshold estimates are the documented (1/b)^(1/r) literals
+    assert out[0]["threshold_est"] == pytest.approx(1.0, abs=1e-6)
+    assert out[3]["threshold_est"] == pytest.approx(0.125, abs=1e-6)
+
+
+# --- x250 water-filling allocation -----------------------------------------
+
+
+def test_waterfill_allocation_hits_budget_and_caps_small_sources(spark):
+    from flashml_spark.operators.sampling import waterfill_source_allocation
+
+    avail = {"a": 100, "b": 1000, "c": 1000, "d": 50}
+    rows = [(s, n) for s, n in avail.items()]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r["source"]: r
+        for r in waterfill_source_allocation(
+            df, "source", "n_tokens", budget_frac=0.9
+        ).collect()
+    }
+    budget = 0.9 * sum(avail.values())  # 1935
+    # a and d cannot fill their equal share -> fully taken; b and c split
+    # the rest at the same level: (1935 - 150) / 2 = 892.5
+    assert out["a"]["capped"] == 1 and out["a"]["alloc_tokens"] == 100.0
+    assert out["d"]["capped"] == 1 and out["d"]["alloc_tokens"] == 50.0
+    assert out["b"]["capped"] == 0
+    assert out["b"]["alloc_tokens"] == pytest.approx(892.5, abs=1e-6)
+    assert out["c"]["alloc_tokens"] == out["b"]["alloc_tokens"]
+    got_total = sum(r["alloc_tokens"] for r in out.values())
+    assert got_total == pytest.approx(budget, abs=1e-4)
+
+
+def test_waterfill_no_source_capped_when_budget_small(spark):
+    from flashml_spark.operators.sampling import waterfill_source_allocation
+
+    rows = [("a", 1000), ("b", 1100), ("c", 1200)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = waterfill_source_allocation(
+        df, "source", "n_tokens", budget_frac=0.5
+    ).collect()
+    assert all(r["capped"] == 0 for r in out)
+    # equal level for everyone
+    allocs = {r["alloc_tokens"] for r in out}
+    assert len(allocs) == 1
+    assert allocs.pop() == pytest.approx(0.5 * 3300 / 3, abs=1e-6)
