@@ -260,6 +260,8 @@ HEADLINE = [
     "x248_packing_capacity_audit",
     "x249_lsh_banding_planner",
     "x250_waterfill_allocation",
+    "x251_group_fold_split",
+    "x252_embargo_split",
 ]
 
 

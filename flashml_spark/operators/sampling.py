@@ -643,3 +643,106 @@ def waterfill_source_allocation(
         )
         .orderBy(group_col)
     )
+
+
+def group_fold_assignment(
+    df: DataFrame, group_col: str, n_folds: int = 5
+) -> DataFrame:
+    """GroupKFold-style fold assignment with an in-band integrity proof:
+    ``fold = md5(group) % n_folds`` keeps every row of a group in one
+    fold (the leakage-safe split for user-level data), and the output
+    carries ``max_folds_per_group`` measured FROM THE DATA — 1 certifies
+    no group straddles folds, instead of trusting the construction.
+
+    Scale shape: one keyed agg to the |groups| frame, one |folds| agg,
+    a 1-row integrity scalar broadcast.  Output: ``fold, n_groups,
+    n_rows, max_folds_per_group`` ordered by fold.
+    """
+    from flashml_spark.functions import hashing as H
+
+    folded = df.select(
+        F.col(group_col).alias("__g"),
+        (H.md5_long(F.col(group_col).cast("string"), 8) % n_folds)
+        .cast("int")
+        .alias("fold"),
+    )
+    per_group = folded.groupBy("__g").agg(
+        F.count_distinct("fold").alias("__nf"),
+        F.count(F.lit(1)).alias("__rows"),
+        F.min("fold").alias("fold"),
+    )
+    integrity = per_group.agg(
+        F.max("__nf").cast("int").alias("max_folds_per_group")
+    )
+    return (
+        per_group.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("__rows").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(integrity))
+        .orderBy("fold")
+    )
+
+
+def embargo_split_audit(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    train_frac: float = 0.7,
+    embargo_days: float = 1.0,
+) -> DataFrame:
+    """Time-based split with an embargo gap (the leakage control for
+    temporally-correlated data: rows inside ``embargo_days`` after the
+    cutoff belong to NEITHER side) and an honest leakage readout: how
+    many groups appear on both sides anyway (expected nonzero for
+    long-lived users — report it, don't hide it).
+
+    Cutoff arithmetic runs on epoch seconds as doubles in one written
+    operation order (``cut = mn + frac·(mx−mn)``), so both engines pick
+    identical boundaries.  Scale shape: 1-row bounds broadcast onto one
+    scan; the leakage count is a |groups| keyed agg.  Output (1 row):
+    ``n_train, n_embargoed, n_test, n_groups_train, n_groups_test,
+    n_leaky_groups``.
+    """
+    e = F.col(ts_col).cast("double")
+    bounds = df.agg(
+        F.min(e).alias("__mn"), F.max(e).alias("__mx")
+    )
+    staged = df.select(e.alias("__e"), F.col(group_col).alias("__g")).crossJoin(
+        F.broadcast(bounds)
+    )
+    cut = F.col("__mn") + F.lit(float(train_frac)) * (
+        F.col("__mx") - F.col("__mn")
+    )
+    emb_end = cut + F.lit(float(embargo_days) * 86400.0)
+    tagged = staged.select(
+        "__g",
+        F.when(F.col("__e") <= cut, F.lit("train"))
+        .when(F.col("__e") <= emb_end, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("__side"),
+    )
+    per_group = tagged.groupBy("__g").agg(
+        F.max(F.when(F.col("__side") == "train", 1).otherwise(0)).alias("__in_tr"),
+        F.max(F.when(F.col("__side") == "test", 1).otherwise(0)).alias("__in_te"),
+    )
+    counts = tagged.agg(
+        F.sum(F.when(F.col("__side") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("__side") == "embargo", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_embargoed"),
+        F.sum(F.when(F.col("__side") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    groups = per_group.agg(
+        F.sum("__in_tr").cast("bigint").alias("n_groups_train"),
+        F.sum("__in_te").cast("bigint").alias("n_groups_test"),
+        F.sum(F.col("__in_tr") * F.col("__in_te"))
+        .cast("bigint")
+        .alias("n_leaky_groups"),
+    )
+    return counts.crossJoin(F.broadcast(groups))

@@ -297,3 +297,71 @@ def x250(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.waterfill_source_allocation(
         docs, "source", "n_tokens", budget_frac=0.9
     )
+
+
+# --------------------------------------------------------------------------
+# x251 — GroupKFold integrity: md5-hash fold per user, with the
+# no-straddle proof measured from the data (max_folds_per_group = 1).
+_GF_SQL = """
+WITH folded AS (SELECT user_id AS g,
+                       CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                                 1, 8)) AS BIGINT) % 5 AS INT)
+                           AS fold
+                FROM events),
+     pg AS (SELECT g, COUNT(DISTINCT fold) AS nf, COUNT(*) AS rws,
+                   MIN(fold) AS fold
+            FROM folded GROUP BY g),
+     integ AS (SELECT CAST(MAX(nf) AS INT) AS max_folds_per_group FROM pg)
+SELECT fold, COUNT(*) AS n_groups, CAST(SUM(rws) AS BIGINT) AS n_rows,
+       max_folds_per_group
+FROM pg CROSS JOIN integ
+GROUP BY fold, max_folds_per_group ORDER BY fold"""
+
+
+@register("x251_group_fold_split", _GF_SQL)
+def x251(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling
+
+    ev = load_table(spark, sf, "events").select("user_id")
+    return sampling.group_fold_assignment(ev, "user_id", n_folds=5)
+
+
+# --------------------------------------------------------------------------
+# x252 — embargoed time split: cutoff at 70% of the epoch span, 1-day
+# embargo, leaky-group readout (groups on both sides — reported, not
+# hidden).  Epoch arithmetic in doubles, one written operation order.
+_EMB_SQL = """
+WITH e AS (SELECT epoch(ts) AS ep, user_id AS g FROM events),
+     b AS (SELECT MIN(ep) AS mn, MAX(ep) AS mx FROM e),
+     tagged AS (SELECT g,
+                       CASE WHEN ep <= mn + 0.7 * (mx - mn) THEN 'train'
+                            WHEN ep <= mn + 0.7 * (mx - mn) + 86400.0
+                                THEN 'embargo'
+                            ELSE 'test' END AS side
+                FROM e CROSS JOIN b),
+     pg AS (SELECT g,
+                   MAX(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS tr,
+                   MAX(CASE WHEN side = 'test' THEN 1 ELSE 0 END) AS te
+            FROM tagged GROUP BY g),
+     counts AS (SELECT CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_train,
+                       CAST(SUM(CASE WHEN side = 'embargo' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_embargoed,
+                       CAST(SUM(CASE WHEN side = 'test' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_test
+                FROM tagged),
+     grp AS (SELECT CAST(SUM(tr) AS BIGINT) AS n_groups_train,
+                    CAST(SUM(te) AS BIGINT) AS n_groups_test,
+                    CAST(SUM(tr * te) AS BIGINT) AS n_leaky_groups
+             FROM pg)
+SELECT * FROM counts CROSS JOIN grp"""
+
+
+@register("x252_embargo_split", _EMB_SQL)
+def x252(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling
+
+    ev = load_table(spark, sf, "events").select("ts", "user_id")
+    return sampling.embargo_split_audit(
+        ev, "ts", "user_id", train_frac=0.7, embargo_days=1.0
+    )

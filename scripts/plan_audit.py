@@ -137,6 +137,10 @@ ACCEPTED_CROSS = {
     "<=num_hashes+1-bin similarity profile",
     "x250_waterfill_allocation": "1-row totals/level scalar broadcasts onto "
     "the |sources| frame",
+    "x251_group_fold_split": "1-row integrity scalar broadcast onto the "
+    "|folds| frame",
+    "x252_embargo_split": "1-row epoch-bounds broadcast onto the scan; "
+    "1-row x 1-row counts/groups cross",
 }
 
 

@@ -189,3 +189,49 @@ def test_waterfill_no_source_capped_when_budget_small(spark):
     allocs = {r["alloc_tokens"] for r in out}
     assert len(allocs) == 1
     assert allocs.pop() == pytest.approx(0.5 * 3300 / 3, abs=1e-6)
+
+
+# --- x251 group-fold split --------------------------------------------------
+
+
+def test_group_fold_no_group_straddles_and_counts_add_up(spark):
+    from flashml_spark.operators.sampling import group_fold_assignment
+
+    rows = [(i % 37, i) for i in range(400)]
+    df = spark.createDataFrame(rows, "user_id long, x long")
+    out = group_fold_assignment(df, "user_id", n_folds=5).collect()
+    assert all(r["max_folds_per_group"] == 1 for r in out)
+    assert sum(r["n_groups"] for r in out) == 37
+    assert sum(r["n_rows"] for r in out) == 400
+    # deterministic: same input, same assignment
+    again = group_fold_assignment(df, "user_id", n_folds=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# --- x252 embargo split -----------------------------------------------------
+
+
+def test_embargo_split_partitions_and_flags_leaky_groups(spark):
+    import datetime as dt
+
+    from flashml_spark.operators.sampling import embargo_split_audit
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 spans the whole range (leaky); user 2 only early; user 3 late
+    for d in range(0, 100, 2):
+        rows.append((t0 + dt.timedelta(days=d), 1))
+    for d in range(0, 30):
+        rows.append((t0 + dt.timedelta(days=d), 2))
+    for d in range(90, 100):
+        rows.append((t0 + dt.timedelta(days=d), 3))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = embargo_split_audit(
+        df, "ts", "user_id", train_frac=0.7, embargo_days=1.0
+    ).first()
+    assert out["n_train"] + out["n_embargoed"] + out["n_test"] == len(rows)
+    assert out["n_embargoed"] >= 0
+    # user 1 is on both sides; users 2 (early only) and 3 (late only) not
+    assert out["n_leaky_groups"] == 1
+    assert out["n_groups_train"] == 2  # users 1 and 2
+    assert out["n_groups_test"] == 2  # users 1 and 3
