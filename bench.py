@@ -262,6 +262,7 @@ HEADLINE = [
     "x250_waterfill_allocation",
     "x251_group_fold_split",
     "x252_embargo_split",
+    "x253_markov_horizon_conversion",
 ]
 
 

@@ -2557,3 +2557,79 @@ def obf_boundary_curve(
         )
         .orderBy("d")
     )
+
+
+def markov_conversion_horizon(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    conv_state: str,
+    horizon: int = 8,
+) -> DataFrame:
+    """Finite-horizon conversion probability per channel state: the
+    probability of reaching CONV from each transient state within
+    ``horizon`` steps of the fitted first-order journey chain —
+    ``v_{k+1}(s) = b(s) + Σ_{s'} P(s,s')·v_k(s')`` unrolled exactly
+    ``horizon`` times.  Well-defined finite-horizon semantics (not an
+    approximation knob): the k-step curve is what a path-length-capped
+    attribution uses, and it gives the x192 absorbing-solve family its
+    SQL-checkable member — the unrolled recurrence IS expressible as
+    ``horizon`` chained CTEs, unlike the matrix inverse.
+
+    Determinism: P and b are exact-count ratios (identical doubles in
+    both engines); each product rounds to 12 and sums as an exact
+    decimal (order-free); each iterate rounds to 12.  Scale shape: the
+    transition fit is the distributed x181/x192 pass; the iteration
+    runs ``horizon`` joins over the |states|²-bounded matrix frame.
+    Output: ``state, p_conv_h`` (rounded 6) ordered by state.
+    """
+    counts = markov_transition_counts_with_bounds(
+        df, user_col, ts_col, id_col, state_col, conv_state
+    )
+    rs = counts.groupBy("state").agg(F.sum("n").alias("__tot"))
+    # localCheckpoint: every horizon iteration references the matrix —
+    # pin the |states|²-bounded frame once so the distributed
+    # transition-count pass runs ONE time, not once per unrolled step
+    m = (
+        counts.join(rs, "state")
+        .select(
+            F.col("state").alias("s"),
+            F.col("next_state").alias("t"),
+            (F.col("n").cast("double") / F.col("__tot").cast("double")).alias(
+                "p"
+            ),
+        )
+        .localCheckpoint()
+    )
+    states = m.select("s").where(~F.col("s").isin("CONV", "DROP")).distinct()
+    b = m.where(F.col("t") == "CONV").select("s", F.col("p").alias("__b"))
+    v = states.select("s", F.lit(0.0).alias("v"))
+    for _ in range(horizon):
+        step = (
+            m.join(v.select(F.col("s").alias("t"), "v"), "t")
+            .groupBy("s")
+            .agg(
+                F.sum(
+                    F.round(F.col("p") * F.col("v"), 12).cast("decimal(28,12)")
+                ).alias("__x")
+            )
+        )
+        v = (
+            states.join(b, "s", "left")
+            .join(step, "s", "left")
+            .select(
+                "s",
+                F.round(
+                    F.coalesce(F.col("__b"), F.lit(0.0))
+                    + F.coalesce(
+                        F.col("__x"), F.lit(0).cast("decimal(28,12)")
+                    ).cast("double"),
+                    12,
+                ).alias("v"),
+            )
+        )
+    return v.select(
+        F.col("s").alias("state"), F.round("v", 6).alias("p_conv_h")
+    ).orderBy("state")

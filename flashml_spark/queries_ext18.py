@@ -365,3 +365,79 @@ def x252(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.embargo_split_audit(
         ev, "ts", "user_id", train_frac=0.7, embargo_days=1.0
     )
+
+
+# --------------------------------------------------------------------------
+# x253 — finite-horizon Markov conversion per channel (the x192
+# absorbing-chain family's SQL-checkable member): v_{k+1}(s) = b(s) +
+# sum_s' P(s,s') v_k(s'), unrolled 8 times as chained CTEs.  Products
+# round to 12 and sum as exact decimals (order-free); each iterate
+# rounds to 12; P/b are exact-count ratios.
+_HORIZON = 8
+
+
+def _x253_sql(horizon: int = _HORIZON) -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, horizon + 1):
+        steps.append(
+            f"""     v{k} AS (SELECT st.s,
+                  ROUND(COALESCE(b.p, 0.0)
+                        + CAST(COALESCE(tsum.x, 0) AS DOUBLE), 12) AS v
+           FROM states st
+           LEFT JOIN conv_b b ON b.s = st.s
+           LEFT JOIN (SELECT m.s,
+                             SUM(CAST(ROUND(m.p * {prev}.v, 12)
+                                      AS DECIMAL(28,12))) AS x
+                      FROM m JOIN {prev} ON m.t = {prev}.s
+                      GROUP BY m.s) tsum ON tsum.s = st.s)"""
+        )
+        prev = f"v{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS (SELECT user_id AS u, ts, event_id AS id, event_type AS st,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+           FROM events),
+     j AS (SELECT *,
+                  COALESCE(SUM(cv) OVER (PARTITION BY u ORDER BY ts, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS jr
+           FROM e),
+     s AS (SELECT u, jr, st, cv,
+                  ROW_NUMBER() OVER (PARTITION BY u, jr ORDER BY ts, id)
+                      AS pos,
+                  LEAD(st) OVER (PARTITION BY u, jr ORDER BY ts, id) AS nxt
+           FROM j),
+     tr AS (SELECT 'START' AS state,
+                   CASE WHEN cv = 1 THEN 'CONV' ELSE st END AS next_state
+            FROM s WHERE pos = 1
+            UNION ALL
+            SELECT st,
+                   CASE WHEN nxt IS NULL THEN 'DROP'
+                        WHEN nxt = 'purchase' THEN 'CONV'
+                        ELSE nxt END
+            FROM s WHERE cv = 0),
+     cnt AS (SELECT state, next_state, COUNT(*) AS n
+             FROM tr GROUP BY state, next_state),
+     rs AS (SELECT state, SUM(n) AS tot FROM cnt GROUP BY state),
+     m AS (SELECT c.state AS s, c.next_state AS t,
+                  CAST(c.n AS DOUBLE) / CAST(r.tot AS DOUBLE) AS p
+           FROM cnt c JOIN rs r ON c.state = r.state),
+     states AS (SELECT DISTINCT s FROM m WHERE s NOT IN ('CONV', 'DROP')),
+     conv_b AS (SELECT s, p FROM m WHERE t = 'CONV'),
+     v0 AS (SELECT s, CAST(0.0 AS DOUBLE) AS v FROM states),
+{chain}
+SELECT s AS state, ROUND(v, 6) AS p_conv_h FROM v{horizon} ORDER BY state"""
+
+
+@register("x253_markov_horizon_conversion", _x253_sql())
+def x253(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return events.markov_conversion_horizon(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase",
+        horizon=_HORIZON,
+    )

@@ -141,6 +141,8 @@ ACCEPTED_CROSS = {
     "|folds| frame",
     "x252_embargo_split": "1-row epoch-bounds broadcast onto the scan; "
     "1-row x 1-row counts/groups cross",
+    "x253_markov_horizon_conversion": "horizon joins over the |states|^2 "
+    "post-agg matrix frame",
 }
 
 

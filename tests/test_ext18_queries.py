@@ -235,3 +235,88 @@ def test_embargo_split_partitions_and_flags_leaky_groups(spark):
     assert out["n_leaky_groups"] == 1
     assert out["n_groups_train"] == 2  # users 1 and 2
     assert out["n_groups_test"] == 2  # users 1 and 3
+
+
+# --- x253 markov horizon conversion -----------------------------------------
+
+
+def test_markov_horizon_closed_form_chain(spark):
+    import datetime as dt
+
+    from flashml_spark.operators.events import markov_conversion_horizon
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: ad -> purchase (converting journey)
+        (1, t0, 1, "ad"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "purchase"),
+        # u2: ad (dropped journey)
+        (2, t0, 3, "ad"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["state"]: r["p_conv_h"]
+        for r in markov_conversion_horizon(
+            df, "user_id", "ts", "event_id", "event_type", "purchase",
+            horizon=8,
+        ).collect()
+    }
+    # P(START->ad)=1, P(ad->CONV)=P(ad->DROP)=0.5: v(ad)=0.5,
+    # v(START)=0.5 after >=2 steps
+    assert out["ad"] == pytest.approx(0.5, abs=1e-9)
+    assert out["START"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_markov_horizon_converges_toward_absorbing_solve(spark):
+    import datetime as dt
+
+    from flashml_spark.operators.events import (
+        markov_conversion_horizon,
+        markov_removal_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # mixed journeys over three channels with loops
+    paths = [
+        (["a", "b", "purchase"], 3),
+        (["a", "a", "b"], 2),
+        (["b", "c", "purchase"], 2),
+        (["c"], 3),
+        (["a", "c", "b", "purchase"], 1),
+    ]
+    uid = 0
+    for path, reps in paths:
+        for _ in range(reps):
+            uid += 1
+            for i, st in enumerate(path):
+                eid += 1
+                rows.append((uid, t0 + dt.timedelta(minutes=i), eid, st))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    h4 = {
+        r["state"]: r["p_conv_h"]
+        for r in markov_conversion_horizon(
+            df, "user_id", "ts", "event_id", "event_type", "purchase",
+            horizon=4,
+        ).collect()
+    }
+    h12 = {
+        r["state"]: r["p_conv_h"]
+        for r in markov_conversion_horizon(
+            df, "user_id", "ts", "event_id", "event_type", "purchase",
+            horizon=12,
+        ).collect()
+    }
+    full = markov_removal_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "purchase"
+    ).first()["p_conv_full"]
+    # horizon curve is monotone nondecreasing and bounded by the
+    # absorbing-chain solve; by h=12 it is within rounding of it
+    assert h4["START"] <= h12["START"] + 1e-9
+    assert h12["START"] <= full + 1e-6
+    assert h12["START"] == pytest.approx(full, abs=1e-3)
