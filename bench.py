@@ -263,6 +263,7 @@ HEADLINE = [
     "x251_group_fold_split",
     "x252_embargo_split",
     "x253_markov_horizon_conversion",
+    "x254_bucket_balanced_sample",
 ]
 
 

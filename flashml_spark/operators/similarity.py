@@ -1107,3 +1107,46 @@ def matryoshka_fidelity(
         .select("r.*")
         .orderBy("dim")
     )
+
+
+def bucket_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k_per_bucket: int = 3,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic diversity sample: partition embedding space by LSH
+    sign buckets (seeded hyperplanes — data-oblivious but geometry-
+    respecting) and keep the ``k_per_bucket`` smallest md5-rank rows of
+    each bucket.  The hash-clustered sibling of the k-means
+    ``cluster_balanced_sample`` (x72): same balanced-coverage intent,
+    but every step is closed-form arithmetic, so the full output is
+    SQL-derivable — the oracle-checked member of the diversity-sampling
+    family.
+
+    Scale shape: one map-side bucket assignment (plane literals
+    broadcast in the plan), one KEYED window per bucket (parallel
+    across buckets), no global ordering anywhere.  Output: ``bucket,
+    <id_col>, pick`` ordered by (bucket, pick).
+    """
+    from pyspark.sql import Window
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = with_lsh_bucket(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, planes
+    )
+    ranked = bucketed.select(
+        "bucket",
+        F.col(id_col),
+        H.md5_long(F.col(id_col).cast("string"), 8).alias("__r"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("__r").asc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= k_per_bucket)
+        .select("bucket", id_col, "pick")
+        .orderBy("bucket", "pick")
+    )

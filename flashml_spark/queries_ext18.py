@@ -441,3 +441,48 @@ def x253(spark: SparkSession, sf: str) -> DataFrame:
         ev, "user_id", "ts", "event_id", "event_type", "purchase",
         horizon=_HORIZON,
     )
+
+
+# --------------------------------------------------------------------------
+# x254 — LSH-bucket balanced diversity sample: the oracle-checked
+# sibling of the rows-only k-means x72 (every step closed-form: seeded
+# plane literals shared by both engines, md5 rank, keyed window).
+# Completes the pattern where each non-SQL family carries an
+# oracle-checked member (x192->x253, x200->x233, x72->x254).
+_X254_DIM, _X254_PLANES_N, _X254_SEED, _X254_K = 64, 4, 42, 3
+
+
+def _x254_sql() -> str:
+    from flashml_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(_X254_DIM, _X254_PLANES_N, _X254_SEED)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {bit} ELSE 0 END)".format(
+            plane=", ".join(repr(x) for x in plane), bit=1 << b
+        )
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     b AS (SELECT vec_id, CAST({bucket_terms} AS BIGINT) AS bucket FROM e),
+     r AS (SELECT bucket, vec_id,
+                  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS rk
+           FROM b),
+     p AS (SELECT bucket, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY bucket
+                                     ORDER BY rk, vec_id) AS pick
+           FROM r)
+SELECT bucket, vec_id, CAST(pick AS INT) AS pick
+FROM p WHERE pick <= {_X254_K} ORDER BY bucket, pick"""
+
+
+@register("x254_bucket_balanced_sample", _x254_sql())
+def x254(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.bucket_balanced_sample(
+        emb, "embedding", "vec_id", k_per_bucket=_X254_K,
+        n_planes=_X254_PLANES_N, seed=_X254_SEED,
+    )

@@ -320,3 +320,28 @@ def test_markov_horizon_converges_toward_absorbing_solve(spark):
     assert h4["START"] <= h12["START"] + 1e-9
     assert h12["START"] <= full + 1e-6
     assert h12["START"] == pytest.approx(full, abs=1e-3)
+
+
+# --- x254 bucket-balanced sample --------------------------------------------
+
+
+def test_bucket_balanced_sample_caps_and_covers(spark):
+    from flashml_spark.operators.similarity import bucket_balanced_sample
+
+    df, _ = _rand_embeddings(spark, n=120, dim=16, seed=11)
+    out = bucket_balanced_sample(
+        df, "embedding", "vec_id", k_per_bucket=2, n_planes=3, seed=42
+    ).collect()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rows in by_bucket.items():
+        assert len(rows) <= 2
+        assert sorted(r["pick"] for r in rows) == list(range(1, len(rows) + 1))
+    # ids unique across the sample; deterministic across runs
+    ids = [r["vec_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    again = bucket_balanced_sample(
+        df, "embedding", "vec_id", k_per_bucket=2, n_planes=3, seed=42
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
