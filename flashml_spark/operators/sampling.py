@@ -552,6 +552,7 @@ def waterfill_source_allocation(
     group_col: str,
     weight_col: str,
     budget_frac: float = 0.9,
+    group_domain_hint: int | None = 64,
 ) -> DataFrame:
     """Equal-share water-filling of a token budget across sources — the
     mixture-rebalancing step of a pretraining pipeline: give every
@@ -569,6 +570,13 @@ def waterfill_source_allocation(
     the documented value-domain-bounded shape); budget arithmetic is
     one written operation order in both engines.
 
+    ``group_domain_hint`` is the caller's promise of an upper bound on
+    the group domain (the ``rows_hint`` contract): the mixture use case
+    has a few dozen sources, so the default takes the tiny-frame fast
+    path; rebalancing over an UNBOUNDED domain (per-URL-domain caps)
+    must pass ``None`` to engage the range-partitioned cumsum — the
+    result is bit-identical either way, only the plan changes.
+
     Output: ``<group_col>, avail_tokens, alloc_tokens, capped``
     ordered by group.
     """
@@ -577,12 +585,11 @@ def waterfill_source_allocation(
     per = df.groupBy(group_col).agg(
         F.sum(F.col(weight_col).cast("bigint")).alias("avail_tokens")
     )
-    # |sources| frame: the rows_hint fast path keeps this tiny and exact
     cum = global_cumsum(
         per.withColumn("__one", F.lit(1)),
         "avail_tokens",
         ["avail_tokens", "__one"],
-        rows_hint=1,
+        rows_hint=group_domain_hint,
         prefix="__c_",
     )
     totals = per.agg(

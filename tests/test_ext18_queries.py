@@ -345,3 +345,15 @@ def test_bucket_balanced_sample_caps_and_covers(spark):
         df, "embedding", "vec_id", k_per_bucket=2, n_planes=3, seed=42
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_waterfill_unbounded_domain_path_is_bit_identical(spark):
+    from flashml_spark.operators.sampling import waterfill_source_allocation
+
+    rows = [(f"s{i % 23}", (i * 13) % 400 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    fast = waterfill_source_allocation(df, "source", "n_tokens").collect()
+    ranged = waterfill_source_allocation(
+        df, "source", "n_tokens", group_domain_hint=None
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, ranged))
