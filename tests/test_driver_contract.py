@@ -71,12 +71,28 @@ def test_priority_window_follows_ledger_policy():
     # and the entry module serves exactly that window as its prefix
     e = _entry()
     assert e._PRIORITY == expected
-    # policy sanity: nothing outside the window is staler than anything
-    # inside it (never-checked counts as infinitely stale)
+    # policy sanity (r9): every red (MISMATCH/ERROR) row must be inside
+    # the window — failures are re-adjudicated next round, never buried
+    # behind staleness — and among the NON-failure checked rows, nothing
+    # outside the window is staler than anything inside it
+    # (never-checked counts as infinitely stale).
     in_window = set(committed)
-    worst_in = max(last.get(n, (-1,))[0] for n in committed)
+    red_out = [
+        n
+        for n in names
+        if n in last and cl._is_failure(last[n][1]) and n not in in_window
+    ]
+    assert not red_out, f"red driver rows left outside the window: {red_out}"
+    green_in = [
+        n for n in committed if n in last and not cl._is_failure(last[n][1])
+    ]
+    worst_in = max((last[n][0] for n in green_in), default=-1)
     best_out = min(
-        (last[n][0] for n in names if n not in in_window and n in last),
+        (
+            last[n][0]
+            for n in names
+            if n not in in_window and n in last
+        ),
         default=None,
     )
     never_out = [n for n in names if n not in in_window and n not in last]
@@ -88,6 +104,33 @@ def test_priority_window_follows_ledger_policy():
         )
     elif best_out is not None:
         assert worst_in <= best_out
+
+
+def test_next_window_front_loads_failures():
+    # r8 VERDICT item 1: a MISMATCH/ERROR row from the CURRENT round is
+    # the freshest row, so staleness-only ordering would bury it for ~5
+    # rounds.  The policy must place red rows right after never-checked,
+    # ahead of every green row regardless of age.
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import correctness_ledger as cl
+
+    names = ["q_new", "q_red", "q_err", "q_stale", "q_fresh"]
+    last = {
+        "q_red": (8, "MISMATCH"),  # freshest round, but red
+        "q_err": (7, "ERROR: boom"),
+        "q_stale": (2, "pass"),
+        "q_fresh": (8, "pass"),
+    }
+    win = cl.next_window(last, names, size=5)
+    assert win == ["q_new", "q_err", "q_red", "q_stale", "q_fresh"]
+    # with only 3 slots the fresh green row falls out, never the reds
+    assert cl.next_window(last, names, size=3) == ["q_new", "q_err", "q_red"]
+    # rows-only rows are green, not failures
+    assert not cl._is_failure("rows-only (5 rows)")
+    assert not cl._is_failure("pass")
+    assert cl._is_failure("MISMATCH") and cl._is_failure("ERROR: x")
 
 
 def test_ledger_collect_upto_ignores_later_driver_drops(tmp_path, monkeypatch):
