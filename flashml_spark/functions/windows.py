@@ -30,9 +30,16 @@ def global_cumsum(
     prefix: str = "cum_",
     rows_hint: int | None = None,
     small_input_threshold: int = 10_000,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``<prefix><col>`` inclusive running totals in global
     ``order_col`` order, without a single-partition window.
+
+    ``tiebreak_cols`` extends the ordering to make the written order
+    total when ``order_col`` alone admits ties (r8 VERDICT x250
+    hardening): the running totals at tie positions then have ONE
+    defined value in every engine, instead of an
+    any-order-is-equivalent family.
 
     ``rows_hint`` is the CALLER's promise of an upper bound on the frame's
     row count (e.g. a post-aggregation frame over a quantized key).  When
@@ -45,8 +52,9 @@ def global_cumsum(
     """
     spark = df.sparkSession
     key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ties = [F.col(c).asc() for c in (tiebreak_cols or [])]
     if rows_hint is not None and rows_hint <= small_input_threshold:
-        w = Window.orderBy(key).rowsBetween(
+        w = Window.orderBy(key, *ties).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         out = df
@@ -58,7 +66,7 @@ def global_cumsum(
     # + returned plan); pin it so a nondeterministic upstream can't make
     # the offsets disagree with the second evaluation.
     ranged = (
-        df.repartitionByRange(n_parts, key)
+        df.repartitionByRange(n_parts, key, *ties)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -79,7 +87,10 @@ def global_cumsum(
     # offset lookup as a literal map column per summed col (tiny)
     w = (
         Window.partitionBy("__pid")
-        .orderBy(F.col(order_col).asc() if ascending else F.col(order_col).desc())
+        .orderBy(
+            F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+            *ties,
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = ranged

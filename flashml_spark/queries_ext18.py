@@ -246,43 +246,47 @@ def x249(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # x250 — water-filling source allocation: the unique level L with
 # Σ min(avail_s, L) = 0.9 · total, via the sorted-prefix closed form
-# (capped set is an ascending prefix; the cap test is tie-order
-# invariant, so the unordered cumsum is safe).  All post-agg frames are
-# |sources|-bounded.
+# (capped set is an ascending prefix; source is an explicit tie-break
+# so the written cumsum order is total).  All post-agg frames are
+# |sources|-bounded.  EXACT INTEGER arithmetic end-to-end (r8 VERDICT
+# hardening: a DuckDB-version round()/cast ulp cannot flip the hash):
+# budget_frac 0.9 = 9/10 exactly; cap test cross-multiplied
+# (avail·remaining·10 <= total·9 − cum_before·10, all BIGINT); level
+# emitted in micro-tokens via floor division // — trunc == floor here
+# because both operands are provably non-negative.
 _WF_SQL = f"""
 WITH tok AS (SELECT source, CAST(len({_TOK}) AS BIGINT) AS t FROM documents),
-     per AS (SELECT source, SUM(t) AS avail FROM tok GROUP BY source),
-     tot AS (SELECT CAST(SUM(avail) AS DOUBLE) AS total,
-                    CAST(COUNT(*) AS DOUBLE) AS n
+     per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS avail
+             FROM tok GROUP BY source),
+     tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS n
              FROM per),
      cum AS (SELECT source, avail,
-                    SUM(avail) OVER (ORDER BY avail
+                    CAST(SUM(avail) OVER (ORDER BY avail, source
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS c,
-                    CAST(ROW_NUMBER() OVER (ORDER BY avail) AS DOUBLE) AS i
+                        AS BIGINT) AS c,
+                    CAST(ROW_NUMBER() OVER (ORDER BY avail, source)
+                        AS BIGINT) AS i
              FROM per),
-     staged AS (SELECT source, avail,
-                       tot.total * 0.9 AS budget,
-                       CAST(c - avail AS DOUBLE) AS cum_before,
-                       tot.n - i + 1.0 AS remaining,
-                       tot.n AS n
+     staged AS (SELECT source, avail, total, n,
+                       CAST(c - avail AS BIGINT) AS cum_before,
+                       CAST(n - i + 1 AS BIGINT) AS remaining
                 FROM cum CROSS JOIN tot),
      flagged AS (SELECT *,
-                        CASE WHEN CAST(avail AS DOUBLE) * remaining
-                                  <= budget - cum_before
+                        CASE WHEN avail * remaining * 10
+                                  <= total * 9 - cum_before * 10
                              THEN 1 ELSE 0 END AS capped
                  FROM staged),
-     lvl AS (SELECT CASE WHEN MAX(n) > SUM(CAST(capped AS DOUBLE))
-                         THEN (MAX(budget)
-                               - CAST(SUM(CASE WHEN capped = 1
-                                               THEN avail ELSE 0 END)
-                                      AS DOUBLE))
-                              / (MAX(n) - SUM(CAST(capped AS DOUBLE)))
-                         ELSE 0.0 END AS level
+     lvl AS (SELECT CASE WHEN MAX(n) > SUM(capped)
+                         THEN CAST((MAX(total) * 9 * 100000
+                               - SUM(CASE WHEN capped = 1
+                                          THEN avail ELSE 0 END) * 1000000)
+                              // (MAX(n) - SUM(capped)) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS level_micro
              FROM flagged)
 SELECT source, avail AS avail_tokens,
-       ROUND(CASE WHEN capped = 1 THEN CAST(avail AS DOUBLE)
-                  ELSE level END, 6) AS alloc_tokens,
+       CAST(CASE WHEN capped = 1 THEN avail * 1000000
+                 ELSE level_micro END AS BIGINT) AS alloc_micro_tokens,
        capped
 FROM flagged CROSS JOIN lvl ORDER BY source"""
 

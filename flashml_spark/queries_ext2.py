@@ -2,7 +2,8 @@
 that previously had only unit tests — random-variable derivation, banded
 minhash LSH, embedding-cosine near-dup, skip-gram / gram assembly, null
 imputer, the hotlead rule, exact-quantile binning, the preprocessing
-chain, word substitution, Porter stemming (rows-only) and TopK intents.
+chain, word substitution, Porter stemming (planted-fixture oracle since
+r9) and TopK intents.
 
 Every oracle is engine-portable DuckDB SQL built from the same literals
 the Spark operators ship (hash prefixes, hyperplanes, thresholds), so the
@@ -270,12 +271,96 @@ def x24(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "sub")
 
 
-# x25 — Porter stemming (pure-python pandas UDF — no SQL oracle, rows-only)
-@register("x25_porter_stem", None)
+# x25 — Porter stemming, upgraded r9 from rows-only to a PLANTED-FIXTURE
+# oracle (the x07/x27/x240 pattern from r8): plant fixture words whose
+# Porter stems are LITERAL SQL pins (the canonical Porter test vectors,
+# covering steps 1a/1b/1b-cleanup/1c/2/3/4/5a/5b), run the REAL
+# PorterStemmer transformer over corpus ∪ fixtures, and emit
+#   (a) one row per fixture word with its stem, and
+#   (b) ONE corpus row: the total stemmed-token count over ALL documents
+#       — Porter maps each token to exactly one token, so the count is
+#       SQL-derivable from the UNSTEMMED text while the Spark value is
+#       computed FROM THE STEMMER'S OUTPUT column, forcing the pandas
+#       UDF to run over the full corpus (no pushdown can skip it).
+# A hash match certifies both exact stem correctness on the fixture
+# vocabulary and that the stemmer ran token-preserving over every doc.
+_PORTER_FIXTURES = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+    ("plastered", "plaster"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("hissing", "hiss"),
+    ("fizzed", "fizz"), ("failing", "fail"), ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+    ("conditional", "condit"), ("rational", "ration"),
+    ("valency", "valenc"), ("hesitancy", "hesit"),
+    ("digitizer", "digit"), ("conformably", "conform"),
+    ("radically", "radic"), ("differently", "differ"),
+    ("vileness", "vile"), ("triplicate", "triplic"),
+    ("formative", "form"), ("formalize", "formal"),
+    ("electricity", "electr"), ("electrical", "electr"),
+    ("hopefulness", "hope"), ("goodness", "good"), ("revival", "reviv"),
+    ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("homologous", "homolog"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angularity", "angular"), ("homologies", "homologi"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controlling", "control"), ("rolling", "roll"),
+    ("generalizations", "gener"), ("oscillators", "oscil"),
+]
+
+_X25_SQL = (
+    "WITH fix(word, stem) AS (VALUES "
+    + ", ".join(f"('{w}', '{s}')" for w, s in _PORTER_FIXTURES)
+    + """),
+     corpus AS (SELECT CAST(SUM(len(string_split(lower(text), ' ')))
+                            AS BIGINT) AS v
+                FROM documents)
+SELECT 'stem:' || word AS key, stem AS value FROM fix
+UNION ALL
+SELECT 'corpus_stemmed_tokens' AS key, CAST(v AS VARCHAR) AS value
+FROM corpus
+ORDER BY key"""
+)
+
+
+@register("x25_porter_stem", _X25_SQL)
 def x25(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").withColumn("lt", F.lower(F.col("text")))
-    out = PorterStemmer(inputCol="lt", outputCol="stemmed", delimiter=" ").transform(docs)
-    return out.select("doc_id", "stemmed")
+    docs = (
+        load_table(spark, sf, "documents")
+        .select(F.lower(F.col("text")).alias("lt"))
+        .withColumn("word", F.lit(None).cast("string"))
+    )
+    fixtures = spark.createDataFrame(
+        [(w, w) for w, _ in _PORTER_FIXTURES], "lt string, word string"
+    )
+    stemmed = PorterStemmer(
+        inputCol="lt", outputCol="stemmed", delimiter=" "
+    ).transform(docs.unionByName(fixtures))
+    pins = stemmed.filter(F.col("word").isNotNull()).select(
+        F.concat(F.lit("stem:"), F.col("word")).alias("key"),
+        F.col("stemmed").alias("value"),
+    )
+    # token count measured on the OUTPUT column: the stemmer must run
+    # over every corpus row to produce this scalar
+    total = (
+        stemmed.filter(F.col("word").isNull())
+        .agg(
+            F.sum(F.size(F.split(F.col("stemmed"), " ")))
+            .cast("bigint")
+            .alias("v")
+        )
+        .select(
+            F.lit("corpus_stemmed_tokens").alias("key"),
+            F.col("v").cast("string").alias("value"),
+        )
+    )
+    return pins.unionByName(total).orderBy("key")
 
 
 # x26 — TopK intents (TopKIntents.scala:90-106) over synthetic per-class probs

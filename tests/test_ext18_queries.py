@@ -164,16 +164,46 @@ def test_waterfill_allocation_hits_budget_and_caps_small_sources(spark):
             df, "source", "n_tokens", budget_frac=0.9
         ).collect()
     }
-    budget = 0.9 * sum(avail.values())  # 1935
+    budget_micro = 9 * sum(avail.values()) * 100_000  # 1935 tokens exactly
     # a and d cannot fill their equal share -> fully taken; b and c split
-    # the rest at the same level: (1935 - 150) / 2 = 892.5
-    assert out["a"]["capped"] == 1 and out["a"]["alloc_tokens"] == 100.0
-    assert out["d"]["capped"] == 1 and out["d"]["alloc_tokens"] == 50.0
+    # the rest at the same level: (1935 - 150) / 2 = 892.5 tokens — all
+    # EXACT integers in micro-tokens (r9: no float ever reaches the output)
+    assert out["a"]["capped"] == 1
+    assert out["a"]["alloc_micro_tokens"] == 100_000_000
+    assert out["d"]["capped"] == 1
+    assert out["d"]["alloc_micro_tokens"] == 50_000_000
     assert out["b"]["capped"] == 0
-    assert out["b"]["alloc_tokens"] == pytest.approx(892.5, abs=1e-6)
-    assert out["c"]["alloc_tokens"] == out["b"]["alloc_tokens"]
-    got_total = sum(r["alloc_tokens"] for r in out.values())
-    assert got_total == pytest.approx(budget, abs=1e-4)
+    assert out["b"]["alloc_micro_tokens"] == 892_500_000
+    assert out["c"]["alloc_micro_tokens"] == out["b"]["alloc_micro_tokens"]
+    got_total = sum(r["alloc_micro_tokens"] for r in out.values())
+    assert got_total == budget_micro  # == (not approx): integer arithmetic
+
+
+def test_waterfill_level_floor_quantized_when_division_inexact(spark):
+    # level = (3010*0.9 - 10) / 3 = 899.666… tokens — not representable
+    # in micro-tokens; the contract is FLOOR division, identical in
+    # Spark (div) and DuckDB (//) for the non-negative operands here.
+    from flashml_spark.operators.sampling import waterfill_source_allocation
+
+    rows = [("a", 10), ("b", 1000), ("c", 1000), ("d", 1000)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r["source"]: r
+        for r in waterfill_source_allocation(
+            df, "source", "n_tokens", budget_frac=0.9
+        ).collect()
+    }
+    assert out["a"]["capped"] == 1
+    assert out["a"]["alloc_micro_tokens"] == 10_000_000
+    lvl = 2_699_000_000 // 3  # (3010*900000 - 10*1000000) div 3
+    assert lvl == 899_666_666  # floor, not round
+    for s in ("b", "c", "d"):
+        assert out[s]["capped"] == 0
+        assert out[s]["alloc_micro_tokens"] == lvl
+    # floor never over-allocates: deficit < n_uncapped micro-units
+    budget_micro = 3010 * 900_000
+    got = sum(r["alloc_micro_tokens"] for r in out.values())
+    assert 0 <= budget_micro - got < 3
 
 
 def test_waterfill_no_source_capped_when_budget_small(spark):
@@ -185,10 +215,9 @@ def test_waterfill_no_source_capped_when_budget_small(spark):
         df, "source", "n_tokens", budget_frac=0.5
     ).collect()
     assert all(r["capped"] == 0 for r in out)
-    # equal level for everyone
-    allocs = {r["alloc_tokens"] for r in out}
-    assert len(allocs) == 1
-    assert allocs.pop() == pytest.approx(0.5 * 3300 / 3, abs=1e-6)
+    # equal level for everyone: 0.5 * 3300 / 3 = 550 tokens exactly
+    allocs = {r["alloc_micro_tokens"] for r in out}
+    assert allocs == {550_000_000}
 
 
 # --- x251 group-fold split --------------------------------------------------
