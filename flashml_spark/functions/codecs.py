@@ -118,6 +118,190 @@ def average_hash(gray: list[list[int]]) -> str:
 
 
 # --------------------------------------------------------------------------
+# PNG (non-interlaced 8-bit RGB / RGBA, stdlib zlib — no PIL needed)
+#
+# PNG's only compression is DEFLATE, which the zlib module already used
+# by x200/x233 provides; everything else is struct parsing plus the five
+# scanline filters (r8 VERDICT item 5).  Interlaced (Adam7), paletted,
+# 16-bit and grayscale images are rejected loudly — a production
+# pipeline routes those to a full codec; the *plumbing* is identical.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    rows: list[list[tuple[int, ...]]],
+    alpha: bool = False,
+    filter_type: int = 0,
+    idat_split: int | None = None,
+) -> bytes:
+    """Encode RGB(A) pixel rows (top-down, row-major) as a non-interlaced
+    8-bit PNG.  ``filter_type`` applies ONE filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to every scanline so the decoder's unfilter path
+    for that type is exercised pixel-exactly; ``idat_split`` splits the
+    compressed stream across multiple IDAT chunks (spec-legal, and a
+    decode path real PNGs hit)."""
+    import zlib
+
+    height = len(rows)
+    width = len(rows[0]) if height else 0
+    if any(len(r) != width for r in rows):
+        raise ValueError("ragged pixel rows")
+    bpp = 4 if alpha else 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for row in rows:
+        line = bytearray()
+        for px in row:
+            if len(px) != bpp:
+                raise ValueError(f"expected {bpp}-tuples, got {px!r}")
+            line += bytes(px)
+        filt = bytearray([filter_type])
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                filt.append(line[i])
+            elif filter_type == 1:
+                filt.append((line[i] - a) & 0xFF)
+            elif filter_type == 2:
+                filt.append((line[i] - b) & 0xFF)
+            elif filter_type == 3:
+                filt.append((line[i] - (a + b) // 2) & 0xFF)
+            elif filter_type == 4:
+                filt.append((line[i] - _paeth(a, b, c)) & 0xFF)
+            else:
+                raise ValueError(f"unknown filter type {filter_type}")
+        raw += filt
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    if idat_split and idat_split < len(comp):
+        idats = b"".join(
+            _png_chunk(b"IDAT", comp[i : i + idat_split])
+            for i in range(0, len(comp), idat_split)
+        )
+    else:
+        idats = _png_chunk(b"IDAT", comp)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of a/b/c to a+b-c,
+    ties broken a, then b, then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, ...]]]]:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG to (width, height,
+    top-down pixel rows).  Pure struct + stdlib zlib: walks chunks
+    (verifying each CRC), concatenates every IDAT, inflates, and
+    inverts the per-scanline filter (None/Sub/Up/Average/Paeth).
+    Rejects other bit depths, color types, and Adam7 interlacing."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = bpp = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    "unsupported PNG (depth="
+                    f"{depth}, color={color}, interlace={interlace}) — "
+                    "only non-interlaced 8-bit RGB/RGBA"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter method")
+            bpp = 4 if color == 6 else 3
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {height * (stride + 1)}"
+        )
+    rows: list[list[tuple[int, ...]]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+        rows.append(
+            [tuple(line[x * bpp : (x + 1) * bpp]) for x in range(width)]
+        )
+        prev = line
+    return width, height, rows
+
+
+def png_grayscale(rows: list[list[tuple[int, ...]]]) -> list[list[int]]:
+    """ITU-R 601-ish integer luma over RGB(A) pixel rows — alpha, when
+    present, is ignored (the PIL convert("L") behavior on RGBA)."""
+    return [
+        [(px[0] * 299 + px[1] * 587 + px[2] * 114) // 1000 for px in row]
+        for row in rows
+    ]
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF, 16-bit PCM)
 
 

@@ -8,13 +8,15 @@ overhead, no per-row pickling, executor-parallel).
 The codec step has two paths: ``fake=True`` produces a DETERMINISTIC
 md5-derived fake (so the full Spark plumbing — schema, Arrow batches,
 partitioning — is real and test-covered everywhere), and ``fake=False``
-decodes FOR REAL: BMP images and PCM WAV audio through the
+decodes FOR REAL: BMP and PNG images (PNG since r9 — IHDR parse,
+stdlib-zlib IDAT inflate, per-scanline None/Sub/Up/Average/Paeth
+unfilter; non-interlaced 8-bit RGB/RGBA) and PCM WAV audio through the
 dependency-free pure-struct codecs in
 ``flashml_spark.functions.codecs`` (exercised end-to-end in this
 container — payload bytes in, pixel-/sample-exact metadata out), and
-every other format through PIL/soundfile, raising
-``NotImplementedError`` where those are not installed (as here; that
-test import-skips).
+every other format (JPEG, paletted/interlaced PNG, …) through
+PIL/soundfile, raising ``NotImplementedError`` where those are not
+installed (as here; that test import-skips).
 """
 
 from __future__ import annotations
@@ -75,21 +77,26 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def _real_decode(payload: bytes) -> tuple[int, int, str]:
     """Real image decode: dimensions + 8x8 average perceptual hash.
 
-    BMP payloads decode via the dependency-free codec
-    (:mod:`flashml_spark.functions.codecs` — pure struct parsing, so the
-    REAL path is exercised end-to-end in this container); other formats
-    fall through to PIL, raising NotImplementedError where PIL is not
-    installed (as here) — that test is import-gated accordingly."""
+    BMP and PNG (non-interlaced 8-bit RGB/RGBA — r9, stdlib-zlib IDAT
+    inflate + per-scanline unfilter) decode via the dependency-free
+    codecs (:mod:`flashml_spark.functions.codecs` — pure struct parsing,
+    so the REAL path is exercised end-to-end in this container); other
+    formats fall through to PIL, raising NotImplementedError where PIL
+    is not installed (as here) — that test is import-gated accordingly."""
     from flashml_spark.functions import codecs
 
     if payload[:2] == b"BM":
         width, height, rows = codecs.decode_bmp(payload)
         return width, height, codecs.average_hash(codecs.bmp_grayscale(rows))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height, rows = codecs.decode_png(payload)
+        return width, height, codecs.average_hash(codecs.png_grayscale(rows))
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode of non-BMP formats requires PIL — not in this environment"
+            "real decode of non-BMP/PNG formats requires PIL — "
+            "not in this environment"
         ) from exc
     import io
 
@@ -182,13 +189,20 @@ def resize_media(
                     codecs.bmp_grayscale(rows), width, height
                 )
                 return bytes(v for row in gray for v in row)
+            if p[:8] == b"\x89PNG\r\n\x1a\n":  # r9: stdlib-zlib PNG path
+                _, _, rows = codecs.decode_png(p)
+                gray = codecs.nearest_resize(
+                    codecs.png_grayscale(rows), width, height
+                )
+                return bytes(v for row in gray for v in row)
             try:
                 import io
 
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize of non-BMP formats requires PIL; install pillow"
+                    "real resize of non-BMP/PNG formats requires PIL; "
+                    "install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
             return img.convert("L").resize((width, height)).tobytes()
