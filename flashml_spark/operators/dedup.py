@@ -352,15 +352,65 @@ def minhash_dedup(
     text_col: str,
     id_col: str,
     num_hashes: int = 8,
-    bands: int = 4,
+    bands: int | str = 4,
     shingle_n: int = 2,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """End-to-end near-dup removal: banded-LSH candidates → transitive
-    components → keep the min-id document of every duplicate group."""
+    components → keep the min-id document of every duplicate group.
+
+    ``bands="auto"`` (r8 VERDICT item 6) closes the loop the banding
+    planner was built for: :func:`plan_lsh_bands` measures THIS corpus's
+    candidate-similarity profile once and picks the cheapest
+    factorization whose expected recall meets ``target_recall`` — the
+    b/r dial becomes data-driven end-to-end instead of a fixed default.
+    """
+    if bands == "auto":
+        bands, _ = plan_lsh_bands(
+            df, text_col, id_col, num_hashes, target_recall, shingle_n
+        )
     pairs = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     comp = connected_components(pairs)
     dupes = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(dupes, df[id_col] == dupes["id"], "left_anti")
+
+
+def plan_lsh_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    target_recall: float = 0.9,
+    shingle_n: int = 2,
+    probe_bands: int | None = None,
+) -> tuple[int, list[dict]]:
+    """Data-driven (bands, rows) choice from the measured banding plan
+    (:func:`lsh_banding_planner`): the CHEAPEST factorization — fewest
+    bands, i.e. least candidate mass, since candidate pairs grow with
+    every extra band's buckets — whose expected recall on THIS corpus's
+    similarity profile meets ``target_recall``.  Falls back to the
+    highest-recall setting when no factorization reaches the target
+    (and that shortfall is visible in the returned plan).
+
+    The probe pass defaults to the widest factorization (one row per
+    band) so the profile is measured with the most permissive net the
+    signature budget allows.  Returns ``(bands, plan_rows)`` where
+    ``plan_rows`` is the full |factorizations|-row plan for audit —
+    a bounded driver-side list (≤ divisors(num_hashes) entries).
+    """
+    probe = probe_bands if probe_bands is not None else num_hashes
+    plan = [
+        r.asDict()
+        for r in lsh_banding_planner(
+            df, text_col, id_col, num_hashes, probe, shingle_n
+        ).collect()  # ≤ |divisors(num_hashes)| rows
+    ]
+    meeting = [r for r in plan if r["expected_recall"] >= target_recall]
+    if meeting:
+        chosen = min(meeting, key=lambda r: r["bands"])
+    else:
+        chosen = max(plan, key=lambda r: (r["expected_recall"], -r["bands"]))
+    return int(chosen["bands"]), plan
 
 
 def simhash_hamming_pairs(

@@ -149,6 +149,85 @@ def test_banding_planner_recall_monotone_in_bands(spark):
     assert out[3]["threshold_est"] == pytest.approx(0.125, abs=1e-6)
 
 
+def _neardup_fixture(spark):
+    """Base docs plus clones at graduated perturbation levels — a corpus
+    with a known spread of near-duplicate similarities."""
+    base = {
+        i: [f"w{(i * 13 + j * 7) % 97}" for j in range(20)] for i in range(30)
+    }
+    rows = [(i, " ".join(toks)) for i, toks in base.items()]
+    for i, toks in base.items():
+        k = (i % 6) * 2  # replace 0,2,4,6,8,10 of 20 tokens
+        mutated = [
+            f"z{i}_{j}" if j < k else t for j, t in enumerate(toks)
+        ]
+        rows.append((1000 + i, " ".join(mutated)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_plan_lsh_bands_choice_meets_its_predicted_recall(spark):
+    """r8 VERDICT item 6 — the planner's b/r choice is data-driven END
+    TO END: the setting plan_lsh_bands picks must achieve (within
+    sampling slack) the recall the plan predicted for it, measured
+    against the widest-probe candidate population the profile was
+    built from."""
+    from flashml_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        plan_lsh_bands,
+    )
+
+    df = _neardup_fixture(spark)
+    bands, plan = plan_lsh_bands(
+        df, "text", "doc_id", num_hashes=8, target_recall=0.6
+    )
+    by_bands = {r["bands"]: r for r in plan}
+    assert bands in by_bands
+    # the choice is the CHEAPEST setting meeting the target (or the
+    # best available): every cheaper setting must miss the target
+    for b in by_bands:
+        if b < bands:
+            assert by_bands[b]["expected_recall"] < 0.6
+    predicted = by_bands[bands]["expected_recall"]
+    if any(r["expected_recall"] >= 0.6 for r in plan):
+        assert predicted >= 0.6
+
+    def pairset(b):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                df, "text", "doc_id", num_hashes=8, bands=b
+            ).collect()
+        }
+
+    reference = pairset(8)  # the widest-probe population
+    caught = pairset(bands)
+    measured = len(caught & reference) / len(reference)
+    # expectation is over random hash draws; ours are fixed md5 seeds,
+    # so allow bounded slack around the s-curve prediction
+    assert measured >= predicted - 0.15, (
+        f"bands={bands}: measured recall {measured:.3f} vs "
+        f"predicted {predicted:.3f}"
+    )
+
+
+def test_minhash_dedup_auto_bands_equals_explicit_choice(spark):
+    from flashml_spark.operators.dedup import minhash_dedup, plan_lsh_bands
+
+    df = _neardup_fixture(spark)
+    bands, _ = plan_lsh_bands(
+        df, "text", "doc_id", num_hashes=8, target_recall=0.6
+    )
+    auto = minhash_dedup(
+        df, "text", "doc_id", num_hashes=8, bands="auto", target_recall=0.6
+    )
+    explicit = minhash_dedup(
+        df, "text", "doc_id", num_hashes=8, bands=bands
+    )
+    assert sorted(r["doc_id"] for r in auto.collect()) == sorted(
+        r["doc_id"] for r in explicit.collect()
+    )
+
+
 # --- x250 water-filling allocation -----------------------------------------
 
 
