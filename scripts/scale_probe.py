@@ -157,6 +157,14 @@ PROBES = [
     "x243_obf_boundary",
     "x244_neyman_allocation",
     "x245_semantic_decontamination",
+    # r9: the six r8 additions without committed slope rows (r8 VERDICT
+    # item 7; x249/x250/x253 carry SCALE.md shape arguments already)
+    "x246_matryoshka_fidelity",
+    "x247_shard_interleave",
+    "x248_packing_capacity_audit",
+    "x251_group_fold_split",
+    "x252_embargo_split",
+    "x254_bucket_balanced_sample",
 ]
 
 

@@ -39,6 +39,32 @@ def test_matryoshka_full_dim_is_perfect_and_r_grows(spark):
     assert out[2]["mean_abs_err"] > out[8]["mean_abs_err"]
 
 
+def test_matryoshka_auto_mod_bounds_the_pair_frame(spark):
+    # r9 scale fix: sample_mod=None sizes the modulus from one COUNT so
+    # the pair frame stays ~target_pairs at ANY corpus size (a fixed
+    # mod is quadratic — the ×1..×8 probe measured slope 1.24).
+    import math as m
+
+    from flashml_spark.operators.similarity import matryoshka_fidelity
+
+    for n, target in ((200, 50), (800, 50)):
+        df, _ = _rand_embeddings(spark, n=n, dim=8, seed=11)
+        row = matryoshka_fidelity(
+            df, "embedding", "vec_id", dims=[8],
+            sample_mod=None, target_pairs=target,
+        ).first()
+        expected_mod = max(10, m.ceil(n / m.sqrt(2.0 * target)))
+        side_a = len([i for i in range(n) if i % expected_mod == 0])
+        side_b = len(
+            [i for i in range(n) if i % expected_mod == expected_mod // 2]
+        )
+        # the realized pair frame is exactly the arithmetic sample at
+        # the auto modulus, and stays within ~4x of the target bound
+        assert row["n_pairs"] <= max(side_a * side_b, 1)
+        assert row["n_pairs"] <= 4 * target
+        assert row["n_pairs"] > 0
+
+
 def test_matryoshka_matches_python_mirror(spark):
     from flashml_spark.operators.similarity import matryoshka_fidelity
 
