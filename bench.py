@@ -264,6 +264,14 @@ HEADLINE = [
     "x252_embargo_split",
     "x253_markov_horizon_conversion",
     "x254_bucket_balanced_sample",
+    "x255_png_roundtrip_audit",
+    "x256_temperature_mixture",
+    "x257_shard_checksum_manifest",
+    "x258_rag_chunk_plan",
+    "x259_pq_codebook_audit",
+    "x260_mad_outlier_screen",
+    "x261_semihard_negatives",
+    "x262_dedup_survivorship",
 ]
 
 

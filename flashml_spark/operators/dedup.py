@@ -1650,3 +1650,122 @@ def lsh_banding_planner(
         .select("r.*")
         .orderBy("bands")
     )
+
+
+def semihard_negative_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    lo: int = 2,
+    hi: int = 5,
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training, straight off
+    the dedup index: LSH candidate pairs whose minhash signatures agree
+    on ``lo..hi`` of ``num_hashes`` components — similar enough to be
+    informative negatives (they collide in at least one band), but
+    below the near-duplicate range a dedup pass would remove.  The
+    free by-product of infrastructure the pipeline already runs: no
+    second index, no extra shuffle beyond the candidate pass.
+
+    Output is the per-agreement-level histogram ``k_agree, n_pairs``
+    (ordered by k) — the shape a training recipe reads to set its
+    negative-sampling temperature; the pair frame itself is the
+    intermediate and can be returned by composing
+    :func:`minhash_lsh_candidates` with the same join.
+
+    Scale shape: the banded candidate pass (Σ_bands Σ|bucket|²) plus
+    two broadcast-free id joins back to the |n|-row signature frame —
+    candidates are the bounded side after banding.
+    """
+    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
+    sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    a = sigged.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+    )
+    b = sigged.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in sig_cols
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(agree.alias("k_agree"))
+        .where((F.col("k_agree") >= lo) & (F.col("k_agree") <= hi))
+        .groupBy("k_agree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("k_agree")
+    )
+
+
+def dedup_survivorship(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Per-source survivorship report of an end-to-end minhash dedup:
+    for every source, how many documents and tokens survive
+    :func:`minhash_dedup` (same defaults) — the accounting a curation
+    pipeline publishes alongside the deduped corpus, and the first
+    place a mis-tuned banding shows up (one source losing 40% of its
+    tokens while the rest lose 2% is a skewed-domain signal, not
+    usually real duplication).
+
+    Scale shape: the dedup itself (banded candidates → components →
+    anti-join) plus two keyed aggs to the |sources| frame and a
+    broadcast join between them.  All-integer token arithmetic;
+    removed_frac is the single ROUND(6).
+    Output: ``<group_col>, n_docs, n_kept, n_removed, tokens_total,
+    tokens_kept, removed_frac`` ordered by group.
+    """
+    from flashml_spark.operators.textops import token_count
+
+    tok = token_count(F.col(text_col)).cast("bigint")
+    total = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).alias("tokens_total"),
+    )
+    kept = (
+        minhash_dedup(df, text_col, id_col, num_hashes, bands, shingle_n)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(tok).alias("tokens_kept"),
+        )
+    )
+    return (
+        total.join(F.broadcast(kept), group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            "tokens_total",
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+            F.round(
+                (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("removed_frac"),
+        )
+        .orderBy(group_col)
+    )

@@ -414,3 +414,67 @@ def scene_cuts(
             )
 
     return df.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
+PNG_AUDIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def png_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG encode→decode roundtrip, distributed: for every id,
+    construct a deterministic two-tone image (top half one color,
+    bottom half another, both id-derived), ENCODE it to a spec-complete
+    PNG — the scanline filter cycles through all five types with
+    ``id % 5``, so every unfilter path runs corpus-wide — then DECODE it
+    back through the same pure-struct path ``decode_media(fake=False)``
+    uses, and emit the decoded dimensions + perceptual hash.
+
+    The output is SQL-derivable from the generation arithmetic alone
+    (dims are literal id expressions; a two-tone image's 8×8 average
+    hash is decided by which half's luma clears the mean), so an oracle
+    hash-match certifies the full zlib-deflate → inflate → unfilter →
+    luma → aHash chain bit-exactly on every row — the planted-fixture
+    pattern, with the "fixture" being the whole corpus.
+
+    Scale shape: pure map (one Arrow-batched pass, no shuffle); image
+    size is bounded (≤ 16×10), so per-row cost is constant.
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def build_and_decode(i: int) -> tuple[int, int, str]:
+            w = 8 + i % 9
+            h = 4 + 2 * (i % 3)
+            top = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+            bot = ((i * 41 + 7) % 256, (i * 61 + 13) % 256, (i * 89 + 29) % 256)
+            rows = [[top] * w for _ in range(h // 2)] + [
+                [bot] * w for _ in range(h // 2)
+            ]
+            payload = codecs.encode_png(rows, filter_type=i % 5)
+            width, height, px = codecs.decode_png(payload)
+            return width, height, codecs.average_hash(codecs.png_grayscale(px))
+
+        for pdf in batches:
+            decoded = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "phash": [d[2] for d in decoded],
+                }
+            )
+
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .orderBy("media_id")
+    )

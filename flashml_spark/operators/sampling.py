@@ -780,3 +780,63 @@ def embargo_split_audit(
         .alias("n_leaky_groups"),
     )
     return counts.crossJoin(F.broadcast(groups))
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual/multi-source
+    sampling rule of XLM-style pretraining): sampling weight
+    ``p_s ∝ n_s^alpha`` flattens the natural distribution toward the
+    tail (alpha < 1 upsamples small sources), and the effective epochs
+    per source — ``budget·p_s / n_s`` — is the over/under-sampling
+    factor the schedule implies, the number a pipeline checks BEFORE
+    training (eff_epochs ≫ 1 on a small source means it will be
+    memorized).
+
+    Exactness: the default ``alpha=0.5`` (temperature 2) computes
+    ``n^alpha`` as ``sqrt(n)`` — correctly-rounded IEEE in every engine,
+    unlike the general ``pow`` — over the exact BIGINT per-source sums,
+    then quantizes each scaled mass to DECIMAL(18,6) so the total is an
+    ORDER-FREE exact sum (a float Σ would depend on partition order);
+    the final divisions + ROUND(6) follow one written operation order.
+    Other alphas take float ``pow`` (documented cross-engine ulp risk).
+
+    Scale shape: one keyed agg to the |sources| frame, a 1-row total
+    broadcast.  Output: ``<group_col>, n_tokens, weight, eff_epochs``
+    ordered by group.
+    """
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("n_tokens")
+    )
+    scaled = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    per = per.withColumn("__s", F.round(scaled, 6).cast("decimal(18,6)"))
+    tot = per.agg(
+        F.sum("__s").alias("__ssum"),  # exact decimal: order-free
+        F.sum("n_tokens").cast("double").alias("__ntot"),
+    )
+    s_over = F.col("__s").cast("double") / F.col("__ssum").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_tokens",
+            F.round(s_over, 6).alias("weight"),
+            F.round(
+                F.lit(float(budget_frac))
+                * F.col("__ntot")
+                * s_over
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("eff_epochs"),
+        )
+        .orderBy(group_col)
+    )

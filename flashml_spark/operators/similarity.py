@@ -1168,3 +1168,100 @@ def bucket_balanced_sample(
         .select("bucket", id_col, "pick")
         .orderBy("bucket", "pick")
     )
+
+
+def pq_codebook(
+    dim: int, subspaces: int, codes: int
+) -> list[list[list[float]]]:
+    """Deterministic literal product-quantization codebook:
+    ``codebook[m][k][j] = ((k*31 + (m*sub_dim + j)*17) % 7 - 3) * 0.25``
+    — small spread values every engine represents exactly (multiples of
+    0.25).  A real pipeline would k-means these; the audit's job is the
+    ASSIGNMENT + error accounting, which is codebook-agnostic, and a
+    closed-form codebook keeps the whole audit SQL-checkable."""
+    sub = dim // subspaces
+    return [
+        [
+            [
+                ((k * 31 + (m * sub + j) * 17) % 7 - 3) * 0.25
+                for j in range(sub)
+            ]
+            for k in range(codes)
+        ]
+        for m in range(subspaces)
+    ]
+
+
+def pq_codebook_audit(
+    df: DataFrame,
+    vec_col: str,
+    subspaces: int = 4,
+    codes: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization assignment audit: split each vector into
+    ``subspaces`` contiguous sub-vectors, assign each to its nearest
+    codebook centroid (L2, deterministic lowest-code tie-break on the
+    ROUNDED distance), and report per (subspace, code) the cell count
+    and mean quantization error — the codebook-balance/distortion
+    readout that decides whether a PQ index is usable before building
+    it.  Unbalanced cells (one code soaking up a subspace) mean the
+    codebook wastes bits; the per-cell MSE is the distortion floor.
+
+    Exactness contract: distances expand as
+    ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` — sequential-sum dot products
+    written in the same order as the DuckDB oracle's
+    ``list_dot_product`` — rounded to ``round_to`` BEFORE the argmin,
+    so the code choice is identical cross-engine even at an ulp
+    boundary; per-cell errors then accumulate as exact decimals.
+
+    Scale shape: pure map to (subspace, code, err) — |subspaces| rows
+    per vector — then one keyed agg to the |subspaces|·|codes| frame.
+    Output: ``subspace, code, n_vecs, mean_err`` ordered by
+    (subspace, code).
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % subspaces:
+        raise ValueError(f"dim {dim} not divisible by {subspaces} subspaces")
+    sub = dim // subspaces
+    book = pq_codebook(dim, subspaces, codes)
+
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    entries = []
+    for m in range(subspaces):
+        xm = F.slice(x, m * sub + 1, sub)
+        xx = V.dot(xm, xm)
+        dists = []
+        for k in range(codes):
+            c = book[m][k]
+            carr = F.array(*[F.lit(v) for v in c])
+            cc = float(sum(v * v for v in c))
+            dists.append(
+                F.round(xx - 2.0 * V.dot(xm, carr) + F.lit(cc), round_to)
+            )
+        # argmin with lowest-code tie-break: fold left, strict <
+        best_k = F.lit(0)
+        best_d = dists[0]
+        for k in range(1, codes):
+            is_better = dists[k] < best_d
+            best_k = F.when(is_better, F.lit(k)).otherwise(best_k)
+            best_d = F.when(is_better, dists[k]).otherwise(best_d)
+        entries.append(
+            F.struct(
+                F.lit(m).alias("subspace"),
+                best_k.alias("code"),
+                best_d.cast("decimal(18,6)").alias("err"),
+            )
+        )
+    per = df.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    return (
+        per.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("err").cast("double") / F.count(F.lit(1)), round_to
+            ).alias("mean_err"),
+        )
+        .orderBy("subspace", "code")
+    )

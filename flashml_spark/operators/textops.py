@@ -2310,3 +2310,181 @@ def packing_capacity_audit(
         ).alias("pad_waste_frac"),
         F.ceil(F.col("total_tokens") / cc).cast("bigint").alias("concat_shards"),
     ).orderBy("capacity")
+
+
+def shard_checksum_manifest(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Reproducibility manifest for a sharded training-data handoff:
+    per shard (``id % n_shards``), the row count, content size, and an
+    ORDER-FREE content checksum — the artifact two pipelines compare to
+    certify they materialized the same shard without re-reading it.
+
+    The checksum is deliberately COMMUTATIVE: per row,
+    ``md5(id || ':' || content_key)`` truncated to 15 hex digits (60
+    bits, always < 2^63) and SUMMED modulo 2^61−1 per shard.  A
+    sequential ``md5(string_agg(... ORDER BY id))`` would be
+    order-exact too but forces a per-shard global sort and a
+    single-reducer concat — the commutative sum is one map-side-combined
+    agg, insensitive to partitioning, and any single-row difference
+    still flips it.  (Mersenne-prime modulus keeps the sum in BIGINT in
+    every engine.)
+
+    Output: ``shard, n_docs, total_chars, checksum`` ordered by shard.
+    """
+    mod = (1 << 61) - 1
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col(content_col).cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(
+            (F.col(id_col) % n_shards).alias("shard"),
+            # sum in DECIMAL(38,0): a BIGINT Σ of 2^60-scale terms
+            # overflows past ~8 rows (ANSI error at scale)
+            row_h.cast("decimal(38,0)").alias("__h"),
+            F.length(F.col(content_col).cast("string")).alias("__len"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").cast("bigint").alias("total_chars"),
+            (F.sum("__h") % F.lit(mod)).cast("bigint").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def rag_chunk_plan(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Chunking audit for a RAG / retrieval indexing pipeline: sliding
+    windows of ``chunk_tokens`` at ``stride`` (overlap = chunk − stride)
+    over each document — per source, how many chunks the index will
+    hold, how much of the indexed token mass is overlap duplication,
+    and how many documents fit in a single chunk.  The arithmetic audit
+    that sizes the vector store BEFORE embedding anything.
+
+    Chunks per doc with n tokens: 1 if n <= chunk, else
+    ``ceil((n − chunk)/stride) + 1`` (the last window may be short —
+    indexed token mass counts actual tokens, min(chunk, n − i·stride)
+    per window, which telescopes to ``n + (chunks−1)·(chunk−stride)``
+    only when every interior window is full; short tails make the
+    closed form ``(chunks−1)·chunk + (n − (chunks−1)·stride)``).
+
+    All-integer arithmetic on the exact token counts — no float until
+    the final ROUND(frac, 6).  One scan + one keyed agg to |sources|.
+    Output: ``<group_col>, n_docs, n_chunks, single_chunk_docs,
+    indexed_tokens, raw_tokens, overlap_frac`` ordered by group.
+    """
+    c, s = int(chunk_tokens), int(stride)
+    if not (0 < s <= c):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {s}, {c}")
+    n = token_count(F.col(text_col)).cast("bigint")
+    chunks = F.when(n <= c, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((n - c).cast("double") / s).cast("bigint") + 1
+    )
+    indexed = F.when(n <= c, n).otherwise(
+        (chunks - 1) * c + (n - (chunks - 1) * s)
+    )
+    per = df.select(
+        F.col(group_col).alias("g"),
+        n.alias("__n"),
+        chunks.alias("__c"),
+        indexed.alias("__ix"),
+    )
+    return (
+        per.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__c").alias("n_chunks"),
+            F.sum(F.when(F.col("__n") <= c, 1).otherwise(0)).alias(
+                "single_chunk_docs"
+            ),
+            F.sum("__ix").alias("indexed_tokens"),
+            F.sum("__n").alias("raw_tokens"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_chunks",
+            "single_chunk_docs",
+            "indexed_tokens",
+            "raw_tokens",
+            F.round(
+                (F.col("indexed_tokens") - F.col("raw_tokens")).cast("double")
+                / F.col("indexed_tokens").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def mad_outlier_screen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screen on a numeric quality signal:
+    median and MAD (median absolute deviation) instead of mean/stddev —
+    the screen itself must not be dragged by the outliers it hunts
+    (one 10^9-char document moves a mean, not a median).  Flags rows
+    with ``|x − median| > k·MAD`` and reports per group.
+
+    Exactness: exact interpolated percentiles over INTEGER values land
+    on the 0.5 grid (and deviations on the 0.25 grid) — binary-exact
+    doubles in every engine, so the counts are oracle-stable with no
+    rounding step at all.
+
+    Scale shape: exact ``percentile`` holds one group's values in
+    memory per agg — fine for the |groups|-bounded screens this is for
+    (per-language, per-source); swap ``percentile_approx`` in at
+    unbounded group cardinality (the audit tolerates sketch error, the
+    oracle does not — documented trade).  Three passes: median agg →
+    broadcast join → deviation median agg → broadcast join → count.
+    Output: ``<group_col>, n_rows, med, mad, n_outliers`` by group.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    devs = df.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(v - F.col("med"))
+    )
+    mad = devs.groupBy(group_col).agg(
+        F.expr("percentile(__dev, 0.5)").alias("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("__dev") > F.lit(float(k)) * F.col("mad"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy(group_col)
+    )

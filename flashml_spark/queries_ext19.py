@@ -1,0 +1,333 @@
+"""Extension queries x255+ — round-9 additions.
+
+Corpus-OPERATIONS operators: the artifacts a production training-data
+pipeline publishes around its corpus — a real PNG decode audit over the
+new pure-struct codec (x255), temperature-scaled mixture weights
+(x256), an order-free shard checksum manifest (x257), a RAG chunk-plan
+audit (x258), a product-quantization codebook balance/distortion
+readout (x259), a MAD-robust outlier screen (x260), semi-hard negative
+mining off the dedup index (x261), and a per-source dedup survivorship
+report (x262).  Oracle discipline unchanged: exact integer/decimal
+accumulation before any float, correctly-rounded primitives (sqrt, not
+pow) where the default parameterization allows, one written operation
+order in both engines, Python-computed shared literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# x255 — REAL PNG encode→decode roundtrip audit over the whole corpus
+# (multimodal.png_roundtrip_audit): per doc_id, a two-tone id-derived
+# image is deflate-encoded (scanline filter cycling through all five
+# types with id % 5) and decoded back through the same pure-struct path
+# decode_media(fake=False) uses.  The oracle derives dims from the
+# generation arithmetic and the aHash from the two halves' luma order —
+# a hash match certifies the zlib→unfilter→luma→aHash chain bit-exactly
+# on every row (the planted-fixture pattern with the corpus as fixture).
+_PNG_SQL = """
+WITH p AS (SELECT doc_id,
+                  8 + doc_id % 9 AS w,
+                  4 + 2 * (doc_id % 3) AS h,
+                  (((doc_id * 37) % 256) * 299 + ((doc_id * 59) % 256) * 587
+                   + ((doc_id * 83) % 256) * 114) // 1000 AS lt,
+                  (((doc_id * 41 + 7) % 256) * 299
+                   + ((doc_id * 61 + 13) % 256) * 587
+                   + ((doc_id * 89 + 29) % 256) * 114) // 1000 AS lb
+           FROM documents)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CASE WHEN lt = lb THEN 'ffffffffffffffff'
+            WHEN lt > lb THEN '00000000ffffffff'
+            ELSE 'ffffffff00000000' END AS phash
+FROM p ORDER BY media_id"""
+
+
+@register("x255_png_roundtrip_audit", _PNG_SQL)
+def x255(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.png_roundtrip_audit(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x256 — temperature-scaled source mixture (alpha = 0.5, i.e. T = 2,
+# the XLM-style multilingual sampling rule): p_s ∝ sqrt(n_s) and the
+# implied effective epochs per source at a half-budget schedule.  sqrt
+# is correctly-rounded IEEE (unlike pow), the scaled masses quantize to
+# DECIMAL(18,6) so their total is an order-free exact sum, and the
+# final divisions share one written operation order.
+_TEMP_SQL = f"""
+WITH tok AS (SELECT source, CAST(len({_TOK}) AS BIGINT) AS t FROM documents),
+     per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS n_tokens
+             FROM tok GROUP BY source),
+     sc AS (SELECT source, n_tokens,
+                   CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS s
+            FROM per),
+     tot AS (SELECT CAST(SUM(s) AS DECIMAL(38,6)) AS ssum,
+                    CAST(SUM(n_tokens) AS DOUBLE) AS ntot
+             FROM sc)
+SELECT source, n_tokens,
+       ROUND(CAST(s AS DOUBLE) / CAST(ssum AS DOUBLE), 6) AS weight,
+       ROUND(0.5 * ntot * (CAST(s AS DOUBLE) / CAST(ssum AS DOUBLE))
+             / CAST(n_tokens AS DOUBLE), 6) AS eff_epochs
+FROM sc CROSS JOIN tot ORDER BY source"""
+
+
+@register("x256_temperature_mixture", _TEMP_SQL)
+def x256(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling, textops
+
+    docs = textops.with_token_count(
+        load_table(spark, sf, "documents"), "text"
+    )
+    return sampling.temperature_mixture_weights(
+        docs, "source", "n_tokens", alpha=0.5, budget_frac=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# x257 — order-free shard checksum manifest: per shard (doc_id % 8),
+# row count, char mass, and a COMMUTATIVE content checksum
+# (Σ md5-60-bit-prefix mod 2^61−1) — any single-row difference flips
+# it, no per-shard sort/concat needed (the scale argument for not
+# hashing an ordered string_agg).
+_MANIFEST_SQL = """
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                     1, 15)) AS BIGINT))
+            % 2305843009213693951 AS BIGINT) AS checksum
+FROM documents GROUP BY 1 ORDER BY shard"""
+
+
+@register("x257_shard_checksum_manifest", _MANIFEST_SQL)
+def x257(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.shard_checksum_manifest(docs, "doc_id", "text", n_shards=8)
+
+
+# --------------------------------------------------------------------------
+# x258 — RAG chunk-plan audit: sliding 64-token windows at stride 48;
+# per source, index size, overlap duplication fraction, single-chunk
+# docs.  All-integer arithmetic (ceil boundaries are exact: integer
+# quotients are exactly representable doubles), one ROUND(6) at the end.
+_CHUNK_SQL = f"""
+WITH tok AS (SELECT source, CAST(len({_TOK}) AS BIGINT) AS n FROM documents),
+     per AS (SELECT source, n,
+                    CASE WHEN n <= 64 THEN CAST(1 AS BIGINT)
+                         ELSE CAST(ceil(CAST(n - 64 AS DOUBLE) / 48)
+                                   AS BIGINT) + 1 END AS c
+             FROM tok),
+     ix AS (SELECT source, n, c,
+                   CASE WHEN n <= 64 THEN n
+                        ELSE (c - 1) * 64 + (n - (c - 1) * 48) END AS ixt
+            FROM per)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+           AS single_chunk_docs,
+       CAST(SUM(ixt) AS BIGINT) AS indexed_tokens,
+       CAST(SUM(n) AS BIGINT) AS raw_tokens,
+       ROUND(CAST(SUM(ixt) - SUM(n) AS DOUBLE) / CAST(SUM(ixt) AS DOUBLE), 6)
+           AS overlap_frac
+FROM ix GROUP BY source ORDER BY source"""
+
+
+@register("x258_rag_chunk_plan", _CHUNK_SQL)
+def x258(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.rag_chunk_plan(
+        docs, "text", "source", chunk_tokens=64, stride=48
+    )
+
+
+# --------------------------------------------------------------------------
+# x259 — product-quantization codebook audit: 64-dim embeddings split
+# into 4×16-dim subspaces, each assigned to the nearest of 4 literal
+# centroids (distances expanded dot(x,x) − 2·dot(x,c) + dot(c,c) in the
+# SAME written order both engines, ROUNDED before the argmin so the
+# code choice can't flip on an ulp; lowest-code tie-break).
+def _x259_sql() -> str:
+    from flashml_spark.operators.similarity import pq_codebook
+
+    book = pq_codebook(64, 4, 4)
+    sub = 16
+    pieces = []
+    for m in range(4):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        xm = f"x[{lo}:{hi}]"
+        dists = []
+        for k in range(4):
+            c = book[m][k]
+            carr = "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in c) + "]"
+            cc = float(sum(v * v for v in c))
+            dists.append(
+                f"ROUND(list_dot_product({xm}, {xm})"
+                f" - 2.0 * list_dot_product({xm}, {carr}) + {cc!r}, 6)"
+            )
+        d = dists
+        code = (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]}"
+            f" AND {d[0]} <= {d[3]} THEN 0"
+            f" WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1"
+            f" WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+        err = f"least({d[0]}, {d[1]}, {d[2]}, {d[3]})"
+        pieces.append(
+            f"SELECT {m} AS subspace, {code} AS code,"
+            f" CAST({err} AS DECIMAL(18,6)) AS err FROM v"
+        )
+    union = "\nUNION ALL\n".join(pieces)
+    return f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+     e AS ({union})
+SELECT subspace, code, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS mean_err
+FROM e GROUP BY subspace, code ORDER BY subspace, code"""
+
+
+@register("x259_pq_codebook_audit", _x259_sql())
+def x259(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_codebook_audit(emb, "embedding", subspaces=4, codes=4)
+
+
+# --------------------------------------------------------------------------
+# x260 — MAD-robust outlier screen on n_chars per language: median/MAD
+# instead of mean/stddev so the screen isn't dragged by what it hunts.
+# Integer inputs ⇒ interpolated percentiles land on the exact 0.5/0.25
+# grids — no rounding step anywhere.
+_MAD_SQL = """
+WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+             FROM documents GROUP BY lang),
+     dev AS (SELECT d.lang,
+                    abs(CAST(n_chars AS DOUBLE) - med.med) AS dv, med.med
+             FROM documents d JOIN med ON d.lang = med.lang),
+     mad AS (SELECT lang, quantile_cont(dv, 0.5) AS mad
+             FROM dev GROUP BY lang)
+SELECT dev.lang, COUNT(*) AS n_rows, MIN(dev.med) AS med, MIN(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dv > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad ON dev.lang = mad.lang
+GROUP BY dev.lang ORDER BY dev.lang"""
+
+
+@register("x260_mad_outlier_screen", _MAD_SQL)
+def x260(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.mad_outlier_screen(docs, "lang", "n_chars", k=3.0)
+
+
+# --------------------------------------------------------------------------
+# x261 — semi-hard negative mining off the dedup index: LSH candidate
+# pairs (x16's exact banding) whose signatures agree on 2..5 of 8
+# components — informative contrastive negatives below the near-dup
+# range.  The oracle mirrors hashing.py's minhash spec verbatim
+# (hash i = 8-hex slice i%4 of md5('<i//4>:' || shingle), same as
+# queries_ext2._mh_band_oracle).
+def _x261_sql(lo: int = 2, hi: int = 5) -> str:
+    def comp(i: int) -> str:
+        block, slot = i // 4, i % 4
+        return (
+            f"list_min(list_transform(shs,"
+            f" s -> substr(md5('{block}:' || s), {slot * 8 + 1}, 8))) AS sig{i}"
+        )
+
+    comps = ",\n                ".join(comp(i) for i in range(8))
+    bands = ", ".join(
+        f"'{b}|' || sig{2 * b} || '|' || sig{2 * b + 1}" for b in range(4)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+       sh AS (SELECT doc_id,
+                     list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) AS shs
+              FROM tok),
+       sig AS (SELECT doc_id,
+                {comps}
+               FROM sh),
+       bnd AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bnd a JOIN bnd b USING (band_key)
+                WHERE a.doc_id < b.doc_id),
+       ag AS (SELECT ({agree}) AS k_agree
+              FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b)
+SELECT k_agree, COUNT(*) AS n_pairs FROM ag
+WHERE k_agree BETWEEN {lo} AND {hi}
+GROUP BY k_agree ORDER BY k_agree"""
+
+
+@register("x261_semihard_negatives", _x261_sql())
+def x261(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.semihard_negative_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=2,
+        lo=2, hi=5,
+    )
+
+
+# --------------------------------------------------------------------------
+# x262 — per-source dedup survivorship: the accounting published with a
+# deduped corpus.  The oracle composes x16's band SQL with x35's
+# recursive-reachability components (imported builders — ONE spec, no
+# drift), then the per-source keep/remove/token arithmetic.
+def _x262_sql() -> str:
+    from flashml_spark.queries_ext2 import _mh_band_oracle
+
+    return f"""WITH RECURSIVE pairs AS ({_mh_band_oracle()}),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, lbl) AS (
+         SELECT src, src FROM sym
+         UNION
+         SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+       removed AS (SELECT id FROM reach GROUP BY id
+                   HAVING MIN(lbl) <> id),
+       tok AS (SELECT doc_id, source, CAST(len({_TOK}) AS BIGINT) AS t
+               FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN removed.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN removed.id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_removed,
+       CAST(SUM(t) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN removed.id IS NULL THEN t ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       ROUND(CAST(SUM(CASE WHEN removed.id IS NULL THEN 0 ELSE 1 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS removed_frac
+FROM tok LEFT JOIN removed ON tok.doc_id = removed.id
+GROUP BY source ORDER BY source"""
+
+
+@register("x262_dedup_survivorship", _x262_sql())
+def x262(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_survivorship(
+        docs, "text", "doc_id", "source", num_hashes=8, bands=4, shingle_n=2
+    )

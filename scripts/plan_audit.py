@@ -143,6 +143,8 @@ ACCEPTED_CROSS = {
     "1-row x 1-row counts/groups cross",
     "x253_markov_horizon_conversion": "horizon joins over the |states|^2 "
     "post-agg matrix frame",
+    "x256_temperature_mixture": "1-row scaled-mass/total broadcast onto "
+    "the |sources| frame",
 }
 
 

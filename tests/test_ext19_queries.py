@@ -1,0 +1,323 @@
+"""Unit tests for the round-9 extension operators (x255-x262) —
+constructed-fixture arithmetic, python mirrors, and planted-signal
+checks; the SQL oracles are covered by scripts/verify_replay.py."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- x255 PNG roundtrip audit ------------------------------------------------
+
+
+def test_png_roundtrip_audit_matches_direct_codec_calls(spark):
+    from flashml_spark.functions import codecs
+    from flashml_spark.operators.multimodal import png_roundtrip_audit
+
+    ids = [0, 1, 2, 3, 4, 7, 12, 23]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["media_id"]: r for r in png_roundtrip_audit(df).collect()}
+    for i in ids:
+        w, h = 8 + i % 9, 4 + 2 * (i % 3)
+        top = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+        bot = ((i * 41 + 7) % 256, (i * 61 + 13) % 256, (i * 89 + 29) % 256)
+        rows = [[top] * w for _ in range(h // 2)] + [
+            [bot] * w for _ in range(h // 2)
+        ]
+        expect = codecs.average_hash(codecs.png_grayscale(rows))
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+        assert got[i]["phash"] == expect
+    # the id mix above covers all five scanline filter types
+    assert {i % 5 for i in ids} == {0, 1, 2, 3, 4}
+
+
+def test_png_roundtrip_audit_two_tone_hash_logic(spark):
+    # the oracle's CASE: all-set when lumas tie, low-32 when top is
+    # brighter, high-32 otherwise
+    from flashml_spark.operators.multimodal import png_roundtrip_audit
+
+    df = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    for r in png_roundtrip_audit(df).collect():
+        i = r["media_id"]
+        lt = (
+            ((i * 37) % 256) * 299
+            + ((i * 59) % 256) * 587
+            + ((i * 83) % 256) * 114
+        ) // 1000
+        lb = (
+            ((i * 41 + 7) % 256) * 299
+            + ((i * 61 + 13) % 256) * 587
+            + ((i * 89 + 29) % 256) * 114
+        ) // 1000
+        expect = (
+            "f" * 16
+            if lt == lb
+            else ("00000000ffffffff" if lt > lb else "ffffffff00000000")
+        )
+        assert r["phash"] == expect, f"id {i}: lt={lt} lb={lb}"
+
+
+# --- x256 temperature mixture ------------------------------------------------
+
+
+def test_temperature_mixture_sqrt_exact_and_epochs(spark):
+    from flashml_spark.operators.sampling import temperature_mixture_weights
+
+    # perfect squares: sqrt exact, weights on clean ratios
+    rows = [("a", 100), ("b", 400)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            df, "source", "n_tokens", alpha=0.5, budget_frac=0.5
+        ).collect()
+    }
+    assert out["a"]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["b"]["weight"] == pytest.approx(2 / 3, abs=1e-6)
+    # eff_epochs = 0.5 * 500 * w / n: small source oversampled 2x more
+    assert out["a"]["eff_epochs"] == pytest.approx(
+        0.5 * 500 * (1 / 3) / 100, abs=1e-6
+    )
+    assert out["b"]["eff_epochs"] == pytest.approx(
+        0.5 * 500 * (2 / 3) / 400, abs=1e-6
+    )
+    assert out["a"]["eff_epochs"] > out["b"]["eff_epochs"]
+
+
+def test_temperature_mixture_weights_sum_to_one(spark):
+    from flashml_spark.operators.sampling import temperature_mixture_weights
+
+    rows = [(f"s{i}", 10 + 37 * i) for i in range(12)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = temperature_mixture_weights(df, "source", "n_tokens").collect()
+    assert sum(r["weight"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    # alpha < 1 flattens: weight ordering follows n but ratios compress
+    ws = {r["source"]: r["weight"] for r in out}
+    ns = dict(rows)
+    assert ws["s11"] / ws["s0"] < ns["s11"] / ns["s0"]
+
+
+# --- x257 shard checksum manifest --------------------------------------------
+
+
+def test_shard_checksum_matches_python_mirror_and_flips_on_change(spark):
+    from flashml_spark.operators.textops import shard_checksum_manifest
+
+    rows = [(i, f"doc number {i} body") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["shard"]: r for r in shard_checksum_manifest(df, "doc_id", "text").collect()}
+
+    mod = (1 << 61) - 1
+    expect: dict[int, int] = {}
+    for i, t in rows:
+        h = int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15], 16)
+        expect[i % 8] = (expect.get(i % 8, 0) + h) % mod
+    for s, r in out.items():
+        assert r["checksum"] == expect[s]
+        assert r["n_docs"] == len([i for i, _ in rows if i % 8 == s])
+    # single-row content flip changes exactly that shard's checksum
+    rows2 = [(i, t if i != 5 else t + "!") for i, t in rows]
+    out2 = {
+        r["shard"]: r["checksum"]
+        for r in shard_checksum_manifest(
+            spark.createDataFrame(rows2, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out2[5 % 8] != out[5 % 8]["checksum"]
+    assert all(out2[s] == out[s]["checksum"] for s in out if s != 5 % 8)
+
+
+# --- x258 RAG chunk plan ------------------------------------------------------
+
+
+def test_rag_chunk_plan_exact_arithmetic(spark):
+    from flashml_spark.operators.textops import rag_chunk_plan
+
+    def doc(n):
+        return " ".join(f"t{j}" for j in range(n))
+
+    rows = [
+        ("a", doc(10)),   # 1 chunk, indexed 10
+        ("a", doc(64)),   # 1 chunk, indexed 64
+        ("a", doc(65)),   # 2 chunks, indexed 64 + (65-48) = 81
+        ("b", doc(160)),  # ceil(96/48)+1 = 3 chunks, indexed 2*64 + (160-96) = 192
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in rag_chunk_plan(df, "text", "source").collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["n_chunks"], a["single_chunk_docs"]) == (3, 4, 2)
+    assert a["raw_tokens"] == 10 + 64 + 65
+    assert a["indexed_tokens"] == 10 + 64 + 81
+    assert a["overlap_frac"] == pytest.approx(
+        (155 - 139) / 155, abs=1e-6
+    )
+    b = out["b"]
+    assert (b["n_chunks"], b["indexed_tokens"], b["raw_tokens"]) == (3, 192, 160)
+
+
+def test_rag_chunk_plan_rejects_bad_stride(spark):
+    from flashml_spark.operators.textops import rag_chunk_plan
+
+    df = spark.createDataFrame([("a", "x")], "source string, text string")
+    with pytest.raises(ValueError, match="stride"):
+        rag_chunk_plan(df, "text", "source", chunk_tokens=32, stride=40)
+
+
+# --- x259 PQ codebook audit ---------------------------------------------------
+
+
+def test_pq_audit_counts_and_python_mirror(spark):
+    import random
+
+    from flashml_spark.operators.similarity import pq_codebook, pq_codebook_audit
+
+    rng = random.Random(5)
+    n, dim = 60, 64
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_codebook_audit(df, "embedding", subspaces=4, codes=4).collect()
+    # every vector lands in exactly one cell per subspace
+    assert sum(r["n_vecs"] for r in out) == 4 * n
+
+    book = pq_codebook(dim, 4, 4)
+    counts: dict[tuple[int, int], int] = {}
+    for v in vecs:
+        for m in range(4):
+            xm = v[m * 16 : (m + 1) * 16]
+            best_k, best_d = 0, None
+            for k in range(4):
+                c = book[m][k]
+                d = round(
+                    sum(x * x for x in xm)
+                    - 2.0 * sum(x * y for x, y in zip(xm, c))
+                    + sum(y * y for y in c),
+                    6,
+                )
+                if best_d is None or d < best_d:
+                    best_k, best_d = k, d
+            counts[(m, best_k)] = counts.get((m, best_k), 0) + 1
+    got = {(r["subspace"], r["code"]): r["n_vecs"] for r in out}
+    assert got == counts
+
+
+# --- x260 MAD outlier screen ---------------------------------------------------
+
+
+def test_mad_screen_flags_planted_outlier(spark):
+    from flashml_spark.operators.textops import mad_outlier_screen
+
+    vals = [100, 102, 98, 101, 99, 103, 97, 100, 5000]  # one monster
+    rows = [("en", v) for v in vals] + [("de", v) for v in (50, 52, 48)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r["lang"]: r for r in mad_outlier_screen(df, "lang", "n_chars").collect()}
+    en = out["en"]
+    assert en["med"] == 100.0
+    assert en["n_outliers"] == 1  # only the 5000
+    de = out["de"]
+    assert de["med"] == 50.0 and de["n_outliers"] == 0
+
+
+def test_mad_screen_median_grid_is_exact(spark):
+    # even-count group: interpolated median lands on .5 exactly
+    from flashml_spark.operators.textops import mad_outlier_screen
+
+    df = spark.createDataFrame(
+        [("x", v) for v in (1, 2, 3, 4)], "lang string, n_chars long"
+    )
+    r = mad_outlier_screen(df, "lang", "n_chars").first()
+    assert r["med"] == 2.5
+    assert r["mad"] == 1.0  # devs 1.5,0.5,0.5,1.5 -> median 1.0
+    assert r["n_outliers"] == 0
+
+
+# --- x261 semi-hard negatives ---------------------------------------------------
+
+
+def test_semihard_negatives_excludes_clones_and_disjoint(spark):
+    from flashml_spark.operators.dedup import semihard_negative_pairs
+
+    base = " ".join(f"w{j}" for j in range(30))
+    rows = [
+        (1, base),
+        (2, base),  # exact clone of 1: agrees 8/8 -> excluded (k > hi)
+        (3, " ".join(f"q{j}" for j in range(30))),  # disjoint: no band
+        # partial overlap with 1: shares a long prefix
+        (4, " ".join(f"w{j}" for j in range(18)) + " "
+            + " ".join(f"z{j}" for j in range(12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = semihard_negative_pairs(df, "text", "doc_id").collect()
+    ks = {r["k_agree"] for r in out}
+    assert all(2 <= k <= 5 for k in ks)
+    # the clone pair (k=8) and disjoint docs never appear; totals are
+    # bounded by the possible mixed pairs
+    total = sum(r["n_pairs"] for r in out)
+    assert total <= 4  # pairs among {1,2,4} minus the k=8 clone pair
+
+
+def test_semihard_histogram_matches_bruteforce_signatures(spark):
+    from flashml_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        semihard_negative_pairs,
+        with_minhash_signature,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 40}" for j in range(16)))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["k_agree"]: r["n_pairs"]
+        for r in semihard_negative_pairs(df, "text", "doc_id").collect()
+    }
+    sig = {
+        r["doc_id"]: tuple(r[f"sig{i}"] for i in range(8))
+        for r in with_minhash_signature(df, "text", 8, 2).collect()
+    }
+    cands = minhash_lsh_candidates(df, "text", "doc_id", 8, 4, 2).collect()
+    expect: dict[int, int] = {}
+    for r in cands:
+        k = sum(
+            1 for x, y in zip(sig[r["id_a"]], sig[r["id_b"]]) if x == y
+        )
+        if 2 <= k <= 5:
+            expect[k] = expect.get(k, 0) + 1
+    assert out == expect
+
+
+# --- x262 dedup survivorship ----------------------------------------------------
+
+
+def test_dedup_survivorship_accounts_planted_clones(spark):
+    from flashml_spark.operators.dedup import dedup_survivorship
+
+    uniq = [
+        (i, f"clean {i} " + " ".join(f"u{i}_{j}" for j in range(12)), "clean")
+        for i in range(6)
+    ]
+    base = " ".join(f"d{j}" for j in range(12))
+    dupes = [(100 + i, base, "dupey") for i in range(4)]  # 4 exact clones
+    df = spark.createDataFrame(
+        uniq + dupes, "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r for r in dedup_survivorship(df, "text", "doc_id", "source").collect()}
+    d = out["dupey"]
+    assert (d["n_docs"], d["n_kept"], d["n_removed"]) == (4, 1, 3)
+    assert d["removed_frac"] == pytest.approx(0.75, abs=1e-6)
+    assert d["tokens_kept"] * 4 == d["tokens_total"]
+    c = out["clean"]
+    assert c["n_removed"] == 0 and c["tokens_kept"] == c["tokens_total"]
+    # invariants
+    for r in out.values():
+        assert r["n_kept"] + r["n_removed"] == r["n_docs"]
+        assert r["tokens_kept"] <= r["tokens_total"]
