@@ -31,6 +31,36 @@ def md5_long(col: Column, n_hex: int = 12) -> Column:
     return F.conv(F.substring(md5_hex(col), 1, n_hex), 16, 10).cast("bigint")
 
 
+CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime: Σ-mod stays in BIGINT
+
+
+def content_checksum_term(id_col: Column, content_col: Column) -> Column:
+    """Per-row term of the COMMUTATIVE content checksum shared by the
+    batch shard manifest (``operators.textops.shard_checksum_manifest``)
+    and its streaming twin: ``md5(id || ':' || content)`` truncated to
+    15 hex digits (60 bits), as DECIMAL(38,0) so a shard's Σ cannot
+    overflow.  One expression, both engines' manifests comparable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        id_col.cast("string"),
+                        F.lit(":"),
+                        content_col.cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+
+
 def md5_uniform(col: Column) -> Column:
     """Deterministic uniform in (0, 1]: ``(first-8-hex-of-md5 + 1) / 2^32``
     — the engine-portable u behind every reproducible sampler here

@@ -2334,29 +2334,21 @@ def shard_checksum_manifest(
     every engine.)
 
     Output: ``shard, n_docs, total_chars, checksum`` ordered by shard.
+    The per-row term lives in ``functions.hashing.content_checksum_term``
+    so the streaming manifest twin
+    (``streaming.manifest.streaming_shard_checksum``) provably sums the
+    SAME terms — a converged stream manifest is directly comparable to
+    a batch one.
     """
-    mod = (1 << 61) - 1
-    row_h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    F.col(content_col).cast("string"),
-                ).cast("binary")
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    mod = H.CHECKSUM_MOD
     return (
         df.select(
             (F.col(id_col) % n_shards).alias("shard"),
-            # sum in DECIMAL(38,0): a BIGINT Σ of 2^60-scale terms
+            # DECIMAL(38,0) terms: a BIGINT Σ of 2^60-scale terms
             # overflows past ~8 rows (ANSI error at scale)
-            row_h.cast("decimal(38,0)").alias("__h"),
+            H.content_checksum_term(
+                F.col(id_col), F.col(content_col)
+            ).alias("__h"),
             F.length(F.col(content_col).cast("string")).alias("__len"),
         )
         .groupBy("shard")

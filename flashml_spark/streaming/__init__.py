@@ -28,3 +28,6 @@ from flashml_spark.streaming.stateful import (  # noqa: F401
     streaming_count_min,
     streaming_hll_distinct,
 )
+from flashml_spark.streaming.manifest import (  # noqa: F401
+    streaming_shard_checksum,
+)

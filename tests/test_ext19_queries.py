@@ -321,3 +321,58 @@ def test_dedup_survivorship_accounts_planted_clones(spark):
     for r in out.values():
         assert r["n_kept"] + r["n_removed"] == r["n_docs"]
         assert r["tokens_kept"] <= r["tokens_total"]
+
+
+# --- streaming manifest twin ------------------------------------------------
+
+
+def test_streaming_shard_checksum_converges_to_batch_manifest(spark, tmp_path):
+    """The commutative-checksum design pays off: the streaming manifest
+    over two micro-batches converges EXACTLY (integer-equal, not
+    approx) to the batch manifest of the union — same per-row term
+    (functions.hashing.content_checksum_term), summed order-free."""
+    import time
+
+    from flashml_spark.operators.textops import shard_checksum_manifest
+    from flashml_spark.streaming import streaming_shard_checksum
+
+    rows1 = [(i, f"body {i} alpha") for i in range(0, 30)]
+    rows2 = [(i, f"body {i} beta") for i in range(30, 50)]
+
+    def _frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "docs_src")
+    _frame(rows1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _frame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(_frame(rows1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_shard_checksum(stream, "doc_id", "text", n_shards=4)
+        .writeStream.format("memory")
+        .queryName("manifest_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["shard"]: (r["n_docs"], r["total_chars"], r["checksum"])
+        for r in spark.sql(
+            "SELECT shard, n_docs, total_chars, checksum FROM manifest_stream "
+            "WHERE (shard, n_docs) IN "
+            "(SELECT shard, MAX(n_docs) FROM manifest_stream GROUP BY shard)"
+        ).collect()
+    }
+    batch = {
+        r["shard"]: (r["n_docs"], r["total_chars"], r["checksum"])
+        for r in shard_checksum_manifest(
+            _frame(rows1 + rows2), "doc_id", "text", n_shards=4
+        ).collect()
+    }
+    assert got == batch  # integer-exact convergence, all shards
