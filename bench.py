@@ -264,6 +264,11 @@ HEADLINE = [
     "x252_embargo_split",
     "x253_markov_horizon_conversion",
     "x254_bucket_balanced_sample",
+    "x263_source_vocab_divergence",
+    "x264_dup_cluster_histogram",
+    "x265_embedding_isotropy",
+    "x266_lexical_diversity",
+    "x267_interarrival_burstiness",
     "x255_png_roundtrip_audit",
     "x256_temperature_mixture",
     "x257_shard_checksum_manifest",

@@ -1769,3 +1769,38 @@ def dedup_survivorship(
         )
         .orderBy(group_col)
     )
+
+
+def dup_cluster_size_histogram(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup observability
+    readout: after banded-LSH candidates → connected components, how
+    many clusters exist at each size ≥ 2?  A heavy tail (one giant
+    component) is the classic sign of a template/boilerplate artifact
+    chaining unrelated docs together, and the number to check BEFORE
+    trusting keep-one-per-cluster removal counts.
+
+    Scale shape: the candidate pass + component propagation the dedup
+    already runs, then two keyed aggs — components → sizes (|clusters|
+    rows) → histogram (|distinct sizes| rows).
+    Output: ``cluster_size, n_clusters`` ordered by size.
+    """
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.where(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

@@ -2633,3 +2633,71 @@ def markov_conversion_horizon(
     return v.select(
         F.col("s").alias("state"), F.round("v", 6).alias("p_conv_h")
     ).orderBy("state")
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event-type burstiness of user activity: the coefficient of
+    variation of inter-arrival gaps within each (type, user) stream —
+    CV ≈ 1 is Poisson-like, CV ≫ 1 is bursty (sessions/bots), CV ≪ 1
+    is metronomic (schedulers).  The traffic-shape screen a pipeline
+    runs before trusting rate-based features or sessionization
+    thresholds.
+
+    Exactness: gaps are exact BIGINT epoch-MICROsecond differences
+    (second-truncation would alias sub-second bursts to 0 and differs
+    across engines' casts); per type the audit accumulates n, Σd, Σd²
+    as exact integers/decimals and evaluates
+    ``CV = sqrt((n·Σd² − (Σd)²) / (n·(n−1))) / (Σd/n)`` in ONE written
+    double order — CV is unit-free, so µs vs s cancels; sqrt and each
+    division are correctly rounded over exact inputs, so the result is
+    engine-identical with a single final ROUND(6).
+
+    Scale shape: the lag window partitions by (type, user) — millions
+    of small partitions, never a global sort; then one keyed agg to the
+    |types| frame.  Output: ``<type_col>, n_gaps, mean_gap_s, cv``
+    ordered by type.
+    """
+    w = (
+        Window.partitionBy(type_col, user_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        if "event_id" in df.columns
+        else Window.partitionBy(type_col, user_col).orderBy(
+            F.col(ts_col).asc()
+        )
+    )
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        df.withColumn("__prev", F.lag(epoch).over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(
+            F.col(type_col).alias("t"),
+            (epoch - F.col("__prev")).alias("d"),
+        )
+    )
+    # Σ in DECIMAL(38,0): Σd² of µs gaps overflows a BIGINT accumulator
+    # (at real horizons even a single d² can: ANSI error), and the
+    # n·Σd² − (Σd)² difference must stay exact before the one cast
+    d_dec = F.col("d").cast("decimal(38,0)")
+    agg = gaps.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d_dec).alias("sd"),
+        F.sum(d_dec * d_dec).alias("sdd"),
+    )
+    n, sd, sdd = F.col("n"), F.col("sd"), F.col("sdd")
+    var = (n * sdd - sd * sd).cast("double") / (n * (n - 1)).cast("double")
+    mean = sd.cast("double") / n.cast("double")
+    return (
+        agg.where(n >= 2)
+        .select(
+            F.col("t").alias(type_col),
+            n.alias("n_gaps"),
+            F.round(mean / F.lit(1_000_000.0), 6).alias("mean_gap_s"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy(type_col)
+    )

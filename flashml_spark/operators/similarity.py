@@ -1265,3 +1265,60 @@ def pq_codebook_audit(
         )
         .orderBy("subspace", "code")
     )
+
+
+def embedding_isotropy_audit(
+    df: DataFrame, vec_col: str, round_to: int = 6
+) -> DataFrame:
+    """Isotropy/health audit of an embedding column: the corpus
+    centroid's norm relative to the mean vector norm, and the mean
+    cosine of each vector to the centroid.  Anisotropic embedding
+    spaces (all vectors leaning into one cone — mean cosine-to-centroid
+    near 1) are the classic failure that wrecks cosine-based dedup and
+    ANN recall; the audit to run before trusting any cosine threshold.
+
+    Exactness: cosine is scale-invariant, so the audit uses the EXACT
+    per-dimension SUM vector as the centroid direction — elements
+    quantized to DECIMAL(28,12) and summed order-free, with NO division
+    or rounding inside the plan (a float mean would ride on Σ-order and
+    round-mode ulps).  The sum vector re-enters the plan as
+    correctly-rounded double literals; per-row norms and cosines round
+    to ``round_to`` and accumulate as exact decimals.  The reported
+    ``centroid_norm`` is ``‖Σv‖ / n`` computed once on the driver.
+
+    Scale shape: one posexplode pass to |dims| partial sums (map-side
+    combined, |dims| scalars to the driver), one scan for the per-row
+    stats.  Output: ONE row — ``n_vecs, mean_norm, centroid_norm,
+    mean_cos_to_centroid``.
+    """
+    x = _as_double(F.col(vec_col))
+    exploded = df.select(F.posexplode(x).alias("pos", "v"))
+    cent = exploded.groupBy("pos").agg(
+        F.sum(F.col("v").cast("decimal(28,12)")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = cent.orderBy("pos").collect()  # |dims| scalars
+    svec = [float(r["c"]) for r in rows]  # exact decimal -> nearest double
+    n_vecs = int(rows[0]["n"]) if rows else 0
+    snorm = float(sum(v * v for v in svec)) ** 0.5  # left-to-right order
+    carr = F.array(*[F.lit(v) for v in svec])
+    per = df.select(
+        F.round(V.norm(x), round_to).cast("decimal(18,6)").alias("nrm"),
+        F.round(
+            V.dot(x, carr) / (V.norm(x) * F.lit(snorm)), round_to
+        )
+        .cast("decimal(18,6)")
+        .alias("cs"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("nrm").cast("double") / F.count(F.lit(1)), round_to
+        ).alias("mean_norm"),
+        F.round(F.lit(snorm / n_vecs if n_vecs else 0.0), round_to).alias(
+            "centroid_norm"
+        ),
+        F.round(
+            F.sum("cs").cast("double") / F.count(F.lit(1)), round_to
+        ).alias("mean_cos_to_centroid"),
+    )

@@ -2480,3 +2480,145 @@ def mad_outlier_screen(
         )
         .orderBy(group_col)
     )
+
+
+def source_vocab_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pairwise vocabulary divergence between sources — the mixture-
+    design diagnostic that says which corpus components are near-
+    duplicates of each other DISTRIBUTIONALLY (merge candidates) and
+    which are outliers (upweight candidates).  Distance is total
+    variation ``TV = ½ Σ |p_i − q_i|`` over each source's distribution
+    on the global top-``top_k`` vocabulary plus an "other" bucket.
+
+    TV instead of KL/JS deliberately: no transcendentals — and no
+    per-probability rounding either (ROUND(c/n, 6) hit a half-boundary
+    ulp skew between engines at sf0.001): the cross-multiplied integer
+    form ``TV(a,b) = Σ|c_i·n_b − d_i·n_a| / (2·n_a·n_b)`` keeps
+    EVERYTHING exact integers until one final double division +
+    ROUND(6), order-free in every engine (a log-based divergence would
+    ride on libm ulps).  The vocabulary is picked deterministically by
+    (global count desc, token asc).
+
+    Scale shape: one token explode + two keyed aggs; the pair frame is
+    |sources|² × (top_k+1) of POST-AGG rows — never row-level data.
+    Output: ``src_a, src_b, tv_divergence`` (src_a < src_b) ordered.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(H.tokens(F.col(text_col))).alias("t"),
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(top_k)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    bucketed = toks.join(F.broadcast(vocab), "t", "left").select(
+        "g",
+        F.when(F.col("__in_vocab").isNotNull(), F.col("t"))
+        .otherwise(F.lit("__other__"))
+        .alias("tok"),
+    )
+    per = bucketed.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = bucketed.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    # densify to the COMPLETE |sources| × (top_k+1) grid before pairing
+    # (a join on observed rows alone would silently drop the |c − 0|
+    # terms where one source lacks a vocab token)
+    grid = totals.select("g", "n").crossJoin(
+        bucketed.select("tok").distinct()
+    )
+    counts = grid.join(per, ["g", "tok"], "left").select(
+        "g",
+        "tok",
+        "n",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+    )
+    a = counts.select(
+        F.col("g").alias("src_a"),
+        "tok",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = counts.select(
+        F.col("g").alias("src_b"),
+        "tok",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "tok").where(F.col("src_a") < F.col("src_b"))
+    num = F.abs(
+        F.col("ca").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cb").cast("decimal(38,0)") * F.col("na")
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.sum(num).alias("__num"),
+            F.first("na").alias("__na"),
+            F.first("nb").alias("__nb"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("__num").cast("double")
+                / (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.col("__na")
+                    * F.col("__nb")
+                ).cast("double"),
+                6,
+            ).alias("tv_divergence"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-source lexical diversity: distinct token types, total tokens,
+    hapax legomena (tokens occurring exactly once IN THAT SOURCE), the
+    type-token ratio and hapax fraction — the cheap screens for
+    template/boilerplate-heavy sources (low TTR) and OCR-noise sources
+    (anomalously high hapax mass).  All-integer counting, two ROUND(6)
+    at the end.  One explode + keyed aggs; output |sources| rows:
+    ``<group_col>, n_tokens, n_types, n_hapax, ttr, hapax_frac``."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(H.tokens(F.col(text_col))).alias("t"),
+    )
+    freq = toks.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            ).alias("hapax_frac"),
+        )
+        .orderBy(group_col)
+    )

@@ -331,3 +331,172 @@ def x262(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_survivorship(
         docs, "text", "doc_id", "source", num_hashes=8, bands=4, shingle_n=2
     )
+
+
+# --------------------------------------------------------------------------
+# x263 — pairwise source vocabulary divergence: total variation on the
+# global-top-20-token (+other) distributions.  TV instead of KL/JS so
+# there are NO transcendentals — and the cross-multiplied integer form
+# ``Σ|c_i·n_b − d_i·n_a| / (2·n_a·n_b)`` so there is no per-probability
+# rounding either (ROUND(c/n, 6) hit a half-boundary ulp skew between
+# engines at sf0.001); one final double division + ROUND(6).
+_TV_SQL = f"""
+WITH toks AS (SELECT source AS g, unnest({_TOK}) AS t FROM documents),
+     vocab AS (SELECT t FROM toks GROUP BY t
+               ORDER BY COUNT(*) DESC, t LIMIT 20),
+     b AS (SELECT g, CASE WHEN t IN (SELECT t FROM vocab) THEN t
+                          ELSE '__other__' END AS tok FROM toks),
+     per AS (SELECT g, tok, COUNT(*) AS c FROM b GROUP BY g, tok),
+     totals AS (SELECT g, COUNT(*) AS n FROM b GROUP BY g),
+     grid AS (SELECT totals.g, totals.n, v.tok
+              FROM totals CROSS JOIN (SELECT DISTINCT tok FROM b) v),
+     cnts AS (SELECT grid.g, grid.tok, grid.n,
+                     CAST(COALESCE(per.c, 0) AS BIGINT) AS c
+              FROM grid LEFT JOIN per
+                ON grid.g = per.g AND grid.tok = per.tok)
+SELECT a.g AS src_a, b2.g AS src_b,
+       ROUND(CAST(SUM(abs(CAST(a.c AS HUGEINT) * b2.n
+                          - CAST(b2.c AS HUGEINT) * a.n)) AS DOUBLE)
+             / CAST(2 * CAST(MIN(a.n) AS HUGEINT) * MIN(b2.n) AS DOUBLE), 6)
+           AS tv_divergence
+FROM cnts a JOIN cnts b2 ON a.tok = b2.tok AND a.g < b2.g
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+@register("x263_source_vocab_divergence", _TV_SQL)
+def x263(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.source_vocab_divergence(docs, "text", "source", top_k=20)
+
+
+# --------------------------------------------------------------------------
+# x264 — duplicate-cluster size histogram: the dedup observability
+# readout (a giant component = template artifact, not duplication).
+# Oracle composes x16's band SQL + the recursive-reachability
+# components (same builders as x35/x262).
+def _x264_sql() -> str:
+    from flashml_spark.queries_ext2 import _mh_band_oracle
+
+    return f"""WITH RECURSIVE pairs AS ({_mh_band_oracle()}),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, lbl) AS (
+         SELECT src, src FROM sym
+         UNION
+         SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+       comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+       sizes AS (SELECT component, COUNT(*) AS cluster_size
+                 FROM comp GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters
+FROM sizes WHERE cluster_size >= 2
+GROUP BY 1 ORDER BY 1"""
+
+
+@register("x264_dup_cluster_histogram", _x264_sql())
+def x264(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import dedup
+
+    docs = load_table(spark, sf, "documents")
+    return dedup.dup_cluster_size_histogram(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=2
+    )
+
+
+# --------------------------------------------------------------------------
+# x265 — embedding isotropy audit: cosine is scale-invariant, so the
+# centroid DIRECTION is the exact per-dim DECIMAL(28,12) sum vector —
+# no float Σ, no division inside the plan; per-row cosines round to 6
+# and accumulate as exact decimals.
+_ISO_SQL = """
+WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     e AS (SELECT unnest(v) AS val,
+                  unnest(range(1, len(v) + 1)) AS pos
+           FROM x),
+     cent AS (SELECT pos, SUM(CAST(val AS DECIMAL(28,12))) AS c,
+                     COUNT(*) AS n
+              FROM e GROUP BY pos),
+     carr AS (SELECT list(CAST(c AS DOUBLE) ORDER BY pos) AS cl,
+                     MAX(n) AS n
+              FROM cent),
+     per AS (SELECT CAST(ROUND(sqrt(list_dot_product(v, v)), 6)
+                         AS DECIMAL(18,6)) AS nrm,
+                    CAST(ROUND(list_dot_product(v, cl)
+                               / (sqrt(list_dot_product(v, v))
+                                  * sqrt(list_dot_product(cl, cl))), 6)
+                         AS DECIMAL(18,6)) AS cs,
+                    cl, n
+             FROM x CROSS JOIN carr)
+SELECT COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+       ROUND(sqrt(list_dot_product(MIN(cl), MIN(cl))) / MIN(n), 6)
+           AS centroid_norm,
+       ROUND(CAST(SUM(cs) AS DOUBLE) / COUNT(*), 6) AS mean_cos_to_centroid
+FROM per"""
+
+
+@register("x265_embedding_isotropy", _ISO_SQL)
+def x265(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_isotropy_audit(emb, "embedding")
+
+
+# --------------------------------------------------------------------------
+# x266 — per-source lexical diversity: types, tokens, hapax legomena,
+# TTR and hapax fraction.  All-integer counting, two ROUND(6).
+_LEX_SQL = f"""
+WITH toks AS (SELECT source AS g, unnest({_TOK}) AS t FROM documents),
+     freq AS (SELECT g, t, COUNT(*) AS c FROM toks GROUP BY g, t),
+     agg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS n_types,
+                    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_hapax
+             FROM freq GROUP BY g)
+SELECT g AS source, n_tokens, n_types, n_hapax,
+       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+           AS hapax_frac
+FROM agg ORDER BY source"""
+
+
+@register("x266_lexical_diversity", _LEX_SQL)
+def x266(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.lexical_diversity(docs, "text", "source")
+
+
+# --------------------------------------------------------------------------
+# x267 — inter-arrival burstiness per event type: CV of within-(type,
+# user) gap distributions over exact µs integers; CV is unit-free, sqrt
+# and divisions correctly rounded in one written order.
+_BURST_SQL = """
+WITH g AS (SELECT event_type AS t,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY event_type, user_id
+                      ORDER BY ts, event_id) AS d
+           FROM events),
+     a AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(d AS HUGEINT)) AS sd,
+                  SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+           FROM g WHERE d IS NOT NULL GROUP BY t)
+SELECT t AS event_type, n AS n_gaps,
+       ROUND(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+           AS mean_gap_s,
+       ROUND(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE))
+             / (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
+FROM a WHERE n >= 2 ORDER BY event_type"""
+
+
+@register("x267_interarrival_burstiness", _BURST_SQL)
+def x267(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import events
+
+    ev = load_table(spark, sf, "events")
+    return events.interarrival_burstiness(ev, "event_type", "user_id", "ts")

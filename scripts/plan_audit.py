@@ -145,6 +145,8 @@ ACCEPTED_CROSS = {
     "post-agg matrix frame",
     "x256_temperature_mixture": "1-row scaled-mass/total broadcast onto "
     "the |sources| frame",
+    "x263_source_vocab_divergence": "|sources| x (top_k+1) grid "
+    "densification cross - both sides post-agg bounded frames",
 }
 
 

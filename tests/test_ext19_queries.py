@@ -376,3 +376,181 @@ def test_streaming_shard_checksum_converges_to_batch_manifest(spark, tmp_path):
         ).collect()
     }
     assert got == batch  # integer-exact convergence, all shards
+
+
+# --- x263 source vocab divergence ---------------------------------------------
+
+
+def test_tv_divergence_identical_sources_zero_disjoint_near_one(spark):
+    from flashml_spark.operators.textops import source_vocab_divergence
+
+    same = "alpha beta gamma delta alpha beta"
+    rows = (
+        [("a", same)] * 3
+        + [("b", same)] * 3
+        + [("c", "zeta eta theta iota zeta eta")] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["src_a"], r["src_b"]): r["tv_divergence"]
+        for r in source_vocab_divergence(df, "text", "source").collect()
+    }
+    assert out[("a", "b")] == pytest.approx(0.0, abs=1e-6)
+    # fully disjoint vocabularies: TV = 1 (both distributions fit in
+    # the top-20 vocab, so no mass hides in __other__)
+    assert out[("a", "c")] == pytest.approx(1.0, abs=1e-4)
+    assert out[("b", "c")] == out[("a", "c")]
+    # symmetric pairs emitted once, src_a < src_b
+    assert all(a < b for a, b in out)
+
+
+def test_tv_divergence_counts_missing_vocab_tokens(spark):
+    # regression for the densification fix: a token present in one
+    # source and absent in the other must contribute its full |p - 0|
+    from flashml_spark.operators.textops import source_vocab_divergence
+
+    rows = [("a", "x x x x"), ("b", "x x x y")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = source_vocab_divergence(df, "text", "source", top_k=5).first()
+    # p_a = {x:1.0}; p_b = {x:.75, y:.25}; TV = (|1-.75| + |0-.25|)/2 = .25
+    assert r["tv_divergence"] == pytest.approx(0.25, abs=1e-6)
+
+
+# --- x264 dup cluster histogram -------------------------------------------------
+
+
+def test_dup_cluster_histogram_planted_sizes(spark):
+    from flashml_spark.operators.dedup import dup_cluster_size_histogram
+
+    def words(tag, n=14):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = (
+        [(i, words("a")) for i in range(3)]          # one 3-cluster
+        + [(10 + i, words("b")) for i in range(2)]   # one 2-cluster
+        + [(20 + i, words("c")) for i in range(2)]   # another 2-cluster
+        + [(30 + i, words(f"u{i}")) for i in range(5)]  # singletons
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in dup_cluster_size_histogram(df, "text", "doc_id").collect()
+    }
+    assert out == {2: 2, 3: 1}
+
+
+# --- x265 embedding isotropy ------------------------------------------------------
+
+
+def test_isotropy_detects_coned_vs_centered(spark):
+    import random
+
+    from flashml_spark.operators.similarity import embedding_isotropy_audit
+
+    rng = random.Random(11)
+    centered = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)
+    ]
+    coned = [
+        (i, [5.0 + rng.gauss(0, 0.3) for _ in range(16)]) for i in range(80)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    r_cent = embedding_isotropy_audit(
+        spark.createDataFrame(centered, schema), "embedding"
+    ).first()
+    r_cone = embedding_isotropy_audit(
+        spark.createDataFrame(coned, schema), "embedding"
+    ).first()
+    assert r_cone["mean_cos_to_centroid"] > 0.98  # everything in a cone
+    assert r_cent["mean_cos_to_centroid"] < 0.6   # roughly isotropic
+    assert r_cent["n_vecs"] == r_cone["n_vecs"] == 80
+    # centroid norm of the centered cloud is near 0 vs the cone's ~20
+    assert r_cent["centroid_norm"] < 1.0 < r_cone["centroid_norm"]
+
+
+# --- x266 lexical diversity -------------------------------------------------------
+
+
+def test_lexical_diversity_exact_counts(spark):
+    from flashml_spark.operators.textops import lexical_diversity
+
+    rows = [
+        ("a", "w w w x"),        # tokens 4, types 2, hapax {x}
+        ("a", "y"),              # +1 token, +1 type, hapax {y}
+        ("b", "p q r"),          # all hapax
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in lexical_diversity(df, "text", "source").collect()}
+    a = out["a"]
+    assert (a["n_tokens"], a["n_types"], a["n_hapax"]) == (5, 3, 2)
+    assert a["ttr"] == pytest.approx(3 / 5, abs=1e-6)
+    assert a["hapax_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    b = out["b"]
+    assert (b["n_tokens"], b["n_types"], b["n_hapax"]) == (3, 3, 3)
+    assert b["ttr"] == 1.0 and b["hapax_frac"] == 1.0
+
+
+# --- x267 inter-arrival burstiness -------------------------------------------------
+
+
+def test_burstiness_metronome_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import interarrival_burstiness
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # metronomic: exactly every 10s -> CV = 0
+    for i in range(20):
+        rows.append((i, t0 + timedelta(seconds=10 * i), 1, "tick", 0.0, "{}"))
+    # bursty: gaps alternate 1s and 3600s -> CV >> 1? (CV ~ 1 for
+    # alternating two-point; use extreme spread)
+    t = t0
+    for i in range(20):
+        t = t + timedelta(seconds=1 if i % 2 else 3600)
+        rows.append((100 + i, t, 2, "burst", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_type"]: r for r in interarrival_burstiness(df).collect()}
+    assert out["tick"]["cv"] == 0.0
+    assert out["tick"]["mean_gap_s"] == pytest.approx(10.0, abs=1e-6)
+    assert out["burst"]["cv"] > 0.9
+    assert out["tick"]["n_gaps"] == 19 and out["burst"]["n_gaps"] == 19
+
+
+def test_burstiness_python_mirror(spark):
+    import math as m
+    import random
+    from datetime import datetime, timedelta
+
+    from flashml_spark.operators.events import interarrival_burstiness
+
+    rng = random.Random(3)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    gaps = []
+    t = t0
+    for i in range(30):
+        g = rng.randint(1, 500)
+        gaps.append(g)
+        t = t + timedelta(seconds=g)
+        rows.append((i, t, 7, "e", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = interarrival_burstiness(df).first()
+    d = [g * 1_000_000 for g in gaps[1:]]  # first row has no gap... 
+    # careful: all 30 events are one stream; gaps BETWEEN events = 29,
+    # which are gaps[1:] (gaps[0] is vs t0, not an event)
+    n = len(d)
+    sd, sdd = sum(d), sum(x * x for x in d)
+    mean = sd / n
+    cv = m.sqrt((n * sdd - sd * sd) / (n * (n - 1))) / mean
+    assert r["n_gaps"] == n
+    assert r["mean_gap_s"] == pytest.approx(mean / 1e6, abs=1e-5)
+    assert r["cv"] == pytest.approx(cv, abs=1e-5)
