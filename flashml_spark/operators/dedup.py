@@ -124,6 +124,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 2,
+    sigged: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing ANY band bucket are candidates.
@@ -131,8 +132,15 @@ def minhash_lsh_candidates(
     Scale shape: explode to (band_id, band_key, doc) — one shuffle on the
     band key; self-join within buckets is co-partitioned.  Output distinct
     ``(id_a, id_b)`` with id_a < id_b.
+
+    Callers that ALSO need the signatures (agreement counting, banding
+    profiles) pass their ``with_minhash_signature`` frame as ``sigged``
+    so the corpus pays ONE signature pass, not two — the r9 fix for the
+    planner/semi-hard-negative double-pass (the caller is responsible
+    for ``sigged`` matching ``num_hashes``/``shingle_n``).
     """
-    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
+    if sigged is None:
+        sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
     exploded = sigged.select(
         F.col(id_col),
         F.explode(band_key_array(num_hashes, bands)).alias("band_key"),
@@ -1579,7 +1587,7 @@ def lsh_banding_planner(
     sig_cols = [f"sig{i}" for i in range(num_hashes)]
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=probe_bands,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, sigged=sigged,  # ONE signature pass (r9)
     )
     a = sigged.select(
         F.col(id_col).alias("id_a"),
@@ -1684,7 +1692,7 @@ def semihard_negative_pairs(
     sig_cols = [f"sig{i}" for i in range(num_hashes)]
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, sigged=sigged,  # ONE signature pass (r9)
     )
     a = sigged.select(
         F.col(id_col).alias("id_a"),
