@@ -269,6 +269,7 @@ HEADLINE = [
     "x265_embedding_isotropy",
     "x266_lexical_diversity",
     "x267_interarrival_burstiness",
+    "x268_bloom_decontamination",
     "x255_png_roundtrip_audit",
     "x256_temperature_mixture",
     "x257_shard_checksum_manifest",

@@ -2622,3 +2622,136 @@ def lexical_diversity(
         )
         .orderBy(group_col)
     )
+
+
+def bloom_decontamination_screen(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter exact-match decontamination screen, with the
+    false-positive rate MEASURED instead of assumed: the eval set's
+    content digests populate a ``bits``-bit Bloom filter (``k`` md5-
+    derived positions per digest) which probes the training corpus as a
+    broadcast bitmap — the O(1)-state screen a pipeline runs on every
+    ingestion batch, where the exact digest anti-join (x178's approach)
+    would re-shuffle the corpus each time.  The audit joins the flags
+    against exact membership to report how many flagged docs are REAL
+    contamination vs Bloom collisions at this (bits, k, |eval|)
+    operating point — the number that decides whether flagged docs can
+    be dropped blindly or must be verified.
+
+    The bitmap ships as ``bits/64`` literal 64-bit words (a 4096-bit
+    filter is 64 longs — broadcast-trivial; production sizes of 10^9
+    bits are ~16 MB, still a broadcast).  Probing is per-row JVM bit
+    arithmetic: ``word[pos >> 6] & (1 << (pos & 63))`` for each of the
+    k positions — pure map, zero shuffle on the corpus side.
+
+    Determinism: positions are md5-slice arithmetic (no JVM hashCode),
+    so the flagged set is engine-reproducible and the SQL oracle can
+    derive it from the same position-set semantics (membership in the
+    filter ⇔ all k positions occupied — identical by construction, no
+    bitmap mechanics needed in SQL).
+
+    Output: ONE row — ``n_train, n_eval_digests, n_flagged, n_true,
+    n_false_pos, fp_rate`` (fp_rate over the CLEAN population, the
+    classic Bloom FP definition; ROUND(6)).
+    """
+    if bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two, got {bits}")
+
+    def positions(col):
+        digest = F.md5(col.cast("binary"))
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), digest).cast("binary")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                % bits
+            )
+            for i in range(k)
+        ]
+
+    ev = eval_df.select(
+        F.md5(F.col(text_col).cast("binary")).alias("__digest"),
+        *[p.alias(f"__p{i}") for i, p in enumerate(positions(F.col(text_col)))],
+    ).dropDuplicates(["__digest"])
+    occupied = sorted(
+        r["p"]
+        for r in ev.select(
+            F.explode(F.array(*[f"__p{i}" for i in range(k)])).alias("p")
+        )
+        .distinct()
+        .collect()  # ≤ |eval|·k ints — the eval benchmark is small by definition
+    )
+    n_eval = ev.count()
+    words = [0] * (bits // 64)
+    for p in occupied:
+        words[p >> 6] |= 1 << (p & 63)
+    # JVM longs are signed: re-express words (and the bit-mask lookup)
+    # in two's complement so no literal exceeds 2^63−1; bitwiseAND is
+    # bit-level, so sign never affects the membership test
+    def _signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    warr = F.array(*[F.lit(_signed(w)).cast("bigint") for w in words])
+    masks = F.array(
+        *[F.lit(_signed(1 << j)).cast("bigint") for j in range(64)]
+    )
+
+    probe_hits = [
+        (
+            F.element_at(warr, (p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(masks, (p % 64).cast("int") + 1)
+            )
+            != 0
+        )
+        for p in positions(F.col(text_col))
+    ]
+    flagged = probe_hits[0]
+    for h in probe_hits[1:]:
+        flagged = flagged & h
+    eval_digests = ev.select(F.col("__digest").alias("__ed"))
+    probed = train.select(
+        F.md5(F.col(text_col).cast("binary")).alias("__digest"),
+        flagged.cast("int").alias("__flagged"),
+    ).join(
+        F.broadcast(eval_digests),
+        F.col("__digest") == F.col("__ed"),
+        "left",
+    )
+    return probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.lit(n_eval).cast("bigint").alias("n_eval_digests"),
+        F.sum("__flagged").cast("bigint").alias("n_flagged"),
+        F.sum(
+            F.when(F.col("__ed").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(
+            F.when(F.col("__ed").isNull() & (F.col("__flagged") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum(
+                F.when(F.col("__ed").isNull() & (F.col("__flagged") == 1), 1)
+                .otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(F.col("__ed").isNull(), 1).otherwise(0)).cast(
+                "double"
+            ),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -500,3 +500,56 @@ def x267(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     return events.interarrival_burstiness(ev, "event_type", "user_id", "ts")
+
+
+# --------------------------------------------------------------------------
+# x268 — Bloom decontamination screen with MEASURED false positives:
+# eval set = docs with doc_id % 97 = 0; their digests populate a
+# 4096-bit / 3-hash Bloom filter that probes the whole corpus as a
+# broadcast bitmap (64 literal longs).  The oracle derives the flagged
+# set from the identical position-set semantics (all k md5-slice
+# positions occupied) — membership is equal BY CONSTRUCTION, no bitmap
+# mechanics in SQL — and the exact digest join splits flags into true
+# contamination vs Bloom collisions.
+def _x268_sql(bits: int = 4096, k: int = 3) -> str:
+    probes = ", ".join(
+        f"CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || d), 1, 8))"
+        f" AS BIGINT) % {bits}"
+        for i in range(k)
+    )
+    return f"""
+WITH ev AS (SELECT DISTINCT md5(text) AS d FROM documents
+            WHERE doc_id % 97 = 0),
+     pos AS (SELECT DISTINCT unnest([{probes}]) AS p FROM ev),
+     tr AS (SELECT doc_id, md5(text) AS d FROM documents),
+     tp AS (SELECT doc_id, d, unnest([{probes}]) AS p FROM tr),
+     hits AS (SELECT tp.doc_id, MIN(tp.d) AS d,
+                     COUNT(pos.p) AS hit
+              FROM tp LEFT JOIN pos ON tp.p = pos.p
+              GROUP BY tp.doc_id),
+     probe AS (SELECT hits.doc_id,
+                      CASE WHEN hit = {k} THEN 1 ELSE 0 END AS flagged,
+                      CASE WHEN ev.d IS NULL THEN 0 ELSE 1 END AS is_true
+               FROM hits LEFT JOIN ev ON hits.d = ev.d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_eval_digests,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN flagged = 1 AND is_true = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN flagged = 1 AND is_true = 0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN is_true = 0 THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS fp_rate
+FROM probe"""
+
+
+@register("x268_bloom_decontamination", _x268_sql())
+def x268(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    return textops.bloom_decontamination_screen(
+        docs, ev, "text", bits=4096, k=3
+    )

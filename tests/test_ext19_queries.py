@@ -554,3 +554,46 @@ def test_burstiness_python_mirror(spark):
     assert r["n_gaps"] == n
     assert r["mean_gap_s"] == pytest.approx(mean / 1e6, abs=1e-5)
     assert r["cv"] == pytest.approx(cv, abs=1e-5)
+
+
+# --- x268 bloom decontamination ----------------------------------------------
+
+
+def test_bloom_screen_no_false_negatives_and_exact_accounting(spark):
+    from flashml_spark.operators.textops import bloom_decontamination_screen
+
+    train = [(i, f"train doc {i} body text") for i in range(200)]
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    ev = df.where(F.col("doc_id") % 10 == 0)  # 20 true contaminants
+    r = bloom_decontamination_screen(df, ev, "text", bits=4096, k=3).first()
+    assert r["n_train"] == 200
+    assert r["n_eval_digests"] == 20
+    assert r["n_true"] == 20
+    # Bloom filters have NO false negatives: every true contaminant is
+    # flagged, so n_flagged = n_true + n_false_pos always
+    assert r["n_flagged"] == r["n_true"] + r["n_false_pos"]
+    assert r["n_flagged"] >= 20
+    assert r["fp_rate"] == pytest.approx(r["n_false_pos"] / 180, abs=1e-6)
+
+
+def test_bloom_screen_tiny_filter_forces_collisions(spark):
+    # 64 bits / 3 hashes with 20 eval digests saturates the filter:
+    # expected fp rate (1 - e^{-kn/m})^k is large — the MEASURED rate
+    # must reflect that, proving the accounting catches collisions
+    from flashml_spark.operators.textops import bloom_decontamination_screen
+
+    train = [(i, f"doc {i} payload") for i in range(300)]
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    ev = df.where(F.col("doc_id") % 15 == 0)
+    r = bloom_decontamination_screen(df, ev, "text", bits=64, k=3).first()
+    assert r["n_false_pos"] > 0
+    assert r["fp_rate"] > 0.1
+    assert r["n_flagged"] == r["n_true"] + r["n_false_pos"]
+
+
+def test_bloom_screen_rejects_non_power_of_two(spark):
+    from flashml_spark.operators.textops import bloom_decontamination_screen
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_decontamination_screen(df, df, "text", bits=1000)
