@@ -265,7 +265,7 @@ HEADLINE = [
     "x253_markov_horizon_conversion",
     "x254_bucket_balanced_sample",
     "x263_source_vocab_divergence",
-    "x264_dup_cluster_histogram",
+    "x264_neardup_cluster_histogram",
     "x265_embedding_isotropy",
     "x266_lexical_diversity",
     "x267_interarrival_burstiness",

@@ -1779,7 +1779,7 @@ def dedup_survivorship(
     )
 
 
-def dup_cluster_size_histogram(
+def neardup_cluster_size_histogram(
     df: DataFrame,
     text_col: str,
     id_col: str,

@@ -395,12 +395,12 @@ FROM sizes WHERE cluster_size >= 2
 GROUP BY 1 ORDER BY 1"""
 
 
-@register("x264_dup_cluster_histogram", _x264_sql())
+@register("x264_neardup_cluster_histogram", _x264_sql())
 def x264(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import dedup
 
     docs = load_table(spark, sf, "documents")
-    return dedup.dup_cluster_size_histogram(
+    return dedup.neardup_cluster_size_histogram(
         docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=2
     )
 

@@ -165,6 +165,21 @@ PROBES = [
     "x251_group_fold_split",
     "x252_embargo_split",
     "x254_bucket_balanced_sample",
+    # r9 additions (probed same round — no slope debt carried forward)
+    "x255_png_roundtrip_audit",
+    "x256_temperature_mixture",
+    "x257_shard_checksum_manifest",
+    "x258_rag_chunk_plan",
+    "x259_pq_codebook_audit",
+    "x260_mad_outlier_screen",
+    "x261_semihard_negatives",
+    "x262_dedup_survivorship",
+    "x263_source_vocab_divergence",
+    "x264_dup_cluster_histogram",
+    "x265_embedding_isotropy",
+    "x266_lexical_diversity",
+    "x267_interarrival_burstiness",
+    "x268_bloom_decontamination",
 ]
 
 

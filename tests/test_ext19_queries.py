@@ -420,7 +420,7 @@ def test_tv_divergence_counts_missing_vocab_tokens(spark):
 
 
 def test_dup_cluster_histogram_planted_sizes(spark):
-    from flashml_spark.operators.dedup import dup_cluster_size_histogram
+    from flashml_spark.operators.dedup import neardup_cluster_size_histogram
 
     def words(tag, n=14):
         return " ".join(f"{tag}{j}" for j in range(n))
@@ -434,7 +434,7 @@ def test_dup_cluster_histogram_planted_sizes(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
         r["cluster_size"]: r["n_clusters"]
-        for r in dup_cluster_size_histogram(df, "text", "doc_id").collect()
+        for r in neardup_cluster_size_histogram(df, "text", "doc_id").collect()
     }
     assert out == {2: 2, 3: 1}
 
