@@ -175,7 +175,7 @@ PROBES = [
     "x261_semihard_negatives",
     "x262_dedup_survivorship",
     "x263_source_vocab_divergence",
-    "x264_dup_cluster_histogram",
+    "x264_neardup_cluster_histogram",
     "x265_embedding_isotropy",
     "x266_lexical_diversity",
     "x267_interarrival_burstiness",
