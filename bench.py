@@ -270,6 +270,7 @@ HEADLINE = [
     "x266_lexical_diversity",
     "x267_interarrival_burstiness",
     "x268_bloom_decontamination",
+    "x269_constrained_waterfill",
     "x255_png_roundtrip_audit",
     "x256_temperature_mixture",
     "x257_shard_checksum_manifest",

@@ -840,3 +840,134 @@ def temperature_mixture_weights(
         )
         .orderBy(group_col)
     )
+
+
+def constrained_waterfill_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget_frac: float = 0.9,
+    floor_frac: float = 0.02,
+    cap_frac: float = 0.5,
+    group_domain_hint: int | None = 64,
+) -> DataFrame:
+    """Water-filling with per-source FLOORS and CAPS — the mixture
+    policy real pretraining recipes ship ("every source keeps at least
+    2% of its material; no source exceeds 50% of the budget"):
+
+      1. every source first receives ``floor_s = avail_s · floor_frac``
+         (availability-proportional, so floors are always feasible and
+         ``Σ floor_s <= budget`` holds whenever ``floor_frac <=
+         budget_frac`` — validated);
+      2. each source's TOTAL allocation is bounded by
+         ``cap = cap_frac · budget``;
+      3. the residual budget waterfills over the residual
+         availabilities ``max(0, min(avail, cap) − floor)`` with the
+         SAME sorted-prefix closed form as
+         :func:`waterfill_source_allocation` — clamping reduces the
+         constrained problem to the unconstrained one on transformed
+         inputs.
+
+    Exactness mirrors x250: every policy quantity is an exact integer
+    in MICRO-tokens — ``floor_micro = avail · round(floor_frac·10^6)``;
+    the cap is floor-quantized once,
+    ``cap_micro = (total · cap_num · 10^6) div cap_den`` with the
+    cap-times-budget fraction reduced exactly; the residual cap test is
+    the cross-multiplied integer form and the residual level is a
+    single floor division.  No float anywhere; output hashes cannot
+    ride on an engine's round mode.
+
+    Output: ``<group_col>, avail_tokens, floor_micro_tokens,
+    alloc_micro_tokens, at_bound`` ordered by group —
+    ``alloc_micro_tokens`` includes the floor; ``at_bound`` = 1 when
+    the source's residual was fully consumed (exhausted OR cap-hit).
+    """
+    from fractions import Fraction
+
+    from flashml_spark.functions.windows import global_cumsum
+
+    if not (0.0 <= floor_frac <= budget_frac <= 1.0):
+        raise ValueError(
+            f"need 0 <= floor_frac <= budget_frac <= 1, got "
+            f"{floor_frac}, {budget_frac}"
+        )
+    floor_micro = int(round(floor_frac * 1_000_000))
+    budget_q = Fraction(int(round(budget_frac * 1_000_000)), 1_000_000)
+    capxb = Fraction(int(round(cap_frac * 1_000_000)), 1_000_000) * budget_q
+    bq_mult = 1_000_000 * budget_q.numerator // budget_q.denominator
+    cb_num, cb_den = capxb.numerator, capxb.denominator
+
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("avail_tokens")
+    )
+    totals = per.agg(
+        F.sum("avail_tokens").alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    staged = per.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "avail_tokens",
+        (F.col("avail_tokens") * F.lit(floor_micro)).alias("__floor"),
+        F.greatest(
+            F.least(
+                F.col("avail_tokens") * F.lit(1_000_000).cast("bigint"),
+                F.expr(f"(__total * {cb_num}L * 1000000L) div {cb_den}L"),
+            )
+            - F.col("avail_tokens") * F.lit(floor_micro),
+            F.lit(0).cast("bigint"),
+        ).alias("__resid"),
+        # residual budget: budget_micro − Σ floors = total·(bq − floor)·10^6
+        (F.col("__total") * F.lit(bq_mult - floor_micro)).alias("__rbudget"),
+        "__n",
+    )
+    cum = global_cumsum(
+        staged.withColumn("__one", F.lit(1)),
+        "__resid",
+        ["__resid", "__one"],
+        rows_hint=group_domain_hint,
+        prefix="__c_",
+        tiebreak_cols=[group_col],
+    )
+    flagged = cum.withColumn(
+        "at_bound",
+        F.when(
+            F.col("__resid")
+            * (F.col("__n") - F.col("__c___one") + F.lit(1).cast("bigint"))
+            <= F.col("__rbudget")
+            - (F.col("__c___resid") - F.col("__resid")),
+            1,
+        ).otherwise(0),
+    )
+    caps = flagged.agg(
+        F.sum(
+            F.when(F.col("at_bound") == 1, F.col("__resid")).otherwise(0)
+        ).alias("__bound_sum"),
+        F.sum("at_bound").cast("bigint").alias("__n_bound"),
+        F.first("__rbudget").alias("__rb"),
+        F.first("__n").alias("__nn"),
+    ).select(
+        F.when(
+            F.col("__nn") > F.col("__n_bound"),
+            F.expr("(__rb - __bound_sum) div (__nn - __n_bound)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("__level")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(caps))
+        .select(
+            group_col,
+            "avail_tokens",
+            F.col("__floor").alias("floor_micro_tokens"),
+            (
+                F.col("__floor")
+                + F.when(F.col("at_bound") == 1, F.col("__resid")).otherwise(
+                    F.least(F.col("__level"), F.col("__resid"))
+                )
+            )
+            .cast("bigint")
+            .alias("alloc_micro_tokens"),
+            "at_bound",
+        )
+        .orderBy(group_col)
+    )

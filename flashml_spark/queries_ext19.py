@@ -553,3 +553,64 @@ def x268(spark: SparkSession, sf: str) -> DataFrame:
     return textops.bloom_decontamination_screen(
         docs, ev, "text", bits=4096, k=3
     )
+
+
+# --------------------------------------------------------------------------
+# x269 — constrained water-filling (floors + caps), the mixture policy
+# production recipes actually ship.  Same exact-integer discipline as
+# x250: floor_frac 0.02 → 20000 µ/token; cap·budget = 0.5·0.9 = 9/20 →
+# cap_micro = (total·9·10^6) // 20; residual budget total·880000;
+# cross-multiplied cap test; floor-division level; source tie-break.
+_CWF_SQL = f"""
+WITH tok AS (SELECT source, CAST(len({_TOK}) AS BIGINT) AS t FROM documents),
+     per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS avail
+             FROM tok GROUP BY source),
+     tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM per),
+     staged AS (SELECT source, avail, n,
+                       avail * 20000 AS fl,
+                       GREATEST(LEAST(avail * 1000000,
+                                      (total * 9 * 1000000) // 20)
+                                - avail * 20000, 0) AS resid,
+                       total * 880000 AS rbudget
+                FROM per CROSS JOIN tot),
+     cum AS (SELECT *,
+                    CAST(SUM(resid) OVER (ORDER BY resid, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c,
+                    CAST(ROW_NUMBER() OVER (ORDER BY resid, source)
+                        AS BIGINT) AS i
+             FROM staged),
+     flagged AS (SELECT *,
+                        CASE WHEN resid * (n - i + 1)
+                                  <= rbudget - (c - resid)
+                             THEN 1 ELSE 0 END AS at_bound
+                 FROM cum),
+     lvl AS (SELECT CASE WHEN MAX(n) > SUM(at_bound)
+                         THEN CAST((MAX(rbudget)
+                               - SUM(CASE WHEN at_bound = 1
+                                          THEN resid ELSE 0 END))
+                              // (MAX(n) - SUM(at_bound)) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS level
+             FROM flagged)
+SELECT source, avail AS avail_tokens,
+       CAST(fl AS BIGINT) AS floor_micro_tokens,
+       CAST(fl + CASE WHEN at_bound = 1 THEN resid
+                      ELSE LEAST(level, resid) END AS BIGINT)
+           AS alloc_micro_tokens,
+       at_bound
+FROM flagged CROSS JOIN lvl ORDER BY source"""
+
+
+@register("x269_constrained_waterfill", _CWF_SQL)
+def x269(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import sampling, textops
+
+    docs = textops.with_token_count(
+        load_table(spark, sf, "documents"), "text"
+    )
+    return sampling.constrained_waterfill_allocation(
+        docs, "source", "n_tokens",
+        budget_frac=0.9, floor_frac=0.02, cap_frac=0.5,
+    )

@@ -597,3 +597,81 @@ def test_bloom_screen_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="power of two"):
         bloom_decontamination_screen(df, df, "text", bits=1000)
+
+
+# --- x269 constrained waterfill ------------------------------------------------
+
+
+def test_constrained_waterfill_floors_caps_and_budget(spark):
+    from flashml_spark.operators.sampling import (
+        constrained_waterfill_allocation,
+    )
+
+    avail = {"a": 100, "b": 1000, "c": 1000, "d": 50}  # total 2150
+    df = spark.createDataFrame(
+        list(avail.items()), "source string, n_tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in constrained_waterfill_allocation(
+            df, "source", "n_tokens",
+            budget_frac=0.9, floor_frac=0.02, cap_frac=0.5,
+        ).collect()
+    }
+    total = sum(avail.values())
+    budget_micro = total * 900_000
+    cap_micro = (total * 9 * 1_000_000) // 20
+    for s, r in out.items():
+        # floor honored exactly, cap never exceeded, alloc <= material
+        assert r["floor_micro_tokens"] == avail[s] * 20_000
+        assert r["alloc_micro_tokens"] >= r["floor_micro_tokens"]
+        assert r["alloc_micro_tokens"] <= cap_micro
+        assert r["alloc_micro_tokens"] <= avail[s] * 1_000_000
+    got = sum(r["alloc_micro_tokens"] for r in out.values())
+    # floor-division under-allocates by < n_uncapped micro-units
+    assert 0 <= budget_micro - got < 4
+    # small sources exhausted, big sources share the level above floor
+    assert out["a"]["at_bound"] == 1
+    assert out["a"]["alloc_micro_tokens"] == 100_000_000
+    assert out["d"]["at_bound"] == 1
+    assert (
+        out["b"]["alloc_micro_tokens"] == out["c"]["alloc_micro_tokens"]
+    )
+
+
+def test_constrained_waterfill_cap_binds_dominant_source(spark):
+    from flashml_spark.operators.sampling import (
+        constrained_waterfill_allocation,
+    )
+
+    # one source holds ~91% of material; a 30%-of-budget cap must bind
+    rows = [("big", 10_000), ("s1", 500), ("s2", 400)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {
+        r["source"]: r
+        for r in constrained_waterfill_allocation(
+            df, "source", "n_tokens",
+            budget_frac=0.9, floor_frac=0.02, cap_frac=0.3,
+        ).collect()
+    }
+    total = 10_900
+    cap_micro = (total * 27 * 100_000) // 10  # 0.3*0.9 = 27/100
+    assert out["big"]["alloc_micro_tokens"] == cap_micro
+    assert out["big"]["at_bound"] == 1
+    # with the giant capped, the demand is infeasible: everyone ends at
+    # their bound and total allocation falls short of the budget
+    assert all(r["at_bound"] == 1 for r in out.values())
+    got = sum(r["alloc_micro_tokens"] for r in out.values())
+    assert got < total * 900_000
+
+
+def test_constrained_waterfill_rejects_floor_above_budget(spark):
+    from flashml_spark.operators.sampling import (
+        constrained_waterfill_allocation,
+    )
+
+    df = spark.createDataFrame([("a", 10)], "source string, n_tokens long")
+    with pytest.raises(ValueError, match="floor_frac"):
+        constrained_waterfill_allocation(
+            df, "source", "n_tokens", budget_frac=0.5, floor_frac=0.6
+        )
