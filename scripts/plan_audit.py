@@ -64,6 +64,8 @@ ACCEPTED_GLOBAL = {
     "per-day agg frame",
     "x250_waterfill_allocation": "waterfall cumsum over the |sources| "
     "post-agg frame (rows_hint fast path)",
+    "x269_constrained_waterfill": "residual waterfall cumsum over the "
+    "|sources| post-agg frame (rows_hint fast path, x250's shape)",
 }
 
 
@@ -147,6 +149,8 @@ ACCEPTED_CROSS = {
     "the |sources| frame",
     "x263_source_vocab_divergence": "|sources| x (top_k+1) grid "
     "densification cross - both sides post-agg bounded frames",
+    "x269_constrained_waterfill": "1-row totals/level scalar broadcasts "
+    "onto the |sources| frame (x250's shape with clamped inputs)",
 }
 
 
