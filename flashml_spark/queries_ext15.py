@@ -534,13 +534,82 @@ def x199(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x200 — zlib compression-ratio quality score per document (Gopher
-# repetitiveness heuristic).  zlib has no SQL twin -> rows-only; the
-# Python mirror is pinned in unit tests.
-@register("x200_compression_ratio", None)
+# x200 — zlib compression-ratio quality score (Gopher repetitiveness
+# heuristic), upgraded r9 from rows-only to a PLANTED-FIXTURE oracle
+# (the x25 porter pattern): fixture strings with distinct compression
+# behavior get their EXACT zlib (raw, comp, ratio) pinned as SQL
+# literals — computed once at registration by the same zlib the
+# executors run (one container; heterogeneous-cluster caveat in the
+# docstring) — and ONE corpus row carries (n_docs, Σ raw_bytes)
+# measured FROM THE UDF OUTPUT, which is SQL-derivable from
+# octet_length(text) while forcing the mapInPandas pass over every
+# document.  A hash match certifies exact zlib scoring on the fixture
+# set plus full-corpus execution with byte-exact length accounting.
+_ZLIB_FIXTURES = [
+    ("runs", "a" * 400),
+    ("alternating", "ab" * 200),
+    ("sentence", "the quick brown fox jumps over the lazy dog " * 9),
+    ("incompressible", __import__("hashlib").md5(b"x200").hexdigest() * 12),
+]
+
+
+def _x200_sql() -> str:
+    import zlib
+
+    rows = []
+    for name, text in _ZLIB_FIXTURES:
+        raw = len(text.encode("utf-8"))
+        comp = len(zlib.compress(text.encode("utf-8"), 6))
+        rows.append(
+            f"('fx:{name}', CAST(1 AS BIGINT), CAST({raw} AS BIGINT),"
+            f" CAST({comp} AS BIGINT), CAST({round(comp / raw, 6)!r}"
+            " AS DOUBLE))"
+        )
+    values = ",\n       ".join(rows)
+    return f"""
+WITH fix(key, n_docs, raw_bytes, comp_bytes, ratio) AS (VALUES
+       {values}),
+     corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(strlen(text)) AS BIGINT) AS raw
+                FROM documents
+                WHERE text IS NOT NULL AND strlen(text) > 0)
+SELECT key, n_docs, raw_bytes, comp_bytes, ratio FROM fix
+UNION ALL
+SELECT 'corpus', n, raw, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM corpus
+ORDER BY key"""
+
+
+@register("x200_compression_ratio", _x200_sql())
 def x200(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return textops.compression_ratio_score(docs, "text", "doc_id")
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents").select(
+        F.lit(None).cast("string").alias("key"), "text"
+    )
+    fixtures = docs.sparkSession.createDataFrame(
+        [(f"fx:{n}", t) for n, t in _ZLIB_FIXTURES], "key string, text string"
+    )
+    scored = textops.compression_ratio_score(
+        docs.unionByName(fixtures), "text", "key"
+    )
+    pins = scored.where(F.col("key").isNotNull()).select(
+        "key",
+        F.lit(1).cast("bigint").alias("n_docs"),
+        "raw_bytes",
+        "comp_bytes",
+        "ratio",
+    )
+    # corpus accounting measured on the UDF OUTPUT: the zlib pass must
+    # run over every document to produce this row
+    corpus = scored.where(F.col("key").isNull()).agg(
+        F.lit("corpus").alias("key"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+        F.lit(None).cast("bigint").alias("comp_bytes"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    return pins.unionByName(corpus).orderBy("key")
 
 
 # --------------------------------------------------------------------------

@@ -34,13 +34,12 @@ def test_queries_and_oracles_are_consistent():
     assert list(q)[: len(e._PRIORITY)] == e._PRIORITY
     # the documented rows-only set, and nothing else, lacks an oracle
     # (r8 shrank it: x07/x27/x240 gained planted-fixture oracles — the
-    # x233 pattern — leaving only genuinely non-SQL operators; x25 left
-    # the set in r9 via the planted Porter-fixture oracle)
+    # x233 pattern — leaving only genuinely non-SQL operators; x25 and
+    # x200 left the set in r9 via planted-fixture oracles)
     assert set(q) - set(o) == {
-        "x72_cluster_balanced_sample",
+        "x72_cluster_balanced_sample",  # k-means sample (x254 sibling)
         "x192_markov_attribution",  # absorbing-chain matrix inverse
-        "x200_compression_ratio",  # zlib has no SQL twin (x233 pins the
-        # family's ORDERING with a SQL oracle over constructed fixtures)
+        # (x253 sibling)
     }
 
 
