@@ -451,3 +451,270 @@ def y4m_frame_count(payload: bytes) -> int:
 def hamming64(a: str, b: str) -> int:
     """Hamming distance between two 16-hex-char (64-bit) hashes."""
     return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a, palette-based, REAL LZW — stdlib-free like the rest)
+#
+# Lossless palette images round-trip pixel-exactly, which is what makes
+# the codec testable without reference binaries: encode → decode must
+# reproduce the exact index grid through the variable-width LZW coder
+# (including dictionary growth, the 4096-entry clear/reset, and the
+# KwKwK self-reference case).  Multi-frame streams (GIF89a graphics-
+# control extensions) cover the frame-sampling path.
+
+_GIF_MAX_CODE = 4096
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width (LSB-first packing),
+    CLEAR emitted up front and on dictionary overflow, EOI at the end."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for k in indices:
+        if not 0 <= k < clear:
+            raise ValueError(f"palette index {k} out of range for "
+                             f"min_code_size {min_code_size}")
+        nbuf = buf + (k,)
+        if nbuf in table:
+            buf = nbuf
+            continue
+        emit(table[buf], width)
+        table[nbuf] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= _GIF_MAX_CODE:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        buf = (k,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit cursor
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            v |= ((data[byte] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("LZW produced more pixels than the frame holds")
+    return out
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    """Wrap raw bytes in GIF data sub-blocks (<=255-byte chunks + 0)."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[list[list[int]]],
+    palette: list[tuple[int, int, int]],
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode palette-index frames (each HxW, top-down row-major) as a
+    GIF89a stream with one global color table; >1 frame adds a
+    graphics-control extension per frame (the animation path)."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = len(frames[0]), len(frames[0][0])
+    if any(len(f) != h or any(len(r) != w for r in f) for f in frames):
+        raise ValueError("ragged frames")
+    bits = max(2, (max(1, len(palette) - 1)).bit_length())
+    size = 1 << bits
+    table = bytearray()
+    for i in range(size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        table += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((bits - 1) << 4) | (bits - 1))  # global table, size
+    out += b"\x00\x00"  # bg index, aspect
+    out += table
+    for f in frames:
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs)
+            out += b"\x00\x00"  # transparent index, terminator
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(bits)  # LZW min code size
+        idx = [v for row in f for v in row]
+        out += _sub_blocks(_lzw_encode(idx, bits))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], list[list[list[int]]]]:
+    """Decode a GIF87a/89a stream to (width, height, palette, frames of
+    palette indices).  Walks extensions, concatenates each image's LZW
+    sub-blocks, inflates through the variable-width decoder.  Rejects
+    interlaced images and local color tables (the palette pipelines
+    this exists for emit neither)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        for i in range(size):
+            palette.append(
+                (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                 payload[pos + 3 * i + 2])
+            )
+        pos += 3 * size
+    frames: list[list[list[int]]] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            fpacked = payload[pos + 9]
+            if fpacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if fpacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise ValueError("sub-rectangle frames unsupported")
+            pos += 10
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, fw * fh)
+            if len(idx) != fw * fh:
+                raise ValueError(
+                    f"GIF frame pixel count {len(idx)} != {fw * fh}"
+                )
+            frames.append(
+                [idx[y * fw : (y + 1) * fw] for y in range(fh)]
+            )
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return w, h, palette, frames
+
+
+def gif_frame_rgb(
+    palette: list[tuple[int, int, int]], frame: list[list[int]]
+) -> list[list[tuple[int, int, int]]]:
+    """Materialize one index frame to RGB rows through the palette."""
+    return [[palette[v] for v in row] for row in frame]
+
+
+def gif_frame_delays(payload: bytes) -> list[int]:
+    """Per-frame delays (centiseconds) from GIF89a graphics-control
+    extensions, in stream order; empty for a plain GIF87a still."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 13
+    packed = payload[10]
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    delays: list[int] = []
+    while pos < len(payload) and payload[pos] != 0x3B:
+        b0 = payload[pos]
+        if b0 == 0x21:
+            label = payload[pos + 1]
+            if label == 0xF9:
+                (d,) = struct.unpack_from("<H", payload, pos + 4)
+                delays.append(d)
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            pos += 10
+            pos += 1  # min code size
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return delays

@@ -91,11 +91,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         width, height, rows = codecs.decode_png(payload)
         return width, height, codecs.average_hash(codecs.png_grayscale(rows))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):  # r9: real LZW decode
+        width, height, pal, frames = codecs.decode_gif(payload)
+        rgb = codecs.gif_frame_rgb(pal, frames[0])
+        return width, height, codecs.average_hash(codecs.png_grayscale(rgb))
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode of non-BMP/PNG formats requires PIL — "
+            "real decode of non-BMP/PNG/GIF formats requires PIL — "
             "not in this environment"
         ) from exc
     import io
@@ -195,13 +199,21 @@ def resize_media(
                     codecs.png_grayscale(rows), width, height
                 )
                 return bytes(v for row in gray for v in row)
+            if p[:6] in (b"GIF87a", b"GIF89a"):  # r9: real LZW path
+                _, _, pal, frames = codecs.decode_gif(p)
+                gray = codecs.nearest_resize(
+                    codecs.png_grayscale(codecs.gif_frame_rgb(pal, frames[0])),
+                    width,
+                    height,
+                )
+                return bytes(v for row in gray for v in row)
             try:
                 import io
 
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize of non-BMP/PNG formats requires PIL; "
+                    "real resize of non-BMP/PNG/GIF formats requires PIL; "
                     "install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
@@ -311,10 +323,17 @@ def video_stats(df: DataFrame, fake: bool = True) -> DataFrame:
             return w, h, "30:1", n, f"{n / 30.0:.6f}"
 
         def real_stats(p: bytes) -> tuple[int, int, str, int, str]:
+            if p[:6] in (b"GIF87a", b"GIF89a"):  # r9: animated GIF path
+                w, h, _pal, frames = codecs.decode_gif(p)
+                delays = codecs.gif_frame_delays(p)
+                n = len(frames)
+                cs = delays[0] if delays else 10  # default 10 cs/frame
+                dur = n * (cs if cs else 10) / 100.0
+                return w, h, f"100:{cs or 10}", n, f"{dur:.6f}"
             if p[:9] != b"YUV4MPEG2":
                 raise NotImplementedError(
                     "real decode of compressed video requires ffmpeg — "
-                    "only YUV4MPEG2 is dependency-free"
+                    "only YUV4MPEG2 and GIF are dependency-free"
                 )
             w, h, num, den = codecs.decode_y4m_header(p)
             n = codecs.y4m_frame_count(p)

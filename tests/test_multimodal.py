@@ -468,3 +468,103 @@ def test_scene_cuts_detects_black_to_white(spark):
         key=lambda r: r["frame_idx"],
     )
     assert rows2[1]["hamming_prev"] >= 10 and rows2[1]["is_cut"] == 1
+
+
+def test_gif_roundtrip_including_lzw_overflow_and_kwkwk():
+    import random
+
+    from flashml_spark.functions import codecs
+
+    rng = random.Random(9)
+    pal = [((i * 37) % 256, (i * 59) % 256, (i * 83) % 256) for i in range(16)]
+    # random frames exercise dictionary growth; >4096 phrases forces the
+    # CLEAR/reset path; run-heavy frames hit the KwKwK self-reference
+    for frames in (
+        [[[rng.randrange(16) for _ in range(33)] for _ in range(21)]],
+        [[[rng.randrange(16) for _ in range(120)] for _ in range(120)]],
+        [[[(x // 7) % 4 for x in range(64)] for _ in range(8)]],
+        [
+            [[rng.randrange(16) for _ in range(10)] for _ in range(6)]
+            for _ in range(3)  # animated: 3 frames
+        ],
+    ):
+        payload = codecs.encode_gif(frames, pal)
+        w, h, dpal, got = codecs.decode_gif(payload)
+        assert (w, h) == (len(frames[0][0]), len(frames[0]))
+        assert got == frames  # pixel-index exact through real LZW
+        assert dpal[: len(pal)] == pal
+    delays = codecs.gif_frame_delays(codecs.encode_gif(frames, pal, delay_cs=7))
+    assert delays == [7, 7, 7]
+
+
+def test_gif_decode_rejects_garbage_and_unsupported():
+    from flashml_spark.functions import codecs
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"BM whatever")
+    pal = [(0, 0, 0), (255, 255, 255)]
+    good = bytearray(codecs.encode_gif([[[0, 1], [1, 0]]], pal))
+    at = good.index(0x2C)
+    good[at + 9] |= 0x40  # interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_gif(bytes(good))
+
+
+def test_real_decode_gif_end_to_end(spark):
+    """fake=False decode over GIF payloads through mapInPandas — the
+    two-tone phash assertions of the BMP/PNG twins, via real LZW."""
+    from flashml_spark.functions import codecs
+
+    pal = [(0, 0, 0), (255, 255, 255), (10, 200, 60)]
+    half = [[0] * 16 for _ in range(8)] + [[1] * 16 for _ in range(8)]
+    solid = [[2] * 5 for _ in range(7)]
+    rows = [
+        (1, codecs.encode_gif([half], pal), "image/gif"),
+        (2, codecs.encode_gif([solid], pal), "image/gif"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (16, 16)
+    assert out[1]["phash"] == f"{0xFFFFFFFF00000000:016x}"
+    assert (out[2]["width"], out[2]["height"]) == (5, 7)
+    assert out[2]["phash"] == "f" * 16
+
+
+def test_video_stats_real_animated_gif(spark):
+    from flashml_spark.functions import codecs
+    from flashml_spark.operators.multimodal import video_stats
+
+    pal = [(i, i, i) for i in range(4)]
+    frames = [[[(x + t) % 4 for x in range(6)] for _ in range(4)]
+              for t in range(5)]
+    df = spark.createDataFrame(
+        [(1, codecs.encode_gif(frames, pal, delay_cs=20), "image/gif")],
+        "media_id long, payload binary, mime string",
+    )
+    r = video_stats(df, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 5)
+    assert r["fps"] == "100:20"
+    assert r["duration_s"] == "1.000000"
+
+
+def test_bmp_png_gif_phash_agree_on_same_pixels():
+    # all three dependency-free image paths produce the SAME perceptual
+    # hash for the same pixel grid (GIF via an exact palette)
+    from flashml_spark.functions import codecs
+
+    pal = [((i * 29) % 256, (i * 47) % 256, (i * 71) % 256) for i in range(8)]
+    idx = [[(x * y + x) % 8 for x in range(9)] for y in range(9)]
+    rgb = codecs.gif_frame_rgb(pal, idx)
+    h_bmp = codecs.average_hash(
+        codecs.bmp_grayscale(codecs.decode_bmp(codecs.encode_bmp(rgb))[2])
+    )
+    h_png = codecs.average_hash(
+        codecs.png_grayscale(
+            codecs.decode_png(codecs.encode_png(rgb, filter_type=2))[2]
+        )
+    )
+    w, h, dpal, dframes = codecs.decode_gif(codecs.encode_gif([idx], pal))
+    h_gif = codecs.average_hash(
+        codecs.png_grayscale(codecs.gif_frame_rgb(dpal, dframes[0]))
+    )
+    assert h_bmp == h_png == h_gif
