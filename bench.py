@@ -271,6 +271,7 @@ HEADLINE = [
     "x267_interarrival_burstiness",
     "x268_bloom_decontamination",
     "x269_constrained_waterfill",
+    "x270_gif_roundtrip_audit",
     "x255_png_roundtrip_audit",
     "x256_temperature_mixture",
     "x257_shard_checksum_manifest",

@@ -497,3 +497,53 @@ def png_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
         .orderBy("media_id")
     )
+
+
+def gif_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """GIF twin of :func:`png_roundtrip_audit`: per id, a two-tone
+    palette image is encoded through the REAL variable-width LZW coder
+    and decoded back through the same pure-struct path
+    ``decode_media(fake=False)`` takes for GIF payloads.  Frame heights
+    vary with the id so the LZW phrase structure differs per row; dims
+    and the two-tone aHash remain SQL-derivable from the generation
+    arithmetic, so an oracle hash-match certifies bit-packing, code-
+    width escalation, and palette materialization on every document.
+
+    Pure map, bounded image size — the x255 scale shape.
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def build_and_decode(i: int) -> tuple[int, int, str]:
+            w = 6 + i % 11
+            h = 4 + 2 * (i % 4)
+            pal = [
+                ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256),
+                ((i * 41 + 7) % 256, (i * 61 + 13) % 256, (i * 89 + 29) % 256),
+            ]
+            frame = [[0] * w for _ in range(h // 2)] + [
+                [1] * w for _ in range(h // 2)
+            ]
+            payload = codecs.encode_gif([frame], pal)
+            width, height, dpal, frames = codecs.decode_gif(payload)
+            rgb = codecs.gif_frame_rgb(dpal, frames[0])
+            return width, height, codecs.average_hash(codecs.png_grayscale(rgb))
+
+        for pdf in batches:
+            decoded = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "phash": [d[2] for d in decoded],
+                }
+            )
+
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .orderBy("media_id")
+    )

@@ -614,3 +614,33 @@ def x269(spark: SparkSession, sf: str) -> DataFrame:
         docs, "source", "n_tokens",
         budget_frac=0.9, floor_frac=0.02, cap_frac=0.5,
     )
+
+
+# --------------------------------------------------------------------------
+# x270 — GIF roundtrip audit (the x255 pattern over the real LZW
+# coder): two-tone palette images, dims + aHash SQL-derivable from the
+# id arithmetic; a hash match certifies LZW bit-packing / code-width
+# escalation / palette materialization corpus-wide.
+_GIF_SQL = """
+WITH p AS (SELECT doc_id,
+                  6 + doc_id % 11 AS w,
+                  4 + 2 * (doc_id % 4) AS h,
+                  (((doc_id * 37) % 256) * 299 + ((doc_id * 59) % 256) * 587
+                   + ((doc_id * 83) % 256) * 114) // 1000 AS lt,
+                  (((doc_id * 41 + 7) % 256) * 299
+                   + ((doc_id * 61 + 13) % 256) * 587
+                   + ((doc_id * 89 + 29) % 256) * 114) // 1000 AS lb
+           FROM documents)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CASE WHEN lt = lb THEN 'ffffffffffffffff'
+            WHEN lt > lb THEN '00000000ffffffff'
+            ELSE 'ffffffff00000000' END AS phash
+FROM p ORDER BY media_id"""
+
+
+@register("x270_gif_roundtrip_audit", _GIF_SQL)
+def x270(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.gif_roundtrip_audit(docs, "doc_id")

@@ -180,6 +180,8 @@ PROBES = [
     "x266_lexical_diversity",
     "x267_interarrival_burstiness",
     "x268_bloom_decontamination",
+    "x269_constrained_waterfill",
+    "x270_gif_roundtrip_audit",
 ]
 
 
