@@ -569,6 +569,22 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
     return out
 
 
+def _skip_sub_blocks(payload: bytes, pos: int) -> int:
+    """Advance ``pos`` past a GIF sub-block chain (to just after the 0x00
+    terminator), raising ValueError — not IndexError — on truncation
+    (r9 ADVICE item: malformed input should fail like the rest of the
+    codec, with a diagnosable message)."""
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF payload")
+        n = payload[pos]
+        if n == 0:
+            return pos + 1
+        if pos + 1 + n > len(payload):
+            raise ValueError("truncated GIF payload")
+        pos += 1 + n
+
+
 def _sub_blocks(payload: bytes) -> bytes:
     """Wrap raw bytes in GIF data sub-blocks (<=255-byte chunks + 0)."""
     out = bytearray()
@@ -593,6 +609,10 @@ def encode_gif(
     h, w = len(frames[0]), len(frames[0][0])
     if any(len(f) != h or any(len(r) != w for r in f) for f in frames):
         raise ValueError("ragged frames")
+    if not 1 <= len(palette) <= 256:
+        # >256 would need bits>8 and overflow the 3-bit color-table-size
+        # field in the logical screen descriptor (r9 ADVICE item).
+        raise ValueError(f"GIF palette must have 1..256 entries, got {len(palette)}")
     bits = max(2, (max(1, len(palette) - 1)).bit_length())
     size = 1 << bits
     table = bytearray()
@@ -632,6 +652,8 @@ def decode_gif(
     palette: list[tuple[int, int, int]] = []
     if packed & 0x80:
         size = 2 << (packed & 0x07)
+        if pos + 3 * size > len(payload):
+            raise ValueError("truncated GIF payload")
         for i in range(size):
             palette.append(
                 (payload[pos + 3 * i], payload[pos + 3 * i + 1],
@@ -644,11 +666,10 @@ def decode_gif(
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: skip sub-blocks
-            pos += 2
-            while payload[pos]:
-                pos += 1 + payload[pos]
-            pos += 1
+            pos = _skip_sub_blocks(payload, pos + 2)
         elif b0 == 0x2C:
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF payload")
             left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
             fpacked = payload[pos + 9]
             if fpacked & 0x80:
@@ -658,11 +679,19 @@ def decode_gif(
             if (left, top, fw, fh) != (0, 0, w, h):
                 raise ValueError("sub-rectangle frames unsupported")
             pos += 10
+            if pos >= len(payload):
+                raise ValueError("truncated GIF payload")
             min_code = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF payload")
                 n = payload[pos]
+                if n == 0:
+                    break
+                if pos + 1 + n > len(payload):
+                    raise ValueError("truncated GIF payload")
                 data += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             pos += 1
@@ -701,20 +730,720 @@ def gif_frame_delays(payload: bytes) -> list[int]:
     while pos < len(payload) and payload[pos] != 0x3B:
         b0 = payload[pos]
         if b0 == 0x21:
+            if pos + 6 > len(payload):
+                raise ValueError("truncated GIF payload")
             label = payload[pos + 1]
             if label == 0xF9:
                 (d,) = struct.unpack_from("<H", payload, pos + 4)
                 delays.append(d)
-            pos += 2
-            while payload[pos]:
-                pos += 1 + payload[pos]
-            pos += 1
+            pos = _skip_sub_blocks(payload, pos + 2)
         elif b0 == 0x2C:
-            pos += 10
-            pos += 1  # min code size
-            while payload[pos]:
-                pos += 1 + payload[pos]
-            pos += 1
+            if pos + 11 > len(payload):
+                raise ValueError("truncated GIF payload")
+            pos = _skip_sub_blocks(payload, pos + 11)
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     return delays
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT / SOF0 — the r9 VERDICT item 1)
+#
+# Pure struct+math, same discipline as the PNG/GIF codecs above: the
+# encoder exists to mint spec-complete fixtures (DQT/SOF0/DHT/SOS with
+# the ITU-T T.81 Annex-K quantization and Huffman tables), the decoder
+# is the production path behind decode_media(fake=False).  Supported:
+# 3-component YCbCr at 4:4:4 or 4:2:0 and 1-component grayscale, 8-bit
+# precision, optional restart intervals (DRI/RSTn).  Rejected loudly:
+# progressive (SOF2), arithmetic coding, 12-bit, other subsamplings —
+# a production pipeline routes those to libjpeg-turbo; the *plumbing*
+# (Arrow batches, schema, partitioning) is identical either way.
+#
+# Reference parity note: the reference ships no media codecs at all —
+# this exists for the multimodal training-data operators (SURVEY §2
+# "beyond the reference" brief), not as a port of anything.
+
+import math
+
+# Zigzag scan order: index i in scan order -> row-major block position.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.1/K.2 base quantization tables (row-major).
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+assert sum(_JPEG_AC_LUMA[0]) == len(_JPEG_AC_LUMA[1]) == 162
+assert sum(_JPEG_AC_CHROMA[0]) == len(_JPEG_AC_CHROMA[1]) == 162
+
+# Separable DCT-II basis: _DCT_A[u][x] = 0.5*C(u)*cos((2x+1)u*pi/16),
+# so forward G = A g A^T and inverse g = A^T G A.
+_DCT_A = [
+    [
+        0.5 * (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _jpeg_scaled_qt(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: 1..100 -> per-entry scaled table in 1..255."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
+
+
+def _fdct8x8(block: list[list[float]]) -> list[list[float]]:
+    """Forward 8x8 DCT-II via two passes of the separable basis."""
+    tmp = [
+        [sum(_DCT_A[u][x] * block[x][y] for x in range(8)) for y in range(8)]
+        for u in range(8)
+    ]
+    return [
+        [sum(tmp[u][y] * _DCT_A[v][y] for y in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+
+
+def _idct8x8(coef: list[list[float]]) -> list[list[float]]:
+    """Inverse 8x8 DCT (DCT-III), the exact adjoint of :func:`_fdct8x8`."""
+    tmp = [
+        [sum(_DCT_A[u][x] * coef[u][v] for u in range(8)) for v in range(8)]
+        for x in range(8)
+    ]
+    return [
+        [sum(tmp[x][v] * _DCT_A[v][y] for v in range(8)) for y in range(8)]
+        for x in range(8)
+    ]
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[float, float, float]:
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _clamp8(v: float) -> int:
+    i = int(round(v))
+    return 0 if i < 0 else 255 if i > 255 else i
+
+
+def _ycbcr_to_rgb(y: float, cb: float, cr: float) -> tuple[int, int, int]:
+    return (
+        _clamp8(y + 1.402 * (cr - 128.0)),
+        _clamp8(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+        _clamp8(y + 1.772 * (cb - 128.0)),
+    )
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self._acc = (self._acc << width) | (code & ((1 << width) - 1))
+        self._n += width
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def align(self) -> None:
+        """Pad the current partial byte with 1-bits (T.81 B.2.1)."""
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+
+    def raw(self, data: bytes) -> None:
+        """Emit marker bytes verbatim (caller must be byte-aligned)."""
+        if self._n:
+            raise ValueError("raw() on unaligned writer")
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (canonical code, length) from a BITS/HUFFVAL spec."""
+    table: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, the decoder mirror of the above."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, appended bits)."""
+    size = abs(v).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of :func:`_magnitude_bits`."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _plane_block(plane: list[list[float]], bx: int, by: int) -> list[list[float]]:
+    """8x8 level-shifted block at (bx*8, by*8), edge-replicated."""
+    h, w = len(plane), len(plane[0])
+    return [
+        [plane[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)] - 128.0 for x in range(8)]
+        for y in range(8)
+    ]
+
+
+def _encode_block(
+    block: list[list[float]],
+    qt: list[int],
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+    pred: int,
+    writer: _BitWriter,
+) -> int:
+    """FDCT + quantize + Huffman-code one block; returns the new DC pred.
+
+    Axis convention: blocks are [y][x] and the first coefficient index
+    is therefore the VERTICAL frequency — exactly the T.81 layout where
+    the row-major table entry (v*8+u) pairs vertical v with horizontal
+    u, so ``qt[pos]`` indexes match the spec with no transposition.
+    """
+    coef = _fdct8x8(block)
+    zz = [0] * 64
+    for i, pos in enumerate(_JPEG_ZIGZAG):
+        zz[i] = int(round(coef[pos // 8][pos % 8] / qt[pos]))
+    diff = zz[0] - pred
+    size, mag = _magnitude_bits(diff)
+    code, width = dc_tab[size]
+    writer.put(code, width)
+    if size:
+        writer.put(mag, size)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i]:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, width = ac_tab[0xF0]  # ZRL
+            writer.put(code, width)
+            run -= 16
+        size, mag = _magnitude_bits(zz[i])
+        code, width = ac_tab[(run << 4) | size]
+        writer.put(code, width)
+        writer.put(mag, size)
+        run = 0
+    if last_nz != 63:
+        code, width = ac_tab[0x00]  # EOB
+        writer.put(code, width)
+    return zz[0]
+
+
+def encode_jpeg(
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 75,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode top-down RGB rows as a baseline (SOF0) JFIF/JPEG stream
+    with the Annex-K quantization (IJG quality-scaled) and Huffman
+    tables.  ``subsample``: '444' (no chroma subsampling) or '420'
+    (2x2 box-averaged chroma, the common camera/libjpeg default) or
+    '422' (horizontal-only 2x1).  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (what real encoders
+    do for error resilience — and the path that exercises the
+    decoder's restart handling)."""
+    if subsample not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if h == 0 or w == 0 or any(len(r) != w for r in rows):
+        raise ValueError("empty or ragged pixel rows")
+    if max(w, h) > 65535:
+        raise ValueError("image too large for JPEG dims")
+    yp = [[0.0] * w for _ in range(h)]
+    cbp = [[0.0] * w for _ in range(h)]
+    crp = [[0.0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            yy, cb, cr = _rgb_to_ycbcr(*rows[y][x])
+            yp[y][x], cbp[y][x], crp[y][x] = yy, cb, cr
+    hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
+    if hs * vs > 1:
+        cw, ch = (w + hs - 1) // hs, (h + vs - 1) // vs
+        def box(plane: list[list[float]]) -> list[list[float]]:
+            out = [[0.0] * cw for _ in range(ch)]
+            for cy in range(ch):
+                for cx in range(cw):
+                    ys = [min(vs * cy + dy, h - 1) for dy in range(vs)]
+                    xs = [min(hs * cx + dx, w - 1) for dx in range(hs)]
+                    out[cy][cx] = (
+                        sum(plane[a][b] for a in ys for b in xs) / (hs * vs)
+                    )
+            return out
+        cbp, crp = box(cbp), box(crp)
+
+    qt_l = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    qt_c = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
+    enc_dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
+    enc_ac_l = _huff_encode_table(*_JPEG_AC_LUMA)
+    enc_dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
+    enc_ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(qt[pos] for pos in _JPEG_ZIGZAG)  # zigzag order on disk
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes((1, (hs << 4) | vs, 0))
+    out += bytes((2, 0x11, 1))
+    out += bytes((3, 0x11, 1))
+    for tc_th, (bits, vals) in (
+        (0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA),
+        (0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11))
+    out += bytes((0, 63, 0))
+
+    writer = _BitWriter()
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    pred = [0, 0, 0]
+    n_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            m = my * mcus_x + mx
+            if restart_interval and m and m % restart_interval == 0:
+                writer.align()
+                writer.raw(bytes((0xFF, 0xD0 + (n_rst % 8))))
+                n_rst += 1
+                pred = [0, 0, 0]
+            for by in range(vs):
+                for bx in range(hs):
+                    pred[0] = _encode_block(
+                        _plane_block(yp, mx * hs + bx, my * vs + by),
+                        qt_l, enc_dc_l, enc_ac_l, pred[0], writer,
+                    )
+            pred[1] = _encode_block(
+                _plane_block(cbp, mx, my), qt_c, enc_dc_c, enc_ac_c, pred[1], writer
+            )
+            pred[2] = _encode_block(
+                _plane_block(crp, mx, my), qt_c, enc_dc_c, enc_ac_c, pred[2], writer
+            )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy-coded data: un-stuffs
+    0xFF00, byte-aligns at RSTn markers (reported to the caller), and
+    raises ValueError on truncation or unexpected markers."""
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        self.payload = payload
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.hit_rst = False
+
+    def _next_byte(self) -> int:
+        p = self.payload
+        if self.pos >= len(p):
+            raise ValueError("truncated JPEG entropy data")
+        b = p[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(p):
+                raise ValueError("truncated JPEG entropy data")
+            m = p[self.pos]
+            if m == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= m <= 0xD7:
+                raise ValueError("unexpected RST inside coded unit")
+            else:
+                raise ValueError(f"unexpected marker 0xff{m:02x} in scan")
+        return b
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at the current (byte-aligned) cursor."""
+        self._n = 0
+        p = self.payload
+        if self.pos + 1 >= len(p) or p[self.pos] != 0xFF or not (
+            0xD0 <= p[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RST marker")
+        self.pos += 2
+
+    def at_marker(self) -> bool:
+        p = self.payload
+        return (
+            self.pos + 1 < len(p)
+            and p[self.pos] == 0xFF
+            and p[self.pos + 1] != 0x00
+        )
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_block(
+    reader: _BitReader,
+    qt: list[int],
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[list[list[int]], int]:
+    """Huffman-decode + dequantize + IDCT one block -> (8x8 samples
+    in 0..255, new DC predictor)."""
+    size = _huff_decode(reader, dc_tab)
+    diff = _extend(reader.bits(size), size) if size else 0
+    dc = pred + diff
+    zz = [0] * 64
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_decode(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    coef = [[0.0] * 8 for _ in range(8)]
+    for i, pos in enumerate(_JPEG_ZIGZAG):
+        coef[pos // 8][pos % 8] = zz[i] * qt[pos]
+    spatial = _idct8x8(coef)
+    return (
+        [[_clamp8(spatial[y][x] + 128.0) for x in range(8)] for y in range(8)],
+        dc,
+    )
+
+
+def decode_jpeg(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a baseline (SOF0) JFIF/JPEG stream to (width, height,
+    top-down RGB rows).  Supports 3-component YCbCr at any sampling
+    whose factors divide 2x2 (4:4:4, 4:2:0, 4:2:2) plus 1-component
+    grayscale, multi-segment DQT/DHT, and restart intervals (DRI/RSTn).
+    Rejects loudly: progressive (SOF2) and every non-baseline SOF,
+    arithmetic coding, 12-bit precision — a production pipeline routes
+    those to libjpeg; the Spark-side plumbing is identical."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = 0
+    dri = 0
+    sof_seen = False
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    vals = list(seg[off : off + 64])
+                    off += 64
+                else:  # 16-bit entries
+                    vals = [
+                        struct.unpack_from(">H", seg, off + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    off += 128
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT")
+                qt = [0] * 64
+                for i, zpos in enumerate(_JPEG_ZIGZAG):
+                    qt[zpos] = vals[i]
+                qts[tq] = qt
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended sequential
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            w, h = fw, fh
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof_seen = True
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xff{marker:02x}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if not sof_seen:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan_tabs: dict[int, tuple[int, int]] = {}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+            data_start = pos + 2 + seg_len
+            return _decode_scan(
+                payload, data_start, w, h, comps, qts, huff, scan_tabs, dri
+            )
+        # APPn / COM / anything else: skip
+        pos += 2 + seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    qts: dict[int, list[int]],
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    scan_tabs: dict[int, tuple[int, int]],
+    dri: int,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # Per-component sample planes at native (subsampled) resolution.
+    planes = [
+        [[0] * (mcus_x * 8 * c[1]) for _ in range(mcus_y * 8 * c[2])]
+        for c in comps
+    ]
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            reader.restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
+            dc_tab = huff.get((0, scan_tabs[cid][0]))
+            ac_tab = huff.get((1, scan_tabs[cid][1]))
+            qt = qts.get(tq)
+            if dc_tab is None or ac_tab is None or qt is None:
+                raise ValueError("scan references undefined table")
+            for by in range(cv):
+                for bx in range(ch):
+                    block, preds[ci] = _decode_block(
+                        reader, qt, dc_tab, ac_tab, preds[ci]
+                    )
+                    oy, ox = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    plane = planes[ci]
+                    for y in range(8):
+                        row = plane[oy + y]
+                        row[ox : ox + 8] = block[y]
+    rows: list[list[tuple[int, int, int]]] = []
+    if len(comps) == 1:
+        plane = planes[0]
+        for y in range(h):
+            rows.append([(v, v, v) for v in plane[y][:w]])
+        return w, h, rows
+    _, yh, yv, _ = comps[0]
+    for y in range(h):
+        row = []
+        for x in range(w):
+            yy = planes[0][y * yv // vmax][x * yh // hmax]
+            cb = planes[1][y * comps[1][2] // vmax][x * comps[1][1] // hmax]
+            cr = planes[2][y * comps[2][2] // vmax][x * comps[2][1] // hmax]
+            row.append(_ycbcr_to_rgb(float(yy), float(cb), float(cr)))
+        rows.append(row)
+    return w, h, rows
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """Header-only (width, height) from the SOF0 segment — no entropy
+    decode, for manifest/stat passes that don't need pixels."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker in (0xC0, 0xC1):
+            _, fh, fw = struct.unpack_from(">BHH", payload, pos + 4)
+            return fw, fh
+        if marker == 0xDA or marker == 0xD9:
+            break
+        pos += 2 + seg_len
+    raise ValueError("no SOF0 segment found")

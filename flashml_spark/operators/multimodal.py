@@ -77,12 +77,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def _real_decode(payload: bytes) -> tuple[int, int, str]:
     """Real image decode: dimensions + 8x8 average perceptual hash.
 
-    BMP and PNG (non-interlaced 8-bit RGB/RGBA — r9, stdlib-zlib IDAT
-    inflate + per-scanline unfilter) decode via the dependency-free
-    codecs (:mod:`flashml_spark.functions.codecs` — pure struct parsing,
-    so the REAL path is exercised end-to-end in this container); other
-    formats fall through to PIL, raising NotImplementedError where PIL
-    is not installed (as here) — that test is import-gated accordingly."""
+    BMP, PNG (non-interlaced 8-bit RGB/RGBA — stdlib-zlib IDAT inflate
+    + per-scanline unfilter), GIF (variable-width LZW) and JPEG
+    (baseline SOF0 — r10: Annex-K Huffman decode, dequant, 8x8 IDCT,
+    YCbCr→RGB, 4:4:4/4:2:0/4:2:2 upsampling, DRI/RSTn) all decode via
+    the dependency-free codecs (:mod:`flashml_spark.functions.codecs` —
+    pure struct+math, so the REAL path is exercised end-to-end in this
+    container); exotic variants (progressive JPEG, paletted/interlaced
+    PNG) fall through to PIL, raising NotImplementedError where PIL is
+    not installed (as here) — that test is import-gated accordingly."""
     from flashml_spark.functions import codecs
 
     if payload[:2] == b"BM":
@@ -95,11 +98,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
         width, height, pal, frames = codecs.decode_gif(payload)
         rgb = codecs.gif_frame_rgb(pal, frames[0])
         return width, height, codecs.average_hash(codecs.png_grayscale(rgb))
+    if payload[:3] == b"\xff\xd8\xff":  # r10: real baseline JPEG decode
+        width, height, rows = codecs.decode_jpeg(payload)
+        return width, height, codecs.average_hash(codecs.png_grayscale(rows))
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode of non-BMP/PNG/GIF formats requires PIL — "
+            "real decode of exotic formats (progressive JPEG, "
+            "paletted/interlaced PNG, WebP, …) requires PIL — "
             "not in this environment"
         ) from exc
     import io
@@ -207,14 +214,20 @@ def resize_media(
                     height,
                 )
                 return bytes(v for row in gray for v in row)
+            if p[:3] == b"\xff\xd8\xff":  # r10: real baseline JPEG path
+                _, _, rows = codecs.decode_jpeg(p)
+                gray = codecs.nearest_resize(
+                    codecs.png_grayscale(rows), width, height
+                )
+                return bytes(v for row in gray for v in row)
             try:
                 import io
 
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize of non-BMP/PNG/GIF formats requires PIL; "
-                    "install pillow"
+                    "real resize of exotic formats (progressive JPEG, "
+                    "paletted/interlaced PNG, …) requires PIL; install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
             return img.convert("L").resize((width, height)).tobytes()
@@ -479,6 +492,71 @@ def png_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             payload = codecs.encode_png(rows, filter_type=i % 5)
             width, height, px = codecs.decode_png(payload)
+            return width, height, codecs.average_hash(codecs.png_grayscale(px))
+
+        for pdf in batches:
+            decoded = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "phash": [d[2] for d in decoded],
+                }
+            )
+
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+def jpeg_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """JPEG twin of :func:`png_roundtrip_audit` over the REAL baseline
+    SOF0 codec (r10): per id, a two-tone image is encoded through the
+    full forward path (RGB→YCbCr, optional 4:2:0 box subsampling, FDCT,
+    Annex-K quantization + Huffman coding) and decoded back through the
+    same pure-struct path ``decode_media(fake=False)`` takes for JPEG
+    payloads (Huffman decode, dequant, IDCT, upsample, YCbCr→RGB).
+
+    JPEG is LOSSY, so the construction differs from PNG/GIF: the two
+    halves are generated with a guaranteed luma gap (dark half < 64,
+    bright half ≥ 192) so no quantization/ringing error (bounded well
+    under half the gap at quality 90) can flip a resized cell across
+    the 64-cell mean — the aHash is therefore still exactly derivable
+    from the generation arithmetic, and an oracle hash-match certifies
+    the whole lossy encode→decode chain ON EVERY ROW: DCT/IDCT adjoint
+    pairing, Huffman tables, bit stuffing, chroma subsample/upsample
+    (ids alternate 4:2:0 / 4:4:4) and color conversion.  Dims come from
+    the SOF0 header, so width/height certify marker parsing exactly.
+
+    Scale shape: pure map (one Arrow-batched pass, no shuffle); image
+    size is bounded (≤ 16×8), so per-row cost is constant — the x255
+    shape, ~2 kB of work per row at any corpus size.
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def build_and_decode(i: int) -> tuple[int, int, str]:
+            w = 8 + i % 9
+            h = 4 + 2 * (i % 3)
+            dark = ((i * 23) % 64, (i * 29) % 64, (i * 31) % 64)
+            bright = (
+                192 + (i * 37) % 64,
+                192 + (i * 41) % 64,
+                192 + (i * 43) % 64,
+            )
+            top, bot = (dark, bright) if (i % 4) < 2 else (bright, dark)
+            rows = [[top] * w for _ in range(h // 2)] + [
+                [bot] * w for _ in range(h // 2)
+            ]
+            payload = codecs.encode_jpeg(
+                rows, quality=90, subsample="420" if i % 2 == 0 else "444"
+            )
+            width, height, px = codecs.decode_jpeg(payload)
             return width, height, codecs.average_hash(codecs.png_grayscale(px))
 
         for pdf in batches:

@@ -381,3 +381,4 @@ from flashml_spark import queries_ext16  # noqa: E402,F401
 from flashml_spark import queries_ext17  # noqa: E402,F401
 from flashml_spark import queries_ext18  # noqa: E402,F401
 from flashml_spark import queries_ext19  # noqa: E402,F401
+from flashml_spark import queries_ext20  # noqa: E402,F401

@@ -12,6 +12,7 @@ import importlib.util
 
 import pytest
 
+from flashml_spark.functions import codecs
 from flashml_spark.operators.multimodal import _real_decode, decode_media
 
 HAS_PIL = importlib.util.find_spec("PIL") is not None
@@ -568,3 +569,215 @@ def test_bmp_png_gif_phash_agree_on_same_pixels():
         codecs.png_grayscale(codecs.gif_frame_rgb(dpal, dframes[0]))
     )
     assert h_bmp == h_png == h_gif
+
+
+# --------------------------------------------------------------------------
+# JPEG (r10: real baseline SOF0 codec — the last §2 multimodal gap)
+
+
+def test_jpeg_flat_two_tone_roundtrip_exact():
+    """BLOCK-ALIGNED flat halves are DC-only.  Grayscale at 4:4:4 is
+    provably pixel-EXACT at q75 (luma DC quant step is 16*50/100 = 8,
+    exactly the DCT DC gain of a flat block, so quantization is the
+    identity on integers; chroma is flat 128 → zero coefficient);
+    color adds at most ±1 per channel from the chroma DC step."""
+    gray = [[(20, 20, 20)] * 16 for _ in range(8)] + [
+        [(200, 200, 200)] * 16 for _ in range(8)
+    ]
+    payload = codecs.encode_jpeg(gray, quality=75, subsample="444")
+    w, h, dec = codecs.decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+    assert dec == gray  # pixel-exact
+    color = [[(20, 30, 40)] * 16 for _ in range(8)] + [
+        [(200, 210, 220)] * 16 for _ in range(8)
+    ]
+    for ss in ("444", "422", "420"):
+        payload = codecs.encode_jpeg(color, quality=75, subsample=ss)
+        w, h, dec = codecs.decode_jpeg(payload)
+        assert (w, h) == (16, 16)
+        maxerr = max(
+            abs(a - b)
+            for r1, r2 in zip(color, dec)
+            for p1, p2 in zip(r1, r2)
+            for a, b in zip(p1, p2)
+        )
+        assert maxerr <= 1, (ss, maxerr)
+
+
+def test_jpeg_gradient_roundtrip_error_bound():
+    """Smooth content roundtrips with small bounded error — the actual
+    fidelity contract of a DCT codec (noise is its adversarial case)."""
+    w, h = 32, 24
+    rows = [
+        [(min(x * 8, 255), min(y * 10, 255), min((x + y) * 5, 255)) for x in range(w)]
+        for y in range(h)
+    ]
+    for ss, bound in (("444", 10), ("422", 14), ("420", 18)):
+        payload = codecs.encode_jpeg(rows, quality=75, subsample=ss)
+        dw, dh, dec = codecs.decode_jpeg(payload)
+        assert (dw, dh) == (w, h)
+        maxerr = max(
+            abs(a - b)
+            for r1, r2 in zip(rows, dec)
+            for p1, p2 in zip(r1, r2)
+            for a, b in zip(p1, p2)
+        )
+        assert maxerr <= bound, (ss, maxerr)
+
+
+def test_jpeg_restart_interval_decode_identical():
+    """DRI/RSTn streams decode bit-identically to the unrestarted
+    encoding of the same pixels (predictor resets + byte alignment)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [[(rng.randrange(256),) * 3 for _ in range(40)] for _ in range(40)]
+    p0 = codecs.encode_jpeg(rows, quality=85, subsample="420")
+    p1 = codecs.encode_jpeg(rows, quality=85, subsample="420", restart_interval=2)
+    assert b"\xff\xdd" in p1 and b"\xff\xdd" not in p0
+    assert any(bytes((0xFF, 0xD0 + k)) in p1 for k in range(8))
+    assert codecs.decode_jpeg(p0) == codecs.decode_jpeg(p1)
+
+
+def test_jpeg_odd_dims_and_1x1():
+    """Non-MCU-multiple dims are edge-padded at encode and cropped at
+    decode; the SOF0 header dims always win."""
+    for (w, h) in [(13, 9), (17, 11), (1, 1), (3, 17)]:
+        rows = [[((x * 31) % 256, (y * 17) % 256, 128) for x in range(w)] for y in range(h)]
+        for ss in ("444", "420"):
+            payload = codecs.encode_jpeg(rows, quality=90, subsample=ss)
+            dw, dh, dec = codecs.decode_jpeg(payload)
+            assert (dw, dh) == (w, h)
+            assert len(dec) == h and len(dec[0]) == w
+            assert codecs.jpeg_dims(payload) == (w, h)
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    flat = [[(128, 128, 128)] * 8 for _ in range(8)]
+    payload = bytearray(codecs.encode_jpeg(flat))
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="subsampling"):
+        codecs.encode_jpeg(flat, subsample="411")
+    with pytest.raises(ValueError, match="quality"):
+        codecs.encode_jpeg(flat, quality=0)
+    with pytest.raises(ValueError, match="ragged|empty"):
+        codecs.encode_jpeg([[(1, 2, 3)], [(1, 2, 3), (4, 5, 6)]])
+    # progressive (SOF2) rejection
+    prog = bytearray(payload)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        codecs.decode_jpeg(bytes(prog))
+    # truncated entropy data
+    with pytest.raises(ValueError, match="truncated|marker"):
+        codecs.decode_jpeg(bytes(payload[: len(payload) // 2]))
+
+
+def test_jpeg_grayscale_single_component_decode():
+    """A handcrafted 1-component (grayscale) SOF0 stream decodes through
+    the single-plane path to (v, v, v) rows."""
+    import struct as _struct
+
+    qt = codecs._jpeg_scaled_qt(codecs._JPEG_QT_LUMA, 75)
+    enc_dc = codecs._huff_encode_table(*codecs._JPEG_DC_LUMA)
+    enc_ac = codecs._huff_encode_table(*codecs._JPEG_AC_LUMA)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0)
+    out += bytes(qt[pos] for pos in codecs._JPEG_ZIGZAG)
+    out += b"\xff\xc0" + _struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    for tc_th, (bits, vals) in ((0x00, codecs._JPEG_DC_LUMA), (0x10, codecs._JPEG_AC_LUMA)):
+        out += b"\xff\xc4" + _struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+    writer = codecs._BitWriter()
+    block = [[176.0 - 128.0] * 8 for _ in range(8)]  # flat luma 176
+    codecs._encode_block(block, qt, enc_dc, enc_ac, 0, writer)
+    out += writer.flush() + b"\xff\xd9"
+    w, h, dec = codecs.decode_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+    assert dec[0][0] == dec[7][7]
+    v = dec[0][0][0]
+    assert abs(v - 176) <= 1 and dec[0][0] == (v, v, v)
+
+
+def test_real_decode_jpeg_end_to_end(spark):
+    """decode_media(fake=False) real-decodes JPEG payloads in the Arrow
+    pipeline: true SOF0 dimensions and the two-tone perceptual hash."""
+    from flashml_spark.operators.multimodal import decode_media
+
+    def jpeg_bytes(w, h, top, bot, ss):
+        rows = [[top] * w for _ in range(h // 2)] + [[bot] * w for _ in range(h // 2)]
+        return codecs.encode_jpeg(rows, quality=90, subsample=ss)
+
+    rows = [
+        (1, jpeg_bytes(16, 8, (10, 10, 10), (230, 230, 230), "444"), "image/jpeg"),
+        (2, jpeg_bytes(12, 6, (240, 240, 240), (20, 20, 20), "420"), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    out = {r["media_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (16, 8)
+    assert (out[2]["width"], out[2]["height"]) == (12, 6)
+    assert out[1]["phash"] == "ffffffff00000000"  # bright bottom half
+    assert out[2]["phash"] == "00000000ffffffff"  # bright top half
+
+
+def test_real_resize_jpeg_end_to_end(spark):
+    """resize_media(fake=False) produces real grayscale thumbnails from
+    JPEG payloads with the exact length contract."""
+    from flashml_spark.operators.multimodal import resize_media
+
+    rows_px = [[(0, 0, 0)] * 16 for _ in range(4)] + [
+        [(255, 255, 255)] * 16 for _ in range(4)
+    ]
+    payload = codecs.encode_jpeg(rows_px, quality=90)
+    df = spark.createDataFrame(
+        [(1, payload, "image/jpeg")], "media_id long, payload binary, mime string"
+    )
+    (row,) = resize_media(df, width=8, height=8, fake=False).collect()
+    thumb = bytes(row["thumb"])
+    assert len(thumb) == 64
+    assert max(thumb[:32]) < 64 and min(thumb[32:]) > 192
+
+
+def test_jpeg_audit_hash_derivation_matches_operator():
+    """The x271 oracle arithmetic (dims + hash from id) matches the
+    operator's encode→decode output for a dense id sweep — the same
+    derivation the DuckDB oracle pins corpus-wide."""
+    for i in range(0, 240):
+        w = 8 + i % 9
+        h = 4 + 2 * (i % 3)
+        dark = ((i * 23) % 64, (i * 29) % 64, (i * 31) % 64)
+        bright = (192 + (i * 37) % 64, 192 + (i * 41) % 64, 192 + (i * 43) % 64)
+        top, bot = (dark, bright) if (i % 4) < 2 else (bright, dark)
+        rows = [[top] * w for _ in range(h // 2)] + [[bot] * w for _ in range(h // 2)]
+        payload = codecs.encode_jpeg(
+            rows, quality=90, subsample="420" if i % 2 == 0 else "444"
+        )
+        dw, dh, px = codecs.decode_jpeg(payload)
+        got = (dw, dh, codecs.average_hash(codecs.png_grayscale(px)))
+        exp = (w, h, "00000000ffffffff" if i % 4 >= 2 else "ffffffff00000000")
+        assert got == exp, i
+
+
+def test_gif_encode_rejects_oversize_palette():
+    """r9 ADVICE: >256-entry palettes must raise, not emit a corrupt
+    logical-screen-descriptor size field."""
+    frame = [[0, 1], [1, 0]]
+    with pytest.raises(ValueError, match="palette"):
+        codecs.encode_gif([frame], [(i % 256, 0, 0) for i in range(300)])
+    with pytest.raises(ValueError, match="palette"):
+        codecs.encode_gif([frame], [])
+
+
+def test_gif_truncated_payload_raises_valueerror():
+    """r9 ADVICE: truncated GIF streams raise ValueError (like every
+    other malformed input), not IndexError/struct.error."""
+    pal = [(0, 0, 0), (255, 255, 255)]
+    frame = [[0, 1, 0, 1], [1, 0, 1, 0]]
+    payload = codecs.encode_gif([frame, frame], pal, delay_cs=5)
+    for cut in (len(payload) - 2, len(payload) // 2, 20, 14):
+        with pytest.raises(ValueError):
+            codecs.decode_gif(payload[:cut])
+    with pytest.raises(ValueError):
+        codecs.gif_frame_delays(payload[: len(payload) // 2])
