@@ -1285,8 +1285,10 @@ def markov_removal_attribution(
     |states|² transition matrix is collected — states are the event-type
     domain, a few dozen at most — and the absorbing-chain solves run on
     that matrix driver-side (numpy, exact LU), one (|states|-1)² solve
-    per channel.  Not SQL-expressible (matrix inverse) — registered
-    rows-only; unit tests pin closed-form chains.
+    per channel.  The matrix inverse itself is not SQL-expressible, but
+    since r10 the x192 registration carries a planted-fixture
+    execution-forcing oracle (closed-form chain pins + an output-
+    measured corpus channel count); unit tests pin further chains.
 
     Output: ``channel, p_conv_full, p_conv_removed, removal_effect,
     share`` (rounded to 6), one row per non-absorbing channel.

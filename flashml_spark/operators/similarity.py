@@ -421,6 +421,8 @@ def cluster_balanced_sample(
     k_per_cluster: int = 4,
     seed: int = 42,
     fit_sample_rows: int = 100_000,
+    max_iter: int = 10,
+    init_mode: str = "random",
 ) -> DataFrame:
     """Diversity sampling for training-data curation: cluster the embedding
     space (the IVF coarse quantizer — k-means, fixed seed) and take a
@@ -432,8 +434,10 @@ def cluster_balanced_sample(
     corpus; a 100k-row sample pins 8-64 coarse centroids just as well),
     cluster assignment is a codegen'd argmin over broadcast centroids, and
     the per-cluster quota is a ranked-window top-k (bounded by cluster
-    size).  The fast quantizer profile (random init, 10 iters) is explicit
-    here: a rough coarse partition is all diversity quotas need.
+    size).  The default fast quantizer profile (random init, 10 iters)
+    is explicit here: a rough coarse partition is all diversity quotas
+    need; callers that need the recall-robust profile (planted-fixture
+    audits, tiny k) opt into ``init_mode="k-means||"``.
     Output: ``<id_col>, ivf_list, rn``."""
     from flashml_spark.operators.sampling import quota_per_group
 
@@ -443,8 +447,8 @@ def cluster_balanced_sample(
         n_lists=n_lists,
         seed=seed,
         sample_rows=fit_sample_rows,
-        max_iter=10,
-        init_mode="random",
+        max_iter=max_iter,
+        init_mode=init_mode,
     )
     assigned = with_ivf_list(df, vec_col, centroids)
     return quota_per_group(

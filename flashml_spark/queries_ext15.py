@@ -24,6 +24,7 @@ association order (see SCALE.md "round-5 fourth wave").
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flashml_spark.operators import events, relational, sampling
 from flashml_spark.queries import register
@@ -260,19 +261,75 @@ def x191(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x192 — Markov removal-effect attribution over event journeys
-# (purchase = conversion): the data-driven credit model.  The absorbing
-# -chain solve is a matrix inverse — not SQL-expressible, registered
-# rows-only; the transition-count stage is oracle-shaped via x181 and
-# the closed-form chains are pinned in unit tests.
-@register("x192_markov_attribution", None)
+# x192 — Markov removal-effect attribution, upgraded r10 from rows-only
+# to a PLANTED-FIXTURE oracle (the x25/x200 execution-forcing pattern):
+# (a) a literal absorbing chain built from 5 planted journeys
+#       u1: A→purchase   u2: A→purchase   u3: A→B→purchase
+#       u4: A→B(drop)    u5: A(drop)
+#     giving transitions  A: {CONV 2/5, B 2/5, DROP 1/5},
+#     B: {CONV 1/2, DROP 1/2}, so the absorbing solve has closed forms
+#       p_full = 2/5 + 2/5·1/2 = 0.6
+#       remove A → START is severed → p = 0, effect 1, share 0.75
+#       remove B → p = 2/5 = 0.4, effect (0.6−0.4)/0.6 = 1/3, share 0.25
+#     run through the REAL matrix-inverse solver and pinned as SQL
+#     literals; and
+# (b) ONE corpus row measured on the SOLVER OUTPUT: the channel count
+#     of the full-corpus attribution equals COUNT(DISTINCT non-purchase
+#     event_type) — derivable from the input, but the Spark value is
+#     the row count of the solved output frame, forcing the
+#     transition-count pass + per-channel solves to run corpus-wide.
+_X192_FIX_EVENTS = [
+    (1, 1, 1, "A"), (1, 2, 2, "purchase"),
+    (2, 1, 3, "A"), (2, 2, 4, "purchase"),
+    (3, 1, 5, "A"), (3, 2, 6, "B"), (3, 3, 7, "purchase"),
+    (4, 1, 8, "A"), (4, 2, 9, "B"),
+    (5, 1, 10, "A"),
+]
+
+_X192_SQL = """
+WITH corpus AS (SELECT CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS v
+                FROM events WHERE event_type <> 'purchase')
+SELECT 'corpus_channels' AS key, v AS value FROM corpus
+UNION ALL SELECT 'fix:p_conv_full', CAST(0.6 AS DOUBLE)
+UNION ALL SELECT 'fix:A:p_conv_removed', CAST(0.0 AS DOUBLE)
+UNION ALL SELECT 'fix:A:removal_effect', CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'fix:A:share', CAST(0.75 AS DOUBLE)
+UNION ALL SELECT 'fix:B:p_conv_removed', CAST(0.4 AS DOUBLE)
+UNION ALL SELECT 'fix:B:removal_effect', CAST(0.333333 AS DOUBLE)
+UNION ALL SELECT 'fix:B:share', CAST(0.25 AS DOUBLE)
+ORDER BY key"""
+
+
+@register("x192_markov_attribution", _X192_SQL)
 def x192(spark: SparkSession, sf: str) -> DataFrame:
+    fix = spark.createDataFrame(
+        _X192_FIX_EVENTS,
+        "user_id bigint, ts bigint, event_id bigint, event_type string",
+    )
+    att_fix = events.markov_removal_attribution(
+        fix, "user_id", "ts", "event_id", "event_type", "purchase"
+    )
+    pins = att_fix.select(
+        F.expr(
+            "stack(3,"
+            " concat('fix:', channel, ':p_conv_removed'), p_conv_removed,"
+            " concat('fix:', channel, ':removal_effect'), removal_effect,"
+            " concat('fix:', channel, ':share'), share) AS (key, value)"
+        )
+    )
+    p_full = att_fix.agg(F.max("p_conv_full").alias("value")).select(
+        F.lit("fix:p_conv_full").alias("key"), "value"
+    )
     ev = load_table(spark, sf, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    return events.markov_removal_attribution(
+    att_corpus = events.markov_removal_attribution(
         ev, "user_id", "ts", "event_id", "event_type", "purchase"
     )
+    corpus = att_corpus.agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(F.lit("corpus_channels").alias("key"), "value")
+    return pins.unionByName(p_full).unionByName(corpus).orderBy("key")
 
 
 # --------------------------------------------------------------------------

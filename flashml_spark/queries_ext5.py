@@ -254,17 +254,97 @@ def x71(spark: SparkSession, sf: str) -> DataFrame:
     return ev_ops.retention_cohorts(ev, "user_id", "ts")
 
 
-# x72 — cluster-balanced diversity sample over the embedding table:
-# k-means (IVF coarse quantizer) clusters + deterministic per-cluster
-# quota.  K-means is not SQL-expressible -> rows-only driver check; the
-# determinism and quota contracts are unit-tested.
-@register("x72_cluster_balanced_sample", None)
+# x72 — cluster-balanced diversity sample, upgraded r10 from rows-only
+# to a PLANTED-FIXTURE oracle (the x25/x200 execution-forcing pattern):
+# (a) plant 4 tight point clusters (12 points each, centers 100 apart,
+#     offsets ±0.2 — any correct k=4 Lloyd solve recovers exactly the
+#     planted partition) and run the REAL cluster_balanced_sample
+#     pipeline (fit → assign → quota) over them with the recall-robust
+#     k-means|| profile; per-group list purity (1 list per group), the
+#     total distinct-list count (4) and the kept-row count (48, quota =
+#     group size) are all LITERAL SQL pins;
+# (b) ONE corpus row measured on the ASSIGNMENT OUTPUT: the x72 fast
+#     quantizer profile fits on the real embeddings and every corpus
+#     vector is assigned; SUM(ivf_list IN [0,8)) over the output column
+#     equals COUNT(*) of embeddings — SQL-derivable from the INPUT, but
+#     the Spark value is computed from the argmin's output, forcing the
+#     assignment expression to execute on every row.
+# A hash match certifies the Lloyd solver finds planted structure, the
+# quota keeps every member, and assignment ran corpus-wide.
+_X72_CENTERS = [
+    (0.0, 0.0, 0.0, 0.0),
+    (100.0, 0.0, 0.0, 0.0),
+    (0.0, 100.0, 0.0, 0.0),
+    (0.0, 0.0, 100.0, 0.0),
+]
+
+_X72_SQL = """
+WITH corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM embeddings)
+SELECT 'corpus_assigned' AS key, v AS value FROM corpus
+UNION ALL SELECT 'fixture_rows_kept', CAST(48 AS DOUBLE)
+UNION ALL SELECT 'total_distinct_lists', CAST(4 AS DOUBLE)
+UNION ALL SELECT 'group_distinct_lists:0', CAST(1 AS DOUBLE)
+UNION ALL SELECT 'group_distinct_lists:1', CAST(1 AS DOUBLE)
+UNION ALL SELECT 'group_distinct_lists:2', CAST(1 AS DOUBLE)
+UNION ALL SELECT 'group_distinct_lists:3', CAST(1 AS DOUBLE)
+ORDER BY key"""
+
+
+@register("x72_cluster_balanced_sample", _X72_SQL)
 def x72(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import similarity
 
+    rows = []
+    for g, c in enumerate(_X72_CENTERS):
+        for j in range(12):
+            off = [(((j * 7 + k * 3) % 5) - 2) * 0.1 for k in range(4)]
+            rows.append((g * 12 + j, [c[k] + off[k] for k in range(4)]))
+    fix = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sampled = similarity.cluster_balanced_sample(
+        fix, "embedding", "vec_id", n_lists=4, k_per_cluster=12,
+        init_mode="k-means||", max_iter=20,
+    )
+    per_group = (
+        sampled.withColumn("grp", F.floor(F.col("vec_id") / 12).cast("int"))
+        .groupBy("grp")
+        .agg(F.countDistinct("ivf_list").cast("double").alias("value"))
+        .select(
+            F.concat(F.lit("group_distinct_lists:"), F.col("grp")).alias("key"),
+            "value",
+        )
+    )
+    totals = sampled.agg(
+        F.countDistinct("ivf_list").cast("double").alias("dl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    t_lists = totals.select(
+        F.lit("total_distinct_lists").alias("key"), F.col("dl").alias("value")
+    )
+    t_kept = totals.select(
+        F.lit("fixture_rows_kept").alias("key"), F.col("n").alias("value")
+    )
+    # corpus execution-forcing row: x72's fast quantizer profile, full-
+    # corpus assignment, measured ON THE OUTPUT column
     emb = load_table(spark, sf, "embeddings")
-    return similarity.cluster_balanced_sample(
-        emb, "embedding", "vec_id", n_lists=8, k_per_cluster=4
+    cents = similarity.fit_ivf_centroids(
+        emb, "embedding", n_lists=8, seed=42, sample_rows=100_000,
+        max_iter=10, init_mode="random",
+    )
+    assigned = similarity.with_ivf_list(emb, "embedding", cents)
+    corpus = assigned.agg(
+        F.sum(
+            F.when(
+                (F.col("ivf_list") >= 0) & (F.col("ivf_list") < 8), 1
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("value")
+    ).select(F.lit("corpus_assigned").alias("key"), "value")
+    return (
+        per_group.unionByName(t_lists)
+        .unionByName(t_kept)
+        .unionByName(corpus)
+        .orderBy("key")
     )
 
 

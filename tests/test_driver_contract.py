@@ -32,15 +32,11 @@ def test_queries_and_oracles_are_consistent():
     assert set(o) <= set(q)
     # priority order is the iteration prefix
     assert list(q)[: len(e._PRIORITY)] == e._PRIORITY
-    # the documented rows-only set, and nothing else, lacks an oracle
-    # (r8 shrank it: x07/x27/x240 gained planted-fixture oracles — the
-    # x233 pattern — leaving only genuinely non-SQL operators; x25 and
-    # x200 left the set in r9 via planted-fixture oracles)
-    assert set(q) - set(o) == {
-        "x72_cluster_balanced_sample",  # k-means sample (x254 sibling)
-        "x192_markov_attribution",  # absorbing-chain matrix inverse
-        # (x253 sibling)
-    }
+    # the rows-only set is EMPTY since r10: x72 (k-means) and x192
+    # (absorbing-chain matrix inverse) — the last two non-SQL solvers —
+    # gained planted-fixture execution-forcing oracles (the x25/x200
+    # pattern), so every registered query now has a full DuckDB oracle
+    assert set(q) - set(o) == set()
 
 
 def test_priority_window_follows_ledger_policy():
