@@ -2693,8 +2693,11 @@ def interarrival_burstiness(
     n, sd, sdd = F.col("n"), F.col("sd"), F.col("sdd")
     var = (n * sdd - sd * sd).cast("double") / (n * (n - 1)).cast("double")
     mean = sd.cast("double") / n.cast("double")
+    # sd > 0 excludes all-duplicate-timestamp streams (mean gap 0):
+    # CV is undefined there, and engines disagree on 0/0 (Spark NULL vs
+    # DuckDB NaN/inf) — r9 ADVICE item
     return (
-        agg.where(n >= 2)
+        agg.where((n >= 2) & (sd > 0))
         .select(
             F.col("t").alias(type_col),
             n.alias("n_gaps"),

@@ -891,6 +891,15 @@ def constrained_waterfill_allocation(
             f"need 0 <= floor_frac <= budget_frac <= 1, got "
             f"{floor_frac}, {budget_frac}"
         )
+    if floor_frac > cap_frac * budget_frac:
+        # a source holding ~the whole corpus would receive
+        # floor ≈ floor_frac·total > cap = cap_frac·budget_frac·total,
+        # violating the documented per-source cap (r9 ADVICE item)
+        raise ValueError(
+            f"need floor_frac <= cap_frac*budget_frac so floors can never "
+            f"exceed the per-source cap, got {floor_frac} > "
+            f"{cap_frac} * {budget_frac}"
+        )
     floor_micro = int(round(floor_frac * 1_000_000))
     budget_q = Fraction(int(round(budget_frac * 1_000_000)), 1_000_000)
     capxb = Fraction(int(round(cap_frac * 1_000_000)), 1_000_000) * budget_q

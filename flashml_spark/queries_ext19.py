@@ -491,7 +491,7 @@ SELECT t AS event_type, n AS n_gaps,
        ROUND(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
                   / CAST(n * (n - 1) AS DOUBLE))
              / (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
-FROM a WHERE n >= 2 ORDER BY event_type"""
+FROM a WHERE n >= 2 AND sd > 0 ORDER BY event_type"""
 
 
 @register("x267_interarrival_burstiness", _BURST_SQL)

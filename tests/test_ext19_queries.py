@@ -675,3 +675,38 @@ def test_constrained_waterfill_rejects_floor_above_budget(spark):
         constrained_waterfill_allocation(
             df, "source", "n_tokens", budget_frac=0.5, floor_frac=0.6
         )
+
+
+def test_constrained_waterfill_rejects_floor_above_cap(spark):
+    """r9 ADVICE: floor_frac > cap_frac*budget_frac would let a dominant
+    source's floor exceed its cap — must be rejected up front."""
+    from flashml_spark.operators.sampling import constrained_waterfill_allocation
+
+    df = spark.createDataFrame([("a", 100), ("b", 50)], "src string, w long")
+    with pytest.raises(ValueError, match="floor_frac <= cap_frac"):
+        constrained_waterfill_allocation(
+            df, "src", "w", budget_frac=0.5, floor_frac=0.4, cap_frac=0.5
+        )
+
+
+def test_burstiness_drops_zero_gap_streams(spark):
+    """r9 ADVICE: a type whose gaps are all zero (duplicate timestamps)
+    has an undefined CV (mean gap 0) and must be filtered, not emitted
+    as an engine-dependent NULL/NaN row."""
+    from flashml_spark.operators.events import interarrival_burstiness
+
+    rows = [
+        # type z: two events, same ts -> single gap of 0 -> sd = 0
+        (1, "2024-01-01 00:00:00", 1, "z"),
+        (1, "2024-01-01 00:00:00", 2, "z"),
+        # type ok: three events, nonzero gaps
+        (2, "2024-01-01 00:00:00", 3, "ok"),
+        (2, "2024-01-01 00:00:10", 4, "ok"),
+        (2, "2024-01-01 00:00:40", 5, "ok"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = interarrival_burstiness(df, "event_type", "user_id", "ts").collect()
+    assert [r["event_type"] for r in out] == ["ok"]
+    assert out[0]["n_gaps"] == 2 and out[0]["cv"] is not None
