@@ -283,6 +283,50 @@ HEADLINE = [
 ]
 
 
+# Fixed 30-query subset timed at SESSION HEAD, before the full table
+# (r9 verdict item 8): the full session is now 250+ queries and the
+# documented long-session inflation smears totals-level round-over-round
+# comparison; this subset's total is measured while the JVM is young and
+# its membership NEVER changes (pinned by test_driver_contract), so
+# `headline30` is the one number comparable across rounds.  One query
+# per major family: scan/filter, view chain, window, stabilizer,
+# rollup, sweep, dedup (exact/minhash/semantic/spans), ANN, joins
+# (as-of/star), text (tokens/BPE/BM25/quality), sketches (HLL/bloom),
+# graph, codecs, mixture planning.
+HEADLINE30 = [
+    "q01_filter_project",
+    "q02_sql_view_chain",
+    "q03_window_lead",
+    "q08_class_stabilizer",
+    "q12_hotlead_rollup",
+    "q19_threshold_sweep",
+    "x01_dedup_exact",
+    "x03_minhash_dedup",
+    "x06_knn_brute",
+    "x08_token_count",
+    "x14_sessionize",
+    "x22_quantile_binning",
+    "x23_preprocess_chain",
+    "x41_asof_join",
+    "x43_star_join_revenue",
+    "x53_simhash_hamming_pairs",
+    "x63_shard_packing",
+    "x75_semantic_dedup_e2e",
+    "x80_ann_recall",
+    "x93_doc_chunking",
+    "x132_prefix_jaccard",
+    "x135_bm25_topk",
+    "x143_bpe_learn",
+    "x164_triangle_parts",
+    "x178_decontamination",
+    "x200_compression_ratio",
+    "x219_hll_distinct",
+    "x240_reciprocal_nn_lsh",
+    "x255_png_roundtrip_audit",
+    "x268_bloom_decontamination",
+]
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -316,43 +360,96 @@ def detail_line(timings: dict[str, float], total: float, sf_val) -> str:
     )
 
 
-def totals_line(timings: dict[str, float], total: float, sf_val) -> str:
+def totals_line(
+    timings: dict[str, float],
+    total: float,
+    sf_val,
+    h30_total: float | None = None,
+) -> str:
     """COMPACT summary — always the LAST stdout line.  The driver
     captures a bounded tail of stdout and parses the final JSON line;
     r03's 73-query dict overflowed it, so this payload must stay small
     no matter how many queries run (guarded by
     tests/test_driver_contract.py::test_bench_totals_line_stays_compact
-    against THIS function)."""
-    return json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": {
-                "n_queries": len(timings),
-                "max": max(timings.values()) if timings else 0.0,
-                "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
-            },
-            "sf": sf_val,
-        }
+    against THIS function).  ``headline30`` is the session-head fixed
+    subset — the round-over-round comparable number."""
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "n_queries": len(timings),
+            "max": max(timings.values()) if timings else 0.0,
+            "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
+        },
+        "sf": sf_val,
+    }
+    if h30_total is not None:
+        payload["headline30"] = round(h30_total, 3)
+    return json.dumps(payload)
+
+
+_ROLE_RANK = {"LOCAL": 0, "CLOSING": 1, "DRIVER": 2}
+
+
+def _table_key(path: str) -> tuple[int, int, int] | None:
+    """Sort key (round, role_rank, seq) for a committed bench table.
+    Within a round, builder CLOSING runs precede the DRIVER run (the
+    driver benches last, after writing CORRECTNESS_rN); legacy LOCAL
+    tables rank lowest.  ``seq`` orders ``_2``/``_3`` rerun suffixes."""
+    import re
+
+    m = re.search(
+        r"BENCH_(LOCAL|CLOSING|DRIVER)_r(\d+)(?:_(\d+))?\.json$", path
+    )
+    if not m:
+        return None
+    return (
+        int(m.group(2)),
+        _ROLE_RANK[m.group(1)],
+        int(m.group(3) or 1),
     )
 
 
-def previous_table_path(current: str) -> str | None:
-    """The newest BENCH_LOCAL_r{N}.json in `current`'s directory OLDER
-    than `current` (the drift baseline); None when there is no prior
-    round table."""
+def bench_tables(repo: str) -> list[tuple[tuple[int, int, int], str]]:
+    """All committed bench tables in `repo`, oldest-first."""
     import glob
-    import re
 
+    out = []
+    for p in glob.glob(os.path.join(repo, "BENCH_*_r*.json")):
+        k = _table_key(p)
+        if k is not None:
+            out.append((k, p))
+    return sorted(out)
+
+
+def previous_table_path(current: str) -> str | None:
+    """The newest committed bench table strictly OLDER than `current`
+    (the session-over-session drift baseline); None when there is no
+    prior table."""
     repo = os.path.dirname(os.path.abspath(current))
-    cur = re.search(r"BENCH_LOCAL_r(\d+)\.json$", current)
-    cands = []
-    for p in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
-        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
-        if m and (not cur or int(m.group(1)) < int(cur.group(1))):
-            cands.append((int(m.group(1)), p))
-    return max(cands)[1] if cands else None
+    cur = _table_key(current)
+    cands = [
+        (k, p)
+        for k, p in bench_tables(repo)
+        if cur is None or k < cur
+    ]
+    return cands[-1][1] if cands else None
+
+
+def previous_driver_table_path(current: str) -> str | None:
+    """The newest DRIVER bench table strictly older than `current` —
+    the round-over-round baseline the judge actually reads (r9 verdict
+    item 4: 7 of 10 driver-vs-driver regressions carried no committed
+    adjudication because drift only diffed the previous LOCAL table)."""
+    repo = os.path.dirname(os.path.abspath(current))
+    cur = _table_key(current)
+    cands = [
+        (k, p)
+        for k, p in bench_tables(repo)
+        if k[1] == _ROLE_RANK["DRIVER"] and (cur is None or k < cur)
+    ]
+    return cands[-1][1] if cands else None
 
 
 def isolated_rerun(name: str, sf_dir: str) -> dict[str, float] | None:
@@ -408,46 +505,67 @@ def isolated_rerun(name: str, sf_dir: str) -> dict[str, float] | None:
 def adjudicate_drift(
     timings: dict[str, float], sf_dir: str, table_path: str
 ) -> dict[str, dict[str, float]]:
-    """Self-adjudicating drift check (r6 verdict item 4): diff this
-    run's per-query numbers against the previous committed table with
-    bench_diff's thresholds (>=0.5 s AND >=1.5x slower), then re-run
-    each flagged query ISOLATED (fresh JVM) and record BOTH numbers.
-    Bounded by $SPARK_GRAFT_BENCH_DRIFT_K fresh sessions (default 5,
-    0 disables); slowest-first so the bound spends itself where the
-    headline numbers are read."""
-    k = int(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_K", "5"))
-    prev_path = previous_table_path(table_path)
-    if k <= 0 or prev_path is None:
+    """Self-adjudicating drift check (r6 verdict item 4, widened per r9
+    verdict item 4): diff this run's per-query numbers against BOTH the
+    previous committed table (session-over-session) AND the previous
+    DRIVER table (round-over-round — the comparison the judge reads)
+    with bench_diff's thresholds (>=0.5 s AND >=1.5x slower).  EVERY
+    flagged row is recorded; isolated fresh-JVM triples are attached to
+    the worst $SPARK_GRAFT_BENCH_DRIFT_K of them (default 16, 0
+    disables adjudication entirely), severity-ordered so the bound
+    spends itself where the headline numbers are read."""
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_K", "16"))
+    if k <= 0:
         return {}
-    with open(prev_path) as f:
-        prev = json.load(f)["queries"]
-    flagged = [
-        q
-        for q in timings
-        if q in prev
-        and timings[q] - prev[q] >= 0.5
-        and timings[q] >= 1.5 * prev[q]
-    ]
-    flagged.sort(key=lambda q: prev[q] - timings[q])  # biggest slowdown first
+    baselines: dict[str, dict[str, float]] = {}
+    prev_path = previous_table_path(table_path)
+    if prev_path is not None:
+        with open(prev_path) as f:
+            baselines["prev"] = json.load(f)["queries"]
+    drv_path = previous_driver_table_path(table_path)
+    if drv_path is not None and drv_path != prev_path:
+        with open(drv_path) as f:
+            baselines["prev_driver"] = json.load(f)["queries"]
+    if not baselines:
+        return {}
+
     drift: dict[str, dict[str, float]] = {}
-    for q in flagged[:k]:
+    severity: dict[str, float] = {}
+    for label, prev in baselines.items():
+        for q in timings:
+            if (
+                q in prev
+                and timings[q] - prev[q] >= 0.5
+                and timings[q] >= 1.5 * prev[q]
+            ):
+                entry = drift.setdefault(q, {"in_session": timings[q]})
+                entry[label] = prev[q]
+                severity[q] = max(
+                    severity.get(q, 0.0), timings[q] - prev[q]
+                )
+    for q in sorted(severity, key=severity.get, reverse=True)[:k]:
         iso = isolated_rerun(q, sf_dir)
-        entry = {"prev": prev[q], "in_session": timings[q]}
         if iso is not None:
-            entry["isolated_cold"] = iso["cold"]
-            entry["isolated_warm"] = iso["warm"]
-        drift[q] = entry
+            drift[q]["isolated_cold"] = iso["cold"]
+            drift[q]["isolated_warm"] = iso["warm"]
     return drift
 
 
-def local_table_path() -> str:
+def local_table_path(repo: str | None = None) -> str:
     """Destination for the committed full per-query timing table.
 
-    The r4/r5 driver bench tails shared zero per-query keys, so
-    round-over-round regressions needed a re-run to spot; committing
-    the full table each round makes them a ``diff``
-    (BENCH_LOCAL_r{N}.json, N = newest CORRECTNESS round + 1, i.e. the
-    round being benched; override with $SPARK_GRAFT_BENCH_OUT).
+    Bench tables are adjudication evidence and therefore APPEND-ONLY
+    (r9 verdict item 5: the r8 driver table survived only in git
+    because a closing run reused its name).  Naming:
+
+    - The driver benches LAST in a round, right after writing
+      CORRECTNESS_rN — its run sees max(CORRECTNESS)=N and claims
+      ``BENCH_DRIVER_rNN.json`` if that name is still free.
+    - Any run while DRIVER_rNN already exists is a builder closing run
+      for the round IN PROGRESS (N+1): ``BENCH_CLOSING_r{NN+1}.json``,
+      suffixed ``_2``/``_3``... if repeated.  No existing file is ever
+      reused ($SPARK_GRAFT_BENCH_OUT overrides; the non-clobber
+      property is pinned by tests/test_driver_contract.py).
     """
     override = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if override:
@@ -455,14 +573,25 @@ def local_table_path() -> str:
     import glob
     import re
 
-    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo is None:
+        repo = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    n = (max(rounds) if rounds else 0) + 1
-    return os.path.join(repo, f"BENCH_LOCAL_r{n:02d}.json")
+    n = max(rounds) if rounds else 0
+    driver = os.path.join(repo, f"BENCH_DRIVER_r{n:02d}.json")
+    if not os.path.exists(driver):
+        return driver
+    closing = os.path.join(repo, f"BENCH_CLOSING_r{n + 1:02d}.json")
+    seq = 2
+    while os.path.exists(closing):
+        closing = os.path.join(
+            repo, f"BENCH_CLOSING_r{n + 1:02d}_{seq}.json"
+        )
+        seq += 1
+    return closing
 
 
 def write_local_table(
@@ -471,11 +600,13 @@ def write_local_table(
     sf_val,
     path: str,
     drift: dict[str, dict[str, float]] | None = None,
+    h30: dict[str, float] | None = None,
 ) -> None:
     """Write the FULL per-query table (what the bounded stdout tail
     cannot carry) as a committed, diffable artifact.  `drift` carries
-    the {prev, in_session, isolated_cold, isolated_warm} adjudication
-    rows for queries that regressed vs the previous round's table."""
+    the {prev, prev_driver, in_session, isolated_cold, isolated_warm}
+    adjudication rows for queries that regressed vs either baseline;
+    `h30` is the session-head fixed-subset timing table."""
     payload = {
         "metric": "headline_queries_detail",
         "value": round(total, 3),
@@ -483,6 +614,11 @@ def write_local_table(
         "sf": sf_val,
         "queries": dict(sorted(timings.items())),
     }
+    if h30:
+        payload["headline30"] = {
+            "total": round(sum(h30.values()), 3),
+            "queries": dict(sorted(h30.items())),
+        }
     if drift:
         payload["drift"] = dict(sorted(drift.items()))
     with open(path, "w") as f:
@@ -506,6 +642,17 @@ def main() -> int:
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM + parquet footer cache once with the cheapest query
     run_query(QUERIES[names[0]][0](spark, sf_dir))
+
+    # Fixed headline-30 subset first, while the session is young — the
+    # round-over-round comparable total (r9 verdict item 8).
+    h30: dict[str, float] = {}
+    for name in [n for n in HEADLINE30 if n in QUERIES]:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        h30[name] = round(time.perf_counter() - t0, 3)
+        release_storage(spark)
+    h30_total = sum(h30.values())
 
     timings: dict[str, float] = {}
     for name in names:
@@ -538,10 +685,10 @@ def main() -> int:
 
     table_path = local_table_path()
     drift = adjudicate_drift(timings, sf_dir, table_path)
-    write_local_table(timings, total, sf_val, table_path, drift)
+    write_local_table(timings, total, sf_val, table_path, drift, h30)
     print(detail_line(timings, total, sf_val))
     sys.stdout.flush()
-    print(totals_line(timings, total, sf_val))
+    print(totals_line(timings, total, sf_val, h30_total))
     return 0
 
 

@@ -197,11 +197,7 @@ def test_bench_totals_line_stays_compact():
 
 def test_bench_local_table_roundtrip(tmp_path):
     # the committed per-query table carries EVERY timing, sorted by
-    # name, and the default path targets the round being benched
-    # (newest CORRECTNESS round + 1)
-    import glob
-    import re
-
+    # name
     import bench
 
     timings = {f"x{i:03d}_q": float(i) for i in range(250)}
@@ -213,13 +209,87 @@ def test_bench_local_table_roundtrip(tmp_path):
     assert list(table["queries"]) == sorted(timings)
     assert table["sf"] == 0.1
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    expect = f"BENCH_LOCAL_r{max(rounds) + 1:02d}.json"
-    assert bench.local_table_path().endswith(expect)
+
+def test_bench_tables_are_append_only(tmp_path, monkeypatch):
+    # r9 verdict item 5: bench tables are adjudication evidence — a
+    # round's table must NEVER be overwritten by a later run (the r8
+    # driver table survived only in git because a closing run reused
+    # BENCH_LOCAL_r09.json).  The default destination is
+    # BENCH_DRIVER_r{N}.json (N = newest CORRECTNESS round — the
+    # driver benches last, after writing CORRECTNESS_rN) only while
+    # that name is FREE; any later run in the same window names itself
+    # a CLOSING run of the round in progress, suffixed if repeated.
+    import bench
+
+    repo = str(tmp_path)
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
+
+    p1 = bench.local_table_path(repo)
+    assert p1.endswith("BENCH_DRIVER_r03.json")
+    (tmp_path / "BENCH_DRIVER_r03.json").write_text("{}")
+    p2 = bench.local_table_path(repo)
+    assert p2.endswith("BENCH_CLOSING_r04.json")
+    (tmp_path / "BENCH_CLOSING_r04.json").write_text("{}")
+    p3 = bench.local_table_path(repo)
+    assert p3.endswith("BENCH_CLOSING_r04_2.json")
+    # the non-clobber invariant itself: the default path NEVER names an
+    # existing file
+    import os as _os
+
+    (tmp_path / "BENCH_CLOSING_r04_2.json").write_text("{}")
+    assert bench.local_table_path(repo).endswith("BENCH_CLOSING_r04_3.json")
+    assert not _os.path.exists(bench.local_table_path(repo))
+
+    # and the historical driver tables exist as real files at HEAD
+    assert _os.path.exists("/root/repo/BENCH_DRIVER_r08.json")
+    assert _os.path.exists("/root/repo/BENCH_DRIVER_r09.json")
+
+
+def test_bench_headline30_pinned():
+    # r9 verdict item 8: the session-head subset is the one
+    # round-over-round comparable total, so its membership is frozen —
+    # 30 names, all registered, no duplicates, and the list hashes to
+    # the pinned value (changing membership invalidates every prior
+    # round's headline30 number; do it only with a new pin + a note).
+    import hashlib
+
+    import bench
+    from flashml_spark.queries import QUERIES
+
+    assert len(bench.HEADLINE30) == 30
+    assert len(set(bench.HEADLINE30)) == 30
+    missing = [n for n in bench.HEADLINE30 if n not in QUERIES]
+    assert not missing, f"HEADLINE30 entries not in registry: {missing}"
+    digest = hashlib.md5(",".join(bench.HEADLINE30).encode()).hexdigest()
+    assert digest == "88a1aa0a40b236b4a79eae5343f5c26c", digest
+
+
+def test_bench_drift_covers_previous_driver_table(tmp_path, monkeypatch):
+    # r9 verdict item 4: 7 of 10 driver-vs-driver regressions carried
+    # no committed adjudication because drift only diffed the previous
+    # LOCAL table.  Now BOTH baselines are diffed: a query slow vs the
+    # previous DRIVER table is flagged even when the previous closing
+    # table already showed the same slow number.
+    import bench
+
+    with open(tmp_path / "BENCH_DRIVER_r06.json", "w") as f:
+        json.dump({"queries": {"xA": 1.0, "xB": 1.0}}, f)
+    with open(tmp_path / "BENCH_CLOSING_r07.json", "w") as f:
+        json.dump({"queries": {"xA": 2.0, "xB": 1.0}}, f)
+    cur_path = str(tmp_path / "BENCH_DRIVER_r07.json")
+
+    monkeypatch.setattr(
+        bench, "isolated_rerun", lambda n, s: {"cold": 5.0, "warm": 1.1}
+    )
+    # xA: 2.1 vs closing 2.0 (not flagged) but vs driver 1.0 (flagged);
+    # xB: regressed vs both
+    timings = {"xA": 2.1, "xB": 1.9}
+    drift = bench.adjudicate_drift(timings, "/tmp/sf", cur_path)
+    assert set(drift) == {"xA", "xB"}
+    assert drift["xA"]["prev_driver"] == 1.0
+    assert "prev" not in drift["xA"]  # closing baseline did not flag it
+    assert drift["xB"]["prev"] == 1.0 and drift["xB"]["prev_driver"] == 1.0
+    assert all("isolated_warm" in d for d in drift.values())
 
 
 def test_bench_drift_adjudication(tmp_path, monkeypatch):
