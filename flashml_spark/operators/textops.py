@@ -1924,6 +1924,94 @@ def compression_ratio_score(
     return df.select(id_col, text_col).mapInPandas(score, out_schema)
 
 
+def compression_ratio_audit(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    level: int = 6,
+) -> DataFrame:
+    """Single-pass execution-forcing audit over
+    :func:`compression_ratio_score`'s zlib scorer: rows with a non-NULL
+    ``key_col`` (planted fixtures) pass through individually with their
+    exact ``(raw_bytes, comp_bytes, ratio)``; all other rows (the
+    corpus) are zlib-scored in the SAME Arrow batch loop and folded
+    into per-batch partial ``'corpus'`` rows carrying only
+    ``(n_docs, Σ raw_bytes)`` — the SQL-derivable accounting that
+    proves the Python pass visited every document.
+
+    r9 verdict item 6: the previous x200 shape consumed one scored
+    frame from TWO branches (fixture filter + corpus aggregate), so the
+    full zlib ``mapInPandas`` pass executed twice — mapInPandas admits
+    no pushdown, so the "fixtures only" branch still scanned the whole
+    corpus.  Folding the corpus accounting into the batch loop makes
+    the downstream aggregate |fixtures| + |batches| rows wide: ONE
+    corpus-sized pass total at any scale.
+
+    Output: ``key, n_docs, raw_bytes, comp_bytes, ratio`` — one row per
+    fixture key plus one ``'corpus'`` row (comp/ratio NULL there;
+    empty/NULL docs drop out, matching the scorer).
+    """
+    import zlib
+
+    out_schema = (
+        "key string, n_docs long, raw_bytes long, comp_bytes long,"
+        " ratio double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            raw = pdf[text_col].map(lambda t: t.encode("utf-8"))
+            nz = raw.map(len) > 0
+            pdf, raw = pdf[nz], raw[nz]
+            if not len(pdf):
+                continue
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            rawlen = raw.map(len)
+            keyed = pdf[key_col].notna().to_numpy()
+            parts = []
+            if keyed.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "key": pdf[key_col][keyed],
+                            "n_docs": 1,
+                            "raw_bytes": rawlen[keyed].astype("int64"),
+                            "comp_bytes": comp[keyed].astype("int64"),
+                            "ratio": (comp[keyed] / rawlen[keyed]).round(6),
+                        }
+                    )
+                )
+            n_corpus = int((~keyed).sum())
+            if n_corpus:
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "key": ["corpus"],
+                            "n_docs": pd.array([n_corpus], dtype="Int64"),
+                            "raw_bytes": pd.array(
+                                [int(rawlen[~keyed].sum())], dtype="Int64"
+                            ),
+                            "comp_bytes": pd.array([None], dtype="Int64"),
+                            "ratio": [None],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    partials = df.select(
+        F.col(key_col).cast("string").alias(key_col), text_col
+    ).mapInPandas(score, out_schema)
+    return partials.groupBy("key").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+        F.sum("comp_bytes").cast("bigint").alias("comp_bytes"),
+        F.sum("ratio").alias("ratio"),
+    )
+
+
 def chao1_vocab_estimate(df: DataFrame, text_col: str) -> DataFrame:
     """Chao1 richness estimate of the TRUE vocabulary size from the
     observed type counts: ``V + f1^2 / (2 f2)`` (f1 = singleton types,

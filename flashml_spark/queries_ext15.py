@@ -647,26 +647,12 @@ def x200(spark: SparkSession, sf: str) -> DataFrame:
     fixtures = docs.sparkSession.createDataFrame(
         [(f"fx:{n}", t) for n, t in _ZLIB_FIXTURES], "key string, text string"
     )
-    scored = textops.compression_ratio_score(
+    # single-pass audit (r9 verdict item 6): fixture pins AND the
+    # execution-forcing corpus accounting come out of ONE zlib
+    # mapInPandas pass — the previous two-branch shape ran it twice
+    return textops.compression_ratio_audit(
         docs.unionByName(fixtures), "text", "key"
-    )
-    pins = scored.where(F.col("key").isNotNull()).select(
-        "key",
-        F.lit(1).cast("bigint").alias("n_docs"),
-        "raw_bytes",
-        "comp_bytes",
-        "ratio",
-    )
-    # corpus accounting measured on the UDF OUTPUT: the zlib pass must
-    # run over every document to produce this row
-    corpus = scored.where(F.col("key").isNull()).agg(
-        F.lit("corpus").alias("key"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
-        F.lit(None).cast("bigint").alias("comp_bytes"),
-        F.lit(None).cast("double").alias("ratio"),
-    )
-    return pins.unionByName(corpus).orderBy("key")
+    ).orderBy("key")
 
 
 # --------------------------------------------------------------------------

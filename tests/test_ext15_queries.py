@@ -616,6 +616,45 @@ def test_compression_ratio_matches_zlib_mirror(spark):
     assert out[1]["ratio"] < out[2]["ratio"]  # repetition compresses harder
 
 
+def test_compression_ratio_audit_single_pass_accounting(spark):
+    # r9 verdict item 6: the audit emits fixture pins AND the corpus
+    # accounting from ONE mapInPandas pass.  Fixture rows keep their
+    # exact zlib numbers; the corpus row sums per-batch partials
+    # (forced here across partitions so >=2 partials must merge);
+    # NULL/empty docs drop from both; exactly one mapInPandas appears
+    # in the plan.
+    import zlib
+
+    rows = [
+        ("fx:runs", "a" * 100),
+        (None, "hello world " * 4),
+        (None, "the corpus doc two"),
+        (None, None),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(rows, "key string, text string").repartition(3)
+    out = {
+        r["key"]: r
+        for r in textops_mod.compression_ratio_audit(df, "text", "key").collect()
+    }
+    assert set(out) == {"fx:runs", "corpus"}
+    raw = ("a" * 100).encode()
+    assert out["fx:runs"]["n_docs"] == 1
+    assert out["fx:runs"]["raw_bytes"] == len(raw)
+    assert out["fx:runs"]["comp_bytes"] == len(zlib.compress(raw, 6))
+    corpus = out["corpus"]
+    assert corpus["n_docs"] == 2
+    assert corpus["raw_bytes"] == len(b"hello world " * 4) + len(
+        b"the corpus doc two"
+    )
+    assert corpus["comp_bytes"] is None and corpus["ratio"] is None
+
+    plan = textops_mod.compression_ratio_audit(
+        df, "text", "key"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+
+
 # --- densify_daily ---------------------------------------------------------------
 
 
