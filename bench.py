@@ -280,6 +280,9 @@ HEADLINE = [
     "x260_mad_outlier_screen",
     "x261_semihard_negatives",
     "x262_dedup_survivorship",
+    "x271_jpeg_roundtrip_audit",
+    "x272_exact_substring_report",
+    "x273_longest_repeated_substrings",
 ]
 
 

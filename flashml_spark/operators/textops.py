@@ -1536,6 +1536,208 @@ def remove_dup_spans(
     )
 
 
+def _token_lcp(a: Column, b: Column) -> Column:
+    """Token-wise longest-common-prefix length of two string arrays as
+    a pure column expression: element-wise null-safe equality via
+    ``zip_with`` (which pads the shorter array with NULLs, so a length
+    mismatch reads as a mismatch at position min+1), then the first
+    ``false`` position; no mismatch means the shorter array is a full
+    prefix.  Ports 1:1 to DuckDB ``list_zip``/``list_position`` — the
+    oracle uses the identical construction."""
+    eqs = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    mis = F.array_position(eqs, F.lit(False))
+    return F.when(mis > 0, mis - 1).otherwise(
+        F.least(F.size(a), F.size(b)).cast("long")
+    )
+
+
+def suffix_matching_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int = 25,
+    ext_cap: int = 75,
+) -> DataFrame:
+    """Suffix-array matching statistics — the EXACT-substring dedup
+    primitive ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, arXiv:2107.06499 §4.1, which builds a
+    corpus suffix array; cf. the reference's shingle tooling, which
+    stops at fixed-width grams): for every token position ``p`` of
+    every document, the length of the LONGEST exact token run starting
+    at ``p`` that also occurs at some other position corpus-wide
+    (cross-document or self-repeat).  Where :func:`dup_span_stats`
+    answers "is this position covered by ANY duplicated n-gram", this
+    answers "exactly how long is the repeat here and what is it" — the
+    statistic Lee et al. threshold at 50 tokens.
+
+    Distributed suffix-array construction, bucketed so there is NO
+    all-pairs and NO global sort: a repeat of length >= ``anchor_len``
+    must begin with a shared ``anchor_len``-token prefix, so suffixes
+    bucket by that anchor; within a bucket (>= 2 members), suffixes
+    sort by their CONTINUATION (the next ``ext_cap`` tokens) and the
+    repeat extension is the token-LCP with the better sort neighbor —
+    for lexicographically sorted strings the max LCP against the whole
+    bucket is always achieved at an adjacent row
+    (``lcp(a,c) = min(lcp(a,b), lcp(b,c))`` for ``a < b < c``), so one
+    ``lag``/``lead`` pair replaces the all-pairs comparison.  Reported
+    lengths are exact up to ``anchor_len + ext_cap`` (capped there —
+    Lee et al.'s thresholding only needs exactness around the cut).
+
+    Scale shape: positional suffix explode (corpus-linear rows; bytes
+    amplified ~(anchor_len + ext_cap)x by the carried anchor +
+    continuation, map-side only), ONE shuffle on the anchor for the
+    bucket window (count + lag/lead share the frame), no join.  Hot
+    boilerplate anchors are the skew risk — the same hot-gram shape as
+    x139/x161, bounded by bucket sort spill, and a 100 TB run would
+    hash the anchor to a fixed-width key.  Sort caveat: continuations
+    order by their space-joined string, which equals token-prefix
+    order because whitespace tokenization excludes 0x20 from tokens;
+    a token carrying a sub-0x20 control byte could re-order ties, and
+    the oracle applies the identical binary sort either way.
+
+    Output (one row per suffix in a shared bucket): ``id_col, pos``
+    (1-based), ``repeat_len`` (tokens, >= anchor_len), ``repeat`` (the
+    space-joined repeated run itself).
+    """
+    from pyspark.sql import Window
+
+    k, c = anchor_len, ext_cap
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    suf = toks.select(
+        id_col,
+        "__ts",
+        F.explode(
+            F.when(
+                F.size("__ts") >= k,
+                F.sequence(F.lit(1), F.size("__ts") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat_ws(" ", F.slice("__ts", F.col("pos"), k)).alias("anchor"),
+        F.slice("__ts", F.col("pos") + k, c).alias("cont"),
+    )
+    wb = Window.partitionBy("anchor")
+    ws = wb.orderBy(F.concat_ws(" ", F.col("cont")), id_col, "pos")
+    bucketed = suf.select(
+        id_col,
+        "pos",
+        "anchor",
+        "cont",
+        F.count(F.lit(1))
+        .over(
+            ws.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__cnt"),
+        F.lag("cont").over(ws).alias("__prev"),
+        F.lead("cont").over(ws).alias("__next"),
+    ).where(F.col("__cnt") >= 2)
+    ext = F.greatest(
+        F.when(
+            F.col("__prev").isNotNull(),
+            _token_lcp(F.col("cont"), F.col("__prev")),
+        ).otherwise(F.lit(-1)),
+        F.when(
+            F.col("__next").isNotNull(),
+            _token_lcp(F.col("cont"), F.col("__next")),
+        ).otherwise(F.lit(-1)),
+    )
+    return bucketed.select(
+        id_col,
+        "pos",
+        (F.lit(k) + ext).cast("bigint").alias("repeat_len"),
+        F.when(
+            ext > 0,
+            F.concat_ws(
+                " ",
+                F.col("anchor"),
+                F.concat_ws(" ", F.slice("cont", 1, ext)),
+            ),
+        )
+        .otherwise(F.col("anchor"))
+        .alias("repeat"),
+    )
+
+
+def exact_substring_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int = 25,
+    ext_cap: int = 75,
+) -> DataFrame:
+    """Per-document exact-substring duplication report off
+    :func:`suffix_matching_stats`: for EVERY non-null-text document,
+    the length of its longest token run repeated anywhere corpus-wide
+    (0 when none reaches ``anchor_len``) and how many of its suffix
+    positions start such a run — the per-doc readout a Lee-et-al-style
+    curation pass thresholds before span cutting (x163).
+
+    Scale shape: the suffix pipeline's one anchor shuffle, then one
+    doc-keyed agg and a left join back to the |docs|-row token-count
+    frame.
+
+    Output: ``id_col, n_tokens, max_repeat_len, n_repeat_suffixes``.
+    """
+    stats = suffix_matching_stats(df, text_col, id_col, anchor_len, ext_cap)
+    per_doc = stats.groupBy(id_col).agg(
+        F.max("repeat_len").cast("bigint").alias("max_repeat_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat_suffixes"),
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(H.tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("max_repeat_len", F.lit(0))
+        .cast("bigint")
+        .alias("max_repeat_len"),
+        F.coalesce("n_repeat_suffixes", F.lit(0))
+        .cast("bigint")
+        .alias("n_repeat_suffixes"),
+    )
+
+
+def longest_repeated_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int = 25,
+    ext_cap: int = 75,
+    top_n: int = 5,
+) -> DataFrame:
+    """The classic suffix-array corpus query: the ``top_n`` longest
+    exact repeated token runs corpus-wide, with the run itself and how
+    many suffix positions report it as their maximal repeat (for the
+    corpus-longest run this equals its occurrence count; shorter
+    entries can also be interior runs of longer ones — standard
+    suffix-array behavior, documented rather than filtered).
+
+    Scale shape: suffix pipeline -> one gram-keyed agg over repeat
+    strings -> global top-N on |distinct repeats|, deterministic order
+    ``(len DESC, repeat ASC)``.
+
+    Output (``top_n`` rows): ``repeat, repeat_len, n_positions``.
+    """
+    stats = suffix_matching_stats(df, text_col, id_col, anchor_len, ext_cap)
+    return (
+        stats.groupBy("repeat")
+        .agg(
+            F.max("repeat_len").cast("bigint").alias("repeat_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+        )
+        .orderBy(F.col("repeat_len").desc(), F.col("repeat"))
+        .limit(top_n)
+    )
+
+
 def self_repetition_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

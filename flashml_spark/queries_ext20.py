@@ -1,13 +1,14 @@
 """Extension queries x271+ — round-10 additions.
 
-Closes the last partial §2 component (real baseline JPEG, x271) and
-empties the rows-only set (planted-fixture oracles for the k-means and
-absorbing-Markov solvers, x272/x273), then widens the dedup family with
-the one modality a frontier text pipeline still lacked here: exact
-substring dedup (suffix-array / Lee et al. 2022 style, x274).  Oracle
-discipline unchanged: exact integer/decimal accumulation before any
-float, one written operation order in both engines, Python-computed
-shared literals pinned as SQL text.
+Closes the last partial §2 component (real baseline JPEG, x271; the
+k-means/absorbing-Markov planted-fixture oracles landed directly on
+x72/x192), then widens the dedup family with the one modality a
+frontier text pipeline still lacked here: exact substring dedup
+(suffix-array / Lee et al. 2022 style — x272 per-doc matching-stats
+report, x273 corpus longest-repeated-substrings).  Oracle discipline
+unchanged: exact integer/decimal accumulation before any float, one
+written operation order in both engines, Python-computed shared
+literals pinned as SQL text.
 """
 
 from __future__ import annotations
@@ -46,3 +47,104 @@ def x271(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return multimodal.jpeg_roundtrip_audit(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x272/x273 — exact substring dedup, the suffix-array family (Lee et
+# al. 2022, arXiv:2107.06499): distributed matching statistics via
+# anchor-bucketed suffix sort + neighbor token-LCP extension
+# (textops.suffix_matching_stats; no all-pairs, one anchor shuffle).
+# The oracle is a FULL twin — the identical construction in DuckDB
+# (list_zip/list_position mirror Spark's zip_with/array_position,
+# including the shared "position 0 = no mismatch" convention and the
+# identical binary sort of the space-joined continuation), so every
+# suffix's exact repeat length is certified, not just planted rows.
+_SUF_K, _SUF_C = 8, 24
+
+
+def _suffix_cte(k: int, c: int) -> str:
+    """Shared suffix/LCP CTE chain (DuckDB) ending in relation ``e``
+    with columns doc_id, pos, anchor, cont, ext."""
+
+    def lcp(other: str) -> str:
+        mis = (
+            f"list_position(list_transform(list_zip(cont, {other}),"
+            " x -> x[1] IS NOT DISTINCT FROM x[2]), false)"
+        )
+        return (
+            f"(CASE WHEN {other} IS NULL THEN -1 ELSE"
+            f" (CASE WHEN {mis} = 0 THEN LEAST(len(cont), len({other}))"
+            f" ELSE {mis} - 1 END) END)"
+        )
+
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL),
+suf0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS pos
+  FROM toks WHERE len(t) >= {k}),
+suf AS (
+  SELECT doc_id, pos,
+         array_to_string(t[pos : pos + {k - 1}], ' ') AS anchor,
+         t[pos + {k} : pos + {k + c - 1}] AS cont
+  FROM suf0),
+b AS (
+  SELECT doc_id, pos, anchor, cont,
+         COUNT(*) OVER (PARTITION BY anchor) AS cnt,
+         LAG(cont)  OVER w AS prv,
+         LEAD(cont) OVER w AS nxt
+  FROM suf
+  WINDOW w AS (PARTITION BY anchor
+               ORDER BY array_to_string(cont, ' '), doc_id, pos)),
+e AS (
+  SELECT doc_id, pos, anchor, cont,
+         GREATEST({lcp("prv")}, {lcp("nxt")}) AS ext
+  FROM b WHERE cnt >= 2)"""
+
+
+_X272_SQL = f"""
+WITH {_suffix_cte(_SUF_K, _SUF_C)},
+per_doc AS (
+  SELECT doc_id, CAST(MAX({_SUF_K} + ext) AS BIGINT) AS max_repeat_len,
+         CAST(COUNT(*) AS BIGINT) AS n_repeat_suffixes
+  FROM e GROUP BY doc_id)
+SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       COALESCE(per_doc.max_repeat_len, 0) AS max_repeat_len,
+       COALESCE(per_doc.n_repeat_suffixes, 0) AS n_repeat_suffixes
+FROM toks LEFT JOIN per_doc ON toks.doc_id = per_doc.doc_id
+ORDER BY toks.doc_id"""
+
+
+@register("x272_exact_substring_report", _X272_SQL)
+def x272(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.exact_substring_report(
+        docs, "text", "doc_id", anchor_len=_SUF_K, ext_cap=_SUF_C
+    ).orderBy("doc_id")
+
+
+_X273_SQL = f"""
+WITH {_suffix_cte(_SUF_K, _SUF_C)},
+reps AS (
+  SELECT CASE WHEN ext > 0
+              THEN anchor || ' ' || array_to_string(cont[1:ext], ' ')
+              ELSE anchor END AS repeat,
+         {_SUF_K} + ext AS repeat_len
+  FROM e)
+SELECT repeat, CAST(MAX(repeat_len) AS BIGINT) AS repeat_len,
+       CAST(COUNT(*) AS BIGINT) AS n_positions
+FROM reps GROUP BY repeat
+ORDER BY repeat_len DESC, repeat LIMIT 10"""
+
+
+@register("x273_longest_repeated_substrings", _X273_SQL)
+def x273(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents")
+    return textops.longest_repeated_substrings(
+        docs, "text", "doc_id", anchor_len=_SUF_K, ext_cap=_SUF_C, top_n=10
+    )

@@ -182,6 +182,10 @@ PROBES = [
     "x268_bloom_decontamination",
     "x269_constrained_waterfill",
     "x270_gif_roundtrip_audit",
+    # r10 additions (probed same round — no slope debt carried forward)
+    "x271_jpeg_roundtrip_audit",
+    "x272_exact_substring_report",
+    "x273_longest_repeated_substrings",
 ]
 
 

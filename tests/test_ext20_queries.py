@@ -1,0 +1,129 @@
+"""Round-10 ext20 unit tests: the exact-substring (suffix-array)
+dedup family — planted repeats with closed-form maximal lengths, the
+extension cap, LCP edge cases, and the no-all-pairs plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flashml_spark.operators import textops
+
+
+@pytest.fixture()
+def planted(spark):
+    rows = [
+        # docs 1/2 share exactly "alpha beta gamma delta epsilon"
+        # (5 tokens) with distinct surroundings
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "x y alpha beta gamma delta epsilon q r s"),
+        # doc 3 repeats "one two three" with period 3: classic
+        # self-overlap, longest repeat = n - period = 6
+        (3, "one two three one two three one two three"),
+        (4, "unique tokens nothing shared here at all now"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_suffix_matching_stats_planted_lengths(spark, planted):
+    out = {
+        (r["doc_id"], r["pos"]): r
+        for r in textops.suffix_matching_stats(
+            planted, "text", "doc_id", anchor_len=3, ext_cap=10
+        ).collect()
+    }
+    # cross-doc repeat: maximal at its start, staircase inside
+    assert out[(1, 1)]["repeat_len"] == 5
+    assert out[(1, 1)]["repeat"] == "alpha beta gamma delta epsilon"
+    assert out[(2, 3)]["repeat_len"] == 5
+    assert out[(1, 2)]["repeat_len"] == 4
+    assert out[(1, 3)]["repeat_len"] == 3
+    # positions before/after the shared run never appear (their
+    # anchors are unique corpus-wide)
+    assert (2, 1) not in out and (1, 4) not in out
+    # self-overlapping repeat: suffix 1 matches suffix 4 for 6 tokens
+    assert out[(3, 1)]["repeat_len"] == 6
+    assert out[(3, 1)]["repeat"] == "one two three one two three"
+    assert out[(3, 7)]["repeat_len"] == 3
+    # doc 4 and the NULL doc contribute nothing
+    assert not any(d in (4, 5) for d, _ in out)
+
+
+def test_suffix_matching_stats_ext_cap(spark):
+    # a 20-token shared run with anchor_len=3, ext_cap=5 reports
+    # 3 + 5 = 8 at the start positions — capped, never more
+    run = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, run + " endone"), (2, "pre " + run + " endtwo")],
+        "doc_id long, text string",
+    )
+    out = textops.suffix_matching_stats(
+        df, "text", "doc_id", anchor_len=3, ext_cap=5
+    )
+    assert out.agg(F.max("repeat_len")).first()[0] == 8
+
+
+def test_exact_substring_report_zero_rows_kept(spark, planted):
+    out = {
+        r["doc_id"]: r
+        for r in textops.exact_substring_report(
+            planted, "text", "doc_id", anchor_len=3, ext_cap=10
+        ).collect()
+    }
+    # every non-null-text doc reports, including the no-repeat doc
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["max_repeat_len"] == 5 and out[1]["n_repeat_suffixes"] == 3
+    assert out[3]["max_repeat_len"] == 6 and out[3]["n_repeat_suffixes"] == 7
+    assert out[4]["max_repeat_len"] == 0 and out[4]["n_repeat_suffixes"] == 0
+    assert out[4]["n_tokens"] == 8
+
+
+def test_longest_repeated_substrings_order_and_counts(spark, planted):
+    top = textops.longest_repeated_substrings(
+        planted, "text", "doc_id", anchor_len=3, ext_cap=10, top_n=2
+    ).collect()
+    assert [(r["repeat"], r["repeat_len"], r["n_positions"]) for r in top] == [
+        ("one two three one two three", 6, 2),
+        ("alpha beta gamma delta epsilon", 5, 2),
+    ]
+
+
+def test_token_lcp_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (["a", "b", "c"], ["a", "b", "c"], 3),  # identical
+            (["a", "b", "c"], ["a", "b"], 2),       # full shorter prefix
+            (["a", "b"], ["a", "b", "c"], 2),       # symmetric
+            (["a", "x"], ["a", "b", "c"], 1),       # interior mismatch
+            (["x"], ["y"], 0),                      # immediate mismatch
+            ([], ["a"], 0),                         # empty side
+        ],
+        "a array<string>, b array<string>, want int",
+    )
+    got = df.select(
+        textops._token_lcp(F.col("a"), F.col("b")).alias("lcp"), "want"
+    ).collect()
+    for r in got:
+        assert r["lcp"] == r["want"]
+
+
+def test_suffix_pipeline_plan_has_no_cartesian(spark, planted):
+    plan = (
+        textops.exact_substring_report(planted, "text", "doc_id", 3, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one exchange keyed by the anchor feeds the bucket window
+    assert "Window" in plan
+
+
+def test_short_and_empty_docs_produce_no_suffixes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   "), (4, "a b c a b c a")],
+        "doc_id long, text string",
+    )
+    out = textops.suffix_matching_stats(df, "text", "doc_id", 3, 10)
+    assert {r["doc_id"] for r in out.collect()} == {4}
