@@ -283,6 +283,7 @@ HEADLINE = [
     "x271_jpeg_roundtrip_audit",
     "x272_exact_substring_report",
     "x273_longest_repeated_substrings",
+    "x274_exact_substring_decontamination",
 ]
 
 

@@ -1738,6 +1738,144 @@ def longest_repeated_substrings(
     )
 
 
+def exact_substring_decontamination(
+    corpus_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int = 13,
+    ext_cap: int = 50,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Cross-side suffix matching statistics — EXACT-substring eval-set
+    decontamination (the GPT-3 appendix-C / Lee et al. §6.2 screen:
+    flag an eval item when it shares an exact run of >= ``min_len``
+    tokens with the training corpus; GPT-3 used 13-gram overlap, which
+    is this statistic thresholded at its floor): for every eval
+    suffix, the longest exact token run that also occurs ON THE CORPUS
+    SIDE.  Same-side (eval-eval) duplication deliberately does NOT
+    count — the contamination question is train-vs-test only, which is
+    what distinguishes this from x272's corpus-wide statistics and
+    from the gram-fraction views (x178 mass, x55 touch, x268 bloom).
+
+    Construction: union both sides with a tag, bucket suffixes by the
+    ``anchor_len``-token anchor, sort by continuation; an eval
+    suffix's best corpus match is its NEAREST corpus-side row above or
+    below in the sorted bucket (for sorted strings ``lcp(a, c) =
+    min(lcp(a, b), lcp(b, c))``, so LCP against one side is
+    non-increasing with sort distance) — two ignorenulls window frames
+    replace any eval x corpus join.  Lengths exact up to
+    ``anchor_len + ext_cap``; ``min_len`` (default = ``anchor_len``)
+    only sets the reported flag.
+
+    Scale shape: ONE shuffle on the anchor over corpus+eval suffixes,
+    running ignorenulls frames inside the bucket window, then an
+    eval-doc-keyed agg and a zero-filled left join onto the |eval|
+    frame.  No join between the sides at all.
+
+    Output (one row per non-null-text eval doc): ``id_col, n_tokens,
+    max_overlap_len, n_overlap_suffixes, contaminated`` (0/1).
+    """
+    from pyspark.sql import Window
+
+    k, c = anchor_len, ext_cap
+    floor = anchor_len if min_len is None else min_len
+    if floor < anchor_len:
+        raise ValueError(
+            f"min_len {floor} below anchor_len {anchor_len}: overlaps "
+            "shorter than the anchor are never observed"
+        )
+
+    def side_toks(df: DataFrame, side: int) -> DataFrame:
+        return df.where(F.col(text_col).isNotNull()).select(
+            F.lit(side).alias("__side"),
+            F.col(id_col),
+            H.tokens(F.col(text_col)).alias("__ts"),
+        )
+
+    toks = side_toks(corpus_df, 0).unionByName(side_toks(eval_df, 1))
+    suf = toks.select(
+        "__side",
+        id_col,
+        "__ts",
+        F.explode(
+            F.when(
+                F.size("__ts") >= k,
+                F.sequence(F.lit(1), F.size("__ts") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "__side",
+        id_col,
+        "pos",
+        F.concat_ws(" ", F.slice("__ts", F.col("pos"), k)).alias("anchor"),
+        F.slice("__ts", F.col("pos") + k, c).alias("cont"),
+    )
+    ws = Window.partitionBy("anchor").orderBy(
+        F.concat_ws(" ", F.col("cont")), "__side", id_col, "pos"
+    )
+    corp_cont = F.when(F.col("__side") == 0, F.col("cont"))
+    above = F.last(corp_cont, ignorenulls=True).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    below = F.first(corp_cont, ignorenulls=True).over(
+        ws.rowsBetween(1, Window.unboundedFollowing)
+    )
+    hits = (
+        suf.select(
+            "__side",
+            id_col,
+            "pos",
+            "cont",
+            above.alias("__abv"),
+            below.alias("__blw"),
+        )
+        .where(
+            (F.col("__side") == 1)
+            & (F.col("__abv").isNotNull() | F.col("__blw").isNotNull())
+        )
+        .select(
+            id_col,
+            (
+                F.lit(k)
+                + F.greatest(
+                    F.when(
+                        F.col("__abv").isNotNull(),
+                        _token_lcp(F.col("cont"), F.col("__abv")),
+                    ).otherwise(F.lit(-1)),
+                    F.when(
+                        F.col("__blw").isNotNull(),
+                        _token_lcp(F.col("cont"), F.col("__blw")),
+                    ).otherwise(F.lit(-1)),
+                )
+            )
+            .cast("bigint")
+            .alias("overlap_len"),
+        )
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.max("overlap_len").cast("bigint").alias("max_overlap_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_suffixes"),
+    )
+    base = eval_df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(H.tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("max_overlap_len", F.lit(0))
+        .cast("bigint")
+        .alias("max_overlap_len"),
+        F.coalesce("n_overlap_suffixes", F.lit(0))
+        .cast("bigint")
+        .alias("n_overlap_suffixes"),
+        (F.coalesce("max_overlap_len", F.lit(0)) >= floor)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
 def self_repetition_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -62,20 +62,25 @@ def x271(spark: SparkSession, sf: str) -> DataFrame:
 _SUF_K, _SUF_C = 8, 24
 
 
+def _lcp_sql(other: str) -> str:
+    """DuckDB token-LCP of ``cont`` vs ``{other}`` (-1 when NULL) —
+    the exact twin of textops._token_lcp including the shared
+    "list_position = 0 means no mismatch" convention."""
+    mis = (
+        f"list_position(list_transform(list_zip(cont, {other}),"
+        " x -> x[1] IS NOT DISTINCT FROM x[2]), false)"
+    )
+    return (
+        f"(CASE WHEN {other} IS NULL THEN -1 ELSE"
+        f" (CASE WHEN {mis} = 0 THEN LEAST(len(cont), len({other}))"
+        f" ELSE {mis} - 1 END) END)"
+    )
+
+
 def _suffix_cte(k: int, c: int) -> str:
     """Shared suffix/LCP CTE chain (DuckDB) ending in relation ``e``
     with columns doc_id, pos, anchor, cont, ext."""
-
-    def lcp(other: str) -> str:
-        mis = (
-            f"list_position(list_transform(list_zip(cont, {other}),"
-            " x -> x[1] IS NOT DISTINCT FROM x[2]), false)"
-        )
-        return (
-            f"(CASE WHEN {other} IS NULL THEN -1 ELSE"
-            f" (CASE WHEN {mis} = 0 THEN LEAST(len(cont), len({other}))"
-            f" ELSE {mis} - 1 END) END)"
-        )
+    lcp = _lcp_sql
 
     return f"""
 toks AS (
@@ -148,3 +153,76 @@ def x273(spark: SparkSession, sf: str) -> DataFrame:
     return textops.longest_repeated_substrings(
         docs, "text", "doc_id", anchor_len=_SUF_K, ext_cap=_SUF_C, top_n=10
     )
+
+
+# --------------------------------------------------------------------------
+# x274 — exact-substring eval-set DECONTAMINATION (cross-side suffix
+# matching statistics; GPT-3 appendix C / Lee et al. §6.2): the eval
+# shard is x178's doc_id % 17 = 0 split, and each eval doc reports the
+# longest exact token run it shares with the TRAIN side (eval-eval
+# duplication does not count), flagged at min_len=12.  The best corpus
+# match of an eval suffix is its nearest corpus-side row in the sorted
+# anchor bucket, found with ignorenulls running frames — no eval x
+# corpus join on either engine.  FULL DuckDB twin oracle.
+_DEC_K, _DEC_C, _DEC_MIN = 8, 24, 12
+
+_X274_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS side,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL),
+suf0 AS (
+  SELECT side, doc_id, t,
+         unnest(generate_series(1, len(t) - {_DEC_K - 1})) AS pos
+  FROM toks WHERE len(t) >= {_DEC_K}),
+suf AS (
+  SELECT side, doc_id, pos,
+         array_to_string(t[pos : pos + {_DEC_K - 1}], ' ') AS anchor,
+         t[pos + {_DEC_K} : pos + {_DEC_K + _DEC_C - 1}] AS cont
+  FROM suf0),
+b AS (
+  SELECT side, doc_id, pos, cont,
+         last_value(CASE WHEN side = 0 THEN cont END IGNORE NULLS)
+           OVER (PARTITION BY anchor
+                 ORDER BY array_to_string(cont, ' '), side, doc_id, pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS abv,
+         first_value(CASE WHEN side = 0 THEN cont END IGNORE NULLS)
+           OVER (PARTITION BY anchor
+                 ORDER BY array_to_string(cont, ' '), side, doc_id, pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS blw
+  FROM suf),
+hits AS (
+  SELECT doc_id,
+         {_DEC_K} + GREATEST({_lcp_sql("abv")}, {_lcp_sql("blw")}) AS olen
+  FROM b
+  WHERE side = 1 AND (abv IS NOT NULL OR blw IS NOT NULL)),
+per_doc AS (
+  SELECT doc_id, CAST(MAX(olen) AS BIGINT) AS max_overlap_len,
+         CAST(COUNT(*) AS BIGINT) AS n_overlap_suffixes
+  FROM hits GROUP BY doc_id)
+SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       COALESCE(per_doc.max_overlap_len, 0) AS max_overlap_len,
+       COALESCE(per_doc.n_overlap_suffixes, 0) AS n_overlap_suffixes,
+       CAST(CASE WHEN COALESCE(per_doc.max_overlap_len, 0) >= {_DEC_MIN}
+                 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM toks LEFT JOIN per_doc ON toks.doc_id = per_doc.doc_id
+WHERE toks.side = 1
+ORDER BY toks.doc_id"""
+
+
+@register("x274_exact_substring_decontamination", _X274_SQL)
+def x274(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    return textops.exact_substring_decontamination(
+        corpus,
+        eval_df,
+        "text",
+        "doc_id",
+        anchor_len=_DEC_K,
+        ext_cap=_DEC_C,
+        min_len=_DEC_MIN,
+    ).orderBy("doc_id")

@@ -127,3 +127,79 @@ def test_short_and_empty_docs_produce_no_suffixes(spark):
     )
     out = textops.suffix_matching_stats(df, "text", "doc_id", 3, 10)
     assert {r["doc_id"] for r in out.collect()} == {4}
+
+
+def test_exact_substring_decontamination_cross_side_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different corpus content with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [
+            # shares exactly "the quick brown fox jumps over" (6 tokens)
+            (101, "intro words the quick brown fox jumps over something else"),
+            (102, "no shared runs at all in this one really"),
+            # exact duplicate of 102 — eval-eval duplication must NOT count
+            (103, "no shared runs at all in this one really"),
+            (104, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.exact_substring_decontamination(
+            corpus, evald, "text", "doc_id", anchor_len=3, ext_cap=10,
+            min_len=5,
+        ).collect()
+    }
+    assert set(out) == {101, 102, 103}
+    assert out[101]["max_overlap_len"] == 6
+    # the 6-run holds 4 anchor positions at anchor_len=3
+    assert out[101]["n_overlap_suffixes"] == 4
+    assert out[101]["contaminated"] == 1
+    for d in (102, 103):
+        assert out[d]["max_overlap_len"] == 0
+        assert out[d]["contaminated"] == 0
+
+
+def test_exact_substring_decontamination_threshold_and_validation(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    evald = spark.createDataFrame(
+        [(101, "z z a b c d w w")], "doc_id long, text string"
+    )
+    # overlap run = 4 ("a b c d"); flag flips with min_len
+    lo = textops.exact_substring_decontamination(
+        corpus, evald, "text", "doc_id", anchor_len=3, ext_cap=10, min_len=4
+    ).first()
+    hi = textops.exact_substring_decontamination(
+        corpus, evald, "text", "doc_id", anchor_len=3, ext_cap=10, min_len=5
+    ).first()
+    assert lo["max_overlap_len"] == 4 and lo["contaminated"] == 1
+    assert hi["max_overlap_len"] == 4 and hi["contaminated"] == 0
+    with pytest.raises(ValueError, match="below anchor_len"):
+        textops.exact_substring_decontamination(
+            corpus, evald, "text", "doc_id", anchor_len=5, min_len=3
+        )
+
+
+def test_exact_substring_decontamination_no_side_join(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    evald = spark.createDataFrame(
+        [(101, "a b c d x")], "doc_id long, text string"
+    )
+    plan = (
+        textops.exact_substring_decontamination(
+            corpus, evald, "text", "doc_id", anchor_len=3
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
