@@ -1876,6 +1876,102 @@ def exact_substring_decontamination(
     )
 
 
+def token_stream_spans(
+    df: DataFrame, text_col: str, id_col: str, seq_len: int = 2048
+) -> DataFrame:
+    """GPT-style token-STREAM packing (concat-and-chunk): documents are
+    concatenated in ``id_col`` order into one token stream that is cut
+    into fixed ``seq_len`` sequences, documents SPLITTING across
+    sequence boundaries — the standard causal-LM pretraining layout,
+    complementary to :func:`pack_shards`-style first-fit packing (x63),
+    which never splits a document.  Returns the doc -> sequence span
+    map a sequence writer consumes.
+
+    Scale shape: token counts are one map pass; the stream offset is
+    ``global_cumsum`` over ``id_col`` (range-partitioned prefix sums —
+    no single-partition window); each doc explodes into its covered
+    sequences (``n_tokens / seq_len + 1`` rows, corpus-linear).  All
+    arithmetic is exact BIGINT.
+
+    Output (one row per doc x covered sequence): ``id_col, seq,
+    start_off, end_off, span_tokens, starts_here, ends_here`` —
+    offsets are the doc's global stream positions clipped to the
+    sequence, ``span_tokens`` the tokens it contributes there, and the
+    flags mark the sequence holding the doc's true start/end.
+    """
+    from flashml_spark.functions.windows import global_cumsum
+
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    t = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(H.tokens(F.col(text_col))).cast("bigint").alias("__n"),
+    )
+    cum = global_cumsum(t, id_col, ["__n"])
+    offs = cum.select(
+        id_col,
+        "__n",
+        (F.col("cum___n") - F.col("__n")).alias("__start"),
+        F.col("cum___n").alias("__end"),
+    )
+    spans = offs.select(
+        id_col,
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / L),
+                F.floor((F.col("__end") - 1) / L),
+            )
+        ).alias("seq"),
+    )
+    lo = F.greatest(F.col("__start"), F.col("seq") * L)
+    hi = F.least(F.col("__end"), (F.col("seq") + 1) * L)
+    return spans.select(
+        id_col,
+        F.col("seq").cast("bigint").alias("seq"),
+        lo.cast("bigint").alias("start_off"),
+        hi.cast("bigint").alias("end_off"),
+        (hi - lo).cast("bigint").alias("span_tokens"),
+        # a doc starting exactly ON a boundary still STARTS here, so
+        # these are derived from the GLOBAL offsets, not the clipped
+        # ones (start_off == seq*L is ambiguous between the two cases)
+        (F.floor(F.col("__start") / L) == F.col("seq"))
+        .cast("int")
+        .alias("starts_here"),
+        (F.floor((F.col("__end") - 1) / L) == F.col("seq"))
+        .cast("int")
+        .alias("ends_here"),
+    )
+
+
+def token_stream_packing_audit(
+    df: DataFrame, text_col: str, id_col: str, seq_len: int = 2048
+) -> DataFrame:
+    """Per-sequence audit of :func:`token_stream_spans`: how many
+    documents touch / start in / end in each packed sequence and its
+    token fill — the numbers behind the "what fraction of training
+    sequences cross a document boundary" question (attention-mask and
+    contamination-bleed analyses both start here).
+
+    Scale shape: the spans pipeline plus ONE seq-keyed agg; the output
+    is ``total_tokens / seq_len`` rows.
+
+    Output: ``seq, n_docs, n_docs_started, n_docs_ended,
+    tokens_filled`` (every sequence except possibly the last fills to
+    ``seq_len``).
+    """
+    L = int(seq_len)
+    spans = token_stream_spans(df, text_col, id_col, L)
+    return spans.groupBy("seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("starts_here").cast("bigint").alias("n_docs_started"),
+        F.sum("ends_here").cast("bigint").alias("n_docs_ended"),
+        F.sum("span_tokens").cast("bigint").alias("tokens_filled"),
+    )
+
+
 def self_repetition_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

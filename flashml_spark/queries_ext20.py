@@ -226,3 +226,51 @@ def x274(spark: SparkSession, sf: str) -> DataFrame:
         ext_cap=_DEC_C,
         min_len=_DEC_MIN,
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x275 — token-STREAM packing audit (GPT-style concat-and-chunk): docs
+# concatenate in doc_id order into one token stream cut into fixed
+# 256-token sequences, docs splitting across boundaries; per sequence,
+# how many docs touch / start / end there and the token fill — the
+# boundary-crossing numbers behind attention-mask and contamination-
+# bleed analyses, complementary to x63's first-fit shard packing
+# (which never splits a doc).  All-BIGINT arithmetic; the Spark side's
+# stream offset is the range-partitioned global_cumsum, the oracle's a
+# plain window cumsum.  FULL DuckDB twin oracle.
+_PACK_L = 256
+
+_X275_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+             AS n
+  FROM documents WHERE text IS NOT NULL),
+o AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
+         CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+  FROM t),
+spans AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // {_PACK_L}, (e - 1) // {_PACK_L})) AS seq
+  FROM o)
+SELECT CAST(seq AS BIGINT) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s // {_PACK_L} = seq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_started,
+       CAST(SUM(CASE WHEN (e - 1) // {_PACK_L} = seq THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_ended,
+       CAST(SUM(LEAST(e, (seq + 1) * {_PACK_L})
+                - GREATEST(s, seq * {_PACK_L})) AS BIGINT) AS tokens_filled
+FROM spans GROUP BY seq ORDER BY seq"""
+
+
+@register("x275_token_stream_packing", _X275_SQL)
+def x275(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.token_stream_packing_audit(
+        docs, "text", "doc_id", seq_len=_PACK_L
+    ).orderBy("seq")

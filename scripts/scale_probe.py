@@ -187,6 +187,7 @@ PROBES = [
     "x272_exact_substring_report",
     "x273_longest_repeated_substrings",
     "x274_exact_substring_decontamination",
+    "x275_token_stream_packing",
 ]
 
 

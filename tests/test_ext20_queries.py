@@ -203,3 +203,63 @@ def test_exact_substring_decontamination_no_side_join(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_token_stream_spans_hand_layout(spark):
+    # docs of 3/4/5 tokens, seq_len=4: stream [0,12) cuts at 4 and 8.
+    #   doc1 [0,3)   -> seq0 only, starts+ends there
+    #   doc2 [3,7)   -> seq0 (1 token) + seq1 (3 tokens), crosses
+    #   doc3 [7,12)  -> seq1 (1) + seq2 (4), ends exactly at stream end
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i j k l"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["seq"]): r
+        for r in textops.token_stream_spans(df, "text", "doc_id", 4).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0), (2, 1), (3, 1), (3, 2)}
+    assert rows[(1, 0)]["span_tokens"] == 3
+    assert rows[(1, 0)]["starts_here"] == 1 and rows[(1, 0)]["ends_here"] == 1
+    assert rows[(2, 0)]["span_tokens"] == 1 and rows[(2, 0)]["ends_here"] == 0
+    assert rows[(2, 1)]["span_tokens"] == 3
+    assert rows[(2, 1)]["starts_here"] == 0 and rows[(2, 1)]["ends_here"] == 1
+    assert rows[(3, 2)]["span_tokens"] == 4
+    assert (rows[(3, 2)]["start_off"], rows[(3, 2)]["end_off"]) == (8, 12)
+
+
+def test_token_stream_boundary_start_counts_as_started(spark):
+    # doc2 starts EXACTLY on the seq boundary (doc1 is 4 tokens): it
+    # must count as started in seq1, not continued into it
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f")], "doc_id long, text string"
+    )
+    audit = {
+        r["seq"]: r
+        for r in textops.token_stream_packing_audit(
+            df, "text", "doc_id", 4
+        ).collect()
+    }
+    assert audit[0]["n_docs"] == 1 and audit[0]["n_docs_started"] == 1
+    assert audit[1]["n_docs"] == 1 and audit[1]["n_docs_started"] == 1
+    assert audit[1]["tokens_filled"] == 2  # trailing partial sequence
+
+
+def test_token_stream_audit_fill_invariant(spark):
+    # every sequence except the last fills to exactly seq_len, and
+    # total fill equals total tokens
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 7)))
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    L = 8
+    audit = textops.token_stream_packing_audit(df, "text", "doc_id", L)
+    rows = sorted(audit.collect(), key=lambda r: r["seq"])
+    total = sum(1 + i % 7 for i in range(50))
+    assert sum(r["tokens_filled"] for r in rows) == total
+    for r in rows[:-1]:
+        assert r["tokens_filled"] == L
+    assert [r["seq"] for r in rows] == list(range(len(rows)))
+    with pytest.raises(ValueError, match="seq_len"):
+        textops.token_stream_spans(df, "text", "doc_id", 0)
