@@ -285,6 +285,7 @@ HEADLINE = [
     "x273_longest_repeated_substrings",
     "x274_exact_substring_decontamination",
     "x275_token_stream_packing",
+    "x276_kcore_parts",
 ]
 
 

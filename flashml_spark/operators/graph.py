@@ -303,3 +303,99 @@ def degree_assortativity(
         "n_edges",
         F.round(F.try_divide(cov, var), 6).alias("assortativity"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph in which
+    every vertex keeps degree >= ``k`` — the graph-density screen a
+    curation pipeline runs on co-occurrence / citation / link graphs
+    (a vertex's coreness upper-bounds its clique and community
+    participation; cf. the triangle (x164) and assortativity (x168)
+    views, which measure local structure the core global one).
+
+    Standard synchronous peeling: each round removes EVERY vertex whose
+    current degree is below ``k``, together with its edges, until a
+    fixpoint.  Round count is data-dependent (near-regular graphs
+    collapse in a handful of rounds; a path at k=2 peels from the ends
+    in O(n) rounds), so like :func:`~flashml_spark.operators.dedup.
+    connected_components` the loop localCheckpoints each round (plans
+    stay flat), frees the previous round's blocks, early-exits on
+    fixpoint, and RAISES if ``max_iterations`` is hit — exiting the cap
+    silently would return a superset of the true core.
+
+    Scale shape per round: one degree agg + one two-sided semi-join,
+    both keyed on vertex ids; edges shrink monotonically.  Self-loops
+    are dropped up front (a self-loop would count 2 toward its own
+    degree and never peel).  The input is taken as a SIMPLE graph:
+    parallel edge rows each count toward degree, so callers wanting
+    multiplicity-free semantics pass a distinct edge list (x276 does).
+
+    Output: ``node, core_degree`` — the surviving vertices with their
+    degree INSIDE the core (>= k by construction; empty when the core
+    is empty).
+    """
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        m = sc._jsc.getPersistentRDDs()
+        return {int(i) for i in m.keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            r = m.get(rid)
+            if r is not None:
+                r.unpersist(False)
+
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    ids0 = _persistent_ids()
+    cur = e0.localCheckpoint()
+    prev_ids = _persistent_ids() - ids0
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionAll(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    converged = False
+    for _ in range(max_iterations):
+        deg = degrees(cur)
+        bad = deg.filter(F.col("d") < k).select("node")
+        if bad.limit(1).count() == 0:
+            converged = True
+            break
+        good = deg.filter(F.col("d") >= k).select("node")
+        ids0 = _persistent_ids()
+        nxt = (
+            cur.join(good.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(good.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        new_ids = _persistent_ids() - ids0
+        _free(prev_ids)
+        prev_ids = new_ids
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within {max_iterations} "
+            "peeling rounds; raise max_iterations"
+        )
+    out = degrees(cur).select(
+        "node", F.col("d").cast("bigint").alias("core_degree")
+    )
+    # materialize BEFORE freeing the final round's blocks
+    result = out.localCheckpoint()
+    _free(prev_ids)
+    return result

@@ -274,3 +274,93 @@ def x275(spark: SparkSession, sf: str) -> DataFrame:
     return textops.token_stream_packing_audit(
         docs, "text", "doc_id", seq_len=_PACK_L
     ).orderBy("seq")
+
+
+# --------------------------------------------------------------------------
+# x276 — k-core of the part co-occurrence graph (x164's edge set): the
+# density screen bounding clique/community membership.  k adapts to
+# the graph (k = floor(1.4 * E / V), exact integer arithmetic both
+# engines) so peeling is non-trivial at every scale of a near-regular
+# co-purchase graph.  The Spark side peels to FIXPOINT (raising past
+# 40 rounds); the oracle unrolls 16 peeling stages — stages after the
+# fixpoint are no-ops, and 16 >> the measured 5-round collapse at the
+# gate scale, so the two agree exactly whenever the Spark run
+# converged (which it certifies by not raising).
+_KCORE_STAGES = 16
+
+
+def _kcore_sql(stages: int) -> str:
+    cte = [
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """kv AS (SELECT CAST((14 * (SELECT COUNT(*) FROM e0))
+                   // (10 * (SELECT COUNT(DISTINCT node) FROM
+                        (SELECT a AS node FROM e0
+                         UNION ALL SELECT b FROM e0)))
+                   AS BIGINT) AS k)""",
+        "c0 AS MATERIALIZED (SELECT a, b FROM e0)",
+    ]
+    for i in range(1, stages + 1):
+        cte.append(
+            f"""d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM
+          (SELECT a AS node FROM c{i - 1}
+           UNION ALL SELECT b FROM c{i - 1}) GROUP BY node)"""
+        )
+        cte.append(
+            f"""c{i} AS MATERIALIZED (SELECT c{i - 1}.a, c{i - 1}.b
+          FROM c{i - 1}
+          JOIN d{i} da ON da.node = c{i - 1}.a
+          JOIN d{i} db ON db.node = c{i - 1}.b, kv
+          WHERE da.d >= kv.k AND db.d >= kv.k)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f""",
+fin AS (SELECT node, COUNT(*) AS d FROM
+          (SELECT a AS node FROM c{stages}
+           UNION ALL SELECT b FROM c{stages}) GROUP BY node)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(d AS BIGINT) AS core_degree,
+       (SELECT k FROM kv) AS k_used
+FROM fin ORDER BY node"""
+    )
+
+
+@register("x276_kcore_parts", _kcore_sql(_KCORE_STAGES))
+def x276(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import graph
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    # SIMPLE graph: two parts sharing several orders still form ONE
+    # edge (kcore's degree contract, and the oracle's SELECT DISTINCT)
+    edges = edges.distinct()
+    # adaptive k from exact counts: one pass over the distinct edge
+    # frame for E and V; the peeling loop then reuses the same frame
+    ev = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("e"),
+            F.countDistinct("node").alias("v"),
+        )
+        .first()
+    )
+    k = int((14 * ev["e"]) // (10 * ev["v"]))
+    core = graph.kcore(edges, k)
+    return core.select(
+        "node", "core_degree", F.lit(k).cast("bigint").alias("k_used")
+    ).orderBy("node")

@@ -188,6 +188,7 @@ PROBES = [
     "x273_longest_repeated_substrings",
     "x274_exact_substring_decontamination",
     "x275_token_stream_packing",
+    "x276_kcore_parts",
 ]
 
 

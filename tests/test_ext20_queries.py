@@ -263,3 +263,39 @@ def test_token_stream_audit_fill_invariant(spark):
     assert [r["seq"] for r in rows] == list(range(len(rows)))
     with pytest.raises(ValueError, match="seq_len"):
         textops.token_stream_spans(df, "text", "doc_id", 0)
+
+
+def test_kcore_planted_graphs(spark):
+    from flashml_spark.operators import graph
+
+    # path of 6 vertices at k=2: peels from the ends over MULTIPLE
+    # rounds to the empty core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    assert graph.kcore(path, 2).count() == 0
+    # K4 with a pendant chain at k=3: exactly the clique survives,
+    # every survivor at core degree 3
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    g = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"] for r in graph.kcore(g, 3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps everything (degrees >= 1 by membership); self-loops drop
+    loops = spark.createDataFrame(
+        [(1, 1), (1, 2)], "src long, dst long"
+    )
+    assert {r["node"] for r in graph.kcore(loops, 1).collect()} == {1, 2}
+
+
+def test_kcore_nonconvergence_raises(spark):
+    from flashml_spark.operators import graph
+
+    # a 12-path at k=2 needs 6 peeling rounds; cap at 2 must raise,
+    # never return the (wrong) partially-peeled superset
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(path, 2, max_iterations=2)
