@@ -286,6 +286,7 @@ HEADLINE = [
     "x274_exact_substring_decontamination",
     "x275_token_stream_packing",
     "x276_kcore_parts",
+    "x277_audio_tone_audit",
 ]
 
 

@@ -625,3 +625,66 @@ def gif_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
         .orderBy("media_id")
     )
+
+
+def audio_tone_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio feature-extraction audit (the corpus-as-fixture
+    construction of :func:`jpeg_roundtrip_audit`, extended past codecs
+    into DSP): per id, a 20 ms 16-bit PCM WAV holding a pure sine at
+    full-window DFT bin ``3 + id % 10`` (integer periods — zero
+    spectral leakage) and amplitude ``8000 + (id % 5) * 1000`` is
+    encoded, decoded back through the real RIFF chunk walk, and run
+    through Goertzel tone detection over bins 1..19
+    (:func:`~flashml_spark.functions.codecs.wav_dominant_tone`).
+
+    Reported columns are ALL integers exactly derivable from the id
+    arithmetic: the header fields certify RIFF parsing, the dominant
+    bin certifies the spectral analysis (the planted bin wins by the
+    full signal power against ~zero leakage), and the amplitude class
+    ``floor(rms / 1000)`` certifies PCM sample recovery (int16
+    quantization moves the RMS of these amplitudes by < 1, hundreds
+    away from a class boundary).
+
+    Scale shape: pure map, constant 160-sample work per row — the
+    x255/x271 shape.
+
+    Output: ``media_id, sample_rate, n_frames, dominant_bin,
+    amp_class``.
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import math
+
+        import pandas as pd
+
+        N, SR = 160, 8000
+
+        def build_and_detect(i: int) -> tuple[int, int, int, int]:
+            k = 3 + i % 10
+            amp = 8000 + (i % 5) * 1000
+            vals = [
+                round(amp * math.sin(2 * math.pi * k * n / N))
+                for n in range(N)
+            ]
+            payload = codecs.encode_wav(vals, SR)
+            sr, n, bin_, rms = codecs.wav_dominant_tone(payload)
+            return sr, n, bin_, int(rms // 1000)
+
+        for pdf in batches:
+            got = [build_and_detect(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "sample_rate": [g[0] for g in got],
+                    "n_frames": [g[1] for g in got],
+                    "dominant_bin": [g[2] for g in got],
+                    "amp_class": [g[3] for g in got],
+                }
+            )
+
+    schema = (
+        "media_id long, sample_rate int, n_frames int,"
+        " dominant_bin int, amp_class int"
+    )
+    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")

@@ -5,7 +5,9 @@ k-means/absorbing-Markov planted-fixture oracles landed directly on
 x72/x192), then widens the dedup family with the one modality a
 frontier text pipeline still lacked here: exact substring dedup
 (suffix-array / Lee et al. 2022 style — x272 per-doc matching-stats
-report, x273 corpus longest-repeated-substrings).  Oracle discipline
+report, x273 corpus longest-repeated-substrings, x274 cross-side
+eval decontamination), plus token-stream packing (x275), k-core
+(x276) and real audio feature extraction (x277).  Oracle discipline
 unchanged: exact integer/decimal accumulation before any float, one
 written operation order in both engines, Python-computed shared
 literals pinned as SQL text.
@@ -364,3 +366,29 @@ def x276(spark: SparkSession, sf: str) -> DataFrame:
     return core.select(
         "node", "core_degree", F.lit(k).cast("bigint").alias("k_used")
     ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# x277 — REAL audio feature extraction audit (multimodal, one step
+# past the codec roundtrips): planted pure-sine WAVs (integer DFT
+# periods, zero leakage) per doc_id go through encode -> RIFF chunk
+# walk -> PCM unpack -> Goertzel tone detection; every reported column
+# is integer-exact from the id arithmetic (amp classes measured once
+# at build time: int16 quantization moves RMS by < 1 against a >200
+# margin), so a hash match certifies the whole DSP chain on every row.
+_AUDIO_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(160 AS INT) AS n_frames,
+       CAST(3 + doc_id % 10 AS INT) AS dominant_bin,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 7
+                            WHEN 3 THEN 7 ELSE 8 END AS INT) AS amp_class
+FROM documents ORDER BY media_id"""
+
+
+@register("x277_audio_tone_audit", _AUDIO_SQL)
+def x277(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.audio_tone_audit(docs, "doc_id")

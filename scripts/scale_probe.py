@@ -189,6 +189,7 @@ PROBES = [
     "x274_exact_substring_decontamination",
     "x275_token_stream_packing",
     "x276_kcore_parts",
+    "x277_audio_tone_audit",
 ]
 
 

@@ -781,3 +781,41 @@ def test_gif_truncated_payload_raises_valueerror():
             codecs.decode_gif(payload[:cut])
     with pytest.raises(ValueError):
         codecs.gif_frame_delays(payload[: len(payload) // 2])
+
+
+def test_goertzel_recovers_planted_bins_and_rejects_leakage():
+    import math
+
+    from flashml_spark.functions import codecs
+
+    N = 160
+    for k, amp in [(1, 8000), (5, 9000), (12, 12000), (19, 10000)]:
+        vals = [round(amp * math.sin(2 * math.pi * k * n / N)) for n in range(N)]
+        wav = codecs.encode_wav(vals, 8000)
+        sr, n, bin_, rms = codecs.wav_dominant_tone(wav)
+        assert (sr, n, bin_) == (8000, N, k)
+        # int16 quantization keeps RMS within 1 of amp/sqrt(2)
+        assert abs(rms - amp / math.sqrt(2)) < 1.0
+        # the planted bin carries essentially all power: every other
+        # bin reads at least 1000x weaker
+        p_best = codecs.goertzel_power(vals, k)
+        for other in range(1, 20):
+            if other != k:
+                assert codecs.goertzel_power(vals, other) < p_best / 1000
+    # silence: rms 0, some bin wins arbitrarily but power is 0
+    silent = codecs.encode_wav([0] * N, 8000)
+    sr, n, _bin, rms = codecs.wav_dominant_tone(silent)
+    assert rms == 0.0
+
+
+def test_audio_tone_audit_matches_id_arithmetic(spark):
+    from flashml_spark.operators import multimodal
+
+    df = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    out = {r["media_id"]: r for r in multimodal.audio_tone_audit(df).collect()}
+    classes = [5, 6, 7, 7, 8]
+    for i in range(25):
+        r = out[i]
+        assert r["sample_rate"] == 8000 and r["n_frames"] == 160
+        assert r["dominant_bin"] == 3 + i % 10
+        assert r["amp_class"] == classes[i % 5]
