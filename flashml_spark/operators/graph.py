@@ -368,14 +368,28 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
+    # |V| longs broadcast comfortably far beyond this; above it the
+    # survivor semi-joins fall back to shuffles (still correct)
+    BROADCAST_V = 5_000_000
+
     converged = False
+    final_deg: DataFrame | None = None
     for _ in range(max_iterations):
-        deg = degrees(cur)
-        bad = deg.filter(F.col("d") < k).select("node")
-        if bad.limit(1).count() == 0:
+        # ONE degree pass per round: the |V|-row frame is checkpointed
+        # eagerly, so the convergence check, the survivor filter and
+        # the final readout all reuse the same materialized blocks
+        # instead of re-aggregating the edge set
+        ids0 = _persistent_ids()
+        deg = degrees(cur).localCheckpoint()
+        deg_ids = _persistent_ids() - ids0
+        if deg.filter(F.col("d") < k).limit(1).count() == 0:
             converged = True
+            final_deg = deg
+            prev_ids |= deg_ids
             break
         good = deg.filter(F.col("d") >= k).select("node")
+        if deg.count() <= BROADCAST_V:
+            good = F.broadcast(good)
         ids0 = _persistent_ids()
         nxt = (
             cur.join(good.withColumnRenamed("node", "a"), "a", "left_semi")
@@ -385,6 +399,7 @@ def kcore(
         )
         new_ids = _persistent_ids() - ids0
         _free(prev_ids)
+        _free(deg_ids)
         prev_ids = new_ids
         cur = nxt
     if not converged:
@@ -392,7 +407,7 @@ def kcore(
             f"kcore(k={k}) did not converge within {max_iterations} "
             "peeling rounds; raise max_iterations"
         )
-    out = degrees(cur).select(
+    out = final_deg.select(
         "node", F.col("d").cast("bigint").alias("core_degree")
     )
     # materialize BEFORE freeing the final round's blocks

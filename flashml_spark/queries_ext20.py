@@ -348,10 +348,14 @@ def x276(spark: SparkSession, sf: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     # SIMPLE graph: two parts sharing several orders still form ONE
-    # edge (kcore's degree contract, and the oracle's SELECT DISTINCT)
-    edges = edges.distinct()
-    # adaptive k from exact counts: one pass over the distinct edge
-    # frame for E and V; the peeling loop then reuses the same frame
+    # edge (kcore's degree contract, and the oracle's SELECT DISTINCT).
+    # The self-join + distinct is the dominant fixed cost, so pin it
+    # ONCE (eager localCheckpoint) — the k computation and every
+    # peeling round then read the materialized blocks instead of
+    # rebuilding the pair join (3x at sf0.1 before this pin).
+    edges = edges.distinct().localCheckpoint()
+    # adaptive k from exact counts: one pass over the pinned edge
+    # frame for E and V
     ev = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
