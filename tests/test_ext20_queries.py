@@ -5,6 +5,8 @@ extension cap, LCP edge cases, and the no-all-pairs plan shape."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from flashml_spark.operators import textops
@@ -299,3 +301,62 @@ def test_kcore_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.kcore(path, 2, max_iterations=2)
+
+
+# --- hypothesis: suffix matching stats vs brute force -----------------------
+
+
+def _brute_matching_stats(texts, k, c):
+    """O(n^2) mirror: for every suffix, the longest token run starting
+    there that occurs at any OTHER position corpus-wide, capped at
+    k + c; only suffixes whose k-anchor repeats appear (repeat_len >= k
+    by construction)."""
+    toks = {
+        d: t.lower().strip().split() if t is not None else None
+        for d, t in texts.items()
+    }
+    sufs = []
+    for d, t in toks.items():
+        if t is None:
+            continue
+        for p in range(len(t) - k + 1):
+            sufs.append((d, p, t[p:]))
+    out = {}
+    for d, p, s in sufs:
+        best = -1
+        for d2, p2, s2 in sufs:
+            if (d2, p2) == (d, p) or s2[:k] != s[:k]:
+                continue
+            m = 0
+            while m < min(len(s), len(s2), k + c) and s[m] == s2[m]:
+                m += 1
+            best = max(best, m)
+        if best >= k:
+            out[(d, p + 1)] = best  # operator positions are 1-based
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+    st.integers(min_value=2, max_value=4),
+)
+def test_suffix_matching_stats_matches_brute_force(spark, docs, k, c):
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["repeat_len"]
+        for r in textops.suffix_matching_stats(
+            df, "text", "doc_id", anchor_len=k, ext_cap=c
+        ).collect()
+    }
+    assert got == _brute_matching_stats(texts, k, c)
