@@ -1877,7 +1877,11 @@ def exact_substring_decontamination(
 
 
 def token_stream_spans(
-    df: DataFrame, text_col: str, id_col: str, seq_len: int = 2048
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """GPT-style token-STREAM packing (concat-and-chunk): documents are
     concatenated in ``id_col`` order into one token stream that is cut
@@ -1897,7 +1901,12 @@ def token_stream_spans(
     start_off, end_off, span_tokens, starts_here, ends_here`` —
     offsets are the doc's global stream positions clipped to the
     sequence, ``span_tokens`` the tokens it contributes there, and the
-    flags mark the sequence holding the doc's true start/end.
+    flags mark the sequence holding the doc's true start/end.  With
+    ``n_shards`` set, a leading ``shard`` column (``id % n_shards``)
+    is added and the stream/offsets/sequences are PER SHARD (keyed
+    window cumsum — no global ordering at all): the independent-writer
+    layout whose incremental twin is
+    ``streaming.packing.streaming_token_packer``.
     """
     from flashml_spark.functions.windows import global_cumsum
 
@@ -1908,14 +1917,37 @@ def token_stream_spans(
         F.col(id_col),
         F.size(H.tokens(F.col(text_col))).cast("bigint").alias("__n"),
     )
-    cum = global_cumsum(t, id_col, ["__n"])
-    offs = cum.select(
-        id_col,
-        "__n",
-        (F.col("cum___n") - F.col("__n")).alias("__start"),
-        F.col("cum___n").alias("__end"),
-    )
+    if n_shards is None:
+        cum = global_cumsum(t, id_col, ["__n"])
+        offs = cum.select(
+            id_col,
+            "__n",
+            (F.col("cum___n") - F.col("__n")).alias("__start"),
+            F.col("cum___n").alias("__end"),
+        )
+        shard_cols: list = []
+    else:
+        # per-shard streams: each shard packs independently, so the
+        # offset is an ordinary KEYED window cumsum — fully parallel,
+        # and the layout every shard writer (and the streaming twin
+        # ``streaming.packing.streaming_token_packer``) reproduces
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("shard")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offs = (
+            t.withColumn(
+                "shard", (F.col(id_col) % n_shards).cast("bigint")
+            )
+            .withColumn("__end", F.sum("__n").over(w))
+            .withColumn("__start", F.col("__end") - F.col("__n"))
+        )
+        shard_cols = ["shard"]
     spans = offs.select(
+        *shard_cols,
         id_col,
         "__start",
         "__end",
@@ -1929,6 +1961,7 @@ def token_stream_spans(
     lo = F.greatest(F.col("__start"), F.col("seq") * L)
     hi = F.least(F.col("__end"), (F.col("seq") + 1) * L)
     return spans.select(
+        *shard_cols,
         id_col,
         F.col("seq").cast("bigint").alias("seq"),
         lo.cast("bigint").alias("start_off"),

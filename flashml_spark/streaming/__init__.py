@@ -31,3 +31,6 @@ from flashml_spark.streaming.stateful import (  # noqa: F401
 from flashml_spark.streaming.manifest import (  # noqa: F401
     streaming_shard_checksum,
 )
+from flashml_spark.streaming.packing import (  # noqa: F401
+    streaming_token_packer,
+)

@@ -360,3 +360,76 @@ def test_suffix_matching_stats_matches_brute_force(spark, docs, k, c):
         ).collect()
     }
     assert got == _brute_matching_stats(texts, k, c)
+
+
+# --- streaming token packer: stream <-> batch convergence -------------------
+
+
+def test_sharded_batch_spans_match_global_per_shard(spark):
+    # n_shards path: per-shard spans equal the GLOBAL operator applied
+    # to each shard's docs separately
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(1 + i % 5)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sharded = {
+        (r["shard"], r["doc_id"], r["seq"]): (
+            r["start_off"], r["end_off"], r["span_tokens"],
+            r["starts_here"], r["ends_here"])
+        for r in textops.token_stream_spans(
+            df, "text", "doc_id", 8, n_shards=3
+        ).collect()
+    }
+    expect = {}
+    for s in range(3):
+        sub = df.where(F.col("doc_id") % 3 == s)
+        for r in textops.token_stream_spans(sub, "text", "doc_id", 8).collect():
+            expect[(s, r["doc_id"], r["seq"])] = (
+                r["start_off"], r["end_off"], r["span_tokens"],
+                r["starts_here"], r["ends_here"])
+    assert sharded == expect
+
+
+def test_streaming_packer_converges_to_batch(spark, tmp_path):
+    import time
+
+    from flashml_spark.streaming import streaming_token_packer
+
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(1 + i % 5)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    # two id-ordered files => two id-ordered micro-batches per shard
+    # (maxFilesPerTrigger=1; file source orders by mod time)
+    df.where(F.col("doc_id") < 30).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    df.where(F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_token_packer(stream, "text", "doc_id", seq_len=8, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("packer_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["shard"], r["doc_id"], r["seq"]): (
+            r["start_off"], r["end_off"], r["span_tokens"],
+            r["starts_here"], r["ends_here"])
+        for r in spark.table("packer_stream").collect()
+    }
+    want = {
+        (r["shard"], r["doc_id"], r["seq"]): (
+            r["start_off"], r["end_off"], r["span_tokens"],
+            r["starts_here"], r["ends_here"])
+        for r in textops.token_stream_spans(
+            df, "text", "doc_id", 8, n_shards=4
+        ).collect()
+    }
+    assert got == want  # INTEGER-EXACT stream <-> batch convergence
