@@ -287,6 +287,7 @@ HEADLINE = [
     "x275_token_stream_packing",
     "x276_kcore_parts",
     "x277_audio_tone_audit",
+    "x278_semdedup",
 ]
 
 

@@ -1326,3 +1326,77 @@ def embedding_isotropy_audit(
             F.sum("cs").cast("double") / F.count(F.lit(1)), round_to
         ).alias("mean_cos_to_centroid"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    fit_sample_rows: int | None = 100_000,
+    max_iter: int = 10,
+    init_mode: str = "random",
+) -> DataFrame:
+    """SemDeDup — CLUSTER-scoped semantic deduplication ("SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, compare cosines only WITHIN each cluster, link
+    pairs >= ``threshold`` into duplicate groups, keep the min-id row
+    of every group.  The published web-scale recipe — where
+    :func:`semantic_dedup` buckets by data-oblivious LSH planes,
+    SemDeDup's clusters adapt to the density, so the quadratic
+    comparison is spent where near-dups actually live.
+
+    Scale shape: the k-means fit is bounded (``fit_sample_rows`` hard
+    cap — never full-corpus iterations); assignment is the broadcast
+    argmin (pure map); the within-cluster pair join is keyed on the
+    cluster id (ONE shuffle) and its cost is Σ|cluster|² — the paper's
+    own cost model, controlled by ``n_lists`` (clusters of ~n/k);
+    components + keep-min reuse the dedup machinery.
+
+    Output (one row per input row): ``id_col, ivf_list, group_id,
+    is_kept`` — ``group_id`` is the min id of the row's duplicate
+    group (its own id when unique), ``is_kept`` 1 for the survivor.
+    """
+    from flashml_spark.operators.dedup import connected_components
+
+    centroids = fit_ivf_centroids(
+        df,
+        vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        sample_rows=fit_sample_rows,
+        max_iter=max_iter,
+        init_mode=init_mode,
+    )
+    assigned = with_ivf_list(df, vec_col, centroids).select(
+        F.col(id_col), F.col("ivf_list"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = V.cosine(F.col("a.__v"), F.col("b.__v"))
+    pairs = (
+        a.join(b, "ivf_list")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        assigned.select(id_col, "ivf_list")
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "ivf_list",
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )

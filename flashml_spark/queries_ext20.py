@@ -396,3 +396,94 @@ def x277(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return multimodal.audio_tone_audit(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x278 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+# semantic dedup, the published web-scale recipe.  Planted fixture (the
+# x72 construction): three L2-separable clusters (centers 200·e1/e2/e3,
+# dim 6) whose members spread ±70 along e4..e6 — intra-cluster cosines
+# ≈ 0.78 stay far BELOW the 0.99 threshold, while planted exact copies
+# sit at cosine 1.0 far above it, so any correct k=3 Lloyd solve +
+# within-cluster linking recovers exactly the planted groups; every pin
+# is a SQL literal.  The corpus row runs the full pipeline on the real
+# embeddings at a size-adaptive cluster count (SemDeDup's fixed
+# ~100-row cluster budget, so Σ|cluster|² stays corpus-linear) and is
+# measured ON the is_kept output column (kept + dropped), forcing
+# end-to-end execution; its value is SQL-derivable as COUNT(*).
+_X278_SQL = """
+WITH corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM embeddings)
+SELECT 'corpus_rows' AS key, v AS value FROM corpus
+UNION ALL SELECT 'fx_group_size:0', CAST(3 AS DOUBLE)
+UNION ALL SELECT 'fx_group_size:10', CAST(2 AS DOUBLE)
+UNION ALL SELECT 'fx_kept_total', CAST(20 AS DOUBLE)
+UNION ALL SELECT 'fx_dropped_total', CAST(3 AS DOUBLE)
+ORDER BY key"""
+
+
+@register("x278_semdedup", _X278_SQL)
+def x278(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    # fixture: 23 points, dim 6; clusters at 200*e1 / 200*e2 / 200*e3
+    def pt(axis: int, off_axis: int, off: float) -> list:
+        v = [0.0] * 6
+        v[axis] = 200.0
+        v[off_axis] = off
+        return v
+
+    rows = []
+    spread = [(3, 70.0), (4, 70.0), (5, 70.0), (3, -70.0), (4, -70.0),
+              (5, -70.0), (3, 35.0), (4, 35.0)]
+    for i, (ax, off) in enumerate(spread):            # cluster 1: ids 0..7
+        rows.append((i, pt(0, ax, off)))
+    rows += [(8, pt(0, 3, 70.0)), (9, pt(0, 3, 70.0))]  # copies of id 0
+    for i, (ax, off) in enumerate(spread[:6]):        # cluster 2: ids 10..15
+        rows.append((10 + i, pt(1, ax, off)))
+    rows.append((16, pt(1, 3, 70.0)))                 # copy of id 10
+    for i, (ax, off) in enumerate(spread[:6]):        # cluster 3: ids 20..25
+        rows.append((20 + i, pt(2, ax, off)))
+    fix = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    fx = similarity.semdedup(
+        fix, "embedding", "vec_id", n_lists=3, threshold=0.99,
+        fit_sample_rows=None, max_iter=20, init_mode="k-means||",
+    )
+    g0 = fx.where(F.col("group_id") == 0).agg(
+        F.lit("fx_group_size:0").alias("key"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    g10 = fx.where(F.col("group_id") == 10).agg(
+        F.lit("fx_group_size:10").alias("key"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    totals = fx.agg(
+        F.sum("is_kept").cast("double").alias("kept"),
+        F.sum(1 - F.col("is_kept")).cast("double").alias("dropped"),
+    )
+    kept = totals.select(
+        F.lit("fx_kept_total").alias("key"), F.col("kept").alias("value")
+    )
+    dropped = totals.select(
+        F.lit("fx_dropped_total").alias("key"), F.col("dropped").alias("value")
+    )
+    # corpus execution-forcing row: size-adaptive cluster count (~100
+    # rows per cluster), measured on the output column
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    out = similarity.semdedup(
+        emb, "embedding", "vec_id",
+        n_lists=max(8, n // 100), threshold=0.95, seed=42,
+    )
+    corpus = out.agg(
+        F.lit("corpus_rows").alias("key"),
+        (F.sum("is_kept") + F.sum(1 - F.col("is_kept")))
+        .cast("double")
+        .alias("value"),
+    )
+    return (
+        g0.unionByName(g10)
+        .unionByName(kept)
+        .unionByName(dropped)
+        .unionByName(corpus)
+        .orderBy("key")
+    )

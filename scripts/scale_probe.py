@@ -190,6 +190,7 @@ PROBES = [
     "x275_token_stream_packing",
     "x276_kcore_parts",
     "x277_audio_tone_audit",
+    "x278_semdedup",
 ]
 
 

@@ -433,3 +433,34 @@ def test_streaming_packer_converges_to_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want  # INTEGER-EXACT stream <-> batch convergence
+
+
+def test_semdedup_planted_groups_and_cluster_scope(spark):
+    from flashml_spark.operators import similarity
+
+    # two separable clusters; exact copies dedup, wide-angle neighbors
+    # survive, and IDENTICAL vectors in DIFFERENT clusters are never
+    # compared (cluster scope — the defining SemDeDup property)
+    rows = [
+        (1, [200.0, 0.0, 70.0, 0.0]),
+        (2, [200.0, 0.0, 70.0, 0.0]),     # copy of 1 -> dropped
+        (3, [200.0, 0.0, -70.0, 0.0]),    # cosine 0.71 vs 1 -> kept
+        (10, [0.0, 200.0, 70.0, 0.0]),
+        (11, [0.0, 200.0, 0.0, 70.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(
+            df, "embedding", "vec_id", n_lists=2, threshold=0.99,
+            fit_sample_rows=None, max_iter=20, init_mode="k-means||",
+        ).collect()
+    }
+    assert out[1]["is_kept"] == 1 and out[2]["is_kept"] == 0
+    assert out[2]["group_id"] == 1
+    assert out[3]["is_kept"] == 1 and out[3]["group_id"] == 3
+    assert out[10]["is_kept"] == 1 and out[11]["is_kept"] == 1
+    # cluster scope: ids 1..3 share one list, 10..11 the other
+    assert out[1]["ivf_list"] == out[2]["ivf_list"] == out[3]["ivf_list"]
+    assert out[10]["ivf_list"] == out[11]["ivf_list"]
+    assert out[1]["ivf_list"] != out[10]["ivf_list"]
