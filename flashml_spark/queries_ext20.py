@@ -487,3 +487,48 @@ def x278(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(corpus)
         .orderBy("key")
     )
+
+
+# --------------------------------------------------------------------------
+# x279 — paletted + Adam7 PNG roundtrip audit: the two PNG variants the
+# r9 codec documented out, now REAL (PLTE/tRNS expansion, per-pass
+# Adam7 unfilter + scatter).  Integer pins only; palette components
+# are shared id-arithmetic between the Python builder and the oracle.
+def _x279_sql() -> str:
+    comps = [
+        ("doc_id % 256", "(doc_id * 3) % 256", "(doc_id * 7) % 256"),
+        ("(doc_id * 11 + 1) % 256", "(doc_id * 13 + 5) % 256",
+         "(doc_id * 17 + 9) % 256"),
+        ("(doc_id * 19 + 2) % 256", "(doc_id * 23 + 6) % 256",
+         "(doc_id * 29 + 10) % 256"),
+        ("(doc_id * 31 + 3) % 256", "(doc_id * 37 + 7) % 256",
+         "(doc_id * 41 + 11) % 256"),
+    ]
+
+    def luma(sel: str) -> str:
+        branches = " ".join(
+            f"WHEN {k} THEN (({r}) * 299 + ({g}) * 587 + ({b}) * 114) // 1000"
+            for k, (r, g, b) in enumerate(comps)
+        )
+        return f"(CASE {sel} {branches} END)"
+
+    alpha = (
+        "(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 150"
+        " WHEN 2 THEN 100 ELSE 50 END)"
+    )
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(5 + doc_id % 4 AS INT) AS width,
+       CAST(4 + 2 * (doc_id % 2) AS INT) AS height,
+       CAST({luma("doc_id % 4")} AS INT) AS luma_top,
+       CAST({luma("(doc_id + 1) % 4")} AS INT) AS luma_bot,
+       CAST({alpha} AS INT) AS alpha_top
+FROM documents ORDER BY media_id"""
+
+
+@register("x279_png_palette_audit", _x279_sql())
+def x279(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.png_palette_audit(docs, "doc_id")

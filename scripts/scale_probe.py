@@ -191,6 +191,7 @@ PROBES = [
     "x276_kcore_parts",
     "x277_audio_tone_audit",
     "x278_semdedup",
+    "x279_png_palette_audit",
 ]
 
 

@@ -187,12 +187,13 @@ def test_png_decode_rejects_unsupported_and_corrupt():
     with pytest.raises(ValueError, match="not a PNG"):
         codecs.decode_png(b"BM not a png")
     good = codecs.encode_png([[(1, 2, 3)]])
-    # corrupt IHDR color type 2 -> 3 (paletted, unsupported) with a
+    # corrupt IHDR color type 2 -> 0 (grayscale, unsupported) with a
     # recomputed CRC so the *type* check fires, not the CRC check
+    # (paletted became a SUPPORTED type in r10)
     import zlib as _zlib
 
     ihdr_data = bytearray(good[16:29])
-    ihdr_data[9] = 3
+    ihdr_data[9] = 0
     patched = (
         good[:16]
         + bytes(ihdr_data)
@@ -819,3 +820,60 @@ def test_audio_tone_audit_matches_id_arithmetic(spark):
         assert r["sample_rate"] == 8000 and r["n_frames"] == 160
         assert r["dominant_bin"] == 3 + i % 10
         assert r["amp_class"] == classes[i % 5]
+
+
+def test_png_palette_and_adam7_roundtrips_pixel_exact():
+    import itertools
+
+    from flashml_spark.functions import codecs
+
+    pal = [(i, 255 - i, (i * 3) % 256) for i in range(0, 256, 16)]
+    for ft, inter, use_trns in itertools.product(
+        range(5), [False, True], [False, True]
+    ):
+        for w, h in [(1, 1), (7, 5), (12, 9), (16, 3)]:
+            idx = [[(x + y + ft) % len(pal) for x in range(w)] for y in range(h)]
+            trns = [255 - 10 * i for i in range(len(pal))] if use_trns else None
+            p = codecs.encode_png_palette(
+                idx, pal, trns=trns, filter_type=ft, interlace=inter
+            )
+            width, height, got = codecs.decode_png(p)
+            want = [
+                [(*pal[i], trns[i]) if use_trns else pal[i] for i in row]
+                for row in idx
+            ]
+            assert (width, height, got) == (w, h, want), (ft, inter, use_trns)
+    # truecolor Adam7 with odd dims, all filters, both alphas
+    for ft, alpha in itertools.product(range(5), [False, True]):
+        bpp = 4 if alpha else 3
+        w, h = 13, 7
+        rows = [
+            [tuple((x * 31 + y * 17 + c * 7 + ft) % 256 for c in range(bpp))
+             for x in range(w)]
+            for y in range(h)
+        ]
+        p = codecs.encode_png(rows, alpha=alpha, filter_type=ft, interlace=True)
+        assert codecs.decode_png(p) == (w, h, rows)
+
+
+def test_png_palette_validation_and_missing_plte():
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from flashml_spark.functions import codecs
+
+    with _pytest.raises(ValueError, match="palette index 3 out of range"):
+        codecs.encode_png_palette([[0, 3]], [(0, 0, 0), (1, 1, 1)])
+    with _pytest.raises(ValueError, match="1..256"):
+        codecs.encode_png_palette([[0]], [(0, 0, 0)] * 257)
+    with _pytest.raises(ValueError, match="tRNS longer"):
+        codecs.encode_png_palette([[0]], [(0, 0, 0)], trns=[1, 2])
+    # a paletted payload whose PLTE chunk is stripped must fail loudly
+    good = codecs.encode_png_palette([[0, 1], [1, 0]], [(9, 9, 9), (7, 7, 7)])
+    at = good.index(b"PLTE") - 4
+    (clen,) = _struct.unpack_from(">I", good, at)
+    stripped = good[:at] + good[at + 12 + clen:]
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        codecs.decode_png(stripped)
