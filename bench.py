@@ -289,6 +289,7 @@ HEADLINE = [
     "x277_audio_tone_audit",
     "x278_semdedup",
     "x279_png_palette_audit",
+    "x280_jpeg_progressive_audit",
 ]
 
 

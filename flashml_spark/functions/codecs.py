@@ -1298,6 +1298,167 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 75,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode top-down RGB rows as a PROGRESSIVE (SOF2) JFIF/JPEG
+    stream using spectral selection: one interleaved DC scan, then one
+    AC scan per component per ``bands`` entry, with real EOBn
+    end-of-band run coding (T.81 §G.1.2.2) so the decoder's EOBRUN
+    path is exercised.  4:4:4 only (all components 1x1), no restart
+    markers, Ah = Al = 0 — the subset :func:`decode_jpeg` decodes."""
+    if not bands or bands[0][0] < 1 or bands[-1][1] > 63:
+        raise ValueError("bands must cover indices within 1..63")
+    lo = 1
+    for s, e in bands:
+        if s != lo or e < s:
+            raise ValueError("bands must be contiguous ascending from 1")
+        lo = e + 1
+    if lo != 64:
+        raise ValueError("bands must end at 63")
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if h == 0 or w == 0 or any(len(r) != w for r in rows):
+        raise ValueError("empty or ragged pixel rows")
+    qt_l = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    qt_c = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
+
+    # quantized zigzag coefficients per component per block
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [[[0.0] * w for _ in range(h)] for _ in range(3)]
+    for y in range(h):
+        for x in range(w):
+            yy, cb, cr = _rgb_to_ycbcr(*rows[y][x])
+            planes[0][y][x], planes[1][y][x], planes[2][y][x] = yy, cb, cr
+    qblocks: list[list[list[int]]] = []
+    for ci, (plane, qt) in enumerate(
+        [(planes[0], qt_l), (planes[1], qt_c), (planes[2], qt_c)]
+    ):
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                coef = _fdct8x8(_plane_block(plane, bx, by))
+                zz = [
+                    int(round(coef[p // 8][p % 8] / qt[p]))
+                    for p in _JPEG_ZIGZAG
+                ]
+                blocks.append(zz)
+        qblocks.append(blocks)
+
+    enc_dc = [_huff_encode_table(*_JPEG_DC_LUMA),
+              _huff_encode_table(*_JPEG_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_JPEG_AC_LUMA),
+              _huff_encode_table(*_JPEG_AC_CHROMA)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(qt[p] for p in _JPEG_ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += bytes((1, 0x11, 0)) + bytes((2, 0x11, 1)) + bytes((3, 0x11, 1))
+    for tc_th, (bits, vals) in (
+        (0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA),
+        (0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    # scan 1: interleaved DC (Ss=Se=0)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x10, 3, 0x10))
+    out += bytes((0, 0, 0))
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for b in range(bw * bh):
+        for ci in range(3):
+            tab = enc_dc[0 if ci == 0 else 1]
+            diff = qblocks[ci][b][0] - preds[ci]
+            preds[ci] = qblocks[ci][b][0]
+            size, mag = _magnitude_bits(diff)
+            code, width = tab[size]
+            writer.put(code, width)
+            if size:
+                writer.put(mag, size)
+    out += writer.flush()
+
+    # AC band scans: per band, per component (single-component scans).
+    # The Annex-K baseline AC tables hold no EOBn symbols (n > 0), so —
+    # like real progressive encoders — each scan ships its OWN Huffman
+    # table over exactly the symbols it uses (flat equal-length
+    # canonical codes: bits[L] = n_syms with 2^L > n_syms keeps the
+    # all-ones code unused, per spec).  This also exercises the
+    # decoder's between-scan DHT redefinition path.
+    def ac_scan_tokens(ci: int, s_lo: int, s_hi: int):
+        tokens: list[tuple[int, int, int]] = []  # (symbol, extra, n_extra)
+
+        def flush(run: int) -> None:
+            while run > 0:
+                n = min(14, run.bit_length() - 1)
+                chunk = min(run, (1 << (n + 1)) - 1)
+                tokens.append((n << 4, chunk - (1 << n), n))
+                run -= chunk
+
+        eobrun = 0
+        for b in range(bw * bh):
+            zz = qblocks[ci][b]
+            if not any(zz[k] for k in range(s_lo, s_hi + 1)):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush(eobrun)
+                    eobrun = 0
+                continue
+            flush(eobrun)
+            eobrun = 0
+            run = 0
+            last_nz = max(k for k in range(s_lo, s_hi + 1) if zz[k])
+            for k in range(s_lo, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    tokens.append((0xF0, 0, 0))
+                    run -= 16
+                size, mag = _magnitude_bits(zz[k])
+                tokens.append(((run << 4) | size, mag, size))
+                run = 0
+            if last_nz < s_hi:  # trailing zeros in band -> this block EOBs
+                eobrun += 1
+        flush(eobrun)
+        return tokens
+
+    for s_lo, s_hi in bands:
+        for ci in range(3):
+            tokens = ac_scan_tokens(ci, s_lo, s_hi)
+            syms = sorted({t[0] for t in tokens}) or [0x00]
+            L = 1
+            while (1 << L) - 1 < len(syms):
+                L += 1
+            dht_bits = [0] * 16
+            dht_bits[L - 1] = len(syms)
+            tab = _huff_encode_table(dht_bits, syms)
+            out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(syms), 0x10)
+            out += bytes(dht_bits) + bytes(syms)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            # (cid, Td<<4 | Ta): Td unused in AC scans; Ta = 0 (the
+            # table redefined just above)
+            out += bytes((ci + 1, 0x00))
+            out += bytes((s_lo, s_hi, 0))
+            writer = _BitWriter()
+            for sym, extra, n_extra in tokens:
+                code, width = tab[sym]
+                writer.put(code, width)
+                if n_extra:
+                    writer.put(extra, n_extra)
+            out += writer.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over JPEG entropy-coded data: un-stuffs
     0xFF00, byte-aligns at RSTn markers (reported to the caller), and
@@ -1412,13 +1573,18 @@ def _decode_block(
 def decode_jpeg(
     payload: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Decode a baseline (SOF0) JFIF/JPEG stream to (width, height,
-    top-down RGB rows).  Supports 3-component YCbCr at any sampling
-    whose factors divide 2x2 (4:4:4, 4:2:0, 4:2:2) plus 1-component
-    grayscale, multi-segment DQT/DHT, and restart intervals (DRI/RSTn).
-    Rejects loudly: progressive (SOF2) and every non-baseline SOF,
-    arithmetic coding, 12-bit precision — a production pipeline routes
-    those to libjpeg; the Spark-side plumbing is identical."""
+    """Decode a baseline (SOF0) or PROGRESSIVE (SOF2, spectral
+    selection) JFIF/JPEG stream to (width, height, top-down RGB rows).
+    Baseline supports 3-component YCbCr at any sampling whose factors
+    divide 2x2 (4:4:4, 4:2:0, 4:2:2) plus 1-component grayscale,
+    multi-segment DQT/DHT, and restart intervals (DRI/RSTn).
+    Progressive (r10) supports 4:4:4 / grayscale spectral-selection
+    scans (interleaved DC scan + per-component AC band scans, EOBn run
+    decoding); successive-approximation REFINEMENT scans (Ah > 0),
+    subsampled progressive, and progressive restarts are rejected
+    loudly, as are every other SOF, arithmetic coding and 12-bit
+    precision — a production pipeline routes those to libjpeg; the
+    Spark-side plumbing is identical."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1428,6 +1594,11 @@ def decode_jpeg(
     w = h = 0
     dri = 0
     sof_seen = False
+    progressive = False
+    # progressive state: per component, one 64-long zigzag coefficient
+    # list per block (frame block grid — all-1x1 sampling is enforced)
+    coeffs: list[list[list[int]]] = []
+    preds: list[int] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1469,7 +1640,7 @@ def decode_jpeg(
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline) or SOF2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -1481,7 +1652,19 @@ def decode_jpeg(
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             sof_seen = True
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC2:
+                progressive = True
+                if any(c[1] != 1 or c[2] != 1 for c in comps):
+                    raise ValueError(
+                        "subsampled progressive JPEG unsupported — "
+                        "only 4:4:4 / grayscale"
+                    )
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                coeffs = [
+                    [[0] * 64 for _ in range(bw * bh)] for _ in comps
+                ]
+                preds = [0] * len(comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"non-baseline JPEG (SOF marker 0xff{marker:02x}) unsupported"
@@ -1490,8 +1673,25 @@ def decode_jpeg(
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if not sof_seen:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            if progressive:
+                if dri:
+                    raise ValueError("progressive restart intervals unsupported")
+                scan_comps = []
+                for i in range(ns):
+                    cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                    ci = next(
+                        j for j, c in enumerate(comps) if c[0] == cid
+                    )
+                    scan_comps.append((ci, tabs >> 4, tabs & 0x0F))
+                ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 0x0F
+                pos = _decode_progressive_scan(
+                    payload, pos + 2 + seg_len, w, h, coeffs, preds,
+                    huff, scan_comps, ss, se, ah, al,
+                )
+                continue
             scan_tabs: dict[int, tuple[int, int]] = {}
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -1502,7 +1702,112 @@ def decode_jpeg(
             )
         # APPn / COM / anything else: skip
         pos += 2 + seg_len
+    if progressive and sof_seen:
+        return _progressive_reconstruct(coeffs, comps, qts, w, h)
     raise ValueError("no SOS marker found")
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    w: int,
+    h: int,
+    coeffs: list[list[list[int]]],
+    preds: list[int],
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE spectral-selection scan into the coefficient store;
+    returns the stream position of the next marker.  DC scans (Ss=0)
+    may interleave several components; AC scans are single-component
+    with EOBn end-of-band runs (T.81 §G.1.2.2)."""
+    if ah != 0:
+        raise ValueError(
+            "successive-approximation refinement scans (Ah > 0) unsupported"
+        )
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _BitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        tabs = {ci: huff.get((0, td)) for ci, td, _ in scan_comps}
+        if any(t is None for t in tabs.values()):
+            raise ValueError("scan references undefined table")
+        for b in range(bw * bh):
+            for ci, _td, _ta in scan_comps:
+                size = _huff_decode(reader, tabs[ci])
+                diff = _extend(reader.bits(size), size) if size else 0
+                preds[ci] += diff
+                coeffs[ci][b][0] = preds[ci] << al
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, _td, ta = scan_comps[0]
+        ac_tab = huff.get((1, ta))
+        if ac_tab is None:
+            raise ValueError("scan references undefined table")
+        eobrun = 0
+        for b in range(bw * bh):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            block = coeffs[ci][b]
+            k = ss
+            while k <= se:
+                sym = _huff_decode(reader, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient outside scan band")
+                block[k] = _extend(reader.bits(s), s) << al
+                k += 1
+    # advance to the next marker (skip pad bits / bytes)
+    p = reader.pos
+    while p + 1 < len(payload) and not (
+        payload[p] == 0xFF and payload[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _progressive_reconstruct(
+    coeffs: list[list[list[int]]],
+    comps: list[tuple[int, int, int, int]],
+    qts: dict[int, list[int]],
+    w: int,
+    h: int,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Dequantize + IDCT the accumulated coefficient store and finish
+    through the shared upsample/color path (all-1x1 sampling)."""
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = []
+    for ci, (_cid, _ch, _cv, tq) in enumerate(comps):
+        qt = qts.get(tq)
+        if qt is None:
+            raise ValueError("frame references undefined quantization table")
+        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for b, zz in enumerate(coeffs[ci]):
+            coef = [[0.0] * 8 for _ in range(8)]
+            for i, zpos in enumerate(_JPEG_ZIGZAG):
+                coef[zpos // 8][zpos % 8] = zz[i] * qt[zpos]
+            spatial = _idct8x8(coef)
+            oy, ox = (b // bw) * 8, (b % bw) * 8
+            for y in range(8):
+                row = plane[oy + y]
+                for x in range(8):
+                    row[ox + x] = _clamp8(spatial[y][x] + 128.0)
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, w, h, 1, 1)
 
 
 def _decode_scan(
@@ -1550,6 +1855,19 @@ def _decode_scan(
                     for y in range(8):
                         row = plane[oy + y]
                         row[ox : ox + 8] = block[y]
+    return _planes_to_rgb(planes, comps, w, h, hmax, vmax)
+
+
+def _planes_to_rgb(
+    planes: list[list[list[int]]],
+    comps: list[tuple[int, int, int, int]],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Upsample component planes to frame resolution and color-convert
+    (shared by the baseline and progressive reconstruction paths)."""
     rows: list[list[tuple[int, int, int]]] = []
     if len(comps) == 1:
         plane = planes[0]

@@ -758,3 +758,66 @@ def png_palette_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         " luma_bot int, alpha_top int"
     )
     return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+
+
+def jpeg_progressive_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PROGRESSIVE-JPEG roundtrip audit (r10 — the last JPEG variant
+    the codec documented out): x271's guaranteed-luma-gap two-tone
+    construction pushed through the SOF2 spectral-selection pipeline —
+    interleaved DC scan, per-component AC band scans with per-scan
+    Huffman tables and real EOBn run coding — and decoded back through
+    the multi-scan coefficient-accumulation path.  The band split
+    varies with the id (one wide band / the 1+rest split / a 4-way
+    split), so the EOBRUN and between-scan-DHT paths run corpus-wide.
+    Pins are exactly x271's id arithmetic: dims from the SOF2 header
+    and the aHash decided by the halves' luma ORDER (quantization error
+    is bounded well under half the 128-luma gap at quality 90).
+
+    Scale shape: pure map, bounded ≤ 16×8 image per row (x255 shape).
+    """
+    from flashml_spark.functions import codecs
+
+    _BANDS = (
+        ((1, 63),),
+        ((1, 5), (6, 63)),
+        ((1, 1), (2, 9), (10, 35), (36, 63)),
+    )
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def build_and_decode(i: int) -> tuple[int, int, str]:
+            w = 8 + i % 9
+            h = 4 + 2 * (i % 3)
+            dark = ((i * 23) % 64, (i * 29) % 64, (i * 31) % 64)
+            bright = (
+                192 + (i * 37) % 64,
+                192 + (i * 41) % 64,
+                192 + (i * 43) % 64,
+            )
+            top, bot = (dark, bright) if (i % 4) < 2 else (bright, dark)
+            rows = [[top] * w for _ in range(h // 2)] + [
+                [bot] * w for _ in range(h // 2)
+            ]
+            payload = codecs.encode_jpeg_progressive(
+                rows, quality=90, bands=_BANDS[i % 3]
+            )
+            width, height, px = codecs.decode_jpeg(payload)
+            return width, height, codecs.average_hash(codecs.png_grayscale(px))
+
+        for pdf in batches:
+            decoded = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "phash": [d[2] for d in decoded],
+                }
+            )
+
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .orderBy("media_id")
+    )

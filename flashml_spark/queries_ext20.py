@@ -532,3 +532,26 @@ def x279(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return multimodal.png_palette_audit(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x280 — progressive-JPEG roundtrip audit: x271's lossy-safe two-tone
+# pins through the SOF2 spectral-selection pipeline (multi-scan
+# coefficient accumulation, per-scan DHTs, EOBn runs; band split
+# varies by id).  Same oracle arithmetic as x271 — JPEG's pins are a
+# property of the construction, not the scan order.
+_PROG_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(4 + 2 * (doc_id % 3) AS INT) AS height,
+       CASE WHEN doc_id % 4 >= 2 THEN '00000000ffffffff'
+            ELSE 'ffffffff00000000' END AS phash
+FROM documents ORDER BY media_id"""
+
+
+@register("x280_jpeg_progressive_audit", _PROG_SQL)
+def x280(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.jpeg_progressive_audit(docs, "doc_id")

@@ -877,3 +877,55 @@ def test_png_palette_validation_and_missing_plte():
     stripped = good[:at] + good[at + 12 + clen:]
     with _pytest.raises(ValueError, match="missing PLTE"):
         codecs.decode_png(stripped)
+
+
+def test_jpeg_progressive_equals_baseline_pixel_exact():
+    from flashml_spark.functions import codecs
+
+    for w, h in [(8, 8), (16, 10), (13, 7), (5, 3)]:
+        rows = [
+            [((x * 31 + y * 7) % 256, (x * 13 + y * 29) % 256,
+              (x * 3 + y * 53) % 256) for x in range(w)]
+            for y in range(h)
+        ]
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(rows, quality=90, subsample="444")
+        )
+        prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(rows, 90))
+        assert base == prog, (w, h)
+    # multi-band split exercises EOBRUN runs and per-scan DHTs; a flat
+    # image makes every AC scan pure EOBRUN
+    rows = [
+        [(200, 30, 60) if (x + y) % 9 == 0 else (10, 10, 10)
+         for x in range(32)]
+        for y in range(24)
+    ]
+    assert codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(
+            rows, 85, bands=((1, 1), (2, 9), (10, 35), (36, 63))
+        )
+    ) == codecs.decode_jpeg(codecs.encode_jpeg(rows, 85, subsample="444"))
+    flat = [[(77, 77, 77)] * 16] * 16
+    assert codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(flat, 75)
+    ) == codecs.decode_jpeg(codecs.encode_jpeg(flat, 75, subsample="444"))
+
+
+def test_jpeg_progressive_rejects_refinement_and_bad_bands():
+    import pytest as _pytest
+
+    from flashml_spark.functions import codecs
+
+    rows = [[(9, 9, 9)] * 8] * 8
+    with _pytest.raises(ValueError, match="bands"):
+        codecs.encode_jpeg_progressive(rows, bands=((2, 63),))
+    with _pytest.raises(ValueError, match="bands"):
+        codecs.encode_jpeg_progressive(rows, bands=((1, 30),))
+    # patch an AC scan header's Ah nibble -> refinement scans reject
+    p = bytearray(codecs.encode_jpeg_progressive(rows))
+    # find the LAST SOS (an AC scan: ns=1) and set Ah=1 in its Ss/Se/AhAl
+    at = p.rindex(b"\xff\xda")
+    assert p[at + 4] == 1  # ns
+    p[at + 9] = 0x10  # Ah=1, Al=0
+    with _pytest.raises(ValueError, match="refinement"):
+        codecs.decode_jpeg(bytes(p))
