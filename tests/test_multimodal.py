@@ -664,12 +664,18 @@ def test_jpeg_rejects_unsupported_and_corrupt():
         codecs.encode_jpeg(flat, quality=0)
     with pytest.raises(ValueError, match="ragged|empty"):
         codecs.encode_jpeg([[(1, 2, 3)], [(1, 2, 3), (4, 5, 6)]])
-    # progressive (SOF2) rejection
+    # SOF2 became SUPPORTED in r10; a baseline full-band scan inside a
+    # frame relabeled progressive now trips the DC/AC band-mix check
     prog = bytearray(payload)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         codecs.decode_jpeg(bytes(prog))
+    # lossless-sequential (SOF3) stays rejected
+    lossless = bytearray(payload)
+    lossless[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="non-baseline"):
+        codecs.decode_jpeg(bytes(lossless))
     # truncated entropy data
     with pytest.raises(ValueError, match="truncated|marker"):
         codecs.decode_jpeg(bytes(payload[: len(payload) // 2]))
