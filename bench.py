@@ -290,6 +290,7 @@ HEADLINE = [
     "x278_semdedup",
     "x279_png_palette_audit",
     "x280_jpeg_progressive_audit",
+    "x281_ccnet_buckets",
 ]
 
 

@@ -77,15 +77,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def _real_decode(payload: bytes) -> tuple[int, int, str]:
     """Real image decode: dimensions + 8x8 average perceptual hash.
 
-    BMP, PNG (non-interlaced 8-bit RGB/RGBA — stdlib-zlib IDAT inflate
-    + per-scanline unfilter), GIF (variable-width LZW) and JPEG
-    (baseline SOF0 — r10: Annex-K Huffman decode, dequant, 8x8 IDCT,
-    YCbCr→RGB, 4:4:4/4:2:0/4:2:2 upsampling, DRI/RSTn) all decode via
-    the dependency-free codecs (:mod:`flashml_spark.functions.codecs` —
-    pure struct+math, so the REAL path is exercised end-to-end in this
-    container); exotic variants (progressive JPEG, paletted/interlaced
-    PNG) fall through to PIL, raising NotImplementedError where PIL is
-    not installed (as here) — that test is import-gated accordingly."""
+    BMP, PNG (8-bit RGB/RGBA/paletted, non-interlaced or Adam7 —
+    stdlib-zlib IDAT inflate + per-pass unfilter + PLTE/tRNS
+    expansion), GIF (variable-width LZW) and JPEG (baseline SOF0 with
+    4:4:4/4:2:0/4:2:2 + DRI/RSTn, and r10 progressive SOF2 spectral
+    selection) all decode via the dependency-free codecs
+    (:mod:`flashml_spark.functions.codecs` — pure struct+math, so the
+    REAL path is exercised end-to-end in this container); what remains
+    PIL-gated is other container formats entirely (WebP, TIFF, …) plus
+    16-bit/grayscale PNG and refinement-scan progressive, raising
+    NotImplementedError where PIL is not installed (as here) — that
+    test is import-gated accordingly."""
     from flashml_spark.functions import codecs
 
     if payload[:2] == b"BM":
@@ -105,8 +107,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode of exotic formats (progressive JPEG, "
-            "paletted/interlaced PNG, WebP, …) requires PIL — "
+            "real decode of formats beyond the built-in codecs "
+            "(WebP, TIFF, 16-bit/grayscale PNG, …) requires PIL — "
             "not in this environment"
         ) from exc
     import io

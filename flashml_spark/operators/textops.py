@@ -3312,3 +3312,49 @@ def bloom_decontamination_screen(
             6,
         ).alias("fp_rate"),
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): per language, rank documents by LM quality
+    and cut into ``n_buckets`` equal tiles — head = most fluent (used
+    as-is), tail = candidate discard.  The LM score is the corpus-MLE
+    unigram log-probability (:func:`unigram_logprob_score` — x179's
+    CCNet stand-in; higher avg_logp = lower perplexity = better), and
+    ranking uses the ROUND-6 score with an id tiebreak so the tile
+    boundary is identical in every engine (raw float ordering could
+    swap last-ulp neighbors across engines).
+
+    Scale shape: x179's pipeline + one lang-keyed ntile window + one
+    (lang, bucket) agg — output is |langs| x n_buckets rows.
+
+    Output: ``lang, bucket (1=head), n_docs, total_tokens,
+    mean_logp`` (rounded 6).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_score(df, text_col, id_col)
+    langs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(lang_col)
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logp").desc(), F.col(id_col)
+    )
+    tiled = scored.join(langs, id_col).withColumn(
+        "bucket", F.ntile(n_buckets).over(w)
+    )
+    return (
+        tiled.groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("avg_logp"), 6).alias("mean_logp"),
+        )
+        .orderBy(lang_col, "bucket")
+    )

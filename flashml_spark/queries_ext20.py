@@ -555,3 +555,44 @@ def x280(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return multimodal.jpeg_progressive_audit(docs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# x281 — CCNet head/middle/tail quality split (Wenzek et al. 2020):
+# per language, documents ranked by the corpus-unigram LM score
+# (x179's avg_logp, already round-6-stable cross-engine) and cut into
+# three NTILE tiles; per (lang, tile) the doc/token mass and mean
+# score.  Ranking uses the ROUNDED score + id tiebreak so the tile
+# boundary is engine-exact.
+_CCNET_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                    '\\s+')) AS token
+             FROM documents WHERE text IS NOT NULL),
+     c AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS n_w
+           FROM tok GROUP BY token),
+     tot AS (SELECT SUM(n_w) AS total FROM c),
+     p AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                  ROUND(AVG(ln(c.n_w)) - ln(tot.total), 6) AS avg_logp
+           FROM tok t JOIN c USING (token) CROSS JOIN tot
+           GROUP BY t.doc_id, tot.total),
+     tiled AS (SELECT d.lang, p.n_tokens, p.avg_logp,
+                      NTILE(3) OVER (PARTITION BY d.lang
+                                     ORDER BY p.avg_logp DESC, p.doc_id)
+                          AS bucket
+               FROM p JOIN documents d ON d.doc_id = p.doc_id)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(avg_logp), 6) AS mean_logp
+FROM tiled GROUP BY lang, bucket
+ORDER BY lang, bucket"""
+
+
+@register("x281_ccnet_buckets", _CCNET_SQL)
+def x281(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    return textops.ccnet_perplexity_buckets(
+        docs, "text", "doc_id", "lang", n_buckets=3
+    )

@@ -464,3 +464,31 @@ def test_semdedup_planted_groups_and_cluster_scope(spark):
     assert out[1]["ivf_list"] == out[2]["ivf_list"] == out[3]["ivf_list"]
     assert out[10]["ivf_list"] == out[11]["ivf_list"]
     assert out[1]["ivf_list"] != out[10]["ivf_list"]
+
+
+def test_ccnet_buckets_rank_and_mass(spark):
+    # lang A: 6 docs of graded fluency (common tokens repeated vs rare
+    # singletons) -> head tile holds the most-common-token docs
+    rows = []
+    for i in range(6):
+        # doc i uses tokens shared by (6 - i) docs -> higher i = rarer
+        rows.append((i, " ".join([f"w{j}" for j in range(i, 6)] * 2), "A"))
+    rows.append((10, "x x x x", "B"))
+    rows.append((11, "y z q r", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        (r["lang"], r["bucket"]): r
+        for r in textops.ccnet_perplexity_buckets(
+            df, "text", "doc_id", "lang", n_buckets=3
+        ).collect()
+    }
+    # ntile over 2 rows yields tiles 1..2 only — fewer docs than tiles
+    # never fabricates an empty tail tile
+    assert set(out) == {("A", 1), ("A", 2), ("A", 3), ("B", 1), ("B", 2)}
+    a = [out[("A", b)] for b in (1, 2, 3)]
+    assert all(r["n_docs"] == 2 for r in a)  # equal tiles
+    # head mean score strictly above tail mean score
+    assert a[0]["mean_logp"] > a[2]["mean_logp"]
+    assert sum(r["total_tokens"] for r in a) == sum(
+        2 * (6 - i) for i in range(6)
+    )
