@@ -291,6 +291,7 @@ HEADLINE = [
     "x279_png_palette_audit",
     "x280_jpeg_progressive_audit",
     "x281_ccnet_buckets",
+    "x282_prototype_prune",
 ]
 
 

@@ -1400,3 +1400,92 @@ def semdedup(
             .alias("is_kept"),
         )
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    drop_frac: float = 0.2,
+    seed: int = 42,
+    fit_sample_rows: int | None = 100_000,
+    max_iter: int = 10,
+    init_mode: str = "random",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SSL-prototypes pruning — D4's second stage ("D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification",
+    Tirumala et al. 2023, arXiv:2308.12284, building on Sorscher et
+    al.'s SSL prototypes): cluster the embedding space and DROP the
+    ``drop_frac`` most PROTOTYPICAL points of every cluster (nearest
+    their centroid) — near-centroid mass is semantically redundant
+    "template" data, while the cluster fringe carries the diversity.
+    Composes with :func:`semdedup` into the full D4 recipe (dedup the
+    clones, then diversify the remainder; pass the same ``centroids``
+    to share one fit).
+
+    Scale shape: bounded k-means fit (or caller-shared centroids),
+    broadcast argmin assignment + L2-to-own-centroid as one pure-map
+    expression, a cluster-keyed rank window, and a per-cluster drop
+    count from the exact cluster size — no corpus-global frame.
+
+    Determinism: ranking orders by (rounded-6 distance ASC, id ASC),
+    so ties cut identically in every engine/partitioning.
+
+    Output (one row per input row): ``id_col, ivf_list, proto_rank``
+    (1 = most prototypical), ``cluster_n``, ``is_kept`` (0 for the
+    dropped prototypical head; ceil-free ``floor(drop_frac * n)`` rows
+    drop per cluster, so tiny clusters never vanish entirely).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            df,
+            vec_col,
+            n_lists=n_lists,
+            seed=seed,
+            sample_rows=fit_sample_rows,
+            max_iter=max_iter,
+            init_mode=init_mode,
+        )
+    assigned = with_ivf_list(df, vec_col, centroids)
+    dists = F.array(
+        *[
+            V.l2_distance(
+                _as_double(F.col(vec_col)),
+                F.array(*[F.lit(float(x)) for x in c]),
+            )
+            for c in centroids
+        ]
+    )
+    scored = assigned.select(
+        F.col(id_col),
+        "ivf_list",
+        F.round(F.element_at(dists, F.col("ivf_list") + 1), 6).alias("__d"),
+    )
+    w = Window.partitionBy("ivf_list").orderBy(
+        F.col("__d").asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("ivf_list")
+    ranked = scored.select(
+        id_col,
+        "ivf_list",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("cluster_n"),
+    )
+    return ranked.select(
+        id_col,
+        "ivf_list",
+        "proto_rank",
+        "cluster_n",
+        (
+            F.col("proto_rank")
+            > F.floor(F.lit(drop_frac) * F.col("cluster_n"))
+        )
+        .cast("int")
+        .alias("is_kept"),
+    )

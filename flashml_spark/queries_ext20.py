@@ -596,3 +596,70 @@ def x281(spark: SparkSession, sf: str) -> DataFrame:
     return textops.ccnet_perplexity_buckets(
         docs, "text", "doc_id", "lang", n_buckets=3
     )
+
+
+# --------------------------------------------------------------------------
+# x282 — D4 prototype pruning (Tirumala et al. 2023 / Sorscher SSL
+# prototypes): drop each cluster's most-centroid-proximal fraction.
+# Planted fixture: two separable clusters whose ZERO-SUM offsets make
+# the fitted centroid exactly the planted center, so every distance —
+# and therefore the (rounded-dist, id) prototype ranking and the
+# floor(drop_frac*n) cut — is closed-form: cluster A offsets ±10/±20/
+# ±30 drops exactly ids {0,1}; cluster B offsets {0,+4,-4} drops id
+# 10.  Corpus row: the full pipeline on the real embeddings at the
+# ~100-row cluster budget, measured on the is_kept output column.
+_X282_SQL = """
+WITH corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM embeddings)
+SELECT 'corpus_rows' AS key, v AS value FROM corpus
+UNION ALL SELECT 'fx_dropped_total', CAST(3 AS DOUBLE)
+UNION ALL SELECT 'fx_dropped_sum_ids', CAST(11 AS DOUBLE)
+UNION ALL SELECT 'fx_kept_total', CAST(6 AS DOUBLE)
+ORDER BY key"""
+
+
+@register("x282_prototype_prune", _X282_SQL)
+def x282(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    rows = []
+    for i, off in enumerate([10.0, -10.0, 20.0, -20.0, 30.0, -30.0]):
+        rows.append((i, [200.0, 0.0, off, 0.0]))
+    for j, off in enumerate([0.0, 4.0, -4.0]):
+        rows.append((10 + j, [0.0, 200.0, 0.0, off]))
+    fix = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    fx = similarity.prototype_prune(
+        fix, "embedding", "vec_id", n_lists=2, drop_frac=1.0 / 3.0,
+        fit_sample_rows=None, max_iter=20, init_mode="k-means||",
+    )
+    dropped = fx.where(F.col("is_kept") == 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("vec_id").cast("double").alias("s"),
+    )
+    d_total = dropped.select(
+        F.lit("fx_dropped_total").alias("key"), F.col("n").alias("value")
+    )
+    d_ids = dropped.select(
+        F.lit("fx_dropped_sum_ids").alias("key"), F.col("s").alias("value")
+    )
+    kept = fx.agg(
+        F.lit("fx_kept_total").alias("key"),
+        F.sum("is_kept").cast("double").alias("value"),
+    )
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    out = similarity.prototype_prune(
+        emb, "embedding", "vec_id", n_lists=max(8, n // 100), drop_frac=0.2,
+        seed=42,
+    )
+    corpus = out.agg(
+        F.lit("corpus_rows").alias("key"),
+        (F.sum("is_kept") + F.sum(1 - F.col("is_kept")))
+        .cast("double")
+        .alias("value"),
+    )
+    return (
+        d_total.unionByName(d_ids)
+        .unionByName(kept)
+        .unionByName(corpus)
+        .orderBy("key")
+    )

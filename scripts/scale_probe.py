@@ -194,6 +194,7 @@ PROBES = [
     "x279_png_palette_audit",
     "x280_jpeg_progressive_audit",
     "x281_ccnet_buckets",
+    "x282_prototype_prune",
 ]
 
 

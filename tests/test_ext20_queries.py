@@ -492,3 +492,33 @@ def test_ccnet_buckets_rank_and_mass(spark):
     assert sum(r["total_tokens"] for r in a) == sum(
         2 * (6 - i) for i in range(6)
     )
+
+
+def test_prototype_prune_planted_geometry(spark):
+    from flashml_spark.operators import similarity
+
+    rows = [(i, [200.0, 0.0, off, 0.0])
+            for i, off in enumerate([10.0, -10.0, 20.0, -20.0, 30.0, -30.0])]
+    rows += [(10 + j, [0.0, 200.0, 0.0, off])
+             for j, off in enumerate([0.0, 4.0, -4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.prototype_prune(
+            df, "embedding", "vec_id", n_lists=2, drop_frac=1.0 / 3.0,
+            fit_sample_rows=None, max_iter=20, init_mode="k-means||",
+        ).collect()
+    }
+    # zero-sum offsets -> fitted centroid == planted center -> exact
+    # distances; ties (ids 0/1 both at d=10) cut by id
+    assert {i for i, r in out.items() if r["is_kept"] == 0} == {0, 1, 10}
+    assert out[0]["proto_rank"] == 1 and out[1]["proto_rank"] == 2
+    assert out[10]["proto_rank"] == 1 and out[10]["cluster_n"] == 3
+    # drop_frac 0 keeps everything; out-of-range rejects
+    all_kept = similarity.prototype_prune(
+        df, "embedding", "vec_id", n_lists=2, drop_frac=0.0,
+        fit_sample_rows=None, max_iter=20, init_mode="k-means||",
+    )
+    assert all_kept.where(F.col("is_kept") == 0).count() == 0
+    with pytest.raises(ValueError, match="drop_frac"):
+        similarity.prototype_prune(df, "embedding", "vec_id", drop_frac=1.0)
