@@ -522,3 +522,98 @@ def test_prototype_prune_planted_geometry(spark):
     assert all_kept.where(F.col("is_kept") == 0).count() == 0
     with pytest.raises(ValueError, match="drop_frac"):
         similarity.prototype_prune(df, "embedding", "vec_id", drop_frac=1.0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=7),
+)
+def test_token_stream_packing_invariants(spark, token_counts, L):
+    # docs with n_i tokens (0-token docs excluded by construction:
+    # whitespace tokenizer never yields an empty array)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n + 1)))
+        for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = textops.token_stream_spans(df, "text", "doc_id", L).collect()
+    total = sum(n + 1 for n in token_counts)
+    # spans PARTITION the stream: per-doc token mass conserved, offsets
+    # contiguous and disjoint, every sequence full except the last
+    per_doc = {}
+    covered = []
+    for r in spans:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["span_tokens"]
+        covered.append((r["start_off"], r["end_off"]))
+        assert r["seq"] == r["start_off"] // L
+        assert r["end_off"] <= (r["seq"] + 1) * L
+    assert per_doc == {i: n + 1 for i, n in enumerate(token_counts)}
+    covered.sort()
+    assert covered[0][0] == 0 and covered[-1][1] == total
+    for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
+        assert e1 == s2  # contiguous, non-overlapping
+    # exactly one starts_here/ends_here per doc
+    starts = sum(r["starts_here"] for r in spans)
+    ends = sum(r["ends_here"] for r in spans)
+    assert starts == len(token_counts) and ends == len(token_counts)
+
+
+def _brute_cross_overlap(corpus, evald, k, c):
+    out = {}
+    ctoks = [t.lower().split() for t in corpus]
+    for d, text in evald.items():
+        toks = text.lower().split()
+        best, hits = 0, 0
+        for p in range(len(toks) - k + 1):
+            suf = toks[p:]
+            m_best = -1
+            for ct in ctoks:
+                for q in range(len(ct) - k + 1):
+                    if ct[q:q + k] != suf[:k]:
+                        continue
+                    m = 0
+                    lim = min(len(suf), len(ct) - q, k + c)
+                    while m < lim and suf[m] == ct[q + m]:
+                        m += 1
+                    m_best = max(m_best, m)
+            if m_best >= k:
+                best = max(best, m_best)
+                hits += 1
+        out[d] = (best, hits)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=3, max_size=10)
+        .map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=3, max_size=10)
+        .map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_cross_side_decontamination_matches_brute_force(spark, corp, evl):
+    k, c = 2, 3
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corp)], "doc_id long, text string"
+    )
+    evald = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evl)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["max_overlap_len"], r["n_overlap_suffixes"])
+        for r in textops.exact_substring_decontamination(
+            corpus, evald, "text", "doc_id", anchor_len=k, ext_cap=c
+        ).collect()
+    }
+    want = _brute_cross_overlap(
+        corp, {100 + i: t for i, t in enumerate(evl)}, k, c
+    )
+    assert got == want
