@@ -1979,6 +1979,74 @@ def token_stream_spans(
     )
 
 
+def materialize_packed_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Materialize the packed sequences :func:`token_stream_spans`
+    lays out — the actual training-sequence frame a writer persists
+    (``.write.partitionBy('shard')`` when sharded): per sequence, the
+    concatenated token array across its member doc slices, in stream
+    order.
+
+    Scale shape: the spans pipeline + one join back to the tokenized
+    docs (keyed on ``id_col``) + one seq-keyed agg whose payload is
+    bounded by ``seq_len`` tokens — ``sort_array(collect_list(...))``
+    here is per-SEQUENCE (bounded), never global.
+
+    Output: ``[shard,] seq, n_docs, n_tokens, tokens`` — every
+    sequence holds exactly ``seq_len`` tokens except the stream tail.
+    """
+    spans = token_stream_spans(df, text_col, id_col, seq_len, n_shards)
+    shard_cols = ["shard"] if n_shards is not None else []
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    # doc-local slice bounds: the doc's global start is the start_off
+    # of its starts_here span; carry it to every span of the doc
+    doc_start = spans.where(F.col("starts_here") == 1).select(
+        F.col(id_col), F.col("start_off").alias("__doc_start")
+    )
+    sliced = (
+        spans.join(doc_start, id_col)
+        .join(toks, id_col)
+        .select(
+            *shard_cols,
+            "seq",
+            "start_off",
+            F.slice(
+                "__ts",
+                (F.col("start_off") - F.col("__doc_start") + 1).cast("int"),
+                F.col("span_tokens").cast("int"),
+            ).alias("__piece"),
+        )
+    )
+    return (
+        sliced.groupBy(*shard_cols, "seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start_off", "__piece"))
+                    ),
+                    lambda s: s["__piece"],
+                )
+            ).alias("tokens"),
+        )
+        .select(
+            *shard_cols,
+            "seq",
+            "n_docs",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
 def token_stream_packing_audit(
     df: DataFrame, text_col: str, id_col: str, seq_len: int = 2048
 ) -> DataFrame:

@@ -617,3 +617,30 @@ def test_cross_side_decontamination_matches_brute_force(spark, corp, evl):
         corp, {100 + i: t for i, t in enumerate(evl)}, k, c
     )
     assert got == want
+
+
+def test_materialize_packed_sequences_reassembles_stream(spark):
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 5)))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    L = 8
+    seqs = sorted(
+        textops.materialize_packed_sequences(df, "text", "doc_id", L).collect(),
+        key=lambda r: r["seq"],
+    )
+    # flattening the sequences reproduces the exact global token stream
+    stream = [t for _, text in docs for t in text.split()]
+    got = [t for r in seqs for t in r["tokens"]]
+    assert got == stream
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == L
+    assert seqs[-1]["n_tokens"] == len(stream) - (len(seqs) - 1) * L
+    # sharded variant: per-shard streams reassemble per shard
+    sharded = textops.materialize_packed_sequences(
+        df, "text", "doc_id", L, n_shards=3
+    ).collect()
+    for s in range(3):
+        want = [t for i, text in docs if i % 3 == s for t in text.split()]
+        rows = sorted((r for r in sharded if r["shard"] == s),
+                      key=lambda r: r["seq"])
+        assert [t for r in rows for t in r["tokens"]] == want
