@@ -340,6 +340,8 @@ def kcore(
     degree INSIDE the core (>= k by construction; empty when the core
     is empty).
     """
+    if k < 1:
+        raise ValueError(f"kcore requires k >= 1, got {k}")
     sc = edges.sparkSession.sparkContext
 
     def _persistent_ids() -> set[int]:
