@@ -292,6 +292,7 @@ HEADLINE = [
     "x280_jpeg_progressive_audit",
     "x281_ccnet_buckets",
     "x282_prototype_prune",
+    "x283_d4_curation",
 ]
 
 

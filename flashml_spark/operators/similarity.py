@@ -1338,6 +1338,7 @@ def semdedup(
     fit_sample_rows: int | None = 100_000,
     max_iter: int = 10,
     init_mode: str = "random",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup — CLUSTER-scoped semantic deduplication ("SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -1362,15 +1363,16 @@ def semdedup(
     """
     from flashml_spark.operators.dedup import connected_components
 
-    centroids = fit_ivf_centroids(
-        df,
-        vec_col,
-        n_lists=n_lists,
-        seed=seed,
-        sample_rows=fit_sample_rows,
-        max_iter=max_iter,
-        init_mode=init_mode,
-    )
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            df,
+            vec_col,
+            n_lists=n_lists,
+            seed=seed,
+            sample_rows=fit_sample_rows,
+            max_iter=max_iter,
+            init_mode=init_mode,
+        )
     assigned = with_ivf_list(df, vec_col, centroids).select(
         F.col(id_col), F.col("ivf_list"), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -1488,4 +1490,72 @@ def prototype_prune(
         )
         .cast("int")
         .alias("is_kept"),
+    )
+
+
+def d4_curation(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    dedup_threshold: float = 0.95,
+    drop_frac: float = 0.2,
+    seed: int = 42,
+    fit_sample_rows: int | None = 100_000,
+    max_iter: int = 10,
+    init_mode: str = "random",
+) -> DataFrame:
+    """D4 end-to-end (Tirumala et al. 2023): SemDeDup the clones, then
+    prototype-prune the survivors — ONE k-means fit shared by both
+    stages (the paper's recipe; refitting between stages would both
+    waste the iterations and let cluster boundaries drift between the
+    dedup and the diversify pass).
+
+    Scale shape: the bounded fit once, then each stage's documented
+    shape (cluster-keyed pair join + components; pure-map distance +
+    cluster-keyed rank window) over monotonically shrinking frames.
+
+    Output (one row per input row): ``id_col, ivf_list, stage`` —
+    ``stage`` is ``'kept'``, ``'dedup_dropped'`` or
+    ``'prune_dropped'`` (prune ranks are computed over the dedup
+    SURVIVORS only, so the prototypical cut never double-counts a
+    clone).
+    """
+    centroids = fit_ivf_centroids(
+        df,
+        vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        sample_rows=fit_sample_rows,
+        max_iter=max_iter,
+        init_mode=init_mode,
+    )
+    deduped = semdedup(
+        df, vec_col, id_col,
+        threshold=dedup_threshold, centroids=centroids,
+    )
+    survivors = df.join(
+        deduped.where(F.col("is_kept") == 1).select(id_col), id_col
+    )
+    pruned = prototype_prune(
+        survivors, vec_col, id_col,
+        drop_frac=drop_frac, centroids=centroids,
+    )
+    return (
+        deduped.select(id_col, "ivf_list", "is_kept")
+        .join(
+            pruned.select(
+                F.col(id_col), F.col("is_kept").alias("__pk")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "ivf_list",
+            F.when(F.col("is_kept") == 0, F.lit("dedup_dropped"))
+            .when(F.col("__pk") == 0, F.lit("prune_dropped"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
     )

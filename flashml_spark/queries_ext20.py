@@ -663,3 +663,76 @@ def x282(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(corpus)
         .orderBy("key")
     )
+
+
+# --------------------------------------------------------------------------
+# x283 — D4 END-TO-END (SemDeDup then prototype-prune, ONE shared fit;
+# Tirumala et al. 2023): the planted fixture exercises BOTH stages
+# against each other — cluster A holds a zero-sum wide-angle spread
+# (ids 0..5) PLUS two exact copies of id 0 (ids 6,7).  The copies
+# shift the fitted centroid by +17.5 along id 0's offset axis (mean
+# of +70·3 over 8 members), so after dedup drops {6,7}, the prune
+# ranking over the SURVIVORS is closed-form: id 0 sits nearest
+# (|70-17.5| = 52.5), ids 2..5 tie at sqrt(17.5²+70²) ≈ 72.16 (cut by
+# id → rank 2 = id 2), id 1 sits farthest (87.5) — floor(6/3) = 2
+# drops exactly {0, 2}.  Cluster B (zero-sum {0, ±60}) drops id 10.
+# Corpus row: the full two-stage pipeline on the real embeddings,
+# measured on the stage output column.
+_X283_SQL = """
+WITH corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM embeddings)
+SELECT 'corpus_rows' AS key, v AS value FROM corpus
+UNION ALL SELECT 'fx_dedup_dropped', CAST(2 AS DOUBLE)
+UNION ALL SELECT 'fx_prune_dropped_sum_ids', CAST(12 AS DOUBLE)
+UNION ALL SELECT 'fx_kept_sum_ids', CAST(36 AS DOUBLE)
+ORDER BY key"""
+
+
+@register("x283_d4_curation", _X283_SQL)
+def x283(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import similarity
+
+    def pt(axis: int, off_ax: int, off: float) -> list:
+        v = [0.0] * 8
+        v[axis] = 200.0
+        v[off_ax] = off
+        return v
+
+    rows = []
+    offs = [(2, 70.0), (2, -70.0), (3, 70.0), (3, -70.0), (4, 70.0),
+            (4, -70.0)]
+    for i, (ax, off) in enumerate(offs):
+        rows.append((i, pt(0, ax, off)))
+    rows += [(6, pt(0, 2, 70.0)), (7, pt(0, 2, 70.0))]
+    rows += [(10, pt(1, 5, 0.0)), (11, pt(1, 5, 60.0)),
+             (12, pt(1, 5, -60.0))]
+    fix = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    fx = similarity.d4_curation(
+        fix, "embedding", "vec_id", n_lists=2, dedup_threshold=0.99,
+        drop_frac=1.0 / 3.0, fit_sample_rows=None, max_iter=20,
+        init_mode="k-means||",
+    )
+    dd = fx.where(F.col("stage") == "dedup_dropped").agg(
+        F.lit("fx_dedup_dropped").alias("key"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    pd_ = fx.where(F.col("stage") == "prune_dropped").agg(
+        F.lit("fx_prune_dropped_sum_ids").alias("key"),
+        F.sum("vec_id").cast("double").alias("value"),
+    )
+    kp = fx.where(F.col("stage") == "kept").agg(
+        F.lit("fx_kept_sum_ids").alias("key"),
+        F.sum("vec_id").cast("double").alias("value"),
+    )
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    out = similarity.d4_curation(
+        emb, "embedding", "vec_id", n_lists=max(8, n // 100),
+        dedup_threshold=0.95, drop_frac=0.2, seed=42,
+    )
+    corpus = out.agg(
+        F.lit("corpus_rows").alias("key"),
+        F.count("stage").cast("double").alias("value"),
+    )
+    return dd.unionByName(pd_).unionByName(kp).unionByName(corpus).orderBy(
+        "key"
+    )

@@ -644,3 +644,34 @@ def test_materialize_packed_sequences_reassembles_stream(spark):
         rows = sorted((r for r in sharded if r["shard"] == s),
                       key=lambda r: r["seq"])
         assert [t for r in rows for t in r["tokens"]] == want
+
+
+def test_d4_curation_stage_attribution(spark):
+    from flashml_spark.operators import similarity
+
+    def pt(axis, off_ax, off):
+        v = [0.0] * 8
+        v[axis] = 200.0
+        v[off_ax] = off
+        return v
+
+    rows = [(i, pt(0, ax, off)) for i, (ax, off) in enumerate(
+        [(2, 70.0), (2, -70.0), (3, 70.0), (3, -70.0), (4, 70.0),
+         (4, -70.0)])]
+    rows += [(6, pt(0, 2, 70.0)), (7, pt(0, 2, 70.0))]  # clones of id 0
+    rows += [(10, pt(1, 5, 0.0)), (11, pt(1, 5, 60.0)),
+             (12, pt(1, 5, -60.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["stage"]
+        for r in similarity.d4_curation(
+            df, "embedding", "vec_id", n_lists=2, dedup_threshold=0.99,
+            drop_frac=1.0 / 3.0, fit_sample_rows=None, max_iter=20,
+            init_mode="k-means||",
+        ).collect()
+    }
+    assert {i for i, s in out.items() if s == "dedup_dropped"} == {6, 7}
+    # the clones SHIFT the fitted centroid toward id 0's axis, so the
+    # prune over survivors drops id 0 (nearest) + the id-tie winner id 2
+    assert {i for i, s in out.items() if s == "prune_dropped"} == {0, 2, 10}
+    assert {i for i, s in out.items() if s == "kept"} == {1, 3, 4, 5, 11, 12}
