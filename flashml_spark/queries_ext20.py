@@ -470,9 +470,11 @@ def x278(spark: SparkSession, sf: str) -> DataFrame:
     # rows per cluster), measured on the output column
     emb = load_table(spark, sf, "embeddings")
     n = emb.count()
+    # audit profile: 5 Lloyd iterations — the execution-forcing count
+    # row needs a real coarse partition, not a converged one
     out = similarity.semdedup(
         emb, "embedding", "vec_id",
-        n_lists=max(8, n // 100), threshold=0.95, seed=42,
+        n_lists=max(8, n // 100), threshold=0.95, seed=42, max_iter=5,
     )
     corpus = out.agg(
         F.lit("corpus_rows").alias("key"),
@@ -649,7 +651,7 @@ def x282(spark: SparkSession, sf: str) -> DataFrame:
     n = emb.count()
     out = similarity.prototype_prune(
         emb, "embedding", "vec_id", n_lists=max(8, n // 100), drop_frac=0.2,
-        seed=42,
+        seed=42, max_iter=5,
     )
     corpus = out.agg(
         F.lit("corpus_rows").alias("key"),
@@ -727,7 +729,7 @@ def x283(spark: SparkSession, sf: str) -> DataFrame:
     n = emb.count()
     out = similarity.d4_curation(
         emb, "embedding", "vec_id", n_lists=max(8, n // 100),
-        dedup_threshold=0.95, drop_frac=0.2, seed=42,
+        dedup_threshold=0.95, drop_frac=0.2, seed=42, max_iter=5,
     )
     corpus = out.agg(
         F.lit("corpus_rows").alias("key"),
