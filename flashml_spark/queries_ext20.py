@@ -7,7 +7,11 @@ frontier text pipeline still lacked here: exact substring dedup
 (suffix-array / Lee et al. 2022 style — x272 per-doc matching-stats
 report, x273 corpus longest-repeated-substrings, x274 cross-side
 eval decontamination), plus token-stream packing (x275), k-core
-(x276) and real audio feature extraction (x277).  Oracle discipline
+(x276), real audio feature extraction (x277), the published
+cluster-scoped curation recipes (x278 SemDeDup, x282 prototype
+pruning, x283 D4 end-to-end), the documented-out codec variants
+(x279 paletted/Adam7 PNG, x280 progressive JPEG) and CCNet quality
+buckets (x281).  Oracle discipline
 unchanged: exact integer/decimal accumulation before any float, one
 written operation order in both engines, Python-computed shared
 literals pinned as SQL text.
