@@ -293,6 +293,7 @@ HEADLINE = [
     "x281_ccnet_buckets",
     "x282_prototype_prune",
     "x283_d4_curation",
+    "x284_curriculum_packing",
 ]
 
 

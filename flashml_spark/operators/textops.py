@@ -1882,6 +1882,8 @@ def token_stream_spans(
     id_col: str,
     seq_len: int = 2048,
     n_shards: int | None = None,
+    order_col: str | None = None,
+    order_ascending: bool = True,
 ) -> DataFrame:
     """GPT-style token-STREAM packing (concat-and-chunk): documents are
     concatenated in ``id_col`` order into one token stream that is cut
@@ -1889,7 +1891,10 @@ def token_stream_spans(
     sequence boundaries — the standard causal-LM pretraining layout,
     complementary to :func:`pack_shards`-style first-fit packing (x63),
     which never splits a document.  Returns the doc -> sequence span
-    map a sequence writer consumes.
+    map a sequence writer consumes.  ``order_col`` switches the stream
+    from id order to CURRICULUM order ((order_col, id) — pass a
+    round-stable key so the order is engine-exact); works with both
+    the global and the sharded layout.
 
     Scale shape: token counts are one map pass; the stream offset is
     ``global_cumsum`` over ``id_col`` (range-partitioned prefix sums —
@@ -1913,12 +1918,24 @@ def token_stream_spans(
     L = int(seq_len)
     if L <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    t = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.size(H.tokens(F.col(text_col))).cast("bigint").alias("__n"),
-    )
+    sel = [F.col(id_col), F.size(H.tokens(F.col(text_col))).cast("bigint").alias("__n")]
+    if order_col is not None:
+        sel.append(F.col(order_col).alias("__ord"))
+    t = df.where(F.col(text_col).isNotNull()).select(*sel)
     if n_shards is None:
-        cum = global_cumsum(t, id_col, ["__n"])
+        if order_col is None:
+            cum = global_cumsum(t, id_col, ["__n"])
+        else:
+            # curriculum order: stream position follows (order_col,
+            # id) — callers pass a ROUND-STABLE key (e.g. a round-6
+            # score) so the order is engine-exact
+            cum = global_cumsum(
+                t,
+                "__ord",
+                ["__n"],
+                ascending=order_ascending,
+                tiebreak_cols=[id_col],
+            )
         offs = cum.select(
             id_col,
             "__n",
@@ -1933,9 +1950,17 @@ def token_stream_spans(
         # ``streaming.packing.streaming_token_packer``) reproduces
         from pyspark.sql import Window
 
+        if order_col is None:
+            order = [F.col(id_col).asc()]
+        else:
+            key = F.col("__ord")
+            order = [
+                key.asc() if order_ascending else key.desc(),
+                F.col(id_col).asc(),
+            ]
         w = (
             Window.partitionBy("shard")
-            .orderBy(id_col)
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         offs = (
@@ -3425,4 +3450,50 @@ def ccnet_perplexity_buckets(
             F.round(F.avg("avg_logp"), 6).alias("mean_logp"),
         )
         .orderBy(lang_col, "bucket")
+    )
+
+
+def curriculum_packing_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Curriculum-ordered token-stream packing: documents enter the
+    stream best-quality-first (the corpus-unigram LM score — x179/
+    x281's CCNet stand-in — descending, id tiebreak) and pack into
+    fixed sequences; per sequence, the boundary stats plus the
+    QUALITY ENVELOPE (min/max member score) — the readout that shows
+    the curriculum gradient across training order (easy->hard
+    schedules, Bengio et al. 2009, applied corpus-side).
+
+    min/max (never a float sum) keep the envelope engine-exact on the
+    round-6 scores; the stream order key is the same round-6 score.
+
+    Scale shape: x179's scorer + the packing pipeline with the
+    curriculum order key + one seq-keyed agg.
+
+    Output: ``seq, n_docs, n_docs_started, n_docs_ended,
+    tokens_filled, q_hi, q_lo``.
+    """
+    L = int(seq_len)
+    scored = unigram_logprob_score(df, text_col, id_col).select(
+        F.col(id_col), F.col("avg_logp")
+    )
+    ordered = df.join(scored, id_col)
+    spans = token_stream_spans(
+        ordered, text_col, id_col, L,
+        order_col="avg_logp", order_ascending=False,
+    )
+    return (
+        spans.join(scored, id_col)
+        .groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("starts_here").cast("bigint").alias("n_docs_started"),
+            F.sum("ends_here").cast("bigint").alias("n_docs_ended"),
+            F.sum("span_tokens").cast("bigint").alias("tokens_filled"),
+            F.max("avg_logp").alias("q_hi"),
+            F.min("avg_logp").alias("q_lo"),
+        )
     )

@@ -742,3 +742,50 @@ def x283(spark: SparkSession, sf: str) -> DataFrame:
     return dd.unionByName(pd_).unionByName(kp).unionByName(corpus).orderBy(
         "key"
     )
+
+
+# --------------------------------------------------------------------------
+# x284 — curriculum packing audit: the token stream ordered
+# best-quality-first (x179's round-6 unigram-LM score DESC, id
+# tiebreak — engine-exact order key) and cut into 256-token
+# sequences; per sequence the boundary stats plus the min/max member
+# score envelope (never a float sum).  FULL DuckDB twin.
+_X284_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                    '\\s+')) AS token
+             FROM documents WHERE text IS NOT NULL),
+     c AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS n_w
+           FROM tok GROUP BY token),
+     tot AS (SELECT SUM(n_w) AS total FROM c),
+     p AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND(AVG(ln(c.n_w)) - ln(tot.total), 6) AS q
+           FROM tok t JOIN c USING (token) CROSS JOIN tot
+           GROUP BY t.doc_id, tot.total),
+     o AS (SELECT doc_id, n, q,
+                  CAST(SUM(n) OVER w - n AS BIGINT) AS s,
+                  CAST(SUM(n) OVER w AS BIGINT) AS e
+           FROM p WINDOW w AS (ORDER BY q DESC, doc_id)),
+     spans AS (SELECT doc_id, q, s, e,
+                      unnest(generate_series(s // {_PACK_L},
+                                             (e - 1) // {_PACK_L})) AS seq
+               FROM o)
+SELECT CAST(seq AS BIGINT) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s // {_PACK_L} = seq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_started,
+       CAST(SUM(CASE WHEN (e - 1) // {_PACK_L} = seq THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_ended,
+       CAST(SUM(LEAST(e, (seq + 1) * {_PACK_L})
+                - GREATEST(s, seq * {_PACK_L})) AS BIGINT) AS tokens_filled,
+       MAX(q) AS q_hi, MIN(q) AS q_lo
+FROM spans GROUP BY seq ORDER BY seq"""
+
+
+@register("x284_curriculum_packing", _X284_SQL)
+def x284(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.curriculum_packing_audit(
+        docs, "text", "doc_id", seq_len=_PACK_L
+    ).orderBy("seq")

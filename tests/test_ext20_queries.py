@@ -675,3 +675,32 @@ def test_d4_curation_stage_attribution(spark):
     # prune over survivors drops id 0 (nearest) + the id-tie winner id 2
     assert {i for i, s in out.items() if s == "prune_dropped"} == {0, 2, 10}
     assert {i for i, s in out.items() if s == "kept"} == {1, 3, 4, 5, 11, 12}
+
+
+def test_curriculum_packing_orders_by_quality(spark):
+    # doc 1 = common tokens repeated (high logp), doc 2 = medium,
+    # doc 3 = all singletons (low) -> stream order 1,2,3 regardless of
+    # any id shuffling; quality envelope non-increasing across seqs
+    rows = [
+        (30, "w w w w w w"),          # highest quality, biggest id
+        (20, "w w x y w w"),
+        (10, "a b c d e f"),          # singletons -> lowest
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        textops.curriculum_packing_audit(df, "text", "doc_id", 6).collect(),
+        key=lambda r: r["seq"],
+    )
+    # 18 tokens at L=6 -> exactly 3 full sequences, one doc each
+    assert [r["n_docs"] for r in out] == [1, 1, 1]
+    assert all(r["tokens_filled"] == 6 for r in out)
+    # envelope strictly decreasing: best-first curriculum
+    assert out[0]["q_lo"] > out[1]["q_hi"] > out[2]["q_hi"] or (
+        out[0]["q_lo"] >= out[1]["q_hi"] >= out[2]["q_hi"]
+    )
+    # sharded + ordered composes too (smoke: shard streams still partition)
+    spans = textops.token_stream_spans(
+        df, "text", "doc_id", 4, n_shards=2,
+        order_col="doc_id", order_ascending=False,
+    ).collect()
+    assert sum(r["span_tokens"] for r in spans) == 18
