@@ -2010,6 +2010,8 @@ def materialize_packed_sequences(
     id_col: str,
     seq_len: int = 2048,
     n_shards: int | None = None,
+    order_col: str | None = None,
+    order_ascending: bool = True,
 ) -> DataFrame:
     """Materialize the packed sequences :func:`token_stream_spans`
     lays out — the actual training-sequence frame a writer persists
@@ -2025,7 +2027,9 @@ def materialize_packed_sequences(
     Output: ``[shard,] seq, n_docs, n_tokens, tokens`` — every
     sequence holds exactly ``seq_len`` tokens except the stream tail.
     """
-    spans = token_stream_spans(df, text_col, id_col, seq_len, n_shards)
+    spans = token_stream_spans(
+        df, text_col, id_col, seq_len, n_shards, order_col, order_ascending
+    )
     shard_cols = ["shard"] if n_shards is not None else []
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")

@@ -110,6 +110,7 @@ ACCEPTED_CROSS = {
     "x159_referential_integrity": "1-row x 1-row totals cross (pure scalars)",
     "x179_unigram_logprob": "1-row ln(N) corpus-total scalar broadcast (post per-doc agg)",
     "x281_ccnet_buckets": "1-row ln(N) corpus-total scalar broadcast (x179's accepted cross, shared scorer)",
+    "x284_curriculum_packing": "1-row ln(N) corpus-total scalar broadcast (x179's accepted cross, shared scorer)",
     "x182_rfm_segments": "1-row anchor-ts + |users| total scalar broadcast",
     "x183_tfidf_keywords": "1-row N_docs scalar broadcast onto the vocab frame",
     "x184_km_survival": "1-row (max-day, N) scalar broadcast",
