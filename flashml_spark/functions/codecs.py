@@ -1302,13 +1302,22 @@ def encode_jpeg_progressive(
     rows: list[list[tuple[int, int, int]]],
     quality: int = 75,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    successive: int = 0,
 ) -> bytes:
     """Encode top-down RGB rows as a PROGRESSIVE (SOF2) JFIF/JPEG
     stream using spectral selection: one interleaved DC scan, then one
     AC scan per component per ``bands`` entry, with real EOBn
     end-of-band run coding (T.81 §G.1.2.2) so the decoder's EOBRUN
-    path is exercised.  4:4:4 only (all components 1x1), no restart
-    markers, Ah = Al = 0 — the subset :func:`decode_jpeg` decodes."""
+    path is exercised.  ``successive = L > 0`` adds SUCCESSIVE
+    APPROXIMATION: the first scans carry the point-transformed
+    coefficients (DC arithmetic-shifted, AC truncated toward zero, per
+    §G.1.1.2) and L refinement passes (Al = L-1 .. 0) send one
+    magnitude bit per scan — DC as raw bits (§G.1.2.1), AC through the
+    §G.1.2.3 correction-bit algorithm (newly-significant ±2^Al
+    insertions, zero-HISTORY run counts, EOB runs with buffered
+    corrections).  Coefficients are bit-complete after the last
+    refinement, so the decode equals the baseline 4:4:4 decode
+    exactly.  4:4:4 only (all components 1x1), no restart markers."""
     if not bands or bands[0][0] < 1 or bands[-1][1] > 63:
         raise ValueError("bands must cover indices within 1..63")
     lo = 1
@@ -1367,23 +1376,40 @@ def encode_jpeg_progressive(
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
 
-    # scan 1: interleaved DC (Ss=Se=0)
+    if successive < 0 or successive > 13:
+        raise ValueError(f"successive must be in 0..13, got {successive}")
+    L = successive
+
+    # scan 1: interleaved DC first pass (Ss=Se=0, Ah=0, Al=L) —
+    # DC point transform is an arithmetic shift (§G.1.1.2)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     out += bytes((1, 0x00, 2, 0x10, 3, 0x10))
-    out += bytes((0, 0, 0))
+    out += bytes((0, 0, L))
     writer = _BitWriter()
     preds = [0, 0, 0]
     for b in range(bw * bh):
         for ci in range(3):
             tab = enc_dc[0 if ci == 0 else 1]
-            diff = qblocks[ci][b][0] - preds[ci]
-            preds[ci] = qblocks[ci][b][0]
+            dc = qblocks[ci][b][0] >> L
+            diff = dc - preds[ci]
+            preds[ci] = dc
             size, mag = _magnitude_bits(diff)
             code, width = tab[size]
             writer.put(code, width)
             if size:
                 writer.put(mag, size)
     out += writer.flush()
+
+    # DC refinement scans: one raw magnitude bit per block per comp
+    for al in range(L - 1, -1, -1):
+        out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+        out += bytes((1, 0x00, 2, 0x00, 3, 0x00))
+        out += bytes((0, 0, ((al + 1) << 4) | al))
+        writer = _BitWriter()
+        for b in range(bw * bh):
+            for ci in range(3):
+                writer.put((qblocks[ci][b][0] >> al) & 1, 1)
+        out += writer.flush()
 
     # AC band scans: per band, per component (single-component scans).
     # The Annex-K baseline AC tables hold no EOBn symbols (n > 0), so —
@@ -1392,19 +1418,26 @@ def encode_jpeg_progressive(
     # canonical codes: bits[L] = n_syms with 2^L > n_syms keeps the
     # all-ones code unused, per spec).  This also exercises the
     # decoder's between-scan DHT redefinition path.
-    def ac_scan_tokens(ci: int, s_lo: int, s_hi: int):
-        tokens: list[tuple[int, int, int]] = []  # (symbol, extra, n_extra)
+    def pt(v: int, al: int) -> int:
+        """AC point transform: truncation toward zero (§G.1.1.2)."""
+        return (abs(v) >> al) if v >= 0 else -(abs(v) >> al)
+
+    def ac_first_tokens(ci: int, s_lo: int, s_hi: int, al: int):
+        # ops: ('h', sym) huffman symbol / ('b', value, nbits) raw bits
+        ops: list[tuple] = []
 
         def flush(run: int) -> None:
             while run > 0:
                 n = min(14, run.bit_length() - 1)
                 chunk = min(run, (1 << (n + 1)) - 1)
-                tokens.append((n << 4, chunk - (1 << n), n))
+                ops.append(("h", n << 4))
+                if n:
+                    ops.append(("b", chunk - (1 << n), n))
                 run -= chunk
 
         eobrun = 0
         for b in range(bw * bh):
-            zz = qblocks[ci][b]
+            zz = [pt(v, al) for v in qblocks[ci][b]]
             if not any(zz[k] for k in range(s_lo, s_hi + 1)):
                 eobrun += 1
                 if eobrun == 0x7FFF:
@@ -1420,40 +1453,135 @@ def encode_jpeg_progressive(
                     run += 1
                     continue
                 while run > 15:
-                    tokens.append((0xF0, 0, 0))
+                    ops.append(("h", 0xF0))
                     run -= 16
                 size, mag = _magnitude_bits(zz[k])
-                tokens.append(((run << 4) | size, mag, size))
+                ops.append(("h", (run << 4) | size))
+                ops.append(("b", mag, size))
                 run = 0
             if last_nz < s_hi:  # trailing zeros in band -> this block EOBs
                 eobrun += 1
         flush(eobrun)
-        return tokens
+        return ops
 
+    def ac_refine_tokens(ci: int, s_lo: int, s_hi: int, al: int):
+        """§G.1.2.3 encoder: newly-significant insertions over
+        zero-HISTORY run counts, correction bits appended after each
+        codeword, EOB runs with the covered blocks' corrections
+        buffered behind the EOBn symbol."""
+        ops: list[tuple] = []
+        eobrun = 0
+        eob_corr: list[int] = []
+
+        def flush() -> None:
+            nonlocal eobrun, eob_corr
+            run = eobrun
+            first = True
+            while run > 0:
+                n = min(14, run.bit_length() - 1)
+                chunk = min(run, (1 << (n + 1)) - 1)
+                ops.append(("h", n << 4))
+                if n:
+                    ops.append(("b", chunk - (1 << n), n))
+                if first:
+                    for bit in eob_corr:
+                        ops.append(("b", bit, 1))
+                    first = False
+                run -= chunk
+            eobrun = 0
+            eob_corr = []
+
+        for b in range(bw * bh):
+            zz = qblocks[ci][b]
+            hist = [abs(zz[k]) >> (al + 1) != 0 for k in range(64)]
+            newly = [
+                not hist[k] and (abs(zz[k]) >> al) == 1 for k in range(64)
+            ]
+            corr_bit = [(abs(zz[k]) >> al) & 1 for k in range(64)]
+            if not any(newly[k] for k in range(s_lo, s_hi + 1)):
+                eobrun += 1
+                eob_corr.extend(
+                    corr_bit[k] for k in range(s_lo, s_hi + 1) if hist[k]
+                )
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            # position-accurate emission mirroring the decoder: each
+            # ZRL crosses exactly 16 zero-HISTORY slots, so correction
+            # bits ride with the codeword whose crossing covers their
+            # position — a single buffer flushed per codeword would
+            # misplace corrections sitting past a ZRL boundary
+            cursor = s_lo
+            for k0 in range(s_lo, s_hi + 1):
+                if not newly[k0]:
+                    continue
+                zcount = 0
+                pending: list[int] = []
+                for k in range(cursor, k0):
+                    if hist[k]:
+                        pending.append(corr_bit[k])
+                    else:
+                        zcount += 1
+                        if zcount == 16:
+                            ops.append(("h", 0xF0))
+                            for bit in pending:
+                                ops.append(("b", bit, 1))
+                            pending = []
+                            zcount = 0
+                ops.append(("h", (zcount << 4) | 1))
+                ops.append(("b", 1 if zz[k0] > 0 else 0, 1))
+                for bit in pending:
+                    ops.append(("b", bit, 1))
+                cursor = k0 + 1
+            tail = [
+                corr_bit[k] for k in range(cursor, s_hi + 1) if hist[k]
+            ]
+            if cursor <= s_hi:
+                eobrun += 1
+                eob_corr.extend(tail)
+        flush()
+        return ops
+
+    def emit_ac_scan(ci: int, s_lo: int, s_hi: int, ah: int, al: int,
+                     ops: list[tuple]) -> None:
+        nonlocal out
+        syms = sorted({op[1] for op in ops if op[0] == "h"}) or [0x00]
+        lvl = 1
+        while (1 << lvl) - 1 < len(syms):
+            lvl += 1
+        dht_bits = [0] * 16
+        dht_bits[lvl - 1] = len(syms)
+        tab = _huff_encode_table(dht_bits, syms)
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(syms), 0x10)
+        out += bytes(dht_bits) + bytes(syms)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        # (cid, Td<<4 | Ta): Td unused in AC scans; Ta = 0 (the table
+        # redefined just above)
+        out += bytes((ci + 1, 0x00))
+        out += bytes((s_lo, s_hi, (ah << 4) | al))
+        writer = _BitWriter()
+        for op in ops:
+            if op[0] == "h":
+                code, width = tab[op[1]]
+                writer.put(code, width)
+            else:
+                writer.put(op[1], op[2])
+        out += writer.flush()
+
+    out = bytearray(out)
     for s_lo, s_hi in bands:
         for ci in range(3):
-            tokens = ac_scan_tokens(ci, s_lo, s_hi)
-            syms = sorted({t[0] for t in tokens}) or [0x00]
-            L = 1
-            while (1 << L) - 1 < len(syms):
-                L += 1
-            dht_bits = [0] * 16
-            dht_bits[L - 1] = len(syms)
-            tab = _huff_encode_table(dht_bits, syms)
-            out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(syms), 0x10)
-            out += bytes(dht_bits) + bytes(syms)
-            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-            # (cid, Td<<4 | Ta): Td unused in AC scans; Ta = 0 (the
-            # table redefined just above)
-            out += bytes((ci + 1, 0x00))
-            out += bytes((s_lo, s_hi, 0))
-            writer = _BitWriter()
-            for sym, extra, n_extra in tokens:
-                code, width = tab[sym]
-                writer.put(code, width)
-                if n_extra:
-                    writer.put(extra, n_extra)
-            out += writer.flush()
+            emit_ac_scan(
+                ci, s_lo, s_hi, 0, L, ac_first_tokens(ci, s_lo, s_hi, L)
+            )
+    for al in range(L - 1, -1, -1):
+        for s_lo, s_hi in bands:
+            for ci in range(3):
+                emit_ac_scan(
+                    ci, s_lo, s_hi, al + 1, al,
+                    ac_refine_tokens(ci, s_lo, s_hi, al),
+                )
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -1580,8 +1708,9 @@ def decode_jpeg(
     multi-segment DQT/DHT, and restart intervals (DRI/RSTn).
     Progressive (r10) supports 4:4:4 / grayscale spectral-selection
     scans (interleaved DC scan + per-component AC band scans, EOBn run
-    decoding); successive-approximation REFINEMENT scans (Ah > 0),
-    subsampled progressive, and progressive restarts are rejected
+    decoding) INCLUDING successive-approximation refinement (Ah > 0 —
+    DC magnitude bits and the §G.1.2.3 AC correction-bit algorithm);
+    subsampled progressive and progressive restarts are rejected
     loudly, as are every other SOF, arithmetic coding and 12-bit
     precision — a production pipeline routes those to libjpeg; the
     Spark-side plumbing is identical."""
@@ -1721,28 +1850,34 @@ def _decode_progressive_scan(
     ah: int,
     al: int,
 ) -> int:
-    """Decode ONE spectral-selection scan into the coefficient store;
-    returns the stream position of the next marker.  DC scans (Ss=0)
-    may interleave several components; AC scans are single-component
-    with EOBn end-of-band runs (T.81 §G.1.2.2)."""
-    if ah != 0:
-        raise ValueError(
-            "successive-approximation refinement scans (Ah > 0) unsupported"
-        )
+    """Decode ONE progressive scan into the coefficient store; returns
+    the stream position of the next marker.  DC scans (Ss=0) may
+    interleave several components; AC scans are single-component with
+    EOBn end-of-band runs (T.81 §G.1.2.2).  Ah > 0 scans are
+    SUCCESSIVE-APPROXIMATION refinements: DC appends one magnitude bit
+    per block (§G.1.2.1), AC runs the correction-bit algorithm
+    (§G.1.2.3 — newly-significant ±2^Al insertions with zero-HISTORY
+    run counts, correction bits on every nonzero-history coefficient
+    crossed, EOB runs carrying the remaining corrections)."""
     bw, bh = (w + 7) // 8, (h + 7) // 8
     reader = _BitReader(payload, pos)
     if ss == 0:
         if se != 0:
             raise ValueError("progressive scan mixes DC and AC bands")
-        tabs = {ci: huff.get((0, td)) for ci, td, _ in scan_comps}
-        if any(t is None for t in tabs.values()):
-            raise ValueError("scan references undefined table")
-        for b in range(bw * bh):
-            for ci, _td, _ta in scan_comps:
-                size = _huff_decode(reader, tabs[ci])
-                diff = _extend(reader.bits(size), size) if size else 0
-                preds[ci] += diff
-                coeffs[ci][b][0] = preds[ci] << al
+        if ah > 0:  # DC refinement: one bit per block per component
+            for b in range(bw * bh):
+                for ci, _td, _ta in scan_comps:
+                    coeffs[ci][b][0] |= reader.bit() << al
+        else:
+            tabs = {ci: huff.get((0, td)) for ci, td, _ in scan_comps}
+            if any(t is None for t in tabs.values()):
+                raise ValueError("scan references undefined table")
+            for b in range(bw * bh):
+                for ci, _td, _ta in scan_comps:
+                    size = _huff_decode(reader, tabs[ci])
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    preds[ci] += diff
+                    coeffs[ci][b][0] = preds[ci] << al
     else:
         if len(scan_comps) != 1:
             raise ValueError("progressive AC scan must be single-component")
@@ -1751,26 +1886,75 @@ def _decode_progressive_scan(
         if ac_tab is None:
             raise ValueError("scan references undefined table")
         eobrun = 0
-        for b in range(bw * bh):
-            if eobrun > 0:
-                eobrun -= 1
-                continue
-            block = coeffs[ci][b]
-            k = ss
-            while k <= se:
-                sym = _huff_decode(reader, ac_tab)
-                r, s = sym >> 4, sym & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
-                    break
-                k += r
-                if k > se:
-                    raise ValueError("AC coefficient outside scan band")
-                block[k] = _extend(reader.bits(s), s) << al
-                k += 1
+        if ah > 0:  # AC refinement (§G.1.2.3)
+            p1, m1 = 1 << al, -(1 << al)
+
+            def correct(block: list[int], k: int) -> None:
+                if reader.bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] > 0 else m1
+
+            for b in range(bw * bh):
+                block = coeffs[ci][b]
+                if eobrun > 0:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if block[k]:
+                            correct(block, k)
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_decode(reader, ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                            break
+                        # ZRL: cross 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan carries multi-bit coefficient"
+                            )
+                        val = p1 if reader.bit() else m1
+                    while k <= se:
+                        if block[k]:
+                            correct(block, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        block[k] = val
+                    k += 1
+                if eobrun > 0:
+                    # current block completes with corrections only
+                    for kk in range(k, se + 1):
+                        if block[kk]:
+                            correct(block, kk)
+                    eobrun -= 1
+        else:
+            for b in range(bw * bh):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                block = coeffs[ci][b]
+                k = ss
+                while k <= se:
+                    sym = _huff_decode(reader, ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient outside scan band")
+                    block[k] = _extend(reader.bits(s), s) << al
+                    k += 1
     # advance to the next marker (skip pad bits / bytes)
     p = reader.pos
     while p + 1 < len(payload) and not (

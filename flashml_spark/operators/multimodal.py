@@ -85,7 +85,7 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
     (:mod:`flashml_spark.functions.codecs` — pure struct+math, so the
     REAL path is exercised end-to-end in this container); what remains
     PIL-gated is other container formats entirely (WebP, TIFF, …) plus
-    16-bit/grayscale PNG and refinement-scan progressive, raising
+    16-bit/grayscale PNG, raising
     NotImplementedError where PIL is not installed (as here) — that
     test is import-gated accordingly."""
     from flashml_spark.functions import codecs
@@ -802,7 +802,7 @@ def jpeg_progressive_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 [bot] * w for _ in range(h // 2)
             ]
             payload = codecs.encode_jpeg_progressive(
-                rows, quality=90, bands=_BANDS[i % 3]
+                rows, quality=90, bands=_BANDS[i % 3], successive=i % 3
             )
             width, height, px = codecs.decode_jpeg(payload)
             return width, height, codecs.average_hash(codecs.png_grayscale(px))

@@ -917,7 +917,7 @@ def test_jpeg_progressive_equals_baseline_pixel_exact():
     ) == codecs.decode_jpeg(codecs.encode_jpeg(flat, 75, subsample="444"))
 
 
-def test_jpeg_progressive_rejects_refinement_and_bad_bands():
+def test_jpeg_progressive_validation():
     import pytest as _pytest
 
     from flashml_spark.functions import codecs
@@ -927,11 +927,33 @@ def test_jpeg_progressive_rejects_refinement_and_bad_bands():
         codecs.encode_jpeg_progressive(rows, bands=((2, 63),))
     with _pytest.raises(ValueError, match="bands"):
         codecs.encode_jpeg_progressive(rows, bands=((1, 30),))
-    # patch an AC scan header's Ah nibble -> refinement scans reject
-    p = bytearray(codecs.encode_jpeg_progressive(rows))
-    # find the LAST SOS (an AC scan: ns=1) and set Ah=1 in its Ss/Se/AhAl
-    at = p.rindex(b"\xff\xda")
-    assert p[at + 4] == 1  # ns
-    p[at + 9] = 0x10  # Ah=1, Al=0
-    with _pytest.raises(ValueError, match="refinement"):
-        codecs.decode_jpeg(bytes(p))
+    with _pytest.raises(ValueError, match="successive"):
+        codecs.encode_jpeg_progressive(rows, successive=14)
+    with _pytest.raises(ValueError, match="successive"):
+        codecs.encode_jpeg_progressive(rows, successive=-1)
+
+
+def test_jpeg_successive_approximation_equals_baseline():
+    from flashml_spark.functions import codecs
+
+    # refinement scans transmit the exact remaining magnitude bits, so
+    # after the last pass the decode equals the baseline decode
+    # pixel-for-pixel at every SA depth and band split
+    rows = [
+        [((x * 31 + y * 7) % 256, (x * 13 + y * 29) % 256,
+          (x * 3 + y * 53) % 256) for x in range(16)]
+        for y in range(10)
+    ]
+    base = codecs.decode_jpeg(
+        codecs.encode_jpeg(rows, quality=90, subsample="444")
+    )
+    for sa in (1, 2, 3):
+        assert codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(rows, 90, successive=sa)
+        ) == base
+    assert codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(
+            rows, 90, bands=((1, 1), (2, 9), (10, 35), (36, 63)),
+            successive=2,
+        )
+    ) == base
