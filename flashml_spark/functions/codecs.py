@@ -221,33 +221,83 @@ def encode_png(
     filter_type: int = 0,
     idat_split: int | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Encode RGB(A) pixel rows (top-down, row-major) as an 8-bit PNG.
+    """Encode RGB(A) pixel rows (top-down, row-major) as an 8- or
+    16-bit PNG (16-bit samples are 0..65535, big-endian on disk).
     ``filter_type`` applies ONE filter (0=None, 1=Sub, 2=Up, 3=Average,
     4=Paeth) to every scanline so the decoder's unfilter path for that
     type is exercised pixel-exactly; ``idat_split`` splits the
     compressed stream across multiple IDAT chunks (spec-legal, and a
     decode path real PNGs hit); ``interlace`` writes the Adam7 pass
     layout (each pass filtered independently, per spec)."""
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
     height = len(rows)
     width = len(rows[0]) if height else 0
     if any(len(r) != width for r in rows):
         raise ValueError("ragged pixel rows")
-    bpp = 4 if alpha else 3
+    ns = 4 if alpha else 3
     for row in rows:
         for px in row:
-            if len(px) != bpp:
-                raise ValueError(f"expected {bpp}-tuples, got {px!r}")
+            if len(px) != ns:
+                raise ValueError(f"expected {ns}-tuples, got {px!r}")
+
+    def pack(px: tuple[int, ...]) -> bytes:
+        if depth == 8:
+            return bytes(px)
+        return struct.pack(f">{ns}H", *px)
+
+    bpp = ns * (depth // 8)
     raw = bytearray()
     for x0, y0, dx, dy in _png_passes(width, height, interlace):
         lines = [
-            b"".join(bytes(px) for px in rows[y][x0::dx])
+            b"".join(pack(px) for px in rows[y][x0::dx])
             for y in range(y0, height, dy)
         ]
         raw += _filter_scanlines(lines, bpp, filter_type)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0,
+        ">IIBBBBB", width, height, depth, 6 if alpha else 2, 0, 0,
         1 if interlace else 0,
+    )
+    return _png_assemble(ihdr, raw, idat_split)
+
+
+def encode_png_gray(
+    rows: list[list[int]],
+    alpha_rows: list[list[int]] | None = None,
+    filter_type: int = 0,
+    idat_split: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode 8-bit grayscale rows as a color-type-0 PNG (or type 4,
+    gray+alpha, when ``alpha_rows`` is given) — same filter/Adam7
+    machinery as truecolor."""
+    height = len(rows)
+    width = len(rows[0]) if height else 0
+    if any(len(r) != width for r in rows):
+        raise ValueError("ragged pixel rows")
+    if alpha_rows is not None and (
+        len(alpha_rows) != height
+        or any(len(r) != width for r in alpha_rows)
+    ):
+        raise ValueError("alpha_rows shape mismatch")
+    bpp = 2 if alpha_rows is not None else 1
+    raw = bytearray()
+    for x0, y0, dx, dy in _png_passes(width, height, interlace):
+        lines = []
+        for y in range(y0, height, dy):
+            if alpha_rows is None:
+                lines.append(bytes(rows[y][x0::dx]))
+            else:
+                line = bytearray()
+                for v, a in zip(rows[y][x0::dx], alpha_rows[y][x0::dx]):
+                    line += bytes((v, a))
+                lines.append(bytes(line))
+        raw += _filter_scanlines(lines, bpp, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 4 if alpha_rows is not None else 0,
+        0, 0, 1 if interlace else 0,
     )
     return _png_assemble(ihdr, raw, idat_split)
 
@@ -342,14 +392,16 @@ def _unfilter_pass(
 def decode_png(
     payload: bytes,
 ) -> tuple[int, int, list[list[tuple[int, ...]]]]:
-    """Decode an 8-bit RGB / RGBA / PALETTED PNG — non-interlaced or
-    Adam7 — to (width, height, top-down pixel rows).  Pure struct +
-    stdlib zlib: walks chunks (verifying each CRC), concatenates every
-    IDAT, inflates, inverts the per-scanline filter
-    (None/Sub/Up/Average/Paeth) per pass, scatters Adam7 passes into
-    frame position, and expands palette indices through PLTE (+tRNS
-    alpha when present → RGBA).  Rejects other bit depths and color
-    types (grayscale, 16-bit) loudly."""
+    """Decode an 8/16-bit gray / gray+alpha / RGB / RGBA / PALETTED
+    PNG — non-interlaced or Adam7 — to (width, height, top-down pixel
+    rows).  Pure struct + stdlib zlib: walks chunks (verifying each
+    CRC), concatenates every IDAT, inflates, inverts the per-scanline
+    filter (None/Sub/Up/Average/Paeth) per pass, scatters Adam7 passes
+    into frame position, expands palette indices through PLTE (+tRNS
+    alpha when present → RGBA), widens grayscale to RGB(A), and
+    surfaces 16-bit samples as their high byte (the 8-bit viewing
+    surface, PIL convert semantics).  Sub-byte depths (1/2/4-bit)
+    reject loudly."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -371,15 +423,22 @@ def decode_png(
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or color not in (2, 3, 6) or interlace not in (0, 1):
+            if (
+                color not in (0, 2, 3, 4, 6)
+                or depth not in (8, 16)
+                or (color == 3 and depth != 8)
+                or interlace not in (0, 1)
+            ):
                 raise ValueError(
                     "unsupported PNG (depth="
                     f"{depth}, color={color}, interlace={interlace}) — "
-                    "only 8-bit RGB/RGBA/paletted"
+                    "8/16-bit gray/RGB(+alpha) or 8-bit paletted"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter method")
-            bpp = {2: 3, 3: 1, 6: 4}[color]
+            # bpp is the FILTER distance in BYTES (spec §9.2)
+            samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+            bpp = samples * (depth // 8)
         elif ctype == b"PLTE":
             if clen % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -416,16 +475,22 @@ def decode_png(
         )
 
     def expand(px: tuple[int, ...]) -> tuple[int, ...]:
-        if color != 3:
-            return px
-        ix = px[0]
-        if ix >= len(plte):
-            raise ValueError(f"palette index {ix} outside PLTE")
-        rgb = plte[ix]
-        if trns is not None:
-            a = trns[ix] if ix < len(trns) else 255
-            return (*rgb, a)
-        return rgb
+        if color == 3:
+            ix = px[0]
+            if ix >= len(plte):
+                raise ValueError(f"palette index {ix} outside PLTE")
+            rgb = plte[ix]
+            if trns is not None:
+                a = trns[ix] if ix < len(trns) else 255
+                return (*rgb, a)
+            return rgb
+        if depth == 16:  # return the high byte of each sample (8-bit surface)
+            px = px[::2]
+        if color == 0:  # grayscale -> RGB
+            return (px[0], px[0], px[0])
+        if color == 4:  # gray + alpha -> RGBA
+            return (px[0], px[0], px[0], px[1])
+        return px
 
     rows = [[expand(px) for px in row] for row in grid]
     return width, height, rows

@@ -85,9 +85,8 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
     (:mod:`flashml_spark.functions.codecs` — pure struct+math, so the
     REAL path is exercised end-to-end in this container); what remains
     PIL-gated is other container formats entirely (WebP, TIFF, …) plus
-    16-bit/grayscale PNG, raising
-    NotImplementedError where PIL is not installed (as here) — that
-    test is import-gated accordingly."""
+    sub-byte-depth PNG, raising NotImplementedError where PIL is not
+    installed (as here) — that test is import-gated accordingly."""
     from flashml_spark.functions import codecs
 
     if payload[:2] == b"BM":
@@ -108,7 +107,7 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
     except ImportError as exc:
         raise NotImplementedError(
             "real decode of formats beyond the built-in codecs "
-            "(WebP, TIFF, 16-bit/grayscale PNG, …) requires PIL — "
+            "(WebP, TIFF, sub-byte-depth PNG, …) requires PIL — "
             "not in this environment"
         ) from exc
     import io

@@ -187,13 +187,13 @@ def test_png_decode_rejects_unsupported_and_corrupt():
     with pytest.raises(ValueError, match="not a PNG"):
         codecs.decode_png(b"BM not a png")
     good = codecs.encode_png([[(1, 2, 3)]])
-    # corrupt IHDR color type 2 -> 0 (grayscale, unsupported) with a
-    # recomputed CRC so the *type* check fires, not the CRC check
-    # (paletted became a SUPPORTED type in r10)
+    # corrupt IHDR bit depth 8 -> 4 (sub-byte, unsupported) with a
+    # recomputed CRC so the *depth* check fires, not the CRC check
+    # (paletted/grayscale/16-bit all became SUPPORTED in r10)
     import zlib as _zlib
 
     ihdr_data = bytearray(good[16:29])
-    ihdr_data[9] = 0
+    ihdr_data[8] = 4
     patched = (
         good[:16]
         + bytes(ihdr_data)
@@ -957,3 +957,45 @@ def test_jpeg_successive_approximation_equals_baseline():
             successive=2,
         )
     ) == base
+
+
+def test_png_16bit_and_grayscale_roundtrips():
+    import itertools
+
+    from flashml_spark.functions import codecs
+
+    # 16-bit RGB(A): the decoder surfaces the HIGH byte of each sample
+    for ft, inter, alpha in itertools.product(
+        range(5), [False, True], [False, True]
+    ):
+        ns = 4 if alpha else 3
+        rows16 = [
+            [tuple(((x * 4111 + y * 257 * c + ft * 999) % 65536)
+                   for c in range(ns)) for x in range(7)]
+            for y in range(5)
+        ]
+        p = codecs.encode_png(
+            rows16, alpha=alpha, filter_type=ft, interlace=inter, depth=16
+        )
+        w, h, got = codecs.decode_png(p)
+        assert (w, h) == (7, 5)
+        assert got == [[tuple(v >> 8 for v in px) for px in row]
+                       for row in rows16]
+    # grayscale (color 0) widens to RGB; gray+alpha (color 4) to RGBA
+    g = [[(x * 37 + y * 11) % 256 for x in range(9)] for y in range(6)]
+    a = [[(x + y * 3) % 256 for x in range(9)] for y in range(6)]
+    for ft, inter in itertools.product(range(5), [False, True]):
+        _, _, got = codecs.decode_png(
+            codecs.encode_png_gray(g, filter_type=ft, interlace=inter)
+        )
+        assert got == [[(v, v, v) for v in row] for row in g]
+        _, _, got = codecs.decode_png(
+            codecs.encode_png_gray(g, a, filter_type=ft, interlace=inter)
+        )
+        assert got == [
+            [(v, v, v, av) for v, av in zip(gr, ar)]
+            for gr, ar in zip(g, a)
+        ]
+    # sub-byte depth still rejects
+    with pytest.raises(ValueError, match="depth"):
+        codecs.encode_png([[(1, 2, 3)]], depth=4)
