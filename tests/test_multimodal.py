@@ -999,3 +999,58 @@ def test_png_16bit_and_grayscale_roundtrips():
     # sub-byte depth still rejects
     with pytest.raises(ValueError, match="depth"):
         codecs.encode_png([[(1, 2, 3)]], depth=4)
+
+
+def test_png_hypothesis_roundtrips():
+    """Randomized cross-product of the PNG feature space: any pixel
+    content x filter x interlace x depth x alpha must roundtrip
+    exactly (16-bit surfaces compared on the high byte)."""
+    import random
+
+    from flashml_spark.functions import codecs
+
+    rng = random.Random(77)
+    for _ in range(25):
+        w, h = rng.randint(1, 19), rng.randint(1, 13)
+        ft = rng.randrange(5)
+        inter = rng.random() < 0.5
+        mode = rng.choice(["rgb", "rgba", "rgb16", "gray", "graya", "pal"])
+        if mode in ("rgb", "rgba"):
+            ns = 3 if mode == "rgb" else 4
+            rows = [[tuple(rng.randrange(256) for _ in range(ns))
+                     for _ in range(w)] for _ in range(h)]
+            p = codecs.encode_png(rows, alpha=(ns == 4), filter_type=ft,
+                                  interlace=inter)
+            assert codecs.decode_png(p) == (w, h, rows)
+        elif mode == "rgb16":
+            rows = [[tuple(rng.randrange(65536) for _ in range(3))
+                     for _ in range(w)] for _ in range(h)]
+            p = codecs.encode_png(rows, filter_type=ft, interlace=inter,
+                                  depth=16)
+            assert codecs.decode_png(p) == (
+                w, h,
+                [[tuple(v >> 8 for v in px) for px in r] for r in rows],
+            )
+        elif mode in ("gray", "graya"):
+            g = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+            a = ([[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+                 if mode == "graya" else None)
+            p = codecs.encode_png_gray(g, a, filter_type=ft, interlace=inter)
+            _, _, got = codecs.decode_png(p)
+            if a is None:
+                assert got == [[(v, v, v) for v in r] for r in g]
+            else:
+                assert got == [
+                    [(v, v, v, av) for v, av in zip(gr, ar)]
+                    for gr, ar in zip(g, a)
+                ]
+        else:
+            npal = rng.randint(1, 17)
+            pal = [tuple(rng.randrange(256) for _ in range(3))
+                   for _ in range(npal)]
+            idx = [[rng.randrange(npal) for _ in range(w)] for _ in range(h)]
+            p = codecs.encode_png_palette(idx, pal, filter_type=ft,
+                                          interlace=inter)
+            assert codecs.decode_png(p) == (
+                w, h, [[pal[i] for i in r] for r in idx]
+            )
