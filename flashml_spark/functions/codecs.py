@@ -118,15 +118,16 @@ def average_hash(gray: list[list[int]]) -> str:
 
 
 # --------------------------------------------------------------------------
-# PNG (8-bit RGB / RGBA / paletted, non-interlaced or Adam7; stdlib
-# zlib — no PIL needed)
+# PNG (8/16-bit gray(+alpha) / RGB(+alpha) / 8-bit paletted with
+# PLTE+tRNS, non-interlaced or Adam7; stdlib zlib — no PIL needed)
 #
 # PNG's only compression is DEFLATE, which the zlib module already used
 # by x200/x233 provides; everything else is struct parsing plus the five
 # scanline filters (r8 VERDICT item 5).  r10 added paletted (PLTE/tRNS)
-# and Adam7 interlaced layouts; 16-bit and grayscale images are still
-# rejected loudly — a production pipeline routes those to a full codec;
-# the *plumbing* is identical.
+# and Adam7 interlaced layouts plus 16-bit and grayscale(+alpha)
+# decode; r11 adds gray/RGB tRNS color keys.  Only sub-byte depths
+# (1/2/4-bit) and foreign containers (WebP/TIFF) remain rejected
+# loudly — see decode_png's IHDR gate.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -222,6 +223,7 @@ def encode_png(
     idat_split: int | None = None,
     interlace: bool = False,
     depth: int = 8,
+    trns_key: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Encode RGB(A) pixel rows (top-down, row-major) as an 8- or
     16-bit PNG (16-bit samples are 0..65535, big-endian on disk).
@@ -230,9 +232,14 @@ def encode_png(
     type is exercised pixel-exactly; ``idat_split`` splits the
     compressed stream across multiple IDAT chunks (spec-legal, and a
     decode path real PNGs hit); ``interlace`` writes the Adam7 pass
-    layout (each pass filtered independently, per spec)."""
+    layout (each pass filtered independently, per spec); ``trns_key``
+    writes a color-type-2 tRNS transparent-color chunk (spec §11.3.2:
+    three 16-bit samples, at the image's sample scale) — spec-illegal
+    with ``alpha``."""
     if depth not in (8, 16):
         raise ValueError(f"depth must be 8 or 16, got {depth}")
+    if trns_key is not None and alpha:
+        raise ValueError("tRNS is prohibited for alpha color types 4/6")
     height = len(rows)
     width = len(rows[0]) if height else 0
     if any(len(r) != width for r in rows):
@@ -260,7 +267,12 @@ def encode_png(
         ">IIBBBBB", width, height, depth, 6 if alpha else 2, 0, 0,
         1 if interlace else 0,
     )
-    return _png_assemble(ihdr, raw, idat_split)
+    extra = (
+        _png_chunk(b"tRNS", struct.pack(">3H", *trns_key))
+        if trns_key is not None
+        else b""
+    )
+    return _png_assemble(ihdr, raw, idat_split, extra)
 
 
 def encode_png_gray(
@@ -269,10 +281,15 @@ def encode_png_gray(
     filter_type: int = 0,
     idat_split: int | None = None,
     interlace: bool = False,
+    trns_key: int | None = None,
 ) -> bytes:
     """Encode 8-bit grayscale rows as a color-type-0 PNG (or type 4,
     gray+alpha, when ``alpha_rows`` is given) — same filter/Adam7
-    machinery as truecolor."""
+    machinery as truecolor.  ``trns_key`` writes a color-type-0 tRNS
+    transparent-gray chunk (one 16-bit sample) — spec-illegal with
+    ``alpha_rows``."""
+    if trns_key is not None and alpha_rows is not None:
+        raise ValueError("tRNS is prohibited for alpha color types 4/6")
     height = len(rows)
     width = len(rows[0]) if height else 0
     if any(len(r) != width for r in rows):
@@ -299,7 +316,12 @@ def encode_png_gray(
         ">IIBBBBB", width, height, 8, 4 if alpha_rows is not None else 0,
         0, 0, 1 if interlace else 0,
     )
-    return _png_assemble(ihdr, raw, idat_split)
+    extra = (
+        _png_chunk(b"tRNS", struct.pack(">H", trns_key))
+        if trns_key is not None
+        else b""
+    )
+    return _png_assemble(ihdr, raw, idat_split, extra)
 
 
 def encode_png_palette(
@@ -454,6 +476,21 @@ def decode_png(
         raise ValueError("PNG missing IHDR/IDAT")
     if color == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
+    # tRNS outside palettes (spec §11.3.2): ONE transparent-color key —
+    # a 16-bit gray sample (color 0) or 16-bit RGB triple (color 2);
+    # matching pixels get alpha 0 (the PIL convert semantics).  The
+    # chunk is prohibited for color types 4/6, which carry real alpha.
+    trns_key: tuple[int, ...] | None = None
+    if trns is not None:
+        if color in (4, 6):
+            raise ValueError("tRNS is prohibited for alpha color types 4/6")
+        if color in (0, 2):
+            n_s = 1 if color == 0 else 3
+            if len(trns) != 2 * n_s:
+                raise ValueError(
+                    f"tRNS length {len(trns)} invalid for color type {color}"
+                )
+            trns_key = struct.unpack(f">{n_s}H", trns)
     raw = zlib.decompress(bytes(idat))
 
     # collect raw channel rows, pass by pass
@@ -484,12 +521,25 @@ def decode_png(
                 a = trns[ix] if ix < len(trns) else 255
                 return (*rgb, a)
             return rgb
+        alpha = None
+        if trns_key is not None:  # color 0/2: match at FULL bit depth
+            if depth == 16:
+                sample = tuple(
+                    (px[2 * i] << 8) | px[2 * i + 1]
+                    for i in range(len(px) // 2)
+                )
+            else:
+                sample = tuple(px)
+            alpha = 0 if sample == trns_key else 255
         if depth == 16:  # return the high byte of each sample (8-bit surface)
             px = px[::2]
-        if color == 0:  # grayscale -> RGB
-            return (px[0], px[0], px[0])
+        if color == 0:  # grayscale -> RGB (+tRNS alpha when keyed)
+            base = (px[0], px[0], px[0])
+            return base if alpha is None else (*base, alpha)
         if color == 4:  # gray + alpha -> RGBA
             return (px[0], px[0], px[0], px[1])
+        if alpha is not None:  # color 2 with a tRNS key -> RGBA
+            return (*px, alpha)
         return px
 
     rows = [[expand(px) for px in row] for row in grid]
@@ -2146,13 +2196,13 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: identical payload layout
             _, fh, fw = struct.unpack_from(">BHH", payload, pos + 4)
             return fw, fh
         if marker == 0xDA or marker == 0xD9:
             break
         pos += 2 + seg_len
-    raise ValueError("no SOF0 segment found")
+    raise ValueError("no SOF0/SOF1/SOF2 segment found")
 
 
 def goertzel_power(vals: "list[int] | tuple[int, ...]", k_bin: int) -> float:

@@ -227,8 +227,8 @@ def resize_media(
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize of exotic formats (progressive JPEG, "
-                    "paletted/interlaced PNG, …) requires PIL; install pillow"
+                    "real resize of foreign containers (WebP, TIFF) and "
+                    "sub-byte-depth PNG requires PIL; install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
             return img.convert("L").resize((width, height)).tobytes()

@@ -291,7 +291,12 @@ def x275(spark: SparkSession, sf: str) -> DataFrame:
 # 40 rounds); the oracle unrolls 16 peeling stages — stages after the
 # fixpoint are no-ops, and 16 >> the measured 5-round collapse at the
 # gate scale, so the two agree exactly whenever the Spark run
-# converged (which it certifies by not raising).
+# converged (which it certifies by not raising).  A convergence
+# SENTINEL (chk CTE) makes the unroll self-certifying: if stage 15 !=
+# stage 16 and stage 16 is non-empty, the oracle raises a named
+# DuckDB error('did not converge') instead of silently returning a
+# superset — so an oracle-side stage-budget miss at a larger scale is
+# distinguishable from a real Spark divergence (r10 ADVICE item).
 _KCORE_STAGES = 16
 
 
@@ -326,11 +331,18 @@ def _kcore_sql(stages: int) -> str:
         + f""",
 fin AS (SELECT node, COUNT(*) AS d FROM
           (SELECT a AS node FROM c{stages}
-           UNION ALL SELECT b FROM c{stages}) GROUP BY node)
+           UNION ALL SELECT b FROM c{stages}) GROUP BY node),
+chk AS (SELECT CASE WHEN
+          (SELECT COUNT(*) FROM c{stages - 1})
+            = (SELECT COUNT(*) FROM c{stages})
+          OR (SELECT COUNT(*) FROM c{stages}) = 0
+        THEN 1 ELSE error('x276 oracle: {stages} unrolled peeling '
+                          'stages did not converge - raise '
+                          '_KCORE_STAGES for this scale') END AS ok)
 SELECT CAST(node AS BIGINT) AS node,
        CAST(d AS BIGINT) AS core_degree,
        (SELECT k FROM kv) AS k_used
-FROM fin ORDER BY node"""
+FROM fin, chk WHERE chk.ok = 1 ORDER BY node"""
     )
 
 

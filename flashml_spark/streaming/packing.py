@@ -19,9 +19,15 @@ packs in arrival order instead (each doc still gets a contiguous span;
 only the doc→sequence assignment differs from the batch layout), which
 is the honest semantics of an order-sensitive writer.
 
-Tokenization parity: ``re.split(r"\\s+", text.lower().strip())``
-mirrors the Spark-side ``split(lower(trim(text)), '\\s+')`` exactly,
-including the single-empty-token result for empty/whitespace text.
+Tokenization parity: the Spark-side ``split(lower(trim(text)),
+'\\s+')`` trims ASCII SPACE only (Spark ``trim``) and splits on the
+JAVA ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` (ASCII only).  The Python
+mirror therefore strips only ``' '`` and splits on the same explicit
+ASCII class — NOT ``str.strip()``/Python ``\\s``, which are
+Unicode-wide and would count ``'\\nfoo'`` or NBSP-joined words
+differently, silently diverging the stream offsets from the batch
+layout.  Includes the single-empty-token result for empty/all-space
+text.
 """
 
 from __future__ import annotations
@@ -30,6 +36,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
+
+def py_token_count(text: object) -> int:
+    """Driver/worker-side token count, a LITERAL mirror of the engine's
+    Spark expression ``size(split(lower(trim(text)), '\\s+'))``
+    (``functions.hashing.tokens``): strip ASCII SPACE only (Spark
+    ``trim``), split on the Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]``
+    (ASCII only — NOT Python's Unicode ``\\s``).  Pinned against the
+    Spark expression by ``test_py_token_count_matches_spark_tokens``."""
+    import re
+
+    return len(re.split(r"[ \t\n\x0b\f\r]+", str(text).lower().strip(" ")))
+
 
 _OUT_SCHEMA = (
     "shard long, doc_id long, seq long, start_off long, end_off long,"
@@ -53,8 +71,6 @@ def streaming_token_packer(
     Scale shape: |shards| state rows total; per micro-batch each shard
     task does one local sort + linear arithmetic over its documents.
     """
-    import re
-
     L = int(seq_len)
     if L <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -72,7 +88,7 @@ def streaming_token_packer(
         for pdf in pdfs:
             pdf = pdf[pdf[text_col].notna()].sort_values(id_col)
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                n = len(re.split(r"\s+", str(text).lower().strip()))
+                n = py_token_count(text)
                 start, end = offset, offset + n
                 offset = end
                 for seq in range(start // L, (end - 1) // L + 1):

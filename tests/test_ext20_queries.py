@@ -389,6 +389,78 @@ def test_sharded_batch_spans_match_global_per_shard(spark):
     assert sharded == expect
 
 
+def test_py_token_count_matches_spark_tokens(spark):
+    # The streaming packer's Python token count must mirror the engine's
+    # Spark expression size(split(lower(trim(text)), '\s+')) LITERALLY:
+    # Spark trim strips ASCII space only; Java \s is ASCII-only.  Python
+    # str.strip()/\s are Unicode-wide and would diverge on these inputs.
+    from flashml_spark.functions import hashing as H
+    from flashml_spark.streaming.packing import py_token_count
+
+    texts = [
+        "foo bar",            # plain
+        "  foo   bar  ",      # trimmed spaces
+        "\nfoo",              # leading newline: trim keeps it -> ['', 'foo']
+        "foo\t",              # trailing tab -> ['foo', '']
+        "\tfoo\nbar\r\n",     # ASCII control whitespace mix
+        "a\u00a0b",      # NBSP: NOT Java \s -> one token
+        "a\u2009b c",    # thin space: NOT Java \s
+        "\u00a0foo",     # leading NBSP survives trim AND split
+        "", " ", "   ",       # empty/all-space -> single empty token
+        "x", "x y\x0bz",      # vertical tab IS Java \s
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_counts = [
+        r["n"] for r in
+        df.select(F.size(H.tokens(F.col("text"))).alias("n")).collect()
+    ]
+    assert spark_counts == [py_token_count(t) for t in texts]
+
+
+def test_streaming_packer_converges_to_batch_nasty_whitespace(spark, tmp_path):
+    # End-to-end convergence on a corpus with tabs/newlines/NBSP — the
+    # exact inputs where a Unicode-wide Python tokenizer would make the
+    # stream offsets diverge permanently from the batch layout.
+    import time
+
+    from flashml_spark.streaming import streaming_token_packer
+
+    docs = [
+        (i, t)
+        for i, t in enumerate(
+            ["\nalpha beta", "g h i", "\tx\r\ny z ", "  p  q\x0br  ",
+             "solo", " ", "a\u2009b", "end\t"] * 4
+        )
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "src_ws")
+    df.where(F.col("doc_id") < 16).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    df.where(F.col("doc_id") >= 16).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_token_packer(stream, "text", "doc_id", seq_len=5, n_shards=3)
+        .writeStream.format("memory")
+        .queryName("packer_stream_ws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["shard"], r["doc_id"], r["seq"])
+    val = lambda r: (r["start_off"], r["end_off"], r["span_tokens"],
+                     r["starts_here"], r["ends_here"])
+    got = {key(r): val(r) for r in spark.table("packer_stream_ws").collect()}
+    want = {key(r): val(r)
+            for r in textops.token_stream_spans(
+                df, "text", "doc_id", 5, n_shards=3).collect()}
+    assert got == want
+
+
 def test_streaming_packer_converges_to_batch(spark, tmp_path):
     import time
 
@@ -704,3 +776,71 @@ def test_curriculum_packing_orders_by_quality(spark):
         order_col="doc_id", order_ascending=False,
     ).collect()
     assert sum(r["span_tokens"] for r in spans) == 18
+
+
+def test_x276_oracle_convergence_sentinel_duckdb():
+    """The unrolled k-core oracle must RAISE a named error when its
+    stage budget is too small for the graph's peel depth — never
+    silently return a superset (r10 ADVICE item).  Lollipop graph:
+    K6 clique + 10-node tail => adaptive k = floor(1.4*25/16) = 2 and
+    k=2 peeling consumes ONE tail endpoint per round (~11 rounds), so
+    4 stages trip the sentinel while 16 return the clique exactly."""
+    import duckdb
+    import pandas as pd
+
+    from flashml_spark.queries_ext20 import _kcore_sql
+
+    rows = []
+
+    def add_edge(u, v):
+        o = len(rows) // 2 + 1
+        rows.append((o, u))
+        rows.append((o, v))
+
+    clique = list(range(1, 7))
+    for i in clique:
+        for j in clique:
+            if i < j:
+                add_edge(i, j)
+    tail = [6] + list(range(100, 110))  # junction at clique node 6
+    for u, v in zip(tail, tail[1:]):
+        add_edge(u, v)
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    # under-budgeted unroll: loud, named failure
+    import pytest as _pytest
+
+    with _pytest.raises(duckdb.Error, match="did not converge"):
+        con.execute(_kcore_sql(4)).fetchall()
+    # adequate budget: exactly the K6 clique at degree 5, k_used 2
+    got = con.execute(_kcore_sql(16)).fetchall()
+    assert got == [(n, 5, 2) for n in clique]
+    # empty-fixpoint escape: K4 + 38 extra vertices pinned to hubs
+    # {1,2,3} -> E=120, V=42, adaptive k = floor(1.4*120/42) = 4,
+    # which exceeds the graph's degeneracy (3): the 4-core is EMPTY.
+    # Peeling takes exactly 2 rounds (round 1 leaves the hub triangle,
+    # round 2 empties it), so _kcore_sql(2) ends with c1 = triangle,
+    # c2 = empty — unequal counts but a reached-empty fixpoint: the
+    # escape clause must keep the sentinel quiet and return [].
+    rows2 = []
+
+    def add2(u, v):
+        o = len(rows2) // 2 + 1
+        rows2.append((o, u))
+        rows2.append((o, v))
+
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            add2(i, j)
+    for extra in range(100, 138):
+        for hub in (1, 2, 3):
+            add2(hub, extra)
+    con2 = duckdb.connect()
+    con2.register("lineitem", pd.DataFrame(
+        rows2, columns=["l_orderkey", "l_partkey"]))
+    assert con2.execute(_kcore_sql(2)).fetchall() == []
+    assert con2.execute(_kcore_sql(16)).fetchall() == []
+    # but a genuinely unconverged non-empty last stage still raises
+    with _pytest.raises(duckdb.Error, match="did not converge"):
+        con2.execute(_kcore_sql(1)).fetchall()

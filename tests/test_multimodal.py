@@ -1001,6 +1001,91 @@ def test_png_16bit_and_grayscale_roundtrips():
         codecs.encode_png([[(1, 2, 3)]], depth=4)
 
 
+def test_png_trns_color_key_gray_and_rgb():
+    """tRNS outside palettes (spec §11.3.2): gray/RGB pixels matching
+    the transparent-color key decode with alpha 0, everything else
+    alpha 255 — the PIL convert("RGBA") semantics (r10 ADVICE item)."""
+    import itertools
+
+    from flashml_spark.functions import codecs
+
+    # 8-bit gray: key 7 -> alpha 0 exactly where the sample is 7
+    g = [[(x + y) % 11 for x in range(9)] for y in range(6)]
+    for ft, inter in itertools.product(range(5), [False, True]):
+        _, _, got = codecs.decode_png(
+            codecs.encode_png_gray(g, filter_type=ft, interlace=inter,
+                                   trns_key=7)
+        )
+        assert got == [
+            [(v, v, v, 0 if v == 7 else 255) for v in row] for row in g
+        ]
+    # 8-bit RGB: only the EXACT triple matches
+    rows = [[(10, 20, 30), (10, 20, 31), (0, 0, 0)],
+            [(10, 20, 30), (255, 255, 255), (10, 20, 30)]]
+    for ft, inter in itertools.product(range(5), [False, True]):
+        _, _, got = codecs.decode_png(
+            codecs.encode_png(rows, filter_type=ft, interlace=inter,
+                              trns_key=(10, 20, 30))
+        )
+        assert got == [
+            [(*px, 0 if px == (10, 20, 30) else 255) for px in row]
+            for row in rows
+        ]
+    # 16-bit: the key matches at FULL depth — two samples sharing a
+    # high byte must not alias (0x0107 != 0x0108), even though the
+    # 8-bit surface shows both as 0x01
+    rows16 = [[(0x0107, 0x0200, 0x0300), (0x0108, 0x0200, 0x0300)]]
+    _, _, got = codecs.decode_png(
+        codecs.encode_png(rows16, depth=16, trns_key=(0x0107, 0x0200, 0x0300))
+    )
+    assert got == [[(1, 2, 3, 0), (1, 2, 3, 255)]]
+    g16 = codecs.decode_png(
+        codecs.encode_png_gray([[5, 9]], trns_key=9)
+    )[2]
+    assert g16 == [[(5, 5, 5, 255), (9, 9, 9, 0)]]
+
+
+def test_png_trns_prohibited_and_invalid():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from flashml_spark.functions import codecs
+
+    # encoders refuse the spec-illegal combination outright
+    with _pytest.raises(ValueError, match="prohibited"):
+        codecs.encode_png([[(1, 2, 3, 4)]], alpha=True, trns_key=(1, 2, 3))
+    with _pytest.raises(ValueError, match="prohibited"):
+        codecs.encode_png_gray([[1]], alpha_rows=[[2]], trns_key=1)
+    # a hand-built alpha PNG carrying tRNS is rejected by the decoder
+    base = codecs.encode_png([[(1, 2, 3, 4)]], alpha=True)
+    ihdr_end = base.index(b"IDAT") - 4
+    bad = (base[:ihdr_end]
+           + codecs._png_chunk(b"tRNS", _struct.pack(">3H", 1, 2, 3))
+           + base[ihdr_end:])
+    with _pytest.raises(ValueError, match="prohibited"):
+        codecs.decode_png(bad)
+    # wrong-length key for the color type
+    base = codecs.encode_png([[(1, 2, 3)]])
+    ihdr_end = base.index(b"IDAT") - 4
+    bad = (base[:ihdr_end]
+           + codecs._png_chunk(b"tRNS", _struct.pack(">H", 1))
+           + base[ihdr_end:])
+    with _pytest.raises(ValueError, match="tRNS length"):
+        codecs.decode_png(bad)
+
+
+def test_jpeg_dims_reads_progressive_sof2():
+    from flashml_spark.functions import codecs
+
+    rows = [[((x * 16) % 256, (y * 7) % 256, 128) for x in range(17)]
+            for y in range(9)]
+    prog = codecs.encode_jpeg_progressive(rows)
+    assert codecs.jpeg_dims(prog) == (17, 9)
+    base = codecs.encode_jpeg(rows)
+    assert codecs.jpeg_dims(base) == (17, 9)
+
+
 def test_png_hypothesis_roundtrips():
     """Randomized cross-product of the PNG feature space: any pixel
     content x filter x interlace x depth x alpha must roundtrip
