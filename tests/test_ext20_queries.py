@@ -844,3 +844,147 @@ def test_x276_oracle_convergence_sentinel_duckdb():
     # but a genuinely unconverged non-empty last stage still raises
     with _pytest.raises(duckdb.Error, match="did not converge"):
         con2.execute(_kcore_sql(1)).fetchall()
+
+
+# --- n_lists="auto": the data-driven IVF dial (r10 VERDICT item 1) --------
+
+
+def test_plan_ivf_lists_budget_model_and_caps():
+    from flashml_spark.operators.similarity import plan_ivf_lists
+
+    # balanced model: k = ceil(n^2 / budget)
+    assert plan_ivf_lists(1000, pair_budget=1_000_000, fit_rows=None) == 1
+    assert plan_ivf_lists(2000, pair_budget=1_000_000, fit_rows=None) == 4
+    assert plan_ivf_lists(2001, pair_budget=1_000_000, fit_rows=None) == 5
+    # quadratic growth: x8 the rows -> x64 the clusters (budget flat)
+    k1 = plan_ivf_lists(10_000, pair_budget=1_000_000, fit_rows=None)
+    k8 = plan_ivf_lists(80_000, pair_budget=1_000_000, fit_rows=None)
+    assert (k1, k8) == (100, 6400)
+    # expected pair frame stays at the budget under the model
+    for n, k in ((10_000, k1), (80_000, k8)):
+        assert n * n / k <= 1_000_000
+    # fit-sample cap: >= 4 sample points per centroid
+    assert plan_ivf_lists(80_000, pair_budget=1_000_000, fit_rows=1000) == 250
+    # hard quantizer ceiling
+    assert plan_ivf_lists(10**9, pair_budget=1_000_000,
+                          fit_rows=None, max_lists=131_072) == 131_072
+    # degenerate corpora
+    assert plan_ivf_lists(0) == 1 and plan_ivf_lists(1) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_budget"):
+        plan_ivf_lists(100, pair_budget=0)
+
+
+def test_semdedup_auto_equals_explicit(spark):
+    from flashml_spark.operators import similarity
+
+    rows = [
+        (i, [float(100 * (i % 3 == 0)), float(100 * (i % 3 == 1)),
+             float(100 * (i % 3 == 2)), float(i)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = similarity.plan_ivf_lists(60, pair_budget=1200, fit_rows=None)
+    assert k > 1  # the budget genuinely forces multiple clusters here
+    kw = dict(threshold=0.999, seed=7, fit_sample_rows=None,
+              max_iter=10, init_mode="k-means||")
+    auto = similarity.semdedup(
+        df, "embedding", "vec_id", n_lists="auto", pair_budget=1200, **kw
+    ).orderBy("vec_id").collect()
+    explicit = similarity.semdedup(
+        df, "embedding", "vec_id", n_lists=k, **kw
+    ).orderBy("vec_id").collect()
+    assert auto == explicit
+
+
+def test_prototype_prune_and_d4_auto_equals_explicit(spark):
+    from flashml_spark.operators import similarity
+
+    rows = [
+        (i, [float(200 * (i % 2)), float(200 * (1 - i % 2)),
+             float(7 * i % 50), 0.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = similarity.plan_ivf_lists(40, pair_budget=500, fit_rows=None)
+    assert k > 1
+    kw = dict(seed=11, fit_sample_rows=None, max_iter=10,
+              init_mode="k-means||")
+    auto = similarity.prototype_prune(
+        df, "embedding", "vec_id", n_lists="auto", pair_budget=500,
+        drop_frac=0.25, **kw
+    ).orderBy("vec_id").collect()
+    explicit = similarity.prototype_prune(
+        df, "embedding", "vec_id", n_lists=k, drop_frac=0.25, **kw
+    ).orderBy("vec_id").collect()
+    assert auto == explicit
+    d4_auto = similarity.d4_curation(
+        df, "embedding", "vec_id", n_lists="auto", pair_budget=500,
+        dedup_threshold=0.999, drop_frac=0.25, **kw
+    ).orderBy("vec_id").collect()
+    d4_explicit = similarity.d4_curation(
+        df, "embedding", "vec_id", n_lists=k,
+        dedup_threshold=0.999, drop_frac=0.25, **kw
+    ).orderBy("vec_id").collect()
+    assert d4_auto == d4_explicit
+
+
+def test_assign_ivf_pandas_path_matches_expression_path(spark):
+    # the large-k vectorized assignment must agree with the literal
+    # expression argmin on index AND distance (rounded 6) — same data,
+    # same centroids, paths forced via expr_max_lists
+    import random as _random
+
+    from flashml_spark.operators.similarity import _assign_ivf
+
+    rng = _random.Random(123)
+    dim = 8
+    cents = [[rng.uniform(-10, 10) for _ in range(dim)] for _ in range(80)]
+    rows = [(i, [rng.uniform(-12, 12) for _ in range(dim)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(expr_max):
+        return {
+            r["vec_id"]: (r["ivf_list"], round(r["d"], 6))
+            for r in _assign_ivf(
+                df, "embedding", cents, dist_col="d",
+                expr_max_lists=expr_max,
+            ).collect()
+        }
+
+    assert run(10**9) == run(0)
+
+
+def test_semdedup_fixture_still_exact_under_pandas_assignment(spark):
+    # x278's planted 2-cluster geometry must survive the pandas
+    # assignment path end-to-end: force it by dropping the expression
+    # threshold to 0 (read at call time)
+    from flashml_spark.operators import similarity
+
+    rows = [
+        (1, [200.0, 0.0, 70.0, 0.0]),
+        (2, [200.0, 0.0, 70.0, 0.0]),
+        (3, [200.0, 0.0, -70.0, 0.0]),
+        (10, [0.0, 200.0, 70.0, 0.0]),
+        (11, [0.0, 200.0, 0.0, 70.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = similarity._IVF_EXPR_MAX_LISTS
+    try:
+        similarity._IVF_EXPR_MAX_LISTS = 0
+        out = {
+            r["vec_id"]: r
+            for r in similarity.semdedup(
+                df, "embedding", "vec_id", n_lists=2, threshold=0.99,
+                fit_sample_rows=None, max_iter=20, init_mode="k-means||",
+            ).collect()
+        }
+    finally:
+        similarity._IVF_EXPR_MAX_LISTS = old
+    assert out[1]["is_kept"] == 1 and out[2]["is_kept"] == 0
+    assert out[2]["group_id"] == 1
+    assert out[10]["is_kept"] == 1 and out[11]["is_kept"] == 1
+    # cluster scope: ids 1-3 share a list, 10/11 the other
+    assert out[1]["ivf_list"] == out[3]["ivf_list"] != out[10]["ivf_list"]
