@@ -1583,17 +1583,29 @@ def suffix_matching_stats(
     lengths are exact up to ``anchor_len + ext_cap`` (capped there —
     Lee et al.'s thresholding only needs exactness around the cut).
 
-    Scale shape: positional suffix explode (corpus-linear rows; bytes
-    amplified ~(anchor_len + ext_cap)x by the carried anchor +
-    continuation, map-side only), ONE shuffle on the anchor for the
-    bucket window (count + lag/lead share the frame), no join.  Hot
-    boilerplate anchors are the skew risk — the same hot-gram shape as
-    x139/x161, bounded by bucket sort spill, and a 100 TB run would
-    hash the anchor to a fixed-width key.  Sort caveat: continuations
-    order by their space-joined string, which equals token-prefix
-    order because whitespace tokenization excludes 0x20 from tokens;
-    a token carrying a sub-0x20 control byte could re-order ties, and
-    the oracle applies the identical binary sort either way.
+    Scale shape: positional suffix explode (corpus-linear rows,
+    map-side only), ONE shuffle PARTITIONED ON A 64-BIT HASH of the
+    anchor (r10 VERDICT item 2 — the key is fixed-width, not the
+    k-token string) for the bucket window, no join.  This variant
+    still carries the anchor STRING as payload because the output
+    reports the repeat text — and reuses it as a TRUE post-shuffle
+    equality guard: the window sorts ``(anchor, continuation)`` so
+    same-anchor rows stay contiguous inside a hash bucket, and a row
+    only extends/counts against a neighbor with an EQUAL anchor, so
+    64-bit bucket collisions are completely harmless (a collided row
+    is inert sort mass).  Callers that don't need the text
+    (:func:`exact_substring_report`,
+    :func:`exact_substring_decontamination`) go through the
+    hash-only core (:func:`_hashed_suffix_lengths`) whose shuffled
+    payload is the continuation plus 16 bytes of key — dropping the
+    anchor's ~k-token byte amplification from the one shuffle this
+    family does.  Hot boilerplate anchors remain the skew risk — the
+    same hot-gram shape as x139/x161, bounded by bucket sort spill.
+    Sort caveat: continuations order by their space-joined string,
+    which equals token-prefix order because whitespace tokenization
+    excludes 0x20 from tokens; a token carrying a sub-0x20 control
+    byte could re-order ties, and the oracle applies the identical
+    binary sort either way.
 
     Output (one row per suffix in a shared bucket): ``id_col, pos``
     (1-based), ``repeat_len`` (tokens, >= anchor_len), ``repeat`` (the
@@ -1617,33 +1629,32 @@ def suffix_matching_stats(
     ).select(
         id_col,
         "pos",
+        F.xxhash64(F.lit(1), F.slice("__ts", F.col("pos"), k)).alias("__h1"),
         F.concat_ws(" ", F.slice("__ts", F.col("pos"), k)).alias("anchor"),
         F.slice("__ts", F.col("pos") + k, c).alias("cont"),
     )
-    wb = Window.partitionBy("anchor")
-    ws = wb.orderBy(F.concat_ws(" ", F.col("cont")), id_col, "pos")
+    ws = Window.partitionBy("__h1").orderBy(
+        "anchor", F.concat_ws(" ", F.col("cont")), id_col, "pos"
+    )
     bucketed = suf.select(
         id_col,
         "pos",
         "anchor",
         "cont",
-        F.count(F.lit(1))
-        .over(
-            ws.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("__cnt"),
+        F.lag("anchor").over(ws).alias("__pa"),
+        F.lead("anchor").over(ws).alias("__na"),
         F.lag("cont").over(ws).alias("__prev"),
         F.lead("cont").over(ws).alias("__next"),
-    ).where(F.col("__cnt") >= 2)
+    ).where(
+        (F.col("__pa") == F.col("anchor")) | (F.col("__na") == F.col("anchor"))
+    )
     ext = F.greatest(
         F.when(
-            F.col("__prev").isNotNull(),
+            F.col("__pa") == F.col("anchor"),
             _token_lcp(F.col("cont"), F.col("__prev")),
         ).otherwise(F.lit(-1)),
         F.when(
-            F.col("__next").isNotNull(),
+            F.col("__na") == F.col("anchor"),
             _token_lcp(F.col("cont"), F.col("__next")),
         ).otherwise(F.lit(-1)),
     )
@@ -1664,6 +1675,87 @@ def suffix_matching_stats(
     )
 
 
+def _hashed_suffix_lengths(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    anchor_len: int,
+    ext_cap: int,
+) -> DataFrame:
+    """Hash-keyed suffix matching lengths — the NO-TEXT core of the
+    suffix family (r10 VERDICT item 2): identical semantics to
+    :func:`suffix_matching_stats` minus the ``repeat`` string, with
+    the anchor never shuffled at all.  The shuffled payload per suffix
+    is ``(id, pos, h1, h2, continuation)`` — two 64-bit anchor hashes
+    (independent via distinct literal prefixes) plus the ext_cap
+    continuation, dropping the anchor's ~anchor_len-token byte weight
+    from the one shuffle this family does.
+
+    Collision posture: the window partitions on ``h1`` and sorts
+    ``(h2, continuation, id, pos)``; rows sharing BOTH hashes stay
+    contiguous, and a row only extends/counts against a neighbor with
+    an equal ``h2`` — a false repeat therefore needs two DIFFERENT
+    anchors agreeing on 128 bits, ~N²/2^129 over N distinct anchors
+    (~2e-15 even at a trillion anchors).  An ``h1``-only collision is
+    inert sort mass, exactly like a same-bucket different-anchor row
+    in the text-carrying variant.
+
+    Output: ``id_col, pos, repeat_len`` (>= anchor_len).
+    """
+    from pyspark.sql import Window
+
+    k, c = anchor_len, ext_cap
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    suf = toks.select(
+        id_col,
+        "__ts",
+        F.explode(
+            F.when(
+                F.size("__ts") >= k,
+                F.sequence(F.lit(1), F.size("__ts") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64(F.lit(1), F.slice("__ts", F.col("pos"), k)).alias("__h1"),
+        F.xxhash64(F.lit(2), F.slice("__ts", F.col("pos"), k)).alias("__h2"),
+        F.slice("__ts", F.col("pos") + k, c).alias("cont"),
+    )
+    ws = Window.partitionBy("__h1").orderBy(
+        "__h2", F.concat_ws(" ", F.col("cont")), id_col, "pos"
+    )
+    bucketed = suf.select(
+        id_col,
+        "pos",
+        "__h2",
+        "cont",
+        F.lag("__h2").over(ws).alias("__ph"),
+        F.lead("__h2").over(ws).alias("__nh"),
+        F.lag("cont").over(ws).alias("__prev"),
+        F.lead("cont").over(ws).alias("__next"),
+    ).where(
+        (F.col("__ph") == F.col("__h2")) | (F.col("__nh") == F.col("__h2"))
+    )
+    ext = F.greatest(
+        F.when(
+            F.col("__ph") == F.col("__h2"),
+            _token_lcp(F.col("cont"), F.col("__prev")),
+        ).otherwise(F.lit(-1)),
+        F.when(
+            F.col("__nh") == F.col("__h2"),
+            _token_lcp(F.col("cont"), F.col("__next")),
+        ).otherwise(F.lit(-1)),
+    )
+    return bucketed.select(
+        id_col,
+        "pos",
+        (F.lit(k) + ext).cast("bigint").alias("repeat_len"),
+    )
+
+
 def exact_substring_report(
     df: DataFrame,
     text_col: str,
@@ -1678,13 +1770,15 @@ def exact_substring_report(
     positions start such a run — the per-doc readout a Lee-et-al-style
     curation pass thresholds before span cutting (x163).
 
-    Scale shape: the suffix pipeline's one anchor shuffle, then one
-    doc-keyed agg and a left join back to the |docs|-row token-count
-    frame.
+    Scale shape: the suffix pipeline's one anchor shuffle — through
+    the HASH-ONLY core (:func:`_hashed_suffix_lengths`), since this
+    report never reads the repeat text, so the anchor string never
+    enters the shuffle — then one doc-keyed agg and a left join back
+    to the |docs|-row token-count frame.
 
     Output: ``id_col, n_tokens, max_repeat_len, n_repeat_suffixes``.
     """
-    stats = suffix_matching_stats(df, text_col, id_col, anchor_len, ext_cap)
+    stats = _hashed_suffix_lengths(df, text_col, id_col, anchor_len, ext_cap)
     per_doc = stats.groupBy(id_col).agg(
         F.max("repeat_len").cast("bigint").alias("max_repeat_len"),
         F.count(F.lit(1)).cast("bigint").alias("n_repeat_suffixes"),
@@ -1768,10 +1862,20 @@ def exact_substring_decontamination(
     ``anchor_len + ext_cap``; ``min_len`` (default = ``anchor_len``)
     only sets the reported flag.
 
-    Scale shape: ONE shuffle on the anchor over corpus+eval suffixes,
-    running ignorenulls frames inside the bucket window, then an
-    eval-doc-keyed agg and a zero-filled left join onto the |eval|
-    frame.  No join between the sides at all.
+    Scale shape: ONE shuffle over corpus+eval suffixes PARTITIONED ON
+    A 64-BIT ANCHOR HASH with a second hash as the sort prefix and
+    post-shuffle equality guard (r10 VERDICT item 2 — the anchor
+    string itself never enters the shuffle; the payload is the
+    continuation plus 16 bytes of key), running ignorenulls frames
+    inside the bucket window, then an eval-doc-keyed agg and a
+    zero-filled left join onto the |eval| frame.  No join between the
+    sides at all.  Guard correctness: the sort prefix ``h2`` keeps
+    same-anchor rows contiguous inside an ``h1`` bucket, so every row
+    between an eval suffix and its nearest same-``h2`` corpus row
+    also shares ``h2`` — the picked neighbor either carries the eval
+    row's ``h2`` (counted) or no same-anchor corpus row exists on
+    that side (discarded); a false overlap needs a 128-bit anchor
+    collision (~N²/2^129).
 
     Output (one row per non-null-text eval doc): ``id_col, n_tokens,
     max_overlap_len, n_overlap_suffixes, contaminated`` (0/1).
@@ -1808,44 +1912,46 @@ def exact_substring_decontamination(
         "__side",
         id_col,
         "pos",
-        F.concat_ws(" ", F.slice("__ts", F.col("pos"), k)).alias("anchor"),
+        F.xxhash64(F.lit(1), F.slice("__ts", F.col("pos"), k)).alias("__h1"),
+        F.xxhash64(F.lit(2), F.slice("__ts", F.col("pos"), k)).alias("__h2"),
         F.slice("__ts", F.col("pos") + k, c).alias("cont"),
     )
-    ws = Window.partitionBy("anchor").orderBy(
-        F.concat_ws(" ", F.col("cont")), "__side", id_col, "pos"
+    ws = Window.partitionBy("__h1").orderBy(
+        "__h2", F.concat_ws(" ", F.col("cont")), "__side", id_col, "pos"
     )
-    corp_cont = F.when(F.col("__side") == 0, F.col("cont"))
-    above = F.last(corp_cont, ignorenulls=True).over(
+    corp_pick = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__h2").alias("h2"), F.col("cont").alias("cont")),
+    )
+    above = F.last(corp_pick, ignorenulls=True).over(
         ws.rowsBetween(Window.unboundedPreceding, -1)
     )
-    below = F.first(corp_cont, ignorenulls=True).over(
+    below = F.first(corp_pick, ignorenulls=True).over(
         ws.rowsBetween(1, Window.unboundedFollowing)
     )
+    abv_ok = F.col("__abv.h2") == F.col("__h2")
+    blw_ok = F.col("__blw.h2") == F.col("__h2")
     hits = (
         suf.select(
             "__side",
             id_col,
             "pos",
+            "__h2",
             "cont",
             above.alias("__abv"),
             below.alias("__blw"),
         )
-        .where(
-            (F.col("__side") == 1)
-            & (F.col("__abv").isNotNull() | F.col("__blw").isNotNull())
-        )
+        .where((F.col("__side") == 1) & (abv_ok | blw_ok))
         .select(
             id_col,
             (
                 F.lit(k)
                 + F.greatest(
                     F.when(
-                        F.col("__abv").isNotNull(),
-                        _token_lcp(F.col("cont"), F.col("__abv")),
+                        abv_ok, _token_lcp(F.col("cont"), F.col("__abv.cont"))
                     ).otherwise(F.lit(-1)),
                     F.when(
-                        F.col("__blw").isNotNull(),
-                        _token_lcp(F.col("cont"), F.col("__blw")),
+                        blw_ok, _token_lcp(F.col("cont"), F.col("__blw.cont"))
                     ).otherwise(F.lit(-1)),
                 )
             )
