@@ -294,6 +294,7 @@ HEADLINE = [
     "x282_prototype_prune",
     "x283_d4_curation",
     "x284_curriculum_packing",
+    "x285_png_subbyte_audit",
 ]
 
 

@@ -125,9 +125,11 @@ def average_hash(gray: list[list[int]]) -> str:
 # by x200/x233 provides; everything else is struct parsing plus the five
 # scanline filters (r8 VERDICT item 5).  r10 added paletted (PLTE/tRNS)
 # and Adam7 interlaced layouts plus 16-bit and grayscale(+alpha)
-# decode; r11 adds gray/RGB tRNS color keys.  Only sub-byte depths
-# (1/2/4-bit) and foreign containers (WebP/TIFF) remain rejected
-# loudly — see decode_png's IHDR gate.
+# decode; r11 adds gray/RGB tRNS color keys and sub-byte (1/2/4-bit)
+# gray/paletted depths — the full PNG depth/color matrix except the
+# never-generated combinations the spec itself forbids.  Only foreign
+# containers (WebP/TIFF) remain rejected loudly — see decode_png's
+# IHDR gate and operators/multimodal.py.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -282,14 +284,22 @@ def encode_png_gray(
     idat_split: int | None = None,
     interlace: bool = False,
     trns_key: int | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """Encode 8-bit grayscale rows as a color-type-0 PNG (or type 4,
+    """Encode grayscale rows as a color-type-0 PNG (or type 4,
     gray+alpha, when ``alpha_rows`` is given) — same filter/Adam7
     machinery as truecolor.  ``trns_key`` writes a color-type-0 tRNS
     transparent-gray chunk (one 16-bit sample) — spec-illegal with
-    ``alpha_rows``."""
+    ``alpha_rows``.  ``depth`` 1/2/4 packs sub-byte samples MSB-first
+    (gray only; alpha requires depth 8)."""
     if trns_key is not None and alpha_rows is not None:
         raise ValueError("tRNS is prohibited for alpha color types 4/6")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"gray depth must be 1/2/4/8, got {depth}")
+    if depth < 8 and alpha_rows is not None:
+        raise ValueError("sub-byte depth is gray-only (no alpha channel)")
+    if depth < 8 and any(not 0 <= v < (1 << depth) for r in rows for v in r):
+        raise ValueError(f"sample out of range for depth {depth}")
     height = len(rows)
     width = len(rows[0]) if height else 0
     if any(len(r) != width for r in rows):
@@ -304,7 +314,9 @@ def encode_png_gray(
     for x0, y0, dx, dy in _png_passes(width, height, interlace):
         lines = []
         for y in range(y0, height, dy):
-            if alpha_rows is None:
+            if depth < 8:
+                lines.append(_pack_bits(rows[y][x0::dx], depth))
+            elif alpha_rows is None:
                 lines.append(bytes(rows[y][x0::dx]))
             else:
                 line = bytearray()
@@ -313,7 +325,8 @@ def encode_png_gray(
                 lines.append(bytes(line))
         raw += _filter_scanlines(lines, bpp, filter_type)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 4 if alpha_rows is not None else 0,
+        ">IIBBBBB", width, height, depth,
+        4 if alpha_rows is not None else 0,
         0, 0, 1 if interlace else 0,
     )
     extra = (
@@ -331,13 +344,21 @@ def encode_png_palette(
     filter_type: int = 0,
     idat_split: int | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Encode palette-index rows as an 8-bit paletted PNG (color type
-    3): PLTE holds up to 256 RGB entries, optional tRNS per-entry
-    alpha; scanlines are 1 byte/pixel, same filter/Adam7 machinery as
-    truecolor."""
+    """Encode palette-index rows as a paletted PNG (color type 3):
+    PLTE holds up to 256 RGB entries, optional tRNS per-entry alpha;
+    same filter/Adam7 machinery as truecolor.  ``depth`` 1/2/4 packs
+    sub-byte indices MSB-first (palette must fit: < 2^depth
+    entries)."""
     if not 1 <= len(palette) <= 256:
         raise ValueError(f"palette must hold 1..256 entries, got {len(palette)}")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    if depth < 8 and len(palette) > (1 << depth):
+        raise ValueError(
+            f"palette of {len(palette)} entries does not fit depth {depth}"
+        )
     height = len(index_rows)
     width = len(index_rows[0]) if height else 0
     if any(len(r) != width for r in index_rows):
@@ -351,16 +372,28 @@ def encode_png_palette(
     raw = bytearray()
     for x0, y0, dx, dy in _png_passes(width, height, interlace):
         lines = [
-            bytes(index_rows[y][x0::dx]) for y in range(y0, height, dy)
+            _pack_bits(index_rows[y][x0::dx], depth)
+            if depth < 8
+            else bytes(index_rows[y][x0::dx])
+            for y in range(y0, height, dy)
         ]
         raw += _filter_scanlines(lines, 1, filter_type)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 3, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, 3, 0, 0, 1 if interlace else 0
     )
     extra = _png_chunk(b"PLTE", b"".join(bytes(p) for p in palette))
     if trns is not None:
         extra += _png_chunk(b"tRNS", bytes(trns))
     return _png_assemble(ihdr, raw, idat_split, extra)
+
+
+def _pack_bits(vals: list[int], depth: int) -> bytes:
+    """Pack sub-byte samples (depth 1/2/4) into a scanline, MSB-first
+    with zero padding at the row end (PNG spec §7.2)."""
+    out = bytearray((len(vals) * depth + 7) // 8)
+    for i, v in enumerate(vals):
+        out[(i * depth) // 8] |= v << (8 - depth - (i * depth) % 8)
+    return bytes(out)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -376,11 +409,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter_pass(
-    raw: bytes, offset: int, w: int, h: int, bpp: int
+    raw: bytes, offset: int, stride: int, h: int, bpp: int
 ) -> tuple[list[bytearray], int]:
     """Invert the scanline filters of one pass starting at ``offset``;
-    returns (unfiltered lines, new offset)."""
-    stride = w * bpp
+    ``stride`` is the scanline length in BYTES (= w*bpp at byte
+    depths, ceil(w*depth/8) sub-byte — where ``bpp``, the filter
+    distance, is 1 per spec §9.2); returns (unfiltered lines, new
+    offset)."""
     lines: list[bytearray] = []
     prev = bytearray(stride)
     for y in range(h):
@@ -422,8 +457,10 @@ def decode_png(
     into frame position, expands palette indices through PLTE (+tRNS
     alpha when present → RGBA), widens grayscale to RGB(A), and
     surfaces 16-bit samples as their high byte (the 8-bit viewing
-    surface, PIL convert semantics).  Sub-byte depths (1/2/4-bit)
-    reject loudly."""
+    surface, PIL convert semantics).  Sub-byte depths (1/2/4-bit
+    gray and paletted) bit-unpack MSB-first before the same filter
+    inversion (filter distance 1 byte per spec §9.2), gray samples
+    scaling to the 8-bit surface by 255/(2^d-1)."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -447,20 +484,23 @@ def decode_png(
             )
             if (
                 color not in (0, 2, 3, 4, 6)
-                or depth not in (8, 16)
-                or (color == 3 and depth != 8)
+                or depth not in (1, 2, 4, 8, 16)
+                or (color == 3 and depth not in (1, 2, 4, 8))
+                or (depth < 8 and color not in (0, 3))
                 or interlace not in (0, 1)
             ):
                 raise ValueError(
                     "unsupported PNG (depth="
                     f"{depth}, color={color}, interlace={interlace}) — "
-                    "8/16-bit gray/RGB(+alpha) or 8-bit paletted"
+                    "8/16-bit gray/RGB(+alpha), or 1/2/4/8-bit "
+                    "gray/paletted"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter method")
-            # bpp is the FILTER distance in BYTES (spec §9.2)
+            # bpp is the FILTER distance in BYTES (spec §9.2): one
+            # byte at sub-byte depths
             samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-            bpp = samples * (depth // 8)
+            bpp = max(1, samples * (depth // 8))
         elif ctype == b"PLTE":
             if clen % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -501,11 +541,21 @@ def decode_png(
     for x0, y0, dx, dy in _png_passes(width, height, interlace == 1):
         w_p = (width - x0 + dx - 1) // dx
         h_p = (height - y0 + dy - 1) // dy
-        lines, offset = _unfilter_pass(raw, offset, w_p, h_p, bpp)
-        for j, line in enumerate(lines):
-            y = y0 + j * dy
-            for i in range(w_p):
-                grid[y][x0 + i * dx] = tuple(line[i * bpp : (i + 1) * bpp])
+        stride = w_p * bpp if depth >= 8 else (w_p * depth + 7) // 8
+        lines, offset = _unfilter_pass(raw, offset, stride, h_p, bpp)
+        if depth < 8:  # unpack MSB-first sub-byte samples (spec §7.2)
+            mask = (1 << depth) - 1
+            for j, line in enumerate(lines):
+                y = y0 + j * dy
+                for i in range(w_p):
+                    b = line[(i * depth) // 8]
+                    shift = 8 - depth - (i * depth) % 8
+                    grid[y][x0 + i * dx] = ((b >> shift) & mask,)
+        else:
+            for j, line in enumerate(lines):
+                y = y0 + j * dy
+                for i in range(w_p):
+                    grid[y][x0 + i * dx] = tuple(line[i * bpp : (i + 1) * bpp])
     if offset != len(raw):
         raise ValueError(
             f"PNG pixel data length {len(raw)} != consumed {offset}"
@@ -521,6 +571,12 @@ def decode_png(
                 a = trns[ix] if ix < len(trns) else 255
                 return (*rgb, a)
             return rgb
+        if depth < 8:  # sub-byte gray: scale to the 8-bit surface
+            v = px[0]
+            g = v * 255 // ((1 << depth) - 1)
+            if trns_key is not None:  # key matches the RAW sample
+                return (g, g, g, 0 if (v,) == trns_key else 255)
+            return (g, g, g)
         alpha = None
         if trns_key is not None:  # color 0/2: match at FULL bit depth
             if depth == 16:

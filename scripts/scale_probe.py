@@ -197,6 +197,8 @@ PROBES = [
     "x282_prototype_prune",
     "x283_d4_curation",
     "x284_curriculum_packing",
+    # r11 additions (probed same round)
+    "x285_png_subbyte_audit",
 ]
 
 

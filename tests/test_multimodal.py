@@ -1075,6 +1075,85 @@ def test_png_trns_prohibited_and_invalid():
         codecs.decode_png(bad)
 
 
+def test_png_subbyte_gray_and_palette_roundtrips():
+    """1/2/4-bit PNG (r10 VERDICT item 3): gray samples scale to the
+    8-bit surface by 255/(2^d-1); paletted indices look up PLTE; both
+    across every filter type and Adam7, including widths that leave
+    partial trailing bytes in the packed scanline."""
+    import itertools
+
+    from flashml_spark.functions import codecs
+
+    for depth, ft, inter in itertools.product((1, 2, 4), range(5),
+                                              [False, True]):
+        hi = (1 << depth) - 1
+        # width 11 is never a multiple of 8/depth -> ragged last byte
+        g = [[(x * 3 + y * 5 + ft) % (hi + 1) for x in range(11)]
+             for y in range(7)]
+        w, h, got = codecs.decode_png(
+            codecs.encode_png_gray(g, filter_type=ft, interlace=inter,
+                                   depth=depth)
+        )
+        assert (w, h) == (11, 7)
+        scale = 255 // hi
+        assert got == [[(v * scale,) * 3 for v in row] for row in g]
+        # paletted at the same depth (palette exactly fills 2^depth)
+        pal = [((i * 40 + 3) % 256, (i * 17) % 256, (i * 9 + 1) % 256)
+               for i in range(hi + 1)]
+        _, _, gotp = codecs.decode_png(
+            codecs.encode_png_palette(g, pal, filter_type=ft,
+                                      interlace=inter, depth=depth)
+        )
+        assert gotp == [[pal[v] for v in row] for row in g]
+    # sub-byte paletted with per-entry tRNS alpha
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 2]]
+    _, _, got = codecs.decode_png(
+        codecs.encode_png_palette(idx, pal, trns=[0, 128], depth=2)
+    )
+    assert got == [
+        [(*pal[v], 0 if v == 0 else (128 if v == 1 else 255)) for v in row]
+        for row in idx
+    ]
+    # sub-byte gray tRNS: the key matches the RAW sample value
+    g = [[0, 1, 2, 3]]
+    _, _, got = codecs.decode_png(
+        codecs.encode_png_gray(g, depth=2, trns_key=2)
+    )
+    assert got == [[(0, 0, 0, 255), (85, 85, 85, 255), (170, 170, 170, 0),
+                    (255, 255, 255, 255)]]
+    # 1x1 at every sub-byte depth
+    for depth in (1, 2, 4):
+        assert codecs.decode_png(
+            codecs.encode_png_gray([[1]], depth=depth)
+        )[2] == [[(255 // ((1 << depth) - 1),) * 3]]
+
+
+def test_png_subbyte_validation():
+    import pytest as _pytest
+
+    from flashml_spark.functions import codecs
+
+    with _pytest.raises(ValueError, match="out of range"):
+        codecs.encode_png_gray([[4]], depth=2)
+    with _pytest.raises(ValueError, match="gray-only"):
+        codecs.encode_png_gray([[1]], alpha_rows=[[1]], depth=4)
+    with _pytest.raises(ValueError, match="does not fit"):
+        codecs.encode_png_palette([[0]], [(0, 0, 0)] * 5, depth=2)
+    with _pytest.raises(ValueError, match="depth must be"):
+        codecs.encode_png_gray([[0]], depth=3)
+    # sub-byte truecolor stays spec-forbidden at the decoder gate
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+    bad = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+           + codecs._png_chunk(b"IDAT", _zlib.compress(b"\x00\x00\x00"))
+           + codecs._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        codecs.decode_png(bad)
+
+
 def test_jpeg_dims_reads_progressive_sof2():
     from flashml_spark.functions import codecs
 
