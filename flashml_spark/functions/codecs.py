@@ -1056,6 +1056,394 @@ def gif_frame_delays(payload: bytes) -> list[int]:
     return delays
 
 # --------------------------------------------------------------------------
+# TIFF (baseline 8-bit gray / RGB / paletted; uncompressed or LZW;
+# both byte orders; horizontal-differencing predictor — r10 VERDICT
+# item 4)
+#
+# Pure struct+math like the codecs above: an IFD walk (TIFF 6.0 §2),
+# per-strip decode, and the TIFF-variant LZW of §13 — MSB-first bit
+# packing (GIF's is LSB-first), 8-bit roots with ClearCode 256 /
+# EOI 257, and the spec's EARLY code-width change: the encoder widens
+# when NextCode reaches 2^w - 1 (511/1023/2047), the decoder one code
+# earlier at 2^w - 2 (510/1022/2046) because its table trails the
+# encoder's by exactly one entry.  Rejected loudly: bit depths other
+# than 8, planar configuration 2, tiled layout, and the compressions
+# a production pipeline routes to libtiff (PackBits/CCITT/JPEG/ZIP).
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """TIFF §13 LZW: MSB-first codes, early width change (see module
+    note), table reset on ClearCode; raises on truncation, codes
+    beyond the table, or output overrun."""
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for _ in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            v = (v << 1) | ((data[byte] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"LZW first code {code} is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # EARLY change: the decoder's table is one entry behind the
+        # encoder's, so it widens at 2^w - 2 (510/1022/2046)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("TIFF LZW produced more bytes than the strip")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF §13 LZW encoder (fixture minting): MSB-first, encoder-side
+    early change at 2^w - 1 (511/1023/2047), ClearCode emitted up
+    front and again whenever NextCode reaches 4094."""
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc = (acc << width) | code
+        n_acc += width
+        while n_acc >= 8:
+            n_acc -= 8
+            bits.append((acc >> n_acc) & 0xFF)
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = {bytes((i,)): i for i in range(256)}
+        next_code = 258
+        width = 9
+
+    reset()
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes((b,))
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes((b,))
+        if next_code == 4094:  # spec: clear before the table fills
+            emit(table[w], width)
+            emit(256, width)
+            reset()
+            w = b""
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if n_acc:
+        bits.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(bits)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_read_values(
+    payload: bytes, lt: str, vtype: int, count: int, raw: bytes
+) -> list[int]:
+    """Read an IFD entry's integer values (inline when they fit the
+    4-byte field, else at the pointed offset)."""
+    if vtype not in _TIFF_TYPE_SIZE:
+        raise ValueError(f"unsupported TIFF field type {vtype}")
+    size = _TIFF_TYPE_SIZE[vtype] * count
+    if size <= 4:
+        buf = raw[:size]
+    else:
+        (off,) = struct.unpack(f"{lt}I", raw)
+        buf = payload[off : off + size]
+        if len(buf) != size:
+            raise ValueError("TIFF value offset out of bounds")
+    fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+    return list(struct.unpack(f"{lt}{count}{fmt}", buf))
+
+
+def decode_tiff(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, ...]]]]:
+    """Decode a baseline TIFF (first IFD) to (width, height, top-down
+    pixel rows): 8-bit grayscale (photometric 0/1, WhiteIsZero
+    inverted to the 8-bit surface), RGB, or paletted (ColorMap's
+    16-bit channels surfaced as their high byte), chunky planar
+    config, strips (any RowsPerStrip split), uncompressed or LZW
+    (per-strip streams), predictor 1 or 2 (horizontal differencing
+    inverted per row per sample)."""
+    if payload[:4] == b"II*\x00":
+        lt = "<"
+    elif payload[:4] == b"MM\x00*":
+        lt = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(f"{lt}I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(f"{lt}H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, vtype, count = struct.unpack_from(f"{lt}HHI", payload, base)
+        if vtype not in _TIFF_TYPE_SIZE:
+            continue  # RATIONAL/ASCII metadata tags — not needed here
+        tags[tag] = _tiff_read_values(
+            payload, lt, vtype, count, payload[base + 8 : base + 12]
+        )
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    samples = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * samples)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rows_per_strip = tags.get(278, [2**32 - 1])[0]
+    predictor = tags.get(317, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
+    if any(b != 8 for b in bits) or len(bits) != samples:
+        raise ValueError(f"unsupported TIFF bit depths {bits}")
+    if comp not in (1, 5):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} — uncompressed or LZW"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if photo == 2 and samples < 3:
+        raise ValueError("RGB TIFF needs >= 3 samples/pixel")
+    if photo in (0, 1, 3) and samples != 1:
+        raise ValueError("gray/palette TIFF needs 1 sample/pixel")
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    cmap: list[tuple[int, int, int]] | None = None
+    if photo == 3:
+        if 320 not in tags or len(tags[320]) != 3 * 256:
+            raise ValueError("paletted TIFF missing 256-entry ColorMap")
+        cm = tags[320]
+        cmap = [
+            (cm[i] >> 8, cm[256 + i] >> 8, cm[512 + i] >> 8)
+            for i in range(256)
+        ]
+
+    row_bytes = width * samples
+    rows: list[list[tuple[int, ...]]] = []
+    y = 0
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("TIFF strip out of bounds")
+        n_rows = min(rows_per_strip, height - y)
+        if n_rows <= 0:
+            raise ValueError("more strips than image rows")
+        if comp == 5:
+            strip = _tiff_lzw_decode(strip, n_rows * row_bytes)
+        if len(strip) < n_rows * row_bytes:
+            raise ValueError("TIFF strip shorter than its rows")
+        for r in range(n_rows):
+            line = bytearray(strip[r * row_bytes : (r + 1) * row_bytes])
+            if predictor == 2:  # horizontal differencing, per sample
+                for i in range(samples, row_bytes):
+                    line[i] = (line[i] + line[i - samples]) & 0xFF
+            if photo == 2:
+                row = [
+                    tuple(line[i : i + samples][:3])
+                    for i in range(0, row_bytes, samples)
+                ]
+            elif photo == 3:
+                row = [cmap[v] for v in line]
+            else:
+                row = [
+                    ((255 - v,) * 3 if photo == 0 else (v,) * 3)
+                    for v in line
+                ]
+            rows.append(row)
+            y += 1
+    if y != height:
+        raise ValueError(f"TIFF strips held {y} rows, header says {height}")
+    return width, height, rows
+
+
+def encode_tiff(
+    rows: list[list[tuple[int, ...]]],
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+    predictor: int = 1,
+    gray: bool = False,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Encode top-down RGB (or ``gray`` single-sample, or
+    ``palette``-indexed) rows as a baseline TIFF — fixture minting for
+    the decoder: chunky strips, uncompressed (1) or LZW (5), optional
+    horizontal-differencing predictor, either byte order.  ``palette``
+    writes a photometric-3 ColorMap (exactly 256 entries padded with
+    black; 16-bit channel values ``v << 8`` so the decoder's high-byte
+    surface reads back exactly)."""
+    if compression not in (1, 5):
+        raise ValueError(f"compression must be 1 or 5, got {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if palette is not None and not gray:
+        gray = True  # index rows are single-sample
+    lt = ">" if big_endian else "<"
+    height = len(rows)
+    width = len(rows[0]) if height else 0
+    if any(len(r) != width for r in rows):
+        raise ValueError("ragged pixel rows")
+    samples = 1 if gray else 3
+    rps = height if rows_per_strip is None else rows_per_strip
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        raw = bytearray()
+        for row in rows[y0 : y0 + rps]:
+            line = bytearray()
+            for px in row:
+                vals = (px,) if gray and isinstance(px, int) else tuple(px)
+                if len(vals) != samples:
+                    raise ValueError(f"expected {samples}-sample pixels")
+                line += bytes(vals)
+            if predictor == 2:
+                for i in range(len(line) - 1, samples - 1, -1):
+                    line[i] = (line[i] - line[i - samples]) & 0xFF
+            raw += line
+        strips.append(
+            _tiff_lzw_encode(bytes(raw)) if compression == 5 else bytes(raw)
+        )
+
+    # layout: header(8) | IFD | values area | strips
+    entries: list[tuple[int, int, int, bytes | int]] = []
+
+    def entry(tag: int, vtype: int, values: list[int]) -> None:
+        entries.append((tag, vtype, len(values), values))
+
+    entry(256, 4, [width])
+    entry(257, 4, [height])
+    entry(258, 3, [8] * samples)
+    entry(259, 3, [compression])
+    entry(262, 3, [3 if palette is not None else (2 if not gray else 1)])
+    entry(277, 3, [samples])
+    entry(278, 4, [rps])
+    if palette is not None:
+        if len(palette) > 256:
+            raise ValueError("TIFF ColorMap holds at most 256 entries")
+        pal = list(palette) + [(0, 0, 0)] * (256 - len(palette))
+        entry(
+            320, 3,
+            [p[0] << 8 for p in pal]
+            + [p[1] << 8 for p in pal]
+            + [p[2] << 8 for p in pal],
+        )
+    if predictor == 2:
+        entry(317, 3, [predictor])
+    n_strip = len(strips)
+    # strip offsets filled after sizing
+    entry(273, 4, [0] * n_strip)
+    entry(279, 4, [len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    n = len(entries)
+    values_off = ifd_off + 2 + 12 * n + 4
+    # first pass: compute out-of-line value area size
+    out_of_line: dict[int, int] = {}
+    voff = values_off
+    for tag, vtype, count, _ in entries:
+        size = _TIFF_TYPE_SIZE[vtype] * count
+        if size > 4:
+            out_of_line[tag] = voff
+            voff += size + (size % 2)
+    strip0 = voff
+    offs = []
+    so = strip0
+    for s in strips:
+        offs.append(so)
+        so += len(s) + (len(s) % 2)
+    entries = [
+        (tag, vtype, count, offs if tag == 273 else vals)
+        for tag, vtype, count, vals in entries
+    ]
+
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(f"{lt}I", ifd_off)
+    out += struct.pack(f"{lt}H", n)
+    fmt = {1: "B", 3: "H", 4: "I"}
+    values_area = bytearray()
+    for tag, vtype, count, vals in entries:
+        size = _TIFF_TYPE_SIZE[vtype] * count
+        packed = struct.pack(f"{lt}{count}{fmt[vtype]}", *vals)
+        if size <= 4:
+            field = packed + b"\x00" * (4 - size)
+        else:
+            field = struct.pack(f"{lt}I", out_of_line[tag])
+            values_area += packed + b"\x00" * (size % 2)
+        out += struct.pack(f"{lt}HHI", tag, vtype, count) + field
+    out += struct.pack(f"{lt}I", 0)  # next-IFD pointer: none
+    out += values_area
+    for s in strips:
+        out += s + b"\x00" * (len(s) % 2)
+    return bytes(out)
+
+
+def tiff_grayscale(rows: list[list[tuple[int, ...]]]) -> list[list[int]]:
+    """Integer luma over decoded TIFF rows (same 299/587/114 weights as
+    :func:`png_grayscale`)."""
+    return png_grayscale(rows)
+
+
+# --------------------------------------------------------------------------
 # JPEG (baseline sequential DCT / SOF0 — the r9 VERDICT item 1)
 #
 # Pure struct+math, same discipline as the PNG/GIF codecs above: the

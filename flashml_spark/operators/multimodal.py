@@ -81,17 +81,21 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
     stdlib-zlib IDAT inflate + per-pass unfilter + PLTE/tRNS
     expansion), GIF (variable-width LZW) and JPEG (baseline SOF0 with
     4:4:4/4:2:0/4:2:2 + DRI/RSTn, and r10 progressive SOF2 spectral
-    selection) all decode via the dependency-free codecs
-    (:mod:`flashml_spark.functions.codecs` — pure struct+math, so the
-    REAL path is exercised end-to-end in this container); what remains
-    PIL-gated is other container formats entirely (WebP, TIFF, …) plus
-    sub-byte-depth PNG, raising NotImplementedError where PIL is not
-    installed (as here) — that test is import-gated accordingly."""
+    selection) and r11 TIFF (uncompressed or LZW strips, both byte
+    orders, gray/RGB/paletted, predictor 2) all decode via the
+    dependency-free codecs (:mod:`flashml_spark.functions.codecs` —
+    pure struct+math, so the REAL path is exercised end-to-end in this
+    container); what remains PIL-gated is foreign containers (WebP, …),
+    raising NotImplementedError where PIL is not installed (as here) —
+    that test is import-gated accordingly."""
     from flashml_spark.functions import codecs
 
     if payload[:2] == b"BM":
         width, height, rows = codecs.decode_bmp(payload)
         return width, height, codecs.average_hash(codecs.bmp_grayscale(rows))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):  # r11: real TIFF decode
+        width, height, rows = codecs.decode_tiff(payload)
+        return width, height, codecs.average_hash(codecs.tiff_grayscale(rows))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         width, height, rows = codecs.decode_png(payload)
         return width, height, codecs.average_hash(codecs.png_grayscale(rows))
@@ -107,8 +111,7 @@ def _real_decode(payload: bytes) -> tuple[int, int, str]:
     except ImportError as exc:
         raise NotImplementedError(
             "real decode of foreign containers beyond the built-in "
-            "codecs (WebP, TIFF, …) requires PIL — not in this "
-            "environment"
+            "codecs (WebP, …) requires PIL — not in this environment"
         ) from exc
     import io
 
@@ -221,13 +224,19 @@ def resize_media(
                     codecs.png_grayscale(rows), width, height
                 )
                 return bytes(v for row in gray for v in row)
+            if p[:4] in (b"II*\x00", b"MM\x00*"):  # r11: real TIFF path
+                _, _, rows = codecs.decode_tiff(p)
+                gray = codecs.nearest_resize(
+                    codecs.tiff_grayscale(rows), width, height
+                )
+                return bytes(v for row in gray for v in row)
             try:
                 import io
 
                 from PIL import Image
             except ImportError as exc:  # pragma: no cover - container lacks PIL
                 raise NotImplementedError(
-                    "real resize of foreign containers (WebP, TIFF) "
+                    "real resize of foreign containers (WebP) "
                     "requires PIL; install pillow"
                 ) from exc
             img = Image.open(io.BytesIO(p))
@@ -833,6 +842,76 @@ def png_subbyte_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = (
         "media_id long, width int, height int, gray_top int,"
         " gray_bot int, pal_luma_top int, pal_luma_bot int"
+    )
+    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+
+
+def tiff_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """TIFF roundtrip audit (r11, r10 VERDICT item 4): per id, a
+    two-band image rotating through the decoder's mode matrix — RGB /
+    gray / paletted by ``id % 3``, LZW on odd ids, big-endian when
+    ``id % 5 == 0``, strip split ``1 + id % 4`` rows, horizontal-
+    differencing predictor on ``id % 2`` — encoded through the IFD
+    writer and decoded back through the strip walk + TIFF-LZW +
+    predictor inversion.  Reported integers (decoded dims + the luma
+    of one pixel from each band) are exactly derivable from the id
+    arithmetic, so a hash match certifies the whole container path
+    corpus-wide (the x271/x279/x285 pattern).
+
+    Scale shape: pure map, bounded ≤ 11×6 image per row.
+    """
+    from flashml_spark.functions import codecs
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def build_and_decode(i: int) -> tuple[int, int, int, int]:
+            mode = i % 3
+            w, h = 6 + i % 6, 4 + i % 3
+            kw = dict(
+                compression=5 if i % 2 else 1,
+                big_endian=(i % 5 == 0),
+                rows_per_strip=1 + i % 4,
+                predictor=2 if i % 2 else 1,
+            )
+            top_n, bot_n = h // 2, h - h // 2
+            if mode == 0:
+                tp = ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256)
+                bp = ((i * 17 + 1) % 256, (i * 19 + 2) % 256,
+                      (i * 23 + 3) % 256)
+                rows = [[tp] * w] * top_n + [[bp] * w] * bot_n
+                payload = codecs.encode_tiff(rows, **kw)
+            elif mode == 1:
+                vt, vb = (i * 29) % 256, (i * 31 + 5) % 256
+                rows = [[vt] * w] * top_n + [[vb] * w] * bot_n
+                payload = codecs.encode_tiff(rows, gray=True, **kw)
+            else:
+                pal = [
+                    ((i * 7 + v * 13) % 256, (i * 11 + v * 17) % 256,
+                     (i * 3 + v * 23) % 256)
+                    for v in range(16)
+                ]
+                it, ib = i % 16, (i * 5 + 1) % 16
+                rows = [[it] * w] * top_n + [[ib] * w] * bot_n
+                payload = codecs.encode_tiff(rows, palette=pal, **kw)
+            dw, dh, px = codecs.decode_tiff(payload)
+            luma = lambda p: (p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000  # noqa: E731
+            return dw, dh, luma(px[0][0]), luma(px[dh - 1][0])
+
+        for pdf in batches:
+            got = [build_and_decode(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [g[0] for g in got],
+                    "height": [g[1] for g in got],
+                    "luma_top": [g[2] for g in got],
+                    "luma_bot": [g[3] for g in got],
+                }
+            )
+
+    schema = (
+        "media_id long, width int, height int, luma_top int, luma_bot int"
     )
     return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
 

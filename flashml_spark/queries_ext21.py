@@ -51,3 +51,43 @@ def x285(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return multimodal.png_subbyte_audit(docs, "doc_id")
+
+# --------------------------------------------------------------------------
+# x287 — TIFF roundtrip audit (r10 VERDICT item 4): the whole baseline
+# TIFF mode matrix — RGB/gray/paletted by id%3, LZW strips on odd ids
+# (TIFF §13 MSB-first early-change variant), big-endian on id%5==0,
+# 1..4-row strip splits, horizontal-differencing predictor on odd ids
+# — encoded and decoded pure-struct.  The gray luma equals the sample
+# (299+587+114=1000), so every branch's pins reduce to id arithmetic.
+_X287_SQL = """
+SELECT doc_id AS media_id,
+       CAST(6 + doc_id % 6 AS INT) AS width,
+       CAST(4 + doc_id % 3 AS INT) AS height,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN (299 * ((doc_id * 7) % 256)
+                         + 587 * ((doc_id * 11) % 256)
+                         + 114 * ((doc_id * 13) % 256)) // 1000
+            WHEN 1 THEN (doc_id * 29) % 256
+            ELSE (299 * ((doc_id * 7 + (doc_id % 16) * 13) % 256)
+                  + 587 * ((doc_id * 11 + (doc_id % 16) * 17) % 256)
+                  + 114 * ((doc_id * 3 + (doc_id % 16) * 23) % 256)) // 1000
+            END AS INT) AS luma_top,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN (299 * ((doc_id * 17 + 1) % 256)
+                         + 587 * ((doc_id * 19 + 2) % 256)
+                         + 114 * ((doc_id * 23 + 3) % 256)) // 1000
+            WHEN 1 THEN (doc_id * 31 + 5) % 256
+            ELSE (299 * ((doc_id * 7 + ((doc_id * 5 + 1) % 16) * 13) % 256)
+                  + 587 * ((doc_id * 11 + ((doc_id * 5 + 1) % 16) * 17) % 256)
+                  + 114 * ((doc_id * 3 + ((doc_id * 5 + 1) % 16) * 23) % 256))
+                 // 1000
+            END AS INT) AS luma_bot
+FROM documents ORDER BY media_id"""
+
+
+@register("x287_tiff_roundtrip_audit", _X287_SQL)
+def x287(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    return multimodal.tiff_roundtrip_audit(docs, "doc_id")

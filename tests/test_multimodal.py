@@ -1218,3 +1218,88 @@ def test_png_hypothesis_roundtrips():
             assert codecs.decode_png(p) == (
                 w, h, [[pal[i] for i in r] for r in idx]
             )
+
+
+def test_tiff_lzw_stream_roundtrips_across_width_changes():
+    """The TIFF-variant LZW (MSB-first, early change) must roundtrip
+    streams whose tables cross the 9->10->11 bit boundaries, hit
+    KwKwK, and (at ~8 KB of high-entropy input) trip the NextCode=4094
+    ClearCode reset."""
+    import random as _random
+
+    from flashml_spark.functions import codecs
+
+    rng = _random.Random(42)
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaaaaaaaaaaa",              # KwKwK ladder
+        bytes(rng.randrange(256) for _ in range(300)),
+        bytes(rng.randrange(4) for _ in range(5000)),   # deep table, low alphabet
+        bytes(rng.randrange(256) for _ in range(9000)), # crosses the clear reset
+    ]
+    for data in cases:
+        enc = codecs._tiff_lzw_encode(data)
+        assert codecs._tiff_lzw_decode(enc, len(data)) == data
+    # overrun guard
+    data = b"abcabcabc"
+    enc = codecs._tiff_lzw_encode(data)
+    with pytest.raises(ValueError, match="more bytes"):
+        codecs._tiff_lzw_decode(enc, len(data) - 1)
+
+
+def test_tiff_roundtrip_grid():
+    """RGB/gray/paletted x uncompressed/LZW x endian x strip split x
+    predictor — decode(encode(x)) == x everywhere."""
+    import itertools
+
+    from flashml_spark.functions import codecs
+
+    rgb = [[((x * 31 + y * 7) % 256, (x * 5) % 256, (y * 11) % 256)
+            for x in range(9)] for y in range(7)]
+    gray = [[(x * 13 + y * 3) % 256 for x in range(9)] for y in range(7)]
+    pal = [((i * 37) % 256, (i * 3 + 7) % 256, (i * 91) % 256)
+           for i in range(16)]
+    idx = [[(x + y) % 16 for x in range(9)] for y in range(7)]
+    for comp, be, rps, pred in itertools.product(
+        (1, 5), (False, True), (None, 1, 3, 4), (1, 2)
+    ):
+        kw = dict(compression=comp, big_endian=be, rows_per_strip=rps,
+                  predictor=pred)
+        w, h, got = codecs.decode_tiff(codecs.encode_tiff(rgb, **kw))
+        assert (w, h, got) == (9, 7, rgb)
+        _, _, gotg = codecs.decode_tiff(
+            codecs.encode_tiff(gray, gray=True, **kw))
+        assert gotg == [[(v, v, v) for v in row] for row in gray]
+        _, _, gotp = codecs.decode_tiff(
+            codecs.encode_tiff(idx, palette=pal, **kw))
+        assert gotp == [[pal[v] for v in row] for row in idx]
+
+
+def test_tiff_whitesiszero_and_validation():
+    import struct as _struct
+
+    from flashml_spark.functions import codecs
+
+    gray = [[0, 100, 255]]
+    p = codecs.encode_tiff(gray, gray=True)
+    # flip PhotometricInterpretation 1 -> 0 (WhiteIsZero): patch the
+    # IFD entry value in place
+    lt = "<"
+    old = _struct.pack(f"{lt}HHI", 262, 3, 1) + _struct.pack(f"{lt}H", 1) + b"\x00\x00"
+    new = _struct.pack(f"{lt}HHI", 262, 3, 1) + _struct.pack(f"{lt}H", 0) + b"\x00\x00"
+    assert p.count(old) == 1
+    _, _, got = codecs.decode_tiff(p.replace(old, new))
+    assert got == [[(255, 255, 255), (155, 155, 155), (0, 0, 0)]]
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        codecs.decode_tiff(b"XX\x00\x00whatever")
+    # unsupported compression rejects loudly (patch 1 -> 32773 PackBits)
+    oldc = _struct.pack(f"{lt}HHI", 259, 3, 1) + _struct.pack(f"{lt}H", 1) + b"\x00\x00"
+    newc = _struct.pack(f"{lt}HHI", 259, 3, 1) + _struct.pack(f"{lt}H", 32773) + b"\x00\x00"
+    assert p.count(oldc) == 1
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        codecs.decode_tiff(p.replace(oldc, newc))
+    # truncated strip
+    with pytest.raises(ValueError, match="out of bounds|shorter"):
+        codecs.decode_tiff(p[:-2])
