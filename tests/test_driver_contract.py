@@ -61,7 +61,13 @@ def test_priority_window_follows_ledger_policy():
     # stated generation point.
     last, _ = cl.collect(upto=pw["generated_after_round"])
     names = cl.registry_names()
-    expected = cl.next_window(last, names)
+    # r11: oracle-upgraded-pending rows rotate with the never-checked
+    # tier; the committed state file carries the upgrade stamps
+    with open("/root/repo/ORACLE_HASHES.json") as f:
+        state = json.load(f)
+    pending = cl.pending_upgrades(last, state)
+    assert pending == set(pw["pending_oracle_upgrade"])
+    expected = cl.next_window(last, names, pending=pending)
     assert committed == expected
     # and the entry module serves exactly that window as its prefix
     e = _entry()
@@ -79,7 +85,9 @@ def test_priority_window_follows_ledger_policy():
     ]
     assert not red_out, f"red driver rows left outside the window: {red_out}"
     green_in = [
-        n for n in committed if n in last and not cl._is_failure(last[n][1])
+        n
+        for n in committed
+        if n in last and not cl._is_failure(last[n][1]) and n not in pending
     ]
     worst_in = max((last[n][0] for n in green_in), default=-1)
     best_out = min(
@@ -342,3 +350,34 @@ def test_bench_drift_adjudication(tmp_path, monkeypatch):
     bench.write_local_table(timings, 5.0, 0.1, cur_path, {})
     with open(cur_path) as f:
         assert "drift" not in json.load(f)
+
+
+def test_oracle_upgrade_pending_tier(tmp_path):
+    # r10 VERDICT item 7: a query whose oracle changed AFTER its last
+    # driver row must (a) read as pending re-check, (b) rotate with
+    # the never-checked tier, (c) clear once a fresh driver row lands.
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import correctness_ledger as cl
+
+    names = ["q_a", "q_b", "q_c", "q_new"]
+    last = {"q_a": (6, "rows-only (4 rows)"), "q_b": (8, "pass"),
+            "q_c": (2, "pass")}
+    prev = {n: {"hash": f"h_{n}", "changed_after_round": 0} for n in names}
+    # q_a's oracle changes while the newest scanned driver round is 8
+    cur = {n: (f"h2_{n}" if n == "q_a" else f"h_{n}") for n in names}
+    state = cl.update_hash_state(prev, cur, newest=8)
+    assert state["q_a"]["changed_after_round"] == 8
+    assert state["q_b"]["changed_after_round"] == 0
+    pending = cl.pending_upgrades(last, state)
+    assert pending == {"q_a"}
+    # pending ranks with never-checked, ahead of every green row
+    win = cl.next_window(last, names, size=4, pending=pending)
+    assert win == ["q_a", "q_new", "q_c", "q_b"]
+    # a fresh driver row (round 9 > changed_after 8) clears the mark
+    last2 = dict(last, q_a=(9, "pass"))
+    assert cl.pending_upgrades(last2, state) == set()
+    # an unchanged re-generation keeps the stamp (idempotent)
+    state2 = cl.update_hash_state(state, cur, newest=9)
+    assert state2 == state
