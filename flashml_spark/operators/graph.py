@@ -310,7 +310,7 @@ def kcore(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 40,
+    max_iterations: int | None = 40,
 ) -> DataFrame:
     """k-core of an undirected graph: the maximal subgraph in which
     every vertex keeps degree >= ``k`` — the graph-density screen a
@@ -328,6 +328,11 @@ def kcore(
     stay flat), frees the previous round's blocks, early-exits on
     fixpoint, and RAISES if ``max_iterations`` is hit — exiting the cap
     silently would return a superset of the true core.
+    ``max_iterations=None`` (r10 VERDICT item 8) opts into unbounded
+    peeling for legitimately deep graphs (a degenerate chain at k=2
+    needs ~n/2 rounds): the loop runs to fixpoint, logging a warning
+    each time the round count doubles past 40 so a pathological run is
+    visible rather than silent — the default stays the loud raise.
 
     Scale shape per round: one degree agg + one two-sided semi-join,
     both keyed on vertex ids; edges shrink monotonically.  Self-loops
@@ -376,7 +381,19 @@ def kcore(
 
     converged = False
     final_deg: DataFrame | None = None
-    for _ in range(max_iterations):
+    rounds = 0
+    warn_at = 40
+    while max_iterations is None or rounds < max_iterations:
+        rounds += 1
+        if max_iterations is None and rounds > warn_at:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kcore(k=%d, max_iterations=None) past %d peeling "
+                "rounds — deep peel chain (a path-like graph?); still "
+                "converging", k, warn_at,
+            )
+            warn_at *= 2
         # ONE degree pass per round: the |V|-row frame is checkpointed
         # eagerly, so the convergence check, the survivor filter and
         # the final readout all reuse the same materialized blocks
@@ -407,7 +424,9 @@ def kcore(
     if not converged:
         raise RuntimeError(
             f"kcore(k={k}) did not converge within {max_iterations} "
-            "peeling rounds; raise max_iterations"
+            "peeling rounds; raise max_iterations (or pass "
+            "max_iterations=None to peel to fixpoint with logged "
+            "progress)"
         )
     out = final_deg.select(
         "node", F.col("d").cast("bigint").alias("core_degree")
