@@ -295,6 +295,7 @@ HEADLINE = [
     "x283_d4_curation",
     "x284_curriculum_packing",
     "x285_png_subbyte_audit",
+    "x286_quality_classifier",
     "x287_tiff_roundtrip_audit",
 ]
 

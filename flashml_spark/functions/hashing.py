@@ -77,6 +77,66 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def py_tokens(text: object) -> list[str]:
+    """Worker/driver-side LITERAL mirror of :func:`tokens` — Spark
+    ``trim`` strips ASCII SPACE only and Java ``\\s`` is the ASCII
+    class ``[ \\t\\n\\x0b\\f\\r]`` (NOT Python's Unicode ``\\s``), so
+    the mirror must too (pinned by
+    ``test_py_token_count_matches_spark_tokens``).  Used wherever a
+    Python stage must tokenize identically to the engine (streaming
+    packer offsets, quality-scorer features)."""
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", str(text).lower().strip(" "))
+
+
+def murmur3_32(data: bytes, seed: int = 42) -> int:
+    """Murmur3_x86_32 (unsigned), the hash behind spark.ml
+    ``HashingTF``'s term indexing (hash version 2 = the STANDARD
+    murmur3 tail, unlike the SQL ``hash()`` expression's per-byte
+    tail) — pinned equal to ``HashingTF`` indices by
+    ``test_murmur3_matches_ml_hashingtf``."""
+    import struct as _struct
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        (k1,) = _struct.unpack_from("<I", data, i)
+        k1 = rotl((k1 * c1) & 0xFFFFFFFF, 15) * c2 & 0xFFFFFFFF
+        h1 = ((rotl(h1 ^ k1, 13) * 5) + 0xE6546B64) & 0xFFFFFFFF
+    k1 = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k1 ^= tail[2] << 16
+    if len(tail) >= 2:
+        k1 ^= tail[1] << 8
+    if tail:
+        k1 ^= tail[0]
+        h1 ^= rotl((k1 * c1) & 0xFFFFFFFF, 15) * c2 & 0xFFFFFFFF
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def hashing_tf_index(term: str, n_features: int) -> int:
+    """The exact spark.ml ``HashingTF`` bucket of ``term``:
+    murmur3_32(utf8, seed 42) as a SIGNED int, then Java
+    ``nonNegativeMod``."""
+    h = murmur3_32(term.encode("utf-8"))
+    if h >= 1 << 31:
+        h -= 1 << 32
+    return ((h % n_features) + n_features) % n_features
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-gram shingles, space-joined, 1-based element_at so the same
     expression ports to 1-indexed SQL list engines."""

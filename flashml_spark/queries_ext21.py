@@ -91,3 +91,89 @@ def x287(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return multimodal.tiff_roundtrip_audit(docs, "doc_id")
+
+# --------------------------------------------------------------------------
+# x286 — model-based quality classifier (r10 VERDICT item 9): the
+# GPT-3/LLaMA reference-vs-crawl LR filter built from the engine's own
+# §2 ML stack (HashingTF murmur3 features + LogisticRegression) and
+# applied map-side with broadcast coefficients.  Planted fixture:
+# DISJOINT train vocabularies (pos {alpha,beta,gamma,delta}, neg
+# {zork,grunt,blee,snarf} — verified collision-free at n_features=256,
+# buckets 200/29/159/150 vs 98/195/212/24), so the LR separates them
+# and every pure-vocabulary eval doc's KEEP DECISION is closed-form;
+# the corpus row scores the real documents table with the fitted model
+# and is measured ON the is_kept output column (kept + dropped =
+# COUNT(*), with NULL text pinned to is_kept 0), forcing end-to-end
+# execution of the fit AND the broadcast scorer.
+_X286_SQL = """
+WITH corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM documents)
+SELECT 'corpus_rows' AS key, v AS value FROM corpus
+UNION ALL SELECT 'fx_dropped_sum_ids', CAST(36 AS DOUBLE)
+UNION ALL SELECT 'fx_dropped_total', CAST(3 AS DOUBLE)
+UNION ALL SELECT 'fx_kept_sum_ids', CAST(6 AS DOUBLE)
+UNION ALL SELECT 'fx_kept_total', CAST(3 AS DOUBLE)
+ORDER BY key"""
+
+
+@register("x286_quality_classifier", _X286_SQL)
+def x286(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import quality
+
+    posv = ["alpha", "beta", "gamma", "delta"]
+    negv = ["zork", "grunt", "blee", "snarf"]
+    pos = spark.createDataFrame(
+        [(i, " ".join(posv[(i + j) % 4] for j in range(3 + i % 5)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, " ".join(negv[(i + j) % 4] for j in range(3 + i % 5)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    model = quality.fit_quality_classifier(
+        pos, neg, "text", n_features=256, max_iter=30, reg_param=0.01,
+        fit_sample_rows=None,
+    )
+    evald = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta delta alpha"),
+            (3, "gamma"),
+            (11, "zork grunt"),
+            (12, "blee snarf blee"),
+            (13, "snarf"),
+        ],
+        "doc_id long, text string",
+    )
+    fx = quality.score_quality_model(evald, "text", model)
+    kept = fx.where(F.col("is_kept") == 1).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("doc_id").cast("double").alias("s"),
+    )
+    dropped = fx.where(F.col("is_kept") == 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("doc_id").cast("double").alias("s"),
+    )
+    rows = [
+        kept.select(F.lit("fx_kept_total").alias("key"),
+                    F.col("n").alias("value")),
+        kept.select(F.lit("fx_kept_sum_ids").alias("key"),
+                    F.col("s").alias("value")),
+        dropped.select(F.lit("fx_dropped_total").alias("key"),
+                       F.col("n").alias("value")),
+        dropped.select(F.lit("fx_dropped_sum_ids").alias("key"),
+                       F.col("s").alias("value")),
+    ]
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = quality.score_quality_model(docs, "text", model)
+    corpus = out.agg(
+        F.lit("corpus_rows").alias("key"),
+        (F.sum("is_kept") + F.sum(1 - F.col("is_kept")))
+        .cast("double")
+        .alias("value"),
+    )
+    acc = rows[0]
+    for r in rows[1:] + [corpus]:
+        acc = acc.unionByName(r)
+    return acc.orderBy("key")

@@ -39,14 +39,13 @@ from pyspark.sql.types import StructType
 
 def py_token_count(text: object) -> int:
     """Driver/worker-side token count, a LITERAL mirror of the engine's
-    Spark expression ``size(split(lower(trim(text)), '\\s+'))``
-    (``functions.hashing.tokens``): strip ASCII SPACE only (Spark
-    ``trim``), split on the Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]``
-    (ASCII only — NOT Python's Unicode ``\\s``).  Pinned against the
-    Spark expression by ``test_py_token_count_matches_spark_tokens``."""
-    import re
+    Spark expression ``size(split(lower(trim(text)), '\\s+'))`` — see
+    :func:`flashml_spark.functions.hashing.py_tokens` for the exact
+    ASCII-whitespace semantics.  Pinned against the Spark expression
+    by ``test_py_token_count_matches_spark_tokens``."""
+    from flashml_spark.functions.hashing import py_tokens
 
-    return len(re.split(r"[ \t\n\x0b\f\r]+", str(text).lower().strip(" ")))
+    return len(py_tokens(text))
 
 
 _OUT_SCHEMA = (

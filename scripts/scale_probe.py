@@ -199,6 +199,7 @@ PROBES = [
     "x284_curriculum_packing",
     # r11 additions (probed same round)
     "x285_png_subbyte_audit",
+    "x286_quality_classifier",
     "x287_tiff_roundtrip_audit",
 ]
 

@@ -1,0 +1,118 @@
+"""Model-based quality classifier (r10 VERDICT item 9): the GPT-3/
+LLaMA reference-vs-crawl LR filter.  The load-bearing pins are the
+two LITERAL mirrors — the Python murmur3/bucket hash vs spark.ml
+HashingTF, and the whole map-side scorer vs model.transform — plus a
+separable-vocabulary fixture with closed-form decisions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flashml_spark.functions import hashing as H
+from flashml_spark.operators import quality
+
+
+def test_murmur3_matches_ml_hashingtf(spark):
+    # every tail length (0..3 mod 4), unicode, empty string, repeats
+    from pyspark.ml.feature import HashingTF
+
+    toks = ["", "a", "ab", "abc", "abcd", "abcde", "hello", "the",
+            "αβγ", "x1", "ZZZZZZZZZ", "word-with-dash",
+            "élève", "1234567890123"]
+    for n in (128, 1 << 15, 1 << 20):
+        tf = HashingTF(inputCol="t", outputCol="v", numFeatures=n)
+        ml = [
+            r["v"].indices.tolist()[0]
+            for r in tf.transform(
+                spark.createDataFrame([([t],) for t in toks],
+                                      "t array<string>")
+            ).collect()
+        ]
+        assert ml == [H.hashing_tf_index(t, n) for t in toks]
+
+
+def test_quality_scorer_matches_ml_transform(spark):
+    # end-to-end parity: the broadcast-coefficient map-side scorer must
+    # reproduce model.transform's keep-probability on arbitrary text
+    # (including unseen tokens, nasty whitespace, empty and NULL docs)
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    pos = spark.createDataFrame(
+        [(i, f"good clean prose number {i} with structure") for i in range(12)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, f"zzz spam spam buy{i} now click") for i in range(12)],
+        "doc_id long, text string",
+    )
+    model = quality.fit_quality_classifier(
+        pos, neg, "text", n_features=256, max_iter=25, reg_param=0.01,
+        fit_sample_rows=None,
+    )
+    evald = spark.createDataFrame(
+        [
+            (1, "good clean prose about nothing"),
+            (2, "buy now spam zzz"),
+            (3, "totally unseen vocabulary here"),
+            (4, "\tgood\nprose  with nbsp"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    ours = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality.score_quality_model(
+            evald, "text", model, round_to=6
+        ).collect()
+    }
+    # the ml pipeline's own probability on the same rows
+    tf = HashingTF(inputCol="__toks", outputCol="__features",
+                   numFeatures=256)
+    feats = tf.transform(
+        evald.where(F.col("text").isNotNull())
+        .select("doc_id", H.tokens(F.col("text")).alias("__toks"))
+    )
+    # rebuilding an ml model from the dict is awkward; instead refit
+    # the SAME training frame through the raw ml path and compare
+    train = (
+        pos.select(H.tokens(F.col("text")).alias("__toks"),
+                   F.lit(1.0).alias("__label"))
+        .unionByName(
+            neg.select(H.tokens(F.col("text")).alias("__toks"),
+                       F.lit(0.0).alias("__label")))
+    )
+    mlmodel = LogisticRegression(
+        featuresCol="__features", labelCol="__label", maxIter=25,
+        regParam=0.01,
+    ).fit(tf.transform(train))
+    theirs = {
+        r["doc_id"]: round(float(r["p"][1]), 6)
+        for r in mlmodel.transform(feats)
+        .select("doc_id", vector_to_array("probability").alias("p"))
+        .collect()
+    }
+    for d in (1, 2, 3, 4, 5):
+        assert ours[d] == pytest.approx(theirs[d], abs=2e-6), d
+    assert ours[6] is None
+    # the fit separated the planted vocabularies
+    assert ours[1] > 0.8 and ours[2] < 0.2
+
+
+def test_quality_filter_flag_and_nulls(spark):
+    model = {"weights": [0.0] * 64, "intercept": 2.0, "n_features": 64}
+    df = spark.createDataFrame(
+        [(1, "anything"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           quality.score_quality_model(df, "text", model).collect()}
+    assert out[1]["quality_score"] == pytest.approx(0.880797, abs=1e-6)
+    assert out[1]["is_kept"] == 1
+    assert out[2]["quality_score"] is None and out[2]["is_kept"] == 0
+    with pytest.raises(ValueError, match="weights length"):
+        quality.score_quality_model(
+            df, "text", {"weights": [0.0], "intercept": 0.0,
+                         "n_features": 64})
