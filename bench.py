@@ -297,6 +297,8 @@ HEADLINE = [
     "x285_png_subbyte_audit",
     "x286_quality_classifier",
     "x287_tiff_roundtrip_audit",
+    "x288_pii_audit",
+    "x289_paragraph_dedup",
 ]
 
 

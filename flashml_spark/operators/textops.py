@@ -3607,3 +3607,98 @@ def curriculum_packing_audit(
             F.min("avg_logp").alias("q_lo"),
         )
     )
+
+
+_PAR_POS_LIMIT = 1 << 20  # paragraphs per doc bound for the BIGINT order key
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CCNet paragraph-level deduplication (Wenzek et al. 2020 §3.1 —
+    the hash-dedup pass CCNet runs on NORMALIZED paragraphs before LM
+    scoring; the step removes boilerplate like cookie banners that
+    repeats across pages): split each document on newlines, hash each
+    paragraph's normalized form (lowercase, digits folded to ``0``,
+    trimmed), keep only the corpus-wide FIRST occurrence of every
+    duplicated paragraph (first = smallest ``(doc, position)``), and
+    rebuild each document from its surviving paragraphs in original
+    order.  Empty-after-normalization paragraphs (blank lines) are
+    never deduplicated — collapsing them would mangle document
+    structure rather than remove boilerplate.
+
+    Determinism: ownership is the exact BIGINT min of
+    ``doc_id * 2^20 + position`` (docs are bounded to 2^20 paragraphs
+    — raises otherwise), so every engine picks the same survivor.
+
+    Scale shape: paragraph posexplode (corpus-linear), ONE hash-keyed
+    agg for the owner key, one hash-keyed join back, and a doc-keyed
+    rebuild whose ``collect_list`` is bounded by the document's own
+    paragraph count (the x93 chunking class).  Hot boilerplate
+    paragraphs skew the hash agg exactly like hot shingles (x139) —
+    bounded by agg combiners, not a pair join.
+
+    Output (one row per non-null-text doc): ``id_col, n_paragraphs,
+    n_kept, dedup_text``.
+    """
+    pars = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "par"
+            ),
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("par")), "[0-9]", "0"))
+    ord_key = F.when(
+        F.col("pos") >= _PAR_POS_LIMIT,
+        F.raise_error(
+            F.lit("paragraph_dedup: document exceeds 2^20 paragraphs")
+        ).cast("bigint"),
+    ).otherwise(F.col(id_col) * F.lit(_PAR_POS_LIMIT) + F.col("pos"))
+    keyed = pars.select(
+        id_col,
+        "pos",
+        "par",
+        F.when(F.length(norm) > 0, F.md5(norm)).alias("__h"),
+        ord_key.alias("__ord"),
+    )
+    owners = (
+        keyed.where(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.min("__ord").alias("__owner"))
+    )
+    kept = (
+        keyed.join(owners, "__h", "left")
+        .where(F.col("__h").isNull() | (F.col("__ord") == F.col("__owner")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("par")))
+                ),
+                lambda x: x["par"],
+            ),
+        ).alias("dedup_text"),
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias(
+            "n_paragraphs"
+        ),
+    )
+    # LEFT join: a doc whose every paragraph was owned elsewhere keeps
+    # its row (n_kept 0, empty text) — dropping it would silently
+    # shrink the corpus frame
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )

@@ -177,3 +177,107 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:] + [corpus]:
         acc = acc.unionByName(r)
     return acc.orderBy("key")
+
+# --------------------------------------------------------------------------
+# x288 — PII scan + redaction audit: the C4/FineWeb-style scrub as a
+# FULL corpus twin — the SAME RE2-safe regexes (shared literals from
+# operators.pii.PII_PATTERNS) run in Spark's Java engine and DuckDB's
+# RE2, certifying per-doc hit counts AND the exact redacted text (md5)
+# on every corpus row, plus four planted rows exercising each match
+# and the email-before-IP replacement order.
+from flashml_spark.operators.pii import PII_PATTERNS as _PII
+
+_PII_PLANTED = [
+    (-4, "contact a.b+c@ex-ample.co.uk or 10.0.0.1"),
+    (-3, "call 555-123-4567 and 10.0.0.1 twice 10.0.0.2"),
+    (-2, "x@y.io x@y.io plain 999.999.999.999"),
+    (-1, "no pii here at all"),
+]
+
+
+def _x288_sql() -> str:
+    planted = ", ".join(
+        f"({i}, '{t}')" for i, t in _PII_PLANTED
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _tok in _PII
+    )
+    red = "text"
+    for _name, pat, tok in _PII:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _n, pat, _t in _PII
+    )
+    return f"""
+WITH planted(doc_id, text) AS (VALUES {planted}),
+allrows AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL SELECT doc_id, text FROM planted)
+SELECT doc_id, {counts},
+       CAST(CASE WHEN {total} > 0 THEN 1 ELSE 0 END AS INT) AS has_pii,
+       md5({red}) AS red_md5
+FROM allrows ORDER BY doc_id"""
+
+
+@register("x288_pii_audit", _x288_sql())
+def x288(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import pii
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_PII_PLANTED, "doc_id long, text string")
+    allrows = docs.where(F.col("text").isNotNull()).unionByName(planted)
+    scanned = pii.pii_scan(allrows, "text", "doc_id")
+    red = pii.pii_redact(allrows, "text").select(
+        "doc_id", F.md5("redacted").alias("red_md5")
+    )
+    return scanned.join(red, "doc_id").orderBy("doc_id")
+
+# --------------------------------------------------------------------------
+# x289 — CCNet paragraph-level dedup (Wenzek et al. 2020 §3.1: hash
+# NORMALIZED paragraphs — lower, digits→0, trim — and keep only the
+# corpus-wide first occurrence).  FULL DuckDB twin: the identical
+# split/normalize/md5/min-owner/rebuild construction (string_split +
+# zipped unnest, BIGINT doc*2^20+pos owner key, ordered string_agg),
+# compared via md5 of every rebuilt document.
+_X289_SQL = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+pars AS (
+  SELECT doc_id, unnest(ps) AS par, unnest(range(0, len(ps))) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM base)),
+keyed AS (
+  SELECT doc_id, pos, par,
+         CASE WHEN len(trim(regexp_replace(lower(par), '[0-9]', '0', 'g')))
+                   > 0
+              THEN md5(trim(regexp_replace(lower(par), '[0-9]', '0', 'g')))
+         END AS h,
+         doc_id * 1048576 + pos AS ord
+  FROM pars),
+owners AS (SELECT h, MIN(ord) AS owner FROM keyed
+           WHERE h IS NOT NULL GROUP BY h),
+kept AS (
+  SELECT k.doc_id, k.pos, k.par FROM keyed k LEFT JOIN owners o USING (h)
+  WHERE k.h IS NULL OR k.ord = o.owner),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(par, chr(10) ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_paragraphs,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(r.dedup_text, '')) AS dedup_md5
+FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"""
+
+
+@register("x289_paragraph_dedup", _X289_SQL)
+def x289(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = textops.paragraph_dedup(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_paragraphs",
+        "n_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    ).orderBy("doc_id")
