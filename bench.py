@@ -299,6 +299,8 @@ HEADLINE = [
     "x287_tiff_roundtrip_audit",
     "x288_pii_audit",
     "x289_paragraph_dedup",
+    "x290_pareto_acceptance",
+    "x291_bigram_logprob",
 ]
 
 

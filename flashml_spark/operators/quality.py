@@ -158,3 +158,40 @@ def score_quality_model(
             .alias("is_kept"),
         ).fillna({"is_kept": 0})
     return out
+
+
+def pareto_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    alpha: float = 9.0,
+    out_col: str = "is_sampled",
+    salt: str = "pareto",
+    round_to: int = 6,
+) -> DataFrame:
+    """The GPT-3 acceptance step (Brown et al. 2020 Appendix A): keep a
+    document iff ``score > 1 - x`` with ``x ~ Pareto(alpha)`` — the
+    soft cut that keeps SOME low-scoring mass (diversity) while
+    heavily favoring high scores (GPT-3 used alpha=9 on its LR
+    quality score; compose with :func:`score_quality_model`).
+
+    Reproducible twin of ``numpy.random.pareto``: inverse-CDF
+    ``x = u^(-1/alpha) - 1`` with the engine's deterministic
+    ``u = md5_uniform(salt || id)`` — so the rule is one pure column
+    expression, ``score > 2 - u^(-1/alpha)``, identical in any SQL
+    engine (each engine computes the SAME u from the SAME md5).  The
+    threshold is rounded to ``round_to`` before comparing so the
+    float boundary is engine-exact.
+
+    Pure map — no shuffle; at 100 TB this rides the scoring scan.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    u = H.md5_uniform(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    threshold = F.round(
+        F.lit(2.0) - F.pow(u, F.lit(-1.0 / alpha)), round_to
+    )
+    return df.withColumn("accept_threshold", threshold).withColumn(
+        out_col,
+        (F.col(score_col) > F.col("accept_threshold")).cast("int"),
+    )

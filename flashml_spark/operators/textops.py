@@ -3702,3 +3702,82 @@ def paragraph_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED BIGRAM log-probability under the
+    corpus's own model — one LM order up from
+    :func:`unigram_logprob_score`, toward the KenLM score CCNet
+    actually ranks with (Wenzek et al. 2020 §4.2; Jelinek-Mercer
+    interpolation): ``p(w2|w1) = lam * c12/c1+ + (1-lam) * c2/T``
+    where ``c12`` is the corpus bigram count, ``c1+`` the count of
+    ``w1`` as a bigram PREFIX (so the conditional normalizes to 1
+    exactly), ``c2/T`` the unigram MLE.  Every bigram observed in the
+    corpus has ``c12 >= 1``, so the log is always finite — smoothing
+    beyond interpolation isn't needed for a self-scored corpus.
+
+    Scale shape: one bigram explode (corpus-linear), one bigram-vocab
+    agg + a prefix re-agg of that (vocab-sized), THREE keyed joins
+    back (gram, prefix, unigram — each against a vocab-sized frame),
+    one per-doc agg, one 1-row total broadcast.  No window.
+
+    Output (one row per non-null-text doc): ``id_col, n_bigrams``
+    (0 for docs under 2 tokens, whose score is NULL), ``avg_logp2``
+    (rounded 6).
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+    )
+    occ = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__ts") >= 2,
+                F.sequence(F.lit(1), F.size("__ts") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "__ts",
+    ).select(
+        id_col,
+        F.element_at("__ts", F.col("i")).alias("w1"),
+        F.element_at("__ts", F.col("i") + 1).alias("w2"),
+    )
+    c12 = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1p = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1p"))
+    uni = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(H.tokens(F.col(text_col))).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    total = uni.agg(F.sum("c2").cast("bigint").alias("total"))
+    term = F.log(
+        F.lit(lam) * (F.col("c12") / F.col("c1p"))
+        + F.lit(1.0 - lam) * (F.col("c2") / F.col("total"))
+    )
+    per_doc = (
+        occ.join(c12, ["w1", "w2"])
+        .join(c1p, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(term), 6).alias("avg_logp2"),
+        )
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_logp2",
+    )

@@ -281,3 +281,82 @@ def x289(spark: SparkSession, sf: str) -> DataFrame:
         "n_kept",
         F.md5("dedup_text").alias("dedup_md5"),
     ).orderBy("doc_id")
+
+# --------------------------------------------------------------------------
+# x290 — GPT-3 Pareto acceptance sampling (Brown et al. 2020 App. A):
+# the soft keep rule `score > 1 - pareto(alpha)` with the engine's
+# deterministic md5 uniform as the inverse-CDF draw, so the entire
+# rule is one portable column expression.  FULL DuckDB twin (same md5,
+# same u, same rounded threshold); the score itself is id arithmetic
+# so every row's decision is certified.
+_X290_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         ROUND((doc_id % 1000) / 999.0, 6) AS quality_score,
+         (CAST(('0x' || substr(md5('pareto:' || doc_id), 1, 8)) AS BIGINT)
+          + 1.0) / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, quality_score,
+       ROUND(2.0 - POWER(u, -1.0 / 9.0), 6) AS accept_threshold,
+       CAST(CASE WHEN quality_score > ROUND(2.0 - POWER(u, -1.0 / 9.0), 6)
+                 THEN 1 ELSE 0 END AS INT) AS is_sampled
+FROM scored ORDER BY doc_id"""
+
+
+@register("x290_pareto_acceptance", _X290_SQL)
+def x290(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import quality
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    scored = docs.withColumn(
+        "quality_score", F.round((F.col("doc_id") % 1000) / 999.0, 6)
+    )
+    return quality.pareto_quality_filter(
+        scored, "quality_score", "doc_id", alpha=9.0
+    ).orderBy("doc_id")
+
+# --------------------------------------------------------------------------
+# x291 — interpolated bigram LM score (one LM order up from x179's
+# unigram, toward CCNet's KenLM ranking; Jelinek-Mercer
+# p(w2|w1) = 0.7*c12/c1+ + 0.3*c2/T with the bigram-PREFIX
+# denominator so the conditional normalizes exactly).  FULL DuckDB
+# twin: identical tokenization, identical parenthesized arithmetic,
+# round-6 per-doc mean.
+_X291_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents WHERE text IS NOT NULL),
+occ AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok)),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM occ GROUP BY w1, w2),
+c1p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1p FROM c12 GROUP BY w1),
+uni AS (SELECT unnest(ts) AS w2, ts FROM tok),
+cu AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM uni GROUP BY w2),
+tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM cu),
+per AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(ln(0.7 * (c.c12 / p.c1p) + 0.3 * (u.c2 / t.total))), 6)
+             AS avg_logp2
+  FROM occ o
+  JOIN c12 c ON c.w1 = o.w1 AND c.w2 = o.w2
+  JOIN c1p p ON p.w1 = o.w1
+  JOIN cu u ON u.w2 = o.w2
+  CROSS JOIN tot t
+  GROUP BY o.doc_id)
+SELECT b.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       per.avg_logp2
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
+LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
+
+
+@register("x291_bigram_logprob", _X291_SQL)
+def x291(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.bigram_logprob_score(docs, "text", "doc_id").orderBy(
+        "doc_id"
+    )

@@ -111,6 +111,7 @@ ACCEPTED_CROSS = {
     "x179_unigram_logprob": "1-row ln(N) corpus-total scalar broadcast (post per-doc agg)",
     "x281_ccnet_buckets": "1-row ln(N) corpus-total scalar broadcast (x179's accepted cross, shared scorer)",
     "x284_curriculum_packing": "1-row ln(N) corpus-total scalar broadcast (x179's accepted cross, shared scorer)",
+    "x291_bigram_logprob": "1-row corpus-total scalar broadcast onto the per-occurrence bigram frame (x179's accepted cross, one LM order up)",
     "x182_rfm_segments": "1-row anchor-ts + |users| total scalar broadcast",
     "x183_tfidf_keywords": "1-row N_docs scalar broadcast onto the vocab frame",
     "x184_km_survival": "1-row (max-day, N) scalar broadcast",

@@ -89,3 +89,32 @@ def test_paragraph_dedup_digit_folding_and_self_dup(spark):
     assert out[7]["n_kept"] == 2
     assert out[7]["dedup_text"] == "page 1\nbody text"
     assert out[8]["n_kept"] == 0 and out[8]["dedup_text"] == ""
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from flashml_spark.operators import textops
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.bigram_logprob_score(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    # c12: (a,b)=3, (b,a)=1; prefix counts a=3, b=1; unigrams a=3,b=3,
+    # x=1, T=7 -> p(b|a) = .7*3/3 + .3*3/7 = p(a|b) = .7*1/1 + .3*3/7
+    expect = round(math.log(0.7 + 0.3 * 3 / 7), 6)
+    assert out[1]["n_bigrams"] == 3 and out[1]["avg_logp2"] == expect
+    assert out[2]["n_bigrams"] == 1 and out[2]["avg_logp2"] == expect
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logp2"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam"):
+        textops.bigram_logprob_score(df, "text", "doc_id", lam=0.0)
+    # fluency ordering: a doc of corpus-common bigrams outranks a doc
+    # of once-seen bigrams
+    rows2 = [(i, "the cat sat") for i in range(5)] + [(99, "zq vw kj")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    s = {r["doc_id"]: r["avg_logp2"] for r in
+         textops.bigram_logprob_score(df2, "text", "doc_id").collect()}
+    assert s[0] > s[99]

@@ -116,3 +116,29 @@ def test_quality_filter_flag_and_nulls(spark):
         quality.score_quality_model(
             df, "text", {"weights": [0.0], "intercept": 0.0,
                          "n_features": 64})
+
+
+def test_pareto_acceptance_exact_and_monotone(spark):
+    import hashlib
+
+    from flashml_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(i, 1.0, 0.0) for i in range(400)],
+        "doc_id long, hi double, lo double",
+    )
+    out_hi = quality.pareto_quality_filter(df, "hi", "doc_id").collect()
+    out_lo = quality.pareto_quality_filter(df, "lo", "doc_id").collect()
+    # score 1.0 always beats 1 - pareto (threshold = 2 - u^{-1/9} < 1);
+    # score 0.0 keeps only the P(x>1) = 2^-9 tail (~0.2%)
+    assert all(r["is_sampled"] == 1 for r in out_hi)
+    n_lo = sum(r["is_sampled"] for r in out_lo)
+    assert n_lo <= 5  # 400 * 1/512 ≈ 0.8 expected
+    # the threshold is the exact inverse-CDF of the documented md5 u
+    r0 = next(r for r in out_hi if r["doc_id"] == 7)
+    u = (int(hashlib.md5(b"pareto:7").hexdigest()[:8], 16) + 1.0) / 2**32
+    assert r0["accept_threshold"] == round(2.0 - u ** (-1.0 / 9.0), 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        quality.pareto_quality_filter(df, "hi", "doc_id", alpha=0.0)
