@@ -301,6 +301,8 @@ HEADLINE = [
     "x289_paragraph_dedup",
     "x290_pareto_acceptance",
     "x291_bigram_logprob",
+    "x292_packed_attention",
+    "x293_span_corruption_plan",
 ]
 
 

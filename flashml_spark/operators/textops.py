@@ -3781,3 +3781,98 @@ def bigram_logprob_score(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_logp2",
     )
+
+
+def packed_attention_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Attention-mask accounting for the packed token stream
+    (:func:`token_stream_spans`): when packed sequences train WITHOUT
+    block-diagonal attention, every cross-document token pair inside a
+    sequence leaks attention between unrelated documents — the
+    contamination-bleed number behind the "concat-and-chunk vs
+    attention-mask" decision (cf. the x275 boundary counts; this is
+    the quadratic readout).  Per sequence: total pairs ``T²``,
+    intra-document pairs ``Σ span²`` (exact — spans partition the
+    sequence), and the leaked cross-document fraction.
+
+    Scale shape: the packing pipeline's spans frame + ONE seq-keyed
+    agg — all-BIGINT until the final round-6 fraction.
+
+    Output: ``seq, n_docs, tokens_filled, total_pairs, intra_pairs,
+    cross_pairs, cross_frac``.
+    """
+    spans = token_stream_spans(df, text_col, id_col, seq_len)
+    agg = spans.groupBy("seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("span_tokens").cast("bigint").alias("tokens_filled"),
+        F.sum(F.col("span_tokens") * F.col("span_tokens"))
+        .cast("bigint")
+        .alias("intra_pairs"),
+    )
+    total = (F.col("tokens_filled") * F.col("tokens_filled")).cast("bigint")
+    return agg.select(
+        "seq",
+        "n_docs",
+        "tokens_filled",
+        total.alias("total_pairs"),
+        "intra_pairs",
+        (total - F.col("intra_pairs")).cast("bigint").alias("cross_pairs"),
+        F.round(
+            (total - F.col("intra_pairs")) / total.cast("double"), 6
+        ).alias("cross_frac"),
+    )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 3,
+    period: int = 20,
+    offset: int = 1,
+) -> DataFrame:
+    """Deterministic T5-style span-corruption schedule (Raffel et al.
+    2020 §3.1.4: mask ~15% of tokens in mean-length-3 spans, one
+    sentinel per span): mask a ``span_len``-token span starting at
+    every ``period``-th position (1-based, first at ``offset``),
+    clamped at the document end — the REPRODUCIBLE twin of the
+    paper's random schedule at rate ``span_len/period`` (defaults
+    3/20 = the paper's 15%), which is what a distributed preprocessing
+    pass wants anyway: the mask is a pure function of (doc, position),
+    so re-runs, shards and engines agree without coordination.
+
+    Spans never overlap (requires ``period >= span_len``), so the
+    masked count is closed-form — this is a PURE MAP over token
+    counts, no explode, no shuffle: at 100 TB it rides the scan.
+
+    Output (one row per non-null-text doc): ``id_col, n_tokens,
+    n_spans`` (= sentinel count), ``n_masked, mask_ratio`` (round 6).
+    """
+    if period < span_len:
+        raise ValueError(
+            f"period {period} < span_len {span_len}: spans would overlap"
+        )
+    if offset < 1:
+        raise ValueError(f"offset must be >= 1 (1-based), got {offset}")
+    n = F.size(H.tokens(F.col(text_col))).cast("bigint")
+    n_spans = F.when(
+        n >= offset,
+        (F.floor((n - F.lit(offset)) / F.lit(period)) + 1).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    last_start = F.lit(offset) + (n_spans - 1) * F.lit(period)
+    n_masked = F.when(
+        n_spans > 0,
+        (n_spans - 1) * F.lit(span_len)
+        + F.least(F.lit(span_len).cast("bigint"), n - last_start + 1),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.round(n_masked / n.cast("double"), 6).alias("mask_ratio"),
+    )

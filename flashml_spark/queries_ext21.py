@@ -360,3 +360,98 @@ def x291(spark: SparkSession, sf: str) -> DataFrame:
     return textops.bigram_logprob_score(docs, "text", "doc_id").orderBy(
         "doc_id"
     )
+
+# --------------------------------------------------------------------------
+# x292 — packed-attention accounting: the QUADRATIC readout of x275's
+# boundary counts — per packed sequence, how many token pairs are
+# intra-document (Σ span²; spans partition the sequence exactly) vs
+# leaked cross-document pairs when training without block-diagonal
+# attention.  All-BIGINT to the final round-6 fraction; FULL DuckDB
+# twin extending x275's stream-offset CTE.
+_PACK_L2 = 256
+
+_X292_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+             AS n
+  FROM documents WHERE text IS NOT NULL),
+o AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s,
+         CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+  FROM t),
+spans AS (
+  SELECT doc_id, s, e,
+         unnest(generate_series(s // {_PACK_L2}, (e - 1) // {_PACK_L2}))
+             AS seq
+  FROM o),
+sized AS (
+  SELECT seq,
+         LEAST(e, (seq + 1) * {_PACK_L2}) - GREATEST(s, seq * {_PACK_L2})
+             AS w
+  FROM spans),
+agg AS (
+  SELECT CAST(seq AS BIGINT) AS seq,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS tokens_filled,
+         CAST(SUM(w * w) AS BIGINT) AS intra_pairs
+  FROM sized GROUP BY seq)
+SELECT seq, n_docs, tokens_filled,
+       CAST(tokens_filled * tokens_filled AS BIGINT) AS total_pairs,
+       intra_pairs,
+       CAST(tokens_filled * tokens_filled - intra_pairs AS BIGINT)
+           AS cross_pairs,
+       ROUND((tokens_filled * tokens_filled - intra_pairs)
+             / CAST(tokens_filled * tokens_filled AS DOUBLE), 6)
+           AS cross_frac
+FROM agg ORDER BY seq"""
+
+
+@register("x292_packed_attention", _X292_SQL)
+def x292(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.packed_attention_audit(
+        docs, "text", "doc_id", seq_len=_PACK_L2
+    ).orderBy("seq")
+
+# --------------------------------------------------------------------------
+# x293 — T5 span-corruption schedule (Raffel et al. 2020 §3.1.4 at
+# the paper's 15% rate, 3-token spans every 20 positions): the mask is
+# a pure function of (doc, position), so the whole plan is closed-form
+# token-count arithmetic — FULL DuckDB twin with the identical
+# clamped-last-span formula.
+_X293_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+             AS n
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= 1 THEN (n - 1) // 20 + 1 ELSE 0 END AS n_spans
+  FROM t),
+m AS (
+  SELECT doc_id, n, n_spans,
+         CASE WHEN n_spans > 0
+              THEN (n_spans - 1) * 3
+                   + LEAST(3, n - (1 + (n_spans - 1) * 20) + 1)
+              ELSE 0 END AS n_masked
+  FROM s)
+SELECT doc_id, n AS n_tokens,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       ROUND(n_masked / CAST(n AS DOUBLE), 6) AS mask_ratio
+FROM m ORDER BY doc_id"""
+
+
+@register("x293_span_corruption_plan", _X293_SQL)
+def x293(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.operators import textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return textops.span_corruption_plan(
+        docs, "text", "doc_id", span_len=3, period=20, offset=1
+    ).orderBy("doc_id")

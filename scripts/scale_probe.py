@@ -205,6 +205,8 @@ PROBES = [
     "x289_paragraph_dedup",
     "x290_pareto_acceptance",
     "x291_bigram_logprob",
+    "x292_packed_attention",
+    "x293_span_corruption_plan",
 ]
 
 

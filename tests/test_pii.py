@@ -118,3 +118,48 @@ def test_bigram_logprob_hand_computed(spark):
     s = {r["doc_id"]: r["avg_logp2"] for r in
          textops.bigram_logprob_score(df2, "text", "doc_id").collect()}
     assert s[0] > s[99]
+
+
+def test_packed_attention_hand_layout(spark):
+    from flashml_spark.operators import textops
+
+    docs = [(1, "a b c d"), (2, "e f g h")]  # 8 tokens at L=6
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["seq"]: r for r in
+           textops.packed_attention_audit(df, "text", "doc_id", 6).collect()}
+    # seq 0: spans 4 + 2 -> T=6, intra 16+4, cross 16
+    assert out[0]["n_docs"] == 2 and out[0]["tokens_filled"] == 6
+    assert (out[0]["total_pairs"], out[0]["intra_pairs"],
+            out[0]["cross_pairs"]) == (36, 20, 16)
+    assert out[0]["cross_frac"] == round(16 / 36, 6)
+    # seq 1: doc 2's remaining 2 tokens alone -> zero leakage
+    assert out[1]["n_docs"] == 1 and out[1]["cross_frac"] == 0.0
+
+
+def test_span_corruption_closed_form(spark):
+    import pytest as _pytest
+
+    from flashml_spark.operators import textops
+
+    rows = [
+        (1, "w"),                      # n=1: one clamped 1-token span
+        (20, " ".join(["t"] * 20)),    # n=20: one full span
+        (21, " ".join(["t"] * 21)),    # n=21: second span clamps to 1
+        (25, " ".join(["t"] * 25)),    # n=25: two full spans
+        (99, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.span_corruption_plan(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 20, 21, 25}
+    assert (out[1]["n_spans"], out[1]["n_masked"], out[1]["mask_ratio"]) == \
+        (1, 1, 1.0)
+    assert (out[20]["n_spans"], out[20]["n_masked"]) == (1, 3)
+    assert (out[21]["n_spans"], out[21]["n_masked"]) == (2, 4)
+    assert (out[25]["n_spans"], out[25]["n_masked"]) == (2, 6)
+    assert out[25]["mask_ratio"] == round(6 / 25, 6)
+    with _pytest.raises(ValueError, match="overlap"):
+        textops.span_corruption_plan(df, "text", "doc_id",
+                                     span_len=5, period=3)
+    with _pytest.raises(ValueError, match="offset"):
+        textops.span_corruption_plan(df, "text", "doc_id", offset=0)
