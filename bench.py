@@ -303,6 +303,7 @@ HEADLINE = [
     "x291_bigram_logprob",
     "x292_packed_attention",
     "x293_span_corruption_plan",
+    "x294_curation_pipeline_v2",
 ]
 
 

@@ -455,3 +455,139 @@ def x293(spark: SparkSession, sf: str) -> DataFrame:
     return textops.span_corruption_plan(
         docs, "text", "doc_id", span_len=3, period=20, offset=1
     ).orderBy("doc_id")
+
+# --------------------------------------------------------------------------
+# x294 — curation pipeline v2: the round-11 operators composed in the
+# order a real pass runs them — CCNet paragraph dedup (x289) → PII
+# redaction (x288) → interpolated bigram LM scoring over the CLEANED
+# corpus (x291's model, fit on the post-clean text — scoring before
+# cleaning would let boilerplate and PII tokens shape the LM) →
+# GPT-3 Pareto acceptance on the score percentile (x290's rule needs
+# a (0,1] score; the LM logprob converts via its corpus-wide
+# percent_rank, round-6 + id tiebreak so the rank is engine-exact).
+# Every stage is individually FULL-twinned (x288-x291); this query
+# certifies the COMPOSITION end-to-end with one chained DuckDB CTE.
+_X294_SQL = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+pars AS (
+  SELECT doc_id, unnest(ps) AS par, unnest(range(0, len(ps))) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM base)),
+keyed AS (
+  SELECT doc_id, pos, par,
+         CASE WHEN len(trim(regexp_replace(lower(par), '[0-9]', '0', 'g')))
+                   > 0
+              THEN md5(trim(regexp_replace(lower(par), '[0-9]', '0', 'g')))
+         END AS h,
+         doc_id * 1048576 + pos AS ord
+  FROM pars),
+owners AS (SELECT h, MIN(ord) AS owner FROM keyed
+           WHERE h IS NOT NULL GROUP BY h),
+kept AS (
+  SELECT k.doc_id, k.pos, k.par FROM keyed k LEFT JOIN owners o USING (h)
+  WHERE k.h IS NULL OR k.ord = o.owner),
+reb AS (
+  SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS dedup_text
+  FROM kept GROUP BY doc_id),
+clean AS (
+  SELECT b.doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+             COALESCE(r.dedup_text, ''),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b', '<PHONE>', 'g')
+             AS ctext
+  FROM base b LEFT JOIN reb r USING (doc_id)),
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(ctext)), '\\s+') AS ts
+  FROM clean),
+occ AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok)),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM occ GROUP BY w1, w2),
+c1p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1p FROM c12 GROUP BY w1),
+cu AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2
+       FROM (SELECT unnest(ts) AS w2 FROM tok) GROUP BY w2),
+tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM cu),
+per AS (
+  SELECT o.doc_id,
+         ROUND(AVG(ln(0.7 * (c.c12 / p.c1p) + 0.3 * (u.c2 / t.total))), 6)
+             AS avg_logp2
+  FROM occ o
+  JOIN c12 c ON c.w1 = o.w1 AND c.w2 = o.w2
+  JOIN c1p p ON p.w1 = o.w1
+  JOIN cu u ON u.w2 = o.w2
+  CROSS JOIN tot t
+  GROUP BY o.doc_id),
+scored AS (
+  SELECT b.doc_id, per.avg_logp2,
+         CASE WHEN per.avg_logp2 IS NOT NULL THEN
+           ROUND((CAST(RANK() OVER (ORDER BY
+                      CASE WHEN per.avg_logp2 IS NULL THEN 1 ELSE 0 END,
+                      per.avg_logp2, b.doc_id) AS DOUBLE) - 1)
+                 / (COUNT(*) OVER () - 1), 6)
+         END AS q
+  FROM base b LEFT JOIN per USING (doc_id)),
+final AS (
+  SELECT doc_id, avg_logp2, q,
+         (CAST(('0x' || substr(md5('pareto:' || doc_id), 1, 8)) AS BIGINT)
+          + 1.0) / 4294967296.0 AS u
+  FROM scored)
+SELECT doc_id, avg_logp2, q,
+       CAST(CASE WHEN q IS NOT NULL
+                  AND q > ROUND(2.0 - POWER(u, -1.0 / 9.0), 6)
+                 THEN 1 ELSE 0 END AS INT) AS is_sampled
+FROM final ORDER BY doc_id"""
+
+
+@register("x294_curation_pipeline_v2", _X294_SQL)
+def x294(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions.windows import global_row_number
+    from flashml_spark.operators import pii, quality, textops
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    deduped = textops.paragraph_dedup(docs, "text", "doc_id").select(
+        "doc_id", "dedup_text"
+    )
+    cleaned = pii.pii_redact(deduped, "dedup_text", out_col="ctext").select(
+        "doc_id", "ctext"
+    )
+    scored = textops.bigram_logprob_score(cleaned, "ctext", "doc_id").select(
+        "doc_id", "avg_logp2"
+    )
+    # percentile rank WITHOUT a single-partition window: the order key
+    # (null-flag, round-6 score, id) is TOTAL, so rank == row_number
+    # and the range-partitioned global_row_number applies; the
+    # denominator is one driver COUNT scalar (the planner pattern)
+    keyed = scored.select(
+        "doc_id",
+        "avg_logp2",
+        F.col("avg_logp2").isNull().cast("int").alias("__nf"),
+        F.coalesce("avg_logp2", F.lit(0.0)).alias("__v"),
+    )
+    n_total = keyed.count()
+    ranked = global_row_number(
+        keyed, ["__nf", "__v", "doc_id"], out_col="__rn"
+    ).select(
+        "doc_id",
+        "avg_logp2",
+        F.when(
+            F.col("avg_logp2").isNotNull(),
+            F.round(
+                (F.col("__rn").cast("double") - 1) / F.lit(n_total - 1), 6
+            ),
+        ).alias("q"),
+    )
+    return (
+        quality.pareto_quality_filter(ranked, "q", "doc_id", alpha=9.0)
+        .select(
+            "doc_id",
+            "avg_logp2",
+            "q",
+            F.when(
+                F.col("q").isNotNull() & (F.col("is_sampled") == 1), 1
+            ).otherwise(0).cast("int").alias("is_sampled"),
+        )
+        .orderBy("doc_id")
+    )

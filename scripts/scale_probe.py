@@ -207,6 +207,7 @@ PROBES = [
     "x291_bigram_logprob",
     "x292_packed_attention",
     "x293_span_corruption_plan",
+    "x294_curation_pipeline_v2",
 ]
 
 
