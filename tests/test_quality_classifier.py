@@ -85,10 +85,16 @@ def test_quality_scorer_matches_ml_transform(spark):
             neg.select(H.tokens(F.col("text")).alias("__toks"),
                        F.lit(0.0).alias("__label")))
     )
+    from flashml_spark.training.estimators import strip_training_summary
+
     mlmodel = LogisticRegression(
         featuresCol="__features", labelCol="__label", maxIter=25,
         regParam=0.01,
     ).fit(tf.transform(train))
+    # the raw ml fit pins the session via trainingSummary; when an
+    # earlier test initialized the (non-serializable) ObservationManager
+    # the transform closure would break — the repo's fit-site remedy
+    strip_training_summary(mlmodel)
     theirs = {
         r["doc_id"]: round(float(r["p"][1]), 6)
         for r in mlmodel.transform(feats)
