@@ -278,10 +278,26 @@ def connected_components(
             if r is not None:
                 r.unpersist(False)
 
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym0 = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # Symmetrize with ONE explode pass, not union(edges, swapped): the
+    # union plan carries the (often expensive) upstream pair-join subtree
+    # TWICE — both branches re-execute it inside the same materializing
+    # job (guide §2.4: duplicated subtrees are hidden second passes).
+    sym0 = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .persist()
+    )
     # Size the per-round parallelism from the MEASURED edge count (AQE
     # posture, applied to the loop): dedup graphs are a tiny fraction of
     # the corpus, and iterating a 4-way shuffle at cluster-default
@@ -289,6 +305,14 @@ def connected_components(
     # empty tasks.  ~500k edges per partition; grows unbounded with the
     # graph, so a 10B-edge graph still gets ~20k-way shuffles.
     n_edges = sym0.count()
+    if n_edges == 0:
+        # Empty graph: the loop below would still pay two localCheckpoint
+        # rounds plus their repartition/convergence jobs to discover that
+        # nothing propagates.  The result is definitionally empty.
+        sym0.unpersist()
+        return pairs.select(
+            F.col(id_a).alias("id"), F.col(id_a).alias("component")
+        ).limit(0)
     n_parts = max(1, int(n_edges / 500_000) + 1)
     ids0 = _persistent_ids()
     sym = sym0.repartition(n_parts, "dst").localCheckpoint()

@@ -150,6 +150,13 @@ def knn_lsh(
     return knn_brute_force(bucketed, vec_col, id_col, query_vec, k)
 
 
+# Element budget (rows x dim) for solving the bounded k-means on the
+# DRIVER: 16M float64 elements = 128 MB of sample — well inside the 8g
+# driver, and 100x the default 100k-row/dim-64 fit sample.  Past it the
+# fit falls back to distributed Lloyd (pyspark.ml).
+_DRIVER_FIT_MAX_ELEMS = 16_000_000
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     vec_col: str,
@@ -164,29 +171,120 @@ def fit_ivf_centroids(
     vector column.  The centroid table is tiny (n_lists × dim) — it ships
     to executors as literals/broadcast, never as a shuffle side.
 
-    Defaults are Spark's own KMeans defaults (``k-means||`` init, 20
-    iterations) so refits reproduce previously-written index assignments
-    — an at-rest IVF table (:func:`write_ivf_index`) probed under re-fit
-    centroids must see the SAME quantizer.  Callers that only need a
-    rough coarse partition (diversity sampling) opt into the fast profile
-    explicitly (``init_mode="random"``, small ``max_iter``).
+    Solver (r11 optimization): the fit input is BOUNDED by design
+    (``sample_rows`` hard cap — at 100 TB the iterative fit must never
+    run full passes over the corpus; assignment via
+    :func:`with_ivf_list` stays full-corpus either way), and a bounded
+    problem does not deserve a distributed solver: pyspark.ml's KMeans
+    costs ~(init_steps + iterations) driver jobs of pure scheduling
+    overhead for a sample that fits in one numpy array.  So when the
+    sample is inside ``_DRIVER_FIT_MAX_ELEMS`` the solve happens on the
+    driver (vectorized Lloyd, greedy-k-means++ or seeded-random init,
+    same 1e-4 movement tolerance as pyspark.ml) — ONE bounded collect
+    instead of ~30 jobs; larger samples fall back to pyspark.ml KMeans
+    unchanged.  Both solvers are deterministic under (seed, sample), so
+    refits reproduce previously-written index assignments
+    (:func:`write_ivf_index`) — the contract is within-engine refit
+    stability, and planted-structure recovery is pinned by the fixture
+    oracles (x27/x72/x278/x282/x283) and unit tests.  Callers that only
+    need a rough coarse partition opt into the fast profile
+    (``init_mode="random"``, small ``max_iter``).
 
     Bounding the fit input: ``sample_fraction`` takes a Bernoulli sample;
     ``sample_rows`` is a hard row cap (fraction derived from a count, then
-    ``limit``) — at 100 TB the iterative fit must never run full passes
-    over the corpus; assignment (:func:`with_ivf_list`) stays full-corpus
-    either way.
+    ``limit``).
     """
+    train = _bounded_fit_sample(df, sample_fraction, sample_rows, seed)
+    sized = train.select(
+        _as_double(F.col(vec_col)).alias("__x"), F.size(vec_col).alias("__d")
+    )
+    head = sized.select("__d").first()
+    if head is None:
+        raise ValueError("fit_ivf_centroids: empty fit input")
+    dim = int(head["__d"])
+    cap_rows = max(1, _DRIVER_FIT_MAX_ELEMS // max(1, dim))
+    bound = sample_rows if sample_rows is not None else train.count()
+    if bound <= cap_rows:
+        import numpy as np
+
+        X = np.asarray(
+            [r["__x"] for r in sized.select("__x").collect()], dtype=np.float64
+        )
+        return _lloyd_driver(X, n_lists, seed, max_iter, init_mode)
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = _bounded_fit_sample(df, sample_fraction, sample_rows, seed)
     vecs = train.select(array_to_vector(_as_double(F.col(vec_col))).alias("__v"))
     km = KMeans(
         k=n_lists, seed=seed, featuresCol="__v", maxIter=max_iter, initMode=init_mode
     )
     model = km.fit(vecs)
     return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _lloyd_driver(
+    X,
+    n_lists: int,
+    seed: int,
+    max_iter: int,
+    init_mode: str,
+    tol: float = 1e-4,
+) -> list[list[float]]:
+    """Deterministic vectorized Lloyd on the driver for the BOUNDED fit
+    sample.  ``init_mode="random"`` seeds from k distinct sample rows
+    (the fast-profile semantics); any other mode (``"k-means||"``, the
+    recall-robust profile) uses greedy k-means++ (the scikit-learn
+    default: per step, 2+log2(k) D²-weighted candidates, keep the one
+    with lowest resulting inertia) — on separable planted data this
+    recovers one seed per true cluster, which is the property the
+    fixture oracles pin.  Stops when every center moves < ``tol``
+    (pyspark.ml's movement tolerance) or after ``max_iter`` rounds;
+    empty clusters keep their previous center (pyspark.ml behavior)."""
+    import numpy as np
+
+    n = X.shape[0]
+    k = max(1, min(int(n_lists), n))
+    rng = np.random.RandomState(seed)
+    if init_mode == "random":
+        idx = rng.choice(n, size=k, replace=False)
+        C = X[idx].copy()
+    else:
+        C = np.empty((k, X.shape[1]), dtype=np.float64)
+        C[0] = X[rng.randint(n)]
+        d2 = ((X - C[0]) ** 2).sum(axis=1)
+        n_cand = 2 + int(np.log2(max(2, k)))
+        for j in range(1, k):
+            tot = d2.sum()
+            if tot <= 0.0:  # all points coincide with chosen seeds
+                C[j:] = C[0]
+                break
+            probs = d2 / tot
+            cand = rng.choice(n, size=n_cand, p=probs)
+            best_pot, best_i = None, cand[0]
+            for i in cand:
+                pot = np.minimum(d2, ((X - X[i]) ** 2).sum(axis=1)).sum()
+                if best_pot is None or pot < best_pot:
+                    best_pot, best_i = pot, i
+            C[j] = X[best_i]
+            d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        # argmin with first-min tie-break (matches _assign_ivf)
+        d2all = (
+            (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)
+        )
+        asg = d2all.argmin(axis=1)
+        moved = 0.0
+        newC = C.copy()
+        for j in range(k):
+            members = X[asg == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+                moved = max(moved, float(((newC[j] - C[j]) ** 2).sum()))
+        C = newC
+        if moved < tol * tol:
+            break
+    return [list(map(float, c)) for c in C]
 
 
 def _bounded_fit_sample(
@@ -1501,11 +1599,27 @@ def semdedup(
             max_iter=max_iter,
             init_mode=init_mode,
         )
-    assigned = with_ivf_list(df, vec_col, centroids).select(
-        F.col(id_col), F.col("ivf_list"), _as_double(F.col(vec_col)).alias("__v")
+    # Materialize the assignment ONCE (the paper's own layout — SemDeDup
+    # stores the cluster-sorted embeddings before the pair stage).  The
+    # frame is read three times (both pair-join sides + the final
+    # join-back); without the checkpoint each read re-executes the
+    # k-centroid argmin map — at n_lists="auto" scale (up to ~131k
+    # lists) that is the single most expensive map in the pipeline,
+    # evaluated 3x for no reason (guide §2.4/§5: duplicated subtrees;
+    # localCheckpoint spills to disk past storage memory).  Per-row
+    # norms ride along so the pair cosine is ONE dot per pair instead
+    # of three aggregates — same arithmetic, same multiply order
+    # (dot/(norm_a*norm_b)), bit-identical result.
+    assigned = (
+        with_ivf_list(df, vec_col, centroids)
+        .select(
+            F.col(id_col), F.col("ivf_list"), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", V.norm(F.col("__v")))
+        .localCheckpoint()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    sim = V.cosine(F.col("a.__v"), F.col("b.__v"))
+    sim = V.dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
     pairs = (
         a.join(b, "ivf_list")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

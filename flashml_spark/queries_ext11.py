@@ -565,7 +565,7 @@ def x151(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = spark.createDataFrame([(2,)], "node long")
+    seeds = spark.createDataFrame([(2,)], "node long").repartition(1)
     return graph.bfs_hops(edges, seeds, max_hops=3)
 
 

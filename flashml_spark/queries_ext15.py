@@ -305,7 +305,7 @@ def x192(spark: SparkSession, sf: str) -> DataFrame:
     fix = spark.createDataFrame(
         _X192_FIX_EVENTS,
         "user_id bigint, ts bigint, event_id bigint, event_type string",
-    )
+    ).repartition(1)
     att_fix = events.markov_removal_attribution(
         fix, "user_id", "ts", "event_id", "event_type", "purchase"
     )
@@ -646,7 +646,7 @@ def x200(spark: SparkSession, sf: str) -> DataFrame:
     )
     fixtures = docs.sparkSession.createDataFrame(
         [(f"fx:{n}", t) for n, t in _ZLIB_FIXTURES], "key string, text string"
-    )
+    ).repartition(1)
     # single-pass audit (r9 verdict item 6): fixture pins AND the
     # execution-forcing corpus accounting come out of ONE zlib
     # mapInPandas pass — the previous two-branch shape ran it twice

@@ -338,7 +338,7 @@ def x25(spark: SparkSession, sf: str) -> DataFrame:
     )
     fixtures = spark.createDataFrame(
         [(w, w) for w, _ in _PORTER_FIXTURES], "lt string, word string"
-    )
+    ).repartition(1)
     stemmed = PorterStemmer(
         inputCol="lt", outputCol="stemmed", delimiter=" "
     ).transform(docs.unionByName(fixtures))

@@ -125,12 +125,12 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
         [(i, " ".join(posv[(i + j) % 4] for j in range(3 + i % 5)))
          for i in range(12)],
         "doc_id long, text string",
-    )
+    ).repartition(1)
     neg = spark.createDataFrame(
         [(i, " ".join(negv[(i + j) % 4] for j in range(3 + i % 5)))
          for i in range(12)],
         "doc_id long, text string",
-    )
+    ).repartition(1)
     model = quality.fit_quality_classifier(
         pos, neg, "text", n_features=256, max_iter=30, reg_param=0.01,
         fit_sample_rows=None,
@@ -145,7 +145,7 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
             (13, "snarf"),
         ],
         "doc_id long, text string",
-    )
+    ).repartition(1)
     fx = quality.score_quality_model(evald, "text", model)
     kept = fx.where(F.col("is_kept") == 1).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -225,7 +225,9 @@ def x288(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import pii
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    planted = spark.createDataFrame(_PII_PLANTED, "doc_id long, text string")
+    planted = spark.createDataFrame(
+        _PII_PLANTED, "doc_id long, text string"
+    ).repartition(1)
     allrows = docs.where(F.col("text").isNotNull()).unionByName(planted)
     scanned = pii.pii_scan(allrows, "text", "doc_id")
     red = pii.pii_redact(allrows, "text").select(
