@@ -139,16 +139,31 @@ def hashing_tf_index(term: str, n_features: int) -> int:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-gram shingles, space-joined, 1-based element_at so the same
-    expression ports to 1-indexed SQL list engines."""
+    expression ports to 1-indexed SQL list engines.
+
+    The input expression is bound ONCE per row (single-element
+    ``transform`` wrapper) before the per-gram lambda touches it.
+    Without the binding, each ``element_at(toks, ...)`` inside the HOF
+    lambda RE-EVALUATES the whole ``toks`` expression tree — for the
+    idiomatic inline call ``word_ngrams(tokens(text), 2)`` that is ~2
+    regex splits of the full document per output gram (measured 13x
+    slower at sf0.1: 5.8 s vs 0.5 s for the corpus bigram explode).
+    """
     if n == 1:
         return toks
-    count = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    # guard: F.sequence(1, k<1) would generate a DESCENDING sequence
-    return F.when(count >= 1, grams).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    def _grams(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        built = F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        )
+        # guard: F.sequence(1, k<1) would generate a DESCENDING sequence
+        return F.when(count >= 1, built).otherwise(
+            F.expr("CAST(array() AS array<string>)")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
 def minhash_digests(shingles: Column, num_hashes: int) -> list[Column]:

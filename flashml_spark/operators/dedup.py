@@ -684,7 +684,6 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(units)).alias("s"),
     )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
     # Dense integer unit ids (1..|vocab|, scale-safe global rank over the
     # |vocab|-sized frame): every downstream join/array op works on
@@ -696,6 +695,15 @@ def prefix_filter_jaccard_pairs(
         global_cumsum(dfreq.withColumn("__one", F.lit(1)), "s", ["__one"], prefix="__id")
         .select("s", F.col("__id__one").cast("long").alias("sid"), "df_s")
     )
+    # n_tok rides the SAME doc-partitioned window pass as the rank (a
+    # whole-partition count needs no ordering, so no extra exchange or
+    # sort) instead of a separate toks->agg branch + join.  The finished
+    # frame is materialized ONCE (localCheckpoint): the prefix self-join
+    # (both sides), the verification arrays and the size columns all
+    # read these blocks — without the pin the scan->tokenize->df-agg->
+    # rank subtree re-executes for EVERY downstream branch (16 parquet
+    # scans, zero ReusedExchange in the r11 before-plan).  At 100 TB the
+    # trade is one |toks| materialization vs ~16 corpus re-reads.
     ranked = (
         toks.join(vids, "s")
         .select("doc", "sid", "df_s")
@@ -707,7 +715,10 @@ def prefix_filter_jaccard_pairs(
                 )
             ),
         )
-        .join(sizes, "doc")
+        .withColumn(
+            "n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
+        .localCheckpoint()
     )
     prefix_len = F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
     # The rank window leaves the frame hash-partitioned on doc, and AQE
@@ -1043,11 +1054,18 @@ def minhash_accuracy_audit(
         pairs = prefix_filter_jaccard_pairs(
             df, text_col, id_col, threshold, shingle_n
         )
-    sigged = with_minhash_signature(
-        df.select(id_col, text_col), text_col, num_hashes=num_hashes,
-        shingle_n=shingle_n,
-    )
     sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    # signatures are consumed by BOTH sides of the pair join: project to
+    # id + sigs and materialize once instead of re-running the scan +
+    # digest map per side (two corpus scans at 100 TB otherwise)
+    sigged = (
+        with_minhash_signature(
+            df.select(id_col, text_col), text_col, num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        )
+        .select(id_col, *sig_cols)
+        .localCheckpoint()
+    )
     a = sigged.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"a_{c}") for c in sig_cols],
@@ -1118,6 +1136,11 @@ def weighted_jaccard_pairs(
     )
     n_docs = df.select(id_col).count()  # one scalar to the driver
     dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # vids is read by the ranked build AND the final shared-token weight
+    # join; ranked feeds the prefix self-join (both sides) and the
+    # verification arrays.  Materialize each ONCE (localCheckpoint) —
+    # the r11 before-plan re-executed the scan->tokenize->df-agg->cumsum
+    # subtree for every branch (8 parquet scans, 18 window passes).
     vids = (
         global_cumsum(dfreq.withColumn("__one", F.lit(1)), "s", ["__one"], prefix="__id")
         .select(
@@ -1125,6 +1148,7 @@ def weighted_jaccard_pairs(
             F.col("__id__one").cast("long").alias("sid"),
             F.log(1.0 + F.lit(float(n_docs)) / F.col("df_s")).alias("w"),
         )
+        .localCheckpoint()
     )
     ranked = (
         toks.join(vids, "s")
@@ -1139,6 +1163,7 @@ def weighted_jaccard_pairs(
             - F.col("w"),
         )
         .withColumn("__wtot", F.sum("w").over(Window.partitionBy("doc")))
+        .localCheckpoint()
     )
     eps = 1e-9
     spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
