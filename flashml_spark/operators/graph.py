@@ -234,7 +234,20 @@ def triangle_stats(
     closing = oriented.select(
         F.col("lo").alias("v"), F.col("hi").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+    # The closing probe is |E| rows of two ids against the Σ outdeg²
+    # wedge frame — the LARGEST frame this operator builds.  Broadcasting
+    # the edge set keeps the wedges from ever crossing an exchange
+    # (measured: the (v,w)-keyed semi join shuffled 41M wedge rows at
+    # sf0.1, ~4 s of the operator's cost).  Bounded: past the budget the
+    # keyed semi join below is what runs (a 100 TB edge set cannot be
+    # broadcast; its wedge shuffle is the documented intrinsic cost).
+    BROADCAST_E = 10_000_000
+    if oriented.count() <= BROADCAST_E:
+        closing = F.broadcast(closing)
+    tri = (
+        wedges.select("u", "v", "w")
+        .join(closing, ["v", "w"], "left_semi")
+    )
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
@@ -305,12 +318,81 @@ def degree_assortativity(
     )
 
 
+def _kcore_driver(
+    e0c: DataFrame, k: int, max_iterations: int | None
+) -> DataFrame:
+    """Bounded DRIVER-side peel for edge sets under the caller's budget
+    (same pattern as ``similarity.fit_ivf_centroids``: a vectorized
+    exact solve on the driver when the problem provably fits a fixed
+    memory budget, with the distributed loop as the fallback past it).
+    Semantics mirror the distributed delta peel round for round —
+    synchronous removal of every sub-``k`` vertex per round, the same
+    ``max_iterations`` raise and the same doubling progress warning —
+    so the budget only changes WHERE the peel runs, never its result
+    or its convergence contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e0c.sparkSession
+    pdf = e0c.toPandas()
+    au, av = pdf["a"].to_numpy(), pdf["b"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([au, av]), return_inverse=True)
+    ui, vi = inv[: len(au)], inv[len(au):]
+    alive_node = np.ones(len(nodes), dtype=bool)
+    alive_edge = np.ones(len(ui), dtype=bool)
+    n_v = len(nodes)
+    deg = np.zeros(n_v, dtype=np.int64)
+    rounds, warn_at, converged = 0, 40, False
+    while max_iterations is None or rounds < max_iterations:
+        rounds += 1
+        if max_iterations is None and rounds > warn_at:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kcore(k=%d, max_iterations=None) past %d peeling "
+                "rounds — deep peel chain (a path-like graph?); still "
+                "converging", k, warn_at,
+            )
+            warn_at *= 2
+        deg = np.bincount(
+            ui[alive_edge], minlength=n_v
+        ) + np.bincount(vi[alive_edge], minlength=n_v)
+        newly = alive_node & (deg < k)
+        if not newly.any():
+            converged = True
+            break
+        alive_node &= ~newly
+        alive_edge &= alive_node[ui] & alive_node[vi]
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within {max_iterations} "
+            "peeling rounds; raise max_iterations (or pass "
+            "max_iterations=None to peel to fixpoint with logged "
+            "progress)"
+        )
+    out_pdf = pd.DataFrame(
+        {
+            "node": pd.Series(nodes[alive_node]),
+            "core_degree": deg[alive_node].astype("int64"),
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("node", e0c.schema["a"].dataType),
+            T.StructField("core_degree", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_pdf, schema=schema)
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int | None = 40,
+    driver_edge_budget: int = 5_000_000,
 ) -> DataFrame:
     """k-core of an undirected graph: the maximal subgraph in which
     every vertex keeps degree >= ``k`` — the graph-density screen a
@@ -334,12 +416,28 @@ def kcore(
     each time the round count doubles past 40 so a pathological run is
     visible rather than silent — the default stays the loud raise.
 
-    Scale shape per round: one degree agg + one two-sided semi-join,
-    both keyed on vertex ids; edges shrink monotonically.  Self-loops
-    are dropped up front (a self-loop would count 2 toward its own
-    degree and never peel).  The input is taken as a SIMPLE graph:
-    parallel edge rows each count toward degree, so callers wanting
-    multiplicity-free semantics pass a distinct edge list (x276 does).
+    Bounded driver solve (r11): when the (self-loop-free) edge list
+    holds at most ``driver_edge_budget`` rows (default 5M ≈ 80 MB of
+    bigint pairs), the peel runs as a vectorized exact solve on the
+    driver — the ``fit_ivf_centroids`` bounded-budget pattern — because
+    ~10 synchronous barrier rounds of per-job scheduler overhead
+    dominate the distributed loop at that size.  Identical rounds,
+    raise and warning semantics; past the budget the distributed delta
+    peel below runs unchanged.
+
+    DELTA peeling (r11): degrees are aggregated from the edge set ONCE;
+    each round then only SUBTRACTS the decrements caused by that round's
+    newly-removed vertices — one filter scan of the static symmetrized
+    edge frame (no shuffle of it) plus a small keyed join against the
+    |V|-row degree frame, instead of re-aggregating and rewriting the
+    full edge set every round.  Work per round is O(E) scan +
+    O(Σ deg(removed)) shuffle; the edge frame is compacted to the
+    surviving vertices every 8 rounds so a deep peel (path-like graph)
+    does not scan dead edges forever.  Self-loops are dropped up front
+    (a self-loop would count 2 toward its own degree and never peel).
+    The input is taken as a SIMPLE graph: parallel edge rows each count
+    toward degree, so callers wanting multiplicity-free semantics pass
+    a distinct edge list (x276 does).
 
     Output: ``node, core_degree`` — the surviving vertices with their
     degree INSIDE the core (>= k by construction; empty when the core
@@ -364,23 +462,56 @@ def kcore(
         F.col(src) != F.col(dst)
     )
     ids0 = _persistent_ids()
-    cur = e0.localCheckpoint()
-    prev_ids = _persistent_ids() - ids0
-
-    def degrees(ed: DataFrame) -> DataFrame:
-        return (
-            ed.select(F.col("a").alias("node"))
-            .unionAll(ed.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
+    e0c = e0.localCheckpoint()
+    e0_ids = _persistent_ids() - ids0
+    n_edges = e0c.count()
+    if n_edges <= driver_edge_budget:
+        # ≤ budget rows of two bigints ≈ 80 MB at the 5M default — a
+        # driver-affordable exact solve; ~10 synchronous barrier rounds
+        # of tiny per-job scheduler cost dominate the distributed loop
+        # at this size.  Past the budget the delta peel below runs.
+        try:
+            return _kcore_driver(e0c, k, max_iterations)
+        finally:
+            _free(e0_ids)
+    # Symmetrize ONCE (one row per direction) and keep the frame STATIC:
+    # delta peeling reads it with a semi-join filter each round but only
+    # rewrites it at the periodic compaction points below.
+    ids0 = _persistent_ids()
+    sym = (
+        e0c.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("__e")
         )
+        .select("__e.u", "__e.v")
+        .localCheckpoint()
+    )
+    sym_ids = _persistent_ids() - ids0
+    # ONE full degree aggregation, ever; every later round only applies
+    # decrements.  |V|-row frame, checkpointed so the convergence check,
+    # the removal filter and the join-update reuse the same blocks.
+    ids0 = _persistent_ids()
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    deg_ids = _persistent_ids() - ids0
+    _free(e0_ids)
 
     # |V| longs broadcast comfortably far beyond this; above it the
-    # survivor semi-joins fall back to shuffles (still correct)
+    # removed-set semi-join falls back to a shuffle (still correct).
+    # |V| only shrinks during the peel, so ONE count up front decides
+    # the broadcast strategy for every round (no per-round count job).
     BROADCAST_V = 5_000_000
+    COMPACT_EVERY = 8
+    v_small = deg.count() <= BROADCAST_V
 
     converged = False
-    final_deg: DataFrame | None = None
     rounds = 0
     warn_at = 40
     while max_iterations is None or rounds < max_iterations:
@@ -394,33 +525,51 @@ def kcore(
                 "converging", k, warn_at,
             )
             warn_at *= 2
-        # ONE degree pass per round: the |V|-row frame is checkpointed
-        # eagerly, so the convergence check, the survivor filter and
-        # the final readout all reuse the same materialized blocks
-        # instead of re-aggregating the edge set
-        ids0 = _persistent_ids()
-        deg = degrees(cur).localCheckpoint()
-        deg_ids = _persistent_ids() - ids0
         if deg.filter(F.col("d") < k).limit(1).count() == 0:
             converged = True
-            final_deg = deg
-            prev_ids |= deg_ids
             break
-        good = deg.filter(F.col("d") >= k).select("node")
-        if deg.count() <= BROADCAST_V:
-            good = F.broadcast(good)
+        newly = deg.filter(F.col("d") < k).select("node")
+        alive = deg.filter(F.col("d") >= k)
+        if v_small:
+            newly = F.broadcast(newly)
+        # decrements: one edge row per (removed u -> neighbor v); a v
+        # already dead (or removed this same round) simply finds no row
+        # to update in the alive join below.  Synchronous-peel parity
+        # with the old full-reaggregation loop: the removal set of each
+        # round is decided from the PREVIOUS round's degrees only.
+        decs = (
+            sym.join(newly.withColumnRenamed("node", "u"), "u", "left_semi")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.count(F.lit(1)).alias("__dec"))
+        )
         ids0 = _persistent_ids()
-        nxt = (
-            cur.join(good.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(good.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b")
+        new_deg = (
+            alive.join(decs, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("__dec"), F.lit(0))).alias("d"),
+            )
             .localCheckpoint()
         )
         new_ids = _persistent_ids() - ids0
-        _free(prev_ids)
         _free(deg_ids)
-        prev_ids = new_ids
-        cur = nxt
+        deg_ids = new_ids
+        deg = new_deg
+        if rounds % COMPACT_EVERY == 0:
+            # deep peel: drop edges of long-dead vertices so the
+            # per-round scan tracks the surviving graph, not |E0|
+            alive_nodes = deg.select("node")
+            if v_small:
+                alive_nodes = F.broadcast(alive_nodes)
+            ids0 = _persistent_ids()
+            sym = (
+                sym.join(alive_nodes.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(alive_nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+                .localCheckpoint()
+            )
+            new_sym_ids = _persistent_ids() - ids0
+            _free(sym_ids)
+            sym_ids = new_sym_ids
     if not converged:
         raise RuntimeError(
             f"kcore(k={k}) did not converge within {max_iterations} "
@@ -428,10 +577,9 @@ def kcore(
             "max_iterations=None to peel to fixpoint with logged "
             "progress)"
         )
-    out = final_deg.select(
-        "node", F.col("d").cast("bigint").alias("core_degree")
-    )
+    out = deg.select("node", F.col("d").cast("bigint").alias("core_degree"))
     # materialize BEFORE freeing the final round's blocks
     result = out.localCheckpoint()
-    _free(prev_ids)
+    _free(deg_ids)
+    _free(sym_ids)
     return result

@@ -291,6 +291,36 @@ def test_kcore_planted_graphs(spark):
     assert {r["node"] for r in graph.kcore(loops, 1).collect()} == {1, 2}
 
 
+def test_kcore_driver_and_distributed_paths_agree(spark):
+    # r11: the bounded driver-side peel (default budget) must return
+    # exactly what the distributed delta peel (budget 0 forces it)
+    # returns — same rounds semantics, same core, same degrees.
+    from flashml_spark.operators import graph
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    g = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6), (6, 4), (6, 7)], "src long, dst long"
+    )
+    for k in (2, 3):
+        drv = {
+            (r["node"], r["core_degree"])
+            for r in graph.kcore(g, k).collect()
+        }
+        dist = {
+            (r["node"], r["core_degree"])
+            for r in graph.kcore(g, k, driver_edge_budget=0).collect()
+        }
+        assert drv == dist
+    # non-convergence raises identically on both paths
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    for budget in (5_000_000, 0):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            graph.kcore(path, 2, max_iterations=2,
+                        driver_edge_budget=budget)
+
+
 def test_kcore_nonconvergence_raises(spark):
     from flashml_spark.operators import graph
 
