@@ -1136,11 +1136,11 @@ def weighted_jaccard_pairs(
     )
     n_docs = df.select(id_col).count()  # one scalar to the driver
     dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    # vids is read by the ranked build AND the final shared-token weight
-    # join; ranked feeds the prefix self-join (both sides) and the
-    # verification arrays.  Materialize each ONCE (localCheckpoint) —
-    # the r11 before-plan re-executed the scan->tokenize->df-agg->cumsum
-    # subtree for every branch (8 parquet scans, 18 window passes).
+    # NOTE (r11): pinning vids+ranked with eager localCheckpoints was
+    # tried and MEASURED SLOWER at sf0.1 (7.6 -> 9.9 s): the two
+    # blocking materializations serialize the pipeline and defeat
+    # column pruning through the checkpoint, costing more than the
+    # optimizer's branch re-execution here.  Left as recomputed trees.
     vids = (
         global_cumsum(dfreq.withColumn("__one", F.lit(1)), "s", ["__one"], prefix="__id")
         .select(
@@ -1148,7 +1148,6 @@ def weighted_jaccard_pairs(
             F.col("__id__one").cast("long").alias("sid"),
             F.log(1.0 + F.lit(float(n_docs)) / F.col("df_s")).alias("w"),
         )
-        .localCheckpoint()
     )
     ranked = (
         toks.join(vids, "s")
@@ -1163,7 +1162,6 @@ def weighted_jaccard_pairs(
             - F.col("w"),
         )
         .withColumn("__wtot", F.sum("w").over(Window.partitionBy("doc")))
-        .localCheckpoint()
     )
     eps = 1e-9
     spread = max(df.sparkSession.sparkContext.defaultParallelism, 16)
