@@ -61,11 +61,27 @@ def fit_quality_classifier(
     size.  ``seed`` follows the reference's trainer convention
     (seed 999 across estimators) — it seeds the per-side samples; the
     LR solve itself is deterministic.
-    """
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF
 
-    from flashml_spark.operators.similarity import _bounded_fit_sample
+    Bounded driver solve (r11, the ``fit_ivf_centroids`` /
+    ``kcore`` pattern): when the sampled problem fits the element
+    budget AND the Hessian is small (``n_features`` ≤ 1024), the L2
+    logistic fit is solved EXACTLY on the driver with a deterministic
+    damped-Newton on spark.ml's own objective (mean log-loss over the
+    instances + ``regParam/2·‖w‖²`` on the STANDARDIZED-space
+    coefficients, features scaled by the unbiased std without
+    centering, intercept unregularized, zero-variance features pinned
+    to coefficient 0).  The objective is strictly convex, so both
+    solvers share ONE optimum — parity with ``model.transform`` is
+    pinned to 2e-6 in probability by
+    ``test_quality_scorer_matches_ml_transform``.  This removes ~35
+    scheduler-bound one-task jobs (~5 s warm at any scale, since the
+    fit input is bounded).  Past either budget the distributed
+    ``LogisticRegression`` path below runs unchanged.
+    """
+    from flashml_spark.operators.similarity import (
+        _DRIVER_FIT_MAX_ELEMS,
+        _bounded_fit_sample,
+    )
 
     if n_features < 2:
         raise ValueError(f"n_features must be >= 2, got {n_features}")
@@ -82,6 +98,29 @@ def fit_quality_classifier(
             F.lit(label).alias("__label"),
         ))
     train = sides[0].unionByName(sides[1])
+
+    # reg_param > 0 makes the objective strictly convex (ONE optimum
+    # shared by both solvers); at 0 with separable data the "optimum"
+    # is wherever the iteration budget stops — solver-trajectory-
+    # dependent, so only spark.ml's own LBFGS may define it
+    if reg_param > 0 and n_features <= 1024:
+        # one limited collect doubles as the size probe (count+collect
+        # merged: the fixture pipeline executes once, not twice); the
+        # probe cap keeps the collected token payload bounded even
+        # when the element budget would admit more rows
+        probe_cap = min(
+            max(1, _DRIVER_FIT_MAX_ELEMS // n_features), 8192
+        )
+        if fit_sample_rows is None or 2 * fit_sample_rows <= probe_cap:
+            rows = train.limit(probe_cap + 1).collect()
+            if 0 < len(rows) <= probe_cap:
+                return _newton_driver_lr(
+                    rows, n_features, max_iter, reg_param
+                )
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
     tf = HashingTF(
         inputCol="__toks", outputCol="__features", numFeatures=n_features
     )
@@ -100,6 +139,96 @@ def fit_quality_classifier(
     return {
         "weights": [float(w) for w in model.coefficients],
         "intercept": float(model.intercept),
+        "n_features": int(n_features),
+    }
+
+
+def _newton_driver_lr(
+    rows,
+    n_features: int,
+    max_iter: int,
+    reg_param: float,
+    tol: float = 1e-12,
+) -> dict:
+    """Deterministic damped-Newton solve of spark.ml's binary-LR
+    objective for the BOUNDED fit sample (see
+    :func:`fit_quality_classifier`).  ``rows`` are collected
+    ``(__toks, __label)`` rows; hashing uses the LITERAL HashingTF
+    mirror (:func:`~flashml_spark.functions.hashing.hashing_tf_index`,
+    pinned by ``test_murmur3_matches_ml_hashingtf``)."""
+    import numpy as np
+
+    n = len(rows)
+    X = np.zeros((n, n_features), dtype=np.float64)
+    bucket: dict[str, int] = {}
+    for i, r in enumerate(rows):
+        for tok in r["__toks"] or []:
+            j = bucket.get(tok)
+            if j is None:
+                j = bucket[tok] = H.hashing_tf_index(tok, n_features)
+            X[i, j] += 1.0
+    y = np.asarray([float(r["__label"]) for r in rows])
+
+    # spark.ml standardization: scale by the UNBIASED std, no centering;
+    # zero-variance features are excluded (coefficient 0)
+    if n > 1:
+        std = X.std(axis=0, ddof=1)
+    else:
+        std = np.zeros(n_features)
+    active = np.flatnonzero(std > 0.0)
+    Xs = X[:, active] / std[active]
+    d = active.size
+
+    # init: coefs 0, intercept at the log-odds (spark.ml's warm start)
+    pbar = min(max(y.mean(), 1e-12), 1.0 - 1e-12)
+    theta = np.zeros(d + 1)
+    theta[0] = np.log(pbar / (1.0 - pbar))
+    lam = float(reg_param)
+
+    def f_grad_hess(t):
+        b, w = t[0], t[1:]
+        z = b + Xs @ w
+        # stable softplus mean log-loss + L2 on standardized coefs
+        loss = np.mean(np.logaddexp(0.0, z) - y * z) + 0.5 * lam * w @ w
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -709.0, 709.0)))
+        resid = (p - y) / n
+        g = np.empty(d + 1)
+        g[0] = resid.sum()
+        g[1:] = Xs.T @ resid + lam * w
+        s = p * (1.0 - p) / n
+        Hs = np.empty((d + 1, d + 1))
+        Hs[0, 0] = s.sum()
+        hv = Xs.T @ s
+        Hs[0, 1:] = hv
+        Hs[1:, 0] = hv
+        Hs[1:, 1:] = (Xs.T * s) @ Xs + lam * np.eye(d)
+        return loss, g, Hs
+
+    loss, g, Hess = f_grad_hess(theta)
+    for _ in range(200):
+        if np.max(np.abs(g)) < tol:
+            break
+        # tiny ridge keeps the solve well-posed when lam == 0 and the
+        # data is separable (Hessian flattens near the optimum)
+        step = np.linalg.solve(
+            Hess + 1e-14 * np.eye(d + 1), -g
+        )
+        alpha = 1.0
+        for _ls in range(60):
+            cand = theta + alpha * step
+            new_loss, new_g, new_H = f_grad_hess(cand)
+            if new_loss <= loss + 1e-4 * alpha * (g @ step):
+                theta, loss, g, Hess = cand, new_loss, new_g, new_H
+                break
+            alpha *= 0.5
+        else:
+            break
+
+    weights = np.zeros(n_features)
+    weights[active] = theta[1:] / std[active]
+    return {
+        "weights": [float(w) for w in weights],
+        "intercept": float(theta[0]),
         "n_features": int(n_features),
     }
 
@@ -136,22 +265,36 @@ def score_quality_model(
     intercept = float(model["intercept"])
     bweights = df.sparkSession.sparkContext.broadcast(weights)
 
+    # token -> weight memo, captured by the closure: each task gets a
+    # fresh copy at deserialization and keeps it across Arrow batches.
+    # The corpus vocabulary is zipfian, so nearly every lookup after
+    # warm-up is one dict hit instead of a pure-Python murmur3
+    # (guide §4: shrink the per-row Python work)
+    memo: dict = {}
+
     @pandas_udf("double")
     def score(s: pd.Series) -> pd.Series:
         w = bweights.value
         out = []
-        for text in s:
-            if text is None:
+        for toks in s:
+            if toks is None:
                 out.append(None)
                 continue
             z = intercept
-            for tok in H.py_tokens(text):
-                z += w[H.hashing_tf_index(tok, n)]
+            for tok in toks:
+                tw = memo.get(tok)
+                if tw is None:
+                    tw = memo[tok] = w[H.hashing_tf_index(tok, n)]
+                z += tw
             z = min(max(z, -709.0), 709.0)  # exp() stays finite
             out.append(1.0 / (1.0 + np.exp(-z)))
         return pd.Series(out, dtype="float64")
 
-    sc = score(F.col(text_col))
+    # tokenize in the JVM (H.tokens is the pinned twin of py_tokens —
+    # test_py_token_count_matches_spark_tokens) and ship ONLY the token
+    # array across the Arrow boundary; NULL text stays NULL through
+    # split(lower(trim(...))) so the UDF's null contract is unchanged
+    sc = score(H.tokens(F.col(text_col)))
     if round_to is not None:
         sc = F.round(sc, round_to)
     out = df.withColumn(out_col, sc)
