@@ -105,21 +105,44 @@ def bfs_hops(
     sources: DataFrame,
     max_hops: int,
     node_col: str = "node",
+    driver_edge_budget: int = 5_000_000,
 ) -> DataFrame:
     """Breadth-first hop labels from a seed set over an UNDIRECTED edge
     frame ``(src, dst)``: every node reachable within ``max_hops`` gets
     its minimum hop distance — the reachability / blast-radius primitive
     (account linking, contamination spread, recommendation radius).
 
-    DataFrame loop, one round per hop: frontier ⋈ edges (keyed) minus
-    already-visited (keyed anti-join), both sides localCheckpointed per
-    round so lineage stays flat and each abandoned round's blocks are
-    freed (same loop hygiene as :func:`pagerank`).  Driver state: the
-    loop counter only.  Output: ``node_col, hop`` (seeds at hop 0).
+    Edge sets under ``driver_edge_budget`` rows (~80 MB of bigint pairs
+    at the 5M default) run as a vectorized exact BFS on the driver —
+    the :func:`kcore` bounded-budget pattern; ``max_hops`` synchronous
+    rounds of per-round scheduler overhead dominate the distributed
+    loop at that size.  Past the budget: a DataFrame loop, one round
+    per hop — frontier ⋈ edges (keyed) minus already-visited (keyed
+    anti-join), localCheckpointed per round so lineage stays flat (same
+    loop hygiene as :func:`pagerank`); the symmetric edge frame is
+    built with ONE ``explode(array(...))`` pass so the upstream edge
+    subtree is evaluated once, not once per union branch.  Output:
+    ``node_col, hop`` (seeds at hop 0).
     """
+    e0c = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint()
+    n_edges = e0c.count()
+    if n_edges <= driver_edge_budget:
+        try:
+            return _bfs_driver(e0c, sources, max_hops, node_col)
+        finally:
+            e0c.unpersist()
     sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        e0c.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("n"), F.col("b").alias("m")),
+                    F.struct(F.col("b").alias("n"), F.col("a").alias("m")),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.n").alias("a"), F.col("__e.m").alias("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -141,6 +164,80 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(F.col("n").alias(node_col), F.col("hop").cast("bigint").alias("hop"))
+
+
+def _bfs_driver(
+    e0c: DataFrame, sources: DataFrame, max_hops: int, node_col: str
+) -> DataFrame:
+    """Bounded DRIVER-side BFS for edge sets under the caller's budget
+    (the :func:`_kcore_driver` pattern).  Level-synchronous frontier
+    expansion over a CSR adjacency — integer arithmetic only, so the
+    result is exactly the distributed loop's: every reachable node's
+    minimum hop, seeds at 0 (present even when isolated)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = e0c.sparkSession
+    pdf = e0c.toPandas()
+    seed_rows = [
+        r[0] for r in sources.select(node_col).distinct().collect()
+    ]
+    au, av = pdf["a"].to_numpy(), pdf["b"].to_numpy()
+    seeds = np.asarray(seed_rows)
+    if len(au) == 0:
+        nodes, si = np.unique(seeds, return_inverse=True)
+        ui = vi = np.empty(0, dtype=np.int64)
+    else:
+        nodes, inv = np.unique(
+            np.concatenate([au, av, seeds.astype(au.dtype)]),
+            return_inverse=True,
+        )
+        ui, vi = inv[: len(au)], inv[len(au): 2 * len(au)]
+        si = inv[2 * len(au):]
+    n_v = len(nodes)
+    # CSR over the symmetrized edge list
+    heads = np.concatenate([ui, vi])
+    tails = np.concatenate([vi, ui])
+    order = np.argsort(heads, kind="stable")
+    tails = tails[order]
+    starts = np.concatenate(
+        ([0], np.cumsum(np.bincount(heads, minlength=n_v)))
+    ).astype(np.int64)
+    hop = np.full(n_v, -1, dtype=np.int64)
+    hop[si] = 0
+    frontier = np.unique(si)
+    for h in range(1, max_hops + 1):
+        if frontier.size == 0:
+            break
+        # vectorized gather of every frontier node's adjacency range
+        cnt = starts[frontier + 1] - starts[frontier]
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        pos = (
+            np.repeat(starts[frontier], cnt)
+            + np.arange(total)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        neigh = np.unique(tails[pos])
+        fresh = neigh[hop[neigh] < 0]
+        hop[fresh] = h
+        frontier = fresh
+    reached = hop >= 0
+    out_pdf = pd.DataFrame(
+        {
+            node_col: pd.Series(nodes[reached]),
+            "hop": hop[reached].astype("int64"),
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField(node_col, e0c.schema["a"].dataType),
+            T.StructField("hop", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_pdf, schema=schema)
 
 
 def _degree_keyed_edges(

@@ -461,6 +461,42 @@ def test_bfs_early_stop_on_empty_frontier(spark):
     assert {(r["node"], r["hop"]) for r in out.collect()} == {(1, 0), (2, 1)}
 
 
+def test_bfs_driver_path_matches_distributed(spark):
+    # the r11 bounded driver BFS must be row-identical to the
+    # distributed loop on the same graph (multi-seed, unreachable
+    # component, isolated seed, min-hop ties via two routes)
+    import random
+
+    from flashml_spark.operators import graph
+
+    rng = random.Random(7)
+    e = {(rng.randrange(40), rng.randrange(40)) for _ in range(120)}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in sorted(e)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (77,)], "node long")  # 77 isolated
+    for hops in (0, 1, 3):
+        drv = {
+            (r["node"], r["hop"])
+            for r in graph.bfs_hops(edges, seeds, max_hops=hops).collect()
+        }
+        dist = {
+            (r["node"], r["hop"])
+            for r in graph.bfs_hops(
+                edges, seeds, max_hops=hops, driver_edge_budget=0
+            ).collect()
+        }
+        assert drv == dist, hops
+        assert (77, 0) in drv
+    # empty edge frame: seeds at hop 0, nothing else
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = {
+        (r["node"], r["hop"])
+        for r in graph.bfs_hops(empty, seeds, max_hops=2).collect()
+    }
+    assert out == {(0, 0), (77, 0)}
+
+
 # --- chunk retrieval --------------------------------------------------------
 
 
