@@ -831,12 +831,17 @@ def edit_distance_pairs(
     ``id_a, id_b, edits``.
     """
     k = max_edits
+    # pin the (id, prefix) projection ONCE: six plan branches consume it
+    # (segments, probes, both short-channel sides, both verify sides) and
+    # each would otherwise re-read the full text column from parquet —
+    # the checkpoint is |docs| × ~prefix_chars bytes, the re-scans are
+    # corpus-sized (12 parquet scans → 0 in the x134 plan)
     keyed = df.select(
         F.col(id_col).alias("doc"),
         F.coalesce(
             F.lower(F.substring(F.col(text_col), 1, prefix_chars)), F.lit("")
         ).alias("p"),
-    )
+    ).localCheckpoint()
     L = F.length("p")
 
     def seg_geom(lam, i: int):
@@ -1630,8 +1635,18 @@ def lsh_banding_planner(
     Output: ``bands, rows_per_band, threshold_est, expected_recall``
     ordered by bands.
     """
-    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
     sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    # signatures feed THREE consumers (the banded candidate pass and both
+    # sides of the agreement join): project to id + sigs and materialize
+    # once instead of re-running the scan + shingle + digest agg per
+    # consumer (three corpus passes at 100 TB otherwise — the x144 pin)
+    sigged = (
+        with_minhash_signature(
+            df.select(id_col, text_col), text_col, num_hashes, shingle_n
+        )
+        .select(id_col, *sig_cols)
+        .localCheckpoint()
+    )
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=probe_bands,
         shingle_n=shingle_n, sigged=sigged,  # ONE signature pass (r9)
@@ -1735,8 +1750,16 @@ def semihard_negative_pairs(
     two broadcast-free id joins back to the |n|-row signature frame —
     candidates are the bounded side after banding.
     """
-    sigged = with_minhash_signature(df, text_col, num_hashes, shingle_n)
     sig_cols = [f"sig{i}" for i in range(num_hashes)]
+    # same triple-consumer pin as lsh_banding_planner: one signature
+    # materialization feeds the candidate pass and both join sides
+    sigged = (
+        with_minhash_signature(
+            df.select(id_col, text_col), text_col, num_hashes, shingle_n
+        )
+        .select(id_col, *sig_cols)
+        .localCheckpoint()
+    )
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, sigged=sigged,  # ONE signature pass (r9)

@@ -2561,6 +2561,47 @@ def obf_boundary_curve(
     )
 
 
+def _markov_horizon_driver(spark, m_rows, horizon: int) -> DataFrame:
+    """Exact driver-side twin of the distributed horizon recurrence in
+    :func:`markov_conversion_horizon` — same per-product round(12) →
+    decimal(28,12) exact sum → double cast → per-iterate round(12) →
+    final round(6), mirrored bit-for-bit (see caller comment)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+    q6 = Decimal("1e-6")
+
+    def _round(x: float, q: Decimal) -> float:
+        # Spark Round(double, n): BigDecimal.valueOf(x) [shortest repr,
+        # == Python repr] .setScale(n, HALF_UP) .toDouble [correctly
+        # rounded, == Python float(Decimal)]
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    m = [(r["s"], r["t"], r["p"]) for r in m_rows]
+    states = sorted({s for s, _, _ in m if s not in ("CONV", "DROP")})
+    b = {s: p for s, t, p in m if t == "CONV"}
+    v = {s: 0.0 for s in states}
+    for _ in range(horizon):
+        acc: dict[str, Decimal] = {}
+        for s, t, p in m:
+            vt = v.get(t)
+            if vt is not None:
+                # round(p*v, 12) then cast to decimal(28,12): exact
+                # (the rounded double's shortest repr has <= 12 frac
+                # digits); the group sum is exact decimal addition
+                acc[s] = acc.get(s, Decimal(0)) + Decimal(
+                    repr(_round(p * vt, q12))
+                ).quantize(q12, rounding=ROUND_HALF_UP)
+        v = {
+            s: _round(b.get(s, 0.0) + float(acc.get(s, Decimal(0))), q12)
+            for s in states
+        }
+    out = [(s, _round(v[s], q6)) for s in states]
+    return spark.createDataFrame(
+        out, "state string, p_conv_h double"
+    ).orderBy("state")
+
+
 def markov_conversion_horizon(
     df: DataFrame,
     user_col: str,
@@ -2569,6 +2610,7 @@ def markov_conversion_horizon(
     state_col: str,
     conv_state: str,
     horizon: int = 8,
+    driver_matrix_budget: int = 200_000,
 ) -> DataFrame:
     """Finite-horizon conversion probability per channel state: the
     probability of reaching CONV from each transient state within
@@ -2605,6 +2647,24 @@ def markov_conversion_horizon(
         )
         .localCheckpoint()
     )
+    # Bounded driver solve (r11, the kcore/BFS/Newton pattern): the
+    # iterate is |states|-sized and the matrix |states|²-bounded, so
+    # when m fits a row budget the horizon recurrence runs in exact
+    # Python-decimal arithmetic on the driver — ``horizon`` rounds of
+    # tiny-join scheduler overhead (~3 shuffles each) dominate the
+    # distributed loop at that size.  One limited collect doubles as
+    # the size probe; past the budget the distributed loop below runs
+    # unchanged.  Rounding mirrors Spark exactly: round(x, n) =
+    # HALF_UP on the shortest-repr decimal (Double.toString ==
+    # Python repr — both shortest round-trip), double→decimal(28,12)
+    # casts are exact here (inputs already have <= 12 frac digits),
+    # decimal sums are exact, decimal→double is correctly rounded in
+    # both engines.  Parity pinned by unit test.
+    probe = m.limit(driver_matrix_budget + 1).collect()
+    if len(probe) <= driver_matrix_budget:
+        return _markov_horizon_driver(
+            df.sparkSession, probe, horizon
+        )
     states = m.select("s").where(~F.col("s").isin("CONV", "DROP")).distinct()
     b = m.where(F.col("t") == "CONV").select("s", F.col("p").alias("__b"))
     v = states.select("s", F.lit(0.0).alias("v"))

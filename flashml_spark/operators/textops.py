@@ -1339,24 +1339,40 @@ def multi_query_bm25(
     spark = df.sparkSession
     qrows = [(qid, t) for qid, ts in queries.items() for t in set(ts)]
     qdim = spark.createDataFrame(qrows, "query_id int, token string")
-    toks = df.select(
-        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("token")
-    ).where(F.col(text_col).isNotNull())
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    # ONE corpus tokenize pass: per-doc length via size() (split always
+    # returns >= 1 element for non-null text, so size == the explode
+    # count) plus the tiny filtered query-term sub-array, pinned once.
+    # The old shape re-tokenized + exploded the FULL token stream for
+    # each of dl / dfreq / tf and shuffled all tokens twice (dl groupBy,
+    # dfreq groupBy); now every shuffle is term-hit-sized.
+    per = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), H.tokens(F.col(text_col)).alias("__ts"))
+        .select(
+            id_col,
+            F.size("__ts").alias("dl"),
+            F.filter(
+                "__ts", lambda t: t.isin(all_terms)
+            ).alias("__qts"),
+        )
+        .localCheckpoint()
+    )
+    dl = per.select(id_col, "dl")
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    all_terms = sorted({t for ts in queries.values() for t in ts})
-    dfreq = (
-        toks.where(F.col("token").isin(all_terms))
-        .groupBy("token")
-        .agg(F.count_distinct(F.col(id_col)).cast("double").alias("df"))
-    )
-    tf = (
-        toks.join(F.broadcast(qdim), "token")
-        .groupBy("query_id", id_col, "token")
+    tf_doc = (
+        per.select(id_col, F.explode("__qts").alias("token"))
+        .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    tf = tf_doc.join(F.broadcast(qdim), "token").select(
+        "query_id", id_col, "token", "tf"
     )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -3272,21 +3288,33 @@ def source_vocab_divergence(
         F.col(group_col).alias("g"),
         F.explode(H.tokens(F.col(text_col))).alias("t"),
     )
-    vocab = (
-        toks.groupBy("t")
+    # ONE corpus pass: per-(source, token) counts.  The global vocab,
+    # the bucketed per-source counts and the per-source totals are all
+    # pure re-aggregations of this vocabulary-sized frame — deriving
+    # them here instead of from the row-level explode drops the plan
+    # from ~10 corpus scans (no ReusedExchange across the vocab /
+    # per / totals / grid / pair-side branches) to 1.
+    gt = (
+        toks.groupBy("g", "t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    vocab = (
+        gt.groupBy("t")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.desc("c"), "t")
         .limit(top_k)
         .select("t", F.lit(1).alias("__in_vocab"))
     )
-    bucketed = toks.join(F.broadcast(vocab), "t", "left").select(
+    bucketed = gt.join(F.broadcast(vocab), "t", "left").select(
         "g",
         F.when(F.col("__in_vocab").isNotNull(), F.col("t"))
         .otherwise(F.lit("__other__"))
         .alias("tok"),
+        "c",
     )
-    per = bucketed.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = bucketed.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    per = bucketed.groupBy("g", "tok").agg(F.sum("c").alias("c"))
+    totals = bucketed.groupBy("g").agg(F.sum("c").alias("n"))
     # densify to the COMPLETE |sources| × (top_k+1) grid before pairing
     # (a join on observed rows alone would silently drop the |c − 0|
     # terms where one source lacks a vocab token)

@@ -456,6 +456,66 @@ def test_markov_horizon_converges_toward_absorbing_solve(spark):
     assert h12["START"] == pytest.approx(full, abs=1e-3)
 
 
+def test_markov_horizon_driver_and_distributed_paths_agree(spark):
+    # r11: the bounded driver-side horizon solve (default budget) must
+    # return EXACTLY what the distributed unrolled loop (budget 0
+    # forces it) returns — same states, bit-identical doubles (the
+    # driver mirrors every round/cast in decimal arithmetic).
+    import datetime as dt
+
+    from flashml_spark.operators.events import markov_conversion_horizon
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    paths = [
+        (["a", "b", "purchase"], 3),
+        (["a", "a", "b"], 2),
+        (["b", "c", "purchase"], 2),
+        (["c"], 3),
+        (["a", "c", "b", "purchase"], 1),
+        (["d", "purchase"], 1),  # state with direct-conversion mass
+    ]
+    uid = 0
+    for path, reps in paths:
+        for _ in range(reps):
+            uid += 1
+            for i, st in enumerate(path):
+                eid += 1
+                rows.append((uid, t0 + dt.timedelta(minutes=i), eid, st))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    for horizon in (1, 4, 8):
+        drv = [
+            (r["state"], r["p_conv_h"])
+            for r in markov_conversion_horizon(
+                df, "user_id", "ts", "event_id", "event_type", "purchase",
+                horizon=horizon,
+            ).collect()
+        ]
+        dist = [
+            (r["state"], r["p_conv_h"])
+            for r in markov_conversion_horizon(
+                df, "user_id", "ts", "event_id", "event_type", "purchase",
+                horizon=horizon, driver_matrix_budget=0,
+            ).collect()
+        ]
+        assert drv == dist  # exact, including row order
+
+    # empty input: both paths return the empty frame with the schema
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    for budget in (200_000, 0):
+        out = markov_conversion_horizon(
+            empty, "user_id", "ts", "event_id", "event_type", "purchase",
+            horizon=4, driver_matrix_budget=budget,
+        )
+        assert out.columns == ["state", "p_conv_h"]
+        assert out.count() == 0
+
+
 # --- x254 bucket-balanced sample --------------------------------------------
 
 
