@@ -1124,7 +1124,14 @@ def contrastive_triplets(
 
     from flashml_spark.functions.windows import global_row_number
 
-    pairs = reciprocal_nn_pairs(df, vec_col, id_col, round_to=round_to)
+    # pin the mutual-pair frame ONCE: ``both`` consumes it twice (one
+    # branch per orientation), and without the pin the entire all-pairs
+    # reciprocal-NN subtree — the operator's dominant cost — executes
+    # once per union branch.  The pinned frame is |mutual pairs| rows
+    # (<= n/2), never corpus-scale.
+    pairs = reciprocal_nn_pairs(
+        df, vec_col, id_col, round_to=round_to
+    ).localCheckpoint()
     both = pairs.select(
         F.col("id_a").alias("anchor"),
         F.col("id_b").alias("positive"),
