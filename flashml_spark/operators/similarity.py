@@ -929,6 +929,36 @@ def pairwise_distance_profile(
     )
 
 
+def _mutual_pairs(top: DataFrame) -> DataFrame:
+    """Mutual-top-1 pairs from a ``(ia, ib, sim)`` frame holding each
+    vector's single top-1 row: ``(a, b)`` is mutual iff BOTH
+    orientations appear.  One hash aggregation on the unordered pair
+    key replaces the former ``top`` self-join — the self-join executed
+    the ENTIRE candidate + rank subtree once per side (the operator's
+    dominant cost, twice), plus a join exchange; here the subtree runs
+    once and a group of size 2 certifies mutuality (``top`` has exactly
+    one row per ``ia``, so an unordered-pair group has at most two rows
+    — the two orientations).  ``sim`` is taken from the ``ia < ib`` row
+    exactly as the join's ``t``-side projection did (both orientations
+    round to the same value; the pick keeps the provenance identical).
+    """
+    return (
+        top.groupBy(
+            F.least(F.col("ia"), F.col("ib")).alias("id_a"),
+            F.greatest(F.col("ia"), F.col("ib")).alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max(
+                F.when(F.col("ia") < F.col("ib"), F.col("sim"))
+            ).alias("sim"),
+        )
+        .where(F.col("__c") == 2)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a")
+    )
+
+
 def reciprocal_nn_pairs(
     df: DataFrame, vec_col: str, id_col: str, round_to: int = 6
 ) -> DataFrame:
@@ -980,20 +1010,7 @@ def reciprocal_nn_pairs(
         .where(F.col("__rn") == 1)
         .select("ia", "ib", "sim")
     )
-    other = top.select(
-        F.col("ia").alias("jb"), F.col("ib").alias("ja")
-    )
-    return (
-        top.join(
-            other,
-            (F.col("ia") == F.col("ja")) & (F.col("ib") == F.col("jb")),
-        )
-        .where(F.col("ia") < F.col("ib"))
-        .select(
-            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim"
-        )
-        .orderBy("id_a")
-    )
+    return _mutual_pairs(top)
 
 
 def reciprocal_nn_pairs_lsh(
@@ -1087,16 +1104,7 @@ def reciprocal_nn_pairs_lsh(
         .where(F.col("__rn") == 1)
         .select("ia", "ib", "sim")
     )
-    other = top.select(F.col("ia").alias("jb"), F.col("ib").alias("ja"))
-    return (
-        top.join(
-            other,
-            (F.col("ia") == F.col("ja")) & (F.col("ib") == F.col("jb")),
-        )
-        .where(F.col("ia") < F.col("ib"))
-        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "sim")
-        .orderBy("id_a")
-    )
+    return _mutual_pairs(top)
 
 
 def contrastive_triplets(

@@ -3754,6 +3754,17 @@ def bigram_logprob_score(
     back (gram, prefix, unigram — each against a vocab-sized frame),
     one per-doc agg, one 1-row total broadcast.  No window.
 
+    The token frame is tokenized ONCE and materialized
+    (``localCheckpoint``): four consumers read it (the bigram explode
+    twice — count side and join probe side — the unigram explode, and
+    the doc-id base), and without the pin each consumer re-executes the
+    ENTIRE upstream subtree — ruinous when ``df`` is itself a pipeline
+    (x294 feeds this the paragraph-dedup + PII-redaction output, which
+    otherwise ran ~4x per action).  The pin is one corpus-token pass
+    written once (disk-backed storage) versus four recomputations of
+    upstream — the guide's materialize-to-truncate tradeoff, applied
+    because the reuse count is 4, not 2.
+
     Output (one row per non-null-text doc): ``id_col, n_bigrams``
     (0 for docs under 2 tokens, whose score is NULL), ``avg_logp2``
     (rounded 6).
@@ -3762,7 +3773,7 @@ def bigram_logprob_score(
         raise ValueError(f"lam must be in (0, 1], got {lam}")
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    )
+    ).localCheckpoint()
     occ = toks.select(
         id_col,
         F.explode(
@@ -3782,8 +3793,7 @@ def bigram_logprob_score(
     )
     c1p = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1p"))
     uni = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.explode(H.tokens(F.col(text_col))).alias("w2"))
+        toks.select(F.explode("__ts").alias("w2"))
         .groupBy("w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
@@ -3803,7 +3813,7 @@ def bigram_logprob_score(
             F.round(F.avg(term), 6).alias("avg_logp2"),
         )
     )
-    base = df.where(F.col(text_col).isNotNull()).select(F.col(id_col))
+    base = toks.select(F.col(id_col))
     return base.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),

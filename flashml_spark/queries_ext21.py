@@ -555,9 +555,12 @@ def x294(spark: SparkSession, sf: str) -> DataFrame:
     cleaned = pii.pii_redact(deduped, "dedup_text", out_col="ctext").select(
         "doc_id", "ctext"
     )
+    # pin the (doc_id, score) frame ONCE: the count() below and the
+    # range-partitioned rank frame are two actions that would otherwise
+    # each re-run the scoring joins; the pin is doc-sized (2 columns)
     scored = textops.bigram_logprob_score(cleaned, "ctext", "doc_id").select(
         "doc_id", "avg_logp2"
-    )
+    ).localCheckpoint()
     # percentile rank WITHOUT a single-partition window: the order key
     # (null-flag, round-6 score, id) is TOTAL, so rank == row_number
     # and the range-partitioned global_row_number applies; the
