@@ -1603,8 +1603,13 @@ def theil_sen_trend(
     )
     cells = pairs.groupBy("__slope").agg(F.count(F.lit(1)).alias("__c"))
     cum = global_cumsum(cells, "__slope", ["__c"])
-    tot = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    # n_pairs = sum of the slope-cell counts, read from the frame
+    # global_cumsum already pinned — counting ``pairs`` directly would
+    # re-execute the |days|^2 slope join a second time
+    # coalesce: sum over an EMPTY cell frame is NULL, but the < 2-day
+    # contract is n_pairs = 0 (count() semantics)
+    tot = cum.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_pairs")
     )
     days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     med = (

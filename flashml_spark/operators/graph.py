@@ -338,13 +338,63 @@ def triangle_stats(
     # sf0.1, ~4 s of the operator's cost).  Bounded: past the budget the
     # keyed semi join below is what runs (a 100 TB edge set cannot be
     # broadcast; its wedge shuffle is the documented intrinsic cost).
+    #
+    # When node ids are integral, non-negative and < 2^31, the (v, w)
+    # pair packs INJECTIVELY into one bigint (v*2^32 + w, no overflow:
+    # v*2^32 <= 2^63 - 2^32) — Spark then builds a LongHashedRelation
+    # (dense long-keyed map) instead of a composite-key
+    # UnsafeHashedRelation for the broadcast probe, measured 2-3x
+    # faster over the 41M-row wedge frame (the probe is the operator's
+    # hottest loop).  The id bounds ride the SAME action that sizes the
+    # broadcast (one agg replaces the former count()).
     BROADCAST_E = 10_000_000
-    if oriented.count() <= BROADCAST_E:
-        closing = F.broadcast(closing)
-    tri = (
-        wedges.select("u", "v", "w")
-        .join(closing, ["v", "w"], "left_semi")
+    ostats = oriented.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.least("lo", "hi")).alias("mn"),
+        F.max(F.greatest("lo", "hi")).alias("mx"),
+    ).first()
+    from pyspark.sql import types as _T
+
+    packable = (
+        isinstance(
+            oriented.schema["lo"].dataType,
+            (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+        )
+        and ostats["n"] > 0
+        and ostats["mn"] is not None
+        and int(ostats["mn"]) >= 0
+        and int(ostats["mx"]) < (1 << 31)
     )
+    if ostats["n"] <= BROADCAST_E and packable:
+        shift = F.lit(1 << 32).cast("bigint")
+        packed_edges = F.broadcast(
+            oriented.select(
+                (
+                    F.col("lo").cast("bigint") * shift
+                    + F.col("hi").cast("bigint")
+                ).alias("__vw")
+            )
+        )
+        tri = (
+            wedges.select(
+                "u",
+                "v",
+                "w",
+                (
+                    F.col("v").cast("bigint") * shift
+                    + F.col("w").cast("bigint")
+                ).alias("__vw"),
+            )
+            .join(packed_edges, "__vw", "left_semi")
+            .select("u", "v", "w")
+        )
+    else:
+        if ostats["n"] <= BROADCAST_E:
+            closing = F.broadcast(closing)
+        tri = (
+            wedges.select("u", "v", "w")
+            .join(closing, ["v", "w"], "left_semi")
+        )
     per_node = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
