@@ -929,6 +929,28 @@ def pairwise_distance_profile(
     )
 
 
+def _top1_per_id(pairs: DataFrame) -> DataFrame:
+    """Each id's single top candidate from a ``(ia, ib, sim)`` frame,
+    ordered by ``sim`` desc then ``ib`` asc — as ONE ``max_by``
+    aggregation instead of a rank window.  The window shuffled and
+    sorted EVERY candidate pair to pick one row per id; the aggregation
+    reduces map-side (partial ``max_by`` per partition), so only ~|ids|
+    rows per input partition ever cross the exchange.  ``max_by``'s key
+    ``struct(sim, -ib)`` maximizes lexicographically = sim desc, ib asc
+    — the window's exact total order (Catalyst's double ordering, NaN
+    greatest, applies identically in both)."""
+    return (
+        pairs.groupBy("ia")
+        .agg(
+            F.max_by(
+                F.struct(F.col("ib"), F.col("sim")),
+                F.struct(F.col("sim"), (-F.col("ib")).alias("__nib")),
+            ).alias("__t")
+        )
+        .select("ia", F.col("__t.ib").alias("ib"), F.col("__t.sim").alias("sim"))
+    )
+
+
 def _mutual_pairs(top: DataFrame) -> DataFrame:
     """Mutual-top-1 pairs from a ``(ia, ib, sim)`` frame holding each
     vector's single top-1 row: ``(a, b)`` is mutual iff BOTH
@@ -996,21 +1018,37 @@ def reciprocal_nn_pairs(
         F.col("__id").alias("ib"), F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
-        "ia",
-        "ib",
-        F.round(
-            v.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-            round_to,
-        ).alias("sim"),
+    # similarities only for CANONICAL ia < ib pairs — half the n² dot
+    # products — then explode-symmetrize: sim is orientation-invariant
+    # bit-exactly (element products commute, the sum runs in the same
+    # index order, na*nb == nb*na), so each unordered pair feeds both
+    # ids' rank groups with the identical value the ia != ib join
+    # produced
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                v.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_to,
+            ).alias("sim"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ia"), F.col("ib"), F.col("sim")),
+                    F.struct(
+                        F.col("ib").alias("ia"),
+                        F.col("ia").alias("ib"),
+                        F.col("sim"),
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.ia", "__p.ib", "__p.sim")
     )
-    w = Window.partitionBy("ia").orderBy(F.desc("sim"), F.asc("ib"))
-    top = (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("ia", "ib", "sim")
-    )
-    return _mutual_pairs(top)
+    return _mutual_pairs(_top1_per_id(pairs))
 
 
 def reciprocal_nn_pairs_lsh(
@@ -1072,12 +1110,19 @@ def reciprocal_nn_pairs_lsh(
         F.col("__id").alias("ib"), F.col("band").alias("lb"),
         F.col("bucket").alias("bb"),
     )
+    # CANONICAL ia < ib candidates only: the band/bucket condition is
+    # symmetric, so every unordered candidate pair would otherwise
+    # appear in both orientations — twice the distinct, twice the
+    # vector-attach shuffles, twice the dot products.  Halve all three
+    # and explode-symmetrize after the similarity (bit-exact either
+    # orientation: element products commute, same summation order,
+    # na*nb == nb*na), feeding both ids' rank groups as before.
     cand = (
         a.join(
             b,
             (F.col("la") == F.col("lb"))
             & (F.col("ba") == F.col("bb"))
-            & (F.col("ia") != F.col("ib")),
+            & (F.col("ia") < F.col("ib")),
         )
         .select("ia", "ib")
         .distinct()  # one similarity evaluation per surviving pair
@@ -1090,21 +1135,32 @@ def reciprocal_nn_pairs_lsh(
         F.col("__id").alias("ib"), F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    pairs = cand.join(va, "ia").join(vb, "ib").select(
-        "ia",
-        "ib",
-        F.round(
-            V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-            round_to,
-        ).alias("sim"),
+    pairs = (
+        cand.join(va, "ia")
+        .join(vb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_to,
+            ).alias("sim"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ia"), F.col("ib"), F.col("sim")),
+                    F.struct(
+                        F.col("ib").alias("ia"),
+                        F.col("ia").alias("ib"),
+                        F.col("sim"),
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.ia", "__p.ib", "__p.sim")
     )
-    w = Window.partitionBy("ia").orderBy(F.desc("sim"), F.asc("ib"))
-    top = (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("ia", "ib", "sim")
-    )
-    return _mutual_pairs(top)
+    return _mutual_pairs(_top1_per_id(pairs))
 
 
 def contrastive_triplets(
