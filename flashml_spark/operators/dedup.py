@@ -244,11 +244,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def _cc_driver(sym0: DataFrame) -> DataFrame:
+    """Bounded DRIVER-side connected components for edge sets under the
+    caller's budget (the :func:`graph._kcore_driver` /
+    :func:`graph._bfs_driver` pattern): vectorized min-label propagation
+    with pointer doubling over integer node indices.  ``np.unique``
+    sorts nodes ascending, so the minimal INDEX in a component is the
+    minimal VALUE — exactly the distributed loop's min-label fixpoint.
+    Integer index arithmetic only, so the result is identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = sym0.sparkSession
+    pdf = sym0.toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    ui, vi = inv[: len(src)], inv[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab
+        nxt = lab.copy()
+        # one-hop neighbor min (unbuffered scatter-min, both directions
+        # arrive via the symmetrized edge list)
+        np.minimum.at(nxt, ui, lab[vi])
+        lab = nxt
+        # pointer doubling to a fixpoint: labels are node indices, so a
+        # label's own label is an O(1) gather
+        while True:
+            hop = lab[lab]
+            if np.array_equal(hop, lab):
+                break
+            lab = hop
+        if np.array_equal(lab, old):
+            break
+    out_pdf = pd.DataFrame(
+        {"id": pd.Series(nodes), "component": pd.Series(nodes[lab])}
+    )
+    dt = sym0.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("id", dt), T.StructField("component", dt)]
+    )
+    return spark.createDataFrame(out_pdf, schema=schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_budget: int = 5_000_000,
 ) -> DataFrame:
     """Transitive duplicate groups from candidate pairs: iterative min-label
     propagation with pointer-doubling — each round takes the min over
@@ -256,10 +302,20 @@ def connected_components(
     more hop (path-shortcutting, GraphX/Kiveris-style), so long chains
     collapse in far fewer than diameter rounds.
 
-    Each round is two co-partitioned joins + one groupBy on the vertex id;
-    the convergence check is a join-free filter on the round's own output
-    (old label carried alongside).  Early-exits when a round changes
-    nothing.  Output: ``id, component`` (component = min id in the group).
+    Edge sets under ``driver_edge_budget`` symmetrized rows (~80 MB of
+    bigint pairs at the 5M default) solve as a vectorized exact pass on
+    the driver (:func:`_cc_driver`, the bounded-budget pattern shared
+    with :func:`graph.kcore` / :func:`graph.bfs_hops`): dedup graphs
+    are a tiny fraction of the corpus, and at that size the ~4
+    scheduler-bound jobs EVERY distributed round pays dominate the
+    actual label propagation.  The count that gates the budget is the
+    same one that sizes the loop parallelism — no extra action.
+
+    Past the budget each round is two co-partitioned joins + one groupBy
+    on the vertex id; the convergence check is a join-free filter on the
+    round's own output (old label carried alongside).  Early-exits when
+    a round changes nothing.  Output: ``id, component`` (component = min
+    id in the group).
     """
     sc = pairs.sparkSession.sparkContext
 
@@ -313,6 +369,11 @@ def connected_components(
         return pairs.select(
             F.col(id_a).alias("id"), F.col(id_a).alias("component")
         ).limit(0)
+    if n_edges <= driver_edge_budget:
+        try:
+            return _cc_driver(sym0)
+        finally:
+            sym0.unpersist()
     n_parts = max(1, int(n_edges / 500_000) + 1)
     ids0 = _persistent_ids()
     sym = sym0.repartition(n_parts, "dst").localCheckpoint()
@@ -1124,12 +1185,18 @@ def weighted_jaccard_pairs(
     ``t*max(W_A, W_B) <= min(W_A, W_B)`` prunes further.  (Hypothesis
     re-proves losslessness against brute force.)
 
-    Verification is two cheap stages: bigint-id ``array_intersect`` per
-    candidate (the x132 trick — never struct arrays, whose equality
-    costs ~10x), then ONE explode of the SHARED ids only — bounded by
-    actual intersection mass, not candidates x tokens — joined to the
-    |vocab| weight dim and summed per pair.  Output:
-    ``id_a, id_b, wjaccard`` (id_a < id_b, rounded 6).
+    Verification is bigint-id ``array_intersect`` per candidate (the
+    x132 trick — never struct arrays, whose equality costs ~10x).  When
+    the driver-known bounds allow it (|vocab| < 2³¹ and N < 2³²), each
+    unit id PACKS its document frequency into the low 32 bits
+    (``rank << 32 | df`` — strictly monotone in the rank, so ordering,
+    joins and intersections are unchanged), and the shared weight sum
+    is ONE array ``aggregate`` recomputing ``ln(1 + N/df)`` from the
+    unpacked df — no explode, no join back to the |vocab| weight dim,
+    no per-pair agg shuffle.  Past the bounds, the fallback explodes
+    the SHARED ids only — bounded by actual intersection mass — and
+    joins them to the weight dim.  Output: ``id_a, id_b, wjaccard``
+    (id_a < id_b, rounded 6).
     """
     from flashml_spark.functions.windows import global_cumsum
 
@@ -1140,17 +1207,31 @@ def weighted_jaccard_pairs(
         F.explode(F.array_distinct(units)).alias("s"),
     )
     n_docs = df.select(id_col).count()  # one scalar to the driver
-    dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # The lazy checkpoint + count replaces no extra corpus pass:
+    # global_cumsum pins its ranged input anyway, so the tokenize+agg
+    # runs exactly once either way — the count just surfaces |vocab| to
+    # the driver, which gates the packed-id verification below.
+    dfreq = (
+        toks.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .localCheckpoint(eager=False)
+    )
+    n_vocab = dfreq.count()
+    pack = n_vocab < (1 << 31) and n_docs < (1 << 32)
     # NOTE (r11): pinning vids+ranked with eager localCheckpoints was
     # tried and MEASURED SLOWER at sf0.1 (7.6 -> 9.9 s): the two
     # blocking materializations serialize the pipeline and defeat
     # column pruning through the checkpoint, costing more than the
     # optimizer's branch re-execution here.  Left as recomputed trees.
+    rank = F.col("__id__one").cast("long")
+    sid_expr = (
+        F.shiftleft(rank, 32).bitwiseOR(F.col("df_s")) if pack else rank
+    )
     vids = (
         global_cumsum(dfreq.withColumn("__one", F.lit(1)), "s", ["__one"], prefix="__id")
         .select(
             "s",
-            F.col("__id__one").cast("long").alias("sid"),
+            sid_expr.alias("sid"),
             F.log(1.0 + F.lit(float(n_docs)) / F.col("df_s")).alias("w"),
         )
     )
@@ -1199,20 +1280,34 @@ def weighted_jaccard_pairs(
     arrs = ranked.groupBy("doc").agg(F.collect_list("sid").alias("arr"))
     aa = arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
     bb = arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
-    shared = (
-        cand.repartition(spread)
-        .join(aa, "id_a")
-        .join(bb, "id_b")
-        .select(
+    paired = cand.repartition(spread).join(aa, "id_a").join(bb, "id_b")
+    if pack:
+        # ln(1 + N/df) from the unpacked low-32 df — the same double
+        # expression the weight dim computes, evaluated inside ONE array
+        # aggregate over the shared ids; pairs with empty intersections
+        # surface as 0.0 and are dropped (the fallback never emits them)
+        cw = paired.withColumn(
+            "__cw",
+            F.aggregate(
+                F.array_intersect("arr_a", "arr_b"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.log(
+                    1.0
+                    + F.lit(float(n_docs)) / x.bitwiseAND(F.lit(0xFFFFFFFF))
+                ),
+            ),
+        ).filter(F.col("__cw") > 0.0)
+    else:
+        shared = paired.select(
             "id_a", "id_b", "wa", "wb",
             F.explode(F.array_intersect("arr_a", "arr_b")).alias("sid"),
         )
-    )
-    cw = (
-        shared.join(vids.select("sid", "w"), "sid")
-        .groupBy("id_a", "id_b", "wa", "wb")
-        .agg(F.sum("w").alias("__cw"))
-    )
+        cw = (
+            shared.join(vids.select("sid", "w"), "sid")
+            .groupBy("id_a", "id_b", "wa", "wb")
+            .agg(F.sum("w").alias("__cw"))
+        )
     jac = F.col("__cw") / (F.col("wa") + F.col("wb") - F.col("__cw"))
     return cw.filter(F.round(jac, 6) >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("wjaccard")

@@ -1630,6 +1630,7 @@ def semdedup(
     init_mode: str = "random",
     centroids: list[list[float]] | None = None,
     pair_budget: int = 2_000_000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup — CLUSTER-scoped semantic deduplication ("SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -1659,36 +1660,41 @@ def semdedup(
     """
     from flashml_spark.operators.dedup import connected_components
 
-    if centroids is None:
-        n_lists = _resolve_n_lists(df, n_lists, pair_budget, fit_sample_rows)
-        centroids = fit_ivf_centroids(
-            df,
-            vec_col,
-            n_lists=n_lists,
-            seed=seed,
-            sample_rows=fit_sample_rows,
-            max_iter=max_iter,
-            init_mode=init_mode,
+    if assigned is None:
+        if centroids is None:
+            n_lists = _resolve_n_lists(df, n_lists, pair_budget, fit_sample_rows)
+            centroids = fit_ivf_centroids(
+                df,
+                vec_col,
+                n_lists=n_lists,
+                seed=seed,
+                sample_rows=fit_sample_rows,
+                max_iter=max_iter,
+                init_mode=init_mode,
+            )
+        # Materialize the assignment ONCE (the paper's own layout — SemDeDup
+        # stores the cluster-sorted embeddings before the pair stage).  The
+        # frame is read three times (both pair-join sides + the final
+        # join-back); without the checkpoint each read re-executes the
+        # k-centroid argmin map — at n_lists="auto" scale (up to ~131k
+        # lists) that is the single most expensive map in the pipeline,
+        # evaluated 3x for no reason (guide §2.4/§5: duplicated subtrees;
+        # localCheckpoint spills to disk past storage memory).  Per-row
+        # norms ride along so the pair cosine is ONE dot per pair instead
+        # of three aggregates — same arithmetic, same multiply order
+        # (dot/(norm_a*norm_b)), bit-identical result.  A caller that has
+        # already materialized this exact frame (``d4_curation`` shares
+        # ONE assignment across both stages) passes it via ``assigned=``
+        # (columns ``id_col, ivf_list, __v, __n``; extra columns ride
+        # along harmlessly) and nothing is recomputed.
+        assigned = (
+            with_ivf_list(df, vec_col, centroids)
+            .select(
+                F.col(id_col), F.col("ivf_list"), _as_double(F.col(vec_col)).alias("__v")
+            )
+            .withColumn("__n", V.norm(F.col("__v")))
+            .localCheckpoint()
         )
-    # Materialize the assignment ONCE (the paper's own layout — SemDeDup
-    # stores the cluster-sorted embeddings before the pair stage).  The
-    # frame is read three times (both pair-join sides + the final
-    # join-back); without the checkpoint each read re-executes the
-    # k-centroid argmin map — at n_lists="auto" scale (up to ~131k
-    # lists) that is the single most expensive map in the pipeline,
-    # evaluated 3x for no reason (guide §2.4/§5: duplicated subtrees;
-    # localCheckpoint spills to disk past storage memory).  Per-row
-    # norms ride along so the pair cosine is ONE dot per pair instead
-    # of three aggregates — same arithmetic, same multiply order
-    # (dot/(norm_a*norm_b)), bit-identical result.
-    assigned = (
-        with_ivf_list(df, vec_col, centroids)
-        .select(
-            F.col(id_col), F.col("ivf_list"), _as_double(F.col(vec_col)).alias("__v")
-        )
-        .withColumn("__n", V.norm(F.col("__v")))
-        .localCheckpoint()
-    )
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = V.dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
     pairs = (
@@ -1729,6 +1735,7 @@ def prototype_prune(
     init_mode: str = "random",
     centroids: list[list[float]] | None = None,
     pair_budget: int = 2_000_000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SSL-prototypes pruning — D4's second stage ("D4: Improving LLM
     Pretraining via Document De-Duplication and Diversification",
@@ -1762,20 +1769,23 @@ def prototype_prune(
 
     if not 0.0 <= drop_frac < 1.0:
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
-    if centroids is None:
-        n_lists = _resolve_n_lists(df, n_lists, pair_budget, fit_sample_rows)
-        centroids = fit_ivf_centroids(
-            df,
-            vec_col,
-            n_lists=n_lists,
-            seed=seed,
-            sample_rows=fit_sample_rows,
-            max_iter=max_iter,
-            init_mode=init_mode,
-        )
-    scored = _assign_ivf(
-        df, vec_col, centroids, dist_col="__d0"
-    ).select(
+    if assigned is None:
+        if centroids is None:
+            n_lists = _resolve_n_lists(df, n_lists, pair_budget, fit_sample_rows)
+            centroids = fit_ivf_centroids(
+                df,
+                vec_col,
+                n_lists=n_lists,
+                seed=seed,
+                sample_rows=fit_sample_rows,
+                max_iter=max_iter,
+                init_mode=init_mode,
+            )
+        assigned = _assign_ivf(df, vec_col, centroids, dist_col="__d0")
+    # ``assigned=`` callers (``d4_curation``) pass the SAME pre-pinned
+    # frame (``id_col, ivf_list, __d0``) both stages read — the argmin
+    # map runs once per corpus instead of once per stage.
+    scored = assigned.select(
         F.col(id_col),
         "ivf_list",
         F.round(F.col("__d0"), 6).alias("__d"),
@@ -1844,16 +1854,36 @@ def d4_curation(
         max_iter=max_iter,
         init_mode=init_mode,
     )
+    # ONE corpus assignment map shared by BOTH stages (r11): the argmin
+    # against k centroids — the pipeline's most expensive map at
+    # n_lists="auto" scale — previously ran once inside semdedup and
+    # AGAIN inside prototype_prune (over the survivors, after a corpus
+    # re-read + join to recover their vectors).  The same pinned frame
+    # carries everything each stage needs: ``__v``/``__n`` for the pair
+    # cosines, ``__d0`` for the prototype ranks; the survivor filter is
+    # a keyed semi-join on the pinned blocks, never a second corpus
+    # scan.  Same expressions, same values — bit-identical stages.
+    assigned = (
+        _assign_ivf(df, vec_col, centroids, dist_col="__d0")
+        .select(
+            F.col(id_col),
+            "ivf_list",
+            F.col("__d0"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", V.norm(F.col("__v")))
+        .localCheckpoint()
+    )
     deduped = semdedup(
         df, vec_col, id_col,
-        threshold=dedup_threshold, centroids=centroids,
+        threshold=dedup_threshold, centroids=centroids, assigned=assigned,
     )
-    survivors = df.join(
-        deduped.where(F.col("is_kept") == 1).select(id_col), id_col
+    survivors = assigned.join(
+        deduped.where(F.col("is_kept") == 1).select(id_col), id_col, "left_semi"
     )
     pruned = prototype_prune(
         survivors, vec_col, id_col,
-        drop_frac=drop_frac, centroids=centroids,
+        drop_frac=drop_frac, centroids=centroids, assigned=survivors,
     )
     return (
         deduped.select(id_col, "ivf_list", "is_kept")

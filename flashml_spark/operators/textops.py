@@ -433,18 +433,32 @@ def curate_and_pack(
     so only ``id_col, n_tokens`` plus ``keep_columns`` flow into it —
     carrying the full text through the checkpoint costs ~100× the bytes
     for nothing.  Join surviving ids back to the source for payloads.
-    Output: ``<id_col>, n_tokens, shard`` (+ ``keep_columns``)."""
-    from flashml_spark.operators.dedup import exact_dedup
+    Output: ``<id_col>, n_tokens, shard`` (+ ``keep_columns``).
 
+    One corpus pass (r11): verdict, content digest and token count are
+    computed in a SINGLE fused projection and pinned NARROW (id, digest,
+    n_tokens — never the text).  The naive composition re-executed the
+    regex-heavy quality filter for each dedup branch (digest agg + the
+    semi-join's probe side) and tokenized a third time for the count —
+    three corpus passes where one suffices (guide §1.2-1).  The dedup
+    keep-min then runs entirely on the pinned narrow blocks with
+    ``exact_dedup``'s exact semantics (digest groupBy keep-min + semi
+    join on the keeper ids)."""
     kept = (
         quality_filter_verdict(
             df, text_col, lang_col, min_tokens, max_tokens, min_quality
         )
         .filter(F.col("keep"))
-        .drop("reason", "keep")
+        .select(
+            F.col(id_col),
+            H.md5_hex(F.col(text_col)).alias("__h"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+            *(keep_columns or []),
+        )
+        .localCheckpoint(eager=False)
     )
-    deduped = exact_dedup(kept, text_col, id_col)
-    counted = with_token_count(deduped, text_col).select(
+    keepers = kept.groupBy("__h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    counted = kept.join(keepers, on=id_col, how="left_semi").select(
         id_col, "n_tokens", *(keep_columns or [])
     )
     return pack_shards(counted, id_col, "n_tokens", capacity)
@@ -1137,10 +1151,46 @@ def source_js_divergence(
     )
 
 
+def _bpe_learn_driver(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """DRIVER-side mirror of the ``bpe_learn`` loop for bounded
+    vocabularies — byte-for-byte the same semantics: the sentinel-spaced
+    representation (``" a  b  c "``), adjacent-pair counts weighted by
+    word frequency (every occurrence counts), argmax by (n DESC, pair
+    ASC — Python code-point order == Spark UTF8 binary order for valid
+    UTF-8), and a literal left-to-right non-overlapping replace (Python
+    ``str.replace`` == Spark ``F.replace``).  Integer counts only, so
+    the merge table is exactly the distributed loop's."""
+    from collections import defaultdict
+
+    words = [
+        ("".join(f" {c} " for c in w), int(f)) for w, f in word_freqs
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict[str, int] = defaultdict(int)
+        for r, freq in words:
+            syms = r.strip(" ").split("  ")
+            for i in range(len(syms) - 1):
+                counts[syms[i] + " " + syms[i + 1]] += freq
+        if not counts:
+            break
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = pair.replace(" ", "")
+        merges.append((rnd, pair, merged, int(n)))
+        wrapped = " " + pair.replace(" ", "  ") + " "
+        target = f" {merged} "
+        words = [(r.replace(wrapped, target), f) for r, f in words]
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str,
     n_merges: int = 5,
+    word_freq: DataFrame | None = None,
+    driver_vocab_budget: int = 200_000,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from the corpus — the
     tokenizer-training loop (Sennrich et al.) as a distributed DataFrame
@@ -1167,16 +1217,41 @@ def bpe_learn(
     only driver state: one merge rule per round).  The words frame is
     localCheckpointed per round to keep lineage flat, same loop hygiene
     as :func:`graph.pagerank`.  Output: ``merge_round, pair, merged, n``.
+
+    Vocabularies under ``driver_vocab_budget`` distinct words run the
+    merge loop on the DRIVER (the :func:`graph.kcore` bounded-budget
+    pattern): each distributed round otherwise pays a pair explode, a
+    hash agg and a TakeOrdered job — pure scheduler overhead when the
+    word-frequency table is small, which it always is relative to the
+    corpus.  The budget probe is one ``limit(budget+1)`` collect of the
+    frame the loop would iterate anyway; integer counts and literal
+    string replaces mirror the Spark expressions exactly, so the merge
+    table is identical (a unit test pins driver == distributed).  Past
+    the budget the distributed loop is unchanged.
+
+    ``word_freq=`` (columns ``word, freq``) lets a caller that has
+    already aggregated word counts (``bpe_encode_fertility`` composes
+    with the same frame in x167) skip the second corpus tokenize.
     """
     spaced = F.regexp_replace(F.col("word"), "(.)", " $1 ")
-    words = (
-        df.where(F.col(text_col).isNotNull())
+    wf = (
+        word_freq.select("word", "freq")
+        if word_freq is not None
+        else df.where(F.col(text_col).isNotNull())
         .select(F.explode(H.tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(spaced.alias("r"), "freq")
-        .localCheckpoint(eager=False)
     )
+    spark = df.sparkSession
+    probe = wf.limit(driver_vocab_budget + 1).collect()
+    if len(probe) <= driver_vocab_budget:
+        return spark.createDataFrame(
+            _bpe_learn_driver(
+                [(r["word"], int(r["freq"])) for r in probe], n_merges
+            ),
+            "merge_round int, pair string, merged string, n bigint",
+        )
+    words = wf.select(spaced.alias("r"), "freq").localCheckpoint(eager=False)
     merges = []
     for rnd in range(1, n_merges + 1):
         symbols = F.split(F.trim(F.col("r")), "  ")
@@ -2318,6 +2393,7 @@ def bpe_encode_fertility(
     text_col: str,
     group_col: str,
     merges: list[str],
+    group_word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Apply learned BPE merge rules (from :func:`bpe_learn`, in rule
     order) to the corpus and report per-group tokenizer FERTILITY —
@@ -2338,9 +2414,16 @@ def bpe_encode_fertility(
     counts back to the (group, word) frame for the per-group agg.
     Driver state: the R merge strings (bounded by construction).
     Output: ``group_col, n_words, n_bpe_tokens, fertility``.
+
+    ``group_word_counts=`` (columns ``group_col, word, cnt``) lets a
+    caller that already aggregated the corpus (x167 derives
+    ``bpe_learn``'s word frequencies from the SAME frame) skip this
+    function's corpus tokenize entirely.
     """
     gw = (
-        df.where(F.col(text_col).isNotNull())
+        group_word_counts.select(group_col, "word", "cnt")
+        if group_word_counts is not None
+        else df.where(F.col(text_col).isNotNull())
         .select(
             F.col(group_col), F.explode(H.tokens(F.col(text_col))).alias("word")
         )

@@ -232,12 +232,31 @@ def _bpe_fertility_oracle(k: int = 5) -> str:
 
 @register("x167_bpe_fertility", _bpe_fertility_oracle(5))
 def x167(spark: SparkSession, sf: str) -> DataFrame:
+    from flashml_spark.functions import hashing as H
+
     docs = load_table(spark, sf, "documents").select("source", "text")
-    merges_df = textops.bpe_learn(docs.select("text"), "text", n_merges=5)
+    # ONE corpus tokenize shared by BOTH halves (r11): the learn loop's
+    # word frequencies are the per-source counts summed over sources —
+    # integer-exact — so the pinned (source, word) agg feeds bpe_learn
+    # via word_freq= and bpe_encode_fertility via group_word_counts=,
+    # instead of each tokenizing the corpus separately.
+    gw = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.explode(H.tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    wf = gw.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    merges_df = textops.bpe_learn(
+        docs.select("text"), "text", n_merges=5, word_freq=wf
+    )
     merges = [
         r["pair"] for r in merges_df.orderBy("merge_round").collect()
     ]
-    return textops.bpe_encode_fertility(docs, "text", "source", merges)
+    return textops.bpe_encode_fertility(
+        docs, "text", "source", merges, group_word_counts=gw
+    )
 
 
 # --------------------------------------------------------------------------

@@ -281,6 +281,35 @@ def test_bpe_stops_when_no_pairs(spark):
     assert textops.bpe_learn(docs, "text", n_merges=3).count() == 0
 
 
+def test_bpe_learn_driver_matches_distributed(spark):
+    """The bounded driver-side merge loop (r11) must produce EXACTLY the
+    distributed loop's merge table — pairs, merged symbols, counts and
+    round order — including tie-breaks and greedy-overlap semantics."""
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lowest lower"),
+            (2, "aaa abab newest widest"),
+            (3, "low lowest abab aaa aaa"),
+        ],
+        "doc_id long, text string",
+    )
+    drv = [
+        tuple(r)
+        for r in textops.bpe_learn(docs, "text", n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in textops.bpe_learn(
+            docs, "text", n_merges=6, driver_vocab_budget=0
+        )
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert drv == dist and len(drv) == 6
+
+
 # --- minhash accuracy audit -------------------------------------------------
 
 

@@ -523,13 +523,53 @@ def test_connected_components_raises_on_iteration_cap(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
     )
+    # driver_edge_budget=0 pins the DISTRIBUTED loop (the driver path has
+    # no iteration cap — it always runs to its exact fixpoint)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
+        connected_components(chain, max_iterations=2, driver_edge_budget=0)
     comp = {
         r["id"]: r["component"]
-        for r in connected_components(chain, max_iterations=20).collect()
+        for r in connected_components(
+            chain, max_iterations=20, driver_edge_budget=0
+        ).collect()
     }
     assert set(comp.values()) == {1}
+
+
+def test_connected_components_driver_matches_distributed(spark):
+    """The bounded driver-side union-find (r11) must return EXACTLY the
+    distributed loop's rows: same vertices, same min-id components —
+    across long ids, string ids, chains, self-loops and singletons-via-
+    self-pair."""
+    from flashml_spark.operators.dedup import connected_components
+
+    cases = [
+        (
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (7, 7)],
+            "id_a long, id_b long",
+        ),
+        (
+            [(i, i + 1) for i in range(1, 30)],  # deep chain (doubling path)
+            "id_a long, id_b long",
+        ),
+        (
+            [("b", "c"), ("a", "b"), ("x", "y"), ("m", "m")],
+            "id_a string, id_b string",
+        ),
+    ]
+    for rows, schema in cases:
+        pairs = spark.createDataFrame(rows, schema)
+        drv = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+        dist = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                pairs, max_iterations=40, driver_edge_budget=0
+            ).collect()
+        }
+        assert drv == dist and drv
 
 
 def test_split_page_level_clamps_low_pages(spark):
