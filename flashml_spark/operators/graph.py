@@ -240,6 +240,50 @@ def _bfs_driver(
     return spark.createDataFrame(out_pdf, schema=schema)
 
 
+def co_occurrence_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Canonical within-group item pairs (``src < dst``) — the co-order /
+    co-occurrence edge builder shared by the graph audits (x164 / x168 /
+    x276 build the part co-order graph from lineitem with it).
+
+    One ``groupBy(group)`` exchange + basket-size-bounded per-row pair
+    generation (sorted distinct item array → upper-triangle HOF
+    explode) instead of a keyed SELF-JOIN: the join shape needs a
+    distinct over (group, item), a second exchange of both join sides
+    and an SMJ whose output re-materializes every pair, where this
+    builds each group's pairs inside the aggregation stage that already
+    holds the basket.  Duplicate (group, item) rows collapse via
+    ``array_distinct`` (same SIMPLE-graph semantics as the
+    distinct-before-join the join variant used).  The explicit
+    repartition pins the fan-out parallelism — AQE would coalesce the
+    small post-agg frame to 1-2 tasks and serialize the pair explode
+    (the x132 prefix-join lesson).  Cross-group duplicate pairs remain
+    (callers distinct or degree-normalize downstream, as before).
+    Output: ``src, dst`` with ``src < dst``.
+    """
+    spark = df.sparkSession
+    spread = max(spark.sparkContext.defaultParallelism, 16)
+    items = F.col("__items")
+    pair_gen = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+        .repartition(spread, "__g")
+        .groupBy("__g")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("__i"))).alias("__items"))
+        .select(F.explode(pair_gen).alias("__e"))
+        .select("__e.src", "__e.dst")
+    )
+
+
 def _degree_keyed_edges(
     edges: DataFrame, src: str, dst: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -252,9 +296,15 @@ def _degree_keyed_edges(
     :func:`triangle_stats` and :func:`degree_assortativity` from
     silently diverging."""
     a, b = F.col(src), F.col(dst)
+    spread = max(edges.sparkSession.sparkContext.defaultParallelism, 16)
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        # explicit-count repartition on the distinct key: AQE coalesces
+        # the canonicalized frame's shuffle to 1-2 tasks (it is narrow),
+        # serializing the distinct agg AND every downstream consumer of
+        # the pinned blocks
+        .repartition(spread, "a", "b")
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -738,14 +738,18 @@ def frequent_pairs(
     ``item_a, item_b, support, confidence, lift`` with ``item_a <
     item_b``; ordered by lift desc (support, item tie-breaks).
     """
+    from flashml_spark.operators.graph import co_occurrence_pairs
+
     b, i = F.col(basket_col), F.col(item_col)
     items = df.select(b.alias("bk"), i.alias("it")).distinct()
-    a = items.select(F.col("bk"), F.col("it").alias("ia"))
-    c = items.select(F.col("bk"), F.col("it").alias("ib"))
+    # Canonical per-basket pairs via the basket-bounded HOF builder
+    # (r11): one groupBy(basket) exchange generates C(basket,2) pairs in
+    # place of the keyed self-join (in-basket duplicates collapse inside
+    # the builder, so support semantics are unchanged: one row per
+    # basket per unordered pair).
     pairs = (
-        a.join(c, "bk")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
+        co_occurrence_pairs(df.select(b.alias("bk"), i.alias("it")), "bk", "it")
+        .groupBy(F.col("src").alias("ia"), F.col("dst").alias("ib"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )

@@ -65,24 +65,12 @@ LIMIT 20"""
 
 @register("x164_triangle_parts", _TRI_SQL)
 def x164(spark: SparkSession, sf: str) -> DataFrame:
-    # Distinct BEFORE the pair self-join: an order holding the same part
-    # on several lines would fan out duplicate pairs the downstream edge
-    # distinct collapses anyway; pre-collapsing moves that dedup ahead of
-    # the multiplicative join (dominant cost on denser basket tables).
-    li = (
-        load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
+    # Per-order pairs via the basket-bounded HOF builder (r11): one
+    # groupBy exchange generates each order's canonical part pairs in
+    # place of the distinct + keyed self-join (same SIMPLE-graph edge
+    # set; triangle_stats normalizes duplicates downstream as before).
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     stats = graph.triangle_stats(edges)
     return (
         stats.select(
@@ -283,23 +271,11 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
 
 @register("x168_part_assortativity", _ASSORT_SQL)
 def x168(spark: SparkSession, sf: str) -> DataFrame:
-    # Same pre-distinct as x164: the oracle's e0 is DISTINCT-after-join,
-    # and _degree_keyed_edges distincts internally, so collapsing
-    # duplicate (order, part) lines before the self-join is free parity.
-    li = (
-        load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
+    # Same HOF pair builder as x164 (r11): identical edge SET — the
+    # oracle's e0 is DISTINCT-after-join and _degree_keyed_edges
+    # distincts internally, so cross-order duplicates collapse as before.
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     return graph.degree_assortativity(edges)
 
 

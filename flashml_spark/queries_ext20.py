@@ -350,26 +350,20 @@ FROM fin, chk WHERE chk.ok = 1 ORDER BY node"""
 def x276(spark: SparkSession, sf: str) -> DataFrame:
     from flashml_spark.operators import graph
 
-    li = (
-        load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # Per-order pairs via the basket-bounded HOF builder (r11) — one
+    # groupBy exchange instead of distinct + keyed self-join.
+    edges = graph.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     # SIMPLE graph: two parts sharing several orders still form ONE
     # edge (kcore's degree contract, and the oracle's SELECT DISTINCT).
-    # The self-join + distinct is the dominant fixed cost, so pin it
+    # The pair build + distinct is the dominant fixed cost, so pin it
     # ONCE (eager localCheckpoint) — the k computation and every
     # peeling round then read the materialized blocks instead of
-    # rebuilding the pair join (3x at sf0.1 before this pin).
-    edges = edges.distinct().localCheckpoint()
+    # rebuilding the pair fan-out (3x at sf0.1 before this pin).  The
+    # explicit repartition pins the distinct's reduce parallelism (AQE
+    # would coalesce the narrow pair frame to 1-2 tasks).
+    spread = max(spark.sparkContext.defaultParallelism, 16)
+    edges = edges.repartition(spread, "src", "dst").distinct().localCheckpoint()
     # adaptive k from exact counts: one pass over the pinned edge
     # frame for E and V
     ev = (
