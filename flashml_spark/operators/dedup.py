@@ -715,6 +715,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str,
     threshold: float,
     shingle_n: int = 1,
+    bitset_max_vocab: int = 4096,
 ) -> DataFrame:
     """EXACT all-pairs token Jaccard ≥ ``threshold`` via prefix filtering
     (Bayardo/Chaudhuri all-pairs similarity search).
@@ -745,7 +746,15 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(units)).alias("s"),
     )
-    dfreq = toks.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # Lazy checkpoint + count surface |vocab| to the driver at no extra
+    # corpus pass (global_cumsum pins this frame anyway — the x152
+    # pattern); |vocab| gates the bitset verification below.
+    dfreq = (
+        toks.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .localCheckpoint(eager=False)
+    )
+    n_vocab = dfreq.count()
     # Dense integer unit ids (1..|vocab|, scale-safe global rank over the
     # |vocab|-sized frame): every downstream join/array op works on
     # bigints instead of shingle STRINGS — the verification intersections
@@ -837,7 +846,35 @@ def prefix_filter_jaccard_pairs(
     # candidates by doc length; and never string arrays — int equality is
     # what makes 4M+ intersections cheap).  Sizes ride along from the
     # candidate stage; `ranked` is already doc-partitioned by its window.
-    arrs = ranked.groupBy("doc").agg(F.collect_list("sid").alias("arr"))
+    #
+    # Small vocabularies (|vocab| <= 4096, driver-known from the dfreq
+    # count) verify with FIXED-WIDTH BITSETS instead: each doc's set is
+    # ceil(|vocab|/64) longs, and |A∩B| is a zip_with AND + bit_count —
+    # O(words) per pair with no hashing, vs the hash-probe
+    # array_intersect whose cost is O(|A|+|B|).  Same integer overlap,
+    # same jaccard, bit-identical output; bigger vocabularies keep the
+    # array path (a 100 TB shingle vocab is far past the gate).
+    use_bits = n_vocab <= bitset_max_vocab
+    if use_bits:
+        n_words = int(n_vocab // 64) + 1
+        bitmap = F.expr(
+            f"transform(sequence(0, {n_words - 1}), w -> "
+            "aggregate(arr, 0L, (acc, s) -> "
+            "IF(CAST(s DIV 64 AS INT) = w, "
+            "acc | SHIFTLEFT(1L, CAST(s % 64 AS INT)), acc)))"
+        )
+        arrs = (
+            ranked.groupBy("doc")
+            .agg(F.collect_list("sid").alias("arr"))
+            .select("doc", bitmap.alias("arr"))
+        )
+        common = F.expr(
+            "aggregate(zip_with(arr_a, arr_b, (x, y) -> bit_count(x & y)),"
+            " 0, (acc, v) -> acc + v)"
+        ).cast("int")
+    else:
+        arrs = ranked.groupBy("doc").agg(F.collect_list("sid").alias("arr"))
+        common = F.size(F.array_intersect("arr_a", "arr_b"))
     aa = arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
     bb = arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
     # Candidate rows are narrow (two ids), so AQE coalesces the group-by's
@@ -851,7 +888,7 @@ def prefix_filter_jaccard_pairs(
         cand.repartition(spread)
         .join(aa, "id_a")
         .join(bb, "id_b")
-        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn("common", common)
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return paired.filter(F.round(jac, 6) >= threshold).select(

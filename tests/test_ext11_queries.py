@@ -357,6 +357,35 @@ def test_minhash_audit_accepts_precomputed_pairs(spark):
     assert standalone["n_pairs"] >= 1
 
 
+def test_prefix_jaccard_bitset_matches_array_verify(spark):
+    """The small-vocab bitset verification (r11) must return EXACTLY the
+    array_intersect path's rows — same pairs, same jaccard values."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30))))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    bits = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", 0.5, 1
+        ).collect()
+    }
+    arrs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", 0.5, 1, bitset_max_vocab=0
+        ).collect()
+    }
+    assert bits == arrs and bits
+
+
 # --- vocabulary growth ------------------------------------------------------
 
 
