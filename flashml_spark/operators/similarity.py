@@ -1006,10 +1006,16 @@ def reciprocal_nn_pairs(
     from pyspark.sql import Window
 
     v = V  # module alias for readability below
-    src = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).withColumn("__n", v.norm(F.col("__v")))
+    # pinned ONCE: both sides of the all-pairs join consume this frame,
+    # re-executing the scan + norm per side otherwise (r11)
+    src = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .withColumn("__n", v.norm(F.col("__v")))
+        .localCheckpoint()
+    )
     a = src.select(
         F.col("__id").alias("ia"), F.col("__v").alias("va"),
         F.col("__n").alias("na"),
@@ -1090,23 +1096,36 @@ def reciprocal_nn_pairs_lsh(
         random_hyperplanes(dim, n_planes, seed + 1000 * l)
         for l in range(n_bands)
     ]
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).withColumn("__n", V.norm(F.col("__v")))
-    src = base.select(
-        "__id",
-        "__v",
-        "__n",
-        F.posexplode(
-            F.array(*[lsh_bucket(F.col("__v"), planes) for planes in bands])
-        ).alias("band", "bucket"),
+    # Pin the normalized vectors ONCE and the narrow (id, band, bucket)
+    # frame ONCE (r11): the bucket self-join's two sides plus the two
+    # vector-attach joins otherwise re-execute the scan + norm + the
+    # n_bands·n_planes projection dots per consumer — four corpus scans
+    # and two full bucket passes for one pipeline.  The bucket pin
+    # carries NO vectors (ids and two ints), so the heavy payload is
+    # materialized exactly once (guide §2.3 "shuffle keys and metadata
+    # instead of payloads", §5 localCheckpoint).
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .withColumn("__n", V.norm(F.col("__v")))
+        .localCheckpoint()
     )
-    a = src.select(
+    bucketed = (
+        base.select(
+            "__id",
+            F.posexplode(
+                F.array(*[lsh_bucket(F.col("__v"), planes) for planes in bands])
+            ).alias("band", "bucket"),
+        )
+        .localCheckpoint()
+    )
+    a = bucketed.select(
         F.col("__id").alias("ia"), F.col("band").alias("la"),
         F.col("bucket").alias("ba"),
     )
-    b = src.select(
+    b = bucketed.select(
         F.col("__id").alias("ib"), F.col("band").alias("lb"),
         F.col("bucket").alias("bb"),
     )
