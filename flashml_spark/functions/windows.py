@@ -95,17 +95,20 @@ def global_cumsum(
     )
     out = ranged
     for c in sum_cols:
-        omap = F.create_map(
-            *[
-                lit
-                for pid in offsets
-                for lit in (F.lit(pid), F.lit(offsets[pid][c]))
-            ]
-        )
-        out = out.withColumn(
-            f"{prefix}{c}",
-            F.sum(c).over(w) + F.coalesce(omap[F.col("__pid")], F.lit(0)),
-        )
+        if offsets:
+            omap = F.create_map(
+                *[
+                    lit
+                    for pid in offsets
+                    for lit in (F.lit(pid), F.lit(offsets[pid][c]))
+                ]
+            )
+            off = F.coalesce(omap[F.col("__pid")], F.lit(0))
+        else:
+            # empty input: create_map() is untyped (VOID key lookup
+            # fails analysis) and the window emits no rows anyway
+            off = F.lit(0)
+        out = out.withColumn(f"{prefix}{c}", F.sum(c).over(w) + off)
     return out.drop("__pid")
 
 

@@ -1558,10 +1558,56 @@ def densify_daily(
     )
 
 
+def _theil_sen_driver(spark, rows) -> DataFrame:
+    """Exact driver-side twin of the distributed Theil-Sen pipeline in
+    :func:`theil_sen_trend` for a bounded daily frame.
+
+    Bit-exactness argument: each pairwise slope is ONE double subtract,
+    ONE integer subtract and ONE double division — three correctly
+    rounded IEEE-754 operations with NO accumulation, so numpy float64
+    reproduces the JVM expression bit-for-bit per pair.  The lower
+    median mirrors the ``global_cumsum`` condition (min slope with
+    ``2*cum >= n_pairs`` = the 1-based ``ceil(n_pairs/2)``-th smallest);
+    ``+ 0.0`` mirrors Spark's -0.0 → 0.0 grouping-key normalization;
+    round(6) uses the Spark ``Round`` mirror (BigDecimal shortest-repr
+    HALF_UP, the ``_markov_horizon_driver`` argument)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    n_days = len(rows)
+    if n_days < 2:
+        return spark.createDataFrame(
+            [(n_days, 0, None)],
+            "n_days bigint, n_pairs bigint, slope_per_day double",
+        )
+    order = sorted(rows, key=lambda r: r["__x"])  # unique post-agg days
+    xs = np.array([r["__x"] for r in order], dtype=np.int64)
+    ys = np.array([r["__v"] for r in order], dtype=np.float64)
+    n_pairs = n_days * (n_days - 1) // 2
+    slopes = np.empty(n_pairs, dtype=np.float64)
+    pos = 0
+    for i in range(n_days - 1):
+        m = n_days - 1 - i
+        slopes[pos:pos + m] = (ys[i + 1:] - ys[i]) / (xs[i + 1:] - xs[i])
+        pos += m
+    slopes += 0.0  # -0.0 -> 0.0, the groupBy-key normalization
+    k = (n_pairs + 1) // 2  # smallest 1-based cum with 2*cum >= n_pairs
+    med = float(np.partition(slopes, k - 1)[k - 1])
+    med6 = float(
+        Decimal(repr(med)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    ) + 0.0
+    return spark.createDataFrame(
+        [(n_days, n_pairs, med6)],
+        "n_days bigint, n_pairs bigint, slope_per_day double",
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     ts_col: str,
     value_col: str,
+    driver_days_budget: int = 8192,
 ) -> DataFrame:
     """Theil-Sen robust trend of a daily total: the MEDIAN of all
     pairwise slopes between distinct days — the estimator that shrugs
@@ -1570,12 +1616,15 @@ def theil_sen_trend(
     computed scale-safely.
 
     Scale shape: events reduce to the |days| frame in one keyed agg
-    (exact decimal revenue, the x188 determinism rule); the pairwise
-    slopes are a |days|² /2 self-join of that POST-AGG value-domain
-    frame (thousands of rows for decades — millions of slope pairs is
-    a map-stage triviality, never row-scaled); the median uses
-    ``global_cumsum``'s range-partition + offsets machinery, so no
-    single-partition window ever sees the slope frame.
+    (exact decimal revenue, the x188 determinism rule); daily frames
+    within ``driver_days_budget`` solve the slope median as ONE
+    vectorized pass on the driver (|days| is calendar-bounded, so this
+    is the steady-state path at every scale — see
+    :func:`_theil_sen_driver` for the bit-exactness mirror); past the
+    budget the pairwise slopes are a |days|²/2 self-join of that
+    POST-AGG value-domain frame and the median uses ``global_cumsum``'s
+    range-partition + offsets machinery, so no single-partition window
+    ever sees the slope frame.
 
     Output (1 row): ``n_days, n_pairs, slope_per_day`` (slope rounded
     6; with < 2 distinct days the row carries n_pairs = 0 and a NULL
@@ -1588,6 +1637,24 @@ def theil_sen_trend(
         .cast("double")
         .alias("__v")
     )
+    # Bounded driver solve (r11, the markov/kcore/BFS budget pattern):
+    # |days| is calendar-bounded (two decades ≈ 7.3k rows) while the
+    # slope join is |days|²/2 — the limit-probe collect doubles as the
+    # size gate, and past the budget the distributed path below runs
+    # unchanged.  See _theil_sen_driver for the bit-exactness argument.
+    if driver_days_budget and driver_days_budget > 0:
+        probe = (
+            daily.select(
+                F.datediff(
+                    F.col("__d"), F.lit("1970-01-01").cast("date")
+                ).alias("__x"),
+                "__v",
+            )
+            .limit(driver_days_budget + 1)
+            .collect()
+        )
+        if len(probe) <= driver_days_budget:
+            return _theil_sen_driver(df.sparkSession, probe)
     a = daily.select(
         F.datediff(F.col("__d"), F.lit("1970-01-01").cast("date")).alias("__x1"),
         F.col("__v").alias("__y1"),

@@ -742,6 +742,39 @@ def test_theil_sen_recovers_slope_despite_outlier(spark):
     assert out["slope_per_day"] == 10.0
 
 
+def test_theil_sen_driver_matches_distributed(spark):
+    """The bounded driver solve must reproduce the distributed pipeline
+    bit-for-bit: duplicate slope values, a -0.0-producing pair, uneven
+    day gaps, and both even and odd pair counts."""
+    from datetime import datetime
+
+    import random as _random
+
+    rng = _random.Random(7)
+    day, rows = 0, []
+    for _ in range(23):
+        day += rng.randint(1, 9)  # uneven gaps
+        v = rng.choice([0.0, 1.5, -2.25, 7.0, 7.0])  # forced slope ties
+        rows.append((datetime(2023, 1, 1 + day % 27, day // 27 + 1), v))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    fast = events.theil_sen_trend(df, "ts", "v").collect()
+    slow = events.theil_sen_trend(
+        df, "ts", "v", driver_days_budget=0
+    ).collect()
+    assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
+    # sub-budget edge cases: single day and empty frame
+    one = spark.createDataFrame(
+        [(datetime(2024, 3, 1), 4.0)], "ts timestamp, v double"
+    )
+    empty = spark.createDataFrame([], "ts timestamp, v double")
+    for d in (one, empty):
+        fast = events.theil_sen_trend(d, "ts", "v").collect()
+        slow = events.theil_sen_trend(
+            d, "ts", "v", driver_days_budget=0
+        ).collect()
+        assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
+
+
 def test_theil_sen_aggregates_within_day_first(spark):
     from datetime import datetime
 
