@@ -973,39 +973,45 @@ def edit_distance_pairs(
     # probes: for every partner length lam in [L-k, L+k], every substring
     # with THAT length's segment-i geometry, starting within +-k of the
     # segment's home position (pigeonhole shift bound), clamped to valid
-    # substring starts in THIS doc.
-    def probe_maker(lam, i: int, ln):
-        # factory keeps the HOF lambda single-param: pyspark maps every
-        # positional parameter (even defaulted) to a lambda variable
-        def fn(pos):
-            return F.struct(
-                lam.alias("lam"),
-                F.lit(i).alias("i"),
-                F.col("p").substr(pos, ln).alias("sub"),
-            )
-
-        return fn
-
-    probe_arrays = []
-    for d in range(-k, k + 1):
-        lam = L + d
-        for i in range(k + 1):
-            st, ln = seg_geom(lam, i)
-            lo = F.greatest(F.lit(1), st - k)
-            hi = F.least(L - ln + 1, st + k)
-            positions = F.when(
-                (lam >= 1) & (ln >= 1) & (lo <= hi), F.sequence(lo, hi)
-            ).otherwise(F.expr("CAST(array() AS array<int>)"))
-            probe_arrays.append(F.transform(positions, probe_maker(lam, i, ln)))
+    # substring starts in THIS doc.  Generated GENERICALLY: one explode
+    # over the (2k+1)(k+1) literal (d, i) grid with the geometry as
+    # column math, instead of (2k+1)(k+1) separately-unrolled transform
+    # arrays — the unrolled form compiled an 84-branch projection whose
+    # codegen alone cost ~2 s per fresh plan at k=3 (r11 batch 16);
+    # the row multiset is identical by construction.
+    di_grid = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.lit(i).alias("i"))
+            for d in range(-k, k + 1)
+            for i in range(k + 1)
+        ]
+    )
+    g = keyed.select(
+        "doc", "p", L.alias("l"), F.explode(di_grid).alias("g")
+    ).select(
+        "doc",
+        "p",
+        "l",
+        (F.col("l") + F.col("g.d")).alias("lam"),
+        F.col("g.i").alias("i"),
+    )
+    base = F.floor(F.col("lam") / (k + 1)).cast("int")
+    extra = F.col("lam") - base * (k + 1)
+    st = F.lit(1) + base * F.col("i") + F.least(F.col("i"), extra)
+    ln = base + F.when(F.col("i") < extra, 1).otherwise(0)
+    lo = F.greatest(F.lit(1), st - k)
+    hi = F.least(F.col("l") - ln + 1, st + k)
+    positions = F.when(
+        (F.col("lam") >= 1) & (ln >= 1) & (lo <= hi), F.sequence(lo, hi)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     probes = (
-        keyed.select(
-            "doc", F.explode(F.flatten(F.array(*probe_arrays))).alias("g")
-        )
+        g.withColumn("__ln", ln)
+        .select("doc", "lam", "i", "p", "__ln", F.explode(positions).alias("pos"))
         .select(
             "doc",
-            F.col("g.lam").alias("lam"),
-            F.col("g.i").alias("i"),
-            F.col("g.sub").alias("sub"),
+            "lam",
+            "i",
+            F.col("p").substr(F.col("pos"), F.col("__ln")).alias("sub"),
         )
         .filter(F.length("sub") > 0)
     )
