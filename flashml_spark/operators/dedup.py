@@ -1207,6 +1207,7 @@ def weighted_jaccard_pairs(
     id_col: str,
     threshold: float,
     shingle_n: int = 2,
+    bitset_max_vocab: int = 4096,
 ) -> DataFrame:
     """EXACT all-pairs WEIGHTED Jaccard >= ``threshold`` with idf weights
     — rare shared shingles count more than boilerplate, the similarity
@@ -1236,10 +1237,15 @@ def weighted_jaccard_pairs(
     joins and intersections are unchanged), and the shared weight sum
     is ONE array ``aggregate`` recomputing ``ln(1 + N/df)`` from the
     unpacked df — no explode, no join back to the |vocab| weight dim,
-    no per-pair agg shuffle.  Past the bounds, the fallback explodes
-    the SHARED ids only — bounded by actual intersection mass — and
-    joins them to the weight dim.  Output: ``id_a, id_b, wjaccard``
-    (id_a < id_b, rounded 6).
+    no per-pair agg shuffle.  Small vocabularies (≤ 4096, the x132
+    bitset gate) additionally prefilter with a fixed-width bitset
+    intersection COUNT — ``cw ≤ min(wmax·common, wa, wb)`` and jaccard
+    is monotone in cw, so a below-threshold upper bound losslessly
+    certifies exclusion and the exact weighted sum (identical addends,
+    identical fold order) runs only on survivors.
+    Past the bounds, the fallback explodes the SHARED ids only —
+    bounded by actual intersection mass — and joins them to the weight
+    dim.  Output: ``id_a, id_b, wjaccard`` (id_a < id_b, rounded 6).
     """
     from flashml_spark.functions.windows import global_cumsum
 
@@ -1320,7 +1326,56 @@ def weighted_jaccard_pairs(
         )
         .distinct()
     )
+    # NOTE (r11): re-deriving wa/wb from the array frame (to shrink the
+    # distinct key) was tried and MEASURED SLOWER — the per-doc total
+    # must then come from the __wtot window, which forces the window
+    # sort into both array-join branches that column pruning otherwise
+    # strips to (doc, sid).  Keep the totals riding the candidate rows.
     arrs = ranked.groupBy("doc").agg(F.collect_list("sid").alias("arr"))
+    use_bits = pack and 0 < n_vocab <= bitset_max_vocab
+    if use_bits:
+        # Small-vocab COUNT prefilter (r11, the x132 bitset gate): the
+        # candidate frame first joins ONLY fixed-width bitsets
+        # (ceil(|vocab|/64) longs per doc — the attach joins stay
+        # broadcast-sized; carrying the sid arrays alongside doubled
+        # the estimated row width and flipped them to sort-merge,
+        # measured ruinous) and computes |A∩B| as zip_with AND +
+        # bit_count — O(|vocab|/64) per pair, no hashing.  cw <=
+        # min(wmax·common, wa, wb) and jaccard is strictly monotone in
+        # cw while cw_ub <= min(wa, wb), so jac_ub < t - 1e-6 certifies
+        # round(jac, 6) < t (round moves a value by at most 5e-7) — the
+        # prefilter is LOSSLESS.  The handful of SURVIVORS then join
+        # back to the sid arrays and verify with the IDENTICAL
+        # aggregate as the generic packed path below — bit-identical
+        # output by construction.
+        wmax = vids.agg(F.max("w")).first()[0]  # one scalar (pinned dim)
+        n_words = int(n_vocab // 64) + 1
+        bitmap = F.expr(
+            f"transform(sequence(0, {n_words - 1}), w -> "
+            "aggregate(arr, 0L, (acc, s) -> "
+            "IF(CAST((SHIFTRIGHT(s, 32) - 1) DIV 64 AS INT) = w, "
+            "acc | SHIFTLEFT(1L, CAST((SHIFTRIGHT(s, 32) - 1) % 64 AS INT)),"
+            " acc)))"
+        )
+        bits = arrs.select("doc", bitmap.alias("bits"))
+        ba = bits.select(F.col("doc").alias("id_a"), F.col("bits").alias("bits_a"))
+        bbb = bits.select(F.col("doc").alias("id_b"), F.col("bits").alias("bits_b"))
+        pre = cand.repartition(spread).join(ba, "id_a").join(bbb, "id_b")
+        common = F.expr(
+            "aggregate(zip_with(bits_a, bits_b, (x, y) -> bit_count(x & y)),"
+            " 0, (acc, v) -> acc + v)"
+        )
+        cw_ub = F.least(
+            F.lit(float(wmax)) * F.col("__common").cast("double"),
+            F.col("wa"),
+            F.col("wb"),
+        )
+        jac_ub = cw_ub / (F.col("wa") + F.col("wb") - cw_ub)
+        cand = (
+            pre.withColumn("__common", common)
+            .filter((F.col("__common") > 0) & (jac_ub >= threshold - 1e-6))
+            .select("id_a", "id_b", "wa", "wb")
+        )
     aa = arrs.select(F.col("doc").alias("id_a"), F.col("arr").alias("arr_a"))
     bb = arrs.select(F.col("doc").alias("id_b"), F.col("arr").alias("arr_b"))
     paired = cand.repartition(spread).join(aa, "id_a").join(bb, "id_b")

@@ -669,6 +669,36 @@ def test_weighted_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
     assert got == want
 
 
+def test_weighted_jaccard_bitset_prefilter_matches_generic(spark):
+    """The small-vocab bitset COUNT prefilter path must emit exactly the
+    generic packed path's rows (bitset_max_vocab=0 forces generic) —
+    including near-threshold pairs on both sides of the cut."""
+    from flashml_spark.operators.dedup import weighted_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base),
+        (1, base),                              # exact duplicate
+        (2, base + " iota"),                    # near duplicate
+        (3, "alpha beta gamma completely other words here now"),
+        (4, "unrelated text entirely different tokens again"),
+        (5, base.replace("alpha", "omega")),    # one substitution
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        fast = sorted(
+            map(tuple, weighted_jaccard_pairs(
+                df, "text", "doc_id", t, shingle_n=1
+            ).collect())
+        )
+        slow = sorted(
+            map(tuple, weighted_jaccard_pairs(
+                df, "text", "doc_id", t, shingle_n=1, bitset_max_vocab=0
+            ).collect())
+        )
+        assert fast == slow and fast  # non-vacuous
+
+
 @settings(**SPARK_SETTINGS)
 @given(
     rows=st.lists(
