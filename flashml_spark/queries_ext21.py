@@ -147,24 +147,42 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id long, text string",
     ).repartition(1)
     fx = quality.score_quality_model(evald, "text", model)
-    kept = fx.where(F.col("is_kept") == 1).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("doc_id").cast("double").alias("s"),
+    # ONE aggregation pass + explode for the four fixture rows (r11):
+    # the kept/dropped agg frames were each consumed twice, so the
+    # 6-row scoring UDF subtree executed once per output row — four
+    # ArrowEvalPython rounds for four scalars.  is_kept is never NULL
+    # (fillna 0 in the scorer) and the separable fixture pins 3 kept /
+    # 3 dropped, so indicator sums equal the filtered count/sum exactly.
+    fxa = fx.agg(
+        F.sum("is_kept").cast("double").alias("kn"),
+        F.sum(F.col("doc_id") * F.col("is_kept")).cast("double").alias("ks"),
+        F.sum(1 - F.col("is_kept")).cast("double").alias("dn"),
+        F.sum(F.col("doc_id") * (1 - F.col("is_kept")))
+        .cast("double")
+        .alias("ds"),
     )
-    dropped = fx.where(F.col("is_kept") == 0).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("doc_id").cast("double").alias("s"),
-    )
-    rows = [
-        kept.select(F.lit("fx_kept_total").alias("key"),
-                    F.col("n").alias("value")),
-        kept.select(F.lit("fx_kept_sum_ids").alias("key"),
-                    F.col("s").alias("value")),
-        dropped.select(F.lit("fx_dropped_total").alias("key"),
-                       F.col("n").alias("value")),
-        dropped.select(F.lit("fx_dropped_sum_ids").alias("key"),
-                       F.col("s").alias("value")),
-    ]
+    fx_rows = fxa.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("fx_kept_total").alias("key"),
+                    F.col("kn").alias("value"),
+                ),
+                F.struct(
+                    F.lit("fx_kept_sum_ids").alias("key"),
+                    F.col("ks").alias("value"),
+                ),
+                F.struct(
+                    F.lit("fx_dropped_total").alias("key"),
+                    F.col("dn").alias("value"),
+                ),
+                F.struct(
+                    F.lit("fx_dropped_sum_ids").alias("key"),
+                    F.col("ds").alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.key", "r.value")
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     out = quality.score_quality_model(docs, "text", model)
     corpus = out.agg(
@@ -173,10 +191,7 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("value"),
     )
-    acc = rows[0]
-    for r in rows[1:] + [corpus]:
-        acc = acc.unionByName(r)
-    return acc.orderBy("key")
+    return fx_rows.unionByName(corpus).orderBy("key")
 
 # --------------------------------------------------------------------------
 # x288 — PII scan + redaction audit: the C4/FineWeb-style scrub as a
