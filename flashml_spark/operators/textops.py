@@ -1495,9 +1495,10 @@ def dup_span_stats(
     """
     from pyspark.sql import Window
 
+    # tokenize ONCE (r11, the x291 pin pattern): see self_repetition_stats
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    )
+    ).localCheckpoint()
     grams = toks.select(
         id_col,
         F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
@@ -1571,9 +1572,10 @@ def remove_dup_spans(
     """
     from pyspark.sql import Window
 
+    # tokenize ONCE (r11, the x291 pin pattern): see self_repetition_stats
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    )
+    ).localCheckpoint()
     grams = toks.select(
         id_col,
         F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
@@ -2323,9 +2325,12 @@ def self_repetition_stats(
     """
     from pyspark.sql import Window
 
+    # tokenize ONCE (r11, the x291 pin pattern): grams' two consumers,
+    # the positional explode and the totals row each re-ran the full
+    # scan + split otherwise (4 corpus tokenize passes for one result)
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    )
+    ).localCheckpoint()
     grams = toks.select(
         id_col,
         F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
