@@ -942,14 +942,18 @@ def edit_distance_pairs(
     ).localCheckpoint()
     L = F.length("p")
 
-    def seg_geom(lam, i: int):
+    def seg_geom(lam, i):
         """1-based start and length of segment i under a length-``lam``
         segmentation (first ``lam mod (k+1)`` segments get the extra
-        char).  ``lam`` is a Column."""
+        char).  ``lam`` is a Column; ``i`` is an int or a Column —
+        the ONE home of the partition formula, shared by the segment
+        and probe sides (the pigeonhole losslessness argument needs
+        both sides on identical geometry)."""
+        ic = F.lit(i) if isinstance(i, int) else i
         base = F.floor(lam / (k + 1)).cast("int")
         extra = lam - base * (k + 1)
-        start = F.lit(1) + base * i + F.least(F.lit(i), extra)
-        ln = base + F.when(F.lit(i) < extra, 1).otherwise(0)
+        start = F.lit(1) + base * ic + F.least(ic, extra)
+        ln = base + F.when(ic < extra, 1).otherwise(0)
         return start, ln
 
     # segments: this doc's own geometry, keyed by (own length, i, sub)
@@ -995,10 +999,7 @@ def edit_distance_pairs(
         (F.col("l") + F.col("g.d")).alias("lam"),
         F.col("g.i").alias("i"),
     )
-    base = F.floor(F.col("lam") / (k + 1)).cast("int")
-    extra = F.col("lam") - base * (k + 1)
-    st = F.lit(1) + base * F.col("i") + F.least(F.col("i"), extra)
-    ln = base + F.when(F.col("i") < extra, 1).otherwise(0)
+    st, ln = seg_geom(F.col("lam"), F.col("i"))
     lo = F.greatest(F.lit(1), st - k)
     hi = F.least(F.col("l") - ln + 1, st + k)
     positions = F.when(

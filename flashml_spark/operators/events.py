@@ -1570,7 +1570,11 @@ def _theil_sen_driver(spark, rows) -> DataFrame:
     ``2*cum >= n_pairs`` = the 1-based ``ceil(n_pairs/2)``-th smallest);
     ``+ 0.0`` mirrors Spark's -0.0 → 0.0 grouping-key normalization;
     round(6) uses the Spark ``Round`` mirror (BigDecimal shortest-repr
-    HALF_UP, the ``_markov_horizon_driver`` argument)."""
+    HALF_UP, the ``_markov_horizon_driver`` argument).  A day whose
+    values are all NULL yields NULL slopes (NaN here): the cumsum
+    orders NULLS FIRST and ``F.min`` skips them, mirrored by counting
+    the NaNs ahead of the sorted finite slopes and clamping the pick
+    to the first finite one (None when no finite slope exists)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
@@ -1583,7 +1587,7 @@ def _theil_sen_driver(spark, rows) -> DataFrame:
         )
     order = sorted(rows, key=lambda r: r["__x"])  # unique post-agg days
     xs = np.array([r["__x"] for r in order], dtype=np.int64)
-    ys = np.array([r["__v"] for r in order], dtype=np.float64)
+    ys = np.array([r["__v"] for r in order], dtype=np.float64)  # None->NaN
     n_pairs = n_days * (n_days - 1) // 2
     slopes = np.empty(n_pairs, dtype=np.float64)
     pos = 0
@@ -1591,12 +1595,21 @@ def _theil_sen_driver(spark, rows) -> DataFrame:
         m = n_days - 1 - i
         slopes[pos:pos + m] = (ys[i + 1:] - ys[i]) / (xs[i + 1:] - xs[i])
         pos += m
-    slopes += 0.0  # -0.0 -> 0.0, the groupBy-key normalization
+    slopes = slopes[~np.isnan(slopes)]  # NULL-day slopes: cum-first, min-skipped
+    n_nan = n_pairs - slopes.size
     k = (n_pairs + 1) // 2  # smallest 1-based cum with 2*cum >= n_pairs
-    med = float(np.partition(slopes, k - 1)[k - 1])
-    med6 = float(
-        Decimal(repr(med)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
-    ) + 0.0
+    if slopes.size == 0:
+        med6 = None
+    else:
+        slopes += 0.0  # -0.0 -> 0.0, the groupBy-key normalization
+        i1 = max(1, k - n_nan)  # first FINITE cell whose cum reaches k
+        slopes.partition(i1 - 1)  # in-place: no second 8*n_pairs buffer
+        med = float(slopes[i1 - 1])
+        med6 = float(
+            Decimal(repr(med)).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        ) + 0.0
     return spark.createDataFrame(
         [(n_days, n_pairs, med6)],
         "n_days bigint, n_pairs bigint, slope_per_day double",

@@ -762,12 +762,26 @@ def test_theil_sen_driver_matches_distributed(spark):
         df, "ts", "v", driver_days_budget=0
     ).collect()
     assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
-    # sub-budget edge cases: single day and empty frame
+    # sub-budget edge cases: single day, empty frame, an all-NULL day
+    # (NULL daily sum -> NULL slopes: cumsum counts them first, min
+    # skips them), and an ALL-NULL frame (slope must be NULL)
     one = spark.createDataFrame(
         [(datetime(2024, 3, 1), 4.0)], "ts timestamp, v double"
     )
     empty = spark.createDataFrame([], "ts timestamp, v double")
-    for d in (one, empty):
+    null_day = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1), None),
+            (datetime(2024, 1, 2), 0.0),
+            (datetime(2024, 1, 5), 10.0),
+        ],
+        "ts timestamp, v double",
+    )
+    all_null = spark.createDataFrame(
+        [(datetime(2024, 1, 1), None), (datetime(2024, 1, 3), None)],
+        "ts timestamp, v double",
+    )
+    for d in (one, empty, null_day, all_null):
         fast = events.theil_sen_trend(d, "ts", "v").collect()
         slow = events.theil_sen_trend(
             d, "ts", "v", driver_days_budget=0
