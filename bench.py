@@ -388,28 +388,40 @@ def totals_line(
     timings: dict[str, float],
     total: float,
     sf_val,
-    h30_total: float | None = None,
+    h30: dict[str, float] | None = None,
 ) -> str:
     """COMPACT summary — always the LAST stdout line.  The driver
     captures a bounded tail of stdout and parses the final JSON line;
     r03's 73-query dict overflowed it, so this payload must stay small
     no matter how many queries run (guarded by
     tests/test_driver_contract.py::test_bench_totals_line_stays_compact
-    against THIS function).  ``headline30`` is the session-head fixed
-    subset — the round-over-round comparable number."""
+    against THIS function).
+
+    r11 verdict item 1: the summary-only payload left the driver's
+    per-query/scaling analysis with 3 pseudo-queries, so the ``queries``
+    map now ALSO carries the HEADLINE30 per-query timings — a FIXED
+    30-entry membership (pinned by test_bench_headline30_pinned),
+    ~1.1 KB, still far under the r03 tail bound.  The three summary
+    scalars keep their exact keys (the brief forbids renaming existing
+    entries); query names can never collide with them.
+    """
+    queries: dict[str, float] = {
+        "n_queries": len(timings),
+        "max": max(timings.values()) if timings else 0.0,
+        "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
+    }
+    if h30:
+        # session-head per-query numbers for the pinned comparable set
+        queries.update({q: round(s, 3) for q, s in sorted(h30.items())})
     payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {
-            "n_queries": len(timings),
-            "max": max(timings.values()) if timings else 0.0,
-            "top3_sum": round(sum(sorted(timings.values())[-3:]), 3),
-        },
+        "queries": queries,
         "sf": sf_val,
     }
-    if h30_total is not None:
-        payload["headline30"] = round(h30_total, 3)
+    if h30:
+        payload["headline30"] = round(sum(h30.values()), 3)
     return json.dumps(payload)
 
 
@@ -676,7 +688,6 @@ def main() -> int:
         run_query(fn(spark, sf_dir))
         h30[name] = round(time.perf_counter() - t0, 3)
         release_storage(spark)
-    h30_total = sum(h30.values())
 
     timings: dict[str, float] = {}
     for name in names:
@@ -712,7 +723,7 @@ def main() -> int:
     write_local_table(timings, total, sf_val, table_path, drift, h30)
     print(detail_line(timings, total, sf_val))
     sys.stdout.flush()
-    print(totals_line(timings, total, sf_val, h30_total))
+    print(totals_line(timings, total, sf_val, h30))
     return 0
 
 

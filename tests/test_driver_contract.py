@@ -192,6 +192,22 @@ def test_bench_totals_line_stays_compact():
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["queries"]["n_queries"] == 999
     assert parsed["queries"]["max"] == 998.123
+
+    # r11 verdict item 1: with the headline30 per-query dict attached the
+    # payload is bigger but still BOUNDED — membership is the fixed
+    # 30-name list (test_bench_headline30_pinned), never the full table,
+    # so even with worst-case name lengths the line stays well under the
+    # driver's tail budget.
+    h30 = {q: 9999.999 for q in bench.HEADLINE30}
+    line30 = bench.totals_line(timings, sum(timings.values()), 0.1, h30)
+    assert len(line30) < 2000
+    parsed30 = json.loads(line30)
+    # summary scalars keep their exact keys next to the 30 real entries
+    assert parsed30["queries"]["n_queries"] == 999
+    assert parsed30["queries"]["top3_sum"] == round(998.123 + 997.123 + 996.123, 3)
+    for q in bench.HEADLINE30:
+        assert parsed30["queries"][q] == 9999.999
+    assert parsed30["headline30"] == round(sum(h30.values()), 3)
     # totals must be the LAST line main() prints: the detail line (which
     # CAN be huge) is emitted strictly before it
     import inspect
