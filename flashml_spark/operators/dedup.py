@@ -746,15 +746,28 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(units)).alias("s"),
     )
-    # Lazy checkpoint + count surface |vocab| to the driver at no extra
-    # corpus pass (global_cumsum pins this frame anyway — the x152
-    # pattern); |vocab| gates the bitset verification below.
+    # Lazy checkpoint + one tiny agg over the |vocab|-sized frame surface
+    # |vocab| AND the doc-id bounds to the driver at no extra corpus pass
+    # (global_cumsum pins this frame anyway — the x152 pattern): |vocab|
+    # gates the bitset verification below, the id bounds gate the packed
+    # candidate key (min/max doc ride the dfreq partials the groupBy
+    # already computes).
     dfreq = (
         toks.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_s"))
+        .agg(
+            F.count(F.lit(1)).alias("df_s"),
+            F.min("doc").alias("__mnd"),
+            F.max("doc").alias("__mxd"),
+        )
         .localCheckpoint(eager=False)
     )
-    n_vocab = dfreq.count()
+    _vstats = dfreq.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.min("__mnd").alias("mn"),
+        F.max("__mxd").alias("mx"),
+    ).first()
+    n_vocab = int(_vstats["nv"])
+    dfreq = dfreq.select("s", "df_s")
     # Dense integer unit ids (1..|vocab|, scale-safe global rank over the
     # |vocab|-sized frame): every downstream join/array op works on
     # bigints instead of shingle STRINGS — the verification intersections
@@ -819,27 +832,79 @@ def prefix_filter_jaccard_pairs(
     occ_bound = F.least(F.col("a.__rk"), F.col("b.__rk")) + F.least(
         F.col("a.n_tok") - F.col("a.__rk"), F.col("b.n_tok") - F.col("b.__rk")
     )
-    cand = (
+    filtered = (
         a.join(b, "sid")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .filter(
             (F.col("b.n_tok") >= F.lit(threshold) * F.col("a.n_tok") - eps)
             & (F.col("a.n_tok") >= F.lit(threshold) * F.col("b.n_tok") - eps)
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_tok").alias("na"),
-            F.col("b.n_tok").alias("nb"),
-            occ_bound.alias("__ob"),
+    )
+    # The candidate agg runs over the RAW prefix-join fan-out (the
+    # operator's biggest frame).  When doc ids are integral, non-negative
+    # and < 2^31 — bounds ridden on the dfreq agg the operator already
+    # pays (the x164 pattern; no extra job) — (id_a, id_b) packs
+    # injectively into one bigint, so the multi-million-row partial
+    # aggregation and its exchange group on 8 key bytes instead of the
+    # 32-byte (id_a, id_b, na, nb) tuple (guide §2.3 narrower types; the
+    # size columns are functions of the pair, so a within-group ``max``
+    # reproduces them exactly).
+    from pyspark.sql import types as _T
+
+    _idt = ranked.schema["doc"].dataType
+    _pk_ok = (
+        isinstance(
+            _idt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.min("__ob").alias("__ub"))
-        .filter(
-            F.col("__ub")
-            >= F.lit(threshold) * (F.col("na") + F.col("nb")) / (1.0 + threshold)
-            - eps
+        and _vstats["mn"] is not None
+        and int(_vstats["mn"]) >= 0
+        and int(_vstats["mx"]) < (1 << 31)
+    )
+    if _pk_ok:
+        shift = F.lit(1 << 32).cast("bigint")
+        cand = (
+            filtered.select(
+                (
+                    F.col("a.doc").cast("bigint") * shift
+                    + F.col("b.doc").cast("bigint")
+                ).alias("__pk"),
+                F.col("a.n_tok").alias("na"),
+                F.col("b.n_tok").alias("nb"),
+                occ_bound.alias("__ob"),
+            )
+            .groupBy("__pk")
+            .agg(
+                F.min("__ob").alias("__ub"),
+                F.max("na").alias("na"),
+                F.max("nb").alias("nb"),
+            )
+            .select(
+                F.shiftright("__pk", 32).cast(_idt).alias("id_a"),
+                F.col("__pk")
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .cast(_idt)
+                .alias("id_b"),
+                "na",
+                "nb",
+                "__ub",
+            )
         )
+    else:
+        cand = (
+            filtered.select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.col("a.n_tok").alias("na"),
+                F.col("b.n_tok").alias("nb"),
+                occ_bound.alias("__ob"),
+            )
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.min("__ob").alias("__ub"))
+        )
+    cand = cand.filter(
+        F.col("__ub")
+        >= F.lit(threshold) * (F.col("na") + F.col("nb")) / (1.0 + threshold)
+        - eps
     )
     # Verification carries each doc's token-ID SET as one bigint array row
     # (never an exploded candidate x tokens join — that multiplies

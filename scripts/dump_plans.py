@@ -25,7 +25,7 @@ def main() -> int:
         if any(n == p or n.startswith(p + "_") or n.startswith(p) for p in prefixes)
     ]
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12")
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
