@@ -117,25 +117,33 @@ ORDER BY key"""
 
 @register("x286_quality_classifier", _X286_SQL)
 def x286(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
     from flashml_spark.operators import quality
 
+    # Fixtures as pandas-backed LocalRelations (r12): a list-of-tuples
+    # createDataFrame is RDD-backed, so the fit's bounded collect and
+    # every fixture consumer launched Python-runner stages (~0.4 s of
+    # scheduler latency per round trip); a LocalTableScan collects
+    # driver-side with NO job (guide §5 — the driver should not ride
+    # the cluster for 24 literal rows).
     posv = ["alpha", "beta", "gamma", "delta"]
     negv = ["zork", "grunt", "blee", "snarf"]
-    pos = spark.createDataFrame(
+    pos = spark.createDataFrame(pd.DataFrame(
         [(i, " ".join(posv[(i + j) % 4] for j in range(3 + i % 5)))
          for i in range(12)],
-        "doc_id long, text string",
-    ).repartition(1)
-    neg = spark.createDataFrame(
+        columns=["doc_id", "text"],
+    ))
+    neg = spark.createDataFrame(pd.DataFrame(
         [(i, " ".join(negv[(i + j) % 4] for j in range(3 + i % 5)))
          for i in range(12)],
-        "doc_id long, text string",
-    ).repartition(1)
+        columns=["doc_id", "text"],
+    ))
     model = quality.fit_quality_classifier(
         pos, neg, "text", n_features=256, max_iter=30, reg_param=0.01,
         fit_sample_rows=None,
     )
-    evald = spark.createDataFrame(
+    evald = spark.createDataFrame(pd.DataFrame(
         [
             (1, "alpha beta gamma"),
             (2, "delta delta alpha"),
@@ -144,24 +152,39 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
             (12, "blee snarf blee"),
             (13, "snarf"),
         ],
-        "doc_id long, text string",
-    ).repartition(1)
-    fx = quality.score_quality_model(evald, "text", model)
-    # ONE aggregation pass + explode for the four fixture rows (r11):
-    # the kept/dropped agg frames were each consumed twice, so the
-    # 6-row scoring UDF subtree executed once per output row — four
-    # ArrowEvalPython rounds for four scalars.  is_kept is never NULL
-    # (fillna 0 in the scorer) and the separable fixture pins 3 kept /
-    # 3 dropped, so indicator sums equal the filtered count/sum exactly.
-    fxa = fx.agg(
-        F.sum("is_kept").cast("double").alias("kn"),
-        F.sum(F.col("doc_id") * F.col("is_kept")).cast("double").alias("ks"),
-        F.sum(1 - F.col("is_kept")).cast("double").alias("dn"),
-        F.sum(F.col("doc_id") * (1 - F.col("is_kept")))
+        columns=["doc_id", "text"],
+    ))
+    # ONE scoring pass for fixture AND corpus (r11 verdict item 4): the
+    # two frames share the (doc_id, text) schema, so a flagged union
+    # feeds a single ArrowEvalPython stage instead of two — the scorer
+    # is a pure per-row map, so every row's score (and is_kept) is
+    # byte-identical to the two-branch plan.  One aggregation computes
+    # the four fixture indicator scalars (fx rows only) and the forced
+    # corpus count (corpus rows only; sum(kept)+sum(1-kept) keeps the
+    # scorer end-to-end on every corpus row exactly as before).
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    unioned = docs.withColumn("__fx", F.lit(0)).unionByName(
+        evald.withColumn("__fx", F.lit(1))
+    )
+    scored = quality.score_quality_model(unioned, "text", model)
+    isfx = F.col("__fx") == 1
+    fxa = scored.agg(
+        F.sum(F.when(isfx, F.col("is_kept"))).cast("double").alias("kn"),
+        F.sum(F.when(isfx, F.col("doc_id") * F.col("is_kept")))
+        .cast("double")
+        .alias("ks"),
+        F.sum(F.when(isfx, 1 - F.col("is_kept"))).cast("double").alias("dn"),
+        F.sum(F.when(isfx, F.col("doc_id") * (1 - F.col("is_kept"))))
         .cast("double")
         .alias("ds"),
+        (
+            F.sum(F.when(~isfx, F.col("is_kept")))
+            + F.sum(F.when(~isfx, 1 - F.col("is_kept")))
+        )
+        .cast("double")
+        .alias("cr"),
     )
-    fx_rows = fxa.select(
+    return fxa.select(
         F.explode(
             F.array(
                 F.struct(
@@ -180,18 +203,13 @@ def x286(spark: SparkSession, sf: str) -> DataFrame:
                     F.lit("fx_dropped_sum_ids").alias("key"),
                     F.col("ds").alias("value"),
                 ),
+                F.struct(
+                    F.lit("corpus_rows").alias("key"),
+                    F.col("cr").alias("value"),
+                ),
             )
         ).alias("r")
-    ).select("r.key", "r.value")
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    out = quality.score_quality_model(docs, "text", model)
-    corpus = out.agg(
-        F.lit("corpus_rows").alias("key"),
-        (F.sum("is_kept") + F.sum(1 - F.col("is_kept")))
-        .cast("double")
-        .alias("value"),
-    )
-    return fx_rows.unionByName(corpus).orderBy("key")
+    ).select("r.key", "r.value").orderBy("key")
 
 # --------------------------------------------------------------------------
 # x288 — PII scan + redaction audit: the C4/FineWeb-style scrub as a
