@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from flashml_spark.operators import dedup, events, sampling, textops
 from flashml_spark.queries import register
 from flashml_spark.queries_ext import _TOK
-from flashml_spark.sources.readers import load_table
+from flashml_spark.sources.readers import load_table, local_rows
 
 _BM25_TERMS = ["spark", "hash", "window"]
 
@@ -565,7 +565,7 @@ def x151(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = spark.createDataFrame([(2,)], "node long").repartition(1)
+    seeds = local_rows(spark, [(2,)], "node long")
     return graph.bfs_hops(edges, seeds, max_hops=3)
 
 

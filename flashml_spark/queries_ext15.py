@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from flashml_spark.operators import events, relational, sampling
 from flashml_spark.queries import register
-from flashml_spark.sources.readers import load_table
+from flashml_spark.sources.readers import load_table, local_rows
 
 
 # --------------------------------------------------------------------------
@@ -302,10 +302,10 @@ ORDER BY key"""
 
 @register("x192_markov_attribution", _X192_SQL)
 def x192(spark: SparkSession, sf: str) -> DataFrame:
-    fix = spark.createDataFrame(
-        _X192_FIX_EVENTS,
+    fix = local_rows(
+        spark, _X192_FIX_EVENTS,
         "user_id bigint, ts bigint, event_id bigint, event_type string",
-    ).repartition(1)
+    )
     att_fix = events.markov_removal_attribution(
         fix, "user_id", "ts", "event_id", "event_type", "purchase"
     )
@@ -644,9 +644,10 @@ def x200(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         F.lit(None).cast("string").alias("key"), "text"
     )
-    fixtures = docs.sparkSession.createDataFrame(
-        [(f"fx:{n}", t) for n, t in _ZLIB_FIXTURES], "key string, text string"
-    ).repartition(1)
+    fixtures = local_rows(
+        docs.sparkSession,
+        [(f"fx:{n}", t) for n, t in _ZLIB_FIXTURES], "key string, text string",
+    )
     # single-pass audit (r9 verdict item 6): fixture pins AND the
     # execution-forcing corpus accounting come out of ONE zlib
     # mapInPandas pass — the previous two-branch shape ran it twice

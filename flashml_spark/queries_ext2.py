@@ -27,7 +27,7 @@ from flashml_spark.preprocessing.transformers import (
     WordSubstituter,
 )
 from flashml_spark.queries import register
-from flashml_spark.sources.readers import load_table
+from flashml_spark.sources.readers import load_table, local_rows
 from flashml_spark.training.postprocess import hotlead_flag, top_k_intents
 
 _TOK = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -336,9 +336,9 @@ def x25(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lower(F.col("text")).alias("lt"))
         .withColumn("word", F.lit(None).cast("string"))
     )
-    fixtures = spark.createDataFrame(
-        [(w, w) for w, _ in _PORTER_FIXTURES], "lt string, word string"
-    ).repartition(1)
+    fixtures = local_rows(
+        spark, [(w, w) for w, _ in _PORTER_FIXTURES], "lt string, word string"
+    )
     stemmed = PorterStemmer(
         inputCol="lt", outputCol="stemmed", delimiter=" "
     ).transform(docs.unionByName(fixtures))

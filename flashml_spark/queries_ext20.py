@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flashml_spark.queries import register
-from flashml_spark.sources.readers import load_table
+from flashml_spark.sources.readers import load_table, local_rows
 
 # --------------------------------------------------------------------------
 # x271 — REAL baseline-JPEG encode→decode roundtrip audit over the whole
@@ -453,9 +453,7 @@ def x278(spark: SparkSession, sf: str) -> DataFrame:
     rows.append((16, pt(1, 3, 70.0)))                 # copy of id 10
     for i, (ax, off) in enumerate(spread[:6]):        # cluster 3: ids 20..25
         rows.append((20 + i, pt(2, ax, off)))
-    fix = spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<double>"
-    ).repartition(1)
+    fix = local_rows(spark, rows, "vec_id bigint, embedding array<double>")
     fx = similarity.semdedup(
         fix, "embedding", "vec_id", n_lists=3, threshold=0.99,
         fit_sample_rows=None, max_iter=20, init_mode="k-means||",
@@ -640,9 +638,7 @@ def x282(spark: SparkSession, sf: str) -> DataFrame:
         rows.append((i, [200.0, 0.0, off, 0.0]))
     for j, off in enumerate([0.0, 4.0, -4.0]):
         rows.append((10 + j, [0.0, 200.0, 0.0, off]))
-    fix = spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<double>"
-    ).repartition(1)
+    fix = local_rows(spark, rows, "vec_id bigint, embedding array<double>")
     fx = similarity.prototype_prune(
         fix, "embedding", "vec_id", n_lists=2, drop_frac=1.0 / 3.0,
         fit_sample_rows=None, max_iter=20, init_mode="k-means||",
@@ -721,9 +717,7 @@ def x283(spark: SparkSession, sf: str) -> DataFrame:
     rows += [(6, pt(0, 2, 70.0)), (7, pt(0, 2, 70.0))]
     rows += [(10, pt(1, 5, 0.0)), (11, pt(1, 5, 60.0)),
              (12, pt(1, 5, -60.0))]
-    fix = spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<double>"
-    ).repartition(1)
+    fix = local_rows(spark, rows, "vec_id bigint, embedding array<double>")
     fx = similarity.d4_curation(
         fix, "embedding", "vec_id", n_lists=2, dedup_threshold=0.99,
         drop_frac=1.0 / 3.0, fit_sample_rows=None, max_iter=20,

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from flashml_spark.operators import relational, textops
 from flashml_spark.queries import register
 from flashml_spark.queries_ext import _TOK
-from flashml_spark.sources.readers import load_table
+from flashml_spark.sources.readers import load_table, local_rows
 
 _SCRUB_PAT = r"\b(value|table)\b"
 
@@ -299,9 +299,7 @@ def x72(spark: SparkSession, sf: str) -> DataFrame:
         for j in range(12):
             off = [(((j * 7 + k * 3) % 5) - 2) * 0.1 for k in range(4)]
             rows.append((g * 12 + j, [c[k] + off[k] for k in range(4)]))
-    fix = spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<double>"
-    ).repartition(1)
+    fix = local_rows(spark, rows, "vec_id bigint, embedding array<double>")
     sampled = similarity.cluster_balanced_sample(
         fix, "embedding", "vec_id", n_lists=4, k_per_cluster=12,
         init_mode="k-means||", max_iter=20,

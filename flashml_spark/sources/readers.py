@@ -88,6 +88,27 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def local_rows(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-literal fixture rows as a pandas-backed LocalRelation.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` parallelizes through a
+    Python RDD — every consumer then runs an ``applySchemaToPythonRDD``
+    scan stage (Python-runner startup + scheduler latency, ~0.3-0.4 s
+    per collect on a warm session, times the number of jobs that touch
+    the fixture).  The pandas path hands the rows to Catalyst as a
+    LocalRelation: driver-side collects (the bounded driver solves)
+    never launch a job at all, and distributed consumers read a
+    LocalTableScan with no Python stage.  Same rows, same schema, same
+    results — only the physical source node changes (guide §5: the
+    driver should not ride the cluster for literal fixture rows)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
+    return spark.createDataFrame(pdf, st)
+
+
 def register_tables(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register the benchmark tables as temp views for SQL-chain queries."""
     for name, df in load_tables(spark, sf_dir, *names).items():
