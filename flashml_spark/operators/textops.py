@@ -12,6 +12,46 @@ from pyspark.sql import functions as F
 
 from flashml_spark.functions import hashing as H
 
+# Budget for the corpus-payload tokenize pins below (r11 verdict item 5
+# / r12 item 7): a localCheckpoint materializes the WHOLE tokenized
+# corpus to executor-local disk and forfeits lineage recovery — the
+# right trade when it replaces ~4 corpus re-reads at bench scale, the
+# wrong one when the frame is 100 TB (a lost executor then kills the
+# job instead of recomputing).  The gate reads the Catalyst-estimated
+# size of the frame (driver-side statistics, no job) and skips the pin
+# past the budget, falling back to plain per-consumer recomputation —
+# the same bounded-fast-path posture as the driver solves.
+# $SPARK_GRAFT_PIN_MAX_BYTES overrides (<= 0 disables pinning outright);
+# the default is far above every test scale, so bench behavior is
+# unchanged, and far below any corpus where local-disk pinning would
+# be unsafe.
+_PIN_MAX_BYTES_DEFAULT = 32 << 30
+
+
+def _bounded_pin(frame: DataFrame) -> DataFrame:
+    """``frame.localCheckpoint()`` when its Catalyst-estimated size fits
+    the executor-local-disk budget, ``frame`` unchanged (lineage-safe
+    recompute per consumer) past it.  Estimate unavailable -> pin (the
+    status quo for every in-repo caller, whose inputs are parquet scans
+    with file-size statistics)."""
+    import os
+
+    budget = int(
+        os.environ.get("SPARK_GRAFT_PIN_MAX_BYTES", _PIN_MAX_BYTES_DEFAULT)
+    )
+    if budget <= 0:
+        return frame
+    try:
+        est = int(
+            frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - stats are best-effort
+        est = -1
+    if est > budget:
+        return frame
+    return frame.localCheckpoint()
+
+
 # Tiny high-frequency stopword lists for the language-ID heuristic.
 # (A production run swaps in larger lists; the mechanism is identical.)
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -1496,9 +1536,11 @@ def dup_span_stats(
     from pyspark.sql import Window
 
     # tokenize ONCE (r11, the x291 pin pattern): see self_repetition_stats
-    toks = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    ).localCheckpoint()
+    toks = _bounded_pin(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+        )
+    )
     grams = toks.select(
         id_col,
         F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
@@ -1573,9 +1615,11 @@ def remove_dup_spans(
     from pyspark.sql import Window
 
     # tokenize ONCE (r11, the x291 pin pattern): see self_repetition_stats
-    toks = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    ).localCheckpoint()
+    toks = _bounded_pin(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+        )
+    )
     grams = toks.select(
         id_col,
         F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
@@ -2328,9 +2372,11 @@ def self_repetition_stats(
     # tokenize ONCE (r11, the x291 pin pattern): grams' two consumers,
     # the positional explode and the totals row each re-ran the full
     # scan + split otherwise (4 corpus tokenize passes for one result)
-    toks = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    ).localCheckpoint()
+    toks = _bounded_pin(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+        )
+    )
     grams = toks.select(
         id_col,
         F.posexplode(H.word_ngrams(F.col("__ts"), n)).alias("pos", "gram"),
@@ -3859,9 +3905,11 @@ def bigram_logprob_score(
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError(f"lam must be in (0, 1], got {lam}")
-    toks = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
-    ).localCheckpoint()
+    toks = _bounded_pin(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), H.tokens(F.col(text_col)).alias("__ts")
+        )
+    )
     occ = toks.select(
         id_col,
         F.explode(

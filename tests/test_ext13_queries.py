@@ -624,3 +624,55 @@ def test_k_anonymity_hand_case(spark):
     assert out["risky_groups"] == 2 and out["risky_rows"] == 3
     assert out["min_group_size"] == 1
     assert out["min_l"] == 1  # the en group is size-6 but l-diversity 1
+
+
+# --- _bounded_pin gate (r12: corpus-sized tokenize pins) ---------------------
+
+
+def test_bounded_pin_paths_identical(spark, monkeypatch):
+    # The tokenize pin is gated on the Catalyst-estimated frame size
+    # ($SPARK_GRAFT_PIN_MAX_BYTES): past the budget the operators run
+    # UNPINNED (lineage-safe recompute per consumer).  Both paths must
+    # produce identical rows; a 1-byte budget forces the unpinned path,
+    # <= 0 disables pinning too.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c d e f a b c"),
+            (2, "all words unique here"),
+            (3, None),
+            (4, "x y x y x y"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for op in (
+        lambda d: textops.self_repetition_stats(d, "text", "doc_id", n=2),
+        lambda d: textops.dup_span_stats(d, "text", "doc_id", n=2),
+        lambda d: textops.remove_dup_spans(d, "text", "doc_id", n=2),
+        lambda d: textops.bigram_logprob_score(d, "text", "doc_id"),
+    ):
+        monkeypatch.delenv("SPARK_GRAFT_PIN_MAX_BYTES", raising=False)
+        pinned = rows(op(docs))
+        monkeypatch.setenv("SPARK_GRAFT_PIN_MAX_BYTES", "1")
+        over_budget = rows(op(docs))
+        monkeypatch.setenv("SPARK_GRAFT_PIN_MAX_BYTES", "0")
+        disabled = rows(op(docs))
+        assert pinned == over_budget == disabled
+
+
+def test_bounded_pin_gate_behavior(spark, monkeypatch):
+    from flashml_spark.operators.textops import _bounded_pin
+
+    frame = spark.range(10).selectExpr("id", "id * 2 AS v")
+    # default budget: pinned (Checkpoint scan in the plan)
+    monkeypatch.delenv("SPARK_GRAFT_PIN_MAX_BYTES", raising=False)
+    assert "ExistingRDD" in _bounded_pin(frame)._jdf.queryExecution().toString()
+    # 1-byte budget: estimate exceeds it -> NOT pinned
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MAX_BYTES", "1")
+    assert (
+        "ExistingRDD"
+        not in _bounded_pin(frame)._jdf.queryExecution().toString()
+    )
