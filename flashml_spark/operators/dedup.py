@@ -534,12 +534,17 @@ def simhash_hamming_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     fp = with_simhash(df, text_col, bits, out_col="__fp")
+    # band key as ONE long (band index in the bits above the slice):
+    # the self-join hashes/shuffles 8 fixed bytes per row instead of a
+    # built "b|slice" string (guide §2.3 narrower types), and the
+    # single-long equi-join key lets Spark build a LongHashedRelation /
+    # long-keyed exchange.  Same (band, slice) partition of the pairs,
+    # so candidates — and the verified output — are identical.
     band_keys = F.array(
         *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                (F.shiftright(F.col("fp"), b * width).bitwiseAND(mask)).cast("string"),
+            (
+                F.shiftright(F.col("fp"), b * width).bitwiseAND(mask)
+                + F.lit(b * (mask + 1)).cast("bigint")
             )
             for b in range(bands)
         ]
