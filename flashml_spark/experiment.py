@@ -470,7 +470,8 @@ class Experiment:
         scored_pages = []
         self.models_ = []
         self.tuning_ = []
-        for k, (tr, te) in enumerate(zip(train_pages, test_pages)):
+
+        def _run_page(k, tr, te):
             if resume_from == "modelling":
                 prep = PipelineModel.load(
                     f"{c.savepoint_root}/pipeline/page{k}/prep_pipeline"
@@ -498,7 +499,6 @@ class Experiment:
                     te = sp.load("vectorization", "test", page=k)
                 tr_v = tr_v.persist()
             model, tuning_info = self._fit_model(tr_v, label_col, page=k)
-            self.tuning_.append(tuning_info)
             labels = self._indexer_labels(prep)
 
             te_v = te  # already vectorized (fresh transform or savepoint)
@@ -517,7 +517,6 @@ class Experiment:
                 # ModelTrainingEngine.loadPipelineArray:109-118)
                 tail.append(calibrator)
             full_model = PipelineModel(prep.stages + tail)
-            self.models_.append(full_model)
             if c.uplift_treatment:
                 from flashml_spark.training.postprocess import uplift_transform
 
@@ -548,7 +547,6 @@ class Experiment:
                         for s in binning_specs_for_page(c.binning, k)
                     ]
                 )
-            scored_pages.append(scored)
             if sp:
                 sp.save(
                     scored.drop(*[col for col, t in scored.dtypes if t == "vector"]),
@@ -557,6 +555,36 @@ class Experiment:
                 full_model.write().overwrite().save(
                     f"{c.savepoint_root}/pipeline/page{k}/model_pipeline"
                 )
+            return scored, full_model, tuning_info
+
+        # Independent page models fit CONCURRENTLY from a small driver
+        # thread pool (guide §2.6 "overlap independent jobs"): each
+        # page's prep fit / model fit / savepoints touch only its own
+        # page{k} paths and frames, so later pages' jobs back-fill the
+        # cores an earlier page's straggling single-task stages leave
+        # idle.  Results are deterministic — every fit sees the exact
+        # frame (and partition layout) the sequential loop gave it; the
+        # pool only changes WHEN jobs run, not what they compute.
+        # 2-3 in flight is plenty (guide); page order is preserved by
+        # index.
+        page_args = list(enumerate(zip(train_pages, test_pages)))
+        if len(page_args) > 1:
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(
+                len(page_args),
+                int(_os.environ.get("SPARK_GRAFT_PAGE_THREADS", "4")),
+            )
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(
+                    pool.map(lambda a: _run_page(a[0], *a[1]), page_args)
+                )
+        else:
+            results = [_run_page(k, tr, te) for k, (tr, te) in page_args]
+        scored_pages = [r[0] for r in results]
+        self.models_ = [r[1] for r in results]
+        self.tuning_ = [r[2] for r in results]
 
         scored_all = relational.union_pages(scored_pages)
         self.page_metrics_ = (
@@ -639,9 +667,8 @@ class Experiment:
             scored_all = scored_all.withColumn(page_col, F.lit(1))
 
         given = cm.get("probThresholds")
-        thresholds: list[float] = []
-        best_f2: list[dict] = []
-        for k in range(n_pages):
+
+        def _page_best_f2(k: int) -> dict:
             page_rows = (
                 scored_all.filter(
                     F.least(F.col(page_col).cast("int"), F.lit(n_pages)) == k + 1
@@ -649,16 +676,31 @@ class Experiment:
                 if n_pages > 1
                 else scored_all
             )
-            sel = best_fbeta_threshold(
+            return best_fbeta_threshold(
                 page_rows.select(
                     positive.alias("positive_probability"),
                     F.col(label_col).alias("label"),
                 )
             )
-            best_f2.append(sel)
-            thresholds.append(
-                float(given[k]) if given else float(sel["threshold"])
+
+        # per-page threshold sweeps are independent read-only actions over
+        # the same scored frame — overlap them (guide §2.6), same pool
+        # sizing as the page-fit loop
+        if n_pages > 1:
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(
+                n_pages, int(_os.environ.get("SPARK_GRAFT_PAGE_THREADS", "4"))
             )
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                best_f2 = list(pool.map(_page_best_f2, range(n_pages)))
+        else:
+            best_f2 = [_page_best_f2(0)]
+        thresholds = [
+            float(given[k]) if given else float(best_f2[k]["threshold"])
+            for k in range(n_pages)
+        ]
 
         prob_only = str(cm.get("type", "prob_only")).lower() == "prob_only"
         top_var = None if prob_only else cm.get("topVariable")
