@@ -515,9 +515,15 @@ def png_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    # pin the tiny audit rows BEFORE the global sort: orderBy range-
+    # partitions via a sampling pass that RE-EXECUTES its child, so the
+    # per-row codec work otherwise runs twice end-to-end (r12; measured
+    # 2 full 32-task Python stages per action).  The pinned frame is
+    # 4 narrow columns per doc - output-sized, never payload-sized.
     return (
         df.select(id_col)
         .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .localCheckpoint()
         .orderBy("media_id")
     )
 
@@ -580,9 +586,15 @@ def jpeg_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    # pin the tiny audit rows BEFORE the global sort: orderBy range-
+    # partitions via a sampling pass that RE-EXECUTES its child, so the
+    # per-row codec work otherwise runs twice end-to-end (r12; measured
+    # 2 full 32-task Python stages per action).  The pinned frame is
+    # 4 narrow columns per doc - output-sized, never payload-sized.
     return (
         df.select(id_col)
         .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .localCheckpoint()
         .orderBy("media_id")
     )
 
@@ -630,9 +642,15 @@ def gif_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    # pin the tiny audit rows BEFORE the global sort: orderBy range-
+    # partitions via a sampling pass that RE-EXECUTES its child, so the
+    # per-row codec work otherwise runs twice end-to-end (r12; measured
+    # 2 full 32-task Python stages per action).  The pinned frame is
+    # 4 narrow columns per doc - output-sized, never payload-sized.
     return (
         df.select(id_col)
         .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .localCheckpoint()
         .orderBy("media_id")
     )
 
@@ -697,7 +715,14 @@ def audio_tone_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "media_id long, sample_rate int, n_frames int,"
         " dominant_bin int, amp_class int"
     )
-    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+    # pin-then-sort: see png_roundtrip_audit (the sampling pass of the
+    # global sort otherwise re-runs the codec map end-to-end)
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=schema)
+        .localCheckpoint()
+        .orderBy("media_id")
+    )
 
 
 def png_palette_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -767,7 +792,14 @@ def png_palette_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "media_id long, width int, height int, luma_top int,"
         " luma_bot int, alpha_top int"
     )
-    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+    # pin-then-sort: see png_roundtrip_audit (the sampling pass of the
+    # global sort otherwise re-runs the codec map end-to-end)
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=schema)
+        .localCheckpoint()
+        .orderBy("media_id")
+    )
 
 
 def png_subbyte_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -843,7 +875,14 @@ def png_subbyte_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "media_id long, width int, height int, gray_top int,"
         " gray_bot int, pal_luma_top int, pal_luma_bot int"
     )
-    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+    # pin-then-sort: see png_roundtrip_audit (the sampling pass of the
+    # global sort otherwise re-runs the codec map end-to-end)
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=schema)
+        .localCheckpoint()
+        .orderBy("media_id")
+    )
 
 
 def tiff_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -913,7 +952,14 @@ def tiff_roundtrip_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = (
         "media_id long, width int, height int, luma_top int, luma_bot int"
     )
-    return df.select(id_col).mapInPandas(run, schema=schema).orderBy("media_id")
+    # pin-then-sort: see png_roundtrip_audit (the sampling pass of the
+    # global sort otherwise re-runs the codec map end-to-end)
+    return (
+        df.select(id_col)
+        .mapInPandas(run, schema=schema)
+        .localCheckpoint()
+        .orderBy("media_id")
+    )
 
 
 def jpeg_progressive_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -972,8 +1018,14 @@ def jpeg_progressive_audit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    # pin the tiny audit rows BEFORE the global sort: orderBy range-
+    # partitions via a sampling pass that RE-EXECUTES its child, so the
+    # per-row codec work otherwise runs twice end-to-end (r12; measured
+    # 2 full 32-task Python stages per action).  The pinned frame is
+    # 4 narrow columns per doc - output-sized, never payload-sized.
     return (
         df.select(id_col)
         .mapInPandas(run, schema=PNG_AUDIT_SCHEMA)
+        .localCheckpoint()
         .orderBy("media_id")
     )
