@@ -37,7 +37,7 @@ def cosine_to_query(df: DataFrame, vec_col: str, query_vec: list[float],
     The query vector ships as a literal array (broadcast in the plan); the
     scan stays a pure map stage.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.lit_doubles(query_vec)
     return df.withColumn(out_col, V.cosine(_as_double(F.col(vec_col)), q))
 
 
@@ -73,9 +73,10 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     at dim=64, n_planes=3, 12 bands), a measured 1.6x drag on the
     bucket-assignment stage (r11; bit-identical output, diff 0)."""
     out = F.lit(0).cast("bigint")
+    vd = _as_double(vec)  # bind the cast once, not once per plane (r12)
     for b, plane in enumerate(planes):
-        p = F.lit([float(x) for x in plane])
-        out = out + F.when(V.dot(_as_double(vec), p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        p = V.lit_doubles(plane)
+        out = out + F.when(V.dot(vd, p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return out
 
 
@@ -349,7 +350,7 @@ def _assign_ivf(
     if len(centroids) <= expr_max_lists:
         dists = F.array(
             *[
-                V.l2_distance(vec, F.array(*[F.lit(float(x)) for x in c]))
+                V.l2_distance(vec, V.lit_doubles(c))
                 for c in centroids
             ]
         )
@@ -853,7 +854,7 @@ def random_projection(
     v = _as_double(F.col(vec_col))
     outs = []
     for j in range(k):
-        sj = F.array(*[F.lit(s) for s in signs[j]])
+        sj = V.lit_doubles(signs[j])
         dot = F.aggregate(
             F.zip_with(v, sj, lambda a, b: a * b),
             F.lit(0.0),
@@ -1601,7 +1602,7 @@ def pq_codebook_audit(
         dists = []
         for k in range(codes):
             c = book[m][k]
-            carr = F.array(*[F.lit(v) for v in c])
+            carr = V.lit_doubles(c)
             cc = float(sum(v * v for v in c))
             dists.append(
                 F.round(xx - 2.0 * V.dot(xm, carr) + F.lit(cc), round_to)
@@ -1667,7 +1668,7 @@ def embedding_isotropy_audit(
     svec = [float(r["c"]) for r in rows]  # exact decimal -> nearest double
     n_vecs = int(rows[0]["n"]) if rows else 0
     snorm = float(sum(v * v for v in svec)) ** 0.5  # left-to-right order
-    carr = F.array(*[F.lit(v) for v in svec])
+    carr = V.lit_doubles(svec)
     per = df.select(
         F.round(V.norm(x), round_to).cast("decimal(18,6)").alias("nrm"),
         F.round(

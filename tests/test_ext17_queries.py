@@ -537,3 +537,34 @@ def test_semantic_decontamination_flags_planted_paraphrase(spark):
     assert out[1]["nearest_benchmark_id"] == 100
     assert out[3]["nearest_benchmark_id"] == 200
     assert out[1]["max_sim"] > 0.99 and out[3]["max_sim"] > 0.97
+
+
+def test_lit_doubles_matches_per_element_literals(spark):
+    # r12: lit_doubles builds the array literal through ONE parsed SQL
+    # expression; it must round-trip binary64 EXACTLY (repr shortest
+    # form -> Java parseDouble -> same bits) and fall back safely.
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flashml_spark.functions import vector as V
+
+    rng = random.Random(7)
+    vals = (
+        [rng.gauss(0.0, 1.0) for _ in range(64)]
+        + [0.0, -0.0, 1e-308, -1e300, 12345.6789, 3.0000000000000004]
+    )
+    row = spark.range(1).select(
+        V.lit_doubles(vals).alias("a"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("b"),
+    ).first()
+    assert len(row["a"]) == len(vals)
+    for got, want in zip(row["a"], row["b"]):
+        assert got == want and math.copysign(1, got) == math.copysign(1, want)
+    # empty + non-finite fall back without error
+    assert spark.range(1).select(V.lit_doubles([]).alias("e")).first()["e"] == []
+    nf = spark.range(1).select(
+        V.lit_doubles([1.0, float("nan"), float("inf")]).alias("n")
+    ).first()["n"]
+    assert nf[0] == 1.0 and math.isnan(nf[1]) and math.isinf(nf[2])
