@@ -30,6 +30,15 @@ def lit_doubles(values) -> Column:
     return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
 
 
+def lit_longs(values) -> Column:
+    """``array<bigint>`` twin of :func:`lit_doubles` — one parsed
+    expression instead of a py4j round trip per element."""
+    vals = [int(x) for x in values]
+    if not vals:
+        return F.expr("CAST(array() AS array<bigint>)")
+    return F.expr("array(" + ",".join(f"{x}L" for x in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns."""
     return F.aggregate(

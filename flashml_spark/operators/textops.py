@@ -3625,10 +3625,10 @@ def bloom_decontamination_screen(
     def _signed(v: int) -> int:
         return v - (1 << 64) if v >= (1 << 63) else v
 
-    warr = F.array(*[F.lit(_signed(w)).cast("bigint") for w in words])
-    masks = F.array(
-        *[F.lit(_signed(1 << j)).cast("bigint") for j in range(64)]
-    )
+    from flashml_spark.functions.vector import lit_longs
+
+    warr = lit_longs(_signed(w) for w in words)
+    masks = lit_longs(_signed(1 << j) for j in range(64))
 
     probe_hits = [
         (
