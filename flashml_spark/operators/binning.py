@@ -52,14 +52,63 @@ def bin_equidistant(df: DataFrame, col: str, n: int, out_col: str | None = None)
 
 
 def exact_quantile_splits(df: DataFrame, col: str, n: int) -> list[float]:
-    """Exact linear-interpolated quantile split points (SQL ``percentile``,
-    same interpolation as ANSI ``percentile_cont``).  One full-sort agg —
-    use only when cross-engine bit-equality matters; ``bin_equiarea``'s
-    GK sketch is the 100 TB path."""
-    qs = ", ".join(str(i / n) for i in range(1, n))
-    row = df.agg(F.expr(f"percentile({col}, array({qs}))").alias("qs")).first()
+    """Exact linear-interpolated quantile split points, bit-identical to
+    SQL ``percentile`` (same interpolation as ANSI ``percentile_cont``).
+
+    The ``percentile`` aggregate builds a value→count map and finishes
+    with a SINGLE-TASK merge + sort of every distinct value — measured
+    3.3 s single-threaded over 583k distinct doubles (r12), with
+    map-side parallelism not helping because the merge dominates.  For
+    float/double columns the splits are instead computed from a
+    DISTRIBUTED sort: one count, one range-partitioned row_number pass
+    (``global_row_number`` — no single-partition stage), then the ≤
+    2(n-1) boundary rows interpolate on the driver with ``percentile``'s
+    exact formula ``(hi - pos)·v[lo] + (pos - lo)·v[hi]`` (verified
+    bit-equal against the aggregate on randomized inputs —
+    test_exact_quantile_splits_matches_percentile_agg).  Other numeric
+    types keep the aggregate (decimal ordering vs double cast is not
+    provably monotone past 2^53)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    qs = [i / n for i in range(1, n)]
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("__v"))
+    )
+    cnt = (
+        vals.count()
+        if isinstance(df.schema[col].dataType, (T.DoubleType, T.FloatType))
+        else 0
+    )
+    if cnt > 0:
+        from flashml_spark.functions.windows import global_row_number
+
+        pos = [(cnt - 1) * q for q in qs]
+        need = sorted({i for p in pos for i in (math.floor(p), math.ceil(p))})
+        rn = global_row_number(vals, ["__v"], out_col="__rn")
+        got = {
+            int(r["__rn"]) - 1: float(r["__v"])
+            for r in rn.where(
+                F.col("__rn").isin([i + 1 for i in need])
+            ).collect()
+        }
+        splits = []
+        for p in pos:
+            lo, hi = math.floor(p), math.ceil(p)
+            if hi == lo:
+                splits.append(got[lo])
+            else:
+                splits.append((hi - p) * got[lo] + (p - lo) * got[hi])
+    else:
+        q_sql = ", ".join(str(q) for q in qs)
+        row = df.agg(
+            F.expr(f"percentile({col}, array({q_sql}))").alias("qs")
+        ).first()
+        splits = [float(s) for s in row["qs"]]
     uniq: list[float] = []
-    for s in row["qs"]:
+    for s in splits:
         if not uniq or s > uniq[-1]:
             uniq.append(float(s))
     return uniq

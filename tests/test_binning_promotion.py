@@ -157,3 +157,33 @@ def test_load_config_binning_validation():
     ]}}
     with pytest.raises(ValueError, match="needs splits"):
         load_config(bad2)
+
+
+def test_exact_quantile_splits_matches_percentile_agg(spark):
+    # r12: the distributed sort+interpolate path must be BIT-identical
+    # to the percentile aggregate it replaced (formula
+    # (hi-pos)*v[lo] + (pos-lo)*v[hi], floor/ceil positions).
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from flashml_spark.operators.binning import exact_quantile_splits
+
+    rng = random.Random(13)
+    for n_rows, n_bins in ((7, 4), (96, 4), (313, 10), (1000, 3)):
+        vals = [rng.uniform(-1e4, 1e6) for _ in range(n_rows)]
+        vals += [vals[0]] * 3  # ties
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = exact_quantile_splits(df, "x", n_bins)
+        qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+        want_raw = df.agg(
+            F.expr(f"percentile(x, array({qs}))").alias("qs")
+        ).first()["qs"]
+        want = []
+        for s in want_raw:
+            if not want or s > want[-1]:
+                want.append(float(s))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert struct.pack("<d", g) == struct.pack("<d", w), (g, w)
