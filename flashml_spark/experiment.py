@@ -90,7 +90,7 @@ class ExperimentConfig:
     # experiment.cv.predictSavepoint (FlashMLConstants.scala:215): persist the
     # best param map's per-fold validation predictions for threshold tuning
     cv_predict_savepoint: bool = False
-    parallelism: int = 3
+    parallelism: int = 6
     # HyperBand budget (reference defaults, HyperBand.scala:60-96)
     hyperband_max_iter: int = 81
     hyperband_eta: int = 3

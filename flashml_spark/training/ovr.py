@@ -43,7 +43,7 @@ class OneVsRestWithScores:
     """
 
     def __init__(self, base_estimator_factory, label_col: str = "label",
-                 features_col: str = "features", parallelism: int = 3):
+                 features_col: str = "features", parallelism: int = 6):
         self.base_estimator_factory = base_estimator_factory
         self.label_col = label_col
         self.features_col = features_col

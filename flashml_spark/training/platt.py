@@ -67,7 +67,7 @@ class PlattScalar:
     """
 
     def __init__(self, label_col: str = "label", raw_col: str = "rawPrediction",
-                 scores_col: str = "class_scores", parallelism: int = 3):
+                 scores_col: str = "class_scores", parallelism: int = 6):
         self.label_col = label_col
         self.raw_col = raw_col
         self.scores_col = scores_col

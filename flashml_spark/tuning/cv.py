@@ -34,7 +34,7 @@ class CrossValidatorWithFoldMetrics:
         metric: str = "weightedPrecision",
         num_folds: int = 3,
         seed: int = 999,
-        parallelism: int = 3,
+        parallelism: int = 6,
         predict_savepoint_path: str | None = None,
         predict_savepoint_cols: list[str] | None = None,
     ):
